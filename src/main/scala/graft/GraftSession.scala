@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's required settings.
+  *
+  * - `spark.sql.ansi.enabled=false`: the reference's casts are tolerant —
+  *   failures become nulls (`tasks/process.py:22`, `tasks/extract.py:95`);
+  *   Spark 4 defaults ANSI on, which would turn them into errors.
+  * - `spark.sql.session.timeZone=UTC`: timestamp↔epoch arithmetic parity
+  *   with the (naive-UTC) parquet testdata and the DuckDB oracle.
+  * - AQE on: runtime coalescing of shuffle partitions + skew-join
+  *   splitting — the knobs that keep the same plans healthy at 100 TB.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", math.max(cores, 1)).getOrCreate()
+
+  /** Applies the engine-required SQL confs to an externally-built session
+    * (used by Verify/Bench whose session shape is driver-imposed). */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Parquet TIMESTAMP(NANOS) (events.ts) has no Spark type; read the
+    // raw nanos as long — Scan.table converts to a microsecond timestamp,
+    // matching DuckDB's nanos→micros truncation.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}

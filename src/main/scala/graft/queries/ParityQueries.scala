@@ -1,0 +1,264 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Normalize, SpecAggregate}
+import graft.sources.Scan
+import graft.spec.ObjectSpec
+
+/** Reference-parity queries over the driver testdata (mapping table:
+  * FIXTURES.md §"Mapping A→B"). Each query has a DuckDB oracle in
+  * [[ParityQueries.oracles]]; column names/aliases match exactly and every
+  * query carries a deterministic total ORDER BY so the hash compare is
+  * order-insensitive by construction.
+  *
+  * Floating-point aggregate outputs are rounded to 4 decimals on BOTH
+  * sides: Spark and DuckDB sum partitions in different orders, so raw
+  * double sums differ in the last ulps; rounding removes that noise
+  * without weakening the semantic check.
+  */
+object ParityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Scan.table(s, dir, name)
+
+  /** Round the given double columns to 4 decimals (oracle-noise control). */
+  private def round4(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumns(cols.map(c => c -> round(col(c), 4)).toMap)
+
+  private def specOf(groupBy: Seq[String], metrics: Seq[(String, Seq[String])]): ObjectSpec =
+    ObjectSpec("adhoc", Nil, Nil, groupBy, ListMap(metrics: _*))
+
+  // --- A1/A3/A4/A5 + O1: Opportunity-shaped grouped rollup (flagship) ---
+  val opportunityByStage: Q = (s, dir) => {
+    val spec = specOf(Seq("o_orderstatus"), Seq("o_totalprice" -> Seq("sum", "mean", "count")))
+    round4(SpecAggregate.run(s, spec, t(s, dir, "orders")),
+      Seq("sum_o_totalprice", "avg_o_totalprice"))
+  }
+
+  // --- Account-shaped rollup (customer by segment) ---
+  val accountBySegment: Q = (s, dir) => {
+    val spec = specOf(Seq("c_mktsegment"), Seq("c_acctbal" -> Seq("sum", "mean", "count")))
+    round4(SpecAggregate.run(s, spec, t(s, dir, "customer")),
+      Seq("sum_c_acctbal", "avg_c_acctbal"))
+  }
+
+  // --- Lead-shaped: 2 group keys, count-only (A3 fold) ---
+  val leadCountTwoKeys: Q = (s, dir) => {
+    val spec = specOf(Seq("l_returnflag", "l_linestatus"), Seq("l_orderkey" -> Seq("count")))
+    SpecAggregate.run(s, spec, t(s, dir, "lineitem"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // --- OpportunityLineItem-shaped: multi-metric per product ---
+  val lineitemMultiMetric: Q = (s, dir) => {
+    val spec = specOf(Seq("l_partkey"), Seq(
+      "l_quantity" -> Seq("sum"),
+      "l_discount" -> Seq("mean"),
+      "l_extendedprice" -> Seq("sum", "count")))
+    round4(SpecAggregate.run(s, spec, t(s, dir, "lineitem")),
+      Seq("sum_l_quantity", "avg_l_discount", "sum_l_extendedprice"))
+  }
+
+  // --- A6 min/max + boolean-ish group key (Product2-shaped) ---
+  val partPriceByBrand: Q = (s, dir) => {
+    val spec = specOf(Seq("p_brand"), Seq("p_retailprice" -> Seq("min", "max", "count")))
+    round4(SpecAggregate.run(s, spec, t(s, dir, "part")),
+      Seq("min_p_retailprice", "max_p_retailprice"))
+  }
+
+  // --- A2: global aggregate, no group keys ---
+  val globalAgg: Q = (s, dir) => {
+    val spec = specOf(Nil, Seq(
+      "l_quantity" -> Seq("sum", "mean"),
+      "l_extendedprice" -> Seq("min", "max")))
+    round4(SpecAggregate.run(s, spec, t(s, dir, "lineitem")),
+      Seq("sum_l_quantity", "avg_l_quantity", "min_l_extendedprice", "max_l_extendedprice"))
+  }
+
+  // --- P8/P9/A7: Event-shaped derived duration_hours over a join-built
+  //     (start, end) pair: order placement → lineitem shipment ---
+  val eventDurationByOwner: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val joined = li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("owner_id"), col("o_orderdate"), col("l_shipdate"))
+    val durated = Normalize.deriveDurationHours(joined, "o_orderdate", "l_shipdate")
+    val spec = specOf(Seq("owner_id"), Seq(ObjectSpec.DurationHours -> Seq("sum", "mean", "count")))
+    round4(SpecAggregate.run(s, spec, durated), Seq("sum_duration_hours", "avg_duration_hours"))
+  }
+
+  // --- S7: empty-input stability — spec-derived schema on a 0-row scan ---
+  val emptyInputSchema: Q = (s, dir) => {
+    val spec = specOf(Seq("o_orderstatus"), Seq("o_totalprice" -> Seq("sum", "mean", "count")))
+    SpecAggregate.run(s, spec, t(s, dir, "orders").filter(lit(false)))
+  }
+
+  // --- D1: keep-first dedup with explicit deterministic tie-break ---
+  val dedupKeepFirst: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    Dedup.keepFirst(li, Seq("l_orderkey"),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      .orderBy(col("l_orderkey"))
+  }
+
+  // --- D3: keep-last dedup (ledger `run_id` semantics) ---
+  val dedupKeepLast: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    Dedup.keepLast(ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .orderBy(col("user_id"))
+  }
+
+  // --- A11/O2: top-k value counts with deterministic tie-break ---
+  val topkOrderPriority: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+      .limit(5)
+
+  // --- O2/O3: sorted head over raw rows ---
+  val topOrdersByPrice: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // --- D2: union (JSONL-merge analog) then recount ---
+  val unionMergeRecount: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val even = ev.filter(col("user_id") % 2 === 0)
+    val odd = ev.filter(col("user_id") % 2 === 1)
+    even.unionByName(odd)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("records"))
+      .orderBy(col("event_type"))
+  }
+
+  // --- Q4/A9/A10: single-pass column profile (nulls + exact distincts) ---
+  val profileOrders: Q = (s, dir) => {
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    val df = t(s, dir, "orders")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"uniq_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', null_$c, uniq_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.length}, $stackArgs) as (column_name, null_count, n_unique)")
+      .orderBy(col("column_name"))
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    "q_opportunity_by_stage" -> opportunityByStage,
+    "q_account_by_segment" -> accountBySegment,
+    "q_lead_count_two_keys" -> leadCountTwoKeys,
+    "q_lineitem_multi_metric" -> lineitemMultiMetric,
+    "q_part_price_by_brand" -> partPriceByBrand,
+    "q_global_agg" -> globalAgg,
+    "q_event_duration_by_owner" -> eventDurationByOwner,
+    "q_empty_input_schema" -> emptyInputSchema,
+    "q_dedup_keep_first" -> dedupKeepFirst,
+    "q_dedup_keep_last" -> dedupKeepLast,
+    "q_topk_order_priority" -> topkOrderPriority,
+    "q_top_orders_by_price" -> topOrdersByPrice,
+    "q_union_merge_recount" -> unionMergeRecount,
+    "q_profile_orders" -> profileOrders
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_opportunity_by_stage" ->
+      """SELECT o_orderstatus,
+         COUNT(*) AS records,
+         ROUND(COALESCE(SUM(o_totalprice), 0.0), 4) AS sum_o_totalprice,
+         ROUND(AVG(o_totalprice), 4) AS avg_o_totalprice
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_account_by_segment" ->
+      """SELECT c_mktsegment,
+         COUNT(*) AS records,
+         ROUND(COALESCE(SUM(c_acctbal), 0.0), 4) AS sum_c_acctbal,
+         ROUND(AVG(c_acctbal), 4) AS avg_c_acctbal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_lead_count_two_keys" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS records
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_lineitem_multi_metric" ->
+      """SELECT l_partkey,
+         COUNT(*) AS records,
+         ROUND(COALESCE(SUM(l_quantity), 0.0), 4) AS sum_l_quantity,
+         ROUND(AVG(l_discount), 4) AS avg_l_discount,
+         ROUND(COALESCE(SUM(l_extendedprice), 0.0), 4) AS sum_l_extendedprice
+         FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""",
+    "q_part_price_by_brand" ->
+      """SELECT p_brand,
+         COUNT(*) AS records,
+         ROUND(MIN(p_retailprice), 4) AS min_p_retailprice,
+         ROUND(MAX(p_retailprice), 4) AS max_p_retailprice
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q_global_agg" ->
+      """SELECT COUNT(*) AS records,
+         ROUND(COALESCE(SUM(l_quantity), 0.0), 4) AS sum_l_quantity,
+         ROUND(AVG(l_quantity), 4) AS avg_l_quantity,
+         ROUND(MIN(l_extendedprice), 4) AS min_l_extendedprice,
+         ROUND(MAX(l_extendedprice), 4) AS max_l_extendedprice
+         FROM lineitem""",
+    "q_event_duration_by_owner" ->
+      """SELECT o_custkey AS owner_id,
+         COUNT(*) AS records,
+         ROUND(COALESCE(SUM(COALESCE((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 3600000000.0, 0.0)), 0.0), 4) AS sum_duration_hours,
+         ROUND(AVG(COALESCE((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 3600000000.0, 0.0)), 4) AS avg_duration_hours
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_custkey ORDER BY owner_id""",
+    "q_empty_input_schema" ->
+      """SELECT CAST(NULL AS VARCHAR) AS o_orderstatus,
+         CAST(NULL AS DOUBLE) AS sum_o_totalprice,
+         CAST(NULL AS DOUBLE) AS avg_o_totalprice,
+         CAST(NULL AS BIGINT) AS records
+         WHERE FALSE""",
+    "q_dedup_keep_first" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem)
+         WHERE rn = 1 ORDER BY l_orderkey""",
+    "q_dedup_keep_last" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "q_topk_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY cnt DESC, o_orderpriority LIMIT 5""",
+    "q_top_orders_by_price" ->
+      """SELECT * FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_union_merge_recount" ->
+      """SELECT event_type, COUNT(*) AS records
+         FROM (SELECT * FROM events WHERE user_id % 2 = 0
+               UNION ALL
+               SELECT * FROM events WHERE user_id % 2 = 1)
+         GROUP BY event_type ORDER BY event_type""",
+    "q_profile_orders" ->
+      """SELECT column_name, null_count, n_unique FROM (
+           SELECT 'o_orderstatus' AS column_name,
+                  COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS null_count,
+                  COUNT(DISTINCT o_orderstatus) AS n_unique FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority',
+                  COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+                  COUNT(DISTINCT o_orderpriority) FROM orders
+           UNION ALL
+           SELECT 'o_custkey',
+                  COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+                  COUNT(DISTINCT o_custkey) FROM orders)
+         ORDER BY column_name"""
+  )
+}
