@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import scala.collection.immutable.ListMap
+
+import graft.SparkSpec
+import graft.meta.RunLedger
+import graft.spec.ObjectSpec
+
+class OrchestratorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def source = Seq(
+    ("o1", "OPEN", 10.0), ("o2", "OPEN", 20.0), ("o3", "CLOSED", 5.0),
+    ("o3", "CLOSED", 5.0) // duplicate Id for dedup QA
+  ).toDF("Id", "Status", "TotalAmount")
+
+  private val orderSpec = ObjectSpec(
+    "Order", Seq("Id", "Status", "TotalAmount"), Seq("Id", "Status"),
+    Seq("Status"), ListMap("TotalAmount" -> Seq("sum", "mean", "count")))
+
+  test("full DAG: artifacts written, states COMPLETED, ledger appended") {
+    val base = Files.createTempDirectory("orch").toString
+    val report = Orchestrator.run(spark, "Order", source, base,
+      Orchestrator.RunOptions(limit = None, timestampRaw = false),
+      specOverride = Some(orderSpec))
+
+    assert(report.rawRows == 4)
+    assert(report.processedRows == 2) // OPEN, CLOSED
+    assert(report.jsonRecords == 2)
+    assert(Files.exists(Paths.get(report.processedCsv)))
+    val json = new String(Files.readAllBytes(Paths.get(report.outputJson)), "UTF-8")
+    assert(json.trim.startsWith("[") && json.contains("sum_totalamount"))
+    assert(report.taskStates.get("extract").contains("COMPLETED"))
+    assert(report.taskStates.get("process").contains("COMPLETED"))
+    assert(report.taskStates.get("dedup").contains("COMPLETED"))
+    assert(report.taskStates.get("drift").contains("COMPLETED"))
+    assert(report.qaArtifacts.keySet == Set("dedup", "profile", "snapshot"))
+
+    val ledger = RunLedger.read(s"$base/meta/runs.jsonl")
+    assert(ledger.size == 1)
+
+    // second run: drift state now exists, ledger grows, dedupe keeps both ids
+    val report2 = Orchestrator.run(spark, "Order", source, base,
+      Orchestrator.RunOptions(limit = None, timestampRaw = false),
+      specOverride = Some(orderSpec))
+    assert(report2.driftAlert.isEmpty) // same rowcount → no drift
+    assert(RunLedger.read(s"$base/meta/runs.jsonl").size == 2)
+  }
+
+  test("QA failures are advisory by default, strict with failOnQaError") {
+    val base = Files.createTempDirectory("orch2").toString
+    val badSpec = orderSpec.copy(requiredCols = Seq("Id", "MissingCol"))
+    // advisory: pipeline completes despite schema-gate failure
+    val report = Orchestrator.run(spark, "Order", source, base,
+      Orchestrator.RunOptions(limit = None, timestampRaw = false),
+      specOverride = Some(badSpec))
+    assert(report.taskStates.get("precheck_schema").contains("FAILED"))
+    assert(report.processedRows == 2) // ETL branch unaffected
+    // strict: the same failure propagates
+    intercept[Exception] {
+      Orchestrator.run(spark, "Order", source, base,
+        Orchestrator.RunOptions(limit = None, timestampRaw = false, failOnQaError = true),
+        specOverride = Some(badSpec))
+    }
+  }
+
+  test("limit is applied at extract (source-pushed P3)") {
+    val base = Files.createTempDirectory("orch3").toString
+    val report = Orchestrator.run(spark, "Order", source, base,
+      Orchestrator.RunOptions(limit = Some(2), timestampRaw = false),
+      specOverride = Some(orderSpec))
+    assert(report.rawRows == 2)
+  }
+}
