@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.ParityQueries
+import graft.queries.{DedupQueries, ParityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,14 +19,16 @@ object SparkEntry {
     ParityQueries.opportunityByStage(spark, "/root/testdata/sf0.001")
   }
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2 (+ extension). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries.map { case (k, f) =>
-      k -> { (s: SparkSession, dir: String) => f(GraftSession.configure(s), dir) }
-    }
+    (ParityQueries.queries ++ DedupQueries.queries ++ TextQueries.queries)
+      .map { case (k, f) =>
+        k -> { (s: SparkSession, dir: String) => f(GraftSession.configure(s), dir) }
+      }
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check. */
-  def oracleSql: Map[String, String] = ParityQueries.oracles
+  def oracleSql: Map[String, String] =
+    ParityQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles
 }

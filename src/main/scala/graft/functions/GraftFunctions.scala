@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** User-facing `Column` functions of the engine (the `functions._` of
+  * graft). Native expressions wrapped here; everything else is composed
+  * from built-ins so plans stay codegen-friendly.
+  */
+object GraftFunctions {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def e(col: Column) = ColumnBridge.expression(col)
+
+  /** Engine-portable rounding: `floor(x·10ⁿ + 0.5)/10ⁿ`. Spark's `round`
+    * goes through BigDecimal's decimal-string repr while DuckDB multiplies
+    * and `std::round`s — the two disagree when the scaled product lands
+    * exactly on a .5 boundary. Spelling the multiply-floor out makes both
+    * engines execute the identical double ops, so oracle comparisons can
+    * never diverge on rounding. */
+  def roundPortable(x: Column, decimals: Int): Column = {
+    val p = math.pow(10.0, decimals)
+    floor(x * lit(p) + lit(0.5)).cast("double") / lit(p)
+  }
+
+  /** The DuckDB-side spelling of [[roundPortable]] for oracle SQL. */
+  def roundPortableSql(expr: String, decimals: Int): String = {
+    val p = math.pow(10.0, decimals).toLong
+    s"FLOOR(($expr) * $p + 0.5) / $p"
+  }
+
+  /** Codegen'd dot product over array<float|double>. */
+  def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+
+  /** Codegen'd cosine similarity over array<float|double>; 0.0 on zero
+    * norm. */
+  def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+
+  /** Word n-grams of a whitespace-tokenized string column: the shingle set
+    * for near-dup detection. Empty array when the doc has < n tokens
+    * (`sequence` would otherwise run backwards). */
+  def word_ngrams(text: Column, n: Int, sep: String = " "): Column = {
+    val words = split(text, java.util.regex.Pattern.quote(sep))
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - lit(n - 1)),
+        i => concat_ws(sep, slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Jaccard similarity of two array columns (exact set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  // functions.shiftleft/shiftright only take Int literals; the catalyst
+  // expressions accept column operands (needed inside lambdas).
+  def shiftL(v: Column, bits: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.ShiftLeft(e(v), e(bits)))
+  def shiftR(v: Column, bits: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.ShiftRight(e(v), e(bits)))
+  def shiftRUnsigned(v: Column, bits: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned(e(v), e(bits)))
+
+  /** 64-bit SimHash over a token array: per-bit majority vote of the
+    * tokens' xxhash64 values. Pure built-in expression composition. */
+  def simhash64(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    // For each bit b: set it when strictly more than half the tokens have
+    // it set. aggregate over the 64 bit positions; nested filter counts.
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => acc + when(
+        size(filter(hashes, h => shiftR(h, b).bitwiseAND(lit(1L)) === lit(1L))) * 2
+          > size(hashes),
+        shiftL(lit(1L), b)).otherwise(lit(0L)))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Registers the native expressions for SQL use
+    * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+  }
+}

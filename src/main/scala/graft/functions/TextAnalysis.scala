@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data curation (extension
+  * surface): token counting, quality scoring, n-gram-heuristic language
+  * ID, and content fingerprinting. All built-in expression compositions —
+  * each metric is one projection inside whole-stage codegen, so a 100 TB
+  * text sweep is a single scan.
+  *
+  * Every function here is deliberately SQL-expressible (length/replace
+  * arithmetic, LIKE-style containment, regexp_count with an RE2-safe
+  * pattern) so the DuckDB oracle can check it; see
+  * `graft.queries.TextQueries`.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: `len - len(without ' ') + 1` — identical
+    * arithmetic on any SQL engine (no regex dialect drift). */
+  def wsTokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** Word-ish token count via a BPE-ish regex: alnum runs or single
+    * non-space symbols (≈ GPT-2 pre-tokenizer classes, RE2-compatible). */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Byte-pair-encoding token estimate: the classic chars/4 heuristic. */
+  def approxBpeTokenCount(text: Column): Column =
+    ceil(length(text) / 4.0).cast("long")
+
+  /** Ratio of distinct whitespace tokens to total (repetition detector —
+    * low values flag boilerplate/spam). */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = split(text, " ")
+    GraftFunctions.roundPortable(size(array_distinct(toks)).cast("double") / size(toks), 4)
+  }
+
+  /** Language stopword marker lists (public high-frequency function
+    * words). Containment is checked with space padding — pure substring
+    * semantics, no tokenizer needed. */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  private def padded(text: Column): Column = concat(lit(" "), text, lit(" "))
+
+  /** Number of the language's stopwords present in the text (0..5). */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val words = StopwordLists.toMap.apply(lang)
+    words.map(w => when(instr(padded(text), s" $w ") > 0, 1).otherwise(0))
+      .reduce[Column](_ + _)
+  }
+
+  /** N-gram-heuristic language ID: argmax of stopword hits with a fixed
+    * tie-break order (list order), `und` when nothing matches. */
+  def langId(text: Column): Column = {
+    val scores = StopwordLists.map { case (lang, _) => lang -> stopwordHits(text, lang) }
+    val best = scores.tail.foldLeft[Column](scores.head._2)((m, s) => greatest(m, s._2))
+    scores.foldRight[Column](lit("und")) { case ((lang, s), els) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length saturation (50%), lexical
+    * diversity (30%), stopword presence (20%). Deterministic, rounded. */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm = least(wsTokenCount(text).cast("double") / 100.0, lit(1.0))
+    val diversity = size(array_distinct(split(text, " "))).cast("double") /
+      greatest(wsTokenCount(text).cast("double"), lit(1.0))
+    val stopTerm = stopwordHits(text, "en").cast("double") / 5.0
+    GraftFunctions.roundPortable(lengthTerm * 0.5 + diversity * 0.3 + stopTerm * 0.2, 4)
+  }
+
+  /** 128-bit content fingerprint (md5 hex) — exact-dup key. */
+  def md5Fingerprint(text: Column): Column = md5(text)
+
+  /** Polynomial rolling hash over the codepoints, mod 2^31-1 — an
+    * order-sensitive fingerprint cheap enough to recompute per chunk.
+    * Expressed as a SQL `aggregate` so it stays engine-portable:
+    * `h := (h*31 + codepoint) mod 2147483647`. */
+  def rollingHash(textColName: String): Column =
+    expr(
+      s"""aggregate(
+         |  sequence(1, length($textColName)),
+         |  CAST(0 AS BIGINT),
+         |  (acc, i) -> (acc * 31 + ascii(substring($textColName, i, 1))) % 2147483647
+         |)""".stripMargin)
+}

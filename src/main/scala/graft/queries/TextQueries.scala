@@ -1,0 +1,114 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis._
+import graft.sources.Scan
+
+/** Text-analysis extension queries over `documents`, all DuckDB-oracled:
+  * token counting, quality scoring, language ID, fingerprinting. Each is
+  * a single projection (+ optional rollup) over one scan.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val tokenCounts: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      wsTokenCount(col("text")).as("ws_tokens"),
+      regexTokenCount(col("text")).as("regex_tokens"),
+      approxBpeTokenCount(col("text")).as("approx_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityProfile: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      distinctTokenRatio(col("text")).as("distinct_ratio"),
+      stopwordHits(col("text"), "en").cast("long").as("en_stopword_hits"),
+      qualityScore(col("text")).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdRollup: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    d.select(langId(col("text")).as("predicted_lang"))
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("predicted_lang"))
+  }
+
+  val fingerprints: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      md5Fingerprint(col("text")).as("md5_fp"),
+      rollingHash("text").as("rolling_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    "q_text_token_counts" -> tokenCounts,
+    "q_text_quality" -> qualityProfile,
+    "q_text_langid" -> langIdRollup,
+    "q_text_fingerprints" -> fingerprints)
+
+  // DuckDB-side building blocks mirroring TextAnalysis exactly.
+  private val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+  private def hits(words: Seq[String]): String =
+    words.map(w => s"(CASE WHEN POSITION(' $w ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+  private val hitsEn = hits(Seq("the", "and", "of", "to", "a"))
+  private val hitsEs = hits(Seq("el", "la", "de", "que", "y"))
+  private val hitsFr = hits(Seq("le", "les", "et", "des", "une"))
+  private val hitsDe = hits(Seq("der", "die", "und", "das", "ist"))
+  import graft.functions.GraftFunctions.roundPortableSql
+  private val distinctRatio = roundPortableSql(
+    "LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE / LEN(STRING_SPLIT(text, ' '))", 4)
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_text_token_counts" ->
+      s"""SELECT doc_id,
+          CAST($wsToks AS BIGINT) AS ws_tokens,
+          CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+            AS regex_tokens,
+          CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+          FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+          CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
+          $distinctRatio AS distinct_ratio,
+          CAST($hitsEn AS BIGINT) AS en_stopword_hits,
+          ${roundPortableSql(
+            s"""LEAST($wsToks / 100.0, 1.0) * 0.5
+            + (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE
+               / GREATEST($wsToks::DOUBLE, 1.0)) * 0.3
+            + ($hitsEn / 5.0) * 0.2""", 4)} AS quality_score
+          FROM documents ORDER BY doc_id""",
+    "q_text_langid" ->
+      s"""SELECT predicted_lang, COUNT(*) AS n_docs FROM (
+            SELECT CASE
+              WHEN $hitsEn > 0 AND $hitsEn >= GREATEST($hitsEs, $hitsFr, $hitsDe) THEN 'en'
+              WHEN $hitsEs > 0 AND $hitsEs >= GREATEST($hitsEn, $hitsFr, $hitsDe) THEN 'es'
+              WHEN $hitsFr > 0 AND $hitsFr >= GREATEST($hitsEn, $hitsEs, $hitsDe) THEN 'fr'
+              WHEN $hitsDe > 0 AND $hitsDe >= GREATEST($hitsEn, $hitsEs, $hitsFr) THEN 'de'
+              ELSE 'und' END AS predicted_lang
+            FROM documents)
+          GROUP BY predicted_lang ORDER BY predicted_lang""",
+    "q_text_fingerprints" ->
+      """SELECT doc_id, MD5(text) AS md5_fp,
+          LIST_REDUCE(
+            LIST_PREPEND(CAST(0 AS BIGINT),
+              LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text)),
+                i -> CAST(ASCII(text[i:i]) AS BIGINT))),
+            (acc, u) -> (acc * 31 + u) % 2147483647) AS rolling_fp
+          FROM documents ORDER BY doc_id"""
+  )
+}

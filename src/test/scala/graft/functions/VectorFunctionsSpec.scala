@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(2.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 0.0f)) // zero vector
+  ).toDF("id", "v")
+
+  test("cosine_similarity: identity, orthogonality, scale-invariance, zero-norm") {
+    val q = array(lit(1.0f), lit(0.0f), lit(0.0f))
+    val out = vecs.select(col("id"), cosine_similarity(col("v"), q).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 1.0) // scale-invariant
+    assert(out(4L) == 0.0) // zero norm → 0.0, not NaN
+  }
+
+  test("dot_product matches hand computation") {
+    val q = array(lit(2.0f), lit(3.0f), lit(4.0f))
+    val out = vecs.filter(col("id") === 1).select(dot_product(col("v"), q)).head.getDouble(0)
+    assert(out == 2.0)
+  }
+
+  test("SQL registration exposes the native expressions") {
+    GraftFunctions.register(spark)
+    vecs.createOrReplaceTempView("v")
+    val r = spark.sql(
+      "SELECT cosine_similarity(a.v, b.v) FROM v a JOIN v b ON a.id=1 AND b.id=3")
+      .head.getDouble(0)
+    assert(r == 1.0)
+  }
+
+  test("simhash64 is deterministic and separates disjoint token sets") {
+    val df = Seq(
+      ("a", "alpha beta gamma delta"),
+      ("b", "alpha beta gamma delta"),
+      ("c", "zebra yak xylophone walrus vulture unicorn")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), simhash64(split(col("text"), " ")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == out("b"))
+    val dist = df.filter(col("id") === "a")
+      .select(hamming64(lit(out("a")), lit(out("c")))).head.getInt(0)
+    assert(dist > 8) // unrelated texts land far apart
+  }
+
+  test("roundPortable matches decimal half-up away from boundaries") {
+    val df = Seq(1.23456789, 0.5, 2.675).toDF("x")
+    val out = df.select(roundPortable(col("x"), 4)).collect().map(_.getDouble(0))
+    assert(out(0) == 1.2346)
+    assert(out(1) == 0.5)
+  }
+}

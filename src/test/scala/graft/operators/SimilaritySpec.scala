@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("topKForVector: the query vector's own row ranks first with cosine 1.0") {
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head.getSeq[Float](0)
+    val top = Similarity.topKForVector(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(top.head.getDouble(1) == 1.0)
+    // scores are non-increasing
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("topKForQueries returns k ranked rows per query") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = Similarity.topKForQueries(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 4)
+    val byQuery = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 4)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4))
+      // rank 1 is the query itself (it is part of the corpus)
+      val first = rows.find(_.getAs[Int]("rank") == 1).get
+      assert(first.getAs[Long]("vec_id") == first.getAs[Long]("query_id"))
+    }
+  }
+
+  test("annTopK (multi-probe LSH) recalls most of the exact top-k") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.topKForQueries(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // Testdata embeddings are near-uniform (max pairwise cosine ≈ 0.6), the
+    // hardest case for angular LSH — recall is bucket-coverage-bound. With
+    // 4 bits + multi-probe a query scans ~5/16 of the corpus; assert the
+    // recall is clearly above that random-scan floor.
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, bits = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ANN recall $recall too low")
+    // self-match must always survive bucketing (identical vector, same bucket)
+    (0L until 5L).foreach(q => assert(ann.contains((q, q))))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A corpus with: an exact duplicate pair (1,2), a near-duplicate pair
+  // (3,4: one word changed out of 12), and unrelated docs.
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    (5L, "completely different content about spark catalyst optimizer internals"),
+    (6L, "yet another unrelated document mentioning shuffle partitions and joins")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup collapses identical texts, keeps lowest id") {
+    val out = TextDedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() == 5)
+    val dup = out.filter(col("n_copies") === 2).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("jaccardPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(5L, 6L)).nonEmpty })
+  }
+
+  test("minhashLsh finds the same duplicate pairs as exact jaccard") {
+    val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verify stage guarantees precision (lsh ⊆ exact); recall on these
+    // high-jaccard pairs should be total
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L)))
+    assert(lsh.contains((3L, 4L)))
+  }
+
+  test("minhashLsh on testdata documents matches exact jaccard pairs (full recall)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextDedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLsh(d, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty) // corpus has natural near-dups
+    assert(lsh.size.toDouble / exact.size >= 0.9) // LSH recall ≥ 90%
+  }
+
+  test("simhashPairs: identical docs at hamming 0; 1-token change on a long doc stays near") {
+    // SimHash margins grow with token count: on a 100-token doc a single
+    // substitution flips only the bits whose majority vote was balanced.
+    val tokens = (0 until 100).map(i => s"tok$i")
+    val longDocs = Seq(
+      (1L, tokens.mkString(" ")),
+      (2L, tokens.mkString(" ")),
+      (3L, tokens.updated(50, "changed").mkString(" ")),
+      (4L, (100 until 200).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.simhashPairs(longDocs, "doc_id", "text",
+        chunks = 8, maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(pairs.contains((1L, 3L))) // near-dup caught
+    assert(!pairs.contains((1L, 4L))) // disjoint vocab not a near-dup
+  }
+
+  test("embeddingNearDupPairs finds planted duplicate vector") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f)),      // exact dup of 1
+      (3L, Array(1.01f, 2.0f, 3.0f)),     // near dup
+      (4L, Array(-3.0f, 1.0f, -2.0f))     // far away
+    ).toDF("vec_id", "embedding")
+    val pairs = TextDedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}
