@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, ParityQueries, TextQueries}
+import graft.queries.{DedupQueries, ParityQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2 (+ extension). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (ParityQueries.queries ++ DedupQueries.queries ++ TextQueries.queries)
+    (ParityQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
+      WindowQueries.queries)
       .map { case (k, f) =>
         k -> { (s: SparkSession, dir: String) => f(GraftSession.configure(s), dir) }
       }
@@ -30,5 +31,6 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles
+    ParityQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
+      WindowQueries.oracles
 }

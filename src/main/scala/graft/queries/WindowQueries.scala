@@ -1,0 +1,96 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{roundPortable, roundPortableSql}
+import graft.operators.Windows
+import graft.sources.Scan
+
+/** Event-time window queries over `events` (batch forms; streaming twins
+  * in graft.streaming), plus the JSON-props extraction scalar op. All
+  * oracle-checked.
+  */
+object WindowQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val tumblingHourly: Q = (s, dir) =>
+    Windows.tumbling(Scan.table(s, dir, "events"), "ts", 3600,
+        Seq("event_type"),
+        Seq(count(lit(1)).as("records"),
+          roundPortable(coalesce(sum(col("value")), lit(0.0)), 4).as("sum_value")))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val slidingHourHalf: Q = (s, dir) =>
+    Windows.sliding(Scan.table(s, dir, "events"), "ts", 3600, 1800,
+        Seq("event_type"),
+        Seq(count(lit(1)).as("records"),
+          roundPortable(coalesce(sum(col("value")), lit(0.0)), 4).as("sum_value")))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val sessionsPerUser: Q = (s, dir) =>
+    Windows.sessionize(Scan.table(s, dir, "events"), "ts", "user_id", 1800,
+        Seq(count(lit(1)).as("records"),
+          roundPortable(coalesce(sum(col("value")), lit(0.0)), 4).as("sum_value")))
+      .withColumn("session_seq", col("session_seq").cast("long"))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  val jsonPropsExtract: Q = (s, dir) =>
+    Scan.table(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("records"),
+        coalesce(sum(col("k")), lit(0L)).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val queries: ListMap[String, Q] = ListMap(
+    "q_window_tumbling" -> tumblingHourly,
+    "q_window_sliding" -> slidingHourHalf,
+    "q_window_sessions" -> sessionsPerUser,
+    "q_json_props_extract" -> jsonPropsExtract)
+
+  /** Epoch-aligned bucket start in DuckDB, matching Spark's
+    * `timestamp_seconds(floor(epoch/secs)*secs)` exactly. */
+  private def bucketSql(secs: Long, offsetExpr: String = "0"): String =
+    s"make_timestamp(CAST((floor(epoch_us(ts)/1000000.0/$secs) - ($offsetExpr)) * $secs AS BIGINT) * 1000000)"
+
+  private val sumValueR4 = roundPortableSql("COALESCE(SUM(value), 0.0)", 4)
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_window_tumbling" ->
+      s"""SELECT ${bucketSql(3600)} AS window_start, event_type,
+          COUNT(*) AS records, $sumValueR4 AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_window_sliding" ->
+      s"""SELECT ${bucketSql(1800, "i")} AS window_start, event_type,
+          COUNT(*) AS records, $sumValueR4 AS sum_value
+          FROM events CROSS JOIN (VALUES (0), (1)) t(i)
+          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_window_sessions" ->
+      s"""SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          MIN(ts) AS session_start, MAX(ts) AS session_end,
+          COUNT(*) AS records, $sumValueR4 AS sum_value
+          FROM (
+            SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM (
+              SELECT *, CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts)/1000000.0 - epoch_us(prev_ts)/1000000.0 > 1800
+                THEN 1 ELSE 0 END AS new_session
+              FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                    FROM events)))
+          GROUP BY user_id, session_seq
+          ORDER BY user_id, session_seq""",
+    "q_json_props_extract" ->
+      """SELECT event_type, COUNT(*) AS records,
+          COALESCE(CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT), 0) AS sum_k,
+          MIN(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+          MAX(json_extract_string(props, '$.k')::BIGINT) AS max_k
+          FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the engine's incremental features
+  * (SURVEY §2.9): the reference's 15-minute cron micro-batch (T1) becomes
+  * a file-source stream with `Trigger.AvailableNow`; its cross-run
+  * rowcount state (T2) becomes keyed state in `mapGroupsWithState`.
+  *
+  * Watermarks bound state: at 100 TB/day the windowed aggregates below
+  * hold only the watermark horizon in the state store, not the stream.
+  */
+object StreamingOps {
+
+  /** The events schema as the streaming file source needs it declared
+    * (streams cannot infer). `ts` arrives as raw nanos (long) — see
+    * `graft.sources.Scan.table` — and is normalized here. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over the events table (micro-batch T1 analog).
+    * The file source requires a DIRECTORY; a bare `events.parquet` file is
+    * staged into a temp dir via hard link (falling back to copy). In a
+    * real deployment the ingest path is already a directory of arriving
+    * part-files — exactly what this source models. */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val file = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val dir =
+      if (java.nio.file.Files.isDirectory(file)) file
+      else {
+        val staged = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_events_${sfDir.hashCode.toHexString}")
+        java.nio.file.Files.createDirectories(staged)
+        val target = staged.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(target)) {
+          try java.nio.file.Files.createLink(target, file)
+          catch { case _: Exception => java.nio.file.Files.copy(file, target) }
+        }
+        staged
+      }
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts with a watermark (late data beyond the
+    * horizon is dropped — the T2 drift alarm generalized to per-window
+    * live aggregates). */
+  def tumblingCounts(
+      events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Native session windows with watermark (streaming twin of
+    * `graft.operators.Windows.sessionize`). */
+  def sessionAgg(
+      events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Per-user running totals via explicit keyed state — the
+    * `mapGroupsWithState` upgrade path for the reference's cross-run
+    * rowcount baseline (SURVEY §2.9 T2). */
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserState(nEvents: Long, totalValue: Double)
+
+  def runningUserTotals(events: DataFrame): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.nEvents
+          var tot = prev.totalValue
+          rows.foreach { e => n += 1; tot += e.value }
+          state.update(UserState(n, tot))
+          (userId, n, tot)
+      }
+  }
+
+  /** Drives a streaming DataFrame to completion over the currently
+    * available input (Trigger.AvailableNow ≙ the reference's bounded
+    * scheduled run) into an in-memory table; returns the result. */
+  def runAvailableNow(
+      stream: DataFrame, queryName: String,
+      outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.table(queryName)
+  }
+}

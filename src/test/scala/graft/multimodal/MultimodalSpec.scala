@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.synthesize(spark, 90, partitions = 6)
+
+  test("synthesize: deterministic distributed media table with binary content") {
+    val rows = media.select("media_id", "kind", "mime").collect()
+    assert(rows.length == 90)
+    val first = media.filter(col("media_id") === 0)
+      .select("content").head.getAs[Array[Byte]](0)
+    val again = Multimodal.synthesize(spark, 90).filter(col("media_id") === 0)
+      .select("content").head.getAs[Array[Byte]](0)
+    assert(first.sameElements(again)) // deterministic bytes
+    assert(first.length == 64)
+    assert(media.select("kind").distinct().count() == 3)
+  }
+
+  test("decodeAndFeaturize: map-only (no shuffle), unit-norm features, stable") {
+    val decoded = Multimodal.decodeAndFeaturize(media)
+    assert(decoded.rdd.getNumPartitions == 6) // partitioning preserved
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+    val rows = decoded.collect()
+    assert(rows.length == 90)
+    rows.foreach { f =>
+      assert(f.features.length == Multimodal.FeatureDim)
+      val norm = math.sqrt(f.features.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+      assert(f.width >= 1 && f.height >= 1)
+    }
+  }
+
+  test("sampleFrames: one row per sampled frame, video only") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 5000)
+    val perVideo = frames.groupBy("media_id").count().collect()
+    val videos = media.filter(col("kind") === "video")
+      .select("media_id", "duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perVideo.nonEmpty)
+    perVideo.foreach { r =>
+      val expect = (videos(r.getLong(0)) + 4999) / 5000
+      assert(r.getLong(1) == expect)
+    }
+  }
+
+  test("features feed the similarity stack end-to-end") {
+    val decoded = Multimodal.decodeAndFeaturize(media).toDF()
+    val queries = decoded.filter(col("media_id") < 2)
+      .select(col("media_id").as("query_id"), col("features").as("qvec"))
+    val top = Similarity.topKForQueries(decoded, "media_id", "features",
+      queries, "query_id", "qvec", k = 3).collect()
+    assert(top.length == 6)
+    top.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Double]("cosine") == 1.0) // self-match first
+    }
+  }
+
+  test("withResizeTarget: aspect-preserving bounds") {
+    val resized = Multimodal.withResizeTarget(
+      Multimodal.decodeAndFeaturize(media), maxSide = 256)
+    resized.collect().foreach { r =>
+      val (w, h) = (r.getAs[Int]("target_width"), r.getAs[Int]("target_height"))
+      assert(w <= 256 && h <= 256 && w >= 1 && h >= 1)
+      assert(w == r.getAs[Int]("width") || h == r.getAs[Int]("height") ||
+        (w <= 256 && h <= 256))
+    }
+  }
+}

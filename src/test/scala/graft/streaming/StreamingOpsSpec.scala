@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.Windows
+import graft.sources.Scan
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling counts equal the batch tumbling aggregate") {
+    val stream = StreamingOps.readEventsStream(spark, sfDir)
+    val streamed = StreamingOps.runAvailableNow(
+      StreamingOps.tumblingCounts(stream, "1 hour", "0 seconds"),
+      "t_tumbling", OutputMode.Complete())
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = Windows.tumbling(Scan.table(spark, sfDir, "events"), "ts", 3600,
+        Seq("event_type"), Seq(count(lit(1)).as("n")))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+  }
+
+  test("streaming session windows match batch sessionize session counts") {
+    val stream = StreamingOps.readEventsStream(spark, sfDir)
+    val streamed = StreamingOps.runAvailableNow(
+      StreamingOps.sessionAgg(stream, "30 minutes", "0 seconds"),
+      "t_sessions", OutputMode.Complete())
+    val streamedSessions = streamed.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val batchSessions = Windows.sessionize(
+        Scan.table(spark, sfDir, "events"), "ts", "user_id", 1800,
+        Seq(count(lit(1)).as("records")))
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(streamedSessions == batchSessions)
+    // batch session rows agree with event totals
+    val totalEvents = Windows.sessionize(
+        Scan.table(spark, sfDir, "events"), "ts", "user_id", 1800,
+        Seq(count(lit(1)).as("records")))
+      .agg(sum("records")).head.getLong(0)
+    assert(totalEvents == Scan.table(spark, sfDir, "events").count())
+  }
+
+  test("mapGroupsWithState running totals equal a batch groupBy") {
+    val stream = StreamingOps.readEventsStream(spark, sfDir)
+    val streamed = StreamingOps.runAvailableNow(
+      StreamingOps.runningUserTotals(stream).toDF("user_id", "n", "total"),
+      "t_state", OutputMode.Update())
+    // final state per user (last update wins)
+    val finalState = streamed.groupBy("user_id")
+      .agg(max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val batch = Scan.table(spark, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalState == batch)
+  }
+}
