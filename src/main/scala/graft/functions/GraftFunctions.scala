@@ -65,9 +65,14 @@ object GraftFunctions {
   def shiftRUnsigned(v: Column, bits: Column): Column =
     c(org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned(e(v), e(bits)))
 
-  /** 64-bit SimHash over a token array: per-bit majority vote of the
-    * tokens' xxhash64 values. Pure built-in expression composition. */
-  def simhash64(tokens: Column): Column = {
+  /** 64-bit SimHash over a token array — native expression (one tight
+    * loop per row; see [[SimHash64]]). */
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+
+  /** Reference HOF composition of simhash64 (built-ins only). Agrees
+    * bit-for-bit with the native form on null-free token arrays; kept as
+    * the executable spec the native expression is tested against. */
+  def simhash64HOF(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
     // For each bit b: set it when strictly more than half the tokens have
     // it set. aggregate over the 64 bit positions; nested filter counts.

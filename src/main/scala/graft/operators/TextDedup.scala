@@ -43,11 +43,22 @@ object TextDedup {
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    // The exploded shingle index feeds THREE plan branches (sizes + both
+    // join sides). Materialize it once — without this the shingling
+    // projection is recomputed per branch (3× scan+split at any scale).
     val sh = withShingles(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("shingles")).as("s"))
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("d1"), col("s"))
-    val b = sh.select(col(idCol).as("d2"), col("s"))
+    // A shingle held by a single doc cannot form a pair — drop it before
+    // the self-join. On natural text most shingles are unique, so this
+    // shrinks the join input by an order of magnitude (sizes still count
+    // every shingle, keeping the Jaccard denominator exact).
+    val shared = sh.groupBy(col("s")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2).select(col("s"))
+    val shJoin = sh.join(shared, Seq("s"))
+    val a = shJoin.select(col(idCol).as("d1"), col("s"))
+    val b = shJoin.select(col(idCol).as("d2"), col("s"))
     val inter = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     inter
@@ -87,8 +98,14 @@ object TextDedup {
       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    val shingled = withShingles(docs, idCol, textCol, n)
-    val sigs = withMinhashSignature(shingled, k)
+    // Signature computation (k hashes × every shingle) is the expensive
+    // stage and is consumed by FOUR plan branches: both sides of the
+    // band-bucket self-join and both sides of the verify join. Materialize
+    // it once (at cluster scale this would be a parquet/checkpoint stage;
+    // the lineage-truncating local checkpoint is the single-app form).
+    val sigs = withMinhashSignature(withShingles(docs, idCol, textCol, n), k)
+      .localCheckpoint(true)
+    val shingled = sigs.select(col(idCol), col("shingles"))
 
     val banded = sigs.select(
       col(idCol),
@@ -119,8 +136,10 @@ object TextDedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    // Fingerprints feed both sides of the chunk self-join — materialize.
     val fp = docs.select(col(idCol),
       simhash64(split(col(textCol), " ")).as("fp"))
+      .localCheckpoint(true)
     val w = 64 / chunks
     val chunked = fp.select(col(idCol), col("fp"),
       explode(transform(sequence(lit(0), lit(chunks - 1)),

@@ -54,6 +54,15 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(dist > 8) // unrelated texts land far apart
   }
 
+  test("native simhash64 agrees bit-for-bit with the HOF reference form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val both = docs.select(
+      simhash64(split(col("text"), " ")).as("native"),
+      simhash64HOF(split(col("text"), " ")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("roundPortable matches decimal half-up away from boundaries") {
     val df = Seq(1.23456789, 0.5, 2.675).toDF("x")
     val out = df.select(roundPortable(col("x"), 4)).collect().map(_.getDouble(0))
