@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, ParityQueries, TextQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, ParityQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2 (+ extension). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ParityQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
-      WindowQueries.queries)
+      WindowQueries.queries ++ AnalyticsQueries.queries)
       .map { case (k, f) =>
         k -> { (s: SparkSession, dir: String) => f(GraftSession.configure(s), dir) }
       }
@@ -32,5 +32,5 @@ object SparkEntry {
     * rows-only check. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
-      WindowQueries.oracles
+      WindowQueries.oracles ++ AnalyticsQueries.oracles
 }

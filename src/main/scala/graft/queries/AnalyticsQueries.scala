@@ -1,0 +1,135 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{roundPortable, roundPortableSql}
+import graft.operators.Salting
+import graft.sources.Scan
+
+/** Deeper analytics exercising the engine beyond the reference's own
+  * surface: multi-join star-schema rollup, exact distinct counts,
+  * analytic window functions, top-n-per-group, and a skew-salted
+  * aggregate proven identical to its unsalted oracle.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H-style revenue rollup: lineitem ⋈ orders ⋈ customer, broadcast
+    * the small dims; revenue = Σ extendedprice·(1-discount) per market
+    * segment. One shuffle for the big join side + broadcasts. */
+  val revenueBySegment: Q = (s, dir) => {
+    val li = Scan.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val o = Scan.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = Scan.table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("records"),
+        roundPortable(coalesce(sum(col("rev")), lit(0.0)), 4).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Exact distinct counts (A9 standalone): customers and order dates per
+    * priority class. Catalyst plans multi-distinct via Expand. */
+  val distinctCustomers: Q = (s, dir) =>
+    Scan.table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderdate")).as("n_order_dates"),
+        count(lit(1)).as("records"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Analytic window functions: per-customer running order count and
+    * running spend in order-date order. */
+  val runningCustomerTotals: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Scan.table(s, dir, "orders")
+      .filter(col("o_custkey") < 100) // bounded output, deterministic
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("order_seq"),
+        roundPortable(sum(col("o_totalprice")).over(w), 4).as("running_spend"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  /** Top-3 orders by price per priority class (top-n-per-group). */
+  val topPerPriority: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Scan.table(s, dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  /** Skew-salted rollup over lineitem's 3-value returnflag (each key
+    * holds ~1/3 of 600k rows — the aggregate-skew shape). The oracle is
+    * the PLAIN group-by: salting must be result-invariant. */
+  val saltedReturnflagRollup: Q = (s, dir) =>
+    Salting.saltedRollup(Scan.table(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", buckets = 16)
+      .select(col("l_returnflag"), col("records"),
+        roundPortable(col("sum_l_quantity"), 4).as("sum_l_quantity"),
+        roundPortable(col("min_l_quantity"), 4).as("min_l_quantity"),
+        roundPortable(col("max_l_quantity"), 4).as("max_l_quantity"),
+        roundPortable(col("avg_l_quantity"), 4).as("avg_l_quantity"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: ListMap[String, Q] = ListMap(
+    "q_join_revenue_by_segment" -> revenueBySegment,
+    "q_distinct_customers" -> distinctCustomers,
+    "q_running_customer_totals" -> runningCustomerTotals,
+    "q_top_per_priority" -> topPerPriority,
+    "q_salted_returnflag_rollup" -> saltedReturnflagRollup)
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_join_revenue_by_segment" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS records,
+          ${roundPortableSql("COALESCE(SUM(l_extendedprice * (1.0 - l_discount)), 0.0)", 4)} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_distinct_customers" ->
+      """SELECT o_orderpriority,
+          COUNT(DISTINCT o_custkey) AS n_customers,
+          COUNT(DISTINCT o_orderdate) AS n_order_dates,
+          COUNT(*) AS records
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_running_customer_totals" ->
+      s"""SELECT o_custkey, o_orderkey,
+          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq,
+          ${roundPortableSql(
+            """SUM(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""", 4)} AS running_spend
+          FROM orders WHERE o_custkey < 100
+          ORDER BY o_custkey, order_seq""",
+    "q_top_per_priority" ->
+      """SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
+               FROM orders)
+         WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
+    "q_salted_returnflag_rollup" ->
+      s"""SELECT l_returnflag, COUNT(*) AS records,
+          ${roundPortableSql("COALESCE(SUM(l_quantity), 0.0)", 4)} AS sum_l_quantity,
+          ${roundPortableSql("MIN(l_quantity)", 4)} AS min_l_quantity,
+          ${roundPortableSql("MAX(l_quantity)", 4)} AS max_l_quantity,
+          ${roundPortableSql("AVG(l_quantity)", 4)} AS avg_l_quantity
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+}
