@@ -88,6 +88,13 @@ object GraftFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Single-pass top-k-by-frequency aggregate (custom
+    * `TypedImperativeAggregate`, Space-Saving-bounded buffer — see
+    * [[TopKFreq]]). Returns `array<struct<value,cnt>>` ordered by
+    * (cnt desc, value asc). */
+  def top_k_freq(x: Column, k: Int, capacity: Int = TopKFreq.DefaultCapacity): Column =
+    c(TopKFreq(e(x), k, capacity).toAggregateExpression())
+
   /** Registers the native expressions for SQL use
     * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`). */
   def register(spark: SparkSession): Unit = {

@@ -66,6 +66,47 @@ object Similarity {
     vecs.withColumn("bucket", bucket)
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest of `nCentroids` seed centroids (the lowest-id vectors —
+    * deterministic; swap in k-means outputs when available). A query
+    * probes its `nProbe` nearest centroids and ranks exactly within
+    * those cells only — the classic cell-probe trade: recall grows with
+    * nProbe, cost stays |corpus|·nProbe/nCentroids per query.
+    *
+    * Physical shape: one broadcast cross-score against centroids (cheap:
+    * nCentroids is small) + window rank to assign; the probe join is a
+    * hash join on cluster_id.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 3): DataFrame = {
+    val centroids = broadcast(
+      corpus.orderBy(col(corpusId)).limit(nCentroids)
+        .select(col(corpusId).as("centroid_id"), col(corpusVec).as("cvec")))
+
+    def assign(df: DataFrame, id: String, vec: String, probes: Int, outCol: String) = {
+      val scored = df.crossJoin(centroids)
+        .withColumn("__sim", cosine_similarity(col(vec), col("cvec")))
+      val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("centroid_id"))
+      scored.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= probes)
+        .drop("cvec", "__sim", "__cr")
+        .withColumnRenamed("centroid_id", outCol)
+    }
+
+    val assignedCorpus = assign(corpus, corpusId, corpusVec, 1, "cluster_id")
+    val probedQueries = assign(queries, queryId, queryVec, nProbe, "cluster_id")
+
+    val cand = assignedCorpus.join(probedQueries, Seq("cluster_id"))
+      .withColumn("cosine", roundPortable(cosine_similarity(col(corpusVec), col(queryVec)), 6))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    cand.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("__rk").as("rank"))
+  }
+
   /** ANN top-k via hyperplane LSH: corpus and queries bucketed with the
     * same planes; candidates = same-bucket ∪ hamming-1 buckets
     * (multi-probe); exact cosine rank within candidates. */

@@ -10,6 +10,14 @@ import graft.functions.GraftFunctions._
   * reference's key-dedup D1 (`tasks/quality_parallel.py:76-101`) to the
   * near-duplicate regimes a training-data pipeline needs.
   *
+  * Algorithms are the standard public constructions: MinHash resemblance
+  * sketching (Broder, "On the resemblance and containment of documents",
+  * SEQUENCES 1997) with LSH banding (Leskovec/Rajaraman/Ullman, Mining of
+  * Massive Datasets ch.3), and SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002; Manku et al.,
+  * "Detecting near-duplicates for web crawling", WWW 2007 for the
+  * chunk-join search).
+  *
   * Cost ladder (pick per corpus size):
   *  - [[exactDedup]]          O(n) — one shuffle on a 128-bit content hash
   *  - [[minhashLsh]]          O(n·k) + bucket joins — the 100 TB path:

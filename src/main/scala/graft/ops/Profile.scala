@@ -30,6 +30,40 @@ object Profile {
   val DefaultTopK = 5
   val DefaultCardinalityCap = 5000L
 
+  /** Single-pass profile: null count, exact distinct, AND top-k for every
+    * column in ONE `df.agg` job, using the custom [[graft.functions.TopKFreq]]
+    * aggregate (counts exact while per-column cardinality ≤ its capacity).
+    * The cardinality cap is applied post-hoc: top-k values are dropped
+    * for columns whose n_unique exceeds the cap — same observable
+    * behavior as [[profile]], one scan instead of two.
+    */
+  def profileSinglePass(
+      df: DataFrame,
+      topK: Int = DefaultTopK,
+      cardinalityCap: Long = DefaultCardinalityCap): Seq[ColumnProfile] = {
+    import graft.functions.GraftFunctions.top_k_freq
+    val cols = df.columns.toSeq
+    if (cols.isEmpty) return Nil
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"__null__$c"),
+        count_distinct(col(c)).as(s"__uniq__$c"),
+        top_k_freq(col(c).cast("string"), topK,
+          capacity = (cardinalityCap * 2).toInt).as(s"__top__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val dtypes = df.dtypes.toMap
+    cols.map { c =>
+      val nulls = row.getLong(row.fieldIndex(s"__null__$c"))
+      val uniq = row.getLong(row.fieldIndex(s"__uniq__$c")) + (if (nulls > 0) 1 else 0)
+      val top =
+        if (uniq > cardinalityCap) Nil
+        else row.getSeq[Row](row.fieldIndex(s"__top__$c"))
+          .map(r => (r.getString(0), r.getLong(1)))
+      ColumnProfile(c, dtypes(c), nulls, uniq, top)
+    }
+  }
+
   def profile(
       df: DataFrame,
       topK: Int = DefaultTopK,

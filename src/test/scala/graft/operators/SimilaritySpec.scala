@@ -35,6 +35,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK: self-match guaranteed, recall beats single-cell floor") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.topKForQueries(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // query vector is in the corpus and lands in its own probed cell
+    (0L until 5L).foreach(q => assert(ivf.contains((q, q))))
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall")
+  }
+
   test("annTopK (multi-probe LSH) recalls most of the exact top-k") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

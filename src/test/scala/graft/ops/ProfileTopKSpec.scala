@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ProfileTopKSpec extends SparkSpec {
+
+  private lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("single-pass profile (TopKFreq aggregate) matches the two-job profile") {
+    val twoJob = Profile.profile(orders, topK = 5)
+      .map(p => p.name -> p).toMap
+    val onePass = Profile.profileSinglePass(orders, topK = 5)
+      .map(p => p.name -> p).toMap
+
+    assert(twoJob.keySet == onePass.keySet)
+    twoJob.foreach { case (name, a) =>
+      val b = onePass(name)
+      assert(a.nullCount == b.nullCount, s"col=$name")
+      assert(a.nUnique == b.nUnique, s"col=$name")
+      // top-k values: identical sets and counts (tie order identical:
+      // cnt desc, value asc on both paths)
+      assert(a.topValues == b.topValues, s"col=$name: ${a.topValues} vs ${b.topValues}")
+    }
+  }
+
+  test("TopKFreq stays exact under partial/merge across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.top_k_freq
+    val df = (1 to 1000).map(i => s"v${i % 7}").toDF("x").repartition(8)
+    val top = df.agg(top_k_freq(col("x"), 3).as("t"))
+      .selectExpr("inline(t)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // 1000 rows over 7 values: v1..v6 appear 143, v0 appears 142
+    assert(top.length == 3)
+    assert(top.head._2 == 143L)
+    assert(top.map(_._2).sum == 429L)
+  }
+
+  test("TopKFreq space-saving eviction keeps heavy hitters under tiny capacity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.top_k_freq
+    // 500 singletons + one value appearing 200 times; capacity 16
+    val data = (1 to 500).map(i => s"rare$i") ++ Seq.fill(200)("heavy")
+    val df = scala.util.Random.shuffle(data).toDF("x").repartition(4)
+    val top = df.agg(top_k_freq(col("x"), 1, capacity = 16).as("t"))
+      .selectExpr("inline(t)")
+      .collect().map(r => r.getString(0))
+    assert(top.head == "heavy")
+  }
+}
