@@ -152,7 +152,7 @@ object Orchestrator {
 
     // ---- QA branch (advisory; ≙ flow:145-157) ----
     val qaEc = ExecutionContext.fromExecutorService(
-      Executors.newFixedThreadPool(opts.qaParallelism))
+      Executors.newFixedThreadPool(opts.qaParallelism, daemonFactory))
     val qa: Future[(Map[String, Try[String]], Option[String], Long)] = Future {
       states("start_gate") = "COMPLETED" // Q1: no-op barrier
       val schemaF = Future(recordState("precheck_schema") {
@@ -235,8 +235,17 @@ object Orchestrator {
     report
   }
 
+  /** Daemon threads: the pools must never pin the JVM open after main
+    * completes (a non-daemon leftover pool hangs `runMain` forever). */
+  private val daemonFactory: java.util.concurrent.ThreadFactory =
+    (r: Runnable) => {
+      val t = new Thread(r)
+      t.setDaemon(true)
+      t
+    }
+
   private lazy val etlEc: ExecutionContext =
-    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(2))
+    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(2, daemonFactory))
 
   /** Q6: run-metadata recorder — payload with params, artifact paths,
     * RE-counted artifact rows (`metadata.py:195-197`), task states and
