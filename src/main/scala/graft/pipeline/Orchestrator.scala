@@ -46,7 +46,12 @@ object Orchestrator {
       failOnQaError: Boolean = false,
       driftThreshold: Double = 0.5,
       dedupKey: String = "Id",
-      qaParallelism: Int = 8)
+      qaParallelism: Int = 8,
+      /** Raw hand-off format: `"parquet"` (typed, the scale default) or
+        * `"csv"` — the reference's medium, schema re-INFERRED on read
+        * (`pl.read_csv`, `tasks/process.py:72`), exercising the engine's
+        * schema tolerance exactly as the reference does. */
+      rawFormat: String = "parquet")
 
   final case class RunReport(
       objectName: String,
@@ -130,8 +135,15 @@ object Orchestrator {
     val raw = recordState("extract") {
       retry(3, 100) {
         val scanned = Scan.specScan(source, spec, opts.limit)
-        Sinks.parquetSnappy(scanned, rawPath) // raw materialization (file hand-off)
-        spark.read.parquet(rawPath) // both branches read the materialized raw
+        // raw materialization: the file hand-off both branches read back
+        opts.rawFormat match {
+          case "csv" =>
+            Sinks.csv(Normalize.temporalsToString(scanned), rawPath)
+            Scan.csv(spark, rawPath, scanned.schema)
+          case _ =>
+            Sinks.parquetSnappy(scanned, rawPath)
+            spark.read.parquet(rawPath)
+        }
       }
     }
 
@@ -253,7 +265,14 @@ object Orchestrator {
     * store is normalized (Q7). */
   def recordMetadata(spark: SparkSession, report: RunReport, paths: Map[String, String]): Unit = {
     def safeCount(f: => Long): Long = Try(f).getOrElse(-1L)
-    val rawCount = safeCount(spark.read.parquet(report.rawPath).count())
+    // raw dir may be parquet or csv (opts.rawFormat) — sniff by part-file
+    // extension rather than try-and-recover (keeps executor logs clean)
+    val rawIsCsv = Try(
+      new java.io.File(report.rawPath).listFiles().exists(_.getName.endsWith(".csv")))
+      .getOrElse(false)
+    val rawCount =
+      if (rawIsCsv) safeCount(spark.read.option("header", "true").csv(report.rawPath).count())
+      else safeCount(spark.read.parquet(report.rawPath).count())
     val processedCount = safeCount(
       spark.read.option("header", "true").csv(report.processedCsv).count())
 

@@ -65,6 +65,21 @@ class OrchestratorSpec extends SparkSpec {
     }
   }
 
+  test("csv raw hand-off (reference medium, schema re-inferred) matches parquet run") {
+    val baseP = Files.createTempDirectory("orchP").toString
+    val baseC = Files.createTempDirectory("orchC").toString
+    val opts = Orchestrator.RunOptions(limit = None, timestampRaw = false)
+    val rp = Orchestrator.run(spark, "Order", source, baseP, opts,
+      specOverride = Some(orderSpec))
+    val rc = Orchestrator.run(spark, "Order", source, baseC,
+      opts.copy(rawFormat = "csv"), specOverride = Some(orderSpec))
+    assert(rc.rawRows == rp.rawRows)
+    assert(rc.processedRows == rp.processedRows)
+    val pJson = new String(Files.readAllBytes(Paths.get(rp.outputJson)), "UTF-8")
+    val cJson = new String(Files.readAllBytes(Paths.get(rc.outputJson)), "UTF-8")
+    assert(pJson == cJson) // identical summary through either medium
+  }
+
   test("limit is applied at extract (source-pushed P3)") {
     val base = Files.createTempDirectory("orch3").toString
     val report = Orchestrator.run(spark, "Order", source, base,
