@@ -118,6 +118,8 @@ object Orchestrator {
       specOverride: Option[ObjectSpec] = None): RunReport = {
 
     val t0 = System.nanoTime()
+    require(Set("parquet", "csv")(opts.rawFormat),
+      s"rawFormat must be 'parquet' or 'csv', got '${opts.rawFormat}'")
     val spec = specOverride.getOrElse(SpecRegistry(objectName))
     val runId = UUID.randomUUID().toString.take(8)
     val paths = buildPaths(baseDir, objectName)
@@ -133,16 +135,26 @@ object Orchestrator {
 
     // ---- extract once (S1-S4; retried 3×10s ≙ extract.py:61-62) ----
     val raw = recordState("extract") {
+      val scanned = Scan.specScan(source, spec, opts.limit)
+      if (opts.rawFormat == "csv") {
+        // fail fast (outside the retry — deterministic) on schemas the
+        // CSV writer cannot represent
+        import org.apache.spark.sql.types.{ArrayType, MapType, NullType, StructType}
+        val complex = scanned.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] || f.dataType == NullType => f.name
+        }
+        require(complex.isEmpty,
+          s"rawFormat=csv supports flat schemas only; non-atomic columns: ${complex.mkString(", ")}")
+      }
       retry(3, 100) {
-        val scanned = Scan.specScan(source, spec, opts.limit)
         // raw materialization: the file hand-off both branches read back
-        opts.rawFormat match {
-          case "csv" =>
-            Sinks.csv(Normalize.temporalsToString(scanned), rawPath)
-            Scan.csv(spark, rawPath, scanned.schema)
-          case _ =>
-            Sinks.parquetSnappy(scanned, rawPath)
-            spark.read.parquet(rawPath)
+        if (opts.rawFormat == "csv") {
+          Sinks.csv(Normalize.temporalsToString(scanned), rawPath)
+          Scan.csv(spark, rawPath, scanned.schema)
+        } else {
+          Sinks.parquetSnappy(scanned, rawPath)
+          spark.read.parquet(rawPath)
         }
       }
     }
@@ -243,7 +255,7 @@ object Orchestrator {
       qaResults.collect { case (k, Success(p)) => k -> p },
       states.toMap, driftAlert, rawRows, processedRows, jsonN, durationS)
 
-    recordMetadata(spark, report, paths)
+    recordMetadata(spark, report, paths, opts.rawFormat)
     report
   }
 
@@ -263,15 +275,14 @@ object Orchestrator {
     * RE-counted artifact rows (`metadata.py:195-197`), task states and
     * timing; appended to the JSONL ledger + pretty projections, then the
     * store is normalized (Q7). */
-  def recordMetadata(spark: SparkSession, report: RunReport, paths: Map[String, String]): Unit = {
+  def recordMetadata(
+      spark: SparkSession, report: RunReport, paths: Map[String, String],
+      rawFormat: String = "parquet"): Unit = {
     def safeCount(f: => Long): Long = Try(f).getOrElse(-1L)
-    // raw dir may be parquet or csv (opts.rawFormat) — sniff by part-file
-    // extension rather than try-and-recover (keeps executor logs clean)
-    val rawIsCsv = Try(
-      new java.io.File(report.rawPath).listFiles().exists(_.getName.endsWith(".csv")))
-      .getOrElse(false)
     val rawCount =
-      if (rawIsCsv) safeCount(spark.read.option("header", "true").csv(report.rawPath).count())
+      if (rawFormat == "csv")
+        safeCount(spark.read.option("header", "true").option("multiLine", "true")
+          .csv(report.rawPath).count())
       else safeCount(spark.read.parquet(report.rawPath).count())
     val processedCount = safeCount(
       spark.read.option("header", "true").csv(report.processedCsv).count())

@@ -67,6 +67,9 @@ object Scan {
       val df = spark.read
         .option("header", "true")
         .option("inferSchema", "true")
+        // parse quoted embedded newlines — Spark's CSV writer quotes
+        // them, but the default reader splits records on every newline
+        .option("multiLine", "true")
         .csv(path)
       if (df.columns.isEmpty || df.isEmpty) emptyRelation(spark, fallback) else df
     }

@@ -80,6 +80,35 @@ class OrchestratorSpec extends SparkSpec {
     assert(pJson == cJson) // identical summary through either medium
   }
 
+  test("csv hand-off round-trips embedded newlines intact (multiLine read)") {
+    val base = Files.createTempDirectory("orchNL").toString
+    val tricky = Seq(
+      ("o1", "OPEN", 10.0), ("o2", "line1\nline2", 20.0), ("o3", "CLOSED", 5.0)
+    ).toDF("Id", "Status", "TotalAmount")
+    val report = Orchestrator.run(spark, "Order", tricky, base,
+      Orchestrator.RunOptions(limit = None, timestampRaw = false, rawFormat = "csv"),
+      specOverride = Some(orderSpec))
+    assert(report.rawRows == 3) // NOT 4 — the quoted newline stays one record
+    assert(report.processedRows == 3)
+  }
+
+  test("invalid rawFormat and non-flat csv schemas fail fast with clear messages") {
+    val base = Files.createTempDirectory("orchBad").toString
+    val eTypo = intercept[IllegalArgumentException] {
+      Orchestrator.run(spark, "Order", source, base,
+        Orchestrator.RunOptions(rawFormat = "CSV"), specOverride = Some(orderSpec))
+    }
+    assert(eTypo.getMessage.contains("rawFormat"))
+    val nested = source.withColumn("meta",
+      org.apache.spark.sql.functions.struct(org.apache.spark.sql.functions.col("Id")))
+    val eNested = intercept[IllegalArgumentException] {
+      Orchestrator.run(spark, "Order", nested, base,
+        Orchestrator.RunOptions(limit = None, timestampRaw = false, rawFormat = "csv"),
+        specOverride = Some(orderSpec.copy(fields = Nil)))
+    }
+    assert(eNested.getMessage.contains("meta"))
+  }
+
   test("limit is applied at extract (source-pushed P3)") {
     val base = Files.createTempDirectory("orch3").toString
     val report = Orchestrator.run(spark, "Order", source, base,
