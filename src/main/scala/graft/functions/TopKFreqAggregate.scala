@@ -47,13 +47,30 @@ case class TopKFreq(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
+  // Space-Saving's minimum count never decreases, so a cached lower
+  // bound lets most evictions stop at the first entry at/below it
+  // (amortized far below the naive O(capacity) minBy-per-insert; a full
+  // rescan runs only when the bound is stale). The bound is shared
+  // across buffers when one expression instance serves several groups —
+  // then it's a heuristic victim choice, which Space-Saving (already an
+  // approximation beyond capacity) tolerates; counts stay exact while
+  // distinct ≤ capacity because eviction never fires.
+  @transient private var minBound: Long = 0L
+
   private def add(buf: mutable.HashMap[String, Long], key: String, n: Long): Unit = {
     buf.get(key) match {
       case Some(c) => buf.update(key, c + n)
       case None if buf.size < capacity => buf.update(key, n)
       case None =>
-        // Space-Saving eviction: replace the current minimum
-        val (minK, minV) = buf.minBy(_._2)
+        // Space-Saving eviction: replace a current-minimum entry
+        var minK: String = null
+        var minV = Long.MaxValue
+        val it = buf.iterator
+        while (it.hasNext && minV > minBound) {
+          val (k0, v0) = it.next()
+          if (v0 < minV) { minK = k0; minV = v0 }
+        }
+        minBound = minV
         buf.remove(minK)
         buf.update(key, minV + n)
     }
@@ -81,11 +98,18 @@ case class TopKFreq(
     new GenericArrayData(top.toArray[Any])
   }
 
+  // length-prefixed UTF-8, NOT writeUTF — writeUTF caps strings at
+  // 65535 bytes and would crash on long-document values
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (v, c) => out.writeUTF(v); out.writeLong(c) }
+    buf.foreach { case (v, c) =>
+      val bytes = v.getBytes("UTF-8")
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -95,7 +119,13 @@ case class TopKFreq(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val strBytes = new Array[Byte](len)
+      in.readFully(strBytes)
+      buf.update(new String(strBytes, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -54,7 +54,13 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += get(a, i, fa) * get(b, i, fb); i += 1 }
+    while (i < n) {
+      // null elements contribute 0 — reading an unset slot would return
+      // garbage and corrupt the score with no signal
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += get(a, i, fa) * get(b, i, fb)
+      i += 1
+    }
     acc
   }
 
@@ -66,7 +72,9 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$ga($i)) * ((double) $b.$gb($i));
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ((double) $a.$ga($i)) * ((double) $b.$gb($i));
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -89,8 +97,10 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = get(a, i, fa); val y = get(b, i, fb)
-      dot += x * y; na += x * x; nb += y * y
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = get(a, i, fa); val y = get(b, i, fb)
+        dot += x * y; na += x * x; nb += y * y
+      }
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
@@ -106,9 +116,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.$ga($i);
-         |  double $y = (double) $b.$gb($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $x = (double) $a.$ga($i);
+         |    double $y = (double) $b.$gb($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)
          |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

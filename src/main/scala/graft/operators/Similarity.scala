@@ -113,9 +113,14 @@ object Similarity {
   def annTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, bits: Int = 12, seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
-    val dim = 64 // testdata embedding width; parameterize when schema varies
-    val planes = hyperplanes(dim, bits, seed)
+      k: Int, bits: Int = 12, seed: Long = 42L, multiProbe: Boolean = true,
+      dim: Int = -1): DataFrame = {
+    // dim < 0 → infer from the first corpus row; a wrong dim would
+    // silently bucket on a prefix of the vector and collapse recall
+    val planeDim =
+      if (dim > 0) dim
+      else corpus.select(size(col(corpusVec))).head.getInt(0)
+    val planes = hyperplanes(planeDim, bits, seed)
     val bc = withHyperplaneBucket(corpus, corpusVec, planes)
     val bq0 = withHyperplaneBucket(queries, queryVec, planes)
     // multi-probe: query also probes every bucket at hamming distance 1

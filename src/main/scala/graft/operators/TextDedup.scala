@@ -106,12 +106,18 @@ object TextDedup {
       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
+    // Docs with no shingles (< n tokens) would all share the identical
+    // all-sentinel signature and collide in EVERY band — a quadratic
+    // candidate blowup on short-doc-heavy corpora. They can't be n-gram
+    // near-dups by definition: drop them before signing.
+    val signable = withShingles(docs, idCol, textCol, n)
+      .filter(size(col("shingles")) > 0)
     // Signature computation (k hashes × every shingle) is the expensive
     // stage and is consumed by FOUR plan branches: both sides of the
     // band-bucket self-join and both sides of the verify join. Materialize
     // it once (at cluster scale this would be a parquet/checkpoint stage;
     // the lineage-truncating local checkpoint is the single-app form).
-    val sigs = withMinhashSignature(withShingles(docs, idCol, textCol, n), k)
+    val sigs = withMinhashSignature(signable, k)
       .localCheckpoint(true)
     val shingled = sigs.select(col(idCol), col("shingles"))
 

@@ -58,8 +58,20 @@ object Profile {
       val uniq = row.getLong(row.fieldIndex(s"__uniq__$c")) + (if (nulls > 0) 1 else 0)
       val top =
         if (uniq > cardinalityCap) Nil
-        else row.getSeq[Row](row.fieldIndex(s"__top__$c"))
-          .map(r => (r.getString(0), r.getLong(1)))
+        else {
+          // TopKFreq skips null inputs; merge the known null count back
+          // so null ranks as a value (Polars value_counts parity, same
+          // tie-break as profile(): cnt desc, value asc with null LAST)
+          val nonNull = row.getSeq[Row](row.fieldIndex(s"__top__$c"))
+            .map(r => (r.getString(0), r.getLong(1)))
+          val withNull = if (nulls > 0) nonNull :+ (null: String, nulls) else nonNull
+          withNull.sortWith { case ((v1, c1), (v2, c2)) =>
+            if (c1 != c2) c1 > c2
+            else if (v1 == null) false
+            else if (v2 == null) true
+            else v1 < v2
+          }.take(topK)
+        }
       ColumnProfile(c, dtypes(c), nulls, uniq, top)
     }
   }

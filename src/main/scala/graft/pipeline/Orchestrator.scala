@@ -171,12 +171,18 @@ object Orchestrator {
       val n = recordState("load_json") {
         Sinks.jsonRecords(processed, paths("output_json"))
       }
-      (processed.count(), n)
+      // processed row count == JSON record count by construction (same
+      // DataFrame, just collected) — don't relaunch the aggregate job
+      (n, n)
     }(etlEc)
 
     // ---- QA branch (advisory; ≙ flow:145-157) ----
+    // Worker pool for the QA tasks; the COORDINATING future runs on
+    // etlEc (which blocks in Await) — putting it on qaEc would deadlock
+    // at qaParallelism=1: the coordinator would hold the only thread the
+    // inner futures need.
     val qaEc = ExecutionContext.fromExecutorService(
-      Executors.newFixedThreadPool(opts.qaParallelism, daemonFactory))
+      Executors.newFixedThreadPool(math.max(opts.qaParallelism, 1), daemonFactory))
     val qa: Future[(Map[String, Try[String]], Option[String], Long)] = Future {
       states("start_gate") = "COMPLETED" // Q1: no-op barrier
       val schemaF = Future(recordState("precheck_schema") {
@@ -235,19 +241,22 @@ object Orchestrator {
         Drift.checkRowcountDrift(rows, paths("rowcount_txt"), opts.driftThreshold)
       }
       (results, drift.alert, rows)
-    }(qaEc)
+    }(etlEc)
 
     // ---- collect with two-tier strictness (flow:162-171) ----
-    val (processedRows, jsonN) = Await.result(etl, Duration.Inf) // strict: propagate
-    val (qaResults, driftAlert, rawRows) = Try(Await.result(qa, Duration.Inf)) match {
-      case Success(v) => v
-      case Failure(e) if !opts.failOnQaError =>
-        (Map.empty[String, Try[String]], None, raw.count())
-      case Failure(e) => throw e
-    }
-    if (opts.failOnQaError)
-      qaResults.collect { case (k, Failure(e)) => throw e }
-    qaEc.shutdown()
+    val (processedRows, jsonN, qaResults, driftAlert, rawRows) =
+      try {
+        val (p, j) = Await.result(etl, Duration.Inf) // strict: propagate
+        val (qr, da, rr) = Try(Await.result(qa, Duration.Inf)) match {
+          case Success(v) => v
+          case Failure(e) if !opts.failOnQaError =>
+            (Map.empty[String, Try[String]], None, raw.count())
+          case Failure(e) => throw e
+        }
+        if (opts.failOnQaError)
+          qr.collect { case (k, Failure(e)) => throw e }
+        (p, j, qr, da, rr)
+      } finally qaEc.shutdown()
 
     val durationS = (System.nanoTime() - t0) / 1e9
     val report = RunReport(

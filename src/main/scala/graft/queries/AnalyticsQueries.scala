@@ -19,15 +19,17 @@ object AnalyticsQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** TPC-H-style revenue rollup: lineitem ⋈ orders ⋈ customer, broadcast
-    * the small dims; revenue = Σ extendedprice·(1-discount) per market
-    * segment. One shuffle for the big join side + broadcasts. */
+  /** TPC-H-style revenue rollup: lineitem ⋈ orders ⋈ customer; revenue =
+    * Σ extendedprice·(1-discount) per market segment. orders is a FACT
+    * table (it scales with lineitem), so no broadcast hint — Catalyst's
+    * size estimate + AQE pick broadcast at small SF and shuffle-join at
+    * scale. customer is the true dim and broadcasts explicitly. */
   val revenueBySegment: Q = (s, dir) => {
     val li = Scan.table(s, dir, "lineitem")
       .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
     val o = Scan.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val c = Scan.table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("records"),

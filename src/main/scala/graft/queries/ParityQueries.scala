@@ -92,7 +92,9 @@ object ParityQueries {
   val eventDurationByOwner: Q = (s, dir) => {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val joined = li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+    // orders is a fact table — no broadcast hint; Catalyst/AQE broadcast
+    // it while it fits and shuffle-join beyond that
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(col("o_custkey").as("owner_id"), col("o_orderdate"), col("l_shipdate"))
     val durated = Normalize.deriveDurationHours(joined, "o_orderdate", "l_shipdate")
     val spec = specOf(Seq("owner_id"), Seq(ObjectSpec.DurationHours -> Seq("sum", "mean", "count")))

@@ -23,6 +23,28 @@ class ProfileTopKSpec extends SparkSpec {
     }
   }
 
+  test("single-pass profile ranks null as a value (Polars parity) like the two-job path") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("a"), Some("a"), None, None, Some("b"))
+      .toDF("cat")
+    val twoJob = Profile.profile(df, topK = 3).head.topValues
+    val onePass = Profile.profileSinglePass(df, topK = 3).head.topValues
+    assert(twoJob == onePass, s"$twoJob vs $onePass")
+    assert(onePass == Seq(("a", 3L), (null, 2L), ("b", 1L)))
+  }
+
+  test("TopKFreq handles >64KB string values (length-prefixed serialization)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.top_k_freq
+    val big = "x" * 70000
+    val df = (Seq.fill(3)(big) ++ Seq("small")).toDF("x").repartition(2)
+    val top = df.agg(top_k_freq(col("x"), 1).as("t"))
+      .selectExpr("inline(t)").collect()
+    assert(top.head.getString(0).length == 70000)
+    assert(top.head.getLong(1) == 3L)
+  }
+
   test("TopKFreq stays exact under partial/merge across partitions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
