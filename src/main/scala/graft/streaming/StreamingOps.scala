@@ -75,6 +75,16 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming twin of the key-dedup D1: exactly-once key emission
+    * across micro-batches. The watermark bounds the dedup state — ids
+    * older than the horizon are dropped from the state store, so state
+    * stays O(events within horizon) at any stream volume. */
+  def dedupEvents(
+      events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols)
+
   /** Per-user running totals via explicit keyed state — the
     * `mapGroupsWithState` upgrade path for the reference's cross-run
     * rowcount baseline (SURVEY §2.9 T2). */

@@ -49,6 +49,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(totalEvents == Scan.table(spark, sfDir, "events").count())
   }
 
+  test("streaming dedup collapses duplicated input files to distinct events") {
+    // stage the events file TWICE — every event arrives duplicated
+    val staged = java.nio.file.Files.createTempDirectory("dup_events")
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    Seq("a.parquet", "b.parquet").foreach { n =>
+      try java.nio.file.Files.createLink(staged.resolve(n), src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, staged.resolve(n)) }
+    }
+    val stream = spark.readStream
+      .schema(StreamingOps.eventsRawSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val deduped = StreamingOps.runAvailableNow(
+      StreamingOps.dedupEvents(stream, watermark = "0 seconds"), "t_dedup")
+    val batchDistinct = Scan.table(spark, sfDir, "events").count()
+    assert(deduped.count() == batchDistinct) // 2N in, N out
+  }
+
   test("mapGroupsWithState running totals equal a batch groupBy") {
     val stream = StreamingOps.readEventsStream(spark, sfDir)
     val streamed = StreamingOps.runAvailableNow(
