@@ -89,7 +89,19 @@ object AnalyticsQueries {
         roundPortable(col("avg_l_quantity"), 4).as("avg_l_quantity"))
       .orderBy(col("l_returnflag"))
 
+  /** The custom TopKFreq aggregate (single-pass top-k) exploded back to
+    * rows — oracle-checked against the classic groupBy/count/limit
+    * formulation it replaces. */
+  val topkAggregate: Q = (s, dir) => {
+    import graft.functions.GraftFunctions.top_k_freq
+    Scan.table(s, dir, "orders")
+      .agg(top_k_freq(col("o_orderpriority"), 5).as("t"))
+      .selectExpr("inline(t)")
+      .toDF("o_orderpriority", "cnt")
+  }
+
   val queries: ListMap[String, Q] = ListMap(
+    "q_topk_aggregate_single_pass" -> topkAggregate,
     "q_join_revenue_by_segment" -> revenueBySegment,
     "q_distinct_customers" -> distinctCustomers,
     "q_running_customer_totals" -> runningCustomerTotals,
@@ -97,6 +109,10 @@ object AnalyticsQueries {
     "q_salted_returnflag_rollup" -> saltedReturnflagRollup)
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_topk_aggregate_single_pass" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY cnt DESC, o_orderpriority LIMIT 5""",
     "q_join_revenue_by_segment" ->
       s"""SELECT c_mktsegment, COUNT(*) AS records,
           ${roundPortableSql("COALESCE(SUM(l_extendedprice * (1.0 - l_discount)), 0.0)", 4)} AS revenue
