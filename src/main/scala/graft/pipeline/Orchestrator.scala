@@ -169,10 +169,15 @@ object Orchestrator {
         }
       }
       val n = recordState("load_json") {
-        Sinks.jsonRecords(processed, paths("output_json"))
+        // the reference's load task re-reads the PROCESSED CSV from disk
+        // (`load_csv_to_json`, tasks/load.py:62) — keep that file
+        // contract: the JSON is built from the materialized artifact,
+        // not the in-memory frame
+        val fromDisk = Scan.csv(spark, paths("processed_csv"), processed.schema)
+        Sinks.jsonRecords(fromDisk, paths("output_json"))
       }
       // processed row count == JSON record count by construction (same
-      // DataFrame, just collected) — don't relaunch the aggregate job
+      // artifact, just collected) — don't relaunch the aggregate job
       (n, n)
     }(etlEc)
 

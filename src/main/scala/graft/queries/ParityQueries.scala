@@ -163,7 +163,16 @@ object ParityQueries {
       .orderBy(col("column_name"))
   }
 
+  // --- Q2: schema gate report as a relation (columns_present, sorted) ---
+  val schemaGateReport: Q = (s, dir) => {
+    val report = graft.ops.Gates.schemaGate(
+      t(s, dir, "orders"), Seq("o_orderkey", "o_orderstatus"))
+    import s.implicits._
+    report.columnsPresent.toDF("column_name").orderBy(col("column_name"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
+    "q_schema_gate_report" -> schemaGateReport,
     "q_opportunity_by_stage" -> opportunityByStage,
     "q_account_by_segment" -> accountBySegment,
     "q_lead_count_two_keys" -> leadCountTwoKeys,
@@ -181,6 +190,11 @@ object ParityQueries {
   )
 
   val oracles: ListMap[String, String] = ListMap(
+    // the gate reports the physical columns of the scanned relation —
+    // DuckDB derives the same list from the same parquet footer
+    "q_schema_gate_report" ->
+      """SELECT column_name FROM (DESCRIBE SELECT * FROM orders)
+         ORDER BY column_name""",
     "q_opportunity_by_stage" ->
       s"""SELECT o_orderstatus,
          COUNT(*) AS records,
