@@ -103,7 +103,8 @@ object TextDedup {
   def minhashLsh(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     // Docs with no shingles (< n tokens) would all share the identical
@@ -128,8 +129,23 @@ object TextDedup {
         .as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
 
-    val cand = banded.select(col(idCol).as("d1"), col("band"), col("bh"))
-      .join(banded.select(col(idCol).as("d2"), col("band"), col("bh")), Seq("band", "bh"))
+    // Bucket-size cap: a (band,hash) bucket holding B docs emits B²/2
+    // candidates. On natural text big buckets are rare; on degenerate
+    // corpora (tiny vocab, templated text) a single hot bucket can
+    // dominate the whole job. Capped buckets are SKIPPED — a deliberate
+    // recall trade documented to the caller via the parameter (no silent
+    // default: Int.MaxValue keeps exact behavior unless opted in).
+    val bucketed =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        val sizes = banded.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select(col("band"), col("bh"))
+        banded.join(sizes, Seq("band", "bh"))
+      }
+    val cand = bucketed.select(col(idCol).as("d1"), col("band"), col("bh"))
+      .join(bucketed.select(col(idCol).as("d2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
 

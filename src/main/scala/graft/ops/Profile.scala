@@ -76,6 +76,29 @@ object Profile {
     }
   }
 
+  /** Scale-path stats: HyperLogLog++ distinct estimates instead of exact
+    * `count_distinct` — no Expand, no per-column distinct shuffle, one
+    * straight aggregate even over thousands of columns of a 100 TB
+    * table. `rsd` is the HLL relative standard deviation (default 5%).
+    * Top-k is skipped (pair with [[profileSinglePass]]'s TopKFreq when
+    * values are needed). */
+  def profileApproxStats(df: DataFrame, rsd: Double = 0.05): Seq[ColumnProfile] = {
+    val cols = df.columns.toSeq
+    if (cols.isEmpty) return Nil
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"__null__$c"),
+        approx_count_distinct(col(c), rsd).as(s"__uniq__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val dtypes = df.dtypes.toMap
+    cols.map { c =>
+      val nulls = row.getLong(row.fieldIndex(s"__null__$c"))
+      val uniq = row.getLong(row.fieldIndex(s"__uniq__$c")) + (if (nulls > 0) 1 else 0)
+      ColumnProfile(c, dtypes(c), nulls, uniq, Nil)
+    }
+  }
+
   def profile(
       df: DataFrame,
       topK: Int = DefaultTopK,

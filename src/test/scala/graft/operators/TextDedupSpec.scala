@@ -58,6 +58,21 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.size.toDouble / exact.size >= 0.9) // LSH recall ≥ 90%
   }
 
+  test("minhashLsh bucket cap drops hot-bucket candidates, keeps exact behavior by default") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val unCapped = TextDedup.minhashLsh(d, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap of 1: every multi-doc bucket skipped → no candidates at all
+    val fullyCapped = TextDedup.minhashLsh(d, "doc_id", "text", threshold = 0.7,
+      maxBucketSize = 1)
+    assert(fullyCapped.count() == 0)
+    // generous cap: identical to uncapped on this corpus
+    val bigCap = TextDedup.minhashLsh(d, "doc_id", "text", threshold = 0.7,
+        maxBucketSize = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bigCap == unCapped)
+  }
+
   test("simhashPairs: identical docs at hamming 0; 1-token change on a long doc stays near") {
     // SimHash margins grow with token count: on a 100-token doc a single
     // substitution flips only the bits whose majority vote was balanced.

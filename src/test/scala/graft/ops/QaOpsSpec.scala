@@ -49,6 +49,18 @@ class QaOpsSpec extends SparkSpec {
     assert(profiles.find(_.name == "lo").get.topValues.size == 3)
   }
 
+  test("approx profile stats track exact within HLL tolerance") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val exact = Profile.profile(df).map(p => p.name -> p.nUnique).toMap
+    val approx = Profile.profileApproxStats(df, rsd = 0.05)
+    approx.foreach { p =>
+      val e = exact(p.name).toDouble
+      assert(math.abs(p.nUnique - e) <= math.max(3, e * 0.15),
+        s"col=${p.name}: approx=${p.nUnique} exact=$e")
+      assert(p.topValues.isEmpty)
+    }
+  }
+
   test("drift: first run no alert, >=50% change alerts, state persisted") {
     val state = Files.createTempDirectory("drift").resolve("rowcount.txt").toString
     val r1 = Drift.checkRowcountDrift(100, state)
