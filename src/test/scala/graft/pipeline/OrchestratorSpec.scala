@@ -109,6 +109,20 @@ class OrchestratorSpec extends SparkSpec {
     assert(eNested.getMessage.contains("meta"))
   }
 
+  test("scheduled runner: N iterations accumulate ledger entries and drift state") {
+    val base = Files.createTempDirectory("sched").toString
+    val sched = ScheduledRunner.runEvery(spark, "Order", () => source, base,
+      intervalMs = 0, iterations = 3,
+      Orchestrator.RunOptions(limit = None, timestampRaw = true),
+      specOverride = Some(orderSpec))
+    assert(sched.runs.size == 3)
+    assert(graft.meta.RunLedger.read(s"$base/meta/runs.jsonl").size == 3)
+    // drift state existed from run 2 on: same rowcount → no alert
+    assert(sched.runs.tail.forall(_.driftAlert.isEmpty))
+    // timestamped raw paths: no clobbering across runs (T4)
+    assert(sched.runs.map(_.rawPath).distinct.size == 3)
+  }
+
   test("limit is applied at extract (source-pushed P3)") {
     val base = Files.createTempDirectory("orch3").toString
     val report = Orchestrator.run(spark, "Order", source, base,
