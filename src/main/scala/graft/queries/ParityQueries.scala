@@ -163,6 +163,22 @@ object ParityQueries {
       .orderBy(col("column_name"))
   }
 
+  // --- P6: tolerant cast — unparseable strings become null, not errors
+  //     (ANSI off; DuckDB mirror is TRY_CAST) ---
+  val tolerantCast: Q = (s, dir) => {
+    val df = Normalize.castMetrics(
+      t(s, dir, "orders").withColumn("prio_str", col("o_orderpriority")),
+      Seq("prio_str", "o_totalprice", "missing_metric"))
+    df.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("records"),
+        count(col("prio_str")).as("parsed_ok"), // nulls (failed casts) skipped
+        graft.functions.GraftFunctions.roundPortable(
+          coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("sum_price"),
+        max(col("missing_metric")).as("max_missing")) // synthesized 0.0
+      .orderBy(col("o_orderpriority"))
+  }
+
   // --- Q2: schema gate report as a relation (columns_present, sorted) ---
   val schemaGateReport: Q = (s, dir) => {
     val report = graft.ops.Gates.schemaGate(
@@ -172,6 +188,7 @@ object ParityQueries {
   }
 
   val queries: ListMap[String, Q] = ListMap(
+    "q_tolerant_cast" -> tolerantCast,
     "q_schema_gate_report" -> schemaGateReport,
     "q_opportunity_by_stage" -> opportunityByStage,
     "q_account_by_segment" -> accountBySegment,
@@ -190,6 +207,13 @@ object ParityQueries {
   )
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_tolerant_cast" ->
+      s"""SELECT o_orderpriority,
+          COUNT(*) AS records,
+          COUNT(TRY_CAST(o_orderpriority AS DOUBLE)) AS parsed_ok,
+          ${r4("COALESCE(SUM(o_totalprice), 0.0)")} AS sum_price,
+          0.0 AS max_missing
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the gate reports the physical columns of the scanned relation —
     // DuckDB derives the same list from the same parquet footer
     "q_schema_gate_report" ->

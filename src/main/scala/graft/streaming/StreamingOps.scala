@@ -108,6 +108,26 @@ object StreamingOps {
       }
   }
 
+  /** Streaming twin of the parquet-snapshot sink K3 + run-ledger Q6: each
+    * micro-batch is snapshotted to its own parquet dir and one ledger
+    * line is appended per batch (`foreachBatch` — arbitrary sinks with
+    * exactly-once-per-batch semantics via the batchId). */
+  def snapshotEachBatch(
+      events: DataFrame, outDir: String, ledgerPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import org.json4s.JsonDSL._
+        graft.sinks.Sinks.parquetSnappy(batch.toDF(), s"$outDir/batch_$batchId")
+        val record: org.json4s.JObject =
+          ("run_id" -> s"batch_$batchId") ~
+            ("rows" -> batch.count()) ~
+            ("path" -> s"$outDir/batch_$batchId")
+        graft.meta.RunLedger.append(ledgerPath, record)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Drives a streaming DataFrame to completion over the currently
     * available input (Trigger.AvailableNow ≙ the reference's bounded
     * scheduled run) into an in-memory table; returns the result. */

@@ -67,6 +67,21 @@ class StreamingOpsSpec extends SparkSpec {
     assert(deduped.count() == batchDistinct) // 2N in, N out
   }
 
+  test("foreachBatch snapshots each micro-batch to parquet and ledgers it") {
+    val out = java.nio.file.Files.createTempDirectory("snap").toString
+    val ledger = s"$out/runs.jsonl"
+    val q = StreamingOps.snapshotEachBatch(
+      StreamingOps.readEventsStream(spark, sfDir), out, ledger)
+    q.awaitTermination()
+    val entries = graft.meta.RunLedger.read(ledger)
+    assert(entries.nonEmpty)
+    val snapshotRows = entries.map { e =>
+      val org.json4s.JString(path) = (e \ "path"): @unchecked
+      spark.read.parquet(path).count()
+    }.sum
+    assert(snapshotRows == Scan.table(spark, sfDir, "events").count())
+  }
+
   test("mapGroupsWithState running totals equal a batch groupBy") {
     val stream = StreamingOps.readEventsStream(spark, sfDir)
     val streamed = StreamingOps.runAvailableNow(
