@@ -1,0 +1,224 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, IsNotNull, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.spec.{ObjectSpec, SpecRegistry}
+
+/** DataSource V2 connector modelling the reference's remote Salesforce
+  * relation (S1, `tasks/extract.py:66-101`) — the piece SURVEY §2.1 marks
+  * "in principle": the SOQL the reference hand-builds (SELECT list /
+  * WHERE / LIMIT, `extract.py:29-33`) maps 1:1 onto Spark's
+  * `SupportsPushDownRequiredColumns` / `SupportsPushDownFilters` /
+  * `SupportsPushDownLimit`, so Catalyst compiles the same pushdowns the
+  * reference encodes manually.
+  *
+  * Zero-egress stand-in: rows come from a deterministic per-object
+  * generator (seeded by object name + row index) instead of the wire —
+  * the connector's *architecture* (schema from the spec registry,
+  * pruning/filter/limit pushed into the "remote" fetch, partitioned
+  * parallel reads) is exactly what a live `simple_salesforce` backend
+  * would slot into.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.v2.SalesforceSimSource")
+  *   .option("object", "Account").option("rows", "10000").load()
+  * }}}
+  */
+class SalesforceSimSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SalesforceSim.schemaFor(SalesforceSim.specFrom(options))
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SimTable(SalesforceSim.specFrom(opts),
+      opts.getLong("rows", 1000L), opts.getInt("partitions", 4))
+  }
+}
+
+object SalesforceSim {
+  def specFrom(options: CaseInsensitiveStringMap): ObjectSpec = {
+    val objectName = Option(options.get("object")).getOrElse(
+      throw new IllegalArgumentException("option 'object' is required"))
+    SpecRegistry(objectName)
+  }
+
+  /** Spec-derived schema: metric columns double, everything else string
+    * (the reference's CSV-era typing; SURVEY §1.2). */
+  def schemaFor(spec: ObjectSpec): StructType = {
+    val metricCols = spec.metrics.keySet.filter(_ != ObjectSpec.DurationHours)
+    StructType(spec.fields.map { f =>
+      StructField(f,
+        if (metricCols.contains(f)) DoubleType else StringType,
+        nullable = true)
+    })
+  }
+
+  private val pools: Map[String, Seq[String]] = Map(
+    "default" -> Seq("alpha", "beta", "gamma", "delta", "epsilon"))
+
+  /** Deterministic cell value for (object, rowIdx, field). */
+  def cell(objectName: String, i: Long, field: String, dt: DataType): Any = {
+    val h = (objectName + "/" + field).hashCode.toLong * 1315423911L + i * 2654435761L
+    dt match {
+      case DoubleType =>
+        // ~5% nulls to exercise tolerant aggregation
+        if (math.floorMod(h, 20L) == 0L) null
+        else java.lang.Double.valueOf((math.floorMod(h, 1000000L)) / 100.0)
+      case _ =>
+        if (field == "Id") UTF8String.fromString(s"$objectName-$i")
+        else {
+          val pool = pools("default")
+          UTF8String.fromString(pool((math.floorMod(h, pool.size.toLong)).toInt))
+        }
+    }
+  }
+}
+
+class SimTable(spec: ObjectSpec, rows: Long, partitions: Int)
+  extends Table with SupportsRead {
+  override def name(): String = s"salesforce_sim.${spec.apiName}"
+  override def schema(): StructType = SalesforceSim.schemaFor(spec)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SimScanBuilder(spec, rows, partitions)
+}
+
+/** The SOQL compiler's Spark form: each pushdown callback is one clause
+  * of the SOQL the reference builds by hand. */
+class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters
+  with SupportsPushDownLimit {
+
+  private var requiredSchema: StructType = SalesforceSim.schemaFor(spec)
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Long = -1L
+
+  // ≙ SELECT <fields> (extract.py:30)
+  override def pruneColumns(required: StructType): Unit = {
+    requiredSchema = required
+  }
+
+  // ≙ WHERE ... (extract.py:31) — the simulator evaluates EqualTo /
+  // IsNotNull / </> on its generated cells; anything else is left for
+  // Spark to evaluate post-scan (returned un-pushed).
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case _: EqualTo | _: IsNotNull | _: GreaterThan | _: LessThan => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  // ≙ LIMIT n (extract.py:32)
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  override def build(): Scan =
+    new SimScan(spec, rows, partitions, requiredSchema, pushed, limit)
+}
+
+class SimScan(
+    spec: ObjectSpec, rows: Long, partitions: Int,
+    override val readSchema: StructType,
+    filters: Array[Filter], limit: Long)
+  extends Scan with Batch {
+
+  override def toBatch: Batch = this
+
+  // surfaces the pushdowns in explain() the way file scans do
+  override def description(): String =
+    s"SalesforceSim(${spec.apiName}) PushedFilters: [${filters.mkString(", ")}], " +
+      s"PushedLimit: ${if (limit >= 0) limit else "none"}, " +
+      s"ReadSchema: ${readSchema.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // with a pushed LIMIT a single partition suffices (the remote would
+    // return at most `limit` rows anyway — no point fanning out)
+    val effective = if (limit >= 0) math.min(rows, limit) else rows
+    val nParts = if (limit >= 0) 1 else partitions
+    val per = math.max(1L, (effective + nParts - 1) / nParts)
+    (0 until nParts).map { p =>
+      SimPartition(p * per, math.min(effective, (p + 1) * per))
+    }.filter(p => p.start < p.end).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SimReaderFactory(spec.apiName, readSchema, filters, limit)
+}
+
+case class SimPartition(start: Long, end: Long) extends InputPartition
+
+class SimReaderFactory(
+    objectName: String, schema: StructType, filters: Array[Filter], limit: Long)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SimPartition]
+    new SimReader(objectName, schema, filters, p.start, p.end,
+      if (limit >= 0) limit else Long.MaxValue)
+  }
+}
+
+class SimReader(
+    objectName: String, schema: StructType, filters: Array[Filter],
+    start: Long, end: Long, limit: Long)
+  extends PartitionReader[InternalRow] {
+
+  private var i = start - 1
+  private var emitted = 0L
+  private var current: InternalRow = _
+
+  private def fullCell(field: String): Any = {
+    val dt = schema.find(_.name == field).map(_.dataType).getOrElse(StringType)
+    SalesforceSim.cell(objectName, i, field, dt)
+  }
+
+  private def matches: Boolean = filters.forall {
+    case EqualTo(attr, value) =>
+      val c = fullCell(attr)
+      c != null && c.toString == value.toString
+    case IsNotNull(attr) => fullCell(attr) != null
+    case GreaterThan(attr, value: Number) =>
+      val c = fullCell(attr)
+      c != null && c.asInstanceOf[Double] > value.doubleValue()
+    case LessThan(attr, value: Number) =>
+      val c = fullCell(attr)
+      c != null && c.asInstanceOf[Double] < value.doubleValue()
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    while (emitted < limit && i + 1 < end) {
+      i += 1
+      if (matches) {
+        current = new GenericInternalRow(
+          schema.fields.map(f => SalesforceSim.cell(objectName, i, f.name, f.dataType)))
+        emitted += 1
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

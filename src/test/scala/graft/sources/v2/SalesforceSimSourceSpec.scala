@@ -1,0 +1,64 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.SpecAggregate
+import graft.spec.SpecRegistry
+
+class SalesforceSimSourceSpec extends SparkSpec {
+
+  private def read(obj: String, rows: Long = 1000): DataFrame =
+    spark.read.format("graft.sources.v2.SalesforceSimSource")
+      .option("object", obj).option("rows", rows.toString).load()
+
+  test("schema derives from the spec registry; rows are deterministic") {
+    val df = read("Account")
+    assert(df.columns.toSeq == SpecRegistry("Account").fields)
+    assert(df.schema("AnnualRevenue").dataType.typeName == "double")
+    assert(df.schema("Name").dataType.typeName == "string")
+    val a = df.orderBy("Id").limit(3).collect().map(_.toSeq)
+    val b = read("Account").orderBy("Id").limit(3).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq) // same seed → same remote "org"
+    assert(df.count() == 1000)
+  }
+
+  test("column pruning is pushed into the source scan") {
+    val df = read("Account").select("Id", "BillingState")
+    val scan = df.queryExecution.executedPlan.toString
+    // the physical scan reads ONLY the projected columns
+    assert(scan.contains("Id") && scan.contains("BillingState"))
+    assert(!scan.contains("AnnualRevenue"), s"pruning not pushed:\n$scan")
+  }
+
+  test("filters are pushed: no residual Filter node, source applies them") {
+    val df = read("Account").filter(col("BillingState") === "alpha")
+    val plan = df.queryExecution.executedPlan.toString
+    // the source consumed the predicate entirely — Spark plans NO
+    // post-scan Filter NODE (the same shape a SOQL WHERE would give);
+    // match node syntax, not the word (our description says PushedFilters)
+    val filterNode = "(?m)^[\\s+:*()\\d-]*Filter ".r
+    assert(filterNode.findFirstIn(plan).isEmpty, s"filter not fully pushed:\n$plan")
+    assert(plan.contains("EqualTo(BillingState,alpha)"), plan)
+    val vals = df.select("BillingState").distinct().collect().map(_.getString(0))
+    assert(vals.toSeq == Seq("alpha"))
+    assert(df.count() > 0)
+  }
+
+  test("limit is pushed: a single partition serves at most limit rows") {
+    val df = read("Account", rows = 100000).limit(7)
+    assert(df.count() == 7)
+    assert(df.rdd.getNumPartitions == 1) // pushed limit collapses the fan-out
+  }
+
+  test("the sim source feeds the spec pipeline end-to-end (S1→A1 on a 'remote' org)") {
+    val out = SpecAggregate.run(spark, SpecRegistry("Account"), read("Account", 5000))
+    val rows = out.collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("records"))).sum == 5000L)
+    assert(out.columns.contains("sum_annualrevenue"))
+    // ~5% generated nulls exercised the tolerant aggregation path
+    val stats = rows.map(r => r.getDouble(r.fieldIndex("sum_annualrevenue")))
+    assert(stats.forall(_ > 0.0))
+  }
+}
