@@ -187,7 +187,18 @@ object ParityQueries {
     report.columnsPresent.toDF("column_name").orderBy(col("column_name"))
   }
 
+  // --- S1 via the DSv2 connector: the full spec pipeline over the
+  //     simulated remote org (rows-only — the "remote" data has no
+  //     DuckDB twin by design) ---
+  val simSourcePipeline: Q = (s, _) => {
+    val remote = s.read.format("graft.sources.v2.SalesforceSimSource")
+      .option("object", "Opportunity").option("rows", "5000").load()
+    SpecAggregate.run(s, graft.spec.SpecRegistry("Opportunity"), remote)
+      .orderBy(col("StageName"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
+    "q_sim_source_pipeline" -> simSourcePipeline,
     "q_tolerant_cast" -> tolerantCast,
     "q_schema_gate_report" -> schemaGateReport,
     "q_opportunity_by_stage" -> opportunityByStage,
