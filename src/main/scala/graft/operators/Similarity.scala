@@ -115,11 +115,19 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, bits: Int = 12, seed: Long = 42L, multiProbe: Boolean = true,
       dim: Int = -1): DataFrame = {
-    // dim < 0 → infer from the first corpus row; a wrong dim would
-    // silently bucket on a prefix of the vector and collapse recall
+    // dim < 0 → infer from the first non-null corpus vector; a wrong dim
+    // would silently bucket on a prefix and collapse recall. Empty (or
+    // all-null-vector) corpus → empty result, not a crash.
     val planeDim =
       if (dim > 0) dim
-      else corpus.select(size(col(corpusVec))).head.getInt(0)
+      else corpus.select(size(col(corpusVec)).as("__d"))
+        .filter(col("__d") > 0).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _ =>
+          return queries.limit(0).crossJoin(corpus.limit(0))
+            .select(col(queryId), col(corpusId),
+              lit(0.0).as("cosine"), lit(1).as("rank"))
+      }
     val planes = hyperplanes(planeDim, bits, seed)
     val bc = withHyperplaneBucket(corpus, corpusVec, planes)
     val bq0 = withHyperplaneBucket(queries, queryVec, planes)

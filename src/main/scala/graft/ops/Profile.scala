@@ -49,7 +49,11 @@ object Profile {
         count(when(col(c).isNull, 1)).as(s"__null__$c"),
         count_distinct(col(c)).as(s"__uniq__$c"),
         top_k_freq(col(c).cast("string"), topK,
-          capacity = (cardinalityCap * 2).toInt).as(s"__top__$c"))
+          // saturating: a huge Long cap (e.g. Long.MaxValue for "no cap")
+          // must not overflow to a negative Int capacity
+          capacity =
+            if (cardinalityCap >= Int.MaxValue / 2) Int.MaxValue
+            else (cardinalityCap * 2).toInt).as(s"__top__$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
     val dtypes = df.dtypes.toMap

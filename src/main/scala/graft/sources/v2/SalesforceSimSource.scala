@@ -118,11 +118,15 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int)
   }
 
   // ≙ WHERE ... (extract.py:31) — the simulator evaluates EqualTo /
-  // IsNotNull / </> on its generated cells; anything else is left for
-  // Spark to evaluate post-scan (returned un-pushed).
+  // IsNotNull and NUMERIC </> on its generated cells; anything else
+  // (incl. string inequalities, which the reader can't evaluate) is left
+  // for Spark to evaluate post-scan (returned un-pushed). Claiming a
+  // filter you don't evaluate silently returns wrong rows.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case _: EqualTo | _: IsNotNull | _: GreaterThan | _: LessThan => true
+      case _: EqualTo | _: IsNotNull => true
+      case GreaterThan(_, v: Number) => true
+      case LessThan(_, v: Number) => true
       case _ => false
     }
     pushed = accepted
@@ -152,9 +156,13 @@ class SimScan(
       s"ReadSchema: ${readSchema.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // with a pushed LIMIT a single partition suffices (the remote would
-    // return at most `limit` rows anyway — no point fanning out)
-    val effective = if (limit >= 0) math.min(rows, limit) else rows
+    // the scan RANGE may be capped to the limit only when no filter is
+    // pushed — with filters, `limit` bounds EMITTED rows, so the reader
+    // must keep scanning the full range until it finds enough matches
+    val capRange = limit >= 0 && filters.isEmpty
+    val effective = if (capRange) math.min(rows, limit) else rows
+    // a pushed limit still collapses the fan-out: one reader emits at
+    // most `limit` rows; parallel partitions would overfetch
     val nParts = if (limit >= 0) 1 else partitions
     val per = math.max(1L, (effective + nParts - 1) / nParts)
     (0 until nParts).map { p =>
@@ -163,32 +171,37 @@ class SimScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SimReaderFactory(spec.apiName, readSchema, filters, limit)
+    new SimReaderFactory(spec.apiName, readSchema,
+      SalesforceSim.schemaFor(spec), filters, limit)
 }
 
 case class SimPartition(start: Long, end: Long) extends InputPartition
 
 class SimReaderFactory(
-    objectName: String, schema: StructType, filters: Array[Filter], limit: Long)
+    objectName: String, schema: StructType, fullSchema: StructType,
+    filters: Array[Filter], limit: Long)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SimPartition]
-    new SimReader(objectName, schema, filters, p.start, p.end,
+    new SimReader(objectName, schema, fullSchema, filters, p.start, p.end,
       if (limit >= 0) limit else Long.MaxValue)
   }
 }
 
 class SimReader(
-    objectName: String, schema: StructType, filters: Array[Filter],
-    start: Long, end: Long, limit: Long)
+    objectName: String, schema: StructType, fullSchema: StructType,
+    filters: Array[Filter], start: Long, end: Long, limit: Long)
   extends PartitionReader[InternalRow] {
 
   private var i = start - 1
   private var emitted = 0L
   private var current: InternalRow = _
 
+  // filter columns resolve against the FULL object schema — a pushed
+  // filter may reference a column pruned out of the projection, and
+  // evaluating it with a fallback type would compare the wrong value
   private def fullCell(field: String): Any = {
-    val dt = schema.find(_.name == field).map(_.dataType).getOrElse(StringType)
+    val dt = fullSchema.find(_.name == field).map(_.dataType).getOrElse(StringType)
     SalesforceSim.cell(objectName, i, field, dt)
   }
 

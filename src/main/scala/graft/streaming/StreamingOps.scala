@@ -76,14 +76,23 @@ object StreamingOps {
         col("user_id"), col("n_events"), col("total_value"))
 
   /** Streaming twin of the key-dedup D1: exactly-once key emission
-    * across micro-batches. The watermark bounds the dedup state — ids
-    * older than the horizon are dropped from the state store, so state
-    * stays O(events within horizon) at any stream volume. */
+    * across micro-batches.
+    *
+    * `boundedState = true` (default) uses `dropDuplicatesWithinWatermark`:
+    * the state store holds only keys within the watermark horizon —
+    * O(horizon) state at any stream volume, with the documented relaxation
+    * that a duplicate arriving later than the watermark delay after its
+    * first occurrence is re-emitted. `boundedState = false` gives exact
+    * all-time dedup via `dropDuplicates` — but (important) the watermark
+    * does NOT evict that state when the event-time column isn't part of
+    * the key: state grows with the number of distinct keys ever seen. */
   def dedupEvents(
       events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
-      watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicates(keyCols)
+      watermark: String = "1 hour", boundedState: Boolean = true): DataFrame = {
+    val marked = events.withWatermark("ts", watermark)
+    if (boundedState) marked.dropDuplicatesWithinWatermark(keyCols)
+    else marked.dropDuplicates(keyCols)
+  }
 
   /** Per-user running totals via explicit keyed state — the
     * `mapGroupsWithState` upgrade path for the reference's cross-run
@@ -117,11 +126,15 @@ object StreamingOps {
     events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import org.json4s.JsonDSL._
-        graft.sinks.Sinks.parquetSnappy(batch.toDF(), s"$outDir/batch_$batchId")
+        val path = s"$outDir/batch_$batchId"
+        graft.sinks.Sinks.parquetSnappy(batch.toDF(), path)
+        // count the WRITTEN artifact (footer-stats count — cheap) rather
+        // than batch.count(), which would re-execute the batch plan from
+        // the source; also matches the ledger's Q6 recount-the-artifact
+        // semantics (tasks/metadata.py:195-197)
+        val rows = batch.sparkSession.read.parquet(path).count()
         val record: org.json4s.JObject =
-          ("run_id" -> s"batch_$batchId") ~
-            ("rows" -> batch.count()) ~
-            ("path" -> s"$outDir/batch_$batchId")
+          ("run_id" -> s"batch_$batchId") ~ ("rows" -> rows) ~ ("path" -> path)
         graft.meta.RunLedger.append(ledgerPath, record)
         ()
       }

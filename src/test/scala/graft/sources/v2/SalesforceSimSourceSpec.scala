@@ -52,6 +52,37 @@ class SalesforceSimSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 1) // pushed limit collapses the fan-out
   }
 
+  test("pushed filter + pushed limit: limit bounds EMITTED rows, not the scan range") {
+    val df = read("Account", rows = 100000)
+      .filter(col("BillingState") === "alpha").limit(7)
+    assert(df.count() == 7) // reader keeps scanning until 7 matches
+  }
+
+  test("pushed filter on a column pruned from the projection evaluates correctly") {
+    // AnnualRevenue (double) is filtered but NOT selected — the reader
+    // must resolve its dtype from the full schema, not the pruned one
+    val df = read("Account", rows = 2000)
+      .filter(col("AnnualRevenue") > 100.0).select("Id")
+    val n = df.count()
+    val check = read("Account", rows = 2000).select("Id", "AnnualRevenue")
+      .collect().count(r => !r.isNullAt(1) && r.getDouble(1) > 100.0)
+    assert(n == check)
+    // IsNotNull under pruning must see the real ~5% nulls
+    val nn = read("Account", rows = 2000)
+      .filter(col("AnnualRevenue").isNotNull).select("Id").count()
+    val nnCheck = read("Account", rows = 2000).select("AnnualRevenue")
+      .collect().count(!_.isNullAt(0))
+    assert(nn == nnCheck)
+  }
+
+  test("string inequality is NOT claimed: residual Filter evaluates it post-scan") {
+    val df = read("Account", rows = 500).filter(col("Name") > "beta")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("(?m)^[\\s+:*()\\d-]*Filter ".r.findFirstIn(plan).isDefined,
+      s"string > must stay a residual Filter:\n$plan")
+    assert(df.collect().forall(_.getAs[String]("Name") > "beta"))
+  }
+
   test("the sim source feeds the spec pipeline end-to-end (S1→A1 on a 'remote' org)") {
     val out = SpecAggregate.run(spark, SpecRegistry("Account"), read("Account", 5000))
     val rows = out.collect()

@@ -61,8 +61,10 @@ class StreamingOpsSpec extends SparkSpec {
       .schema(StreamingOps.eventsRawSchema)
       .parquet(staged.toString)
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // bounded-state dedup: watermark covers the full 30-day event span,
+    // so every duplicate is within the horizon and collapses
     val deduped = StreamingOps.runAvailableNow(
-      StreamingOps.dedupEvents(stream, watermark = "0 seconds"), "t_dedup")
+      StreamingOps.dedupEvents(stream, watermark = "31 days"), "t_dedup")
     val batchDistinct = Scan.table(spark, sfDir, "events").count()
     assert(deduped.count() == batchDistinct) // 2N in, N out
   }
