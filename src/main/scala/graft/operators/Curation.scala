@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis._
+
+/** The composed training-data curation pipeline — the end-to-end shape a
+  * 100 TB corpus sweep actually runs, chaining the engine's text ops:
+  *
+  *   1. language filter     (langId ∈ keep set)
+  *   2. quality filter      (qualityScore ≥ threshold, token count ≥ min)
+  *   3. exact dedup         (md5 content hash, keep lowest id)
+  *   4. near-dup removal    (MinHash LSH pairs → drop the higher id of
+  *                           each pair — the transitive-lite policy used
+  *                           by large corpus pipelines)
+  *
+  * Stages 1-3 are pure projections + one hash aggregate (single
+  * effective scan); stage 4 adds the LSH candidate join. Everything
+  * stays distributed — no driver-side data path.
+  */
+object Curation {
+
+  final case class Config(
+      keepLangs: Set[String] = Set("en"),
+      minQuality: Double = 0.3,
+      minTokens: Long = 5L,
+      nearDupThreshold: Double = 0.7,
+      shingleSize: Int = 3)
+
+  /** Stages 1-3 (deterministic, SQL-expressible — oracle-checked as
+    * `q_curation_filter`). Returns the surviving docs with their
+    * curation features attached. */
+  def filterAndExactDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val featured = docs.select(
+      col(idCol), col(textCol),
+      langId(col(textCol)).as("pred_lang"),
+      qualityScore(col(textCol)).as("quality"),
+      wsTokenCount(col(textCol)).as("n_tokens"),
+      md5(col(textCol)).as("content_hash"))
+    val kept = featured
+      .filter(col("pred_lang").isin(cfg.keepLangs.toSeq: _*))
+      .filter(col("quality") >= cfg.minQuality && col("n_tokens") >= cfg.minTokens)
+    // exact dedup: keep the lowest id per content hash
+    val canonical = kept.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    kept.join(canonical, Seq("content_hash", idCol))
+  }
+
+  /** Full pipeline incl. near-dup removal. */
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val surviving = filterAndExactDedup(docs, idCol, textCol, cfg)
+    val nearDups = TextDedup.minhashLsh(
+      surviving, idCol, textCol, n = cfg.shingleSize,
+      threshold = cfg.nearDupThreshold)
+    // drop the HIGHER id of every near-dup pair (keep-first policy)
+    val toDrop = nearDups.select(col("d2").as(idCol)).distinct()
+    surviving.join(toDrop, Seq(idCol), "left_anti")
+  }
+}

@@ -54,7 +54,16 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The curation pipeline's deterministic core (lang filter → quality
+    * filter → exact dedup), oracle-checked end-to-end. */
+  val curationFilter: Q = (s, dir) =>
+    graft.operators.Curation.filterAndExactDedup(
+        Scan.table(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
   val queries: ListMap[String, Q] = ListMap(
+    "q_curation_filter" -> curationFilter,
     "q_text_token_counts" -> tokenCounts,
     "q_text_quality" -> qualityProfile,
     "q_text_langid" -> langIdRollup,
@@ -74,6 +83,33 @@ object TextQueries {
     "LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE / LEN(STRING_SPLIT(text, ' '))", 4)
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_curation_filter" ->
+      s"""WITH feat AS (
+            SELECT doc_id, text,
+              CASE
+                WHEN $hitsEn > 0 AND $hitsEn >= GREATEST($hitsEs, $hitsFr, $hitsDe) THEN 'en'
+                WHEN $hitsEs > 0 AND $hitsEs >= GREATEST($hitsEn, $hitsFr, $hitsDe) THEN 'es'
+                WHEN $hitsFr > 0 AND $hitsFr >= GREATEST($hitsEn, $hitsEs, $hitsDe) THEN 'fr'
+                WHEN $hitsDe > 0 AND $hitsDe >= GREATEST($hitsEn, $hitsEs, $hitsFr) THEN 'de'
+                ELSE 'und' END AS pred_lang,
+              ${roundPortableSql(
+                s"""LEAST($wsToks / 100.0, 1.0) * 0.5
+                + (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE
+                   / GREATEST($wsToks::DOUBLE, 1.0)) * 0.3
+                + ($hitsEn / 5.0) * 0.2""", 4)} AS quality,
+              CAST($wsToks AS BIGINT) AS n_tokens,
+              MD5(text) AS content_hash
+            FROM documents),
+          kept AS (
+            SELECT * FROM feat
+            WHERE pred_lang IN ('en') AND quality >= 0.3 AND n_tokens >= 5),
+          canon AS (
+            SELECT content_hash, MIN(doc_id) AS doc_id
+            FROM kept GROUP BY content_hash)
+          SELECT k.doc_id, k.pred_lang, k.quality, k.n_tokens
+          FROM kept k
+          JOIN canon c ON k.content_hash = c.content_hash AND k.doc_id = c.doc_id
+          ORDER BY k.doc_id""",
     "q_text_token_counts" ->
       s"""SELECT doc_id,
           CAST($wsToks AS BIGINT) AS ws_tokens,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // keeper: english-ish, long enough, good quality
+    (1L, "the quick brown fox and the lazy dog of a farm to the river and the hills beyond"),
+    // exact duplicate of 1 → dropped by exact dedup (higher id)
+    (2L, "the quick brown fox and the lazy dog of a farm to the river and the hills beyond"),
+    // near duplicate of 1 (one word changed) → dropped by minhash stage
+    (3L, "the quick brown fox and the lazy dog of a farm to the river and the plains beyond"),
+    // too short → dropped by token filter
+    (4L, "the of and"),
+    // no english stopwords → dropped by language filter
+    (5L, "zebra yak xylophone walrus vulture unicorn tapir serpent raccoon quail porcupine ocelot")
+  ).toDF("doc_id", "text")
+
+  test("filterAndExactDedup keeps english, quality, unique docs") {
+    val kept = Curation.filterAndExactDedup(corpus, "doc_id", "text",
+        Curation.Config(minQuality = 0.2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // 2 deduped (exact), 4 too short, 5 wrong lang
+  }
+
+  test("full curate also removes minhash near-duplicates (keep-first)") {
+    val curated = Curation.curate(corpus, "doc_id", "text",
+        Curation.Config(minQuality = 0.2, nearDupThreshold = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated == Set(1L)) // 3 is a near-dup of 1 → higher id dropped
+  }
+
+  test("curate on the testdata corpus is deterministic and reduces it") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Curation.curate(docs, "doc_id", "text").count()
+    val b = Curation.curate(docs, "doc_id", "text").count()
+    assert(a == b)
+    assert(a > 0 && a < docs.count()) // something survived, something dropped
+  }
+}
