@@ -21,6 +21,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release per-query localCheckpoint blocks (see Bench.scala note).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -88,6 +88,31 @@ object GraftFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Engine-portable SimHash over a token array: per-token hash = first
+    * 15 hex chars of md5 (60 bits — fits a signed long in both engines),
+    * bit b set when the ±1 token vote sum is ≥ 0. Semantically ≡
+    * [[simhash64]] (different hash family, same construction); exists so
+    * the simhash pair-derivation has an exact DuckDB twin — xxhash64
+    * doesn't, md5 does. Built-ins only; one tight codegen'd fold per row. */
+  def simhash64Portable(tokens: Column, bits: Int = 60): Column = {
+    val hashes = transform(tokens, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    // Single fold over the hash array carrying a bits-wide vote vector —
+    // NOT a per-bit outer loop, which would re-evaluate the md5 transform
+    // once per bit (measured 60× slower; HOF lambdas defeat subexpression
+    // reuse across iterations).
+    val bitsSeq = sequence(lit(0), lit(bits - 1))
+    val votes = aggregate(
+      hashes,
+      transform(bitsSeq, _ => lit(0)),
+      (acc, h) => zip_with(acc, bitsSeq,
+        (v, b) => v + when(shiftR(h, b).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+          .otherwise(lit(-1))))
+    aggregate(
+      zip_with(votes, bitsSeq,
+        (v, b) => when(v >= 0, shiftL(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** Single-pass top-k-by-frequency aggregate (custom
     * `TypedImperativeAggregate`, Space-Saving-bounded buffer — see
     * [[TopKFreq]]). Returns `array<struct<value,cnt>>` ordered by

@@ -26,7 +26,13 @@ object Curation {
       minQuality: Double = 0.3,
       minTokens: Long = 5L,
       nearDupThreshold: Double = 0.7,
-      shingleSize: Int = 3)
+      shingleSize: Int = 3,
+      // LSH hot-bucket cap: a (band,hash) bucket of B docs emits B²/2
+      // candidates, so one templated-text bucket can dominate the whole
+      // sweep. 100 ⇒ ≤ 4950 candidate pairs per bucket — bounded work per
+      // bucket at any corpus size; recall on natural near-dup buckets
+      // (typically ≤ tens of docs) is unaffected.
+      maxBucketSize: Int = 100)
 
   /** Stages 1-3 (deterministic, SQL-expressible — oracle-checked as
     * `q_curation_filter`). Returns the surviving docs with their
@@ -56,7 +62,7 @@ object Curation {
     val surviving = filterAndExactDedup(docs, idCol, textCol, cfg)
     val nearDups = TextDedup.minhashLsh(
       surviving, idCol, textCol, n = cfg.shingleSize,
-      threshold = cfg.nearDupThreshold)
+      threshold = cfg.nearDupThreshold, maxBucketSize = cfg.maxBucketSize)
     // drop the HIGHER id of every near-dup pair (keep-first policy)
     val toDrop = nearDups.select(col("d2").as(idCol)).distinct()
     surviving.join(toDrop, Seq(idCol), "left_anti")

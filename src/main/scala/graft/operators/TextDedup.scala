@@ -165,10 +165,19 @@ object TextDedup {
     * exact hamming filter ≤ `maxHamming`. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+      chunks: Int = 4, maxHamming: Int = 3,
+      fingerprint: Column => Column = ts => simhash64(ts)): DataFrame = {
+    // chunks=1 would compute mask via 1L<<64 (wraps to mask 0: every doc
+    // in one bucket → full cross product) and implies maxHamming<=0;
+    // non-divisors would drop fingerprint bits from the bucketing.
+    require(chunks >= 2 && 64 % chunks == 0,
+      s"chunks=$chunks must divide 64 and be >= 2")
+    // Recall regime: EXACT when maxHamming < chunks (pigeonhole: hamming
+    // ≤ chunks-1 ⇒ some chunk equal — the default 4/3 config), otherwise
+    // approximate (pairs differing in every chunk are never candidates).
     // Fingerprints feed both sides of the chunk self-join — materialize.
     val fp = docs.select(col(idCol),
-      simhash64(split(col(textCol), " ")).as("fp"))
+      fingerprint(split(col(textCol), " ")).as("fp"))
       .localCheckpoint(true)
     val w = 64 / chunks
     val chunked = fp.select(col(idCol), col("fp"),
@@ -188,14 +197,73 @@ object TextDedup {
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. Exact pairwise —
-    * bound the input (sample / LSH buckets via [[Similarity.hyperplaneLsh]])
-    * before calling at scale. */
+    * the verify/oracle tool. At scale use [[embeddingNearDupPairsLsh]],
+    * which generates candidates through bucket joins and applies this
+    * exact predicate only within them. */
   def embeddingNearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = vecs.select(col(idCol).as("d1"), col(vecCol).as("v1"))
     val b = vecs.select(col(idCol).as("d2"), col(vecCol).as("v2"))
     a.join(b, col("d1") < col("d2"))
+      .withColumn("cosine", cosine_similarity(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("d1"), col("d2"), roundPortable(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding near-dup via multi-table sign-random-projection LSH — the
+    * scale path (mirror of the [[minhashLsh]] design: bucket join for
+    * candidates, exact similarity as the verify stage).
+    *
+    * Each of `tables` tables buckets every vector by `bits` hyperplane
+    * signs (Charikar SRP: P[bit agrees] = 1 − θ/π); candidates are
+    * same-(table, bucket) pairs, OR-ed across tables, then verified with
+    * exact cosine ≥ threshold. Never forms the n² product — the join key
+    * is (table, bucket).
+    *
+    * Recall per pair = 1 − (1 − pᵇ)ᵗ with p = 1 − θ/π. Tuning is a
+    * threshold trade: at near-dup similarity (cos ≥ 0.9, p ≈ 0.86) a few
+    * wide tables suffice; close to cos 0.5 (p = 2/3) bits must shrink /
+    * tables grow — defaults (4, 32) give ≥ 0.994 per-pair recall at
+    * cos = 0.5 and sharper above. Planes are seeded literals: plans are
+    * deterministic across runs and executors.
+    */
+  def embeddingNearDupPairsLsh(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 4, tables: Int = 32,
+      seed: Long = 42L, dim: Int = -1): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"bits=$bits out of range")
+    val planeDim =
+      if (dim > 0) dim
+      else vecs.select(size(col(vecCol)).as("__d"))
+        .filter(col("__d") > 0).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _ => return vecs.limit(0).select(
+          col(idCol).as("d1"), col(idCol).as("d2"), lit(0.0).as("cosine"))
+      }
+    // One struct per table; explode → (table, bucket) join key. The
+    // bucket projection is tables×bits dot products per row — pure
+    // codegen'd map work, recomputed per side rather than checkpointed
+    // (cheaper than materializing at any scale).
+    val tableBuckets = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planeDim, bits, seed + t)
+      val bkt = planes.zipWithIndex.map { case (p, i) =>
+        when(dot_product(col(vecCol), array(p.map(lit): _*)) >= 0, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bkt.as("bkt"))
+    }
+    val bucketed = vecs.select(col(idCol),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col(idCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val cand = bucketed.select(col(idCol).as("d1"), col("t"), col("bkt"))
+      .join(bucketed.select(col(idCol).as("d2"), col("t"), col("bkt")),
+        Seq("t", "bkt"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    cand
+      .join(vecs.select(col(idCol).as("d1"), col(vecCol).as("v1")), Seq("d1"))
+      .join(vecs.select(col(idCol).as("d2"), col(vecCol).as("v2")), Seq("d2"))
       .withColumn("cosine", cosine_similarity(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), roundPortable(col("cosine"), 6).as("cosine"))

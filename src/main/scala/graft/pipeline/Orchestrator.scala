@@ -51,7 +51,13 @@ object Orchestrator {
         * `"csv"` — the reference's medium, schema re-INFERRED on read
         * (`pl.read_csv`, `tasks/process.py:72`), exercising the engine's
         * schema tolerance exactly as the reference does. */
-      rawFormat: String = "parquet")
+      rawFormat: String = "parquet",
+      /** Retry back-offs. Defaults are the reference's task decorators:
+        * extract = 3 attempts × 10 s (`extract.py:61-62`), process (and
+        * the QA tasks, which share its policy) = 2 × 5 s
+        * (`process.py:56`). Tests override to 0 to stay fast. */
+      extractRetryDelayMs: Long = 10000L,
+      processRetryDelayMs: Long = 5000L)
 
   final case class RunReport(
       objectName: String,
@@ -147,7 +153,7 @@ object Orchestrator {
         require(complex.isEmpty,
           s"rawFormat=csv supports flat schemas only; non-atomic columns: ${complex.mkString(", ")}")
       }
-      retry(3, 100) {
+      retry(3, opts.extractRetryDelayMs) {
         // raw materialization: the file hand-off both branches read back
         if (opts.rawFormat == "csv") {
           Sinks.csv(Normalize.temporalsToString(scanned), rawPath)
@@ -162,7 +168,7 @@ object Orchestrator {
     // ---- ETL branch (strict; process retried 2×5s ≙ process.py:56) ----
     val etl: Future[(Long, Long)] = Future {
       val processed = recordState("process") {
-        retry(2, 100) {
+        retry(2, opts.processRetryDelayMs) {
           val out = SpecAggregate.run(spark, spec, raw)
           Sinks.csv(out, paths("processed_csv"), singleFile = true)
           out
@@ -206,7 +212,7 @@ object Orchestrator {
       require(schema.ok)
 
       val dedupF = Future(recordState("dedup") {
-        retry(2, 100) {
+        retry(2, opts.processRetryDelayMs) {
           val deduped =
             if (raw.columns.contains(opts.dedupKey))
               Dedup.keepFirst(raw, Seq(opts.dedupKey),
@@ -217,7 +223,7 @@ object Orchestrator {
         }
       })(qaEc)
       val profileF = Future(recordState("profile") {
-        retry(2, 100) {
+        retry(2, opts.processRetryDelayMs) {
           val profiles = Profile.profile(raw)
           val json = JArray(profiles.map { p =>
             ("column" -> p.name) ~ ("dtype" -> p.dtype) ~
@@ -231,7 +237,7 @@ object Orchestrator {
         }
       })(qaEc)
       val snapshotF = Future(recordState("snapshot_parquet") {
-        retry(2, 100) {
+        retry(2, opts.processRetryDelayMs) {
           Sinks.parquetSnappy(raw, paths("parquet_snapshot"))
           paths("parquet_snapshot")
         }
@@ -288,7 +294,11 @@ object Orchestrator {
   /** Q6: run-metadata recorder — payload with params, artifact paths,
     * RE-counted artifact rows (`metadata.py:195-197`), task states and
     * timing; appended to the JSONL ledger + pretty projections, then the
-    * store is normalized (Q7). */
+    * store is normalized (Q7). All three counts come from the artifacts
+    * on disk, not from in-memory return values — a corrupted or
+    * clobbered file shows up as a count mismatch in the ledger, exactly
+    * as the reference's `_safe_count_json` does
+    * (`tasks/metadata.py:35-42,195-197`). */
   def recordMetadata(
       spark: SparkSession, report: RunReport, paths: Map[String, String],
       rawFormat: String = "parquet"): Unit = {
@@ -298,8 +308,21 @@ object Orchestrator {
         safeCount(spark.read.option("header", "true").option("multiLine", "true")
           .csv(report.rawPath).count())
       else safeCount(spark.read.parquet(report.rawPath).count())
+    // multiLine here too: a quoted embedded newline in a group-key value
+    // must count as one row, consistent with the raw recount and Scan.csv.
     val processedCount = safeCount(
-      spark.read.option("header", "true").csv(report.processedCsv).count())
+      spark.read.option("header", "true").option("multiLine", "true")
+        .csv(report.processedCsv).count())
+    // The JSON artifact is a single records ARRAY (K2) — aggregate-sized
+    // by construction, so a driver parse is O(groups), not a data path.
+    val jsonCount = safeCount {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(report.outputJson))
+      org.json4s.jackson.JsonMethods.parse(txt) match {
+        case JArray(xs) => xs.length.toLong
+        case _ => -1L
+      }
+    }
 
     val record: JObject =
       ("run_id" -> report.runId) ~
@@ -312,7 +335,8 @@ object Orchestrator {
         ("task_states" -> report.taskStates) ~
         ("raw_rows_recounted" -> rawCount) ~
         ("processed_rows_recounted" -> processedCount) ~
-        ("json_records" -> report.jsonRecords) ~
+        ("json_records" -> jsonCount) ~
+        ("json_records_loaded" -> report.jsonRecords) ~
         ("drift_alert" -> report.driftAlert) ~
         ("duration_seconds" -> report.durationSeconds)
 

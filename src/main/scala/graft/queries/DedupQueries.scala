@@ -22,14 +22,25 @@ object DedupQueries {
     TextDedup.exactDedup(Scan.table(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("content_hash"))
 
+  /** The exact quadratic tool demoed on a bounded id-range: it exists to
+    * verify LSH candidates / small samples, so the standalone entry runs
+    * it on the first 500 doc ids (the whole corpus at sf0.01) rather than
+    * promoting an O(n²)-in-bucket scan to a full-corpus headline. */
   val ngramJaccardPairs: Q = (s, dir) =>
-    TextDedup.jaccardPairs(Scan.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.7)
+    TextDedup.jaccardPairs(
+        Scan.table(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 3, threshold = 0.7)
       .orderBy(col("d1"), col("d2"))
 
+  /** Full-corpus near-dup sweep — the scale path. maxBucketSize = 100
+    * bounds per-bucket candidate work (B²/2 ≤ 4950) against degenerate
+    * templated-text buckets; measured zero recall loss on testdata at
+    * sf0.01 and sf0.1 (LshTune). Oracled against exact Jaccard: valid
+    * exactly while LSH recall is 100%, so the oracle doubles as a recall
+    * regression gate. */
   val minhashLshPairs: Q = (s, dir) =>
     TextDedup.minhashLsh(Scan.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 32, bands = 8, threshold = 0.7)
+        n = 3, k = 32, bands = 8, threshold = 0.7, maxBucketSize = 100)
       .orderBy(col("d1"), col("d2"))
 
   val simhashPairs: Q = (s, dir) =>
@@ -37,8 +48,30 @@ object DedupQueries {
         chunks = 4, maxHamming = 3)
       .orderBy(col("d1"), col("d2"))
 
+  /** Same pigeonhole chunk-join pair derivation, but over the
+    * engine-portable md5-based fingerprint — DuckDB recomputes the
+    * identical fingerprints and derives pairs by exact all-pairs hamming,
+    * which the chunk join provably equals (maxHamming < chunks). This
+    * puts the simhash machinery under the hard hash-match gate; the
+    * xxhash64-based default stays as the fast path (rows-only). */
+  val simhashPortablePairs: Q = (s, dir) =>
+    TextDedup.simhashPairs(Scan.table(s, dir, "documents"), "doc_id", "text",
+        chunks = 4, maxHamming = 3,
+        fingerprint = ts => graft.functions.GraftFunctions.simhash64Portable(ts))
+      .orderBy(col("d1"), col("d2"))
+
   val embeddingNearDup: Q = (s, dir) =>
     TextDedup.embeddingNearDupPairs(Scan.table(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  /** Scale path for the same result: multi-table SRP-LSH candidates +
+    * exact-cosine verify (bucket-key join, never the n² product). Shares
+    * the exact query's oracle — valid exactly while LSH recall is 100%
+    * (measured at sf0.01/sf0.1, per-pair recall ≥ 0.994 at cos = 0.5 by
+    * construction), so a recall regression fails the gate. */
+  val embeddingNearDupLsh: Q = (s, dir) =>
+    TextDedup.embeddingNearDupPairsLsh(Scan.table(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.5)
       .orderBy(col("d1"), col("d2"))
 
@@ -64,7 +97,9 @@ object DedupQueries {
     "q_ngram_jaccard_pairs" -> ngramJaccardPairs,
     "q_minhash_lsh_pairs" -> minhashLshPairs,
     "q_simhash_pairs" -> simhashPairs,
+    "q_simhash_portable_pairs" -> simhashPortablePairs,
     "q_embedding_neardup" -> embeddingNearDup,
+    "q_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q_ann_topk" -> annTopK,
     "q_ann_multi_topk" -> annMultiTopK)
 
@@ -74,35 +109,64 @@ object DedupQueries {
     "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
   private val cosR6 = roundPortableSql(cosExpr, 6)
 
+  /** Exact n-gram-Jaccard pair SQL (n=3, threshold 0.7) over an optional
+    * doc_id bound. Shared by the exact query's oracle (bounded) and the
+    * LSH query's oracle (unbounded — LSH output ≡ exact pairs while
+    * recall is 100%). */
+  private def jaccardPairsSql(docBound: String): String =
+    s"""WITH sh AS (
+         SELECT doc_id,
+                UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                  GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
+                  i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS s
+         FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3$docBound),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT d1, d2,
+              ${roundPortableSql("inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)", 4)} AS jaccard
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = d1
+       JOIN sizes sb ON sb.doc_id = d2
+       WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7
+       ORDER BY d1, d2"""
+
+  private val embNearDupSql =
+    s"""SELECT a.vec_id AS d1, b.vec_id AS d2, $cosR6 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE $cosR6 >= 0.5
+        ORDER BY d1, d2"""
+
   val oracles: ListMap[String, String] = ListMap(
     "q_dedup_exact_text" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
                 COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
-    "q_ngram_jaccard_pairs" ->
-      s"""WITH sh AS (
+    "q_ngram_jaccard_pairs" -> jaccardPairsSql(" AND doc_id < 500"),
+    "q_minhash_lsh_pairs" -> jaccardPairsSql(""),
+    // Portable simhash: identical md5-60-bit fingerprints recomputed in
+    // DuckDB; oracle derives pairs by exact all-pairs hamming (≡ the
+    // engine's pigeonhole chunk join for maxHamming < chunks).
+    "q_simhash_portable_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+         fp AS (
            SELECT doc_id,
-                  UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-                    GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
-                    i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS s
-           FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         pairs AS (
-           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT d1, d2,
-                ${roundPortableSql("inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)", 4)} AS jaccard
-         FROM pairs
-         JOIN sizes sa ON sa.doc_id = d1
-         JOIN sizes sb ON sb.doc_id = d2
-         WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7
+                  CAST(list_sum(list_transform(range(60), b ->
+                    CASE WHEN list_sum(list_transform(ts, t ->
+                        CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) = 1
+                             THEN 1 ELSE -1 END)) >= 0
+                         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS fp
+           FROM tok)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
          ORDER BY d1, d2""",
-    "q_embedding_neardup" ->
-      s"""SELECT a.vec_id AS d1, b.vec_id AS d2, $cosR6 AS cosine
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE $cosR6 >= 0.5
-          ORDER BY d1, d2""",
+    "q_embedding_neardup" -> embNearDupSql,
+    "q_embedding_neardup_lsh" -> embNearDupSql,
     "q_ann_topk" ->
       s"""SELECT b.vec_id,
           ${roundPortableSql(

@@ -91,6 +91,38 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L))) // disjoint vocab not a near-dup
   }
 
+  test("simhash64Portable pairs agree with exact hamming derivation (pigeonhole exactness)") {
+    // With maxHamming < chunks the chunk join is EXACT: its output must
+    // equal brute-force hamming over the portable fingerprints.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.functions.GraftFunctions._
+    val viaJoin = TextDedup.simhashPairs(d, "doc_id", "text",
+        chunks = 4, maxHamming = 3, fingerprint = ts => simhash64Portable(ts))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val fp = d.select(col("doc_id"),
+      simhash64Portable(split(col("text"), " ")).as("fp"))
+    val brute = fp.select(col("doc_id").as("d1"), col("fp").as("fp1"))
+      .join(fp.select(col("doc_id").as("d2"), col("fp").as("fp2")), col("d1") < col("d2"))
+      .withColumn("hamming", hamming64(col("fp1"), col("fp2")))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(viaJoin == brute)
+    assert(viaJoin.nonEmpty) // corpus has exact dups → hamming-0 pairs exist
+  }
+
+  test("embeddingNearDupPairsLsh equals the exact pairwise result on testdata") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = asSet(TextDedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.5))
+    val lsh = asSet(TextDedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", 0.5))
+    assert(lsh == exact) // verify stage ⇒ precision; tables×bits tuned ⇒ recall
+    // empty corpus → empty result, not a crash (dim inference path)
+    assert(TextDedup.embeddingNearDupPairsLsh(
+      emb.limit(0), "vec_id", "embedding", 0.5).count() == 0)
+  }
+
   test("embeddingNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f)),

@@ -140,6 +140,32 @@ class OrchestratorSpec extends SparkSpec {
     assert(sched.runs.map(_.rawPath).distinct.size == 3)
   }
 
+  test("Q6: ledger json_records is recounted from the artifact, so tampering shows up") {
+    import org.json4s._
+    val base = Files.createTempDirectory("orchQ6").toString
+    val paths = Orchestrator.buildPaths(base, "Order")
+    val report = Orchestrator.run(spark, "Order", source, base,
+      Orchestrator.RunOptions(limit = None, timestampRaw = false),
+      specOverride = Some(orderSpec))
+
+    def lastCounts(): (BigInt, BigInt) = {
+      val JInt(n) = RunLedger.read(paths("runs_jsonl")).last \ "json_records"
+      val JInt(l) = RunLedger.read(paths("runs_jsonl")).last \ "json_records_loaded"
+      (n, l)
+    }
+    assert(lastCounts() == ((BigInt(2), BigInt(2)))) // artifact agrees with the load
+
+    // tamper: clobber the JSON artifact down to one record and re-record
+    Files.write(Paths.get(report.outputJson), """[{"status":"OPEN"}]""".getBytes("UTF-8"))
+    Orchestrator.recordMetadata(spark, report, paths)
+    assert(lastCounts() == ((BigInt(1), BigInt(2)))) // recount saw the tamper
+
+    // corrupt: not a JSON array at all → -1 sentinel, not a crash
+    Files.write(Paths.get(report.outputJson), "not json".getBytes("UTF-8"))
+    Orchestrator.recordMetadata(spark, report, paths)
+    assert(lastCounts()._1 == BigInt(-1))
+  }
+
   test("limit is applied at extract (source-pushed P3)") {
     val base = Files.createTempDirectory("orch3").toString
     val report = Orchestrator.run(spark, "Order", source, base,
