@@ -50,18 +50,23 @@ case class TopKFreq(
   // Space-Saving's minimum count never decreases, so a cached lower
   // bound lets most evictions stop at the first entry at/below it
   // (amortized far below the naive O(capacity) minBy-per-insert; a full
-  // rescan runs only when the bound is stale). The bound is shared
-  // across buffers when one expression instance serves several groups —
-  // then it's a heuristic victim choice, which Space-Saving (already an
-  // approximation beyond capacity) tolerates; counts stay exact while
-  // distinct ≤ capacity because eviction never fires.
+  // rescan runs only when the bound is stale). The bound is valid only
+  // for the buffer it was computed on — one expression instance serves
+  // MANY buffers in grouped aggregation, and carrying a heavy group's
+  // high bound into a light group would evict a wrong (non-minimum)
+  // victim and inflate the newcomer to its count, breaking the
+  // Space-Saving error bound. Track the owning buffer by identity and
+  // reset on switch: consecutive adds to one group (the hot loop) keep
+  // the amortization, cross-group correctness is preserved.
   @transient private var minBound: Long = 0L
+  @transient private var boundOwner: AnyRef = null
 
   private def add(buf: mutable.HashMap[String, Long], key: String, n: Long): Unit = {
     buf.get(key) match {
       case Some(c) => buf.update(key, c + n)
       case None if buf.size < capacity => buf.update(key, n)
       case None =>
+        if (boundOwner ne buf) { minBound = 0L; boundOwner = buf }
         // Space-Saving eviction: replace a current-minimum entry
         var minK: String = null
         var minV = Long.MaxValue

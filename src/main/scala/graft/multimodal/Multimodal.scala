@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * partition, so a codec can amortize init across the batch, and the
   * operation is map-only (no shuffle; `.explain` shows no Exchange).
   *
-  * The actual byte decoding is a STUB — this container ships no
-  * image/audio codecs — implemented as a deterministic fake
-  * ([[StubCodec]]) so the Spark-side plumbing (schema, partitioning,
-  * batch shape, downstream joins into the similarity stack) is real and
-  * tested end-to-end. Swap [[StubCodec]] for a real codec (e.g. javacv)
-  * without touching any plumbing.
+  * Image decoding is REAL — `javax.imageio` ([[ImageIoCodec]]), the
+  * JDK's built-in codec, with [[synthesizePngs]] generating genuine PNG
+  * bytes to exercise it. Audio/video decoding is a STUB — this container
+  * (and the JDK) ships no audio/video codecs — implemented as a
+  * deterministic fake ([[StubCodec]]) so the Spark-side plumbing
+  * (schema, partitioning, batch shape, downstream joins into the
+  * similarity stack) is real and tested end-to-end. Swap [[StubCodec]]
+  * for a real codec (e.g. javacv) without touching any plumbing.
   */
 object Multimodal {
 
@@ -60,6 +62,68 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec — `javax.imageio` (JDK-builtin, zero new deps):
+    * decodes PNG/JPEG/BMP/GIF bytes to actual pixel dimensions and a
+    * 16-bin luminance histogram over the decoded pixels (L2-normalized,
+    * same shape as [[StubCodec.features]]). Returns None when no
+    * registered reader claims the bytes — the caller falls back to the
+    * stub, so non-image (or synthetic junk) content keeps flowing.
+    * Audio/video decode remains stubbed: the JDK ships an image codec
+    * but no audio/video ones. */
+  object ImageIoCodec {
+    def tryDecode(content: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      scala.util.Try(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))).toOption
+        .flatMap(Option(_)).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val acc = new Array[Float](FeatureDim)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              acc(lum * FeatureDim / 256) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val norm = math.sqrt(acc.map(v => v.toDouble * v).sum).toFloat
+          (w, h, if (norm == 0f) acc else acc.map(_ / norm))
+        }
+  }
+
+  /** Deterministic synthetic table of REAL PNG files, generated
+    * distributively (mapPartitions over a range — the encoder init is
+    * per-partition, like any real codec): image id → (id%64+1)×(id%48+2)
+    * RGB image with position-derived pixels, encoded by the JDK PNG
+    * writer. Exercises the genuine decode path end-to-end. */
+  def synthesizePngs(spark: SparkSession, n: Long, partitions: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 64 + 1).toInt
+        val h = (id % 48 + 2).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (x * 31 + y * 97 + id.toInt * 13) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image", bos.toByteArray, "image/png", 0L)
+      }
+    }.toDF()
+  }
+
   /** Deterministic synthetic media table, generated distributively (one
     * `spark.range` — no driver-side data): content bytes derive from
     * md5(media_id), kind cycles image/audio/video. */
@@ -86,10 +150,16 @@ object Multimodal {
       .mapPartitions { batch =>
         // per-partition init happens here (codec handles, model weights…)
         batch.map { m =>
-          val (w, h) = StubCodec.decodeDims(m.content)
-          MediaFeatures(m.media_id, m.kind, w, h,
-            StubCodec.frameCount(m.kind, m.duration_ms),
-            StubCodec.features(m.content))
+          val decoded = if (m.kind == "image") ImageIoCodec.tryDecode(m.content) else None
+          decoded match {
+            case Some((w, h, feats)) =>
+              MediaFeatures(m.media_id, m.kind, w, h, 1, feats)
+            case None => // non-image kinds + undecodable bytes → stub
+              val (w, h) = StubCodec.decodeDims(m.content)
+              MediaFeatures(m.media_id, m.kind, w, h,
+                StubCodec.frameCount(m.kind, m.duration_ms),
+                StubCodec.features(m.content))
+          }
         }
       }
   }

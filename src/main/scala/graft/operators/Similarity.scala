@@ -66,12 +66,33 @@ object Similarity {
     vecs.withColumn("bucket", bucket)
   }
 
+  /** K-means centroids for the IVF index (`spark.ml` KMeans over the
+    * corpus vectors, fixed seed). Returns (centroid_id, cvec) rows —
+    * nCentroids of them, aggregate-sized, built for broadcasting. At
+    * 100 TB fit on a sample; the centroid count stays driver-sized
+    * either way. */
+  def kmeansCentroids(
+      corpus: DataFrame, vecCol: String, nCentroids: Int,
+      seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setMaxIter(maxIter).setFeaturesCol("features").fit(feats)
+    val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toArray.map(_.toFloat))
+    }.toSeq
+    corpus.sparkSession.createDataFrame(centers).toDF("centroid_id", "cvec")
+  }
+
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
-    * nearest of `nCentroids` seed centroids (the lowest-id vectors —
-    * deterministic; swap in k-means outputs when available). A query
-    * probes its `nProbe` nearest centroids and ranks exactly within
-    * those cells only — the classic cell-probe trade: recall grows with
-    * nProbe, cost stays |corpus|·nProbe/nCentroids per query.
+    * nearest of `nCentroids` centroids — k-means by default
+    * ([[kmeansCentroids]]); `useKMeans = false` falls back to the
+    * lowest-id corpus vectors (deterministic regardless of partition
+    * layout, at lower recall). A query probes its `nProbe` nearest
+    * centroids and ranks exactly within those cells only — the classic
+    * cell-probe trade: recall grows with nProbe, cost stays
+    * |corpus|·nProbe/nCentroids per query.
     *
     * Physical shape: one broadcast cross-score against centroids (cheap:
     * nCentroids is small) + window rank to assign; the probe join is a
@@ -80,9 +101,11 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 3): DataFrame = {
+      k: Int, nCentroids: Int = 16, nProbe: Int = 3,
+      useKMeans: Boolean = true): DataFrame = {
     val centroids = broadcast(
-      corpus.orderBy(col(corpusId)).limit(nCentroids)
+      if (useKMeans) kmeansCentroids(corpus, corpusVec, nCentroids)
+      else corpus.orderBy(col(corpusId)).limit(nCentroids)
         .select(col(corpusId).as("centroid_id"), col(corpusVec).as("cvec")))
 
     def assign(df: DataFrame, id: String, vec: String, probes: Int, outCol: String) = {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Normalize, SpecAggregate}
 import graft.sources.Scan
-import graft.spec.ObjectSpec
+import graft.spec.{ObjectSpec, SpecCompiler}
 
 /** Reference-parity queries over the driver testdata (mapping table:
   * FIXTURES.md §"Mapping A→B"). Each query has a DuckDB oracle in
@@ -197,8 +197,39 @@ object ParityQueries {
       .orderBy(col("StageName"))
   }
 
+  // --- §2.12 end-to-end: the reference's primary entry point
+  //     (flows/sf_etl_orchestrator_flow.py:85-250) under the hard gate.
+  //     Runs the FULL orchestrated DAG (extract → process/load + parallel
+  //     QA → ledger) for the Opportunity→orders mapping, then the query
+  //     RESULT is the processed summary artifact read back from disk —
+  //     so the oracle checks the whole pipeline including the CSV
+  //     materialization/round-trip, not an in-memory shortcut. ---
+  val orchestratorE2E: Q = (s, dir) => {
+    import graft.pipeline.Orchestrator
+    val spec = ObjectSpec("Opportunity",
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+      Seq("o_orderkey", "o_orderstatus"), Seq("o_orderstatus"),
+      ListMap("o_totalprice" -> Seq("sum", "mean", "count")))
+    val base = java.nio.file.Files.createTempDirectory("graft_e2e_q").toString
+    val report = Orchestrator.run(s, "Opportunity", t(s, dir, "orders"), base,
+      Orchestrator.RunOptions(limit = None, timestampRaw = false,
+        dedupKey = "o_orderkey",
+        extractRetryDelayMs = 0, processRetryDelayMs = 0),
+      specOverride = Some(spec))
+    // CSV re-infers types; pin them (and the oracle-noise rounding) here.
+    Scan.csv(s, report.processedCsv, SpecCompiler.emptyOutputSchema(spec))
+      .select(col("o_orderstatus"),
+        col("records").cast("long").as("records"),
+        graft.functions.GraftFunctions.roundPortable(
+          col("sum_o_totalprice").cast("double"), 4).as("sum_o_totalprice"),
+        graft.functions.GraftFunctions.roundPortable(
+          col("avg_o_totalprice").cast("double"), 4).as("avg_o_totalprice"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_sim_source_pipeline" -> simSourcePipeline,
+    "q_orchestrator_e2e" -> orchestratorE2E,
     "q_tolerant_cast" -> tolerantCast,
     "q_schema_gate_report" -> schemaGateReport,
     "q_opportunity_by_stage" -> opportunityByStage,
@@ -231,6 +262,14 @@ object ParityQueries {
       """SELECT column_name FROM (DESCRIBE SELECT * FROM orders)
          ORDER BY column_name""",
     "q_opportunity_by_stage" ->
+      s"""SELECT o_orderstatus,
+         COUNT(*) AS records,
+         ${r4("COALESCE(SUM(o_totalprice), 0.0)")} AS sum_o_totalprice,
+         ${r4("AVG(o_totalprice)")} AS avg_o_totalprice
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Same aggregate SQL as q_opportunity_by_stage: the e2e run must land
+    // on the identical summary after the full DAG + CSV round-trip.
+    "q_orchestrator_e2e" ->
       s"""SELECT o_orderstatus,
          COUNT(*) AS records,
          ${r4("COALESCE(SUM(o_totalprice), 0.0)")} AS sum_o_totalprice,

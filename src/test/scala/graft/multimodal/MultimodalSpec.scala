@@ -36,6 +36,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIoCodec decodes real PNG bytes to actual pixel dimensions") {
+    val pngs = Multimodal.synthesizePngs(spark, 50, partitions = 4)
+    val decoded = Multimodal.decodeAndFeaturize(pngs)
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+    val rows = decoded.collect()
+    assert(rows.length == 50)
+    rows.foreach { f =>
+      // ACTUAL decoded dimensions, not a hash of the bytes: the
+      // generator wrote an (id%64+1)×(id%48+2) image
+      assert(f.width == (f.media_id % 64 + 1).toInt, s"media ${f.media_id}")
+      assert(f.height == (f.media_id % 48 + 2).toInt, s"media ${f.media_id}")
+      assert(f.n_frames == 1)
+      val norm = math.sqrt(f.features.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5) // pixel-luminance histogram, unit norm
+    }
+    // determinism across regeneration (encoder + decoder are pure)
+    val again = Multimodal.decodeAndFeaturize(
+      Multimodal.synthesizePngs(spark, 50, partitions = 4)).collect()
+    assert(rows.map(f => (f.media_id, f.width, f.height, f.features.toSeq)).toSet ==
+      again.map(f => (f.media_id, f.width, f.height, f.features.toSeq)).toSet)
+    // undecodable "image" bytes (the generic synthetic corpus) still flow
+    // through the stub fallback rather than failing the batch
+    val junk = Multimodal.synthesize(spark, 9).filter(col("kind") === "image")
+    assert(Multimodal.decodeAndFeaturize(junk).count() == 3)
+  }
+
   test("sampleFrames: one row per sampled frame, video only") {
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)
     val perVideo = frames.groupBy("media_id").count().collect()

@@ -41,13 +41,24 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.topKForQueries(emb, "vec_id", "embedding",
         queries, "query_id", "qvec", k = 5)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
-    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        queries, "query_id", "qvec", k = 5, nCentroids = 8, nProbe = 3)
-      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    def run(useKMeans: Boolean): Set[(Long, Long)] =
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, nCentroids = 8, nProbe = 3,
+          useKMeans = useKMeans)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivfSeed = run(useKMeans = false)
+    val ivfKm = run(useKMeans = true)
     // query vector is in the corpus and lands in its own probed cell
-    (0L until 5L).foreach(q => assert(ivf.contains((q, q))))
-    val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall >= 0.3, s"IVF recall $recall")
+    (0L until 5L).foreach { q =>
+      assert(ivfSeed.contains((q, q))); assert(ivfKm.contains((q, q)))
+    }
+    def recall(got: Set[(Long, Long)]) = exact.intersect(got).size.toDouble / exact.size
+    assert(recall(ivfSeed) >= 0.3, s"seeded IVF recall ${recall(ivfSeed)}")
+    // On this near-uniform corpus (no real cluster structure) recall is
+    // probe-coverage-bound for BOTH centroid choices — k-means pays off
+    // on clustered data; here it just has to hold the same bound.
+    assert(recall(ivfKm) >= 0.3, s"k-means IVF recall ${recall(ivfKm)}")
+    info(f"IVF recall: seeded=${recall(ivfSeed)}%.2f kmeans=${recall(ivfKm)}%.2f")
   }
 
   test("annTopK (multi-probe LSH) recalls most of the exact top-k") {

@@ -71,4 +71,30 @@ class ProfileTopKSpec extends SparkSpec {
       .collect().map(r => r.getString(0))
     assert(top.head == "heavy")
   }
+
+  test("TopKFreq eviction bound is per-buffer: a heavy group's bound can't corrupt a light one") {
+    import scala.collection.mutable
+    import graft.functions.TopKFreq
+    // One expression instance serving two buffers (grouped aggregation).
+    val agg = TopKFreq(org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      k = 4, capacity = 4)
+    // Heavy buffer: force an eviction at count 50 → caches a HIGH bound.
+    val heavy = agg.createAggregationBuffer()
+    agg.merge(heavy, mutable.HashMap("a" -> 100L, "b" -> 80L, "c" -> 60L, "d" -> 50L))
+    agg.merge(heavy, mutable.HashMap("e" -> 1L)) // evicts d(50): e = 51
+    assert(heavy("e") == 51L)
+
+    // Light buffer whose true minimum is the LAST key in iteration order,
+    // so a stale-bound early stop (which grabs the first entry ≤ bound)
+    // would pick a wrong victim and inflate the newcomer.
+    val lightKeys = mutable.HashMap(Seq("p", "q", "r", "s").map(_ -> 0L): _*)
+      .keys.toSeq // this instance's deterministic iteration order
+    val light = agg.createAggregationBuffer()
+    agg.merge(light, mutable.HashMap(
+      lightKeys.zipWithIndex.map { case (key, i) => key -> (10L - i) }: _*))
+    val trueMin = 10L - (lightKeys.length - 1) // last-iterated key's count = 7
+    agg.merge(light, mutable.HashMap("z" -> 2L))
+    assert(light("z") == trueMin + 2L,
+      s"eviction used a stale cross-buffer bound: ${light.toMap}")
+  }
 }

@@ -1,0 +1,68 @@
+package graft.sources
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSpec
+import graft.spec.ObjectSpec
+
+/** Plan-shape regression tests: the pushdown claims from SURVEY §2.3
+  * (P1 projection pruning, P2 predicate pushdown, P3 limit pushdown)
+  * asserted against the explain output, not just eyeballed via
+  * `tools/Explain`. If an optimizer conf or a refactor silently breaks a
+  * pushdown, these fail — the scan reading extra columns at 100 TB is
+  * exactly the regression that never shows up in row-level results. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("parquet spec scan: ReadSchema pruned to spec fields, predicate pushed (P1/P2)") {
+    val orders = Scan.table(spark, "/root/testdata/sf0.001", "orders")
+    val spec = ObjectSpec("Opportunity",
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+      Nil, Seq("o_orderstatus"), ListMap.empty,
+      where = "o_totalprice > 1000.0")
+    val plan = formatted(Scan.specScan(orders, spec))
+
+    val read = plan.linesIterator.map(_.trim).find(_.startsWith("ReadSchema:"))
+      .getOrElse(fail(s"no ReadSchema in plan:\n$plan"))
+    Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+      .foreach(c => assert(read.contains(c), s"$c missing from $read"))
+    Seq("o_orderpriority", "o_custkey", "o_comment")
+      .foreach(c => assert(!read.contains(c), s"$c NOT pruned: $read"))
+
+    val pushed = plan.linesIterator.map(_.trim).find(_.startsWith("PushedFilters:"))
+      .getOrElse(fail(s"no PushedFilters in plan:\n$plan"))
+    assert(pushed.contains("GreaterThan(o_totalprice"),
+      s"where-predicate not pushed to the scan: $pushed")
+  }
+
+  test("DSv2 pushed limit caps the scan and collapses to one input partition (P3)") {
+    val remote = spark.read.format("graft.sources.v2.SalesforceSimSource")
+      .option("object", "Opportunity")
+      .option("rows", "10000").option("partitions", "4").load()
+    // un-limited: the fan-out is the configured partition count
+    assert(remote.rdd.getNumPartitions == 4)
+
+    val limited = remote.limit(7)
+    assert(formatted(limited).contains("PushedLimit: 7"),
+      s"limit not pushed into the DSv2 scan:\n${formatted(limited)}")
+    // one reader emits at most `limit` rows; parallel partitions would
+    // overfetch from the remote
+    assert(limited.rdd.getNumPartitions == 1)
+    assert(limited.count() == 7)
+  }
+
+  test("projection-only spec scan pushes no filters but still prunes (P1 alone)") {
+    val customer = Scan.table(spark, "/root/testdata/sf0.001", "customer")
+    val spec = ObjectSpec("Account", Seq("c_custkey", "c_mktsegment"),
+      Nil, Seq("c_mktsegment"), ListMap.empty)
+    val plan = formatted(Scan.specScan(customer, spec))
+    val read = plan.linesIterator.map(_.trim).find(_.startsWith("ReadSchema:")).get
+    assert(read.contains("c_custkey") && read.contains("c_mktsegment"))
+    assert(!read.contains("c_acctbal") && !read.contains("c_name"))
+  }
+}
