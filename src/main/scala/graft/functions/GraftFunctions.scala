@@ -49,6 +49,11 @@ object GraftFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct word-n-gram shingle set — native expression
+    * (≡ `array_distinct(word_ngrams(text, n))`; see [[WordShingles]]). */
+  def word_shingles(text: Column, n: Int, sep: String = " "): Column =
+    c(WordShingles(e(text), n, sep))
+
   /** Jaccard similarity of two array columns (exact set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -68,6 +73,11 @@ object GraftFunctions {
   /** 64-bit SimHash over a token array — native expression (one tight
     * loop per row; see [[SimHash64]]). */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+
+  /** k-slot MinHash signature over a shingle array — native expression
+    * (one tight loop per row; see [[MinHashSignature]]). */
+  def minhash_signature(shingles: Column, k: Int): Column =
+    c(MinHashSignature(e(shingles), k))
 
   /** Reference HOF composition of simhash64 (built-ins only). Agrees
     * bit-for-bit with the native form on null-free token arrays; kept as

@@ -37,9 +37,11 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-n-gram shingle sets per doc (the unit of Jaccard). */
+  /** Distinct word-n-gram shingle sets per doc (the unit of Jaccard) —
+    * native [[graft.functions.WordShingles]] loop (the HOF spelling is
+    * interpreted; see its scaladoc for the measured gap). */
   def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol), array_distinct(word_ngrams(col(textCol), n)).as("shingles"))
+    docs.select(col(idCol), word_shingles(col(textCol), n).as("shingles"))
 
   /** Exact pairwise n-gram Jaccard ≥ threshold via a shingle inverted
     * index: explode → self-join on shingle → count intersections → join
@@ -78,15 +80,14 @@ object TextDedup {
       .select(col("d1"), col("d2"), roundPortable(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signatures: `sig[i] = min over shingles of xxhash64(shingle, i)`.
-    * k independent hash slots via seed mixing (xxhash64 over (shingle, i));
-    * everything stays built-in expressions. */
+  /** MinHash signatures via the native [[graft.functions.MinHashSignature]]
+    * expression: each shingle string-hashed once, slot i = min of the
+    * cheap long re-hash — one codegen'd loop per row. (The equivalent
+    * higher-order-function composition is CodegenFallback and interpreted
+    * its lambda tree per (shingle, slot): measured 6.6 s vs 0.2 s for the
+    * sf0.1 signature stage.) */
   def withMinhashSignature(shingled: DataFrame, k: Int = 32): DataFrame =
-    shingled.withColumn("sig",
-      transform(sequence(lit(0), lit(k - 1)),
-        i => coalesce(
-          array_min(transform(col("shingles"), s => xxhash64(s, i))),
-          lit(Long.MaxValue))))
+    shingled.withColumn("sig", minhash_signature(col("shingles"), k))
 
   /** MinHash + LSH banding near-dup detection — the 100 TB dedup path.
     *
@@ -241,20 +242,21 @@ object TextDedup {
         case _ => return vecs.limit(0).select(
           col(idCol).as("d1"), col(idCol).as("d2"), lit(0.0).as("cosine"))
       }
-    // One struct per table; explode → (table, bucket) join key. The
-    // bucket projection is tables×bits dot products per row — pure
-    // codegen'd map work, recomputed per side rather than checkpointed
-    // (cheaper than materializing at any scale).
-    val tableBuckets = (0 until tables).map { t =>
-      val planes = Similarity.hyperplanes(planeDim, bits, seed + t)
-      val bkt = planes.zipWithIndex.map { case (p, i) =>
-        when(dot_product(col(vecCol), array(p.map(lit): _*)) >= 0, lit(1 << i))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bkt.as("bkt"))
-    }
-    val bucketed = vecs.select(col(idCol),
-        explode(array(tableBuckets: _*)).as("tb"))
+    // All tables×bits planes ship as ONE 2-D literal (allPlanes[t*bits+i]
+    // = table t, bit i) and the bucket math is a compact nested HOF over
+    // it — NOT tables×bits separate dot_product nodes each carrying its
+    // own array literal, which bloats the generated code by orders of
+    // magnitude and makes Janino compilation (per side of the self-join)
+    // dominate the query. Same planes, same order → identical buckets.
+    val allPlanes = typedLit((0 until tables).flatMap(t =>
+      Similarity.hyperplanes(planeDim, bits, seed + t)))
+    val tb = transform(sequence(lit(0), lit(tables - 1)), t =>
+      struct(t.as("t"),
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
+          (acc, i) => acc + when(
+            dot_product(col(vecCol), element_at(allPlanes, t * bits + i + 1)) >= 0,
+            shiftL(lit(1), i).cast("int")).otherwise(lit(0))).as("bkt")))
+    val bucketed = vecs.select(col(idCol), explode(tb).as("tb"))
       .select(col(idCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
     val cand = bucketed.select(col(idCol).as("d1"), col("t"), col("bkt"))
       .join(bucketed.select(col(idCol).as("d2"), col("t"), col("bkt")),

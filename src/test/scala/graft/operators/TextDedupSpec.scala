@@ -18,6 +18,35 @@ class TextDedupSpec extends SparkSpec {
     (6L, "yet another unrelated document mentioning shuffle partitions and joins")
   ).toDF("doc_id", "text")
 
+  test("native word_shingles ≡ array_distinct(word_ngrams) on testdata") {
+    import graft.functions.GraftFunctions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = d.select(
+      word_shingles(col("text"), 3).as("native"),
+      array_distinct(word_ngrams(col("text"), 3)).as("hof"))
+    // same SET and same first-occurrence ORDER (LinkedHashSet ≡
+    // array_distinct's keep-first semantics)
+    assert(both.filter(not(col("native") === col("hof"))).count() == 0)
+    // n > token count → empty array, not null (both spellings)
+    val tiny = spark.sql("SELECT 'one two' AS text")
+    assert(tiny.select(word_shingles(col("text"), 3)).head.getSeq[String](0).isEmpty)
+  }
+
+  test("native minhash_signature: k slots, deterministic, sensitive to content") {
+    import graft.functions.GraftFunctions._
+    val sig = docs.select(word_shingles(col("text"), 3).as("sh"))
+      .select(minhash_signature(col("sh"), 32).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.forall(_.length == 32))
+    assert(sig(0) == sig(1)) // identical docs → identical signatures
+    assert(sig(0) != sig(4)) // different docs → different signatures
+    // empty shingle set → all-sentinel signature (the LSH layer drops it)
+    val empty = spark.sql("SELECT 'a b' AS text")
+      .select(minhash_signature(word_shingles(col("text"), 3), 8))
+      .head.getSeq[Long](0)
+    assert(empty.forall(_ == Long.MaxValue))
+  }
+
   test("exactDedup collapses identical texts, keeps lowest id") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() == 5)
