@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic salt column in [0, buckets): hash of the whole row's
-    * key + a spread column when provided, else a per-row pseudo-random
-    * (but plan-deterministic) spread from `monotonically_increasing_id`. */
-  private def saltCol(buckets: Int, spread: Option[Column]): Column =
-    pmod(hash(spread.getOrElse(monotonically_increasing_id())), lit(buckets))
+  /** Deterministic salt column in [0, buckets): hash of the caller's
+    * spread column when provided, else of the row CONTENT (keys + value).
+    * Content-derived salt makes the intermediate partition layout
+    * reproducible across cluster layouts — `monotonically_increasing_id`
+    * would spread marginally more uniformly but ties the salt to the
+    * physical partition numbering. (Identical (key, value) duplicates
+    * share a bucket, which is harmless: they collapse into one partial
+    * group either way; the skew being spread is value cardinality.) */
+  private def saltCol(buckets: Int, spread: Option[Column], content: Seq[Column]): Column =
+    pmod(hash(spread.map(Seq(_)).getOrElse(content): _*), lit(buckets))
 
   /** Two-stage salted rollup producing `records`, `sum_<v>`, `min_<v>`,
     * `max_<v>`, `avg_<v>` per key set. Result is identical to the plain
@@ -34,7 +39,7 @@ object Salting {
       buckets: Int = 16, spread: Option[Column] = None): DataFrame = {
     val v = col(valueCol).cast("double")
     val partial = df
-      .withColumn("__salt", saltCol(buckets, spread))
+      .withColumn("__salt", saltCol(buckets, spread, keys.map(col) :+ v))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(
         count(lit(1)).as("__n"),

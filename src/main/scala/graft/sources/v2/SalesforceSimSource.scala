@@ -46,8 +46,16 @@ class SalesforceSimSource extends TableProvider {
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // the backend seam: `sim` (default, zero-egress generator) or `live`
+    // (typed env credentials per extract.py:35-42; fetch needs egress)
+    val backend: SalesforceBackend = opts.getOrDefault("backend", "sim") match {
+      case "sim" => new SimBackend
+      case "live" => new LiveSalesforceBackend(EnvCredentials.fromEnv())
+      case other => throw new IllegalArgumentException(
+        s"unknown backend '$other' (expected 'sim' or 'live')")
+    }
     new SimTable(SalesforceSim.specFrom(opts),
-      opts.getLong("rows", 1000L), opts.getInt("partitions", 4))
+      opts.getLong("rows", 1000L), opts.getInt("partitions", 4), backend)
   }
 }
 
@@ -90,19 +98,21 @@ object SalesforceSim {
   }
 }
 
-class SimTable(spec: ObjectSpec, rows: Long, partitions: Int)
+class SimTable(spec: ObjectSpec, rows: Long, partitions: Int,
+    backend: SalesforceBackend = new SimBackend)
   extends Table with SupportsRead {
   override def name(): String = s"salesforce_sim.${spec.apiName}"
   override def schema(): StructType = SalesforceSim.schemaFor(spec)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SimScanBuilder(spec, rows, partitions)
+    new SimScanBuilder(spec, rows, partitions, backend)
 }
 
 /** The SOQL compiler's Spark form: each pushdown callback is one clause
   * of the SOQL the reference builds by hand. */
-class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int)
+class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
+    backend: SalesforceBackend)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
@@ -138,13 +148,14 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   override def build(): Scan =
-    new SimScan(spec, rows, partitions, requiredSchema, pushed, limit)
+    new SimScan(spec, rows, partitions, requiredSchema, pushed, limit, backend)
 }
 
 class SimScan(
     spec: ObjectSpec, rows: Long, partitions: Int,
     override val readSchema: StructType,
-    filters: Array[Filter], limit: Long)
+    filters: Array[Filter], limit: Long,
+    backend: SalesforceBackend)
   extends Scan with Batch {
 
   override def toBatch: Batch = this
@@ -172,59 +183,64 @@ class SimScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SimReaderFactory(spec.apiName, readSchema,
-      SalesforceSim.schemaFor(spec), filters, limit)
+      SalesforceSim.schemaFor(spec), filters, limit, backend)
 }
 
 case class SimPartition(start: Long, end: Long) extends InputPartition
 
 class SimReaderFactory(
     objectName: String, schema: StructType, fullSchema: StructType,
-    filters: Array[Filter], limit: Long)
+    filters: Array[Filter], limit: Long, backend: SalesforceBackend)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SimPartition]
     new SimReader(objectName, schema, fullSchema, filters, p.start, p.end,
-      if (limit >= 0) limit else Long.MaxValue)
+      if (limit >= 0) limit else Long.MaxValue, backend)
   }
 }
 
 class SimReader(
     objectName: String, schema: StructType, fullSchema: StructType,
-    filters: Array[Filter], start: Long, end: Long, limit: Long)
+    filters: Array[Filter], start: Long, end: Long, limit: Long,
+    backend: SalesforceBackend)
   extends PartitionReader[InternalRow] {
 
-  private var i = start - 1
+  // The backend fetches only the fields this scan needs: the pruned
+  // projection plus any column a pushed filter references (a filter may
+  // reference a column pruned out of the projection; evaluating it with
+  // a fallback type would compare the wrong value).
+  private val filterCols = filters.flatMap(_.references).distinct.toSet
+  private val fetchSchema = StructType(fullSchema.fields.filter(f =>
+    schema.fieldNames.contains(f.name) || filterCols.contains(f.name)))
+  private val fetchIndex = fetchSchema.fieldNames.zipWithIndex.toMap
+  private val projIdx = schema.fieldNames.map(fetchIndex)
+
+  private val soql = CompiledSoql(objectName, schema.fieldNames.toSeq,
+    filters.toSeq, if (limit == Long.MaxValue) None else Some(limit))
+  private val rows = backend.fetch(soql, start, end, fetchSchema)
+
   private var emitted = 0L
   private var current: InternalRow = _
 
-  // filter columns resolve against the FULL object schema — a pushed
-  // filter may reference a column pruned out of the projection, and
-  // evaluating it with a fallback type would compare the wrong value
-  private def fullCell(field: String): Any = {
-    val dt = fullSchema.find(_.name == field).map(_.dataType).getOrElse(StringType)
-    SalesforceSim.cell(objectName, i, field, dt)
-  }
-
-  private def matches: Boolean = filters.forall {
+  private def matches(row: Array[Any]): Boolean = filters.forall {
     case EqualTo(attr, value) =>
-      val c = fullCell(attr)
+      val c = row(fetchIndex(attr))
       c != null && c.toString == value.toString
-    case IsNotNull(attr) => fullCell(attr) != null
+    case IsNotNull(attr) => row(fetchIndex(attr)) != null
     case GreaterThan(attr, value: Number) =>
-      val c = fullCell(attr)
+      val c = row(fetchIndex(attr))
       c != null && c.asInstanceOf[Double] > value.doubleValue()
     case LessThan(attr, value: Number) =>
-      val c = fullCell(attr)
+      val c = row(fetchIndex(attr))
       c != null && c.asInstanceOf[Double] < value.doubleValue()
     case _ => true
   }
 
   override def next(): Boolean = {
-    while (emitted < limit && i + 1 < end) {
-      i += 1
-      if (matches) {
-        current = new GenericInternalRow(
-          schema.fields.map(f => SalesforceSim.cell(objectName, i, f.name, f.dataType)))
+    while (emitted < limit && rows.hasNext) {
+      val r = rows.next()
+      if (matches(r)) {
+        current = new GenericInternalRow(projIdx.map(r(_)).toArray[Any])
         emitted += 1
         return true
       }
