@@ -17,13 +17,15 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // capture BEFORE cleanup
       // The dedup queries materialize intermediates via localCheckpoint;
       // those blocks are per-query scratch, not cross-query state. Release
-      // them so a 39-query session doesn't accumulate block-manager
-      // pressure that distorts later timings (observed: same query 8 s
-      // fresh vs 40+ s after five checkpointing queries).
+      // them (outside the timed region) so a 42-query session doesn't
+      // accumulate block-manager pressure that distorts later timings
+      // (observed: same query 8 s fresh vs 40+ s after five
+      // checkpointing queries).
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -96,6 +96,10 @@ case class TopKFreq(
   }
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    // drop the bound-owner reference: keeping the last evicting buffer
+    // (up to `capacity` strings) reachable past its lifetime pins memory
+    // for no benefit — the cached bound only matters on identity match
+    if (boundOwner eq buf) { boundOwner = null; minBound = 0L }
     val top = buf.toSeq
       .sortBy { case (v, c) => (-c, v) }
       .take(k)
@@ -106,6 +110,7 @@ case class TopKFreq(
   // length-prefixed UTF-8, NOT writeUTF — writeUTF caps strings at
   // 65535 bytes and would crash on long-document values
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    if (boundOwner eq buf) { boundOwner = null; minBound = 0L } // see eval
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)

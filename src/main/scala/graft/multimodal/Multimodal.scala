@@ -71,6 +71,17 @@ object Multimodal {
     * Audio/video decode remains stubbed: the JDK ships an image codec
     * but no audio/video ones. */
   object ImageIoCodec {
+    // ImageIO's default read path spills every stream to a temp-file
+    // cache — one executor-disk file created+deleted PER RECORD, and a
+    // hard failure when java.io.tmpdir is unwritable. Decode from memory:
+    // the records are already in-heap byte arrays.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** None when the bytes aren't a decodable image (no registered
+      * reader, or a corrupt file) — per-record resilience is deliberate:
+      * one bad blob must not kill a 100 TB sweep; the caller routes the
+      * record to the stub path, whose hash-derived dims are recognizably
+      * fake. */
     def tryDecode(content: Array[Byte]): Option[(Int, Int, Array[Float])] =
       scala.util.Try(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(content))).toOption

@@ -30,8 +30,11 @@ object Curation {
       // LSH hot-bucket cap: a (band,hash) bucket of B docs emits B²/2
       // candidates, so one templated-text bucket can dominate the whole
       // sweep. 100 ⇒ ≤ 4950 candidate pairs per bucket — bounded work per
-      // bucket at any corpus size; recall on natural near-dup buckets
-      // (typically ≤ tens of docs) is unaffected.
+      // bucket at any corpus size. THE TRADE: a near-dup cluster larger
+      // than the cap (non-identical copies, so exact dedup keeps them)
+      // has its buckets skipped and is RETAINED whole — CurationSpec pins
+      // this. Pass Int.MaxValue for exact behavior when the corpus is
+      // known not to be templated-degenerate.
       maxBucketSize: Int = 100)
 
   /** Stages 1-3 (deterministic, SQL-expressible — oracle-checked as

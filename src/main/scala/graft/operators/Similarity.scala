@@ -102,14 +102,19 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 3,
-      useKMeans: Boolean = true): DataFrame = {
-    val centroids = broadcast(
+      useKMeans: Boolean = true,
+      /** Precomputed (centroid_id, cvec) rows — the index-reuse path:
+        * fit [[kmeansCentroids]] once (on a sample at 100 TB), pass it to
+        * every query batch. Without it, useKMeans = true re-fits on each
+        * call — fine for one-shot jobs, wasteful for repeated ones. */
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val centroidRel = broadcast(centroids.getOrElse(
       if (useKMeans) kmeansCentroids(corpus, corpusVec, nCentroids)
       else corpus.orderBy(col(corpusId)).limit(nCentroids)
-        .select(col(corpusId).as("centroid_id"), col(corpusVec).as("cvec")))
+        .select(col(corpusId).as("centroid_id"), col(corpusVec).as("cvec"))))
 
     def assign(df: DataFrame, id: String, vec: String, probes: Int, outCol: String) = {
-      val scored = df.crossJoin(centroids)
+      val scored = df.crossJoin(centroidRel)
         .withColumn("__sim", cosine_similarity(col(vec), col("cvec")))
       val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("centroid_id"))
       scored.withColumn("__cr", row_number().over(w))

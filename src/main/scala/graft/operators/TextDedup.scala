@@ -123,28 +123,7 @@ object TextDedup {
       .localCheckpoint(true)
     val shingled = sigs.select(col(idCol), col("shingles"))
 
-    val banded = sigs.select(
-      col(idCol),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        j => struct(j.as("band"), xxhash64(slice(col("sig"), j * r + 1, lit(r))).as("bh"))))
-        .as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
-
-    // Bucket-size cap: a (band,hash) bucket holding B docs emits B²/2
-    // candidates. On natural text big buckets are rare; on degenerate
-    // corpora (tiny vocab, templated text) a single hot bucket can
-    // dominate the whole job. Capped buckets are SKIPPED — a deliberate
-    // recall trade documented to the caller via the parameter (no silent
-    // default: Int.MaxValue keeps exact behavior unless opted in).
-    val bucketed =
-      if (maxBucketSize == Int.MaxValue) banded
-      else {
-        val sizes = banded.groupBy(col("band"), col("bh"))
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxBucketSize)
-          .select(col("band"), col("bh"))
-        banded.join(sizes, Seq("band", "bh"))
-      }
+    val bucketed = capBuckets(withBands(sigs, idCol, bands, r), maxBucketSize)
     val cand = bucketed.select(col(idCol).as("d1"), col("band"), col("bh"))
       .join(bucketed.select(col(idCol).as("d2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
@@ -159,6 +138,35 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), roundPortable(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** LSH banding: one (band, bandHash) row per signature band — the
+    * bucket key of the candidate self-join. Shared by [[minhashLsh]] and
+    * the tuning tools (LshTune / MinhashProbe) so measurements always
+    * exercise the shipped banding, not a copy. */
+  def withBands(sigs: DataFrame, idCol: String, bands: Int, r: Int): DataFrame =
+    sigs.select(
+      col(idCol),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        j => struct(j.as("band"), xxhash64(slice(col("sig"), j * r + 1, lit(r))).as("bh"))))
+        .as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+
+  /** Bucket-size cap: a (band,hash) bucket holding B docs emits B²/2
+    * candidates. On natural text big buckets are rare; on degenerate
+    * corpora (tiny vocab, templated text) a single hot bucket can
+    * dominate the whole job. Capped buckets are SKIPPED — a deliberate
+    * recall trade documented to the caller via the parameter (no silent
+    * default in the operator: Int.MaxValue keeps exact behavior unless
+    * opted in). */
+  def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) banded
+    else {
+      val sizes = banded.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select(col("band"), col("bh"))
+      banded.join(sizes, Seq("band", "bh"))
+    }
 
   /** SimHash near-dup buckets: 64-bit fingerprint per doc; candidate pairs
     * = docs sharing at least one of `chunks` fingerprint chunks (the
@@ -256,8 +264,12 @@ object TextDedup {
           (acc, i) => acc + when(
             dot_product(col(vecCol), element_at(allPlanes, t * bits + i + 1)) >= 0,
             shiftL(lit(1), i).cast("int")).otherwise(lit(0))).as("bkt")))
+    // The bucket projection feeds BOTH sides of the candidate self-join —
+    // materialize it once (the sibling operators' pattern) so the
+    // tables×bits dot products aren't recomputed per side.
     val bucketed = vecs.select(col(idCol), explode(tb).as("tb"))
       .select(col(idCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      .localCheckpoint(true)
     val cand = bucketed.select(col(idCol).as("d1"), col("t"), col("bkt"))
       .join(bucketed.select(col(idCol).as("d2"), col("t"), col("bkt")),
         Seq("t", "bkt"))

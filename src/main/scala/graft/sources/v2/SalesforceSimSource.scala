@@ -215,7 +215,12 @@ class SimReader(
   private val fetchIndex = fetchSchema.fieldNames.zipWithIndex.toMap
   private val projIdx = schema.fieldNames.map(fetchIndex)
 
-  private val soql = CompiledSoql(objectName, schema.fieldNames.toSeq,
+  // The SOQL SELECT list is the FETCH schema (projection + filter
+  // columns), not the bare projection: a live backend returns rows in
+  // query-field order, and matches() must find the filter columns in
+  // them. (SELECT-ing a WHERE column the caller didn't project is what
+  // the reference's hand-built SOQL does implicitly too.)
+  private val soql = CompiledSoql(objectName, fetchSchema.fieldNames.toSeq,
     filters.toSeq, if (limit == Long.MaxValue) None else Some(limit))
   private val rows = backend.fetch(soql, start, end, fetchSchema)
 

@@ -22,11 +22,7 @@ object LshTune {
     val sh = TextDedup.withShingles(docs, "doc_id", "text", 3)
       .filter(size(col("shingles")) > 0)
     val sigs = TextDedup.withMinhashSignature(sh, 32)
-    val banded = sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(7)),
-        j => struct(j.as("band"), xxhash64(slice(col("sig"), j * 4 + 1, lit(4))).as("bh"))))
-        .as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded = TextDedup.withBands(sigs, "doc_id", bands = 8, r = 4)
     val dist = banded.groupBy("band", "bh").agg(count(lit(1)).as("sz"))
       .groupBy().agg(count(lit(1)).as("n_buckets"), max("sz").as("max_sz"),
         expr("percentile(sz, array(0.5, 0.9, 0.99))").as("pctl"),

@@ -23,14 +23,9 @@ object MinhashProbe {
     tm("shingles count")(signable.count())
     val sigs = tm("sig checkpoint")(
       TextDedup.withMinhashSignature(signable, 32).localCheckpoint(true))
-    val banded = sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(7)),
-        j => struct(j.as("band"), xxhash64(slice(col("sig"), j * 4 + 1, lit(4))).as("bh")))).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded = TextDedup.withBands(sigs, "doc_id", bands = 8, r = 4)
     tm("banded count")(banded.count())
-    val sizes = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("s"))
-      .filter(col("s") <= 100).select("band", "bh")
-    val bucketed = banded.join(sizes, Seq("band", "bh"))
+    val bucketed = TextDedup.capBuckets(banded, 100)
     val cand = bucketed.select(col("doc_id").as("d1"), col("band"), col("bh"))
       .join(bucketed.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2")).select("d1", "d2").distinct()

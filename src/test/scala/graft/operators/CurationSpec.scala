@@ -34,6 +34,26 @@ class CurationSpec extends SparkSpec {
     assert(curated == Set(1L)) // 3 is a near-dup of 1 → higher id dropped
   }
 
+  test("maxBucketSize trade is explicit: a giant templated near-dup cluster survives the cap") {
+    // 30 near-identical docs (distinct one-word edits, so exact dedup
+    // keeps them all): every minhash band bucket holds the whole cluster.
+    // With maxBucketSize below the cluster size those buckets are
+    // SKIPPED — the documented recall trade of the hot-bucket guard —
+    // so curate retains the cluster; disabling the cap removes it. This
+    // test pins the semantics so the trade can never regress silently.
+    val base = "the quick brown fox and the lazy dog of a farm to the river and the hills beyond"
+    val cluster = (0 until 30).map(i => ((i + 10).toLong, base.replace("hills", s"w$i")))
+    val df = cluster.toDF("doc_id", "text")
+    val cfg = Curation.Config(minQuality = 0.2, nearDupThreshold = 0.5)
+
+    val capped = Curation.curate(df, "doc_id", "text",
+      cfg.copy(maxBucketSize = 10)).count()
+    val uncapped = Curation.curate(df, "doc_id", "text",
+      cfg.copy(maxBucketSize = Int.MaxValue)).count()
+    assert(capped == 30L)  // hot buckets skipped → cluster retained
+    assert(uncapped == 1L) // exact behavior → keep-first only
+  }
+
   test("curate on the testdata corpus is deterministic and reduces it") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Curation.curate(docs, "doc_id", "text").count()
