@@ -103,8 +103,16 @@ object GraftFunctions {
     * bit b set when the ±1 token vote sum is ≥ 0. Semantically ≡
     * [[simhash64]] (different hash family, same construction); exists so
     * the simhash pair-derivation has an exact DuckDB twin — xxhash64
-    * doesn't, md5 does. Built-ins only; one tight codegen'd fold per row. */
-  def simhash64Portable(tokens: Column, bits: Int = 60): Column = {
+    * doesn't, md5 does. Native expression ([[SimHashPortable]]); the
+    * built-ins-only HOF spelling below is the executable spec it is
+    * tested against. */
+  def simhash64Portable(tokens: Column, bits: Int = 60): Column =
+    c(SimHashPortable(e(tokens), bits))
+
+  /** Reference HOF composition of [[simhash64Portable]] (built-ins only,
+    * CodegenFallback — kept as the executable spec; ≡ native bit-for-bit,
+    * asserted in TextDedupSpec). */
+  def simhash64PortableHOF(tokens: Column, bits: Int = 60): Column = {
     val hashes = transform(tokens, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
     // Single fold over the hash array carrying a bits-wide vote vector —
     // NOT a per-bit outer loop, which would re-evaluate the md5 transform

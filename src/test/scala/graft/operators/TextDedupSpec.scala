@@ -120,6 +120,16 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L))) // disjoint vocab not a near-dup
   }
 
+  test("native simhash64Portable ≡ HOF spelling bit-for-bit on testdata") {
+    import graft.functions.GraftFunctions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = d.select(
+        simhash64Portable(split(col("text"), " ")).as("native"),
+        simhash64PortableHOF(split(col("text"), " ")).as("hof"))
+      .filter(not(col("native") === col("hof")))
+    assert(diff.count() == 0)
+  }
+
   test("simhash64Portable pairs agree with exact hamming derivation (pigeonhole exactness)") {
     // With maxHamming < chunks the chunk join is EXACT: its output must
     // equal brute-force hamming over the portable fingerprints.

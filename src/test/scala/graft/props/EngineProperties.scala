@@ -112,4 +112,33 @@ class EngineProperties extends SparkSpec {
       assert(rows.head.getLong(rows.head.fieldIndex("records")) == 3L, s"spec=$name")
     }
   }
+
+  test("minhash LSH pairs ⊆ exact jaccard pairs on ANY corpus (verify-stage precision)") {
+    // The exact-Jaccard verify stage guarantees precision regardless of
+    // what the banding produces — an invariant, not a tuning property.
+    // Random corpora mix tiny vocabularies (collision-dense buckets),
+    // duplicates, and sub-shingle-length docs.
+    val word = Gen.oneOf("a", "b", "c", "dog", "fox", "the", "lazy", "x9")
+    val docGen = Gen.chooseNum(0, 12).flatMap(len =>
+      Gen.listOfN(len, word).map(_.mkString(" ")))
+    (1L to 4L).foreach { seed =>
+      val texts = sample(Gen.listOfN(40, docGen), seed, size = 40)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(graft.operators.TextDedup.jaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.6))
+      val lsh = pairs(graft.operators.TextDedup.minhashLsh(
+        docs, "doc_id", "text", n = 3, threshold = 0.6))
+      assert(lsh.subsetOf(exact), s"seed=$seed: LSH emitted non-pairs ${lsh -- exact}")
+      // exact duplicates (jaccard 1.0) can never be missed: they share
+      // every band bucket by construction
+      val dups = texts.zipWithIndex.groupBy(_._1).values
+        .filter(g => g.size > 1 && g.head._1.split(" ").length >= 3)
+        .flatMap(g => g.map(_._2.toLong).sorted.sliding(2).map(p => (p(0), p(1))))
+      dups.foreach(p =>
+        assert(lsh.contains(p), s"seed=$seed: identical-doc pair $p missed"))
+    }
+  }
 }

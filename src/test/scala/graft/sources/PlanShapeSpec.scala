@@ -56,6 +56,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(limited.count() == 7)
   }
 
+  test("embedding near-dup LSH plans a bucket-key join, never a cartesian product") {
+    import graft.operators.TextDedup
+    val emb = Scan.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val lshPlan = TextDedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("CartesianProduct") &&
+      !lshPlan.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation degraded to an all-pairs join:\n$lshPlan")
+    // the exact tool IS the all-pairs join — sanity-check the contrast
+    val exactPlan = TextDedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("CartesianProduct") ||
+      exactPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("projection-only spec scan pushes no filters but still prunes (P1 alone)") {
     val customer = Scan.table(spark, "/root/testdata/sf0.001", "customer")
     val spec = ObjectSpec("Account", Seq("c_custkey", "c_mktsegment"),
