@@ -142,9 +142,19 @@ object GraftFunctions {
     * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("cosine_similarity",
       exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64_portable",
+      exprs => SimHashPortable(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs.head, intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs.head, intLit(exprs(1))), "built-in")
   }
 }

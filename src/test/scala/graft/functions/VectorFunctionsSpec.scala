@@ -38,6 +38,15 @@ class VectorFunctionsSpec extends SparkSpec {
       "SELECT cosine_similarity(a.v, b.v) FROM v a JOIN v b ON a.id=1 AND b.id=3")
       .head.getDouble(0)
     assert(r == 1.0)
+    // the text-dedup kernels register too, with literal int args
+    val row = spark.sql(
+      """SELECT word_shingles('a b c d', 3) AS sh,
+                size(minhash_signature(word_shingles('a b c d', 3), 16)) AS k,
+                simhash64(array('a','b')) AS h1,
+                simhash64_portable(array('a','b')) AS h2""").head
+    assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(row.getInt(1) == 16)
+    assert(row.getLong(2) != row.getLong(3)) // different hash families
   }
 
   test("simhash64 is deterministic and separates disjoint token sets") {
