@@ -151,21 +151,24 @@ object TextDedup {
         .as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
 
-  /** Bucket-size cap: a (band,hash) bucket holding B docs emits B²/2
-    * candidates. On natural text big buckets are rare; on degenerate
-    * corpora (tiny vocab, templated text) a single hot bucket can
-    * dominate the whole job. Capped buckets are SKIPPED — a deliberate
-    * recall trade documented to the caller via the parameter (no silent
-    * default in the operator: Int.MaxValue keeps exact behavior unless
-    * opted in). */
-  def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+  /** Bucket-size cap: a bucket holding B docs emits B²/2 candidates in
+    * the downstream self-join. On natural text big buckets are rare; on
+    * degenerate corpora (tiny vocab, templated text) a single hot bucket
+    * can dominate the whole job. Capped buckets are SKIPPED — a
+    * deliberate recall trade documented to the caller via the parameter
+    * (no silent default in the operators: Int.MaxValue keeps exact
+    * behavior unless opted in). Shared by the minhash banding
+    * (`band`/`bh` keys) and the simhash chunk join (`chunk`/`ch`). */
+  def capBuckets(banded: DataFrame, maxBucketSize: Int,
+      keyCols: Seq[String] = Seq("band", "bh")): DataFrame =
     if (maxBucketSize == Int.MaxValue) banded
     else {
-      val sizes = banded.groupBy(col("band"), col("bh"))
+      val keys = keyCols.map(col)
+      val sizes = banded.groupBy(keys: _*)
         .agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") <= maxBucketSize)
-        .select(col("band"), col("bh"))
-      banded.join(sizes, Seq("band", "bh"))
+        .select(keys: _*)
+      banded.join(sizes, keyCols)
     }
 
   /** SimHash near-dup buckets: 64-bit fingerprint per doc; candidate pairs
@@ -175,7 +178,14 @@ object TextDedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       chunks: Int = 4, maxHamming: Int = 3,
-      fingerprint: Column => Column = ts => simhash64(ts)): DataFrame = {
+      fingerprint: Column => Column = ts => simhash64(ts),
+      /** Hot-bucket guard, same trade as [[minhashLsh]]'s: a (chunk,
+        * value) bucket of B docs feeds B²/2 join pairs, and a 16-bit
+        * chunk key has only 65 536 values — at web scale buckets grow
+        * linearly with the corpus, so the cap is what keeps the join
+        * candidate-bounded. Capping forfeits the pigeonhole EXACTNESS
+        * for pairs whose only shared chunk was hot. */
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // chunks=1 would compute mask via 1L<<64 (wraps to mask 0: every doc
     // in one bucket → full cross product) and implies maxHamming<=0;
     // non-divisors would drop fingerprint bits from the bucketing.
@@ -195,8 +205,9 @@ object TextDedup {
           shiftRUnsigned(col("fp"), j * lit(w)).bitwiseAND(lit((1L << w) - 1)).as("ch"))))
         .as("c"))
       .select(col(idCol), col("fp"), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
-    chunked.select(col(idCol).as("d1"), col("fp").as("fp1"), col("chunk"), col("ch"))
-      .join(chunked.select(col(idCol).as("d2"), col("fp").as("fp2"), col("chunk"), col("ch")),
+    val bucketed = capBuckets(chunked, maxBucketSize, Seq("chunk", "ch"))
+    bucketed.select(col(idCol).as("d1"), col("fp").as("fp1"), col("chunk"), col("ch"))
+      .join(bucketed.select(col(idCol).as("d2"), col("fp").as("fp2"), col("chunk"), col("ch")),
         Seq("chunk", "ch"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2", "fp1", "fp2").distinct()

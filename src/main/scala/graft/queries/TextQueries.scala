@@ -62,8 +62,20 @@ object TextQueries {
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** The FULL curation pipeline — stages 1-3 plus MinHash-LSH near-dup
+    * removal (keep-first). Oracle: the deterministic stage-1-3 SQL with
+    * an exact-Jaccard anti-join for stage 4 — equal to the LSH output
+    * while LSH recall is 100% (testdata-measured), so near-dup-removal
+    * recall regressions fail the hard gate too. */
+  val curationFull: Q = (s, dir) =>
+    graft.operators.Curation.curate(
+        Scan.table(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "q_curation_filter" -> curationFilter,
+    "q_curation_full" -> curationFull,
     "q_text_token_counts" -> tokenCounts,
     "q_text_quality" -> qualityProfile,
     "q_text_langid" -> langIdRollup,
@@ -82,9 +94,9 @@ object TextQueries {
   private val distinctRatio = roundPortableSql(
     "LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE / LEN(STRING_SPLIT(text, ' '))", 4)
 
-  val oracles: ListMap[String, String] = ListMap(
-    "q_curation_filter" ->
-      s"""WITH feat AS (
+  /** Stage-1-3 CTEs shared by both curation oracles. */
+  private def curationCtes: String =
+    s"""WITH feat AS (
             SELECT doc_id, text,
               CASE
                 WHEN $hitsEn > 0 AND $hitsEn >= GREATEST($hitsEs, $hitsFr, $hitsDe) THEN 'en'
@@ -105,11 +117,41 @@ object TextQueries {
             WHERE pred_lang IN ('en') AND quality >= 0.3 AND n_tokens >= 5),
           canon AS (
             SELECT content_hash, MIN(doc_id) AS doc_id
-            FROM kept GROUP BY content_hash)
-          SELECT k.doc_id, k.pred_lang, k.quality, k.n_tokens
-          FROM kept k
-          JOIN canon c ON k.content_hash = c.content_hash AND k.doc_id = c.doc_id
-          ORDER BY k.doc_id""",
+            FROM kept GROUP BY content_hash),
+          surv AS (
+            SELECT k.doc_id, k.text, k.pred_lang, k.quality, k.n_tokens
+            FROM kept k
+            JOIN canon c ON k.content_hash = c.content_hash AND k.doc_id = c.doc_id)"""
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_curation_filter" ->
+      s"""$curationCtes
+          SELECT doc_id, pred_lang, quality, n_tokens FROM surv
+          ORDER BY doc_id""",
+    // stage 4 in SQL: exact-Jaccard near-dup pairs of the SURVIVORS at
+    // threshold 0.7 (n=3 shingles), drop the higher id of each pair —
+    // ≡ the engine's LSH-gated removal while recall is 100%
+    "q_curation_full" ->
+      s"""$curationCtes,
+          sh AS (
+            SELECT doc_id,
+                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                     GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
+                     i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS sgl
+            FROM surv WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          ip AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          drops AS (
+            SELECT DISTINCT d2 FROM ip
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7)
+          SELECT doc_id, pred_lang, quality, n_tokens FROM surv
+          WHERE doc_id NOT IN (SELECT d2 FROM drops)
+          ORDER BY doc_id""",
     "q_text_token_counts" ->
       s"""SELECT doc_id,
           CAST($wsToks AS BIGINT) AS ws_tokens,
