@@ -141,20 +141,44 @@ object GraftFunctions {
   /** Registers the native expressions for SQL use
     * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`). */
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
     val reg = spark.sessionState.functionRegistry
-    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
-      e.eval(null).asInstanceOf[Number].intValue()
+    // Config params (k, bits, sep) must be LITERALS — they shape the
+    // expression, not the data. Validate loudly: silently dropping an
+    // argument (or choking on AttributeReference.eval) hides bugs.
+    def arity(name: String, exprs: Seq[Expression], min: Int, max: Int): Unit =
+      require(exprs.length >= min && exprs.length <= max,
+        s"$name expects $min..$max arguments, got ${exprs.length}")
+    def litOf(name: String, e: Expression): Any = {
+      require(e.foldable, s"$name: config argument must be a literal, got $e")
+      val v = e.eval(null)
+      require(v != null, s"$name: config argument must not be NULL")
+      v
+    }
+    def intLit(name: String, e: Expression): Int =
+      litOf(name, e).asInstanceOf[Number].intValue()
+
     reg.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+      { exprs => arity("cosine_similarity", exprs, 2, 2)
+        CosineSimilarity(exprs.head, exprs(1)) }, "built-in")
     reg.createOrReplaceTempFunction("dot_product",
-      exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      { exprs => arity("dot_product", exprs, 2, 2)
+        DotProduct(exprs.head, exprs(1)) }, "built-in")
     reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
+      { exprs => arity("simhash64", exprs, 1, 1)
+        SimHash64(exprs.head) }, "built-in")
     reg.createOrReplaceTempFunction("simhash64_portable",
-      exprs => SimHashPortable(exprs.head), "built-in")
+      { exprs => arity("simhash64_portable", exprs, 1, 2)
+        if (exprs.length == 2)
+          SimHashPortable(exprs.head, intLit("simhash64_portable", exprs(1)))
+        else SimHashPortable(exprs.head) }, "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs.head, intLit(exprs(1))), "built-in")
+      { exprs => arity("word_shingles", exprs, 2, 3)
+        val sep = if (exprs.length == 3)
+          litOf("word_shingles", exprs(2)).toString else " "
+        WordShingles(exprs.head, intLit("word_shingles", exprs(1)), sep) }, "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs.head, intLit(exprs(1))), "built-in")
+      { exprs => arity("minhash_signature", exprs, 2, 2)
+        MinHashSignature(exprs.head, intLit("minhash_signature", exprs(1))) }, "built-in")
   }
 }

@@ -61,7 +61,15 @@ object SimHashPortable {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      if (!arr.isNullAt(j)) {
+      if (arr.isNullAt(j)) {
+        // a null token votes -1 on every bit — the HOF spelling's
+        // `when(bit(md5(null))===1, 1).otherwise(-1)` and DuckDB's
+        // `CASE WHEN <null> THEN 1 ELSE -1 END` both land in the else
+        // branch, and the bit-for-bit equivalence must cover null
+        // elements too (split() never yields them, SQL callers can)
+        var i = 0
+        while (i < bits) { votes(i) -= 1; i += 1 }
+      } else {
         md.reset()
         val d = md.digest(arr.getUTF8String(j).getBytes)
         // first 15 hex chars of the digest = bytes 0..6 + high nibble of

@@ -109,25 +109,35 @@ object DedupQueries {
     "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
   private val cosR6 = roundPortableSql(cosExpr, 6)
 
+  /** CTE fragment deriving exact word-3-gram Jaccard intersection pairs
+    * from a `(doc_id, text)` relation: defines `sh` (distinct shingles),
+    * `sizes`, and `ip` (d1 < d2, intersection counts). THE single SQL
+    * spelling of the engine's shingle semantics — shared by the
+    * exact/LSH dedup oracles here and the curation stage-4 oracle
+    * (TextQueries), so the oracle-side shingling can never fork. */
+  private[queries] def jaccardPairCtes(src: String): String =
+    s"""sh AS (
+         SELECT doc_id,
+                UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                  GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
+                  i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS s
+         FROM $src WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       ip AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)"""
+
   /** Exact n-gram-Jaccard pair SQL (n=3, threshold 0.7) over an optional
     * doc_id bound. Shared by the exact query's oracle (bounded) and the
     * LSH query's oracle (unbounded — LSH output ≡ exact pairs while
     * recall is 100%). */
   private def jaccardPairsSql(docBound: String): String =
-    s"""WITH sh AS (
-         SELECT doc_id,
-                UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-                  GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
-                  i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS s
-         FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3$docBound),
-       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-       pairs AS (
-         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
+    s"""WITH ${jaccardPairCtes(
+           s"(SELECT doc_id, text FROM documents WHERE TRUE$docBound)")}
        SELECT d1, d2,
               ${roundPortableSql("inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)", 4)} AS jaccard
-       FROM pairs
+       FROM ip
        JOIN sizes sa ON sa.doc_id = d1
        JOIN sizes sb ON sb.doc_id = d2
        WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7

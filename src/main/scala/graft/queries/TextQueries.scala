@@ -133,17 +133,7 @@ object TextQueries {
     // ≡ the engine's LSH-gated removal while recall is 100%
     "q_curation_full" ->
       s"""$curationCtes,
-          sh AS (
-            SELECT doc_id,
-                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-                     GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
-                     i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS sgl
-            FROM surv WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
-          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-          ip AS (
-            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-            FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
+          ${DedupQueries.jaccardPairCtes("surv")},
           drops AS (
             SELECT DISTINCT d2 FROM ip
             JOIN sizes sa ON sa.doc_id = d1

@@ -21,13 +21,17 @@ object E2eProbe {
       Seq("o_orderkey", "o_orderstatus"), Seq("o_orderstatus"),
       ListMap("o_totalprice" -> Seq("sum", "mean", "count")))
     (1 to 2).foreach { p =>
-      val base = java.nio.file.Files.createTempDirectory("e2e_probe").toString
+      val baseDir = java.nio.file.Files.createTempDirectory("e2e_probe")
       val t0 = System.nanoTime()
       val report = Orchestrator.run(spark, "Opportunity", Scan.table(spark, dir, "orders"),
-        base, Orchestrator.RunOptions(limit = None, timestampRaw = false,
+        baseDir.toString, Orchestrator.RunOptions(limit = None, timestampRaw = false,
           dedupKey = "o_orderkey", extractRetryDelayMs = 0, processRetryDelayMs = 0),
         specOverride = Some(spec))
       println(f"pass $p total ${(System.nanoTime() - t0) / 1e9}%.1fs states=${report.taskStates}")
+      // don't leave ~100 MB of orchestrator artifacts per pass in /tmp
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      F.walk(baseDir).iterator().asScala.toSeq.reverse.foreach(F.deleteIfExists)
     }
     spark.stop()
   }

@@ -47,6 +47,14 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
     assert(row.getInt(1) == 16)
     assert(row.getLong(2) != row.getLong(3)) // different hash families
+    // optional args are honored, not dropped; bad arity/args fail loudly
+    val bits30 = spark.sql("SELECT simhash64_portable(array('a','b'), 30)").head.getLong(0)
+    assert(bits30 >> 30 == 0L && bits30 != row.getLong(3))
+    assert(intercept[Exception] { spark.sql("SELECT simhash64(array('a'), 2)").head }
+      .getMessage.contains("argument"))
+    assert(intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b', CAST(rand() * 3 AS INT))").head
+    }.getMessage.contains("literal"))
   }
 
   test("simhash64 is deterministic and separates disjoint token sets") {

@@ -128,6 +128,26 @@ class TextDedupSpec extends SparkSpec {
         simhash64PortableHOF(split(col("text"), " ")).as("hof"))
       .filter(not(col("native") === col("hof")))
     assert(diff.count() == 0)
+    // incl. null elements (a SQL caller can produce them): both spell a
+    // -1 vote per null token
+    val withNull = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS ts")
+    val r = withNull.select(
+      simhash64Portable(col("ts")).as("n"), simhash64PortableHOF(col("ts")).as("h")).head
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("simhashPairs hot-bucket cap: a giant identical cluster is skipped, not exploded") {
+    // 20 identical docs share EVERY chunk bucket; cap below the cluster
+    // size skips those buckets entirely (the documented trade), the
+    // default keeps exact pigeonhole behavior.
+    val cluster = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val capped = TextDedup.simhashPairs(cluster, "doc_id", "text",
+      chunks = 4, maxHamming = 3, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    val uncapped = TextDedup.simhashPairs(cluster, "doc_id", "text",
+      chunks = 4, maxHamming = 3)
+    assert(uncapped.count() == 20L * 19 / 2) // all pairs at hamming 0
   }
 
   test("simhash64Portable pairs agree with exact hamming derivation (pigeonhole exactness)") {

@@ -71,6 +71,16 @@ class PlanShapeSpec extends SparkSpec {
       exactPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("full curation pipeline plans no cartesian product (LSH-gated near-dup stage)") {
+    import graft.operators.Curation
+    val docs = Scan.table(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Curation.curate(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"curation near-dup stage degraded to an all-pairs join:\n$plan")
+  }
+
   test("projection-only spec scan pushes no filters but still prunes (P1 alone)") {
     val customer = Scan.table(spark, "/root/testdata/sf0.001", "customer")
     val spec = ObjectSpec("Account", Seq("c_custkey", "c_mktsegment"),
