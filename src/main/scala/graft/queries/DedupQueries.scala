@@ -92,6 +92,27 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN under the hard gate: with nProbe = nCentroids every cell is
+    * probed, so the cell-probe machinery (k-means assignment, probe
+    * join, in-cell exact ranking) must reproduce the exact brute-force
+    * top-k — the same SQL as q_ann_multi_topk. The approximation regime
+    * (nProbe < nCentroids) is covered by SimilaritySpec's recall bounds;
+    * this entry pins the machinery itself. */
+  val annIvfTopK: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // injected centroids = the index-reuse path (fit once, query many);
+    // few iterations suffice — with exhaustive probing the result is
+    // centroid-independent, the fit only shapes cell sizes
+    val centroids = Similarity.kmeansCentroids(emb, "embedding",
+      nCentroids = 8, maxIter = 5)
+    Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 3, nCentroids = 8, nProbe = 8,
+        centroids = Some(centroids))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_dedup_exact_text" -> exactTextDedup,
     "q_ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -101,7 +122,8 @@ object DedupQueries {
     "q_embedding_neardup" -> embeddingNearDup,
     "q_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q_ann_topk" -> annTopK,
-    "q_ann_multi_topk" -> annMultiTopK)
+    "q_ann_multi_topk" -> annMultiTopK,
+    "q_ann_ivf_topk" -> annIvfTopK)
 
   import graft.functions.GraftFunctions.roundPortableSql
 
@@ -185,13 +207,17 @@ object DedupQueries {
             AS cosine
          FROM embeddings b
          ORDER BY cosine DESC, vec_id LIMIT 10""",
-    "q_ann_multi_topk" ->
-      s"""SELECT * FROM (
-            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-                   $cosR6 AS cosine,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                     ORDER BY $cosR6 DESC, b.vec_id) AS INTEGER) AS rank
-            FROM embeddings a JOIN embeddings b ON a.vec_id < 5)
-          WHERE rank <= 3 ORDER BY query_id, rank"""
+    "q_ann_multi_topk" -> annMultiTopKSql,
+    // exhaustive-probe IVF ≡ exact brute force — identical oracle
+    "q_ann_ivf_topk" -> annMultiTopKSql
   )
+
+  private lazy val annMultiTopKSql: String =
+    s"""SELECT * FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                 $cosR6 AS cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY $cosR6 DESC, b.vec_id) AS INTEGER) AS rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id < 5)
+        WHERE rank <= 3 ORDER BY query_id, rank"""
 }
