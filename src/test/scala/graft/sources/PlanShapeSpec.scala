@@ -81,6 +81,13 @@ class PlanShapeSpec extends SparkSpec {
       s"curation near-dup stage degraded to an all-pairs join:\n$plan")
   }
 
+  test("star rollup broadcasts the dimension tables (no shuffle join for dims)") {
+    val plan = graft.queries.AnalyticsQueries.revenueBySegment(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension join not broadcast:\n$plan")
+  }
+
   test("projection-only spec scan pushes no filters but still prunes (P1 alone)") {
     val customer = Scan.table(spark, "/root/testdata/sf0.001", "customer")
     val spec = ObjectSpec("Account", Seq("c_custkey", "c_mktsegment"),
