@@ -62,7 +62,12 @@ object Curation {
   def curate(
       docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
+    // Survivors feed the LSH stage AND the final anti-join — materialize
+    // once rather than re-running the scan + feature projection + dedup
+    // join per consumer (the checkpoint-multiply-consumed pattern used
+    // throughout TextDedup; a parquet stage on a cluster).
     val surviving = filterAndExactDedup(docs, idCol, textCol, cfg)
+      .localCheckpoint(true)
     val nearDups = TextDedup.minhashLsh(
       surviving, idCol, textCol, n = cfg.shingleSize,
       threshold = cfg.nearDupThreshold, maxBucketSize = cfg.maxBucketSize)

@@ -216,6 +216,61 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** Connected components of a near-dup pair relation — the cluster step
+    * real corpus pipelines run on LSH pairs: pairwise drops (keep-first)
+    * under-merge chains (A~B, B~C but A≁C), while components give each
+    * duplicate CLUSTER one canonical id (its minimum member).
+    *
+    * Algorithm: iterative min-label propagation (the simple form of
+    * Kiveris et al., "Connected components in MapReduce and beyond",
+    * SoCC 2014): every node starts as its own label; each round every
+    * node takes the min of its label and its neighbors' labels. Rounds
+    * needed = graph diameter — near-dup clusters are shallow (template
+    * families, chains of edits), so a handful of shuffles, each carrying
+    * |edges|. The per-round convergence check is one aggregate (count of
+    * changed labels), and labels are localCheckpointed per round so the
+    * plan doesn't grow with iterations (lineage would otherwise double
+    * per round).
+    *
+    * @param pairs relation with two id columns (`d1Col`, `d2Col`), one
+    *              row per undirected edge
+    * @return (node, component) — every node appearing in `pairs`, with
+    *         component = min id reachable from it
+    */
+  def connectedComponents(
+      pairs: DataFrame, d1Col: String = "d1", d2Col: String = "d2",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(d1Col).as("src"), col(d2Col).as("dst"))
+      .union(pairs.select(col(d2Col).as("src"), col(d1Col).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // min over {own label} ∪ {neighbor labels}
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("component")).as("__nb"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nb"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("node"))
+        .filter(col("component") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Exact pairwise —
     * the verify/oracle tool. At scale use [[embeddingNearDupPairsLsh]],
     * which generates candidates through bucket joins and applies this

@@ -43,6 +43,18 @@ object DedupQueries {
         n = 3, k = 32, bands = 8, threshold = 0.7, maxBucketSize = 100)
       .orderBy(col("d1"), col("d2"))
 
+  /** Duplicate-CLUSTER canonicalization: connected components over the
+    * exact near-dup pairs (bounded id-range, like the pair query) — the
+    * step that merges chains (A~B~C ⇒ one cluster) where pairwise drops
+    * under-merge. Oracle = a DuckDB recursive CTE computing min
+    * reachable id per node over the same edges. */
+  val dedupComponents: Q = (s, dir) => {
+    val pairs = TextDedup.jaccardPairs(
+      Scan.table(s, dir, "documents").filter(col("doc_id") < 500),
+      "doc_id", "text", n = 3, threshold = 0.7)
+    TextDedup.connectedComponents(pairs).orderBy(col("node"))
+  }
+
   val simhashPairs: Q = (s, dir) =>
     TextDedup.simhashPairs(Scan.table(s, dir, "documents"), "doc_id", "text",
         chunks = 4, maxHamming = 3)
@@ -117,6 +129,7 @@ object DedupQueries {
     "q_dedup_exact_text" -> exactTextDedup,
     "q_ngram_jaccard_pairs" -> ngramJaccardPairs,
     "q_minhash_lsh_pairs" -> minhashLshPairs,
+    "q_dedup_components" -> dedupComponents,
     "q_simhash_pairs" -> simhashPairs,
     "q_simhash_portable_pairs" -> simhashPortablePairs,
     "q_embedding_neardup" -> embeddingNearDup,
@@ -178,6 +191,25 @@ object DedupQueries {
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
     "q_ngram_jaccard_pairs" -> jaccardPairsSql(" AND doc_id < 500"),
     "q_minhash_lsh_pairs" -> jaccardPairsSql(""),
+    // Components = min reachable id per node, walked by a recursive CTE
+    // over the same exact-Jaccard edges the engine clusters.
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE ${jaccardPairCtes(
+             "(SELECT doc_id, text FROM documents WHERE doc_id < 500)")},
+         jp AS (
+           SELECT d1, d2 FROM ip
+           JOIN sizes sa ON sa.doc_id = d1
+           JOIN sizes sb ON sb.doc_id = d2
+           WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+         edges AS (
+           SELECT d1 AS src, d2 AS dst FROM jp
+           UNION SELECT d2, d1 FROM jp),
+         reach(node, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node)
+         SELECT node, MIN(r) AS component
+         FROM reach GROUP BY node ORDER BY node""",
     // Portable simhash: identical md5-60-bit fingerprints recomputed in
     // DuckDB; oracle derives pairs by exact all-pairs hamming (≡ the
     // engine's pigeonhole chunk join for maxHamming < chunks).

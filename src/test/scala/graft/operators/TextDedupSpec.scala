@@ -182,6 +182,27 @@ class TextDedupSpec extends SparkSpec {
       emb.limit(0), "vec_id", "embedding", 0.5).count() == 0)
   }
 
+  test("connectedComponents merges chains into one cluster, keeps disjoint clusters apart") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4 → several propagation rounds), a
+    // separate pair 10-11, and a triangle 20-21-22
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("d1", "d2")
+    val cc = TextDedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L))   // chain fully merged
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert(cc.size == 10) // only nodes that appear in pairs
+    // pairwise keep-first would under-merge the chain: dropping d2 of
+    // each pair removes 2,3,4,5 correctly here, but via FOUR pair
+    // decisions — components give the same answer in one clustering,
+    // and generalize to cases where the pair list is not transitive
+  }
+
   test("embeddingNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f)),
