@@ -58,6 +58,26 @@ object Curation {
     kept.join(canonical, Seq("content_hash", idCol))
   }
 
+  /** Full pipeline with CLUSTER-level near-dup removal: LSH pairs →
+    * connected components → keep each cluster's minimum id. Differs from
+    * [[curate]]'s pairwise policy exactly when the pair list is not
+    * transitive (A~C and B~C but not A~B: pairwise keeps A and B,
+    * components keep only A) — the semantics large corpus pipelines
+    * usually want, since a cluster is one document family. */
+  def curateClusters(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val surviving = filterAndExactDedup(docs, idCol, textCol, cfg)
+      .localCheckpoint(true)
+    val nearDups = TextDedup.minhashLsh(
+      surviving, idCol, textCol, n = cfg.shingleSize,
+      threshold = cfg.nearDupThreshold, maxBucketSize = cfg.maxBucketSize)
+    val comps = TextDedup.connectedComponents(nearDups)
+    val toDrop = comps.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    surviving.join(toDrop, Seq(idCol), "left_anti")
+  }
+
   /** Full pipeline incl. near-dup removal. */
   def curate(
       docs: DataFrame, idCol: String, textCol: String,

@@ -73,9 +73,20 @@ object TextQueries {
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Cluster-level variant: LSH pairs → connected components → keep the
+    * cluster minimum. Oracle walks the same edges with a recursive CTE.
+    * Valid while LSH recall is 100% (the shared regime of every LSH
+    * oracle in this repo). */
+  val curationClusters: Q = (s, dir) =>
+    graft.operators.Curation.curateClusters(
+        Scan.table(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "q_curation_filter" -> curationFilter,
     "q_curation_full" -> curationFull,
+    "q_curation_clusters" -> curationClusters,
     "q_text_token_counts" -> tokenCounts,
     "q_text_quality" -> qualityProfile,
     "q_text_langid" -> langIdRollup,
@@ -141,6 +152,27 @@ object TextQueries {
             WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7)
           SELECT doc_id, pred_lang, quality, n_tokens FROM surv
           WHERE doc_id NOT IN (SELECT d2 FROM drops)
+          ORDER BY doc_id""",
+    // cluster policy: connected components of the same edges (recursive
+    // CTE), drop every non-minimum cluster member
+    "q_curation_clusters" ->
+      s"""WITH RECURSIVE ${curationCtes.stripPrefix("WITH ")},
+          ${DedupQueries.jaccardPairCtes("surv")},
+          jp AS (
+            SELECT d1, d2 FROM ip
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+          edges AS (
+            SELECT d1 AS src, d2 AS dst FROM jp
+            UNION SELECT d2, d1 FROM jp),
+          reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+          comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+          SELECT doc_id, pred_lang, quality, n_tokens FROM surv
+          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
           ORDER BY doc_id""",
     "q_text_token_counts" ->
       s"""SELECT doc_id,

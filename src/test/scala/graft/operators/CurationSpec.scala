@@ -54,6 +54,28 @@ class CurationSpec extends SparkSpec {
     assert(uncapped == 1L) // exact behavior → keep-first only
   }
 
+  test("curateClusters merges non-transitive pair lists where pairwise keep-first cannot") {
+    // A ~ C and B ~ C (jaccard = 18/22 ≈ 0.82) but A ≁ B (16/24 ≈ 0.67
+    // < threshold 0.7): pairwise keep-first drops only d2s ({C}) and
+    // keeps both A and B; cluster policy sees one {A,B,C} component and
+    // keeps only A.
+    val w = ("the and of to a big river bank slope under bright winter " +
+      "sun light green stone old tall deep wide warm cold").split(" ")
+    val a = (w.take(20) ++ Seq("gold", "mine")).mkString(" ")
+    val b = (w.drop(2) ++ Seq("quartz", "wall")).mkString(" ")
+    val c = w.mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val cfg = Curation.Config(minQuality = 0.1, nearDupThreshold = 0.7)
+    // guard the construction: exact pairs are exactly (A,C) and (B,C)
+    val exact = TextDedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 3L), (2L, 3L)))
+    def ids(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Curation.curate(df, "doc_id", "text", cfg)) == Set(1L, 2L))
+    assert(ids(Curation.curateClusters(df, "doc_id", "text", cfg)) == Set(1L))
+  }
+
   test("curate on the testdata corpus is deterministic and reduces it") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Curation.curate(docs, "doc_id", "text").count()
