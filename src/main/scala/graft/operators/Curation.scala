@@ -35,7 +35,10 @@ object Curation {
       // has its buckets skipped and is RETAINED whole — CurationSpec pins
       // this. Pass Int.MaxValue for exact behavior when the corpus is
       // known not to be templated-degenerate.
-      maxBucketSize: Int = 100)
+      maxBucketSize: Int = 100,
+      /** Rounds budget for [[curateClusters]]' component clustering:
+        * must exceed the deepest duplicate chain's diameter + 1. */
+      componentsMaxIter: Int = 20)
 
   /** Stages 1-3 (deterministic, SQL-expressible — oracle-checked as
     * `q_curation_filter`). Returns the surviving docs with their
@@ -58,6 +61,22 @@ object Curation {
     kept.join(canonical, Seq("content_hash", idCol))
   }
 
+  /** The stages both drop policies share: survivors of stages 1-3
+    * (materialized once — they feed the LSH stage AND the final
+    * anti-join; the checkpoint-multiply-consumed pattern used throughout
+    * TextDedup, a parquet stage on a cluster) plus their LSH near-dup
+    * pairs. */
+  private def survivorsAndPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): (DataFrame, DataFrame) = {
+    val surviving = filterAndExactDedup(docs, idCol, textCol, cfg)
+      .localCheckpoint(true)
+    val nearDups = TextDedup.minhashLsh(
+      surviving, idCol, textCol, n = cfg.shingleSize,
+      threshold = cfg.nearDupThreshold, maxBucketSize = cfg.maxBucketSize)
+    (surviving, nearDups)
+  }
+
   /** Full pipeline with CLUSTER-level near-dup removal: LSH pairs →
     * connected components → keep each cluster's minimum id. Differs from
     * [[curate]]'s pairwise policy exactly when the pair list is not
@@ -67,30 +86,19 @@ object Curation {
   def curateClusters(
       docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val surviving = filterAndExactDedup(docs, idCol, textCol, cfg)
-      .localCheckpoint(true)
-    val nearDups = TextDedup.minhashLsh(
-      surviving, idCol, textCol, n = cfg.shingleSize,
-      threshold = cfg.nearDupThreshold, maxBucketSize = cfg.maxBucketSize)
-    val comps = TextDedup.connectedComponents(nearDups)
+    val (surviving, nearDups) = survivorsAndPairs(docs, idCol, textCol, cfg)
+    val comps = TextDedup.connectedComponents(nearDups,
+      maxIter = cfg.componentsMaxIter)
     val toDrop = comps.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     surviving.join(toDrop, Seq(idCol), "left_anti")
   }
 
-  /** Full pipeline incl. near-dup removal. */
+  /** Full pipeline incl. near-dup removal (pairwise keep-first policy). */
   def curate(
       docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    // Survivors feed the LSH stage AND the final anti-join — materialize
-    // once rather than re-running the scan + feature projection + dedup
-    // join per consumer (the checkpoint-multiply-consumed pattern used
-    // throughout TextDedup; a parquet stage on a cluster).
-    val surviving = filterAndExactDedup(docs, idCol, textCol, cfg)
-      .localCheckpoint(true)
-    val nearDups = TextDedup.minhashLsh(
-      surviving, idCol, textCol, n = cfg.shingleSize,
-      threshold = cfg.nearDupThreshold, maxBucketSize = cfg.maxBucketSize)
+    val (surviving, nearDups) = survivorsAndPairs(docs, idCol, textCol, cfg)
     // drop the HIGHER id of every near-dup pair (keep-first policy)
     val toDrop = nearDups.select(col("d2").as(idCol)).distinct()
     surviving.join(toDrop, Seq(idCol), "left_anti")

@@ -239,15 +239,33 @@ object TextDedup {
     */
   def connectedComponents(
       pairs: DataFrame, d1Col: String = "d1", d2Col: String = "d2",
+      /** Must exceed the largest component's diameter plus one (the
+        * confirming round also counts): propagation reaches distance d
+        * after d rounds and convergence is only OBSERVED one round
+        * later. Near-dup clusters are shallow; raise for long edit
+        * chains. */
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(d1Col).as("src"), col(d2Col).as("dst"))
-      .union(pairs.select(col(d2Col).as("src"), col(d1Col).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node"))
-      .distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint(true)
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint with a handle on the blocks it created, so each
+    // round can release the PREVIOUS round's superseded labels —
+    // otherwise up to maxIter full label snapshots pile up in the block
+    // manager (round 1's measured failure mode).
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- pre)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    val (edges, edgeIds) = checkpointTracked(
+      pairs.select(col(d1Col).as("src"), col(d2Col).as("dst"))
+        .union(pairs.select(col(d2Col).as("src"), col(d1Col).as("dst")))
+        .distinct())
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("node"))
+        .distinct()
+        .withColumn("component", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -256,18 +274,23 @@ object TextDedup {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("component")).as("__nb"))
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("__nb"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
+      val (next, nextIds) = checkpointTracked(
+        labels.join(viaNeighbors, Seq("node"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("__nb"), col("component")))
+              .as("component")))
       val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("node"))
         .filter(col("component") =!= col("__old")).count()
+      release(labelIds) // superseded snapshot — both consumers are done
       labels = next
+      labelIds = nextIds
       converged = changed == 0
       i += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    release(edgeIds)
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — a component's " +
+        "diameter exceeds maxIter-1; raise maxIter (rounds needed = diameter + 1)")
     labels
   }
 

@@ -163,6 +163,26 @@ object DedupQueries {
          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2)"""
 
+  /** CTE fragment: connected components of the threshold-0.7 pairs
+    * derived from [[jaccardPairCtes]]'s `ip`/`sizes` — defines `jp`,
+    * `edges`, `reach`, and `comp(node, component)`. Must run under
+    * `WITH RECURSIVE`. THE single SQL spelling of the components walk,
+    * shared by q_dedup_components and the cluster-curation oracle. */
+  private[queries] val componentCtes: String =
+    s"""jp AS (
+         SELECT d1, d2 FROM ip
+         JOIN sizes sa ON sa.doc_id = d1
+         JOIN sizes sb ON sb.doc_id = d2
+         WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+       edges AS (
+         SELECT d1 AS src, d2 AS dst FROM jp
+         UNION SELECT d2, d1 FROM jp),
+       reach(node, r) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+       comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)"""
+
   /** Exact n-gram-Jaccard pair SQL (n=3, threshold 0.7) over an optional
     * doc_id bound. Shared by the exact query's oracle (bounded) and the
     * LSH query's oracle (unbounded — LSH output ≡ exact pairs while
@@ -196,20 +216,8 @@ object DedupQueries {
     "q_dedup_components" ->
       s"""WITH RECURSIVE ${jaccardPairCtes(
              "(SELECT doc_id, text FROM documents WHERE doc_id < 500)")},
-         jp AS (
-           SELECT d1, d2 FROM ip
-           JOIN sizes sa ON sa.doc_id = d1
-           JOIN sizes sb ON sb.doc_id = d2
-           WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7),
-         edges AS (
-           SELECT d1 AS src, d2 AS dst FROM jp
-           UNION SELECT d2, d1 FROM jp),
-         reach(node, r) AS (
-           SELECT src, src FROM edges
-           UNION
-           SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node)
-         SELECT node, MIN(r) AS component
-         FROM reach GROUP BY node ORDER BY node""",
+         $componentCtes
+         SELECT node, component FROM comp ORDER BY node""",
     // Portable simhash: identical md5-60-bit fingerprints recomputed in
     // DuckDB; oracle derives pairs by exact all-pairs hamming (≡ the
     // engine's pigeonhole chunk join for maxHamming < chunks).

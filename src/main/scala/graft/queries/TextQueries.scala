@@ -158,19 +158,7 @@ object TextQueries {
     "q_curation_clusters" ->
       s"""WITH RECURSIVE ${curationCtes.stripPrefix("WITH ")},
           ${DedupQueries.jaccardPairCtes("surv")},
-          jp AS (
-            SELECT d1, d2 FROM ip
-            JOIN sizes sa ON sa.doc_id = d1
-            JOIN sizes sb ON sb.doc_id = d2
-            WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7),
-          edges AS (
-            SELECT d1 AS src, d2 AS dst FROM jp
-            UNION SELECT d2, d1 FROM jp),
-          reach(node, r) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
-          comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+          ${DedupQueries.componentCtes}
           SELECT doc_id, pred_lang, quality, n_tokens FROM surv
           WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
           ORDER BY doc_id""",
