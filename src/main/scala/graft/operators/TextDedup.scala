@@ -244,8 +244,43 @@ object TextDedup {
         * after d rounds and convergence is only OBSERVED one round
         * later. Near-dup clusters are shallow; raise for long edit
         * chains. */
-      maxIter: Int = 20): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
+      maxIter: Int = 20,
+      /** Size-adaptive strategy switch: a pair set at or below this is
+        * collected and union-found on the driver (near-dup pair sets are
+        * usually aggregate-sized — tiny relative to the corpus — and a
+        * driver pass beats paying diameter+1 distributed rounds of fixed
+        * cost); above it, the iterative min-label propagation runs fully
+        * distributed. Both paths produce identical components. */
+      driverUnionFindLimit: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+
+    val dedupedPairs = pairs.select(col(d1Col).as("p1"), col(d2Col).as("p2"))
+      .distinct().localCheckpoint(true)
+    if (dedupedPairs.count() <= driverUnionFindLimit) {
+      // driver union-find (path compression; representative = min id)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+      dedupedPairs.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        nodes += a += b
+        union(a, b)
+      }
+      import spark.implicits._
+      val result = nodes.toSeq.map(n => (n, find(n)))
+      val out = result.toDF("node", "component")
+      dedupedPairs.unpersist()
+      return out
+    }
     // localCheckpoint with a handle on the blocks it created, so each
     // round can release the PREVIOUS round's superseded labels —
     // otherwise up to maxIter full label snapshots pile up in the block
@@ -259,8 +294,8 @@ object TextDedup {
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
     val (edges, edgeIds) = checkpointTracked(
-      pairs.select(col(d1Col).as("src"), col(d2Col).as("dst"))
-        .union(pairs.select(col(d2Col).as("src"), col(d1Col).as("dst")))
+      dedupedPairs.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(dedupedPairs.select(col("p2").as("src"), col("p1").as("dst")))
         .distinct())
     var (labels, labelIds) = checkpointTracked(
       edges.select(col("src").as("node"))

@@ -191,8 +191,15 @@ class TextDedupSpec extends SparkSpec {
       (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)
     ).toDF("d1", "d2")
-    val cc = TextDedup.connectedComponents(pairs)
+    // both strategies must agree: driver union-find (small-input path)
+    // and the distributed min-label loop (forced via limit 0)
+    def run(limit: Long) = TextDedup.connectedComponents(
+        pairs, driverUnionFindLimit = limit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccDriver = run(Long.MaxValue)
+    val ccDist = run(0L)
+    assert(ccDriver == ccDist)
+    val cc = ccDriver
     assert((1L to 5L).forall(cc(_) == 1L))   // chain fully merged
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
