@@ -258,12 +258,16 @@ object TextDedup {
     val dedupedPairs = pairs.select(col(d1Col).as("p1"), col(d2Col).as("p2"))
       .distinct().localCheckpoint(true)
     if (dedupedPairs.count() <= driverUnionFindLimit) {
-      // driver union-find (path compression; representative = min id)
+      // driver union-find (path compression; representative = min id).
+      // find is ITERATIVE — recursive path compression would overflow
+      // the stack on a degenerate chain near the size limit.
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x
-        else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       def union(a: Long, b: Long): Unit = {
         val (ra, rb) = (find(a), find(b))
