@@ -76,14 +76,27 @@ object Orchestrator {
   /** Simple bounded retry (≙ Prefect task retries, `extract.py:61-62`,
     * `process.py:56`). */
   def retry[T](attempts: Int, delayMs: Long)(body: => T): T = {
+    // A while loop, NOT a foreach closure: `return` inside a lambda is
+    // compiled to a NonLocalReturnControl throwable, which a broad catch
+    // treats as a FAILED attempt — every call then runs its body
+    // `attempts` times and sleeps the whole delay schedule even on
+    // success (latent since round 1; surfaced when delays became the
+    // reference's 10 s/5 s). NonFatal also keeps control-flow and fatal
+    // throwables out of the retry path by construction.
+    val n = math.max(attempts, 1)
     var last: Throwable = null
-    (0 until math.max(attempts, 1)).foreach { i =>
+    var i = 0
+    while (i < n) {
       try return body
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           last = e
-          if (i < attempts - 1 && delayMs > 0) Thread.sleep(delayMs)
+          // a retried-then-successful attempt is otherwise invisible
+          // (the task still reports COMPLETED) — surface it
+          System.err.println(s"[graft retry] attempt ${i + 1}/$n failed: $e")
+          if (i < n - 1 && delayMs > 0) Thread.sleep(delayMs)
       }
+      i += 1
     }
     throw last
   }

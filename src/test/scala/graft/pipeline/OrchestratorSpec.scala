@@ -140,6 +140,30 @@ class OrchestratorSpec extends SparkSpec {
     assert(sched.runs.map(_.rawPath).distinct.size == 3)
   }
 
+  test("retry runs the body exactly once on success, retries only on real failure") {
+    // regression: `return` inside a foreach closure compiles to a
+    // NonLocalReturnControl throwable — a broad catch treated every
+    // SUCCESS as a failed attempt, silently re-running the body
+    // `attempts` times (and sleeping the delays) on every call
+    var calls = 0
+    assert(Orchestrator.retry(3, 0) { calls += 1; 42 } == 42)
+    assert(calls == 1)
+
+    var flaky = 0
+    val out = Orchestrator.retry(3, 0) {
+      flaky += 1
+      if (flaky < 3) sys.error("transient")
+      "ok"
+    }
+    assert(out == "ok" && flaky == 3)
+
+    var always = 0
+    val e = intercept[RuntimeException] {
+      Orchestrator.retry(2, 0) { always += 1; sys.error("permanent") }
+    }
+    assert(e.getMessage == "permanent" && always == 2)
+  }
+
   test("Q6: ledger json_records is recounted from the artifact, so tampering shows up") {
     import org.json4s._
     val base = Files.createTempDirectory("orchQ6").toString
