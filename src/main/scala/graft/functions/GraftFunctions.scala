@@ -138,6 +138,21 @@ object GraftFunctions {
   def top_k_freq(x: Column, k: Int, capacity: Int = TopKFreq.DefaultCapacity): Column =
     c(TopKFreq(e(x), k, capacity).toAggregateExpression())
 
+  /** Single-pass bounded top-k-by-score aggregate (see [[TopKByScore]]):
+    * the scale-safe form of `row_number().over(partitionBy(g).orderBy(
+    * score.desc))` ranking — partial heaps per partition, only k entries
+    * per group cross the exchange. Returns `array<struct<id,score>>`
+    * ordered by (score desc, id asc). */
+  def top_k_by_score(id: Column, score: Column, k: Int): Column =
+    c(TopKByScore(e(id), e(score), k).toAggregateExpression())
+
+  /** `nProbe` nearest centroid ids by cosine as a pure codegen'd
+    * projection (see [[NearestCentroids]]) — IVF assignment with zero
+    * shuffles. */
+  def nearest_centroids(vec: Column, centroidIds: Seq[Long],
+      centroidVecs: Seq[Seq[Double]], nProbe: Int): Column =
+    c(NearestCentroids(e(vec), centroidIds, centroidVecs, nProbe))
+
   /** Registers the native expressions for SQL use
     * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`). */
   def register(spark: SparkSession): Unit = {

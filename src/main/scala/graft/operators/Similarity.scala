@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -33,19 +32,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-query top-k ranking of a scored candidate relation via the
+    * bounded [[graft.functions.TopKByScore]] aggregate: map-side partial
+    * heaps, only k entries per query per partition cross the exchange.
+    * The window spelling (`row_number().over(partitionBy(queryId))`)
+    * would shuffle EVERY scored row into one partition per query — with
+    * few queries the whole scored corpus lands on that many tasks.
+    * Ordering (cosine desc, id asc) is total, so the result is identical
+    * to the window's and independent of partitioning. */
+  private def rankTopK(
+      cand: DataFrame, queryId: String, corpusId: String, k: Int): DataFrame =
+    cand.groupBy(col(queryId))
+      .agg(top_k_by_score(col(corpusId), col("cosine"), k).as("__topk"))
+      .select(col(queryId), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(queryId), col("__e.id").as(corpusId),
+        col("__e.score").as("cosine"),
+        (col("__pos") + 1).cast("int").as("rank"))
+
   /** Exact top-k for a (small) set of query rows: broadcast the queries,
-    * one pass over the corpus, per-query window top-k. */
+    * one pass over the corpus, bounded per-query top-k aggregate. */
   def topKForQueries(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
     val joined = corpus.crossJoin(broadcast(queries))
       .withColumn("cosine", roundPortable(cosine_similarity(col(corpusVec), col(queryVec)), 6))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId))
-    joined.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col(queryId), col(corpusId), col("cosine"), col("__rk").as("rank"))
+    rankTopK(joined, queryId, corpusId, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
@@ -94,9 +106,12 @@ object Similarity {
     * cell-probe trade: recall grows with nProbe, cost stays
     * |corpus|·nProbe/nCentroids per query.
     *
-    * Physical shape: one broadcast cross-score against centroids (cheap:
-    * nCentroids is small) + window rank to assign; the probe join is a
-    * hash join on cluster_id.
+    * Physical shape: assignment is a PURE PROJECTION — the centroid
+    * matrix (aggregate-sized, driver-known) ships inside a codegen'd
+    * [[graft.functions.NearestCentroids]] expression, so no shuffle, no
+    * join, no corpus amplification; the probe join broadcasts the
+    * (tiny) probed-query side so the corpus never moves; the final
+    * ranking is the bounded top-k aggregate.
     */
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -108,31 +123,32 @@ object Similarity {
         * every query batch. Without it, useKMeans = true re-fits on each
         * call — fine for one-shot jobs, wasteful for repeated ones. */
       centroids: Option[DataFrame] = None): DataFrame = {
-    val centroidRel = broadcast(centroids.getOrElse(
+    val centroidRel = centroids.getOrElse(
       if (useKMeans) kmeansCentroids(corpus, corpusVec, nCentroids)
       else corpus.orderBy(col(corpusId)).limit(nCentroids)
-        .select(col(corpusId).as("centroid_id"), col(corpusVec).as("cvec"))))
+        .select(col(corpusId).as("centroid_id"), col(corpusVec).as("cvec")))
+    // collect the index to the driver: nCentroids rows by contract
+    // (aggregate-sized at any corpus scale — that is what makes IVF an
+    // index). Sorted by id for a deterministic kernel layout.
+    val centroidRows = centroidRel
+      .select(col("centroid_id").cast("long"), col("cvec")).collect()
+      .sortBy(_.getLong(0))
+    val ids = centroidRows.map(_.getLong(0)).toSeq
+    // float→double is exact, so the kernel's cosine is bit-identical to
+    // cosine_similarity against the original float centroid vectors
+    val vecs = centroidRows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toSeq).toSeq
 
-    def assign(df: DataFrame, id: String, vec: String, probes: Int, outCol: String) = {
-      val scored = df.crossJoin(centroidRel)
-        .withColumn("__sim", cosine_similarity(col(vec), col("cvec")))
-      val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("centroid_id"))
-      scored.withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= probes)
-        .drop("cvec", "__sim", "__cr")
-        .withColumnRenamed("centroid_id", outCol)
-    }
+    val assignedCorpus = corpus.withColumn("cluster_id",
+      element_at(nearest_centroids(col(corpusVec), ids, vecs, 1), 1))
+    val probedQueries = queries.withColumn("cluster_id",
+      explode(nearest_centroids(col(queryVec), ids, vecs, nProbe)))
 
-    val assignedCorpus = assign(corpus, corpusId, corpusVec, 1, "cluster_id")
-    val probedQueries = assign(queries, queryId, queryVec, nProbe, "cluster_id")
-
-    val cand = assignedCorpus.join(probedQueries, Seq("cluster_id"))
+    val cand = assignedCorpus.join(broadcast(probedQueries), Seq("cluster_id"))
       .withColumn("cosine", roundPortable(cosine_similarity(col(corpusVec), col(queryVec)), 6))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId))
-    cand.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col(queryId), col(corpusId), col("cosine"), col("__rk").as("rank"))
+    rankTopK(cand, queryId, corpusId, k)
   }
 
   /** ANN top-k via hyperplane LSH: corpus and queries bucketed with the
@@ -166,13 +182,11 @@ object Similarity {
         explode(concat(array(col("bucket")),
           transform(sequence(lit(0), lit(bits - 1)),
             b => col("bucket").bitwiseXOR(shiftL(lit(1L), b))))))
+    // broadcast the probe side (|queries|·(bits+1) rows): the bucketed
+    // corpus stays in place — no corpus shuffle for candidate generation
     val cand = bc.withColumnRenamed("bucket", "probe")
-      .join(probes, Seq("probe"))
+      .join(broadcast(probes), Seq("probe"))
       .withColumn("cosine", roundPortable(cosine_similarity(col(corpusVec), col(queryVec)), 6))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId))
-    cand.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col(queryId), col(corpusId), col("cosine"), col("__rk").as("rank"))
+    rankTopK(cand, queryId, corpusId, k)
   }
 }

@@ -81,6 +81,42 @@ class PlanShapeSpec extends SparkSpec {
       s"curation near-dup stage degraded to an all-pairs join:\n$plan")
   }
 
+  test("ANN ranking is a bounded partial+final top-k aggregate, not a per-query window") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Scan.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = Similarity.topKForQueries(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", 3).queryExecution.executedPlan.toString
+    // the window spelling shuffles every scored corpus row into one
+    // partition per query — the 100TB straggler this replaces
+    assert(!plan.contains("Window"), s"per-query window crept back:\n$plan")
+    assert("top_k_by_score".r.findAllIn(plan).length >= 2,
+      s"expected partial+final top_k_by_score aggregate:\n$plan")
+  }
+
+  test("IVF assignment is a pure projection: no cross join, one shuffle total (final rank agg)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Scan.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 3, nCentroids = 8, nProbe = 3,
+        useKMeans = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF assignment degraded to a centroid cross join:\n$plan")
+    assert(!plan.contains("Window"), s"per-query window crept back:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join should broadcast the query side:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1,
+      s"expected at most one shuffle (the final top-k agg), got $shuffles:\n$plan")
+  }
+
   test("star rollup broadcasts the dimension tables (no shuffle join for dims)") {
     val plan = graft.queries.AnalyticsQueries.revenueBySegment(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
