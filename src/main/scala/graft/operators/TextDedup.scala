@@ -255,9 +255,29 @@ object TextDedup {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
 
-    val dedupedPairs = pairs.select(col(d1Col).as("p1"), col(d2Col).as("p2"))
-      .distinct().localCheckpoint(true)
-    if (dedupedPairs.count() <= driverUnionFindLimit) {
+    // localCheckpoint with a handle on the blocks it created, so
+    // superseded snapshots can be released along the way — otherwise up
+    // to maxIter full label snapshots pile up in the block manager
+    // (round 1's measured failure mode). NOTE Dataset.unpersist would be
+    // a NO-OP here: it only uncaches CacheManager-tracked plans, while
+    // localCheckpoint persists the underlying RDD directly.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- pre)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    val (dedupedPairs, pairIds) = checkpointTracked(
+      pairs.select(col(d1Col).as("p1"), col(d2Col).as("p2")).distinct())
+    // The driver path reads ids as primitive longs — gate it on BOTH
+    // pair columns being LongType so int/string ids route to the
+    // type-generic distributed loop (same components, same schema as the
+    // input) instead of a runtime ClassCastException.
+    val bothLong = Seq(d1Col, d2Col).forall(c =>
+      pairs.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (bothLong && dedupedPairs.count() <= driverUnionFindLimit) {
       // driver union-find (path compression; representative = min id).
       // find is ITERATIVE — recursive path compression would overflow
       // the stack on a degenerate chain near the size limit.
@@ -282,25 +302,14 @@ object TextDedup {
       import spark.implicits._
       val result = nodes.toSeq.map(n => (n, find(n)))
       val out = result.toDF("node", "component")
-      dedupedPairs.unpersist()
+      release(pairIds) // collected — the checkpoint blocks are done
       return out
     }
-    // localCheckpoint with a handle on the blocks it created, so each
-    // round can release the PREVIOUS round's superseded labels —
-    // otherwise up to maxIter full label snapshots pile up in the block
-    // manager (round 1's measured failure mode).
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val pre = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.keySet.toSet -- pre)
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-
     val (edges, edgeIds) = checkpointTracked(
       dedupedPairs.select(col("p1").as("src"), col("p2").as("dst"))
         .union(dedupedPairs.select(col("p2").as("src"), col("p1").as("dst")))
         .distinct())
+    release(pairIds) // edges materialized — the pair snapshot is done
     var (labels, labelIds) = checkpointTracked(
       edges.select(col("src").as("node"))
         .distinct()

@@ -29,7 +29,10 @@ final case class CompiledSoql(
 
   private def lit(v: Any): String = v match {
     case n: Number => n.toString
-    case other => s"'${other.toString.replace("'", "\\'")}'"
+    // backslashes FIRST, then quotes (SOQL string-literal rules): a value
+    // ending in '\' would otherwise re-escape the closing quote —
+    // malformed, and in principle injectable, SOQL on the live wire
+    case other => s"'${other.toString.replace("\\", "\\\\").replace("'", "\\'")}'"
   }
 
   private def clause(f: Filter): Option[String] = f match {
