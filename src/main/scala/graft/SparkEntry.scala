@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, DedupQueries, ParityQueries, TextQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, MultimodalQueries, ParityQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2 (+ extension). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ParityQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
-      WindowQueries.queries ++ AnalyticsQueries.queries)
+      WindowQueries.queries ++ AnalyticsQueries.queries ++
+      MultimodalQueries.queries)
       .map { case (k, f) =>
         k -> { (s: SparkSession, dir: String) => f(GraftSession.configure(s), dir) }
       }
@@ -32,5 +33,6 @@ object SparkEntry {
     * rows-only check. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
-      WindowQueries.oracles ++ AnalyticsQueries.oracles
+      WindowQueries.oracles ++ AnalyticsQueries.oracles ++
+      MultimodalQueries.oracles
 }

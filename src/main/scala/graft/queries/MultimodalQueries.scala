@@ -1,0 +1,46 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal decode under the driver's hard gate.
+  *
+  * [[Multimodal.synthesizePngs]] generates REAL PNG bytes whose pixel
+  * dimensions are a pure function of the id (w = id%64+1, h = id%48+2),
+  * and [[Multimodal.decodeAndFeaturize]] decodes them with the genuine
+  * `javax.imageio` codec. The oracle re-derives the expected dimensions
+  * from id arithmetic in DuckDB — so the hash compare verifies the
+  * decode path recovered EXACTLY the encoded geometry. A silent
+  * regression to the stub codec (hash-derived fake dims) or a codec
+  * misread fails the gate; the synthesized inputs make the check
+  * deterministic with zero external files.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val nImages = 300L
+
+  val multimodalDecode: Q = (s, _) =>
+    Multimodal.decodeAndFeaturize(Multimodal.synthesizePngs(s, nImages))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
+      .orderBy(col("media_id"))
+
+  val queries: ListMap[String, Q] = ListMap(
+    "q_multimodal_decode" -> multimodalDecode)
+
+  val oracles: ListMap[String, String] = ListMap(
+    // dimensions are generator-known: decode must reproduce them exactly
+    "q_multimodal_decode" ->
+      s"""SELECT r.range AS media_id, 'image' AS kind,
+         CAST(r.range % 64 + 1 AS INTEGER) AS width,
+         CAST(r.range % 48 + 2 AS INTEGER) AS height,
+         1 AS n_frames
+         FROM range(0, $nImages) r ORDER BY media_id""")
+}

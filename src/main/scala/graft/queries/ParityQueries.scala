@@ -188,12 +188,22 @@ object ParityQueries {
   }
 
   // --- S1 via the DSv2 connector: the full spec pipeline over the
-  //     simulated remote org (rows-only — the "remote" data has no
-  //     DuckDB twin by design) ---
+  //     simulated remote org, under the HARD gate: the sim org is
+  //     deterministic, so the query snapshots the raw relation to a
+  //     fixed parquet path and the oracle aggregates the SAME rows with
+  //     ordinary SQL (the simhash-portable trick — recompute in DuckDB
+  //     what the engine computed in Spark) ---
+  /** Fixed path the q_sim_source_pipeline oracle reads back. */
+  val simOrgSnapshotDir = "/tmp/graft_sim_org_snapshot"
+
   val simSourcePipeline: Q = (s, _) => {
     val remote = s.read.format("graft.sources.v2.SalesforceSimSource")
       .option("object", "Opportunity").option("rows", "5000").load()
-    SpecAggregate.run(s, graft.spec.SpecRegistry("Opportunity"), remote)
+    // snapshot BEFORE aggregating: DuckDB re-derives the pipeline's
+    // aggregate from the identical raw rows
+    remote.coalesce(1).write.mode("overwrite").parquet(simOrgSnapshotDir)
+    round4(SpecAggregate.run(s, graft.spec.SpecRegistry("Opportunity"), remote),
+        Seq("sum_amount", "avg_amount"))
       .orderBy(col("StageName"))
   }
 
@@ -249,6 +259,16 @@ object ParityQueries {
   )
 
   val oracles: ListMap[String, String] = ListMap(
+    // DSv2 pipeline: aggregate the deterministic org snapshot the query
+    // dumped (same rows, independent engine) — puts the connector +
+    // spec-aggregate path under the hard hash gate
+    "q_sim_source_pipeline" ->
+      s"""SELECT StageName,
+         COUNT(*) AS records,
+         ${r4("COALESCE(SUM(Amount), 0.0)")} AS sum_amount,
+         ${r4("AVG(Amount)")} AS avg_amount
+         FROM read_parquet('$simOrgSnapshotDir/*.parquet')
+         GROUP BY StageName ORDER BY StageName""",
     "q_tolerant_cast" ->
       s"""SELECT o_orderpriority,
           COUNT(*) AS records,
