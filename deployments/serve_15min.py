@@ -9,10 +9,16 @@
 #
 # No-Prefect alternative: deployments/crontab.example.
 import subprocess
+from pathlib import Path
 
 from prefect import flow
 
-GRAFT_JAR = "target/scala-2.13/salesforceprefectetlpipelinespark_2.13-0.1.0-SNAPSHOT.jar"
+# resolve against this file, not the worker's CWD — a served flow may run
+# from anywhere (systemd unit, Prefect worker dir)
+GRAFT_JAR = str(
+    Path(__file__).resolve().parent.parent
+    / "target/scala-2.13/salesforceprefectetlpipelinespark_2.13-0.1.0-SNAPSHOT.jar"
+)
 
 
 @flow(name="graft-etl-orchestrator")

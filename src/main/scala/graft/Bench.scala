@@ -10,38 +10,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The per-query scratch release below unpersists localCheckpoint
-    // blocks, which logs a "lineage truncated, cannot be recomputed"
-    // WARN per block. The release is deliberate (each query fully
-    // materializes before cleanup — see the invariant note below), so
-    // the warning is noise in the bench tail: silence that logger only.
-    org.apache.logging.log4j.core.config.Configurator
-      .setLevel("org.apache.spark.rdd.MapPartitionsRDD",
-        org.apache.logging.log4j.Level.ERROR)
+    GraftSession.silenceCheckpointReleaseWarns()
     // Warm the session (codegen compiler, parquet footer reads, shuffle
     // machinery) so the first timed query doesn't absorb JVM spin-up.
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => }
-    val sc = spark.sparkContext
 
-    // One timed execution + scratch cleanup. INVARIANT: the query is
-    // fully materialized (count()) before any block is released, and the
-    // release touches ONLY RDDs persisted during this run — cross-query
-    // cached state (if a future query ever kept any) stays untouched.
-    // The dedup queries materialize intermediates via localCheckpoint;
-    // those blocks are per-query scratch, and releasing them (outside
-    // the timed region) keeps a 46-query session from accumulating
-    // block-manager pressure that distorts later timings (observed:
-    // same query 8 s fresh vs 40+ s after five checkpointing queries).
-    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val pre = sc.getPersistentRDDs.keySet.toSet
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      val elapsed = (System.nanoTime() - t0) / 1e9 // capture BEFORE cleanup
-      (sc.getPersistentRDDs.keySet.toSet -- pre)
-        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      elapsed
-    }
+    // One timed execution; the query is fully materialized (count())
+    // before GraftSession.releasingScratch releases the blocks it
+    // persisted (localCheckpoint scratch of the dedup/similarity
+    // queries), outside the captured time — so a 46-query session never
+    // accumulates block-manager pressure that distorts later timings
+    // (observed: same query 8 s fresh vs 40+ s after five checkpointing
+    // queries).
+    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      GraftSession.releasingScratch(spark) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
 
     // min-of-2 per query: the first execution of a new expression family
     // pays one-time costs (Janino compile of large generated classes,

@@ -28,6 +28,31 @@ object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", math.max(cores, 1)).getOrCreate()
 
+  /** Runs `body`, then releases every RDD persisted DURING it (the
+    * localCheckpoint scratch the dedup/similarity operators materialize).
+    * Scoped by snapshot-diff: pre-existing persisted state is untouched,
+    * so callers keeping genuine cross-query caches are safe. Release runs
+    * in a finally — a failed query must not leak its scratch blocks into
+    * the sessions that follow (the round-1 block-pressure failure mode).
+    * Shared by Bench / Verify / ScaleBench; TextDedup's per-round
+    * checkpointTracked/release is the finer-grained sibling. */
+  def releasingScratch[T](spark: SparkSession)(body: => T): T = {
+    val sc = spark.sparkContext
+    val pre = sc.getPersistentRDDs.keySet.toSet
+    try body
+    finally (sc.getPersistentRDDs.keySet.toSet -- pre)
+      .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
+  /** The deliberate scratch release above logs a "lineage truncated,
+    * cannot be recomputed" WARN per localCheckpoint block — noise when
+    * the release is by design (every consumer is done). Silences exactly
+    * that logger; call once per CLI main. */
+  def silenceCheckpointReleaseWarns(): Unit =
+    org.apache.logging.log4j.core.config.Configurator
+      .setLevel("org.apache.spark.rdd.MapPartitionsRDD",
+        org.apache.logging.log4j.Level.ERROR)
+
   /** Applies the engine-required SQL confs to an externally-built session
     * (used by Verify/Bench whose session shape is driver-imposed). */
   def configure(spark: SparkSession): SparkSession = {

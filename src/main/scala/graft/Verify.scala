@@ -14,25 +14,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Deliberate localCheckpoint release below → silence its per-block
-    // WARN (see Bench.scala note).
-    org.apache.logging.log4j.core.config.Configurator
-      .setLevel("org.apache.spark.rdd.MapPartitionsRDD",
-        org.apache.logging.log4j.Level.ERROR)
+    GraftSession.silenceCheckpointReleaseWarns()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      // Scratch release is scoped to RDDs persisted by THIS query (the
-      // write above fully materializes it first) — cross-query cached
-      // state, if any future query kept some, stays untouched.
-      val pre = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // the write fully materializes the query before releasingScratch
+      // frees the blocks it persisted; pre-existing state is untouched
+      GraftSession.releasingScratch(spark) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-      (spark.sparkContext.getPersistentRDDs.keySet.toSet -- pre)
-        .foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
-          .foreach(_.unpersist(false)))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -52,29 +52,24 @@ case class NearestCentroids(
     case _ => false
   }
 
-  // flat matrix + per-centroid squared norms, precomputed once per task
+  // flat centroid matrix, materialized once per task
   @transient lazy val kernel: NearestCentroids.Kernel = {
     val dim = centroidVecs.head.length
     require(centroidVecs.forall(_.length == dim),
       s"ragged centroid matrix: expected uniform dim $dim")
     val flat = new Array[Double](centroidVecs.length * dim)
-    val norms = new Array[Double](centroidVecs.length)
     var c = 0
     while (c < centroidVecs.length) {
       val v = centroidVecs(c)
       var i = 0
-      var n2 = 0.0
       while (i < dim) {
-        val x = v(i)
-        flat(c * dim + i) = x
-        n2 += x * x
+        flat(c * dim + i) = v(i)
         i += 1
       }
-      norms(c) = n2
       c += 1
     }
     new NearestCentroids.Kernel(
-      centroidIds.toArray, flat, norms, dim, nProbe, elemIsFloat)
+      centroidIds.toArray, flat, dim, nProbe, elemIsFloat)
   }
 
   override def nullSafeEval(v: Any): Any = kernel.compute(v.asInstanceOf[ArrayData])
@@ -99,7 +94,6 @@ object NearestCentroids {
   final class Kernel(
       val ids: Array[Long],
       val flat: Array[Double],
-      val norms: Array[Double],
       val dim: Int,
       val nProbe: Int,
       val childIsFloat: Boolean) extends Serializable {
@@ -107,13 +101,18 @@ object NearestCentroids {
     def compute(vec: ArrayData): ArrayData = {
       val nC = ids.length
       val n = math.min(vec.numElements(), dim)
-      // query norm once (CosineSimilarity accumulates na per pair; the
-      // value is identical — same additions in the same order)
       val sims = new Array[Double](nC)
       var c = 0
       while (c < nC) {
+        // the EXACT per-pair fold CosineSimilarity runs — dot/na/nb
+        // accumulated together over i < min(len), skipping null input
+        // elements — so short or null-holed vectors still assign
+        // identically to scoring the centroid relation (the invariant
+        // the q_ann_ivf_topk oracle relies on); a precomputed centroid
+        // norm would diverge exactly there
         var dot = 0.0
         var na = 0.0
+        var nb = 0.0
         val base = c * dim
         var i = 0
         while (i < n) {
@@ -122,13 +121,12 @@ object NearestCentroids {
             val y = flat(base + i)
             dot += x * y
             na += x * x
+            nb += y * y
           }
           i += 1
         }
-        // norms(c) sums ALL dim elements; for null-free vecs of length
-        // dim this equals CosineSimilarity's pairwise nb exactly
-        sims(c) = if (na == 0.0 || norms(c) == 0.0) 0.0
-          else dot / (math.sqrt(na) * math.sqrt(norms(c)))
+        sims(c) = if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
         c += 1
       }
       // selection by (sim desc, id asc): k is small (nProbe ≤ centroids,

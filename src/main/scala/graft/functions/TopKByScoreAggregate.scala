@@ -101,8 +101,11 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Any)]): Any = {
-    // dequeueAll drains worst-first → reverse for best-first output
-    val drained = buf.dequeueAll
+    // NON-mutating: eval must leave the buffer intact — as a window
+    // function a running frame calls eval repeatedly on the same live
+    // buffer, and draining it would forget every earlier entry. Drain a
+    // clone (worst-first) and reverse for best-first output.
+    val drained = buf.clone().dequeueAll
     val n = drained.length
     val rows = new Array[Any](n)
     var i = 0

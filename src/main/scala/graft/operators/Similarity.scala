@@ -131,12 +131,27 @@ object Similarity {
     // (aggregate-sized at any corpus scale — that is what makes IVF an
     // index). Sorted by id for a deterministic kernel layout.
     val centroidRows = centroidRel
-      .select(col("centroid_id").cast("long"), col("cvec")).collect()
-      .sortBy(_.getLong(0))
+      .select(col("centroid_id").cast("long"), col("cvec"))
+      .filter(col("cvec").isNotNull).collect()
+      .sortBy { r =>
+        require(!r.isNullAt(0),
+          "ivfTopK: centroid_id must be non-null and long-castable " +
+            "(string ids need a numeric surrogate)")
+        r.getLong(0)
+      }
+    if (centroidRows.isEmpty) // empty corpus / all-null index → empty result
+      return queries.limit(0).crossJoin(corpus.limit(0))
+        .select(col(queryId), col(corpusId),
+          lit(0.0).as("cosine"), lit(1).as("rank"))
     val ids = centroidRows.map(_.getLong(0)).toSeq
     // float→double is exact, so the kernel's cosine is bit-identical to
-    // cosine_similarity against the original float centroid vectors
+    // cosine_similarity against the original float centroid vectors.
+    // Null ELEMENTS inside a centroid become 0.0 (contributing nothing
+    // to dot/nb; cosine_similarity would also skip the position's na —
+    // a documented, vanishingly-rare divergence only for null-holed
+    // centroid vectors; k-means centroids are always dense)
     val vecs = centroidRows.map(_.getSeq[Any](1).map {
+      case null => 0.0
       case f: Float => f.toDouble
       case d: Double => d
     }.toSeq).toSeq

@@ -374,6 +374,20 @@ object TextDedup {
     * cos = 0.5 and sharper above. Planes are seeded literals: plans are
     * deterministic across runs and executors.
     */
+  /** SRP bucket width for an expected per-bucket population near
+    * `targetBucketSize`: buckets per table = 2^bits, so bits =
+    * ceil(log2(n / target)). THE SCALE KNOB of [[embeddingNearDupPairsLsh]]:
+    * in-bucket candidate work is B²/2 per bucket, so a FIXED bits value
+    * degrades quadratically as the corpus grows (measured: defaults
+    * bits=4 went 1.1 s → 46 s on a 10× corpus; bits from this helper
+    * restore near-linear growth). Fewer bits per table lower per-table
+    * recall; compensate with `tables` (recall = 1 − (1 − pᵇ)ᵗ,
+    * p = 1 − θ/π). Clamped to [1, 30]. */
+  def srpBitsFor(n: Long, targetBucketSize: Int = 64): Int =
+    math.min(30, math.max(1,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
+        math.log(2.0)).toInt))
+
   def embeddingNearDupPairsLsh(
       vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 32,

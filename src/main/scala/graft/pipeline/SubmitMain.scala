@@ -35,10 +35,27 @@ import graft.sources.Scan
   */
 object SubmitMain {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+  private val knownFlags = Set("object", "base-dir", "sf-dir", "table",
+    "rows", "limit", "timestamp-raw", "fail-on-qa", "iterations",
+    "interval-ms", "master")
+
+  /** Strict `--flag value` parsing: a deployment entry must fail loudly
+    * on a typo'd flag, a forgotten value, or a flag where a value should
+    * be — silently dropping an argument turns a misconfigured cron into
+    * a silently-default pipeline. */
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"arguments must be --flag value pairs, got odd count: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--"), s"expected --flag, got '$k'")
+        require(!v.startsWith("--"), s"flag $k is missing its value (next token: '$v')")
+        val key = k.drop(2)
+        require(knownFlags(key),
+          s"unknown flag --$key (known: ${knownFlags.toSeq.sorted.mkString(", ")})")
+        key -> v
     }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
@@ -76,27 +93,31 @@ object SubmitMain {
       timestampRaw = a.getOrElse("timestamp-raw", "true").toBoolean,
       failOnQaError = a.getOrElse("fail-on-qa", "false").toBoolean)
 
-    val report = ScheduledRunner.runEvery(
-      spark, objectName, source, baseDir,
-      intervalMs = a.getOrElse("interval-ms", "0").toLong,
-      iterations = a.getOrElse("iterations", "1").toInt,
-      opts = opts)
-
-    // Two-tier exit semantics mirroring the orchestrator's error policy:
-    // strict tasks (extract/process/load/gate) failing always fail the
-    // deployment; advisory QA failures only do under --fail-on-qa.
-    val strict = Set("start_gate", "extract", "process", "load_json")
-    val anyFailed = report.runs.exists(_.taskStates.exists { case (task, state) =>
-      state == "FAILED" && (strict(task) || opts.failOnQaError)
-    })
-    report.runs.foreach { r =>
-      println(s"""{"object":"${r.objectName}","run_id":"${r.runId}",""" +
-        s""""raw_rows":${r.rawRows},"processed_rows":${r.processedRows},""" +
-        s""""json_records":${r.jsonRecords},""" +
-        s""""states":"${r.taskStates.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",")}",""" +
-        s""""duration_sec":${r.durationSeconds}}""")
+    // Exit semantics delegate to the orchestrator's two-tier error
+    // policy: Orchestrator.run THROWS on strict-task failure (and on QA
+    // failure when failOnQaError) — any report that returns normally
+    // carries at most advisory QA FAILED states, which by policy do not
+    // fail the deployment. So: exception → controlled exit 1; normal
+    // return → report lines + exit 0.
+    try {
+      val report = ScheduledRunner.runEvery(
+        spark, objectName, source, baseDir,
+        intervalMs = a.getOrElse("interval-ms", "0").toLong,
+        iterations = a.getOrElse("iterations", "1").toInt,
+        opts = opts)
+      report.runs.foreach { r =>
+        println(s"""{"object":"${r.objectName}","run_id":"${r.runId}",""" +
+          s""""raw_rows":${r.rawRows},"processed_rows":${r.processedRows},""" +
+          s""""json_records":${r.jsonRecords},""" +
+          s""""states":"${r.taskStates.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",")}",""" +
+          s""""duration_sec":${r.durationSeconds}}""")
+      }
+      spark.stop()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft submit] pipeline failed: $e")
+        spark.stop()
+        sys.exit(1)
     }
-    spark.stop()
-    if (anyFailed) sys.exit(1)
   }
 }

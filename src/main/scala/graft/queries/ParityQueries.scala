@@ -199,10 +199,14 @@ object ParityQueries {
   val simSourcePipeline: Q = (s, _) => {
     val remote = s.read.format("graft.sources.v2.SalesforceSimSource")
       .option("object", "Opportunity").option("rows", "5000").load()
-    // snapshot BEFORE aggregating: DuckDB re-derives the pipeline's
-    // aggregate from the identical raw rows
+    // One extract through the connector → parquet raw zone (the
+    // reference's extract step), then aggregate the read-back snapshot:
+    // the connector runs ONCE, and Spark and DuckDB aggregate the
+    // IDENTICAL bytes. Path is fixed so the dumped oracle SQL can name
+    // it (single-session use, like the orchestrator's artifact dirs).
     remote.coalesce(1).write.mode("overwrite").parquet(simOrgSnapshotDir)
-    round4(SpecAggregate.run(s, graft.spec.SpecRegistry("Opportunity"), remote),
+    round4(SpecAggregate.run(s, graft.spec.SpecRegistry("Opportunity"),
+        s.read.parquet(simOrgSnapshotDir)),
         Seq("sum_amount", "avg_amount"))
       .orderBy(col("StageName"))
   }
