@@ -195,5 +195,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_signature",
       { exprs => arity("minhash_signature", exprs, 2, 2)
         MinHashSignature(exprs.head, intLit("minhash_signature", exprs(1))) }, "built-in")
+    // aggregate: SELECT g, top_k_by_score(id, score, 3) FROM t GROUP BY g
+    // (the analyzer wraps the returned AggregateFunction)
+    reg.createOrReplaceTempFunction("top_k_by_score",
+      { exprs => arity("top_k_by_score", exprs, 3, 3)
+        TopKByScore(exprs.head, exprs(1), intLit("top_k_by_score", exprs(2)))
+          .toAggregateExpression() }, "built-in")
   }
 }

@@ -55,6 +55,13 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(intercept[Exception] {
       spark.sql("SELECT word_shingles('a b', CAST(rand() * 3 AS INT))").head
     }.getMessage.contains("literal"))
+    // the bounded top-k aggregate registers as a SQL aggregate
+    val topk = spark.sql(
+      """SELECT top_k_by_score(id, score, 2) AS t FROM VALUES
+           (1L, 0.5D), (2L, 0.9D), (3L, 0.7D) AS s(id, score)""")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(e => (e.getLong(0), e.getDouble(1)))
+    assert(topk == Seq((2L, 0.9), (3L, 0.7)))
   }
 
   test("simhash64 is deterministic and separates disjoint token sets") {
