@@ -14,12 +14,20 @@ import org.apache.spark.sql.functions._
   *
   * Image decoding is REAL — `javax.imageio` ([[ImageIoCodec]]), the
   * JDK's built-in codec, with [[synthesizePngs]] generating genuine PNG
-  * bytes to exercise it. Audio/video decoding is a STUB — this container
-  * (and the JDK) ships no audio/video codecs — implemented as a
-  * deterministic fake ([[StubCodec]]) so the Spark-side plumbing
-  * (schema, partitioning, batch shape, downstream joins into the
-  * similarity stack) is real and tested end-to-end. Swap [[StubCodec]]
-  * for a real codec (e.g. javacv) without touching any plumbing.
+  * bytes to exercise it. Audio decoding is REAL too —
+  * `javax.sound.sampled` ([[JavaSoundCodec]]), the JDK's built-in WAV/
+  * AIFF/AU reader, with [[synthesizeWavs]] generating genuine PCM WAV
+  * bytes. Only VIDEO decoding is a stub — the JDK ships no video codec —
+  * implemented as a deterministic fake ([[StubCodec]]) so the Spark-side
+  * plumbing (schema, partitioning, batch shape, downstream joins into
+  * the similarity stack) is real and tested end-to-end. Swap
+  * [[StubCodec]] for a real codec (e.g. javacv) without touching any
+  * plumbing.
+  *
+  * [[MediaFeatures]] dimension mapping is modality-specific: images use
+  * (width, height, n_frames = 1); audio uses (width = sample rate,
+  * height = channels, n_frames = sample frames); stubbed video keeps
+  * hash-derived dims with duration-derived frame count.
   */
 object Multimodal {
 
@@ -106,6 +114,82 @@ object Multimodal {
         }
   }
 
+  /** REAL audio codec — `javax.sound.sampled` (JDK-builtin Java Sound,
+    * zero new deps): decodes WAV/AIFF/AU bytes to actual sample rate /
+    * channels / frame count and a 16-bin absolute-amplitude histogram
+    * over the decoded 16-bit PCM samples (L2-normalized, same shape as
+    * the other codecs' features). Returns None when the bytes aren't a
+    * parseable audio stream — per-record resilience, caller falls back
+    * to the stub (same contract as [[ImageIoCodec]]). */
+  object JavaSoundCodec {
+    def tryDecode(content: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      scala.util.Try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+          val nSamples = bytes.length / bytesPerSample
+          val acc = new Array[Float](FeatureDim)
+          var i = 0
+          while (i < nSamples) {
+            // 16-bit PCM little/big-endian per the stream format
+            val sample: Int =
+              if (bytesPerSample == 2) {
+                val b0 = bytes(i * 2)
+                val b1 = bytes(i * 2 + 1)
+                if (fmt.isBigEndian) (b0 << 8) | (b1 & 0xff)
+                else (b1 << 8) | (b0 & 0xff)
+              } else java.lang.Byte.toUnsignedInt(bytes(i)) - 128
+            val mag = math.min(math.abs(sample), 32767)
+            acc(mag * FeatureDim / 32768) += 1f
+            i += 1
+          }
+          val norm = math.sqrt(acc.map(v => v.toDouble * v).sum).toFloat
+          val feats = if (norm == 0f) acc else acc.map(_ / norm)
+          val frames = (in.getFrameLength match {
+            case n if n >= 0 => n
+            case _ => nSamples / math.max(1, fmt.getChannels)
+          }).toInt
+          (fmt.getSampleRate.toInt, fmt.getChannels, frames, feats)
+        } finally in.close()
+      }.toOption
+  }
+
+  /** Deterministic synthetic table of REAL WAV files, generated
+    * distributively like [[synthesizePngs]]: audio id → mono 16-bit PCM
+    * at 8 kHz, `id % 50 + 10` ms of a 220·(id%8+1) Hz sine, encoded by
+    * the JDK WAV writer. Frame count is id-derivable
+    * (8000·(id%50+10)/1000 = (id%50+10)·8), so the decode path can be
+    * oracled exactly like the PNG dimensions. */
+  def synthesizeWavs(spark: SparkSession, n: Long, partitions: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val sampleRate = 8000f
+        val ms = (id % 50 + 10).toInt
+        val nFrames = (sampleRate * ms / 1000).toInt
+        val freq = 220.0 * (id % 8 + 1)
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          val v = (math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toInt
+          pcm(i * 2) = (v & 0xff).toByte
+          pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, "audio", bos.toByteArray, "audio/wav", ms.toLong)
+      }
+    }.toDF()
+  }
+
   /** Deterministic synthetic table of REAL PNG files, generated
     * distributively (mapPartitions over a range — the encoder init is
     * per-partition, like any real codec): image id → (id%64+1)×(id%48+2)
@@ -161,15 +245,22 @@ object Multimodal {
       .mapPartitions { batch =>
         // per-partition init happens here (codec handles, model weights…)
         batch.map { m =>
-          val decoded = if (m.kind == "image") ImageIoCodec.tryDecode(m.content) else None
-          decoded match {
-            case Some((w, h, feats)) =>
-              MediaFeatures(m.media_id, m.kind, w, h, 1, feats)
-            case None => // non-image kinds + undecodable bytes → stub
-              val (w, h) = StubCodec.decodeDims(m.content)
-              MediaFeatures(m.media_id, m.kind, w, h,
-                StubCodec.frameCount(m.kind, m.duration_ms),
-                StubCodec.features(m.content))
+          val real: Option[MediaFeatures] = m.kind match {
+            case "image" => ImageIoCodec.tryDecode(m.content).map {
+              case (w, h, feats) => MediaFeatures(m.media_id, m.kind, w, h, 1, feats)
+            }
+            case "audio" => JavaSoundCodec.tryDecode(m.content).map {
+              // modality mapping: width = sample rate, height = channels
+              case (rate, ch, frames, feats) =>
+                MediaFeatures(m.media_id, m.kind, rate, ch, frames, feats)
+            }
+            case _ => None // video: no JDK codec — stub below
+          }
+          real.getOrElse { // stub: video + undecodable bytes
+            val (w, h) = StubCodec.decodeDims(m.content)
+            MediaFeatures(m.media_id, m.kind, w, h,
+              StubCodec.frameCount(m.kind, m.duration_ms),
+              StubCodec.features(m.content))
           }
         }
       }
