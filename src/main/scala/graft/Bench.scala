@@ -42,7 +42,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also land the metrics as a FILE so the bench is machine-readable
+    // without scraping [info]-prefixed sbt stdout (overridable path)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

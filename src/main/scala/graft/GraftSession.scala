@@ -28,6 +28,29 @@ object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", math.max(cores, 1)).getOrCreate()
 
+  /** Shuffle-partition count that tracks input size — SCALE.md knob #2
+    * (the measured 100× fix: per-task shuffle/agg state stays
+    * heap-bounded only when partitions grow with rows; fixed-width
+    * shuffles OOM'd the candidate-distinct at 100×). One partition per
+    * `rowsPerPartition` input rows, floored at `cores` (full parallelism
+    * on small inputs) and capped at 6 tasks/core — measured: past ~6
+    * tasks/core single-JVM scheduling overhead dominates (11.7 s →
+    * 55.8 s for the same sweep at 800 partitions). On a real cluster
+    * `cores` is the executor-core total, so the cap scales with the
+    * fleet. Operators consume this via their `numPartitions` default —
+    * explicit repartition-by-key nodes, so the width binds in the plan
+    * (a session-conf set inside a lazily-evaluated operator would not). */
+  def partitionsFor(nRows: Long, cores: Int,
+      rowsPerPartition: Long = 2500L): Int = {
+    val floor = math.max(1, cores)
+    val byRows = nRows / math.max(1L, rowsPerPartition)
+    math.max(floor.toLong, math.min(6L * floor, byRows)).toInt
+  }
+
+  /** [[partitionsFor]] with cores from the session. */
+  def partitionsFor(spark: SparkSession, nRows: Long): Int =
+    partitionsFor(nRows, spark.sparkContext.defaultParallelism)
+
   /** Runs `body`, then releases every RDD persisted DURING it (the
     * localCheckpoint scratch the dedup/similarity operators materialize).
     * Scoped by snapshot-diff: pre-existing persisted state is untouched,

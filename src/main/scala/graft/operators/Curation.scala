@@ -38,7 +38,10 @@ object Curation {
       maxBucketSize: Int = 100,
       /** Rounds budget for [[curateClusters]]' component clustering:
         * must exceed the deepest duplicate chain's diameter + 1. */
-      componentsMaxIter: Int = 20)
+      componentsMaxIter: Int = 20,
+      /** LSH shuffle width; None = sized to the surviving corpus
+        * ([[graft.GraftSession.partitionsFor]] via [[TextDedup.minhashLsh]]). */
+      numPartitions: Option[Int] = None)
 
   /** Stages 1-3 (deterministic, SQL-expressible — oracle-checked as
     * `q_curation_filter`). Returns the surviving docs with their
@@ -73,7 +76,8 @@ object Curation {
       .localCheckpoint(true)
     val nearDups = TextDedup.minhashLsh(
       surviving, idCol, textCol, n = cfg.shingleSize,
-      threshold = cfg.nearDupThreshold, maxBucketSize = cfg.maxBucketSize)
+      threshold = cfg.nearDupThreshold, maxBucketSize = cfg.maxBucketSize,
+      numPartitions = cfg.numPartitions)
     (surviving, nearDups)
   }
 

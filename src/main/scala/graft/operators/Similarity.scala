@@ -78,17 +78,32 @@ object Similarity {
     vecs.withColumn("bucket", bucket)
   }
 
-  /** K-means centroids for the IVF index (`spark.ml` KMeans over the
-    * corpus vectors, fixed seed). Returns (centroid_id, cvec) rows —
-    * nCentroids of them, aggregate-sized, built for broadcasting. At
-    * 100 TB fit on a sample; the centroid count stays driver-sized
-    * either way. */
-  def kmeansCentroids(
-      corpus: DataFrame, vecCol: String, nCentroids: Int,
-      seed: Long = 42L, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
+  /** The k-means fit input, bounded: at 100 TB an unbounded fit would
+    * pass the FULL corpus `maxIter` times; the cap keeps the fit to one
+    * bounded read (limit short-circuits the scan). Centroid choice only
+    * shapes cell balance — IVF exactness comes from the probe/rank
+    * stages — so a bounded fit never changes result correctness, and an
+    * uneven sample costs at most some recall at small nProbe.
+    * `Int.MaxValue` opts into the full-corpus fit. */
+  private[operators] def fitInput(
+      corpus: DataFrame, vecCol: String, sampleRows: Int): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val feats = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    if (sampleRows == Int.MaxValue) feats else feats.limit(sampleRows)
+  }
+
+  /** K-means centroids for the IVF index (`spark.ml` KMeans over the
+    * corpus vectors, fixed seed). Returns (centroid_id, cvec) rows —
+    * nCentroids of them, aggregate-sized, built for broadcasting. The
+    * fit reads at most `sampleRows` vectors ([[fitInput]]) so the
+    * DEFAULT path does one bounded pass at any corpus scale; the
+    * centroid count stays driver-sized either way. */
+  def kmeansCentroids(
+      corpus: DataFrame, vecCol: String, nCentroids: Int,
+      seed: Long = 42L, maxIter: Int = 20,
+      sampleRows: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val feats = fitInput(corpus, vecCol, sampleRows)
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setMaxIter(maxIter).setFeaturesCol("features").fit(feats)
     val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>

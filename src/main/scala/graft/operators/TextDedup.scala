@@ -105,7 +105,15 @@ object TextDedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.7,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      /** Width of the banding/candidate shuffles. Default = sized to the
+        * corpus ([[graft.GraftSession.partitionsFor]]) — SCALE.md knob
+        * #2: at a fixed width the per-task state of the bucket aggregate
+        * and the candidate-distinct grows linearly with the corpus (the
+        * measured 100× OOM); tracking rows keeps it bounded. Applied as
+        * explicit repartition-by-key nodes so the width binds in the
+        * plan regardless of session conf. */
+      numPartitions: Option[Int] = None): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     // Docs with no shingles (< n tokens) would all share the identical
@@ -122,12 +130,24 @@ object TextDedup {
     val sigs = withMinhashSignature(signable, k)
       .localCheckpoint(true)
     val shingled = sigs.select(col(idCol), col("shingles"))
+    // count on the just-materialized checkpoint — no extra input pass
+    val p = numPartitions.getOrElse(
+      graft.GraftSession.partitionsFor(docs.sparkSession, sigs.count()))
 
-    val bucketed = capBuckets(withBands(sigs, idCol, bands, r), maxBucketSize)
+    // repartition BEFORE capBuckets: the sizes aggregate, the cap join
+    // and the candidate self-join all cluster on (band, bh), so one
+    // corpus-sized exchange serves all three (ReuseExchange dedups the
+    // two sides' identical subtrees).
+    val bucketed = capBuckets(
+      withBands(sigs, idCol, bands, r).repartition(p, col("band"), col("bh")),
+      maxBucketSize)
     val cand = bucketed.select(col(idCol).as("d1"), col("band"), col("bh"))
       .join(bucketed.select(col(idCol).as("d2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+      .select("d1", "d2")
+      // cluster the dedup on the pair key at the scaled width — the
+      // fixed-width distinct was the measured 100× OOM site
+      .repartition(p, col("d1"), col("d2")).distinct()
 
     // verify candidates with exact Jaccard on the (small) shingle arrays
     val sets = shingled.select(col(idCol), col("shingles"))
@@ -185,6 +205,18 @@ object TextDedup {
         * linearly with the corpus, so the cap is what keeps the join
         * candidate-bounded. Capping forfeits the pigeonhole EXACTNESS
         * for pairs whose only shared chunk was hot. */
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    simhashPairsFromFingerprints(
+      docs.select(col(idCol), fingerprint(split(col(textCol), " ")).as("fp")),
+      idCol, "fp", chunks, maxHamming, maxBucketSize)
+
+  /** The chunk-pigeonhole pair search over an already-computed
+    * `(id, fingerprint)` relation — the [[simhashPairs]] back half, public
+    * so a caller can materialize the fingerprints (e.g. snapshot them for
+    * an external checker) and still run the identical join machinery. */
+  def simhashPairsFromFingerprints(
+      fps: DataFrame, idCol: String, fpCol: String,
+      chunks: Int = 4, maxHamming: Int = 3,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // chunks=1 would compute mask via 1L<<64 (wraps to mask 0: every doc
     // in one bucket → full cross product) and implies maxHamming<=0;
@@ -195,8 +227,7 @@ object TextDedup {
     // ≤ chunks-1 ⇒ some chunk equal — the default 4/3 config), otherwise
     // approximate (pairs differing in every chunk are never candidates).
     // Fingerprints feed both sides of the chunk self-join — materialize.
-    val fp = docs.select(col(idCol),
-      fingerprint(split(col(textCol), " ")).as("fp"))
+    val fp = fps.select(col(idCol), col(fpCol).as("fp"))
       .localCheckpoint(true)
     val w = 64 / chunks
     val chunked = fp.select(col(idCol), col("fp"),
@@ -390,9 +421,18 @@ object TextDedup {
 
   def embeddingNearDupPairsLsh(
       vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 4, tables: Int = 32,
-      seed: Long = 42L, dim: Int = -1): DataFrame = {
-    require(bits >= 1 && bits <= 30, s"bits=$bits out of range")
+      threshold: Double,
+      /** Bucket width per table. Default (-1) sizes it to the corpus via
+        * [[srpBitsFor]] — the measured r3 quadratic-blowup fix promoted
+        * to the DEFAULT path: a fixed bits value degrades B²/2-per-bucket
+        * as the corpus grows. Explicit values keep exact caller control. */
+      bits: Int = -1, tables: Int = 32,
+      seed: Long = 42L, dim: Int = -1,
+      /** Width of the bucket/candidate shuffles; default sized to the
+        * corpus ([[graft.GraftSession.partitionsFor]]) — same knob as
+        * [[minhashLsh]]'s. */
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(bits == -1 || (bits >= 1 && bits <= 30), s"bits=$bits out of range")
     val planeDim =
       if (dim > 0) dim
       else vecs.select(size(col(vecCol)).as("__d"))
@@ -401,6 +441,10 @@ object TextDedup {
         case _ => return vecs.limit(0).select(
           col(idCol).as("d1"), col(idCol).as("d2"), lit(0.0).as("cosine"))
       }
+    // One count serves both auto-knobs (bucket bits + shuffle width);
+    // parquet-backed counts are footer-stat cheap.
+    lazy val nVecs = vecs.count()
+    val useBits = if (bits == -1) srpBitsFor(nVecs) else bits
     // All tables×bits planes ship as ONE 2-D literal (allPlanes[t*bits+i]
     // = table t, bit i) and the bucket math is a compact nested HOF over
     // it — NOT tables×bits separate dot_product nodes each carrying its
@@ -408,24 +452,30 @@ object TextDedup {
     // magnitude and makes Janino compilation (per side of the self-join)
     // dominate the query. Same planes, same order → identical buckets.
     val allPlanes = typedLit((0 until tables).flatMap(t =>
-      Similarity.hyperplanes(planeDim, bits, seed + t)))
+      Similarity.hyperplanes(planeDim, useBits, seed + t)))
     val tb = transform(sequence(lit(0), lit(tables - 1)), t =>
       struct(t.as("t"),
-        aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
+        aggregate(sequence(lit(0), lit(useBits - 1)), lit(0),
           (acc, i) => acc + when(
-            dot_product(col(vecCol), element_at(allPlanes, t * bits + i + 1)) >= 0,
+            dot_product(col(vecCol), element_at(allPlanes, t * useBits + i + 1)) >= 0,
             shiftL(lit(1), i).cast("int")).otherwise(lit(0))).as("bkt")))
+    val p = numPartitions.getOrElse(
+      graft.GraftSession.partitionsFor(vecs.sparkSession, nVecs))
     // The bucket projection feeds BOTH sides of the candidate self-join —
     // materialize it once (the sibling operators' pattern) so the
-    // tables×bits dot products aren't recomputed per side.
+    // tables×bits dot products aren't recomputed per side. Repartitioned
+    // on the bucket key at the scaled width: the self-join clusters on
+    // (t, bkt) with no further exchange (ReuseExchange dedups the sides).
     val bucketed = vecs.select(col(idCol), explode(tb).as("tb"))
       .select(col(idCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
       .localCheckpoint(true)
+      .repartition(p, col("t"), col("bkt"))
     val cand = bucketed.select(col(idCol).as("d1"), col("t"), col("bkt"))
       .join(bucketed.select(col(idCol).as("d2"), col("t"), col("bkt")),
         Seq("t", "bkt"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+      .select("d1", "d2")
+      .repartition(p, col("d1"), col("d2")).distinct()
     cand
       .join(vecs.select(col(idCol).as("d1"), col(vecCol).as("v1")), Seq("d1"))
       .join(vecs.select(col(idCol).as("d2"), col(vecCol).as("v2")), Seq("d2"))

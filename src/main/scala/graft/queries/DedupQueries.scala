@@ -9,10 +9,11 @@ import graft.operators.{Similarity, TextDedup}
 import graft.sources.Scan
 
 /** Dedup + similarity-search extension queries over `documents` /
-  * `embeddings`. SQL-expressible entries carry DuckDB oracles; the
-  * hash-based ones (minhash/simhash — xxhash64 has no DuckDB twin) are
-  * deterministic rows-only entries whose semantics are covered by
-  * ScalaTest against planted duplicates.
+  * `embeddings`. Every entry carries a DuckDB oracle: SQL-expressible
+  * ones directly; the hash-based ones (minhash/simhash — xxhash64 has no
+  * DuckDB twin) through an equivalence the oracle can check instead
+  * (minhash-LSH ≡ exact Jaccard while recall holds; simhash chunk join ≡
+  * exact hamming over a fingerprint snapshot by pigeonhole).
   */
 object DedupQueries {
 
@@ -55,10 +56,26 @@ object DedupQueries {
     TextDedup.connectedComponents(pairs).orderBy(col("node"))
   }
 
-  val simhashPairs: Q = (s, dir) =>
-    TextDedup.simhashPairs(Scan.table(s, dir, "documents"), "doc_id", "text",
+  /** Fixed path the q_simhash_pairs oracle reads back (single-session
+    * use, like the sim-org snapshot). */
+  val simhashFpSnapshotDir = "/tmp/graft_simhash_fp_snapshot"
+
+  /** xxhash64 simhash has no DuckDB twin, so the fingerprint bytes are
+    * snapshotted to parquet and the oracle derives the pair set by exact
+    * all-pairs hamming over the SAME bytes — which the engine's
+    * pigeonhole chunk join provably equals while maxHamming < chunks.
+    * That puts the fast-path join machinery under the hard hash gate
+    * even though the hash itself is engine-specific. */
+  val simhashPairs: Q = (s, dir) => {
+    import graft.functions.GraftFunctions.simhash64
+    Scan.table(s, dir, "documents")
+      .select(col("doc_id"), simhash64(split(col("text"), " ")).as("fp"))
+      .coalesce(1).write.mode("overwrite").parquet(simhashFpSnapshotDir)
+    TextDedup.simhashPairsFromFingerprints(
+        s.read.parquet(simhashFpSnapshotDir), "doc_id", "fp",
         chunks = 4, maxHamming = 3)
       .orderBy(col("d1"), col("d2"))
+  }
 
   /** Same pigeonhole chunk-join pair derivation, but over the
     * engine-portable md5-based fingerprint — DuckDB recomputes the
@@ -218,6 +235,17 @@ object DedupQueries {
              "(SELECT doc_id, text FROM documents WHERE doc_id < 500)")},
          $componentCtes
          SELECT node, component FROM comp ORDER BY node""",
+    // Pairs by exact all-pairs hamming over the Spark-computed
+    // fingerprint snapshot (≡ the engine's chunk join: maxHamming <
+    // chunks ⇒ pigeonhole-exact). Gates the join machinery bit-for-bit.
+    "q_simhash_pairs" ->
+      s"""SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+          FROM read_parquet('$simhashFpSnapshotDir/*.parquet') a
+          JOIN read_parquet('$simhashFpSnapshotDir/*.parquet') b
+            ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3
+          ORDER BY d1, d2""",
     // Portable simhash: identical md5-60-bit fingerprints recomputed in
     // DuckDB; oracle derives pairs by exact all-pairs hamming (≡ the
     // engine's pigeonhole chunk join for maxHamming < chunks).

@@ -24,23 +24,38 @@ object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val nImages = 300L
+  private val nWavs = 200L
 
+  /** Both REAL JDK codec paths under one gate: PNG dims (`javax.imageio`)
+    * and WAV sample-rate/channels/frames (`javax.sound.sampled`) are all
+    * generator-known functions of the id, so a regression of EITHER
+    * decode path to the stub (or a codec misread) fails the hash. */
   val multimodalDecode: Q = (s, _) =>
-    Multimodal.decodeAndFeaturize(Multimodal.synthesizePngs(s, nImages))
+    Multimodal.decodeAndFeaturize(
+        Multimodal.synthesizePngs(s, nImages)
+          .unionByName(Multimodal.synthesizeWavs(s, nWavs)))
       .toDF()
       .select(col("media_id"), col("kind"), col("width"), col("height"),
         col("n_frames"))
-      .orderBy(col("media_id"))
+      .orderBy(col("kind"), col("media_id"))
 
   val queries: ListMap[String, Q] = ListMap(
     "q_multimodal_decode" -> multimodalDecode)
 
   val oracles: ListMap[String, String] = ListMap(
-    // dimensions are generator-known: decode must reproduce them exactly
+    // dimensions are generator-known: decode must reproduce them exactly.
+    // audio modality mapping: width = sample rate (8 kHz), height =
+    // channels (mono), n_frames = (id%50+10) ms at 8 frames/ms.
     "q_multimodal_decode" ->
       s"""SELECT r.range AS media_id, 'image' AS kind,
          CAST(r.range % 64 + 1 AS INTEGER) AS width,
          CAST(r.range % 48 + 2 AS INTEGER) AS height,
          1 AS n_frames
-         FROM range(0, $nImages) r ORDER BY media_id""")
+         FROM range(0, $nImages) r
+         UNION ALL
+         SELECT r.range AS media_id, 'audio' AS kind,
+         8000 AS width, 1 AS height,
+         CAST((r.range % 50 + 10) * 8 AS INTEGER) AS n_frames
+         FROM range(0, $nWavs) r
+         ORDER BY kind, media_id""")
 }

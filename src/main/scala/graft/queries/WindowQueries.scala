@@ -38,6 +38,24 @@ object WindowQueries {
       .withColumn("session_seq", col("session_seq").cast("long"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** The streaming engine under the driver gate: the SAME events flow
+    * through the actual streaming path — file source → `session_window`
+    * with watermark → `Trigger.AvailableNow` into a memory sink — and the
+    * read-back result is oracled with gap-based session SQL. Complete
+    * mode, because append+watermark never emits the final open window
+    * under AvailableNow (all sessions must surface to match batch). */
+  val streamSessions: Q = (s, dir) => {
+    import graft.streaming.StreamingOps
+    val agg = StreamingOps.sessionAgg(
+      StreamingOps.readEventsStream(s, dir), "30 minutes", "2 hours")
+    StreamingOps.runAvailableNow(agg, "graft_q_stream_sessions",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        roundPortable(coalesce(col("total_value"), lit(0.0)), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val jsonPropsExtract: Q = (s, dir) =>
     Scan.table(s, dir, "events")
       .select(col("event_type"),
@@ -52,6 +70,7 @@ object WindowQueries {
     "q_window_tumbling" -> tumblingHourly,
     "q_window_sliding" -> slidingHourHalf,
     "q_window_sessions" -> sessionsPerUser,
+    "q_stream_sessions" -> streamSessions,
     "q_json_props_extract" -> jsonPropsExtract)
 
   /** Epoch-aligned bucket start in DuckDB, matching Spark's
@@ -86,6 +105,25 @@ object WindowQueries {
                     FROM events)))
           GROUP BY user_id, session_seq
           ORDER BY user_id, session_seq""",
+    // Streaming session_window ≡ gap-grouped sessions: start = first
+    // event, end = last event + gap. (No exact-30-min inter-event gap
+    // exists in the data at any SF, so the merge-boundary semantics of
+    // the two spellings cannot diverge here — checked per round.)
+    "q_stream_sessions" ->
+      s"""SELECT user_id, MIN(ts) AS session_start,
+          MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+          COUNT(*) AS n_events, ${roundPortableSql("COALESCE(SUM(value), 0.0)", 4)} AS total_value
+          FROM (
+            SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM (
+              SELECT *, CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts)/1000000.0 - epoch_us(prev_ts)/1000000.0 > 1800
+                THEN 1 ELSE 0 END AS new_session
+              FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                    FROM events)))
+          GROUP BY user_id, session_seq
+          ORDER BY user_id, session_start""",
     "q_json_props_extract" ->
       """SELECT event_type, COUNT(*) AS records,
           COALESCE(CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT), 0) AS sum_k,

@@ -29,9 +29,18 @@ object Sinks {
     * `load_csv_to_json` (`load.py:39-87`): temporal columns stringified
     * first (`load.py:64-71`), then `[{...},{...}]`. Driver-side collect:
     * this sink is for aggregate summaries (O(groups) rows), never raw
-    * data. Returns the record count. */
-  def jsonRecords(df: DataFrame, path: String): Long = {
-    val rows = Normalize.temporalsToString(df).toJSON.collect()
+    * data — and `maxRows` makes the misuse IMPOSSIBLE rather than
+    * unlikely: past the cap the collect is refused before it runs
+    * (checked with a cheap limit-probe, not a full count), directing the
+    * caller to the distributed [[jsonLines]]. Returns the record count. */
+  def jsonRecords(df: DataFrame, path: String,
+      maxRows: Long = 1000000L): Long = {
+    val normalized = Normalize.temporalsToString(df)
+    // probe reads at most maxRows+1 rows — no full count of a huge input
+    require(normalized.limit((maxRows + 1).min(Int.MaxValue).toInt).count() <= maxRows,
+      s"jsonRecords is a driver-side sink for aggregate-sized outputs; " +
+        s"input exceeds maxRows=$maxRows — use Sinks.jsonLines for large relations")
+    val rows = normalized.toJSON.collect()
     val p = Paths.get(path)
     Option(p.getParent).foreach(Files.createDirectories(_))
     Files.write(p, rows.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))

@@ -85,15 +85,169 @@ class SimBackend extends SalesforceBackend {
     }
 }
 
-/** The live client slot: typed credentials + the compiled SOQL are all a
-  * REST implementation needs. Performing the call requires network
-  * egress, which this environment does not have — fetch fails loudly
-  * instead of pretending. */
-class LiveSalesforceBackend(creds: EnvCredentials) extends SalesforceBackend {
-  override def fetch(query: CompiledSoql, start: Long, end: Long,
-      fullSchema: StructType): Iterator[Array[Any]] =
+/** Minimal HTTP seam for the live client: one request in, `(status,
+  * body)` out. Injectable, so the protocol logic — login, query
+  * construction, `nextRecordsUrl` pagination, error mapping — is
+  * unit-testable against a scripted fake with zero network. */
+trait SalesforceTransport extends Serializable {
+  def send(method: String, url: String, headers: Map[String, String],
+      body: Option[String]): (Int, String)
+}
+
+/** The default transport refuses the wire: this build is zero-egress, so
+  * any attempt to actually reach Salesforce fails loudly instead of
+  * pretending. Swap in a real HTTP client (or a test fake) via the
+  * [[LiveSalesforceBackend]] constructor. */
+object NoEgressTransport extends SalesforceTransport {
+  override def send(method: String, url: String, headers: Map[String, String],
+      body: Option[String]): (Int, String) =
     throw new UnsupportedOperationException(
-      s"live Salesforce fetch for [${query.toSoql}] as ${creds.username}@" +
-        s"${creds.domain} requires network egress; this build is zero-egress — " +
-        "use the default sim backend, or implement this method with a REST client")
+      s"$method $url requires network egress; this build is zero-egress — " +
+        "use the default sim backend, or inject a real SalesforceTransport")
+}
+
+/** An authenticated live session: bearer token + instance base URL (the
+  * two values every subsequent REST call needs). */
+final case class SalesforceSession(accessToken: String, instanceUrl: String)
+
+/** A non-2xx Salesforce REST response, with the API's own error code
+  * (e.g. `invalid_grant`, `INVALID_SESSION_ID`) preserved for callers. */
+final class SalesforceApiException(
+    val status: Int, val errorCode: String, message: String)
+  extends RuntimeException(message)
+
+/** The live client: credentials + compiled SOQL in, internal rows out,
+  * over the PUBLIC Salesforce REST contract — OAuth password-flow login
+  * (password concatenated with the security token, the same session
+  * `simple_salesforce` establishes from the reference's four env values,
+  * `extract.py:35-42`), then `GET /services/data/vXX/query?q=<soql>`
+  * paged via `nextRecordsUrl` until `done`. The per-record `attributes`
+  * envelope is ignored, exactly like the reference (`extract.py:82-83`).
+  * All wire I/O goes through the injectable [[SalesforceTransport]];
+  * the default transport keeps this build zero-egress. */
+class LiveSalesforceBackend(
+    creds: EnvCredentials,
+    transport: SalesforceTransport = NoEgressTransport,
+    apiVersion: String = "59.0") extends SalesforceBackend {
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+  private def errorOf(status: Int, json: JValue, raw: String): SalesforceApiException = {
+    // two public error shapes: OAuth `{error, error_description}` and
+    // REST `[{errorCode, message}]`
+    val (code, msg) = json match {
+      case JArray(JObject(fields) :: _) =>
+        val m = fields.toMap
+        (m.get("errorCode"), m.get("message")) match {
+          case (Some(JString(c)), Some(JString(d))) => (c, d)
+          case _ => (s"http_$status", raw)
+        }
+      case obj: JObject =>
+        ((obj \ "error"), (obj \ "error_description")) match {
+          case (JString(c), JString(d)) => (c, d)
+          case _ => (s"http_$status", raw)
+        }
+      case _ => (s"http_$status", raw)
+    }
+    new SalesforceApiException(status, code, s"Salesforce API error ($code): $msg")
+  }
+
+  /** OAuth password-flow login against the domain's token endpoint. */
+  private[v2] def login(): SalesforceSession = {
+    val url = s"https://${creds.domain}.salesforce.com/services/oauth2/token"
+    val body = s"grant_type=password&username=${enc(creds.username)}" +
+      s"&password=${enc(creds.password + creds.securityToken)}"
+    val (status, resp) = transport.send("POST", url,
+      Map("Content-Type" -> "application/x-www-form-urlencoded"), Some(body))
+    val json = scala.util.Try(JsonMethods.parse(resp)).getOrElse(JNothing)
+    if (status != 200) throw errorOf(status, json, resp)
+    ((json \ "access_token"), (json \ "instance_url")) match {
+      case (JString(tok), JString(inst)) =>
+        SalesforceSession(tok, inst.stripSuffix("/"))
+      case _ => throw errorOf(status, json,
+        s"login response missing access_token/instance_url: $resp")
+    }
+  }
+
+  /** One JSON record → internal row in `fullSchema` field order. */
+  private def toRow(rec: JValue, fullSchema: StructType): Array[Any] =
+    fullSchema.fields.map { f =>
+      (rec \ f.name, f.dataType) match {
+        case (JNull | JNothing, _) => null
+        case (v, org.apache.spark.sql.types.DoubleType) => v match {
+          case JDouble(d) => java.lang.Double.valueOf(d)
+          case JInt(i) => java.lang.Double.valueOf(i.toDouble)
+          case JLong(l) => java.lang.Double.valueOf(l.toDouble)
+          case JDecimal(d) => java.lang.Double.valueOf(d.toDouble)
+          case JString(s) => scala.util.Try(
+            java.lang.Double.valueOf(s.toDouble)).getOrElse(null)
+          case _ => null
+        }
+        case (JString(s), _) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case (v, _) => org.apache.spark.unsafe.types.UTF8String.fromString(
+          JsonMethods.compact(JsonMethods.render(v)))
+      }
+    }.toArray[Any]
+
+  override def fetch(query: CompiledSoql, start: Long, end: Long,
+      fullSchema: StructType): Iterator[Array[Any]] = {
+    val session =
+      try login()
+      catch { case e: UnsupportedOperationException =>
+        // keep the SOQL in the zero-egress failure so the refusal names
+        // exactly what WOULD have been sent
+        throw new UnsupportedOperationException(
+          s"live Salesforce fetch for [${query.toSoql}] as " +
+            s"${creds.username}@${creds.domain}: ${e.getMessage}", e)
+      }
+    val headers = Map("Authorization" -> s"Bearer ${session.accessToken}")
+    val firstUrl =
+      s"${session.instanceUrl}/services/data/v$apiVersion/query?q=${enc(query.toSoql)}"
+
+    def page(url: String): (Seq[Array[Any]], Option[String]) = {
+      val (status, resp) = transport.send("GET", url, headers, None)
+      val json = scala.util.Try(JsonMethods.parse(resp)).getOrElse(JNothing)
+      if (status != 200) throw errorOf(status, json, resp)
+      val recs = (json \ "records") match {
+        case JArray(rs) => rs.map(toRow(_, fullSchema))
+        case _ => Seq.empty
+      }
+      val next = ((json \ "done"), (json \ "nextRecordsUrl")) match {
+        case (JBool(false), JString(u)) =>
+          Some(if (u.startsWith("http")) u else session.instanceUrl + u)
+        case _ => None
+      }
+      (recs, next)
+    }
+
+    // lazy page walk: a page is fetched only when the reader pulls into it
+    val pages: Iterator[Seq[Array[Any]]] = new Iterator[Seq[Array[Any]]] {
+      private var nextUrl: Option[String] = Some(firstUrl)
+      override def hasNext: Boolean = nextUrl.isDefined
+      override def next(): Seq[Array[Any]] = {
+        val (recs, nxt) = page(nextUrl.get)
+        nextUrl = nxt
+        recs
+      }
+    }
+    sliceLong(pages.flatten, start, end)
+  }
+
+  /** Iterator slice with Long bounds (Iterator.slice is Int-bounded;
+    * partition ranges are Long). */
+  private def sliceLong[A](it: Iterator[A], start: Long, end: Long): Iterator[A] =
+    new Iterator[A] {
+      private var pos = 0L
+      private def skip(): Unit =
+        while (pos < start && it.hasNext) { it.next(); pos += 1 }
+      override def hasNext: Boolean = { skip(); pos < end && it.hasNext }
+      override def next(): A = {
+        if (!hasNext) throw new NoSuchElementException("next on exhausted slice")
+        pos += 1; it.next()
+      }
+    }
 }

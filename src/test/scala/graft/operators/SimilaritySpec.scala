@@ -61,6 +61,18 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall: seeded=${recall(ivfSeed)}%.2f kmeans=${recall(ivfKm)}%.2f")
   }
 
+  test("kmeansCentroids default fit input is capped at sampleRows") {
+    // The 100 TB contract: the DEFAULT fit path must read a bounded
+    // sample, not pass the full corpus maxIter times.
+    assert(Similarity.fitInput(emb, "embedding", 50).count() == 50)
+    // Int.MaxValue opts into the full fit; default leaves small corpora whole
+    assert(Similarity.fitInput(emb, "embedding", Int.MaxValue).count() == emb.count())
+    // the bounded fit still yields a full, usable index
+    val cents = Similarity.kmeansCentroids(emb, "embedding", 4, sampleRows = 50)
+    assert(cents.count() == 4)
+    assert(cents.columns.toSeq == Seq("centroid_id", "cvec"))
+  }
+
   test("annTopK (multi-probe LSH) recalls most of the exact top-k") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

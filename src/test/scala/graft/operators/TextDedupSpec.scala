@@ -210,6 +210,26 @@ class TextDedupSpec extends SparkSpec {
     // and generalize to cases where the pair list is not transitive
   }
 
+  test("connectedComponents preserves non-Long id types (string/int route past the driver path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    // String ids: the driver union-find reads primitive longs, so these
+    // must route to the type-generic distributed loop (the LongType gate)
+    // and come back with the INPUT id type, not a cast or a crash.
+    val sPairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("d1", "d2")
+    val sc = TextDedup.connectedComponents(sPairs) // default limit would pick driver path
+    assert(sc.schema("node").dataType == StringType)
+    assert(sc.schema("component").dataType == StringType)
+    val sm = sc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sm == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // Int ids: same route, same components, IntegerType preserved.
+    val iPairs = Seq((1, 2), (2, 3), (10, 11)).toDF("d1", "d2")
+    val ic = TextDedup.connectedComponents(iPairs)
+    assert(ic.schema("node").dataType == IntegerType)
+    val im = ic.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(im == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+  }
+
   test("embeddingNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f)),
