@@ -12,22 +12,24 @@ import org.apache.spark.sql.functions._
   * partition, so a codec can amortize init across the batch, and the
   * operation is map-only (no shuffle; `.explain` shows no Exchange).
   *
-  * Image decoding is REAL — `javax.imageio` ([[ImageIoCodec]]), the
-  * JDK's built-in codec, with [[synthesizePngs]] generating genuine PNG
-  * bytes to exercise it. Audio decoding is REAL too —
-  * `javax.sound.sampled` ([[JavaSoundCodec]]), the JDK's built-in WAV/
-  * AIFF/AU reader, with [[synthesizeWavs]] generating genuine PCM WAV
-  * bytes. Only VIDEO decoding is a stub — the JDK ships no video codec —
-  * implemented as a deterministic fake ([[StubCodec]]) so the Spark-side
-  * plumbing (schema, partitioning, batch shape, downstream joins into
-  * the similarity stack) is real and tested end-to-end. Swap
-  * [[StubCodec]] for a real codec (e.g. javacv) without touching any
-  * plumbing.
+  * All three decode paths are REAL: images via `javax.imageio`
+  * ([[ImageIoCodec]], JDK-builtin), audio via `javax.sound.sampled`
+  * ([[JavaSoundCodec]], JDK-builtin WAV/AIFF/AU), and video containers
+  * via [[RiffAviCodec]] — a pure-JVM parser for the public RIFF AVI
+  * format (geometry from the `avih` header, frame count by walking the
+  * `movi` chunks). Each has a `synthesize*` twin generating genuine
+  * bytes to exercise it. Only FRAME-PIXEL video decode (MJPEG/H.26x
+  * bitstreams) stays out of scope — the JDK ships no video bitstream
+  * codec; non-AVI video and undecodable bytes fall back to the
+  * deterministic [[StubCodec]] so one bad blob never kills a sweep, and
+  * a real bitstream codec (e.g. javacv) can slot in without touching
+  * any plumbing.
   *
   * [[MediaFeatures]] dimension mapping is modality-specific: images use
   * (width, height, n_frames = 1); audio uses (width = sample rate,
-  * height = channels, n_frames = sample frames); stubbed video keeps
-  * hash-derived dims with duration-derived frame count.
+  * height = channels, n_frames = sample frames); video uses the
+  * container's (width, height) with n_frames = walked frame chunks
+  * (stub fallback: hash-derived dims, duration-derived frames).
   */
 object Multimodal {
 
@@ -157,6 +159,130 @@ object Multimodal {
       }.toOption
   }
 
+  /** REAL video container codec — a pure-JVM parser for the PUBLIC RIFF
+    * AVI format (Microsoft "AVI RIFF File Reference"): validates the
+    * `RIFF....AVI ` envelope, reads frame dimensions from the `avih`
+    * MainAVIHeader inside the `hdrl` list, and counts the actual frame
+    * chunks (`##db`/`##dc`) inside the `movi` list — so n_frames comes
+    * from walking the container, not from trusting a header field.
+    * Features = byte histogram over the frame payloads (same shape as
+    * the other codecs'). Returns None for anything that isn't a
+    * well-formed AVI — per-record resilience, caller falls back to the
+    * stub (same contract as [[ImageIoCodec]]/[[JavaSoundCodec]]). FRAME
+    * PIXEL decode (MJPEG etc.) stays out of scope: the JDK ships no
+    * video bitstream codec; container geometry + frame count are what
+    * the pipeline consumes. */
+  object RiffAviCodec {
+    private def u32le(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def fourCC(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def tryDecode(content: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      scala.util.Try {
+        require(content.length >= 12 && fourCC(content, 0) == "RIFF" &&
+          fourCC(content, 8) == "AVI ")
+        var width = -1
+        var height = -1
+        var frames = 0
+        val acc = new Array[Float](FeatureDim)
+        // walk a chunk sequence in [off, end); LIST chunks recurse into
+        // their payload (after the 4-byte list type)
+        def walk(off0: Int, end: Int, inMovi: Boolean): Unit = {
+          var off = off0
+          while (off + 8 <= end) {
+            val id = fourCC(content, off)
+            val size = u32le(content, off + 4).toInt
+            val payload = off + 8
+            if (id == "LIST" && size >= 4) {
+              val listType = fourCC(content, payload)
+              walk(payload + 4, math.min(end, payload + size),
+                inMovi || listType == "movi")
+            } else if (id == "avih" && size >= 40) {
+              // MainAVIHeader: dwWidth/dwHeight at payload offsets 32/36
+              width = u32le(content, payload + 32).toInt
+              height = u32le(content, payload + 36).toInt
+            } else if (inMovi && id.length == 4 &&
+                id(0).isDigit && id(1).isDigit &&
+                id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')) {
+              frames += 1
+              var i = payload
+              val stop = math.min(end, payload + size)
+              while (i < stop) {
+                acc(java.lang.Byte.toUnsignedInt(content(i)) % FeatureDim) += 1f
+                i += 1
+              }
+            }
+            off = payload + size + (size & 1) // chunks are word-aligned
+          }
+        }
+        walk(12, math.min(content.length, (u32le(content, 4) + 8).toInt), inMovi = false)
+        require(width > 0 && height > 0 && frames > 0)
+        val norm = math.sqrt(acc.map(v => v.toDouble * v).sum).toFloat
+        (width, height, frames, if (norm == 0f) acc else acc.map(_ / norm))
+      }.toOption
+  }
+
+  /** Deterministic synthetic table of REAL (minimal, spec-conformant)
+    * RIFF AVI containers, generated distributively like the PNG/WAV
+    * twins: video id → (id%32+16)×(id%24+12) geometry with id%24+1
+    * frame chunks of deterministic payload — every field the decode
+    * path reports is id-derivable, so the container walk can be oracled
+    * exactly like the PNG dimensions. */
+  def synthesizeAvis(spark: SparkSession, n: Long, partitions: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 32 + 16).toInt
+        val h = (id % 24 + 12).toInt
+        val nFrames = (id % 24 + 1).toInt
+        val fps = 10
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(bos)
+        def u32(v: Long): Unit = { // little-endian
+          out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+          out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+        }
+        def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+        val frameBytes = 16
+        // sizes, innermost out: avih(56) strh(56) strf(40); strl list =
+        // 4 + (8+56) + (8+40); hdrl list = 4 + (8+56) + (8 + strl)
+        val strlSize = 4 + 64 + 48
+        val hdrlSize = 4 + 64 + 8 + strlSize
+        val moviSize = 4 + nFrames * (8 + frameBytes)
+        val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+        cc("RIFF"); u32(riffSize); cc("AVI ")
+        cc("LIST"); u32(hdrlSize); cc("hdrl")
+        cc("avih"); u32(56)
+        u32(1000000L / fps); u32(0); u32(0); u32(0) // usec/frame, maxBps, pad, flags
+        u32(nFrames); u32(0); u32(1); u32(0)        // totalFrames, initial, streams, sugBuf
+        u32(w); u32(h); u32(0); u32(0); u32(0); u32(0) // width, height, reserved[4]
+        cc("LIST"); u32(strlSize); cc("strl")
+        cc("strh"); u32(56)
+        cc("vids"); cc("MJPG"); u32(0); u32(0)      // fccType, handler, flags, prio+lang
+        u32(0); u32(1); u32(fps); u32(0)            // initFrames, scale, rate, start
+        u32(nFrames); u32(0); u32(0); u32(0) // length, sugBuf, quality, sampleSize
+        u32(0); u32(0)                       // rcFrame (4 × u16)
+        cc("strf"); u32(40)
+        u32(40); u32(w); u32(h); u32(1 | (24 << 16)) // biSize, w, h, planes|bitcount
+        u32(0); u32(w.toLong * h * 3); u32(0); u32(0); u32(0); u32(0) // compression..clrImportant
+        cc("LIST"); u32(moviSize); cc("movi")
+        var f = 0
+        while (f < nFrames) {
+          cc("00dc"); u32(frameBytes)
+          var k = 0
+          while (k < frameBytes) {
+            out.write(((id * 31 + f * 7 + k * 13) & 0xff).toInt); k += 1
+          }
+          f += 1
+        }
+        MediaRecord(id, "video", bos.toByteArray, "video/x-msvideo",
+          nFrames.toLong * 1000 / fps)
+      }
+    }.toDF()
+  }
+
   /** Deterministic synthetic table of REAL WAV files, generated
     * distributively like [[synthesizePngs]]: audio id → mono 16-bit PCM
     * at 8 kHz, `id % 50 + 10` ms of a 220·(id%8+1) Hz sine, encoded by
@@ -254,9 +380,15 @@ object Multimodal {
               case (rate, ch, frames, feats) =>
                 MediaFeatures(m.media_id, m.kind, rate, ch, frames, feats)
             }
-            case _ => None // video: no JDK codec — stub below
+            case "video" => RiffAviCodec.tryDecode(m.content).map {
+              // container geometry + walked frame count (AVI only; other
+              // containers fall through to the stub)
+              case (w, h, frames, feats) =>
+                MediaFeatures(m.media_id, m.kind, w, h, frames, feats)
+            }
+            case _ => None
           }
-          real.getOrElse { // stub: video + undecodable bytes
+          real.getOrElse { // stub: non-AVI video + undecodable bytes
             val (w, h) = StubCodec.decodeDims(m.content)
             MediaFeatures(m.media_id, m.kind, w, h,
               StubCodec.frameCount(m.kind, m.duration_ms),

@@ -25,15 +25,19 @@ object MultimodalQueries {
 
   private val nImages = 300L
   private val nWavs = 200L
+  private val nAvis = 150L
 
-  /** Both REAL JDK codec paths under one gate: PNG dims (`javax.imageio`)
-    * and WAV sample-rate/channels/frames (`javax.sound.sampled`) are all
-    * generator-known functions of the id, so a regression of EITHER
-    * decode path to the stub (or a codec misread) fails the hash. */
+  /** All three REAL decode paths under one gate: PNG dims
+    * (`javax.imageio`), WAV sample-rate/channels/frames
+    * (`javax.sound.sampled`), and AVI container geometry + walked frame
+    * count ([[Multimodal.RiffAviCodec]]) are all generator-known
+    * functions of the id, so a regression of ANY decode path to the
+    * stub (or a codec misread) fails the hash. */
   val multimodalDecode: Q = (s, _) =>
     Multimodal.decodeAndFeaturize(
         Multimodal.synthesizePngs(s, nImages)
-          .unionByName(Multimodal.synthesizeWavs(s, nWavs)))
+          .unionByName(Multimodal.synthesizeWavs(s, nWavs))
+          .unionByName(Multimodal.synthesizeAvis(s, nAvis)))
       .toDF()
       .select(col("media_id"), col("kind"), col("width"), col("height"),
         col("n_frames"))
@@ -45,7 +49,8 @@ object MultimodalQueries {
   val oracles: ListMap[String, String] = ListMap(
     // dimensions are generator-known: decode must reproduce them exactly.
     // audio modality mapping: width = sample rate (8 kHz), height =
-    // channels (mono), n_frames = (id%50+10) ms at 8 frames/ms.
+    // channels (mono), n_frames = (id%50+10) ms at 8 frames/ms. video:
+    // container geometry, n_frames = movi chunk count.
     "q_multimodal_decode" ->
       s"""SELECT r.range AS media_id, 'image' AS kind,
          CAST(r.range % 64 + 1 AS INTEGER) AS width,
@@ -57,5 +62,11 @@ object MultimodalQueries {
          8000 AS width, 1 AS height,
          CAST((r.range % 50 + 10) * 8 AS INTEGER) AS n_frames
          FROM range(0, $nWavs) r
+         UNION ALL
+         SELECT r.range AS media_id, 'video' AS kind,
+         CAST(r.range % 32 + 16 AS INTEGER) AS width,
+         CAST(r.range % 24 + 12 AS INTEGER) AS height,
+         CAST(r.range % 24 + 1 AS INTEGER) AS n_frames
+         FROM range(0, $nAvis) r
          ORDER BY kind, media_id""")
 }

@@ -56,6 +56,24 @@ object WindowQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** The keyed-state streaming path (`mapGroupsWithState`) under the
+    * driver gate: per-user running totals driven by `AvailableNow` over
+    * the events file source. One micro-batch ⇒ the emitted state equals
+    * the plain batch GROUP BY — which is exactly what the oracle checks,
+    * through the real state-store execution path. Update mode is the
+    * one mapGroupsWithState supports. */
+  val streamRunningTotals: Q = (s, dir) => {
+    import graft.streaming.StreamingOps
+    val totals = StreamingOps.runningUserTotals(
+        StreamingOps.readEventsStream(s, dir))
+      .toDF("user_id", "n_events", "total_value")
+    StreamingOps.runAvailableNow(totals, "graft_q_stream_running_totals",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .select(col("user_id"), col("n_events"),
+        roundPortable(col("total_value"), 4).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   val jsonPropsExtract: Q = (s, dir) =>
     Scan.table(s, dir, "events")
       .select(col("event_type"),
@@ -71,6 +89,7 @@ object WindowQueries {
     "q_window_sliding" -> slidingHourHalf,
     "q_window_sessions" -> sessionsPerUser,
     "q_stream_sessions" -> streamSessions,
+    "q_stream_running_totals" -> streamRunningTotals,
     "q_json_props_extract" -> jsonPropsExtract)
 
   /** Epoch-aligned bucket start in DuckDB, matching Spark's
@@ -124,6 +143,11 @@ object WindowQueries {
                     FROM events)))
           GROUP BY user_id, session_seq
           ORDER BY user_id, session_start""",
+    // one AvailableNow batch ⇒ keyed state ≡ the batch GROUP BY
+    "q_stream_running_totals" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+          ${roundPortableSql("SUM(value)", 4)} AS total_value
+          FROM events GROUP BY user_id ORDER BY user_id""",
     "q_json_props_extract" ->
       """SELECT event_type, COUNT(*) AS records,
           COALESCE(CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT), 0) AS sum_k,

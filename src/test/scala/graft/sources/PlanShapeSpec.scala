@@ -117,6 +117,37 @@ class PlanShapeSpec extends SparkSpec {
       s"expected at most one shuffle (the final top-k agg), got $shuffles:\n$plan")
   }
 
+  test("minhashLsh shuffle width binds in the plan (partitionsFor knob, SCALE.md #2)") {
+    import graft.operators.TextDedup
+    val docs = Scan.table(spark, "/root/testdata/sf0.001", "documents")
+    // explicit width: both the (band, bh) bucket exchange and the
+    // (d1, d2) candidate-dedup exchange must carry exactly that width —
+    // plan-bound, not session-conf-dependent
+    val plan = TextDedup.minhashLsh(docs, "doc_id", "text",
+        maxBucketSize = 100, numPartitions = Some(7))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(band[^)]*, 7\\)".r.findFirstIn(plan).isDefined,
+      s"bucket exchange not at the requested width:\n$plan")
+    assert("hashpartitioning\\(d1[^)]*, 7\\)".r.findFirstIn(plan).isDefined,
+      s"candidate-dedup exchange not at the requested width:\n$plan")
+    // default: the knob self-sizes — floored at the session parallelism
+    val dPlan = TextDedup.minhashLsh(docs, "doc_id", "text", maxBucketSize = 100)
+      .queryExecution.executedPlan.toString
+    val floor = spark.sparkContext.defaultParallelism
+    assert(s"hashpartitioning\\(band[^)]*, $floor\\)".r.findFirstIn(dPlan).isDefined,
+      s"default width should be the partitionsFor floor ($floor):\n$dPlan")
+  }
+
+  test("partitionsFor tracks rows between the core floor and the 6x-cores cap") {
+    import graft.GraftSession.partitionsFor
+    assert(partitionsFor(0L, 32) == 32)            // tiny input → full parallelism
+    assert(partitionsFor(5000L, 32) == 32)         // sf0.1 shape stays at the floor
+    assert(partitionsFor(500000L, 32) == 192)      // 100x hits the 6x cap
+    assert(partitionsFor(250000L, 32) == 100)      // linear in between
+    assert(partitionsFor(1L << 40, 32) == 192)     // cap holds at any size
+    assert(partitionsFor(1000L, 0) == 1)           // degenerate cores guarded
+  }
+
   test("star rollup broadcasts the dimension tables (no shuffle join for dims)") {
     val plan = graft.queries.AnalyticsQueries.revenueBySegment(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
