@@ -194,6 +194,10 @@ object Multimodal {
           while (off + 8 <= end) {
             val id = fourCC(content, off)
             val size = u32le(content, off + 4).toInt
+            // a corrupt size field (u32 overflowing Int to negative)
+            // would stall or rewind the walk — the loop must always
+            // ADVANCE or abort to None, never spin on a bad blob
+            require(size >= 0, s"negative chunk size at $off")
             val payload = off + 8
             if (id == "LIST" && size >= 4) {
               val listType = fourCC(content, payload)

@@ -89,7 +89,17 @@ object Similarity {
       corpus: DataFrame, vecCol: String, sampleRows: Int): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val feats = corpus.select(array_to_vector(col(vecCol)).as("features"))
-    if (sampleRows == Int.MaxValue) feats else feats.limit(sampleRows)
+    if (sampleRows == Int.MaxValue) feats
+    else {
+      // re-spread after the limit: GlobalLimit funnels the sample into
+      // ONE partition, which would single-thread every k-means iteration
+      // (measured: 100× ivfTopK 3.9 s → 22.7 s). A MODEST spread — the
+      // sample is ≤ sampleRows rows, and full-core fan-out costs more in
+      // per-iteration task waves than it buys on a bounded fit
+      // (measured: spread 32 doubled the 1× time)
+      val cores = corpus.sparkSession.sparkContext.defaultParallelism
+      feats.limit(sampleRows).repartition(math.min(math.max(1, cores), 8))
+    }
   }
 
   /** K-means centroids for the IVF index (`spark.ml` KMeans over the

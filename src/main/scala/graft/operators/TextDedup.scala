@@ -398,11 +398,12 @@ object TextDedup {
     * exact cosine ≥ threshold. Never forms the n² product — the join key
     * is (table, bucket).
     *
-    * Recall per pair = 1 − (1 − pᵇ)ᵗ with p = 1 − θ/π. Tuning is a
-    * threshold trade: at near-dup similarity (cos ≥ 0.9, p ≈ 0.86) a few
-    * wide tables suffice; close to cos 0.5 (p = 2/3) bits must shrink /
-    * tables grow — defaults (4, 32) give ≥ 0.994 per-pair recall at
-    * cos = 0.5 and sharper above. Planes are seeded literals: plans are
+    * Recall per pair = 1 − (1 − pᵇ)ᵗ with p = 1 − θ/π. The DEFAULTS
+    * solve both sides of that trade from the corpus and the threshold:
+    * bits = [[srpBitsFor]](n) bounds in-bucket work, then tables =
+    * [[srpTablesFor]](bits, threshold) buys back the recall those bits
+    * cost (per-pair miss ≤ 1e-4 a priori). Planes are seeded literals:
+    * plans — and hence realized recall on a fixed corpus — are
     * deterministic across runs and executors.
     */
   /** SRP bucket width for an expected per-bucket population near
@@ -414,10 +415,32 @@ object TextDedup {
     * restore near-linear growth). Fewer bits per table lower per-table
     * recall; compensate with `tables` (recall = 1 − (1 − pᵇ)ᵗ,
     * p = 1 − θ/π). Clamped to [1, 30]. */
-  def srpBitsFor(n: Long, targetBucketSize: Int = 64): Int =
+  def srpBitsFor(n: Long, targetBucketSize: Int = 32): Int =
     math.min(30, math.max(1,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
         math.log(2.0)).toInt))
+
+  /** The OTHER half of the SRP scale knob: [[srpBitsFor]] widens the
+    * bucket key to bound in-bucket work, which LOWERS per-table recall —
+    * this sizes the table count to buy it back. Per-pair recall at
+    * cosine = threshold is 1 − (1 − pᵇ)ᵗ with p = 1 − θ/π
+    * (θ = acos(threshold)), so t = ln(missProb) / ln(1 − pᵇ) holds the
+    * a-priori per-pair miss probability at `targetMissProb` regardless
+    * of corpus size. Capped at `maxTables` (each table costs b·dim
+    * multiplies per vector and n bucket rows): past the cap the target
+    * is unattainable for that (threshold, bits) point — raise
+    * `targetBucketSize` in [[srpBitsFor]], use a higher threshold, or
+    * fall back to [[embeddingNearDupPairs]]. Planes are seeded, so the
+    * realized recall for a given corpus is deterministic — gate-critical
+    * configs are verified empirically, not just by this formula. */
+  def srpTablesFor(bits: Int, threshold: Double,
+      targetMissProb: Double = 1e-4, maxTables: Int = 256): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val pb = math.pow(p, bits)
+    if (pb >= 1.0) 1
+    else math.min(maxTables, math.max(1,
+      math.ceil(math.log(targetMissProb) / math.log1p(-pb)).toInt))
+  }
 
   def embeddingNearDupPairsLsh(
       vecs: DataFrame, idCol: String, vecCol: String,
@@ -426,7 +449,12 @@ object TextDedup {
         * [[srpBitsFor]] — the measured r3 quadratic-blowup fix promoted
         * to the DEFAULT path: a fixed bits value degrades B²/2-per-bucket
         * as the corpus grows. Explicit values keep exact caller control. */
-      bits: Int = -1, tables: Int = 32,
+      bits: Int = -1,
+      /** Table count. Default (-1) sizes it from (bits, threshold) via
+        * [[srpTablesFor]] so the per-pair recall target survives the
+        * corpus-sized bits — wider bucket keys alone would silently
+        * trade recall for speed as n grows. */
+      tables: Int = -1,
       seed: Long = 42L, dim: Int = -1,
       /** Width of the bucket/candidate shuffles; default sized to the
         * corpus ([[graft.GraftSession.partitionsFor]]) — same knob as
@@ -445,22 +473,29 @@ object TextDedup {
     // parquet-backed counts are footer-stat cheap.
     lazy val nVecs = vecs.count()
     val useBits = if (bits == -1) srpBitsFor(nVecs) else bits
+    val useTables = if (tables == -1) srpTablesFor(useBits, threshold) else tables
     // All tables×bits planes ship as ONE 2-D literal (allPlanes[t*bits+i]
     // = table t, bit i) and the bucket math is a compact nested HOF over
     // it — NOT tables×bits separate dot_product nodes each carrying its
     // own array literal, which bloats the generated code by orders of
     // magnitude and makes Janino compilation (per side of the self-join)
     // dominate the query. Same planes, same order → identical buckets.
-    val allPlanes = typedLit((0 until tables).flatMap(t =>
+    val allPlanes = typedLit((0 until useTables).flatMap(t =>
       Similarity.hyperplanes(planeDim, useBits, seed + t)))
-    val tb = transform(sequence(lit(0), lit(tables - 1)), t =>
+    val tb = transform(sequence(lit(0), lit(useTables - 1)), t =>
       struct(t.as("t"),
         aggregate(sequence(lit(0), lit(useBits - 1)), lit(0),
           (acc, i) => acc + when(
             dot_product(col(vecCol), element_at(allPlanes, t * useBits + i + 1)) >= 0,
             shiftL(lit(1), i).cast("int")).otherwise(lit(0))).as("bkt")))
+    // Width sized from the BUCKET ROWS (tables × n), not the input: the
+    // candidate stream this operator shuffles is in-bucket pairs, whose
+    // volume tracks t·n (≈ B/2 pairs per bucket row) — sizing from n
+    // alone measured an executor OOM at 100× (width 80 for a ~270M-pair
+    // dedup; bucket-row sizing lands at the width the same volume is
+    // measured to sustain in the 8 g heap).
     val p = numPartitions.getOrElse(
-      graft.GraftSession.partitionsFor(vecs.sparkSession, nVecs))
+      graft.GraftSession.partitionsFor(vecs.sparkSession, nVecs * useTables))
     // The bucket projection feeds BOTH sides of the candidate self-join —
     // materialize it once (the sibling operators' pattern) so the
     // tables×bits dot products aren't recomputed per side. Repartitioned
@@ -476,8 +511,12 @@ object TextDedup {
       .filter(col("d1") < col("d2"))
       .select("d1", "d2")
       .repartition(p, col("d1"), col("d2")).distinct()
+    // the verify joins also carry the (deduped) candidate stream — bind
+    // their exchanges to the same width rather than the session default
     cand
+      .repartition(p, col("d1"))
       .join(vecs.select(col(idCol).as("d1"), col(vecCol).as("v1")), Seq("d1"))
+      .repartition(p, col("d2"))
       .join(vecs.select(col(idCol).as("d2"), col(vecCol).as("v2")), Seq("d2"))
       .withColumn("cosine", cosine_similarity(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)

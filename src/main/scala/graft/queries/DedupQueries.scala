@@ -95,10 +95,11 @@ object DedupQueries {
       .orderBy(col("d1"), col("d2"))
 
   /** Scale path for the same result: multi-table SRP-LSH candidates +
-    * exact-cosine verify (bucket-key join, never the n² product). Shares
-    * the exact query's oracle — valid exactly while LSH recall is 100%
-    * (measured at sf0.01/sf0.1, per-pair recall ≥ 0.994 at cos = 0.5 by
-    * construction), so a recall regression fails the gate. */
+    * exact-cosine verify (bucket-key join, never the n² product), on the
+    * operator's self-sizing defaults (srpBitsFor × srpTablesFor). Shares
+    * the exact query's oracle — valid exactly while REALIZED recall is
+    * 100%, which seeded planes make deterministic per corpus (verified
+    * green at sf0.01 and sf0.1); a recall regression fails the gate. */
   val embeddingNearDupLsh: Q = (s, dir) =>
     TextDedup.embeddingNearDupPairsLsh(Scan.table(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.5)

@@ -125,9 +125,13 @@ object WindowQueries {
           GROUP BY user_id, session_seq
           ORDER BY user_id, session_seq""",
     // Streaming session_window ≡ gap-grouped sessions: start = first
-    // event, end = last event + gap. (No exact-30-min inter-event gap
-    // exists in the data at any SF, so the merge-boundary semantics of
-    // the two spellings cannot diverge here — checked per round.)
+    // event, end = last event + gap. Boundary faithful to Spark's
+    // HALF-OPEN window ranges: an event exactly gap seconds after the
+    // previous one does NOT overlap the previous session ([t, t+gap)
+    // vs [t+gap, …)), hence `>=` here — unlike the batch sessionize
+    // contract (q_window_sessions, `>`). No exact-30-min gap exists in
+    // the data at any SF, so the two gates agree on today's data; this
+    // spelling stays correct if that ever changes.
     "q_stream_sessions" ->
       s"""SELECT user_id, MIN(ts) AS session_start,
           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
@@ -137,16 +141,17 @@ object WindowQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
             FROM (
               SELECT *, CASE WHEN prev_ts IS NULL
-                  OR epoch_us(ts)/1000000.0 - epoch_us(prev_ts)/1000000.0 > 1800
+                  OR epoch_us(ts)/1000000.0 - epoch_us(prev_ts)/1000000.0 >= 1800
                 THEN 1 ELSE 0 END AS new_session
               FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                     FROM events)))
           GROUP BY user_id, session_seq
           ORDER BY user_id, session_start""",
     // one AvailableNow batch ⇒ keyed state ≡ the batch GROUP BY
+    // (COALESCE: the state op counts null-value rows at 0.0 contribution)
     "q_stream_running_totals" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
-          ${roundPortableSql("SUM(value)", 4)} AS total_value
+          ${roundPortableSql("COALESCE(SUM(value), 0.0)", 4)} AS total_value
           FROM events GROUP BY user_id ORDER BY user_id""",
     "q_json_props_extract" ->
       """SELECT event_type, COUNT(*) AS records,

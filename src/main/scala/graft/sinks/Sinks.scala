@@ -35,12 +35,14 @@ object Sinks {
     * caller to the distributed [[jsonLines]]. Returns the record count. */
   def jsonRecords(df: DataFrame, path: String,
       maxRows: Long = 1000000L): Long = {
-    val normalized = Normalize.temporalsToString(df)
-    // probe reads at most maxRows+1 rows — no full count of a huge input
-    require(normalized.limit((maxRows + 1).min(Int.MaxValue).toInt).count() <= maxRows,
+    val probeN = (maxRows + 1).min(Int.MaxValue).toInt
+    // single pass, bounded either way: collect at most maxRows+1 rows —
+    // one row beyond the success path's own materialization, never the
+    // unbounded input — and refuse BEFORE writing when the cap is hit
+    val rows = Normalize.temporalsToString(df).toJSON.limit(probeN).collect()
+    require(rows.length <= maxRows,
       s"jsonRecords is a driver-side sink for aggregate-sized outputs; " +
         s"input exceeds maxRows=$maxRows — use Sinks.jsonLines for large relations")
-    val rows = normalized.toJSON.collect()
     val p = Paths.get(path)
     Option(p.getParent).foreach(Files.createDirectories(_))
     Files.write(p, rows.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))

@@ -193,6 +193,14 @@ class LiveSalesforceBackend(
       }
     }.toArray[Any]
 
+  /** NOTE on ranges: the DSv2 scan expresses parallelism as [start, end)
+    * row ranges, and the REST query cursor is strictly sequential — so a
+    * P-partition live scan replays pages from the top per partition
+    * (O(P·pages) requests) and each partition sees its own snapshot. A
+    * production live deployment should read with `partitions=1` (one
+    * cursor walk, still pipelined into Spark) or slice server-side with
+    * PK-chunking WHERE ranges; the sim backend, where ranges are free,
+    * keeps full fan-out. */
   override def fetch(query: CompiledSoql, start: Long, end: Long,
       fullSchema: StructType): Iterator[Array[Any]] = {
     val session =
@@ -212,13 +220,22 @@ class LiveSalesforceBackend(
       val (status, resp) = transport.send("GET", url, headers, None)
       val json = scala.util.Try(JsonMethods.parse(resp)).getOrElse(JNothing)
       if (status != 200) throw errorOf(status, json, resp)
+      // a 200 whose body isn't the query shape (e.g. a proxy's HTML
+      // error page) must fail loudly — an empty records fallback would
+      // be SILENT data loss
       val recs = (json \ "records") match {
         case JArray(rs) => rs.map(toRow(_, fullSchema))
-        case _ => Seq.empty
+        case _ => throw new SalesforceApiException(status, "malformed_response",
+          s"query response from $url has no records array: ${resp.take(200)}")
       }
+      // same principle mid-stream: done:false promises another page; a
+      // missing/invalid nextRecordsUrl would truncate the table silently
       val next = ((json \ "done"), (json \ "nextRecordsUrl")) match {
         case (JBool(false), JString(u)) =>
           Some(if (u.startsWith("http")) u else session.instanceUrl + u)
+        case (JBool(false), other) =>
+          throw new SalesforceApiException(status, "malformed_response",
+            s"query page from $url has done=false but no usable nextRecordsUrl: $other")
         case _ => None
       }
       (recs, next)

@@ -103,7 +103,12 @@ object StreamingOps {
   def runningUserTotals(events: DataFrame): Dataset[(Long, Long, Double)] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("value")).as[UserEvent]
+    // null-safe: UserEvent.value is a primitive Double, so a NULL value
+    // row would kill the batch at the encoder; 0.0 contributes nothing
+    // to the total while the row still counts — matching SQL's
+    // COUNT(*) + null-ignoring SUM
+    events.select(col("user_id"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserState, (Long, Long, Double)](
         GroupStateTimeout.NoTimeout()) {

@@ -86,6 +86,12 @@ class MultimodalSpec extends SparkSpec {
       .select("content").head.getAs[Array[Byte]](0)
     assert(Multimodal.RiffAviCodec.tryDecode(valid).isDefined)
     assert(Multimodal.RiffAviCodec.tryDecode(valid.take(30)).isEmpty)
+    // adversarial chunk size (u32 0xFFFFFFF8 → negative Int): must reject,
+    // not spin the walk forever (the decode runs inside 100 TB sweeps)
+    val evil = valid.clone()
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // first LIST size field
+    assert(Multimodal.RiffAviCodec.tryDecode(evil).isEmpty)
     // non-AVI "video" bytes (the generic synthetic corpus) keep flowing
     // via the stub fallback
     val junk = Multimodal.synthesize(spark, 9).filter(col("kind") === "video")

@@ -230,6 +230,26 @@ class TextDedupSpec extends SparkSpec {
     assert(im == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
   }
 
+  test("srpTablesFor holds the per-pair recall target as srpBitsFor widens buckets") {
+    def recall(bits: Int, tables: Int, threshold: Double): Double = {
+      val p = 1.0 - math.acos(threshold) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+    }
+    // the two knobs compose: for any corpus-sized bits, the table count
+    // keeps a-priori per-pair recall >= 1 - 1e-4 (until the cap)
+    for (bits <- 1 to 10; thr <- Seq(0.5, 0.7, 0.9)) {
+      val t = TextDedup.srpTablesFor(bits, thr)
+      if (t < 256) assert(recall(bits, t, thr) >= 1.0 - 1e-4,
+        s"bits=$bits thr=$thr tables=$t recall=${recall(bits, t, thr)}")
+    }
+    // more bits (bigger corpora) -> at least as many tables
+    val seq = (1 to 12).map(TextDedup.srpTablesFor(_, 0.9))
+    assert(seq == seq.sorted)
+    // unattainable points hit the documented cap instead of exploding
+    assert(TextDedup.srpTablesFor(12, 0.5) == 256)
+    assert(TextDedup.srpTablesFor(30, 0.99, maxTables = 64) <= 64)
+  }
+
   test("embeddingNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f)),
