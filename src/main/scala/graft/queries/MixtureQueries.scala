@@ -1,0 +1,110 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Packing, Sampling}
+import graft.sources.Scan
+
+/** Training-data mixture queries over `documents`: deterministic
+  * hash sampling / stratified mixtures / train-val-test splits
+  * ([[Sampling]]) and sequence-packing bins ([[Packing]]). Every entry
+  * is oracled bit-for-bit: the portable md5 hash and the integer
+  * cumulative sums have exact DuckDB twins.
+  */
+object MixtureQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Mixture weights for the stratified entry (by language). */
+  private val mixture = Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.2)
+  private val mixtureDefault = 0.1
+
+  val sampleByHash: Q = (s, dir) =>
+    Sampling.sampleByHash(Scan.table(s, dir, "documents"), "doc_id", 0.1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val stratifiedSample: Q = (s, dir) =>
+    Sampling.stratifiedSampleByHash(Scan.table(s, dir, "documents"),
+        "doc_id", "lang", mixture, mixtureDefault)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Split assignment, aggregated: per-split row count plus an
+    * assignment-sensitive checksum (sum of doc ids) — one reassigned
+    * document anywhere fails the hash gate. */
+  val splitCounts: Q = (s, dir) =>
+    Sampling.withSplit(Scan.table(s, dir, "documents"), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("records"), sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy(col("split"))
+
+  /** Packing stream for a 2048-token context: per-document bin and
+    * offsets from the distributed prefix sum (exact integer arithmetic —
+    * the oracle's global window cumsum must match every row). */
+  val packingBins: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+    Packing.withPackingBins(docs, "doc_id", "n_tokens", budget = 2048)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("bin"), col("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    "q_sample_by_hash" -> sampleByHash,
+    "q_stratified_sample" -> stratifiedSample,
+    "q_split_counts" -> splitCounts,
+    "q_packing_bins" -> packingBins)
+
+  /** DuckDB twin of [[Sampling.hashBucket]] (plain % — the 60-bit hash
+    * value is non-negative, so % ≡ pmod on both engines). */
+  private def bucketSql(salt: String): String =
+    s"((('0x' || substr(md5(doc_id::VARCHAR || '/$salt'), 1, 15))::BIGINT) % 1000000)"
+
+  private def ppm(f: Double): Long = (f * Sampling.Buckets).toLong
+
+  private val mixtureThresholdSql =
+    mixture.foldLeft(ppm(mixtureDefault).toString) {
+      case (acc, (stratum, f)) =>
+        s"CASE WHEN lang = '$stratum' THEN ${ppm(f)} ELSE $acc END"
+    }
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q_sample_by_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE ${bucketSql("sample")} < ${ppm(0.1)}
+          ORDER BY doc_id""",
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ${bucketSql("strata")} < ($mixtureThresholdSql)
+          ORDER BY doc_id""",
+    "q_split_counts" ->
+      s"""SELECT CASE WHEN ${bucketSql("split")} < ${ppm(0.05)} THEN 'val'
+                 WHEN ${bucketSql("split")} < ${2 * ppm(0.05)} THEN 'test'
+                 ELSE 'train' END AS split,
+          COUNT(*) AS records,
+          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+          FROM documents GROUP BY 1 ORDER BY split""",
+    // global-window cumsum in DuckDB ≡ the engine's two-pass distributed
+    // prefix sum — exact integer arithmetic, so every row hash-matches
+    "q_packing_bins" ->
+      s"""WITH t AS (
+            SELECT doc_id, CAST(${TextQueries.wsToks} AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) - n_tokens AS start_offset
+            FROM t)
+          SELECT doc_id, n_tokens, start_offset,
+                 start_offset // 2048 AS bin,
+                 start_offset % 2048 AS bin_offset
+          FROM c ORDER BY doc_id""")
+}

@@ -93,7 +93,7 @@ object TextQueries {
     "q_text_fingerprints" -> fingerprints)
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
-  private val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+  private[queries] val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
   private def hits(words: Seq[String]): String =
     words.map(w => s"(CASE WHEN POSITION(' $w ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)")
       .mkString("(", " + ", ")")
