@@ -80,6 +80,46 @@ object TextDedup {
       .select(col("d1"), col("d2"), roundPortable(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION: cross-corpus n-gram containment between
+    * a (huge) training corpus and a (small) evaluation set — the overlap
+    * check run before training so eval answers don't leak into the
+    * training mix. Scores containment = |shingles(corpus doc) ∩
+    * shingles(eval doc)| / |shingles(eval doc)| — the decontamination
+    * metric (asymmetric on purpose: a long training document that
+    * EMBEDS a short eval item scores 1.0 where symmetric Jaccard would
+    * dilute it toward 0).
+    *
+    * 100 TB shape: the EVAL shingle index is broadcast (eval sets are
+    * aggregate-sized by contract), so candidate generation is a
+    * map-side join — the corpus never shuffles; only MATCHED
+    * (corpus, eval) shingle hits reach the counting aggregate, whose
+    * volume tracks true contamination, not corpus size.
+    */
+  def crossContainmentPairs(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      eval: DataFrame, evalId: String, evalText: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val cSh = withShingles(corpus, corpusId, corpusText, n)
+      .select(col(corpusId).as("corpus_id"), explode(col("shingles")).as("s"))
+    // the eval shingle relation feeds the index AND the sizes —
+    // materialize once (the checkpoint-multiply-consumed pattern)
+    val eShingled = withShingles(eval, evalId, evalText, n)
+      .filter(size(col("shingles")) > 0)
+      .localCheckpoint(true)
+    val eSh = eShingled.select(col(evalId).as("eval_id"),
+      explode(col("shingles")).as("s"))
+    val eSizes = eShingled.select(col(evalId).as("eval_id"),
+      size(col("shingles")).as("n_eval"))
+    cSh.join(broadcast(eSh), Seq("s"))
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).as("inter")) // shingle sets are distinct per doc
+      .join(broadcast(eSizes), Seq("eval_id"))
+      .withColumn("containment", col("inter").cast("double") / col("n_eval"))
+      .filter(col("containment") >= threshold)
+      .select(col("corpus_id"), col("eval_id"),
+        roundPortable(col("containment"), 4).as("containment"))
+  }
+
   /** MinHash signatures via the native [[graft.functions.MinHashSignature]]
     * expression: each shingle string-hashed once, slot i = min of the
     * cheap long re-hash — one codegen'd loop per row. (The equivalent

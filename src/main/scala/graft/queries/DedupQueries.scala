@@ -89,6 +89,18 @@ object DedupQueries {
         fingerprint = ts => graft.functions.GraftFunctions.simhash64Portable(ts))
       .orderBy(col("d1"), col("d2"))
 
+  /** Benchmark decontamination: first 100 doc ids stand in as the eval
+    * set, the rest as the training corpus — cross-corpus 3-gram
+    * containment ≥ 0.5 flags the leaks. */
+  val decontaminate: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+    TextDedup.crossContainmentPairs(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text",
+        docs.filter(col("doc_id") < 100), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy(col("corpus_id"), col("eval_id"))
+  }
+
   val embeddingNearDup: Q = (s, dir) =>
     TextDedup.embeddingNearDupPairs(Scan.table(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.5)
@@ -99,7 +111,17 @@ object DedupQueries {
     * operator's self-sizing defaults (srpBitsFor × srpTablesFor). Shares
     * the exact query's oracle — valid exactly while REALIZED recall is
     * 100%, which seeded planes make deterministic per corpus (verified
-    * green at sf0.01 and sf0.1); a recall regression fails the gate. */
+    * green at sf0.01 and sf0.1); a recall regression fails the gate.
+    *
+    * Bench note: at sf0.1 (2 000 vectors) with the deliberately hostile
+    * gate threshold 0.5, the recall-guaranteed default costs ~4× the
+    * exact pairwise tool — at 64 buckets/table the candidate set is
+    * nearly all pairs, so the LSH machinery is pure overhead. That is
+    * the expected small-corpus regime: the crossover is ~10⁴ vectors
+    * (SCALE.md measures 47× time at 100× data, i.e. >2× cheaper than
+    * linear growth from here). The gate pins the default path's
+    * CORRECTNESS at a size where the oracle is affordable, not its
+    * speed. */
   val embeddingNearDupLsh: Q = (s, dir) =>
     TextDedup.embeddingNearDupPairsLsh(Scan.table(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.5)
@@ -150,6 +172,7 @@ object DedupQueries {
     "q_dedup_components" -> dedupComponents,
     "q_simhash_pairs" -> simhashPairs,
     "q_simhash_portable_pairs" -> simhashPortablePairs,
+    "q_decontaminate" -> decontaminate,
     "q_embedding_neardup" -> embeddingNearDup,
     "q_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q_ann_topk" -> annTopK,
@@ -168,13 +191,18 @@ object DedupQueries {
     * spelling of the engine's shingle semantics — shared by the
     * exact/LSH dedup oracles here and the curation stage-4 oracle
     * (TextQueries), so the oracle-side shingling can never fork. */
+  /** THE single SQL spelling of the engine's word-3-gram shingling —
+    * every shingle-consuming oracle derives from this SELECT so the
+    * oracle-side shingling can never fork. */
+  private[queries] def shingleSelect(src: String): String =
+    s"""SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
+                 i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS s
+        FROM $src WHERE LEN(STRING_SPLIT(text, ' ')) >= 3"""
+
   private[queries] def jaccardPairCtes(src: String): String =
-    s"""sh AS (
-         SELECT doc_id,
-                UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-                  GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
-                  i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS s
-         FROM $src WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+    s"""sh AS (${shingleSelect(src)}),
        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        ip AS (
          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
@@ -266,6 +294,21 @@ object DedupQueries {
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3
          ORDER BY d1, d2""",
+    // cross-corpus containment: |∩ shingles| / |eval shingles| — the
+    // asymmetric decontamination metric, same shared shingle spelling
+    "q_decontaminate" ->
+      s"""WITH sh AS (${shingleSelect("documents")}),
+          se AS (SELECT doc_id, s FROM sh WHERE doc_id < 100),
+          sc AS (SELECT doc_id, s FROM sh WHERE doc_id >= 100),
+          esz AS (SELECT doc_id, COUNT(*) AS n FROM se GROUP BY 1),
+          ip AS (SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
+                        COUNT(*) AS inter
+                 FROM sc c JOIN se e ON c.s = e.s GROUP BY 1, 2)
+          SELECT corpus_id, eval_id,
+                 ${roundPortableSql("inter::DOUBLE / esz.n", 4)} AS containment
+          FROM ip JOIN esz ON esz.doc_id = eval_id
+          WHERE inter::DOUBLE / esz.n >= 0.5
+          ORDER BY corpus_id, eval_id""",
     "q_embedding_neardup" -> embNearDupSql,
     "q_embedding_neardup_lsh" -> embNearDupSql,
     "q_ann_topk" ->

@@ -230,6 +230,36 @@ class TextDedupSpec extends SparkSpec {
     assert(im == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
   }
 
+  test("crossContainmentPairs flags embedded eval docs; corpus side never shuffles for candidates") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // embeds eval 1
+      (101L, "one two three four five six seven eight nine"),  // unrelated
+      (102L, "alpha beta gamma something else entirely here")  // partial overlap
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "beta gamma delta epsilon"), // inside 100: containment 1.0
+      (2L, "completely disjoint words herein")
+    ).toDF("doc_id", "text")
+    val hits = TextDedup.crossContainmentPairs(
+        corpus, "doc_id", "text", eval, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // eval 1 has 2 distinct 3-gram shingles, both inside corpus 100
+    assert(hits((100L, 1L)) == 1.0)
+    assert(!hits.keySet.exists(_._2 == 2L)) // clean eval doc stays clean
+    assert(!hits.contains((101L, 1L)))      // unrelated corpus doc too
+    // the asymmetry is the point: symmetric jaccard of (100, eval 1)
+    // would be 2/6 — under a 0.5 bar the leak would slip through
+    // 100 TB shape: ONE shuffle total (the counting aggregate) — the
+    // eval index and sizes ride broadcasts, the corpus stays in place
+    val plan = TextDedup.crossContainmentPairs(
+        corpus, "doc_id", "text", eval, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval index not broadcast:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"expected only the counting aggregate to shuffle, got $shuffles:\n$plan")
+  }
+
   test("srpTablesFor holds the per-pair recall target as srpBitsFor widens buckets") {
     def recall(bits: Int, tables: Int, threshold: Double): Double = {
       val p = 1.0 - math.acos(threshold) / math.Pi
