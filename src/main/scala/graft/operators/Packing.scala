@@ -1,84 +1,96 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Sequence-packing bins for LLM pretraining batch assembly (extension
   * surface): assign every document a position in a stream of
   * fixed-token-budget bins, by cumulative token count in a total key
-  * order. Output per row: `start_offset` (tokens before this doc),
-  * `bin` (= start_offset / budget) and `bin_offset` (position inside
-  * the bin). A document may straddle a bin boundary — the offsets are
-  * exactly what a writer needs to split or shift it; greedy no-split
-  * packing is an inherently sequential fold, and this cumulative form
-  * is its parallelizable variant with the same stream layout.
+  * order. Output per row: the input columns plus `start_offset` (tokens
+  * before this doc), `bin` (= start_offset div budget) and `bin_offset`
+  * (position inside the bin). A document may straddle a bin boundary —
+  * the offsets are exactly what a writer needs to split or shift it;
+  * greedy no-split packing is an inherently sequential fold, and this
+  * cumulative form is its parallelizable variant with the same stream
+  * layout. Null token counts pack as 0 tokens (the row keeps its slot
+  * in the stream, consuming no budget).
   *
   * THE SCALE POINT: the naive spelling is
   * `sum(tokens) OVER (ORDER BY key)` — a GLOBAL window, which Spark
   * executes by shuffling the entire relation into ONE partition (the
   * single-task straggler this repo's top-k work removed elsewhere).
-  * This implementation is the classic two-pass distributed prefix sum:
+  * This implementation is the classic two-pass distributed prefix sum
+  * with exactly ONE shuffle (the range partitioning):
   *
-  *   1. range-partition by key and locally sort (one ordinary shuffle,
-  *      any width);
-  *   2. aggregate ONE subtotal row per partition and prefix-sum those
-  *      on the driver (O(partitions) rows — aggregate-sized at any
-  *      corpus scale);
-  *   3. per-partition local cumulative sum (a PARTITIONED window — every
-  *      partition works in parallel) plus its broadcast prefix offset.
+  *   1. range-partition by key at a corpus-sized width
+  *      ([[graft.GraftSession.partitionsFor]] — per-task state is O(1)
+  *      here, but partition SIZE must stay storage-bounded) and locally
+  *      sort; materialize once;
+  *   2. one subtotal per partition, prefix-summed on the driver
+  *      (O(partitions) rows — aggregate-sized at any corpus scale);
+  *   3. per-partition running sum seeded with the partition's prefix —
+  *      a NARROW `mapPartitionsWithIndex` pass over the materialized
+  *      partitions (the genuine per-partition-imperative case): no
+  *      second exchange, asserted shuffle-free in SamplingPackingSpec.
   *
-  * No single-partition exchange anywhere (PackingSpec asserts it), and
-  * the result is independent of the partition count: local cumsum +
-  * exclusive prefix of partition subtotals is exactly the global
-  * cumulative sum.
+  * All arithmetic is integer (Long) — `bin` uses true integer division,
+  * never a double quotient — so every row matches an exact-SQL oracle
+  * at any magnitude.
   */
 object Packing {
 
   /** @param budget tokens per bin (the training context length)
-    * @return input columns + `n_tokens`, `start_offset`, `bin`,
-    *         `bin_offset`, ordered by `keyCol` semantics (row order is
-    *         not materialized — add `.orderBy` for display) */
+    * @param numPartitions range-partition width; default sized to the
+    *        corpus via [[graft.GraftSession.partitionsFor]]
+    * @return input columns + `start_offset`, `bin`, `bin_offset`
+    *         (Long); row order is not materialized — add `.orderBy`
+    *         for display */
   def withPackingBins(
       docs: DataFrame, keyCol: String, tokensCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, numPartitions: Option[Int] = None): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")
     val spark = docs.sparkSession
+    val p = numPartitions.getOrElse(
+      graft.GraftSession.partitionsFor(spark, docs.count()))
 
-    // (1) range-partition on the packing order and pin each row's
-    // partition id as a COLUMN — the window and the offset join below
-    // must see the same pid, so it is materialized once (the
-    // checkpoint-multiply-consumed pattern used throughout the repo).
+    // (1) the ONE shuffle: range-partition on the packing order, sort
+    // locally, materialize once — both later passes read these blocks.
     val ranged = docs
-      .repartitionByRange(col(keyCol))
+      .repartitionByRange(p, col(keyCol))
       .sortWithinPartitions(col(keyCol))
-      .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
+    val tokIdx = ranged.schema.fieldIndex(tokensCol)
+    def tok(r: Row): Long =
+      if (r.isNullAt(tokIdx)) 0L else r.getAs[Number](tokIdx).longValue()
 
-    // (2) one subtotal row per partition → driver prefix sum. This is
-    // O(partitions) driver data by construction, not O(rows).
-    val subtotals = ranged.groupBy(col("__pid"))
-      .agg(sum(col(tokensCol)).as("__psum"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (subtotals.isEmpty) -1 else subtotals.keys.max
-    val prefixes = (0 to maxPid).scanLeft(0L) {
+    // (2) one subtotal row per partition → driver exclusive prefix.
+    // Partition INDEX is the range order (repartitionByRange), so the
+    // prefix of partition i is the token mass of partitions < i.
+    val subtotals = ranged.rdd
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator.single(i -> it.foldLeft(0L)(_ + tok(_))))
+      .collect().toMap
+    val nParts = if (subtotals.isEmpty) 0 else subtotals.keys.max + 1
+    val prefixes = (0 until nParts).scanLeft(0L) {
       case (acc, pid) => acc + subtotals.getOrElse(pid, 0L)
-    }.init // exclusive prefix: tokens in all partitions BEFORE pid
-    // ONE array literal indexed by pid — not a per-partition when-chain,
-    // which bloats the generated code linearly with the partition count
-    val prefixCol =
-      if (prefixes.isEmpty) lit(0L)
-      else element_at(typedLit(prefixes), col("__pid") + 1)
+    }.init.toArray
 
-    // (3) partition-LOCAL running sum — the window is partitioned, so
-    // every range partition computes in parallel.
-    val localCum = sum(col(tokensCol)).over(
-      Window.partitionBy(col("__pid")).orderBy(col(keyCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranged
-      .withColumn("start_offset", prefixCol + localCum - col(tokensCol))
-      .withColumn("bin", (col("start_offset") / budget).cast("long"))
-      .withColumn("bin_offset", col("start_offset") % budget)
-      .drop("__pid")
+    // (3) narrow pass: local running sum seeded with the prefix.
+    val out = ranged.rdd.mapPartitionsWithIndex { (i, rows) =>
+      var cum = if (i < prefixes.length) prefixes(i) else 0L
+      rows.map { r =>
+        val t = tok(r)
+        val startOffset = cum
+        cum += t
+        Row.fromSeq(r.toSeq :+ startOffset :+
+          java.lang.Math.floorDiv(startOffset, budget) :+
+          startOffset % budget)
+      }
+    }
+    spark.createDataFrame(out, StructType(ranged.schema.fields ++ Seq(
+      StructField("start_offset", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false),
+      StructField("bin_offset", LongType, nullable = false))))
   }
 }

@@ -117,11 +117,11 @@ object DedupQueries {
     * gate threshold 0.5, the recall-guaranteed default costs ~4× the
     * exact pairwise tool — at 64 buckets/table the candidate set is
     * nearly all pairs, so the LSH machinery is pure overhead. That is
-    * the expected small-corpus regime: the crossover is ~10⁴ vectors
-    * (SCALE.md measures 47× time at 100× data, i.e. >2× cheaper than
-    * linear growth from here). The gate pins the default path's
-    * CORRECTNESS at a size where the oracle is affordable, not its
-    * speed. */
+    * the expected small-corpus regime; LSH pays off as buckets outgrow
+    * the corpus ratio (SCALE.md measures ~73× time at 100× data —
+    * below linear while the exact tool's n² grows 10 000×). The gate
+    * pins the default path's CORRECTNESS at a size where the oracle is
+    * affordable, not its speed. */
   val embeddingNearDupLsh: Q = (s, dir) =>
     TextDedup.embeddingNearDupPairsLsh(Scan.table(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.5)
@@ -185,15 +185,10 @@ object DedupQueries {
     "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
   private val cosR6 = roundPortableSql(cosExpr, 6)
 
-  /** CTE fragment deriving exact word-3-gram Jaccard intersection pairs
-    * from a `(doc_id, text)` relation: defines `sh` (distinct shingles),
-    * `sizes`, and `ip` (d1 < d2, intersection counts). THE single SQL
-    * spelling of the engine's shingle semantics — shared by the
-    * exact/LSH dedup oracles here and the curation stage-4 oracle
-    * (TextQueries), so the oracle-side shingling can never fork. */
   /** THE single SQL spelling of the engine's word-3-gram shingling —
-    * every shingle-consuming oracle derives from this SELECT so the
-    * oracle-side shingling can never fork. */
+    * every shingle-consuming oracle (exact/LSH dedup, curation stage 4,
+    * decontamination) derives from this SELECT so the oracle-side
+    * shingling can never fork. */
   private[queries] def shingleSelect(src: String): String =
     s"""SELECT doc_id,
                UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
@@ -201,6 +196,10 @@ object DedupQueries {
                  i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS s
         FROM $src WHERE LEN(STRING_SPLIT(text, ' ')) >= 3"""
 
+  /** CTE fragment deriving exact Jaccard intersection pairs from a
+    * `(doc_id, text)` relation on [[shingleSelect]]'s shingles: defines
+    * `sh` (distinct shingles), `sizes`, and `ip` (d1 < d2, intersection
+    * counts). */
   private[queries] def jaccardPairCtes(src: String): String =
     s"""sh AS (${shingleSelect(src)}),
        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

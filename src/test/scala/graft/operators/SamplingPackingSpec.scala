@@ -72,12 +72,21 @@ class SamplingPackingSpec extends SparkSpec {
         assert(r.getAs[Long]("bin_offset") == cum % 100)
         cum += n
     }
-    // the scale claim: the prefix sum never funnels the relation into
-    // one partition (the global-window anti-pattern)
+    // the scale claim: the only shuffle is the range partitioning
+    // inside the materialization — the OUTPUT plan (subtotals + seeded
+    // local cumsum over the materialized partitions) is exchange-free,
+    // so in particular there is no global-window single-partition funnel
+    // and no second full-relation shuffle for the window
     val plan = Packing.withPackingBins(toks, "doc_id", "n_tokens", 100)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"),
-      s"global-window single-partition exchange crept in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"prefix-sum second pass must be narrow:\n$plan")
+    // null token counts pack as 0 tokens, keeping their stream slot
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("doc_id", "n_tokens")
+    val np = Packing.withPackingBins(withNull, "doc_id", "n_tokens", 100)
+      .orderBy("doc_id").collect()
+    assert(np.map(_.getAs[Long]("start_offset")).toSeq == Seq(0L, 5L, 5L))
     // empty input: no rows, no crash
     assert(Packing.withPackingBins(toks.limit(0), "doc_id", "n_tokens", 100).count() == 0)
   }
