@@ -37,6 +37,21 @@ object TextAnalysis {
     GraftFunctions.roundPortable(size(array_distinct(toks)).cast("double") / size(toks), 4)
   }
 
+  /** Duplicate word-n-gram fraction — the phrase-loop detector the
+    * token-level [[distinctTokenRatio]] misses (a doc cycling "foo bar
+    * baz" has high distinct-TOKEN ratio but ~1.0 duplicate 2-grams);
+    * the standard repeated-n-gram quality filter of large corpus
+    * pipelines (Rae et al., "Scaling Language Models: ... Gopher",
+    * 2021, appendix A1.1). 0.0 for docs shorter than n tokens. Distinct
+    * counting rides the native [[WordShingles]] kernel. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val total = greatest(size(split(text, " ")) - (n - 1), lit(0))
+    val distinct = size(GraftFunctions.word_shingles(text, n))
+    when(total > 0,
+      lit(1.0) - distinct.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Language stopword marker lists (public high-frequency function
     * words). Containment is checked with space padding — pure substring
     * semantics, no tokenizer needed. */

@@ -45,6 +45,19 @@ object TextQueries {
       .orderBy(col("predicted_lang"))
   }
 
+  /** Phrase-loop repetition profile (Gopher-style duplicate-n-gram
+    * fractions at n = 2 and 3) — the quality signal token-level
+    * distinct ratios miss. */
+  val repetition: Q = (s, dir) => {
+    import graft.functions.GraftFunctions.roundPortable
+    val d = Scan.table(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      roundPortable(repetitionRatio(col("text"), 2), 4).as("repetition_2g"),
+      roundPortable(repetitionRatio(col("text"), 3), 4).as("repetition_3g"))
+      .orderBy(col("doc_id"))
+  }
+
   val fingerprints: Q = (s, dir) => {
     val d = Scan.table(s, dir, "documents")
     d.select(
@@ -89,6 +102,7 @@ object TextQueries {
     "q_curation_clusters" -> curationClusters,
     "q_text_token_counts" -> tokenCounts,
     "q_text_quality" -> qualityProfile,
+    "q_text_repetition" -> repetition,
     "q_text_langid" -> langIdRollup,
     "q_text_fingerprints" -> fingerprints)
 
@@ -180,6 +194,26 @@ object TextQueries {
                / GREATEST($wsToks::DOUBLE, 1.0)) * 0.3
             + ($hitsEn / 5.0) * 0.2""", 4)} AS quality_score
           FROM documents ORDER BY doc_id""",
+    // duplicate-n-gram fractions: same slice/distinct spelling family
+    // as the shared shingle SQL, at n = 2 and 3
+    "q_text_repetition" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 0) AS t2,
+              LEN(LIST_DISTINCT(LIST_TRANSFORM(
+                GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+1], ' ')))) AS d2,
+              GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) AS t3,
+              LEN(LIST_DISTINCT(LIST_TRANSFORM(
+                GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
+                i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS d3
+            FROM documents)
+          SELECT doc_id,
+            ${graft.functions.GraftFunctions.roundPortableSql(
+              "CASE WHEN t2 > 0 THEN 1.0 - d2::DOUBLE / t2::DOUBLE ELSE 0.0 END", 4)} AS repetition_2g,
+            ${graft.functions.GraftFunctions.roundPortableSql(
+              "CASE WHEN t3 > 0 THEN 1.0 - d3::DOUBLE / t3::DOUBLE ELSE 0.0 END", 4)} AS repetition_3g
+          FROM g ORDER BY doc_id""",
     "q_text_langid" ->
       s"""SELECT predicted_lang, COUNT(*) AS n_docs FROM (
             SELECT CASE
