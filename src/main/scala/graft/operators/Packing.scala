@@ -32,7 +32,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *   3. per-partition running sum seeded with the partition's prefix —
   *      a NARROW `mapPartitionsWithIndex` pass over the materialized
   *      partitions (the genuine per-partition-imperative case): no
-  *      second exchange, asserted shuffle-free in SamplingPackingSpec.
+  *      second exchange. SamplingPackingSpec pins this by asserting the
+  *      OUTPUT keeps the requested partition width (an RDD-backed plan
+  *      hides exchanges from explain, but any funnel/re-shuffle would
+  *      change the partition count).
   *
   * All arithmetic is integer (Long) — `bin` uses true integer division,
   * never a double quotient — so every row matches an exact-SQL oracle
@@ -42,7 +45,10 @@ object Packing {
 
   /** @param budget tokens per bin (the training context length)
     * @param numPartitions range-partition width; default sized to the
-    *        corpus via [[graft.GraftSession.partitionsFor]]
+    *        corpus via [[graft.GraftSession.partitionsFor]] — the
+    *        default pays one count() job (the optimizer prunes it to a
+    *        metadata-ish scan; computed columns are dropped), so hot
+    *        paths that already know their scale should pass a width
     * @return input columns + `start_offset`, `bin`, `bin_offset`
     *         (Long); row order is not materialized — add `.orderBy`
     *         for display */
@@ -83,9 +89,13 @@ object Packing {
         val t = tok(r)
         val startOffset = cum
         cum += t
+        // floorDiv/floorMod pair: bin * budget + bin_offset ==
+        // start_offset on ALL inputs (truncated % would break the
+        // decomposition if a garbage negative token count ever slipped
+        // a negative offset through)
         Row.fromSeq(r.toSeq :+ startOffset :+
           java.lang.Math.floorDiv(startOffset, budget) :+
-          startOffset % budget)
+          java.lang.Math.floorMod(startOffset, budget))
       }
     }
     spark.createDataFrame(out, StructType(ranged.schema.fields ++ Seq(

@@ -118,8 +118,8 @@ object DedupQueries {
     * exact pairwise tool — at 64 buckets/table the candidate set is
     * nearly all pairs, so the LSH machinery is pure overhead. That is
     * the expected small-corpus regime; LSH pays off as buckets outgrow
-    * the corpus ratio (SCALE.md measures ~73× time at 100× data —
-    * below linear while the exact tool's n² grows 10 000×). The gate
+    * the corpus ratio (SCALE.md carries the measured 100× growth —
+    * below linear, while the exact tool's n² grows 10 000×). The gate
     * pins the default path's CORRECTNESS at a size where the oracle is
     * affordable, not its speed. */
   val embeddingNearDupLsh: Q = (s, dir) =>
@@ -185,15 +185,18 @@ object DedupQueries {
     "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
   private val cosR6 = roundPortableSql(cosExpr, 6)
 
-  /** THE single SQL spelling of the engine's word-3-gram shingling —
-    * every shingle-consuming oracle (exact/LSH dedup, curation stage 4,
-    * decontamination) derives from this SELECT so the oracle-side
-    * shingling can never fork. */
+  /** THE single SQL spelling of the engine's distinct word-n-gram list
+    * over a `text` column — every n-gram-consuming oracle (exact/LSH
+    * dedup, curation stage 4, decontamination, repetition) derives from
+    * this expression so the oracle-side shingling can never fork. */
+  private[queries] def ngramListSql(n: Int): String =
+    s"""LIST_DISTINCT(LIST_TRANSFORM(
+          GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - ${n - 1}),
+          i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+${n - 1}], ' ')))"""
+
+  /** [[ngramListSql]] at n = 3, exploded — the dedup oracles' shape. */
   private[queries] def shingleSelect(src: String): String =
-    s"""SELECT doc_id,
-               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-                 GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
-                 i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS s
+    s"""SELECT doc_id, UNNEST(${ngramListSql(3)}) AS s
         FROM $src WHERE LEN(STRING_SPLIT(text, ' ')) >= 3"""
 
   /** CTE fragment deriving exact Jaccard intersection pairs from a

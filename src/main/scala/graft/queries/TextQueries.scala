@@ -194,19 +194,15 @@ object TextQueries {
                / GREATEST($wsToks::DOUBLE, 1.0)) * 0.3
             + ($hitsEn / 5.0) * 0.2""", 4)} AS quality_score
           FROM documents ORDER BY doc_id""",
-    // duplicate-n-gram fractions: same slice/distinct spelling family
-    // as the shared shingle SQL, at n = 2 and 3
+    // duplicate-n-gram fractions at n = 2 and 3, derived from THE
+    // shared n-gram spelling (DedupQueries.ngramListSql)
     "q_text_repetition" ->
       s"""WITH g AS (
             SELECT doc_id,
               GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 0) AS t2,
-              LEN(LIST_DISTINCT(LIST_TRANSFORM(
-                GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 1),
-                i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+1], ' ')))) AS d2,
+              LEN(${DedupQueries.ngramListSql(2)}) AS d2,
               GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) AS t3,
-              LEN(LIST_DISTINCT(LIST_TRANSFORM(
-                GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
-                i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS d3
+              LEN(${DedupQueries.ngramListSql(3)}) AS d3
             FROM documents)
           SELECT doc_id,
             ${graft.functions.GraftFunctions.roundPortableSql(
