@@ -188,8 +188,13 @@ object Multimodal {
         var frames = 0
         val acc = new Array[Float](FeatureDim)
         // walk a chunk sequence in [off, end); LIST chunks recurse into
-        // their payload (after the 4-byte list type)
-        def walk(off0: Int, end: Int, inMovi: Boolean): Unit = {
+        // their payload (after the 4-byte list type). Depth is capped so
+        // an adversarial blob of thousands of nested LISTs aborts to None
+        // (require, inside the Try) instead of a fatal StackOverflowError
+        // escaping the guard — real AVIs nest 2-3 deep.
+        val maxListDepth = 64
+        def walk(off0: Int, end: Int, inMovi: Boolean, depth: Int = 0): Unit = {
+          require(depth <= maxListDepth, s"LIST nesting exceeds $maxListDepth")
           var off = off0
           while (off + 8 <= end) {
             val id = fourCC(content, off)
@@ -202,7 +207,7 @@ object Multimodal {
             if (id == "LIST" && size >= 4) {
               val listType = fourCC(content, payload)
               walk(payload + 4, math.min(end, payload + size),
-                inMovi || listType == "movi")
+                inMovi || listType == "movi", depth + 1)
             } else if (id == "avih" && size >= 40) {
               // MainAVIHeader: dwWidth/dwHeight at payload offsets 32/36
               width = u32le(content, payload + 32).toInt

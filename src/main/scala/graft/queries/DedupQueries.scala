@@ -56,9 +56,12 @@ object DedupQueries {
     TextDedup.connectedComponents(pairs).orderBy(col("node"))
   }
 
-  /** Fixed path the q_simhash_pairs oracle reads back (single-session
-    * use, like the sim-org snapshot). */
-  val simhashFpSnapshotDir = "/tmp/graft_simhash_fp_snapshot"
+  /** Path the q_simhash_pairs oracle reads back — derived from the data
+    * dir (see [[SnapshotPaths]]) so concurrent sessions and different
+    * scale factors never clobber or silently reuse each other's snapshot.
+    * The snapshot write below is part of the measured query. */
+  def simhashFpSnapshotDir(dataDir: String): String =
+    SnapshotPaths.dirFor("simhash_fp", dataDir)
 
   /** xxhash64 simhash has no DuckDB twin, so the fingerprint bytes are
     * snapshotted to parquet and the oracle derives the pair set by exact
@@ -68,11 +71,12 @@ object DedupQueries {
     * even though the hash itself is engine-specific. */
   val simhashPairs: Q = (s, dir) => {
     import graft.functions.GraftFunctions.simhash64
+    val snap = simhashFpSnapshotDir(dir)
     Scan.table(s, dir, "documents")
       .select(col("doc_id"), simhash64(split(col("text"), " ")).as("fp"))
-      .coalesce(1).write.mode("overwrite").parquet(simhashFpSnapshotDir)
+      .coalesce(1).write.mode("overwrite").parquet(snap)
     TextDedup.simhashPairsFromFingerprints(
-        s.read.parquet(simhashFpSnapshotDir), "doc_id", "fp",
+        s.read.parquet(snap), "doc_id", "fp",
         chunks = 4, maxHamming = 3)
       .orderBy(col("d1"), col("d2"))
   }
@@ -269,11 +273,12 @@ object DedupQueries {
     // Pairs by exact all-pairs hamming over the Spark-computed
     // fingerprint snapshot (≡ the engine's chunk join: maxHamming <
     // chunks ⇒ pigeonhole-exact). Gates the join machinery bit-for-bit.
+    // The snapshot dir carries the data-dir token; Verify resolves it.
     "q_simhash_pairs" ->
       s"""SELECT a.doc_id AS d1, b.doc_id AS d2,
                  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-          FROM read_parquet('$simhashFpSnapshotDir/*.parquet') a
-          JOIN read_parquet('$simhashFpSnapshotDir/*.parquet') b
+          FROM read_parquet('${simhashFpSnapshotDir(SnapshotPaths.DataDirToken)}/*.parquet') a
+          JOIN read_parquet('${simhashFpSnapshotDir(SnapshotPaths.DataDirToken)}/*.parquet') b
             ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.fp, b.fp)) <= 3
           ORDER BY d1, d2""",

@@ -35,7 +35,10 @@ object Sinks {
     * caller to the distributed [[jsonLines]]. Returns the record count. */
   def jsonRecords(df: DataFrame, path: String,
       maxRows: Long = 1000000L): Long = {
-    val probeN = (maxRows + 1).min(Int.MaxValue).toInt
+    // clamp BEFORE incrementing: maxRows = Long.MaxValue ("no cap") must
+    // not overflow to probeN = 0, which would silently write an empty
+    // array — the cap saturates at the largest collectable probe instead
+    val probeN = (math.min(maxRows, Int.MaxValue - 1L) + 1).toInt
     // single pass, bounded either way: collect at most maxRows+1 rows —
     // one row beyond the success path's own materialization, never the
     // unbounded input — and refuse BEFORE writing when the cap is hit

@@ -182,9 +182,14 @@ class LiveSalesforceBackend(
           case JInt(i) => java.lang.Double.valueOf(i.toDouble)
           case JLong(l) => java.lang.Double.valueOf(l.toDouble)
           case JDecimal(d) => java.lang.Double.valueOf(d.toDouble)
-          case JString(s) => scala.util.Try(
-            java.lang.Double.valueOf(s.toDouble)).getOrElse(null)
-          case _ => null
+          // loud failure, like the missing-records/dropped-cursor paths:
+          // a non-numeric value in a numeric field is a malformed
+          // response, not a null — silently nulling it drops data
+          case JString(s) => scala.util.Try(java.lang.Double.valueOf(s.toDouble))
+            .getOrElse(throw new SalesforceApiException(200, "MALFORMED_FIELD",
+              s"non-numeric value '$s' in numeric field ${f.name}"))
+          case other => throw new SalesforceApiException(200, "MALFORMED_FIELD",
+            s"non-numeric JSON ${other.getClass.getSimpleName} in numeric field ${f.name}")
         }
         case (JString(s), _) =>
           org.apache.spark.unsafe.types.UTF8String.fromString(s)

@@ -98,6 +98,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAndFeaturize(junk).count() == 3)
   }
 
+  test("RiffAviCodec aborts a nested-LIST bomb instead of overflowing the stack") {
+    // thousands of nested LIST chunks: an unbounded recursive walk dies
+    // with a fatal StackOverflowError that ESCAPES the Try guard and
+    // kills the task — the depth cap must turn it into a clean None
+    val depth = 10000
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val total = 12 + depth * 12
+    cc("RIFF"); u32(total - 8L); cc("AVI ")
+    var remaining = total - 12
+    (0 until depth).foreach { _ =>
+      cc("LIST"); u32(remaining - 8L); cc("hdrl")
+      remaining -= 12
+    }
+    assert(Multimodal.RiffAviCodec.tryDecode(bos.toByteArray).isEmpty)
+  }
+
   test("sampleFrames: one row per sampled frame, video only") {
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)
     val perVideo = frames.groupBy("media_id").count().collect()

@@ -31,4 +31,16 @@ class SinksSpec extends SparkSpec {
     Sinks.jsonLines(big, s"$dir/big_jsonl")
     assert(spark.read.json(s"$dir/big_jsonl").count() == 100)
   }
+
+  test("jsonRecords maxRows=Long.MaxValue means 'no cap', never a silent empty array") {
+    // maxRows + 1 must not overflow to a limit(0) probe that writes []
+    val dir = Files.createTempDirectory("graft_sinks").toString
+    val path = s"$dir/uncapped.json"
+    val n = Sinks.jsonRecords(
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v").orderBy("k"),
+      path, maxRows = Long.MaxValue)
+    assert(n == 3)
+    val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    assert(text.contains("""{"k":"c","v":3}"""))
+  }
 }

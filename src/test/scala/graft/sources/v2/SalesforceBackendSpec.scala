@@ -133,6 +133,21 @@ class SalesforceBackendSpec extends SparkSpec {
     assert(e2.status == 401 && e2.errorCode == "INVALID_SESSION_ID")
   }
 
+  test("LiveSalesforceBackend: non-numeric value in a numeric field fails loudly") {
+    // same loud-failure principle as missing-records / dropped-cursor:
+    // silently nulling an unparseable numeric drops data
+    val t = new FakeTransport((_, url, _, _) =>
+      if (url.contains("/oauth2/token")) loginOk
+      else (200, s"""{"totalSize":1,"done":true,"records":[${rec("Account-0", "\"N/A\"")}]}"""))
+    val e = intercept[SalesforceApiException] {
+      new LiveSalesforceBackend(liveCreds, t)
+        .fetch(CompiledSoql("Account", Seq("Id", "AnnualRevenue"), Nil, None),
+          0, 1, twoColSchema).toSeq
+    }
+    assert(e.errorCode == "MALFORMED_FIELD")
+    assert(e.getMessage.contains("AnnualRevenue") && e.getMessage.contains("N/A"))
+  }
+
   test("SimBackend fetch honors the fetch schema (pruning reaches the backend)") {
     val q = CompiledSoql("Account", Seq("Name"), Nil, None)
     val narrow = StructType(Seq(StructField("Name", StringType)))
