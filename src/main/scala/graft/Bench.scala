@@ -39,10 +39,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> math.min(timedRun(fn), timedRun(fn))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) timings: full-precision doubles made the JSON
+    // line outgrow the driver's log-tail window, truncating its head and
+    // breaking the parse — and sub-0.1 ms precision is noise anyway
+    def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // also land the metrics as a FILE so the bench is machine-readable
     // without scraping [info]-prefixed sbt stdout (overridable path)

@@ -553,13 +553,30 @@ object TextDedup {
       .repartition(p, col("d1"), col("d2")).distinct()
     // the verify joins also carry the (deduped) candidate stream — bind
     // their exchanges to the same width rather than the session default
-    cand
-      .repartition(p, col("d1"))
-      .join(vecs.select(col(idCol).as("d1"), col(vecCol).as("v1")), Seq("d1"))
-      .repartition(p, col("d2"))
-      .join(vecs.select(col(idCol).as("d2"), col(vecCol).as("v2")), Seq("d2"))
+    // Verify stage: exact cosine over the candidates. The vectors
+    // relation is orders of magnitude smaller than the candidate stream
+    // (t·n bucket rows fan out to B/2 pairs each) — when it fits a
+    // broadcast, both lookups go map-side and the candidate stream
+    // crosses no exchange beyond its distinct; above the bound (the
+    // 100 TB regime) the repartitioned shuffle joins at the
+    // corpus-tracked width take over.
+    val v1 = vecs.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val v2 = vecs.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    val joined =
+      if (nVecs * (16L + 4L * planeDim) <= verifyBroadcastMaxBytes)
+        cand.join(broadcast(v1), Seq("d1")).join(broadcast(v2), Seq("d2"))
+      else
+        cand.repartition(p, col("d1")).join(v1, Seq("d1"))
+          .repartition(p, col("d2")).join(v2, Seq("d2"))
+    joined
       .withColumn("cosine", cosine_similarity(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), roundPortable(col("cosine"), 6).as("cosine"))
   }
+
+  /** Broadcast bound for [[embeddingNearDupPairsLsh]]'s verify lookups:
+    * 32 MB of estimated (id + vector) payload — small enough to ship to
+    * every executor twice, far past any corpus where the shuffle path
+    * isn't already the right plan. */
+  private[operators] val verifyBroadcastMaxBytes: Long = 32L << 20
 }
