@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ≥3 attempts per query: min isolates steady-state cost (one-time
+    // Janino/shuffle init lands on whichever run hits it first), median
+    // shows dispersion — the signal that separates a real plan regression
+    // from a loaded host (see BenchHarness).
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,38 +21,24 @@ object Bench {
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => }
 
-    // One timed execution; the query is fully materialized (count())
-    // before GraftSession.releasingScratch releases the blocks it
-    // persisted (localCheckpoint scratch of the dedup/similarity
-    // queries), outside the captured time — so a 46-query session never
-    // accumulates block-manager pressure that distorts later timings
-    // (observed: same query 8 s fresh vs 40+ s after five checkpointing
-    // queries).
-    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
-      GraftSession.releasingScratch(spark) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+    // Each run fully materializes the query (count()) before
+    // GraftSession.releasingScratch releases the blocks it persisted
+    // (localCheckpoint scratch of the dedup/similarity queries), outside
+    // the captured time — so a 57-query session never accumulates
+    // block-manager pressure that distorts later timings (observed: same
+    // query 8 s fresh vs 40+ s after five checkpointing queries).
+    // Iterating SparkEntry.queries ITSELF pins the bench to the exact
+    // correctness key set — the artifacts can't silently diverge.
+    val stats = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> BenchHarness.measure(runs) { () =>
+        GraftSession.releasingScratch(spark) { fn(spark, sfDir).count(); () }
       }
-
-    // min-of-2 per query: the first execution of a new expression family
-    // pays one-time costs (Janino compile of large generated classes,
-    // shuffle/ml init) that land on WHICHEVER query hits them first and
-    // move between runs — the r2 "q_curation_filter 3× with identical
-    // code" artifact. The min isolates the query's steady-state cost,
-    // which is the number that scales with data size.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timedRun(fn), timedRun(fn))
     }
-    // 4-decimal (0.1 ms) timings: full-precision doubles made the JSON
-    // line outgrow the driver's log-tail window, truncating its head and
-    // breaking the parse — and sub-0.1 ms precision is noise anyway
-    def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = BenchHarness.jsonLine(sfDir, runs, stats)
     println(json)
+    // a throwing query must fail the round LOUDLY, not just in-band
+    stats.collect { case (n, st) if st.err.isDefined => n -> st.err.get }
+      .foreach { case (n, e) => System.err.println(s"[bench] QUERY FAILED $n: $e") }
     // also land the metrics as a FILE so the bench is machine-readable
     // without scraping [info]-prefixed sbt stdout (overridable path)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -56,5 +47,6 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
+    if (stats.exists(_._2.err.isDefined)) sys.exit(1)
   }
 }

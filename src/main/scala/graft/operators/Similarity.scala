@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -121,6 +121,26 @@ object Similarity {
     }.toSeq
     corpus.sparkSession.createDataFrame(centers).toDF("centroid_id", "cvec")
   }
+
+  /** Persist an IVF index — the (centroid_id, cvec) relation from
+    * [[kmeansCentroids]] — as parquet. This closes the 100 TB loop "fit
+    * once, probe many": the fit (a bounded-sample k-means) runs once,
+    * the saved index is nCentroids rows (aggregate-sized at any corpus
+    * scale — one part-file on purpose), and every later query batch
+    * [[loadIndex]]es it into [[ivfTopK]]'s `centroids` injection seam
+    * instead of re-fitting. Schema is normalized on write (long id,
+    * float vector) so a reloaded index is bit-identical input to the
+    * assignment kernel regardless of what built it. */
+  def saveIndex(centroids: DataFrame, path: String): Unit =
+    centroids
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("cvec").cast("array<float>").as("cvec"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Reload a [[saveIndex]]-written IVF index for [[ivfTopK]]'s
+    * `centroids` parameter. */
+  def loadIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest of `nCentroids` centroids — k-means by default

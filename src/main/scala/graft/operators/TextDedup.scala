@@ -509,9 +509,14 @@ object TextDedup {
         case _ => return vecs.limit(0).select(
           col(idCol).as("d1"), col(idCol).as("d2"), lit(0.0).as("cosine"))
       }
-    // One count serves both auto-knobs (bucket bits + shuffle width);
-    // parquet-backed counts are footer-stat cheap.
+    // One count serves both auto-knobs (bucket bits + shuffle width) and
+    // the verify broadcast decision; parquet-backed counts are footer-stat
+    // cheap. When the caller supplies BOTH knobs the count never fires
+    // (see autoKnobs below) — a derived, non-parquet-backed input would
+    // otherwise pay a full lineage recomputation just to pick a join
+    // strategy.
     lazy val nVecs = vecs.count()
+    val autoKnobs = bits == -1 || numPartitions.isEmpty
     val useBits = if (bits == -1) srpBitsFor(nVecs) else bits
     val useTables = if (tables == -1) srpTablesFor(useBits, threshold) else tables
     // All tables×bits planes ship as ONE 2-D literal (allPlanes[t*bits+i]
@@ -562,8 +567,19 @@ object TextDedup {
     // corpus-tracked width take over.
     val v1 = vecs.select(col(idCol).as("d1"), col(vecCol).as("v1"))
     val v2 = vecs.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    // Element width from the actual schema: array<double> vectors carry
+    // 2× the payload of array<float>, so a float-only constant would let
+    // a ~64 MB double-vector relation squeak under the 32 MB bound and
+    // ship broadcast twice. Callers that supplied every knob take the
+    // shuffle path outright (autoKnobs) — correct at any size, and it
+    // keeps this decision from forcing the nVecs count.
+    val elemBytes = vecs.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => 8L
+      case _ => 4L
+    }
     val joined =
-      if (nVecs * (16L + 4L * planeDim) <= verifyBroadcastMaxBytes)
+      if (autoKnobs && nVecs * (16L + elemBytes * planeDim) <= verifyBroadcastMaxBytes)
         cand.join(broadcast(v1), Seq("d1")).join(broadcast(v2), Seq("d2"))
       else
         cand.repartition(p, col("d1")).join(v1, Seq("d1"))

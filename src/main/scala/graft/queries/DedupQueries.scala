@@ -57,9 +57,13 @@ object DedupQueries {
   }
 
   /** Path the q_simhash_pairs oracle reads back — derived from the data
-    * dir (see [[SnapshotPaths]]) so concurrent sessions and different
-    * scale factors never clobber or silently reuse each other's snapshot.
-    * The snapshot write below is part of the measured query. */
+    * dir (see [[SnapshotPaths]]), which isolates PER DATA DIR: different
+    * scale factors / dirs never clobber or silently reuse each other's
+    * snapshot. Two concurrent sessions on the SAME data dir still share
+    * one snapshot dir (write-then-read within one query keeps the harness
+    * safe; mix a run id into [[SnapshotPaths.dirFor]] if same-dir
+    * concurrency ever matters). The snapshot write below is part of the
+    * measured query. */
   def simhashFpSnapshotDir(dataDir: String): String =
     SnapshotPaths.dirFor("simhash_fp", dataDir)
 
@@ -169,6 +173,27 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The index-PERSISTENCE path under the hard gate: fit → saveIndex →
+    * loadIndex → probe, all inside the measured query. With exhaustive
+    * probing the result must equal exact brute force (same SQL oracle as
+    * q_ann_ivf_topk), so a save/load corruption — schema drift, lost
+    * centroid, float truncation changing an assignment — fails the gate.
+    * The parquet round-trip is the "fit once, probe many" deployment
+    * shape at 100 TB; per-data-dir index path, like the other snapshots. */
+  val annIvfLoaded: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val idxPath = SnapshotPaths.dirFor("ivf_centroids", dir)
+    Similarity.saveIndex(
+      Similarity.kmeansCentroids(emb, "embedding", nCentroids = 8, maxIter = 5),
+      idxPath)
+    Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 3, nCentroids = 8, nProbe = 8,
+        centroids = Some(Similarity.loadIndex(s, idxPath)))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_dedup_exact_text" -> exactTextDedup,
     "q_ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -181,7 +206,8 @@ object DedupQueries {
     "q_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q_ann_topk" -> annTopK,
     "q_ann_multi_topk" -> annMultiTopK,
-    "q_ann_ivf_topk" -> annIvfTopK)
+    "q_ann_ivf_topk" -> annIvfTopK,
+    "q_ann_ivf_loaded" -> annIvfLoaded)
 
   import graft.functions.GraftFunctions.roundPortableSql
 
@@ -327,8 +353,11 @@ object DedupQueries {
          FROM embeddings b
          ORDER BY cosine DESC, vec_id LIMIT 10""",
     "q_ann_multi_topk" -> annMultiTopKSql,
-    // exhaustive-probe IVF ≡ exact brute force — identical oracle
-    "q_ann_ivf_topk" -> annMultiTopKSql
+    // exhaustive-probe IVF ≡ exact brute force — identical oracle;
+    // the loaded-index variant adds the parquet save/load round-trip
+    // inside the gated query
+    "q_ann_ivf_topk" -> annMultiTopKSql,
+    "q_ann_ivf_loaded" -> annMultiTopKSql
   )
 
   private lazy val annMultiTopKSql: String =

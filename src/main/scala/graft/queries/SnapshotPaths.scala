@@ -16,8 +16,18 @@ object SnapshotPaths {
   /** Placeholder for the data dir inside builder-authored oracle SQL. */
   val DataDirToken = "__GRAFT_DATA_DIR__"
 
+  /** Sanitized dir + a short hash of the RAW dir: sanitization alone maps
+    * every non-[A-Za-z0-9._-] char to '_', so distinct dirs like
+    * `/data/sf1` and `/data_sf1` would collide to one snapshot dir —
+    * re-admitting the cross-session clobber this module exists to prevent.
+    * `String.hashCode` is specified by the JLS (stable across JVMs), so
+    * the Verify dump and a later oracle run can never disagree. The token
+    * passes through untouched: [[resolve]] substitutes the WHOLE tag for
+    * it at dump time. */
   private def tag(dataDir: String): String =
-    dataDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (dataDir == DataDirToken) dataDir
+    else dataDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + java.lang.Integer.toHexString(dataDir.hashCode)
 
   /** Scratch dir for snapshot `name` of queries run against `dataDir`. */
   def dirFor(name: String, dataDir: String): String =

@@ -56,6 +56,39 @@ object WindowQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** The streaming spellings of tumbling/sliding windows under the SAME
+    * driver gate as their batch twins: file source → `window()` with
+    * watermark → `Trigger.AvailableNow` → memory sink, read back and
+    * oracled with the identical epoch-aligned bucket SQL. Complete mode
+    * for the same reason as [[streamSessions]]: append+watermark never
+    * emits the final open windows under AvailableNow, and all windows
+    * must surface to match batch. Before this entry, a regression in the
+    * streaming execution of these two shapes was invisible — only the
+    * batch operator (`Windows.tumbling`/`sliding`) was hash-gated. */
+  val streamTumbling: Q = (s, dir) => {
+    import graft.streaming.StreamingOps
+    val agg = StreamingOps.tumblingCounts(
+      StreamingOps.readEventsStream(s, dir), "1 hour", "2 hours")
+    StreamingOps.runAvailableNow(agg, "graft_q_stream_tumbling",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("window_start"), col("event_type"),
+        col("n").as("records"),
+        roundPortable(coalesce(col("total_value"), lit(0.0)), 4).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val streamSliding: Q = (s, dir) => {
+    import graft.streaming.StreamingOps
+    val agg = StreamingOps.slidingCounts(
+      StreamingOps.readEventsStream(s, dir), "1 hour", "30 minutes", "2 hours")
+    StreamingOps.runAvailableNow(agg, "graft_q_stream_sliding",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("window_start"), col("event_type"),
+        col("n").as("records"),
+        roundPortable(coalesce(col("total_value"), lit(0.0)), 4).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** The keyed-state streaming path (`mapGroupsWithState`) under the
     * driver gate: per-user running totals driven by `AvailableNow` over
     * the events file source. One micro-batch ⇒ the emitted state equals
@@ -89,6 +122,8 @@ object WindowQueries {
     "q_window_sliding" -> slidingHourHalf,
     "q_window_sessions" -> sessionsPerUser,
     "q_stream_sessions" -> streamSessions,
+    "q_stream_tumbling" -> streamTumbling,
+    "q_stream_sliding" -> streamSliding,
     "q_stream_running_totals" -> streamRunningTotals,
     "q_json_props_extract" -> jsonPropsExtract)
 
@@ -147,6 +182,18 @@ object WindowQueries {
                     FROM events)))
           GROUP BY user_id, session_seq
           ORDER BY user_id, session_start""",
+    // The streaming window() paths share the batch oracles' exact bucket
+    // spelling: one AvailableNow batch over a bounded file source emits
+    // every window, so streaming ≡ batch ≡ this SQL.
+    "q_stream_tumbling" ->
+      s"""SELECT ${bucketSql(3600)} AS window_start, event_type,
+          COUNT(*) AS records, $sumValueR4 AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_stream_sliding" ->
+      s"""SELECT ${bucketSql(1800, "i")} AS window_start, event_type,
+          COUNT(*) AS records, $sumValueR4 AS sum_value
+          FROM events CROSS JOIN (VALUES (0), (1)) t(i)
+          GROUP BY 1, 2 ORDER BY window_start, event_type""",
     // one AvailableNow batch ⇒ keyed state ≡ the batch GROUP BY
     // (COALESCE: the state op counts null-value rows at 0.0 contribution)
     "q_stream_running_totals" ->

@@ -62,6 +62,20 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding-window counts with a watermark (streaming twin of
+    * `graft.operators.Windows.sliding`): each event lands in
+    * windowDur/slide overlapping windows, all epoch-aligned to the slide
+    * step — identical window starts to the batch operator's. */
+  def slidingCounts(
+      events: DataFrame, windowDur: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Native session windows with watermark (streaming twin of
     * `graft.operators.Windows.sessionize`). */
   def sessionAgg(

@@ -73,6 +73,37 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.columns.toSeq == Seq("centroid_id", "cvec"))
   }
 
+  test("saveIndex/loadIndex round-trips the IVF index; loaded ≡ freshly-fit probe results") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/centroids"
+    val fitted = Similarity.kmeansCentroids(emb, "embedding", 4, seed = 42L)
+    Similarity.saveIndex(fitted, path)
+    val loaded = Similarity.loadIndex(spark, path)
+    // the persisted relation is the index verbatim: same ids, same vectors
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    assert(asMap(loaded) == asMap(fitted.select(
+      col("centroid_id").cast("long"), col("cvec"))))
+    // probing through the loaded index gives bit-identical results to
+    // injecting the fresh fit (the "fit once, probe many" contract)
+    def probe(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 3, nCentroids = 4, nProbe = 2,
+          centroids = Some(idx))
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    assert(probe(loaded) == probe(fitted))
+    // schema is normalized on write even from a double-vector relation
+    val doubleIdx = fitted.select(col("centroid_id"),
+      col("cvec").cast("array<double>").as("cvec"))
+    Similarity.saveIndex(doubleIdx, path)
+    val reloaded = Similarity.loadIndex(spark, path)
+    assert(reloaded.schema("cvec").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
+    assert(probe(reloaded) == probe(fitted))
+  }
+
   test("annTopK (multi-probe LSH) recalls most of the exact top-k") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

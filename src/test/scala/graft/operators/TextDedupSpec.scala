@@ -182,6 +182,25 @@ class TextDedupSpec extends SparkSpec {
       emb.limit(0), "vec_id", "embedding", 0.5).count() == 0)
   }
 
+  test("embeddingNearDupPairsLsh: shuffle-verify branch (caller knobs) ≡ broadcast-verify defaults") {
+    // Caller-supplied bits+numPartitions route the exact-cosine verify
+    // through the repartitioned shuffle joins (the >32 MB / 100 TB plan)
+    // AND skip the nVecs count; with knob values equal to what the
+    // defaults compute, the pair set must be identical — only the
+    // physical verify plan differs.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val n = emb.count()
+    val bits = TextDedup.srpBitsFor(n)
+    val tables = TextDedup.srpTablesFor(bits, 0.5)
+    val shuffled = TextDedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding",
+      threshold = 0.5, bits = bits, tables = tables,
+      numPartitions = Some(graft.GraftSession.partitionsFor(spark, n * tables)))
+    assert(asSet(shuffled) ==
+      asSet(TextDedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", 0.5)))
+  }
+
   test("connectedComponents merges chains into one cluster, keeps disjoint clusters apart") {
     import spark.implicits._
     // path 1-2-3-4-5 (diameter 4 → several propagation rounds), a
@@ -228,6 +247,25 @@ class TextDedupSpec extends SparkSpec {
     assert(ic.schema("node").dataType == IntegerType)
     val im = ic.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(im == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+  }
+
+  test("connectedComponents fails LOUDLY when a chain outruns the rounds budget") {
+    import spark.implicits._
+    // path 1-2-…-8: diameter 7, so the min label needs 7 propagation
+    // rounds + 1 confirming round. A 3-round budget must throw — not
+    // silently return the truncated (wrong) labels — on the distributed
+    // path (driverUnionFindLimit = 0 forces it; the driver union-find
+    // has no rounds budget to exhaust).
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.connectedComponents(chain, maxIter = 3, driverUnionFindLimit = 0L)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // an adequate budget converges to the single component
+    val ok = TextDedup.connectedComponents(chain, maxIter = 10, driverUnionFindLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.size == 8 && ok.values.forall(_ == 1L))
   }
 
   test("crossContainmentPairs flags embedded eval docs; corpus side never shuffles for candidates") {

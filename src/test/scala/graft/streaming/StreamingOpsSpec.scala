@@ -26,6 +26,21 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding counts equal the batch sliding aggregate") {
+    val stream = StreamingOps.readEventsStream(spark, sfDir)
+    val streamed = StreamingOps.runAvailableNow(
+      StreamingOps.slidingCounts(stream, "1 hour", "30 minutes", "0 seconds"),
+      "t_sliding", OutputMode.Complete())
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = Windows.sliding(Scan.table(spark, sfDir, "events"), "ts", 3600, 1800,
+        Seq("event_type"), Seq(count(lit(1)).as("n")))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+  }
+
   test("streaming session windows match batch sessionize session counts") {
     val stream = StreamingOps.readEventsStream(spark, sfDir)
     val streamed = StreamingOps.runAvailableNow(

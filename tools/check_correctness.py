@@ -2,12 +2,17 @@
 """Local stand-in for the driver's DuckDB correctness gate.
 
 Usage: python3 tools/check_correctness.py [sfDir] [outDir] [--skip-verify]
+                                          [--bench=path/to/bench_out.json]
 
 1. Runs `sbt runMain graft.Verify <sfDir> <outDir>` (unless --skip-verify).
 2. Registers each testdata parquet as a DuckDB view named after the table.
 3. Runs every oracle_sql.json entry, compares to the Spark result parquet:
    columns sorted by name, rows sorted by all columns, exact cell compare
    (with a report of near-miss float cells).
+4. Bench parity (--bench, or ./bench_out.json if present): the bench
+   artifact must cover EXACTLY the oracle key set and carry no per-query
+   errors — a tampered/removed query name or a query that threw during
+   the bench fails this check loudly.
 
 Not part of the shipped library — developer tooling only (duckdb is
 driver-side/dev-side, per the environment contract).
@@ -66,8 +71,50 @@ def main():
         else:
             print(f"FAIL {name}: {msg}")
             n_fail += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
-    return 1 if n_fail else 0
+    bench_fail = bench_parity(sys.argv, set(oracle))
+    print(f"\n{n_pass} pass / {n_fail} fail"
+          + (" / BENCH PARITY FAIL" if bench_fail else ""))
+    return 1 if (n_fail or bench_fail) else 0
+
+
+def bench_parity(argv, oracle_keys):
+    """Cross-check the bench artifact against the correctness key set.
+
+    The bench iterates SparkEntry.queries itself, so a live divergence is
+    impossible — what this catches is a STALE or tampered artifact (bench
+    from an older build, a hand-edited queries map) and any query the
+    bench recorded as thrown (its `errors` entry), which round-5's
+    swallow-Throwable harness would have hidden as a fast success.
+    """
+    path = next((a.split("=", 1)[1] for a in argv if a.startswith("--bench=")),
+                "bench_out.json")
+    if not Path(path).exists():
+        if any(a.startswith("--bench=") for a in argv):
+            print(f"BENCH PARITY FAIL: {path} does not exist")
+            return True
+        return False  # no artifact around — parity not requested
+    try:
+        bench = json.loads(Path(path).read_text())
+    except Exception as e:
+        print(f"BENCH PARITY FAIL: cannot parse {path}: {e}")
+        return True
+    bench_keys = set(bench.get("queries", {}))
+    missing = sorted(oracle_keys - bench_keys)
+    extra = sorted(bench_keys - oracle_keys)
+    errors = bench.get("errors", {})
+    ok = True
+    if missing:
+        print(f"BENCH PARITY FAIL: bench is missing oracled queries: {missing}")
+        ok = False
+    if extra:
+        print(f"BENCH PARITY FAIL: bench has unknown queries: {extra}")
+        ok = False
+    for name, info in sorted(errors.items()):
+        print(f"BENCH PARITY FAIL: query threw during bench: {name}: {info}")
+        ok = False
+    if ok:
+        print(f"BENCH PARITY OK ({len(bench_keys)} queries, no errors)")
+    return not ok
 
 
 def compare(got, want):
