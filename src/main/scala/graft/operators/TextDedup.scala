@@ -292,16 +292,21 @@ object TextDedup {
     * under-merge chains (A~B, B~C but A≁C), while components give each
     * duplicate CLUSTER one canonical id (its minimum member).
     *
-    * Algorithm: iterative min-label propagation (the simple form of
-    * Kiveris et al., "Connected components in MapReduce and beyond",
-    * SoCC 2014): every node starts as its own label; each round every
-    * node takes the min of its label and its neighbors' labels. Rounds
-    * needed = graph diameter — near-dup clusters are shallow (template
-    * families, chains of edits), so a handful of shuffles, each carrying
-    * |edges|. The per-round convergence check is one aggregate (count of
-    * changed labels), and labels are localCheckpointed per round so the
-    * plan doesn't grow with iterations (lineage would otherwise double
-    * per round).
+    * Algorithm: alternating large-star/small-star (Kiveris et al.,
+    * "Connected components in MapReduce and beyond", SoCC 2014,
+    * Alg. 3). Edges are kept directed at the smaller id (src > dst);
+    * large-star re-hangs every LARGER-than-u neighbor off the minimum
+    * of u's closed neighborhood, small-star re-hangs u and its SMALLER
+    * neighbors off that minimum. The fixed point is a star forest —
+    * every non-root points directly at its component's minimum id — and
+    * it is reached in O(log² n) alternations REGARDLESS of component
+    * diameter, where min-label propagation (this operator's previous
+    * algorithm) needs diameter+1 rounds: a million-node edit chain is
+    * ~a dozen alternations here vs a million shuffles there. Each
+    * alternation is a bounded handful of shuffles carrying |edges|
+    * rows, and the edge set is localCheckpointed per round so the plan
+    * doesn't grow with iterations (lineage would otherwise double per
+    * round).
     *
     * @param pairs relation with two id columns (`d1Col`, `d2Col`), one
     *              row per undirected edge
@@ -310,17 +315,17 @@ object TextDedup {
     */
   def connectedComponents(
       pairs: DataFrame, d1Col: String = "d1", d2Col: String = "d2",
-      /** Must exceed the largest component's diameter plus one (the
-        * confirming round also counts): propagation reaches distance d
-        * after d rounds and convergence is only OBSERVED one round
-        * later. Near-dup clusters are shallow; raise for long edit
-        * chains. */
-      maxIter: Int = 20,
+      /** Alternation budget, NOT a diameter bound: star-contraction
+        * needs O(log² n) alternations worst-case (≈log n observed, even
+        * on a pure chain), so the default covers any realistic corpus
+        * with room to spare; the loop exits at the fixed point, so a
+        * generous budget costs nothing on shallow graphs. */
+      maxIter: Int = 50,
       /** Size-adaptive strategy switch: a pair set at or below this is
         * collected and union-found on the driver (near-dup pair sets are
         * usually aggregate-sized — tiny relative to the corpus — and a
-        * driver pass beats paying diameter+1 distributed rounds of fixed
-        * cost); above it, the iterative min-label propagation runs fully
+        * driver pass beats paying log-many distributed rounds of fixed
+        * cost); above it, the star-contraction loop runs fully
         * distributed. Both paths produce identical components. */
       driverUnionFindLimit: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -376,41 +381,60 @@ object TextDedup {
       release(pairIds) // collected — the checkpoint blocks are done
       return out
     }
-    val (edges, edgeIds) = checkpointTracked(
-      dedupedPairs.select(col("p1").as("src"), col("p2").as("dst"))
-        .union(dedupedPairs.select(col("p2").as("src"), col("p1").as("dst")))
+    // the node set is pinned BEFORE self-loops are dropped, so a node
+    // that only ever appears as (a, a) still gets its self-labeled row
+    // blocks stay live past return (the result reads them) — released
+    // by the session-level scratch sweep, like the final edge snapshot
+    val (allNodes, _) = checkpointTracked(
+      dedupedPairs.select(col("p1").as("node"))
+        .union(dedupedPairs.select(col("p2").as("node")))
         .distinct())
-    release(pairIds) // edges materialized — the pair snapshot is done
-    var (labels, labelIds) = checkpointTracked(
-      edges.select(col("src").as("node"))
-        .distinct()
-        .withColumn("component", col("node")))
+    var (edges, edgeIds) = checkpointTracked(
+      dedupedPairs.filter(col("p1") =!= col("p2"))
+        .select(greatest(col("p1"), col("p2")).as("src"),
+          least(col("p1"), col("p2")).as("dst"))
+        .distinct())
+    release(pairIds) // nodes + edges materialized — the pair snapshot is done
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // min over {own label} ∪ {neighbor labels}
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("component")).as("__nb"))
+      // large-star over both orientations: m = min(Γ(u) ∪ {u}); every
+      // neighbor v > u re-hangs as (v, m). Output keeps src > dst:
+      // m ≤ u < v always.
+      val nbrs = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val withMin = nbrs.groupBy("src").agg(min("dst").as("__mn"))
+        .select(col("src"), least(col("src"), col("__mn")).as("__m"))
+      val large = nbrs.join(withMin, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+        .distinct()
+      // small-star on the (big → small) edges: m = min of u's smaller
+      // neighbors (≤ all of them ≤ u); u and each smaller neighbor
+      // re-hang as (·, m). The root's own (m, m) row is filtered.
+      val sMin = large.groupBy("src").agg(min("dst").as("__m"))
+      val joined = large.join(sMin, "src")
       val (next, nextIds) = checkpointTracked(
-        labels.join(viaNeighbors, Seq("node"), "left")
-          .select(col("node"),
-            least(col("component"), coalesce(col("__nb"), col("component")))
-              .as("component")))
-      val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("node"))
-        .filter(col("component") =!= col("__old")).count()
-      release(labelIds) // superseded snapshot — both consumers are done
-      labels = next
-      labelIds = nextIds
-      converged = changed == 0
+        joined.select(col("src"), col("__m").as("dst"))
+          .union(joined.select(col("dst").as("src"), col("__m").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct())
+      // fixed point = edge set unchanged (both are distinct sets, so
+      // equal counts + empty one-sided anti-join ⇒ set equality)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
+      release(edgeIds) // superseded snapshot — both consumers are done
+      edges = next
+      edgeIds = nextIds
       i += 1
     }
-    release(edgeIds)
     require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — a component's " +
-        "diameter exceeds maxIter-1; raise maxIter (rounds needed = diameter + 1)")
-    labels
+      s"connectedComponents did not converge in $maxIter alternations — " +
+        "pathological for star-contraction (needs O(log² n)); raise maxIter")
+    // converged edges are a star forest: every non-root has exactly one
+    // (node → root) row; roots and self-loop-only nodes label themselves
+    allNodes.join(edges.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("dst"), col("node")).as("component"))
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. Exact pairwise —

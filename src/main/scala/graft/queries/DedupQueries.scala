@@ -56,6 +56,22 @@ object DedupQueries {
     TextDedup.connectedComponents(pairs).orderBy(col("node"))
   }
 
+  /** The DISTRIBUTED components path under the hard gate: the same
+    * pairs and the same recursive-CTE oracle as [[dedupComponents]],
+    * but with the driver union-find gated off so the large-star/
+    * small-star contraction loop itself — the path a 100 TB pair set
+    * takes — must reproduce the exact labels. At this SF the default
+    * strategy switch would pick the driver pass; forcing the limit to
+    * 0 is the only delta, so any divergence between the two strategies
+    * fails one gate or the other. */
+  val dedupComponentsStar: Q = (s, dir) => {
+    val pairs = TextDedup.jaccardPairs(
+      Scan.table(s, dir, "documents").filter(col("doc_id") < 500),
+      "doc_id", "text", n = 3, threshold = 0.7)
+    TextDedup.connectedComponents(pairs, driverUnionFindLimit = 0L)
+      .orderBy(col("node"))
+  }
+
   /** Path the q_simhash_pairs oracle reads back — derived from the data
     * dir (see [[SnapshotPaths]]), which isolates PER DATA DIR: different
     * scale factors / dirs never clobber or silently reuse each other's
@@ -135,6 +151,25 @@ object DedupQueries {
         "vec_id", "embedding", threshold = 0.5)
       .orderBy(col("d1"), col("d2"))
 
+  /** The SHUFFLE-verify branch under the hard gate: supplying every
+    * knob routes the exact-cosine verify through the repartitioned
+    * shuffle joins — the plan the operator picks past the 32 MB
+    * broadcast bound, i.e. the 100 TB regime — while the knob VALUES
+    * are exactly what the defaults would compute, so the only delta vs
+    * [[embeddingNearDupLsh]] is the join strategy. Same exact-cosine
+    * oracle ⇒ a correctness or recall regression in the big-corpus
+    * branch fails the gate, not just ScaleBench. */
+  val embeddingNearDupLshShuffle: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val n = emb.count()
+    val bits = TextDedup.srpBitsFor(n)
+    val tables = TextDedup.srpTablesFor(bits, 0.5)
+    TextDedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.5, bits = bits, tables = tables,
+        numPartitions = Some(graft.GraftSession.partitionsFor(s, n * tables)))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val annTopK: Q = (s, dir) => {
     val emb = Scan.table(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
@@ -199,11 +234,13 @@ object DedupQueries {
     "q_ngram_jaccard_pairs" -> ngramJaccardPairs,
     "q_minhash_lsh_pairs" -> minhashLshPairs,
     "q_dedup_components" -> dedupComponents,
+    "q_dedup_components_star" -> dedupComponentsStar,
     "q_simhash_pairs" -> simhashPairs,
     "q_simhash_portable_pairs" -> simhashPortablePairs,
     "q_decontaminate" -> decontaminate,
     "q_embedding_neardup" -> embeddingNearDup,
     "q_embedding_neardup_lsh" -> embeddingNearDupLsh,
+    "q_embedding_neardup_lsh_shuffle" -> embeddingNearDupLshShuffle,
     "q_ann_topk" -> annTopK,
     "q_ann_multi_topk" -> annMultiTopK,
     "q_ann_ivf_topk" -> annIvfTopK,
@@ -296,6 +333,14 @@ object DedupQueries {
              "(SELECT doc_id, text FROM documents WHERE doc_id < 500)")},
          $componentCtes
          SELECT node, component FROM comp ORDER BY node""",
+    // identical SQL to q_dedup_components BY DESIGN: the Spark side is
+    // the forced-distributed star-contraction loop, so strategy
+    // equivalence is oracled, not just spec-asserted
+    "q_dedup_components_star" ->
+      s"""WITH RECURSIVE ${jaccardPairCtes(
+             "(SELECT doc_id, text FROM documents WHERE doc_id < 500)")},
+         $componentCtes
+         SELECT node, component FROM comp ORDER BY node""",
     // Pairs by exact all-pairs hamming over the Spark-computed
     // fingerprint snapshot (≡ the engine's chunk join: maxHamming <
     // chunks ⇒ pigeonhole-exact). Gates the join machinery bit-for-bit.
@@ -344,6 +389,9 @@ object DedupQueries {
           ORDER BY corpus_id, eval_id""",
     "q_embedding_neardup" -> embNearDupSql,
     "q_embedding_neardup_lsh" -> embNearDupSql,
+    // same exact-cosine SQL: only the Spark-side verify join strategy
+    // differs (forced shuffle branch)
+    "q_embedding_neardup_lsh_shuffle" -> embNearDupSql,
     "q_ann_topk" ->
       s"""SELECT b.vec_id,
           ${roundPortableSql(

@@ -203,15 +203,14 @@ class TextDedupSpec extends SparkSpec {
 
   test("connectedComponents merges chains into one cluster, keeps disjoint clusters apart") {
     import spark.implicits._
-    // path 1-2-3-4-5 (diameter 4 → several propagation rounds), a
-    // separate pair 10-11, and a triangle 20-21-22
+    // path 1-2-3-4-5, a separate pair 10-11, and a triangle 20-21-22
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)
     ).toDF("d1", "d2")
     // both strategies must agree: driver union-find (small-input path)
-    // and the distributed min-label loop (forced via limit 0)
+    // and the distributed star-contraction loop (forced via limit 0)
     def run(limit: Long) = TextDedup.connectedComponents(
         pairs, driverUnionFindLimit = limit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -249,23 +248,52 @@ class TextDedupSpec extends SparkSpec {
     assert(im == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
   }
 
-  test("connectedComponents fails LOUDLY when a chain outruns the rounds budget") {
+  test("connectedComponents fails LOUDLY when the alternation budget is exhausted") {
     import spark.implicits._
-    // path 1-2-…-8: diameter 7, so the min label needs 7 propagation
-    // rounds + 1 confirming round. A 3-round budget must throw — not
-    // silently return the truncated (wrong) labels — on the distributed
-    // path (driverUnionFindLimit = 0 forces it; the driver union-find
-    // has no rounds budget to exhaust).
-    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    // A 1-alternation budget on a 64-node chain cannot reach the star-
+    // forest fixed point AND observe it — the loop must throw, not
+    // silently return truncated (wrong) labels, on the distributed path
+    // (driverUnionFindLimit = 0 forces it; the driver union-find has no
+    // rounds budget to exhaust).
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("d1", "d2")
     val e = intercept[IllegalArgumentException] {
-      TextDedup.connectedComponents(chain, maxIter = 3, driverUnionFindLimit = 0L)
+      TextDedup.connectedComponents(chain, maxIter = 1, driverUnionFindLimit = 0L)
         .collect()
     }
     assert(e.getMessage.contains("did not converge"))
-    // an adequate budget converges to the single component
-    val ok = TextDedup.connectedComponents(chain, maxIter = 10, driverUnionFindLimit = 0L)
+  }
+
+  test("connectedComponents: star-contraction merges a 300-deep chain within the default budget") {
+    import spark.implicits._
+    // Diameter 299 — min-label propagation (the previous algorithm)
+    // would need 300 rounds and the old default budget of 20 threw
+    // here. Large-star/small-star contracts it in O(log n) alternations,
+    // so the DEFAULT budget must now converge and label every node 1.
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val cc = TextDedup.connectedComponents(chain, driverUnionFindLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(ok.size == 8 && ok.values.forall(_ == 1L))
+    assert(cc.size == 300 && cc.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents: distributed path matches driver union-find on a seeded random graph") {
+    import spark.implicits._
+    // 400 edges over ~300 nodes from a fixed-seed generator: many
+    // components of irregular shape (isolated pairs, bushy stars,
+    // mid-length chains). Both strategies must produce IDENTICAL labels
+    // — the strongest equivalence evidence short of exhaustive search,
+    // and it covers merge orders the hand-built cases never hit.
+    val rnd = new scala.util.Random(20260812L)
+    val pairs = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .toDF("d1", "d2")
+    def run(limit: Long) = TextDedup.connectedComponents(
+        pairs, driverUnionFindLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(driver == dist)
+    // every label is its component's minimum: no node maps below itself
+    // to a foreign component, and each component id labels itself
+    assert(dist.forall { case (n, c) => c <= n && dist(c) == c })
   }
 
   test("crossContainmentPairs flags embedded eval docs; corpus side never shuffles for candidates") {
