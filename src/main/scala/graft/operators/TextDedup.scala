@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -197,6 +197,128 @@ object TextDedup {
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), roundPortable(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** A persisted-form MinHash LSH index: the banded bucket keys
+    * (`bands`: id, band, bh) and the shingle sets the verify stage
+    * needs (`shingles`: id, shingles), plus the signing parameters —
+    * everything required to dedup a FUTURE batch against this corpus
+    * without re-shingling or re-signing it. Built by
+    * [[buildMinhashIndex]], persisted by [[saveMinhashIndex]] /
+    * [[loadMinhashIndex]], queried by [[minhashLshAgainstIndex]]. */
+  final case class MinhashIndex(
+      bands: DataFrame, shingles: DataFrame, n: Int, k: Int, numBands: Int)
+
+  /** Sign a corpus once into a [[MinhashIndex]] (shingle → signature →
+    * banding — the same kernels as [[minhashLsh]], so index and
+    * self-dedup can never disagree on bucket keys). */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8): MinhashIndex = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    // one signature pass feeds both the banding and the shingle relation
+    val sigs = withMinhashSignature(
+      withShingles(docs, idCol, textCol, n).filter(size(col("shingles")) > 0), k)
+      .localCheckpoint(true)
+    MinhashIndex(
+      withBands(sigs, idCol, bands, k / bands)
+        .select(col(idCol).as("id"), col("band"), col("bh")),
+      sigs.select(col(idCol).as("id"), col("shingles")),
+      n, k, bands)
+  }
+
+  /** Build and persist a [[MinhashIndex]] as parquet (`bands/`,
+    * `shingles/`, one-row `meta/` carrying the signing parameters so a
+    * loader can never band a batch with mismatched n/k/bands). The
+    * offline half of incremental dedup: at 100 TB this runs once per
+    * corpus snapshot; each incoming batch pays only its own signing. */
+  def saveMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, k: Int = 32, bands: Int = 8): Unit = {
+    val idx = buildMinhashIndex(docs, idCol, textCol, n, k, bands)
+    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+    idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    docs.sparkSession.range(1)
+      .select(lit(n).as("n"), lit(k).as("k"), lit(bands).as("bands"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a [[saveMinhashIndex]]-written index; parameters come from
+    * the persisted meta row, never the caller. */
+  def loadMinhashIndex(spark: SparkSession, path: String): MinhashIndex = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    MinhashIndex(spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"),
+      m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"))
+  }
+
+  /** INCREMENTAL near-dup dedup: new batch vs a prebuilt
+    * [[MinhashIndex]], emitting (new_id, index_id, jaccard ≥ threshold)
+    * — the daily-crawl shape: the corpus was signed once, offline; this
+    * operator signs ONLY the batch and finds its duplicates against the
+    * index through the same band-bucket candidate generation and exact
+    * Jaccard verify as [[minhashLsh]].
+    *
+    * Physical shape by regime:
+    *  - batch ≤ `broadcastMaxNewDocs` (the intended incremental case):
+    *    the batch's band rows BROADCAST into the bucket join, so the
+    *    index side is a pure scan — no corpus-sized shuffle anywhere;
+    *    the verify stage semi-joins the index shingles down to matched
+    *    ids (broadcast again) before the final join, so index shingles
+    *    never shuffle either. Per-batch cost = batch signing + one
+    *    index scan + work proportional to MATCHES.
+    *  - bigger batches: symmetric repartitioned joins at the
+    *    corpus-tracked width, exactly [[minhashLsh]]'s plan shape.
+    *
+    * `maxBucketSize` caps each SIDE's bucket population (the
+    * [[capBuckets]] trade); a bucket can still emit capA×capB cross
+    * candidates — set the cap with that product in mind. */
+  def minhashLshAgainstIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      index: MinhashIndex, threshold: Double = 0.7,
+      maxBucketSize: Int = Int.MaxValue,
+      broadcastMaxNewDocs: Long = 50000L,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sigs = withMinhashSignature(
+      withShingles(newDocs, idCol, textCol, index.n)
+        .filter(size(col("shingles")) > 0), index.k)
+      .localCheckpoint(true)
+    val nNew = sigs.count()
+    val newBands = capBuckets(
+      withBands(sigs, idCol, index.numBands, index.k / index.numBands),
+      maxBucketSize)
+      .select(col(idCol).as("new_id"), col("band"), col("bh"))
+    val idxBands = capBuckets(index.bands, maxBucketSize)
+      .select(col("id").as("index_id"), col("band"), col("bh"))
+    val newSets = sigs.select(col(idCol).as("new_id"), col("shingles").as("sh1"))
+    val idxSets = index.shingles
+      .select(col("id").as("index_id"), col("shingles").as("sh2"))
+    val verified =
+      if (nNew <= broadcastMaxNewDocs) {
+        val cand = idxBands.join(broadcast(newBands), Seq("band", "bh"))
+          .filter(col("new_id") =!= col("index_id"))
+          .select("new_id", "index_id").distinct()
+        // matched ids only — the index shingle relation is scanned, not
+        // shuffled, and everything downstream is match-sized
+        val matchedIdx = idxSets.join(
+          broadcast(cand.select("index_id").distinct()), Seq("index_id"))
+        cand.join(broadcast(newSets), Seq("new_id"))
+          .join(matchedIdx, Seq("index_id"))
+      } else {
+        val p = numPartitions.getOrElse(graft.GraftSession.partitionsFor(spark,
+          nNew + index.bands.count() / math.max(1, index.numBands)))
+        val cand = idxBands.repartition(p, col("band"), col("bh"))
+          .join(newBands.repartition(p, col("band"), col("bh")), Seq("band", "bh"))
+          .filter(col("new_id") =!= col("index_id"))
+          .select("new_id", "index_id")
+          .repartition(p, col("new_id"), col("index_id")).distinct()
+        cand.repartition(p, col("new_id")).join(newSets, Seq("new_id"))
+          .repartition(p, col("index_id")).join(idxSets, Seq("index_id"))
+      }
+    verified
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("index_id"),
+        roundPortable(col("jaccard"), 4).as("jaccard"))
   }
 
   /** LSH banding: one (band, bandHash) row per signature band — the

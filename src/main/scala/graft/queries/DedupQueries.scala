@@ -170,6 +170,27 @@ object DedupQueries {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** INCREMENTAL dedup under the hard gate: the even-id half of the
+    * corpus is signed and persisted as a minhash LSH index (the parquet
+    * round-trip is INSIDE the measured query, like q_ann_ivf_loaded),
+    * and the odd-id half is deduped AGAINST the loaded index without
+    * re-signing it — the daily-crawl shape whose offline half runs once
+    * per corpus snapshot at 100 TB. Oracle = exact n-gram Jaccard
+    * restricted to cross-parity pairs, so LSH recall on the
+    * cross-corpus path is gated exactly like q_minhash_lsh_pairs, and
+    * an index-persistence corruption (lost band row, shingle drift,
+    * parameter mismatch) surfaces as a hash mismatch. */
+  val minhashIncremental: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+    val path = SnapshotPaths.dirFor("minhash_index", dir)
+    TextDedup.saveMinhashIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    TextDedup.minhashLshAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        TextDedup.loadMinhashIndex(s, path), threshold = 0.7)
+      .orderBy(col("new_id"), col("index_id"))
+  }
+
   val annTopK: Q = (s, dir) => {
     val emb = Scan.table(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
@@ -233,6 +254,7 @@ object DedupQueries {
     "q_dedup_exact_text" -> exactTextDedup,
     "q_ngram_jaccard_pairs" -> ngramJaccardPairs,
     "q_minhash_lsh_pairs" -> minhashLshPairs,
+    "q_minhash_incremental" -> minhashIncremental,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_components_star" -> dedupComponentsStar,
     "q_simhash_pairs" -> simhashPairs,
@@ -326,6 +348,20 @@ object DedupQueries {
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
     "q_ngram_jaccard_pairs" -> jaccardPairsSql(" AND doc_id < 500"),
     "q_minhash_lsh_pairs" -> jaccardPairsSql(""),
+    // exact Jaccard over the full corpus, restricted to pairs that CROSS
+    // the parity split (even ids = indexed corpus, odd ids = new batch);
+    // ip keeps d1 < d2, so each side of the CASE picks the right parity
+    "q_minhash_incremental" ->
+      s"""WITH ${jaccardPairCtes("(SELECT doc_id, text FROM documents)")}
+         SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS new_id,
+                CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END AS index_id,
+                ${roundPortableSql("inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)", 4)} AS jaccard
+         FROM ip
+         JOIN sizes sa ON sa.doc_id = d1
+         JOIN sizes sb ON sb.doc_id = d2
+         WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7
+           AND (d1 % 2) <> (d2 % 2)
+         ORDER BY new_id, index_id""",
     // Components = min reachable id per node, walked by a recursive CTE
     // over the same exact-Jaccard edges the engine clusters.
     "q_dedup_components" ->

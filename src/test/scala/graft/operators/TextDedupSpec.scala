@@ -296,6 +296,44 @@ class TextDedupSpec extends SparkSpec {
     assert(dist.forall { case (n, c) => c <= n && dist(c) == c })
   }
 
+  test("minhashLshAgainstIndex: batch-vs-index pairs == exact cross Jaccard; parquet round-trip; both regimes agree") {
+    import spark.implicits._
+    // corpus of distinct sentences; three planted near-dups CROSS the
+    // index/batch split (one appended word ⇒ Jaccard ≈ 0.9+), one
+    // planted near-dup INSIDE the index (must NOT be reported — this
+    // operator dedups batch-vs-index only)
+    def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
+    val indexDocs = ((0L until 20L).map(i => (i * 2, sent(i.toInt))) :+
+      (100L, sent(0) + " extra")).toDF("doc_id", "text") // 100~0: in-index dup
+    val newDocs = Seq(
+      (1L, sent(1) + " tail"),   // ~ index doc 2
+      (3L, sent(5) + " tail"),   // ~ index doc 10
+      (5L, sent(9) + " tail"),   // ~ index doc 18
+      (7L, sent(999))            // unique — no match
+    ).toDF("doc_id", "text")
+    val idx = TextDedup.buildMinhashIndex(indexDocs, "doc_id", "text")
+    def asPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = TextDedup.minhashLshAgainstIndex(
+      newDocs, "doc_id", "text", idx, threshold = 0.7)
+    assert(asPairs(direct) == Set((1L, 2L), (3L, 10L), (5L, 18L)))
+    // the broadcast-regime plan generates candidates through broadcast
+    // joins (index side scan-only — the incremental contract)
+    assert(direct.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // parquet round-trip: loaded index ≡ in-memory index, params carried
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    TextDedup.saveMinhashIndex(indexDocs, "doc_id", "text", dir)
+    val loaded = TextDedup.loadMinhashIndex(spark, dir)
+    assert((loaded.n, loaded.k, loaded.numBands) == (idx.n, idx.k, idx.numBands))
+    assert(asPairs(TextDedup.minhashLshAgainstIndex(
+      newDocs, "doc_id", "text", loaded, threshold = 0.7)) == asPairs(direct))
+    // symmetric (shuffle) regime forced via broadcastMaxNewDocs = 0:
+    // identical pairs through the repartitioned plan
+    assert(asPairs(TextDedup.minhashLshAgainstIndex(
+      newDocs, "doc_id", "text", loaded, threshold = 0.7,
+      broadcastMaxNewDocs = 0L)) == asPairs(direct))
+  }
+
   test("crossContainmentPairs flags embedded eval docs; corpus side never shuffles for candidates") {
     import spark.implicits._
     val corpus = Seq(
