@@ -208,6 +208,22 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hyperplane-LSH ANN under the hard gate: bits = 1 makes the 1-bit
+    * multi-probe EXHAUSTIVE — a query probes its own bucket and its
+    * single flip, i.e. the whole space — so the plane/bucket/probe/rank
+    * machinery must reproduce exact brute force (same SQL as
+    * q_ann_multi_topk; the trick q_ann_ivf_topk plays with exhaustive
+    * cell probing). The approximation regime (bits ≫ 1) is covered by
+    * SimilaritySpec's recall bound; this pins the machinery. */
+  val annLshTopK: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.annTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 3, bits = 1)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF ANN under the hard gate: with nProbe = nCentroids every cell is
     * probed, so the cell-probe machinery (k-means assignment, probe
     * join, in-cell exact ranking) must reproduce the exact brute-force
@@ -265,6 +281,7 @@ object DedupQueries {
     "q_embedding_neardup_lsh_shuffle" -> embeddingNearDupLshShuffle,
     "q_ann_topk" -> annTopK,
     "q_ann_multi_topk" -> annMultiTopK,
+    "q_ann_lsh_topk" -> annLshTopK,
     "q_ann_ivf_topk" -> annIvfTopK,
     "q_ann_ivf_loaded" -> annIvfLoaded)
 
@@ -440,6 +457,7 @@ object DedupQueries {
     // exhaustive-probe IVF ≡ exact brute force — identical oracle;
     // the loaded-index variant adds the parquet save/load round-trip
     // inside the gated query
+    "q_ann_lsh_topk" -> annMultiTopKSql,
     "q_ann_ivf_topk" -> annMultiTopKSql,
     "q_ann_ivf_loaded" -> annMultiTopKSql
   )
