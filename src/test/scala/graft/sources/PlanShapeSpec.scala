@@ -138,6 +138,48 @@ class PlanShapeSpec extends SparkSpec {
       s"default width should be the partitionsFor floor ($floor):\n$dPlan")
   }
 
+  test("incremental dedup: batch regime broadcasts, no cartesian; big-batch regime binds the width") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextDedup
+    val docs = Scan.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_plan").toString
+    TextDedup.saveMinhashIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+    val idx = TextDedup.loadMinhashIndex(spark, dir)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+
+    // incremental regime: the batch ships broadcast into the bucket join
+    // and the matched-id semi-join, so the index side is scan-only — the
+    // only hash exchanges left carry candidate/match-sized streams
+    val inc = TextDedup.minhashLshAgainstIndex(
+      batch, "doc_id", "text", idx, threshold = 0.7)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup degraded to a cross join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected broadcast bucket join + matched-id semi-join:\n$plan")
+    // ≤4 exchanges: candidate distinct + the match-sized verify SMJ
+    // sides — never the index relations themselves (their FileScans sit
+    // directly under the broadcast joins, asserted above via BHJ count)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 4,
+      s"unexpected extra reshuffle in the batch regime, got $shuffles exchanges:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(id#"),
+      s"the index relation itself reshuffled (raw id column in an exchange):\n$plan")
+
+    // symmetric regime (forced): repartitioned joins at the requested
+    // width, plan-bound like minhashLsh's knob
+    val sym = TextDedup.minhashLshAgainstIndex(
+        batch, "doc_id", "text", idx, threshold = 0.7,
+        broadcastMaxNewDocs = 0L, numPartitions = Some(7))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(band[^)]*, 7\\)".r.findFirstIn(sym).isDefined,
+      s"bucket exchange not at the requested width:\n$sym")
+    assert("hashpartitioning\\(new_id[^)]*, 7\\)".r.findFirstIn(sym).isDefined,
+      s"candidate exchange not at the requested width:\n$sym")
+  }
+
   test("partitionsFor tracks rows between the core floor and the 6x-cores cap") {
     import graft.GraftSession.partitionsFor
     assert(partitionsFor(0L, 32) == 32)            // tiny input → full parallelism
