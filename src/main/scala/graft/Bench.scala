@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** The host-load yardstick: a FIXED, data-independent workload (seeded
+    * range → hash → aggregate, no files, no caches) timed with the same
+    * [[BenchHarness.measure]] protocol as the real queries. Its absolute
+    * time says nothing about the engine — it exists so two artifacts of
+    * identical code on differently-loaded hosts can be compared by
+    * query÷calibration RATIO instead of needing a judge rerun (rounds 5
+    * and 6 both burned one on exactly this). Sized to a few hundred ms:
+    * long enough to feel scheduler pressure, cheap enough to run 3×. */
+  def calibrationBody(spark: SparkSession)(): Unit = {
+    spark.range(0L, 4000000L, 1L, 8)
+      .select(pmod(col("id"), lit(4096)).as("k"), xxhash64(col("id")).as("h"))
+      .groupBy(col("k"))
+      .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+      .count()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,7 +43,7 @@ object Bench {
     // Each run fully materializes the query (count()) before
     // GraftSession.releasingScratch releases the blocks it persisted
     // (localCheckpoint scratch of the dedup/similarity queries), outside
-    // the captured time — so a 57-query session never accumulates
+    // the captured time — so a 60+-query session never accumulates
     // block-manager pressure that distorts later timings (observed: same
     // query 8 s fresh vs 40+ s after five checkpointing queries).
     // Iterating SparkEntry.queries ITSELF pins the bench to the exact
@@ -34,7 +53,19 @@ object Bench {
         GraftSession.releasingScratch(spark) { fn(spark, sfDir).count(); () }
       }
     }
-    val json = BenchHarness.jsonLine(sfDir, runs, stats)
+    // calibration AFTER the sweep: it samples the same host window the
+    // queries just ran in (before-the-sweep would measure a colder, often
+    // quieter machine)
+    val calibration = BenchHarness.measure(runs)(calibrationBody(spark))
+
+    // detail → queries → contract LAST: the driver keeps only the log
+    // tail, so truncation eats diagnostics top-down and the size-bounded
+    // contract line (the headline total) always survives
+    val detail = BenchHarness.detailLine(runs, stats)
+    val queriesL = BenchHarness.queriesLine(stats)
+    val json = BenchHarness.jsonLine(sfDir, runs, stats, Some(calibration))
+    println(detail)
+    println(queriesL)
     println(json)
     // a throwing query must fail the round LOUDLY, not just in-band
     stats.collect { case (n, st) if st.err.isDefined => n -> st.err.get }
@@ -43,7 +74,8 @@ object Bench {
     // without scraping [info]-prefixed sbt stdout (overridable path)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (detail + "\n" + queriesL + "\n" + json + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()

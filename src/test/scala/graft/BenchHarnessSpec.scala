@@ -5,7 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The bench harness itself under test: the round-5 lesson is that an
   * unmeasured measurement tool quietly lies (a swallowed Throwable timed a
   * crashing query as a fast success; single-shot timings let host load
-  * fake a regression). */
+  * fake a regression). The round-6 lesson is that the ARTIFACT can lie by
+  * truncation: the driver keeps only a ~2000-char log tail, and the r6
+  * single-line JSON outgrew it — so the final contract line's byte budget
+  * is a tested invariant, rendered over the REAL query key set in the
+  * worst case (every query failing).
+  */
 class BenchHarnessSpec extends AnyFunSuite {
   import BenchHarness._
 
@@ -41,18 +46,51 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(even.min.contains(1.0) && even.median.contains(2.5))
   }
 
-  test("jsonLine keeps the driver contract and adds detail/errors/runs") {
+  test("the three artifact lines split contract / queries / detail correctly") {
     val ok = QueryStat(Vector(1.5, 1.25, 2.0), Vector.empty, Vector.empty)
-    val json = jsonLine("/root/testdata/sf0.1", 3, Seq("q_ok" -> ok))
-    // contract: queries map carries plain seconds; total sums them
-    assert(json.contains(""""queries":{"q_ok":1.2500}"""))
-    assert(json.contains(""""value":1.2500"""))
-    assert(json.contains(""""unit":"sec""""))
-    // new metadata: [min, median], uniform run count, empty errors object
-    assert(json.contains(""""detail":{"q_ok":[1.2500,1.5000]}"""))
-    assert(json.contains(""""runs_per_query":3"""))
-    assert(json.contains(""""errors":{}"""))
-    assert(json.contains(""""n_queries":1"""))
+    val cal = QueryStat(Vector(0.31, 0.25, 0.28), Vector.empty, Vector.empty)
+    val contract = jsonLine("/root/testdata/sf0.1", 3, Seq("q_ok" -> ok), Some(cal))
+    // contract: headline total, run count, calibration yardstick — and
+    // NO per-query map (that's what made r6 truncate)
+    assert(contract.contains(""""metric":"total""""))
+    assert(contract.contains(""""value":1.2500"""))
+    assert(contract.contains(""""unit":"sec""""))
+    assert(contract.contains(""""runs_per_query":3"""))
+    assert(contract.contains(""""errors":{}"""))
+    assert(contract.contains(""""errors_omitted":0"""))
+    assert(contract.contains(""""n_queries":1"""))
+    assert(contract.contains(""""calibration":[0.2500,0.2800]"""))
+    assert(!contract.contains("q_ok"))
+    // queries line: the per-query headline map (min of successful runs)
+    val ql = queriesLine(Seq("q_ok" -> ok))
+    assert(ql.contains(""""metric":"queries""""))
+    assert(ql.contains(""""queries":{"q_ok":1.2500}"""))
+    // detail line: [min, median] at full precision
+    val det = detailLine(3, Seq("q_ok" -> ok))
+    assert(det.contains(""""q_ok":[1.2500,1.5000]"""))
+    assert(det.contains(""""metric":"detail""""))
+  }
+
+  test("calibration is null when the synthetic workload itself failed") {
+    val bad = measure(1)(() => throw new RuntimeException("cal broke"))
+    val json = jsonLine("/tmp/sf", 1, Seq(), Some(bad))
+    assert(json.contains(""""calibration":null"""))
+  }
+
+  test("contract-line error messages are clipped and count-capped; detail keeps them whole") {
+    val longMsg = "x" * 500
+    val st = QueryStat(Vector.empty, Vector(0.1), Vector(longMsg))
+    val json = jsonLine("/tmp/sf", 1, Seq("q" -> st))
+    assert(!json.contains(longMsg))
+    assert(json.contains("x" * 59 + "…"))
+    assert(detailLine(1, Seq("q" -> st)).contains(longMsg))
+    // more failures than contractMaxErrors → the overflow is COUNTED,
+    // never silently dropped
+    val many = (1 to contractMaxErrors + 3).map(i => s"q_$i" -> st)
+    val capped = jsonLine("/tmp/sf", 1, many)
+    assert(capped.contains(s""""errors_omitted":3"""))
+    assert(capped.contains(""""q_1":"""))
+    assert(!capped.contains(s""""q_${contractMaxErrors + 1}":"""))
   }
 
   test("error messages with quotes/newlines stay valid JSON") {
@@ -66,5 +104,25 @@ class BenchHarnessSpec extends AnyFunSuite {
     val st = measure(3)(() => ())
     assert(st.okRuns == 3 && st.errors.isEmpty)
     assert(st.times.forall(_ >= 0.0))
+  }
+
+  test("contract line fits its budget over the REAL key set with EVERY query failing") {
+    // worst case by construction: every SparkEntry query throws (errors
+    // map at its count cap), four-digit total, calibration present — if
+    // a future round's key set or error plumbing pushes past the budget,
+    // THIS fails before BENCH_r{N}.json truncates
+    val boom = QueryStat(Vector.empty, Vector(999.99),
+      Vector("org.apache.spark.SparkException: " + "y" * 300))
+    val stats = SparkEntry.queries.keys.toSeq.sorted.map(_ -> boom)
+    val json = jsonLine("/root/testdata/sf0.1", 3, stats,
+      Some(QueryStat(Vector(999.99), Vector.empty, Vector.empty)))
+    assert(json.length <= contractLineBudget,
+      s"contract line ${json.length}B exceeds budget ${contractLineBudget}B " +
+        s"for ${stats.size} queries — re-tighten the clipping")
+    assert(!json.contains("\n"))
+    // the healthy-round line is far smaller still
+    val okStats = SparkEntry.queries.keys.toSeq.sorted
+      .map(_ -> QueryStat(Vector(9.99), Vector.empty, Vector.empty))
+    assert(jsonLine("/root/testdata/sf0.1", 3, okStats).length <= 300)
   }
 }
