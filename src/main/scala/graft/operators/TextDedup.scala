@@ -241,6 +241,35 @@ object TextDedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Fold an ACCEPTED batch into a persisted index: sign the batch with
+    * the index's own persisted parameters (meta row — the caller cannot
+    * mismatch n/k/bands) and APPEND its band and shingle rows to the
+    * parquet relations. The index-maintenance step of the crawl loop:
+    * dedup a batch against the index ([[minhashLshAgainstIndex]]), drop
+    * its duplicates, append the survivors — after which the NEXT batch
+    * sees them, with per-batch cost tracking the BATCH (signing + two
+    * batch-sized appends), never the corpus; a full [[buildMinhashIndex]]
+    * re-sign is only ever needed to compact or re-parameterize.
+    * Append-after-append ≡ full rebuild because both run the exact same
+    * signing kernels ([[buildMinhashIndex]] is called on the batch here)
+    * and band keys are a pure function of (text, n, k, bands) — oracled
+    * end-to-end by q_minhash_index_append.
+    *
+    * Not transactional across the two relations: a crash between the
+    * bands and shingles writes leaves a batch half-appended — re-run the
+    * whole append for that batch (duplicate rows only widen candidate
+    * generation; the verify stage keeps results exact) or rebuild. The
+    * caller owns id uniqueness across appends (see the id-space contract
+    * on [[minhashLshAgainstIndex]]). */
+  def appendToMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val m = newDocs.sparkSession.read.parquet(s"$path/meta").head()
+    val idx = buildMinhashIndex(newDocs, idCol, textCol,
+      m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"))
+    idx.bands.write.mode("append").parquet(s"$path/bands")
+    idx.shingles.write.mode("append").parquet(s"$path/shingles")
+  }
+
   /** Reload a [[saveMinhashIndex]]-written index; parameters come from
     * the persisted meta row, never the caller. */
   def loadMinhashIndex(spark: SparkSession, path: String): MinhashIndex = {
@@ -258,24 +287,47 @@ object TextDedup {
     * Jaccard verify as [[minhashLsh]].
     *
     * Physical shape by regime:
-    *  - batch ≤ `broadcastMaxNewDocs` (the intended incremental case):
-    *    the batch's band rows BROADCAST into the bucket join, so the
-    *    index side is a pure scan — no corpus-sized shuffle anywhere;
-    *    the verify stage semi-joins the index shingles down to matched
-    *    ids (broadcast again) before the final join, so index shingles
-    *    never shuffle either. Per-batch cost = batch signing + one
-    *    index scan + work proportional to MATCHES.
+    *  - broadcast regime (the intended incremental case — batch ≤
+    *    `broadcastMaxNewDocs` docs AND the batch's shingle payload ≤
+    *    [[verifyBroadcastMaxBytes]], estimated from actual shingle
+    *    lengths: doc COUNT alone would let a 50k-doc long-document
+    *    batch broadcast GBs): the batch's band rows BROADCAST into the
+    *    bucket join, so the index side is a pure scan — no corpus-sized
+    *    shuffle anywhere; the verify stage semi-joins the index shingles
+    *    down to matched ids (broadcast again) before the final join, so
+    *    index shingles never shuffle either. Per-batch cost = batch
+    *    signing + one index scan + work proportional to MATCHES. The
+    *    candidate set itself is counted before the verify broadcasts:
+    *    past `maxBroadcastCandidates` (a hot templated-text bucket with
+    *    the default uncapped `maxBucketSize` can make matches
+    *    corpus-scale) the verify degrades to the repartitioned joins
+    *    instead of OOMing the driver.
     *  - bigger batches: symmetric repartitioned joins at the
     *    corpus-tracked width, exactly [[minhashLsh]]'s plan shape.
     *
     * `maxBucketSize` caps each SIDE's bucket population (the
     * [[capBuckets]] trade); a bucket can still emit capA×capB cross
-    * candidates — set the cap with that product in mind. */
+    * candidates — set the cap with that product in mind.
+    *
+    * Id-space contract: `new_id =!= index_id` assumes batch and index
+    * ids are either DISJOINT or that an equal id means the same document
+    * (re-submitted rows skip self-matching). If two DIFFERENT documents
+    * can share an id across the two corpora, remap one side first — a
+    * genuine cross-corpus duplicate on a colliding id would be silently
+    * dropped. */
   def minhashLshAgainstIndex(
       newDocs: DataFrame, idCol: String, textCol: String,
       index: MinhashIndex, threshold: Double = 0.7,
       maxBucketSize: Int = Int.MaxValue,
       broadcastMaxNewDocs: Long = 50000L,
+      /** Byte bound for the batch's broadcast shingle payload (estimated
+        * from actual shingle lengths — doc count alone is blind to
+        * document LENGTH). */
+      broadcastMaxNewBytes: Long = verifyBroadcastMaxBytes,
+      /** Verify-stage fallback bound: candidate pairs counted above this
+        * route through the shuffle verify (the broadcast of match-sized
+        * relations stops being "match-sized" under hot buckets). */
+      maxBroadcastCandidates: Long = 2000000L,
       numPartitions: Option[Int] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val sigs = withMinhashSignature(
@@ -292,27 +344,43 @@ object TextDedup {
     val newSets = sigs.select(col(idCol).as("new_id"), col("shingles").as("sh1"))
     val idxSets = index.shingles
       .select(col("id").as("index_id"), col("shingles").as("sh2"))
+    // Broadcast decision on estimated BYTES, not just doc count: the
+    // payload that ships is the shingle sets, whose size tracks document
+    // LENGTH — one aggregate over the already-checkpointed signatures
+    // (string bytes + per-element overhead), same bound as the embedding
+    // verify's. Evaluated lazily: count-disqualified batches never pay it.
+    lazy val newSetBytes: Long = sigs.agg(
+      coalesce(sum(aggregate(col("shingles"), lit(0L),
+        (acc, s) => acc + length(s) + lit(16L)) + lit(32L)), lit(0L)))
+      .head().getLong(0)
+    val shuffleWidth = () => numPartitions.getOrElse(
+      graft.GraftSession.partitionsFor(spark,
+        nNew + index.bands.count() / math.max(1, index.numBands)))
+    def shuffleVerify(cand: DataFrame, p: Int): DataFrame =
+      cand.repartition(p, col("new_id")).join(newSets, Seq("new_id"))
+        .repartition(p, col("index_id")).join(idxSets, Seq("index_id"))
     val verified =
-      if (nNew <= broadcastMaxNewDocs) {
+      if (nNew <= broadcastMaxNewDocs && newSetBytes <= broadcastMaxNewBytes) {
         val cand = idxBands.join(broadcast(newBands), Seq("band", "bh"))
           .filter(col("new_id") =!= col("index_id"))
           .select("new_id", "index_id").distinct()
-        // matched ids only — the index shingle relation is scanned, not
-        // shuffled, and everything downstream is match-sized
-        val matchedIdx = idxSets.join(
-          broadcast(cand.select("index_id").distinct()), Seq("index_id"))
-        cand.join(broadcast(newSets), Seq("new_id"))
-          .join(matchedIdx, Seq("index_id"))
+          .localCheckpoint(true) // counted, then feeds the verify joins
+        if (cand.count() <= maxBroadcastCandidates) {
+          // matched ids only — the index shingle relation is scanned, not
+          // shuffled, and everything downstream is match-sized
+          val matchedIdx = idxSets.join(
+            broadcast(cand.select("index_id").distinct()), Seq("index_id"))
+          cand.join(broadcast(newSets), Seq("new_id"))
+            .join(matchedIdx, Seq("index_id"))
+        } else shuffleVerify(cand, shuffleWidth())
       } else {
-        val p = numPartitions.getOrElse(graft.GraftSession.partitionsFor(spark,
-          nNew + index.bands.count() / math.max(1, index.numBands)))
+        val p = shuffleWidth()
         val cand = idxBands.repartition(p, col("band"), col("bh"))
           .join(newBands.repartition(p, col("band"), col("bh")), Seq("band", "bh"))
           .filter(col("new_id") =!= col("index_id"))
           .select("new_id", "index_id")
           .repartition(p, col("new_id"), col("index_id")).distinct()
-        cand.repartition(p, col("new_id")).join(newSets, Seq("new_id"))
-          .repartition(p, col("index_id")).join(idxSets, Seq("index_id"))
+        shuffleVerify(cand, p)
       }
     verified
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
@@ -437,12 +505,14 @@ object TextDedup {
     */
   def connectedComponents(
       pairs: DataFrame, d1Col: String = "d1", d2Col: String = "d2",
-      /** Alternation budget, NOT a diameter bound: star-contraction
-        * needs O(log² n) alternations worst-case (≈log n observed, even
-        * on a pure chain), so the default covers any realistic corpus
-        * with room to spare; the loop exits at the fixed point, so a
-        * generous budget costs nothing on shallow graphs. */
-      maxIter: Int = 50,
+      /** Alternation budget, NOT a diameter bound. Observed behavior is
+        * ≈log n alternations (a 1M-node pure chain converges in ~20);
+        * the PROVEN worst case is O(log² n), which at n = 10⁹ allows
+        * ≈900 — hence a default sized to the BOUND, not the observation:
+        * the loop exits at the fixed point, so the generous budget costs
+        * nothing on real graphs and only caps a genuinely pathological
+        * non-convergence (which still fails loudly via `require`). */
+      maxIter: Int = 1000,
       /** Size-adaptive strategy switch: a pair set at or below this is
         * collected and union-found on the driver (near-dup pair sets are
         * usually aggregate-sized — tiny relative to the corpus — and a

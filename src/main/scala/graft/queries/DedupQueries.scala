@@ -191,6 +191,28 @@ object DedupQueries {
       .orderBy(col("new_id"), col("index_id"))
   }
 
+  /** INDEX MAINTENANCE under the hard gate: thirds of the corpus play
+    * corpus / accepted batch / new batch — an index is saved on
+    * doc_id%3==0, doc_id%3==1 is APPENDED (the accepted batch of a crawl
+    * round), and doc_id%3==2 is deduped against the appended index, all
+    * inside the measured query. Oracle = exact Jaccard over pairs that
+    * cross from the new third into EITHER of the other two, so
+    * dedup-after-append must equal dedup-against-a-full-rebuild exactly:
+    * a lost append row, a parameter drift, or a bands/shingles
+    * disagreement surfaces as a missing pair → hash mismatch. */
+  val minhashIndexAppend: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+    val path = SnapshotPaths.dirFor("minhash_index_append", dir)
+    TextDedup.saveMinhashIndex(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path)
+    TextDedup.appendToMinhashIndex(
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", path)
+    TextDedup.minhashLshAgainstIndex(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text",
+        TextDedup.loadMinhashIndex(s, path), threshold = 0.7)
+      .orderBy(col("new_id"), col("index_id"))
+  }
+
   val annTopK: Q = (s, dir) => {
     val emb = Scan.table(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
@@ -271,6 +293,7 @@ object DedupQueries {
     "q_ngram_jaccard_pairs" -> ngramJaccardPairs,
     "q_minhash_lsh_pairs" -> minhashLshPairs,
     "q_minhash_incremental" -> minhashIncremental,
+    "q_minhash_index_append" -> minhashIndexAppend,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_components_star" -> dedupComponentsStar,
     "q_simhash_pairs" -> simhashPairs,
@@ -378,6 +401,20 @@ object DedupQueries {
          JOIN sizes sb ON sb.doc_id = d2
          WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7
            AND (d1 % 2) <> (d2 % 2)
+         ORDER BY new_id, index_id""",
+    // exact Jaccard over pairs that cross from the new third (%3==2)
+    // into either indexed third (%3∈{0,1}): the appended index must
+    // behave exactly like a full rebuild over thirds 0+1
+    "q_minhash_index_append" ->
+      s"""WITH ${jaccardPairCtes("(SELECT doc_id, text FROM documents)")}
+         SELECT CASE WHEN d1 % 3 = 2 THEN d1 ELSE d2 END AS new_id,
+                CASE WHEN d1 % 3 = 2 THEN d2 ELSE d1 END AS index_id,
+                ${roundPortableSql("inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)", 4)} AS jaccard
+         FROM ip
+         JOIN sizes sa ON sa.doc_id = d1
+         JOIN sizes sb ON sb.doc_id = d2
+         WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7
+           AND ((d1 % 3 = 2) <> (d2 % 3 = 2))
          ORDER BY new_id, index_id""",
     // Components = min reachable id per node, walked by a recursive CTE
     // over the same exact-Jaccard edges the engine clusters.

@@ -332,6 +332,57 @@ class TextDedupSpec extends SparkSpec {
     assert(asPairs(TextDedup.minhashLshAgainstIndex(
       newDocs, "doc_id", "text", loaded, threshold = 0.7,
       broadcastMaxNewDocs = 0L)) == asPairs(direct))
+    // BYTE gate: a batch small in COUNT but over the byte bound must
+    // also take the shuffle plan (long documents would broadcast GBs)
+    assert(asPairs(TextDedup.minhashLshAgainstIndex(
+      newDocs, "doc_id", "text", loaded, threshold = 0.7,
+      broadcastMaxNewBytes = 0L)) == asPairs(direct))
+    // hot-bucket fallback: candidate count over the bound degrades the
+    // verify stage to repartitioned joins instead of broadcasting a
+    // corpus-scale "match" set — same pairs either way
+    assert(asPairs(TextDedup.minhashLshAgainstIndex(
+      newDocs, "doc_id", "text", loaded, threshold = 0.7,
+      maxBroadcastCandidates = 0L)) == asPairs(direct))
+  }
+
+  test("appendToMinhashIndex: the next batch sees earlier accepted docs; append ≡ rebuild") {
+    import spark.implicits._
+    def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
+    val baseDocs = (0L until 20L).map(i => (i * 2, sent(i.toInt))).toDF("doc_id", "text")
+    // batch1: one doc near-duplicating the BASE corpus, one novel doc
+    val batch1 = Seq(
+      (101L, sent(5) + " tail"), // ~ base doc 10
+      (103L, sent(500))          // novel — enters the index via append
+    ).toDF("doc_id", "text")
+    // batch2 near-duplicates batch1's NOVEL doc — invisible to the base
+    // index, visible only if the append actually landed
+    val batch2 = Seq((201L, sent(500) + " tail")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_append").toString
+    TextDedup.saveMinhashIndex(baseDocs, "doc_id", "text", dir)
+    def asPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val b1 = TextDedup.minhashLshAgainstIndex(
+      batch1, "doc_id", "text", TextDedup.loadMinhashIndex(spark, dir), threshold = 0.7)
+    assert(asPairs(b1) == Set((101L, 10L)))
+    // fold the whole batch in (a real pipeline would drop 101 first —
+    // keeping it also checks appended near-dups of base docs surface)
+    TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir)
+
+    val b2 = TextDedup.minhashLshAgainstIndex(
+      batch2, "doc_id", "text", TextDedup.loadMinhashIndex(spark, dir), threshold = 0.7)
+    assert(asPairs(b2) == Set((201L, 103L))) // the APPENDED doc, not a base one
+    // append ≡ rebuild: a fresh index over base ∪ batch1 yields the
+    // exact same result relation (values included) for batch2
+    val rebuilt = java.nio.file.Files.createTempDirectory("mh_idx_rebuild").toString
+    TextDedup.saveMinhashIndex(
+      baseDocs.union(batch1), "doc_id", "text", rebuilt)
+    val viaRebuild = TextDedup.minhashLshAgainstIndex(
+      batch2, "doc_id", "text", TextDedup.loadMinhashIndex(spark, rebuilt), threshold = 0.7)
+    assert(b2.collect().toSet == viaRebuild.collect().toSet)
+    // meta params survive the append untouched
+    val idx = TextDedup.loadMinhashIndex(spark, dir)
+    assert((idx.n, idx.k, idx.numBands) == (3, 32, 8))
   }
 
   test("crossContainmentPairs flags embedded eval docs; corpus side never shuffles for candidates") {
