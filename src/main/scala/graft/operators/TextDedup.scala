@@ -735,20 +735,6 @@ object TextDedup {
     val autoKnobs = bits == -1 || numPartitions.isEmpty
     val useBits = if (bits == -1) srpBitsFor(nVecs) else bits
     val useTables = if (tables == -1) srpTablesFor(useBits, threshold) else tables
-    // All tables×bits planes ship as ONE 2-D literal (allPlanes[t*bits+i]
-    // = table t, bit i) and the bucket math is a compact nested HOF over
-    // it — NOT tables×bits separate dot_product nodes each carrying its
-    // own array literal, which bloats the generated code by orders of
-    // magnitude and makes Janino compilation (per side of the self-join)
-    // dominate the query. Same planes, same order → identical buckets.
-    val allPlanes = typedLit((0 until useTables).flatMap(t =>
-      Similarity.hyperplanes(planeDim, useBits, seed + t)))
-    val tb = transform(sequence(lit(0), lit(useTables - 1)), t =>
-      struct(t.as("t"),
-        aggregate(sequence(lit(0), lit(useBits - 1)), lit(0),
-          (acc, i) => acc + when(
-            dot_product(col(vecCol), element_at(allPlanes, t * useBits + i + 1)) >= 0,
-            shiftL(lit(1), i).cast("int")).otherwise(lit(0))).as("bkt")))
     // Width sized from the BUCKET ROWS (tables × n), not the input: the
     // candidate stream this operator shuffles is in-bucket pairs, whose
     // volume tracks t·n (≈ B/2 pairs per bucket row) — sizing from n
@@ -762,8 +748,7 @@ object TextDedup {
     // tables×bits dot products aren't recomputed per side. Repartitioned
     // on the bucket key at the scaled width: the self-join clusters on
     // (t, bkt) with no further exchange (ReuseExchange dedups the sides).
-    val bucketed = vecs.select(col(idCol), explode(tb).as("tb"))
-      .select(col(idCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val bucketed = srpBucketRows(vecs, idCol, vecCol, useBits, useTables, seed, planeDim)
       .localCheckpoint(true)
       .repartition(p, col("t"), col("bkt"))
     val cand = bucketed.select(col(idCol).as("d1"), col("t"), col("bkt"))
@@ -789,11 +774,7 @@ object TextDedup {
     // ship broadcast twice. Callers that supplied every knob take the
     // shuffle path outright (autoKnobs) — correct at any size, and it
     // keeps this decision from forcing the nVecs count.
-    val elemBytes = vecs.schema(vecCol).dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType, _) => 8L
-      case _ => 4L
-    }
+    val elemBytes = elemBytesFor(vecs, vecCol)
     val joined =
       if (autoKnobs && nVecs * (16L + elemBytes * planeDim) <= verifyBroadcastMaxBytes)
         cand.join(broadcast(v1), Seq("d1")).join(broadcast(v2), Seq("d2"))
@@ -811,4 +792,187 @@ object TextDedup {
     * every executor twice, far past any corpus where the shuffle path
     * isn't already the right plan. */
   private[operators] val verifyBroadcastMaxBytes: Long = 32L << 20
+
+  /** Per-element byte width from the actual schema: array<double>
+    * vectors carry 2× the payload of array<float>, so a float-only
+    * constant would let a ~64 MB double-vector relation squeak under
+    * the 32 MB broadcast bound and ship twice. */
+  private[operators] def elemBytesFor(vecs: DataFrame, vecCol: String): Long =
+    vecs.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => 8L
+      case _ => 4L
+    }
+
+  /** SRP bucket rows (id, t, bkt) under the (bits, tables, seed, dim)
+    * plane family — THE single spelling of the hyperplane-bucketing
+    * kernel, shared by the self-dedup ([[embeddingNearDupPairsLsh]]),
+    * the persisted-index build ([[buildEmbeddingIndex]]) and batch
+    * probing against it ([[embeddingNearDupAgainstIndex]]), so the two
+    * sides of any bucket join can never disagree on planes or bit
+    * order. All tables×bits planes ship as ONE 2-D literal
+    * (allPlanes[t*bits+i] = table t, bit i) and the bucket math is a
+    * compact nested HOF over it — NOT tables×bits separate dot_product
+    * nodes each carrying its own array literal, which bloats the
+    * generated code by orders of magnitude and makes Janino compilation
+    * dominate the query. Planes are a pure function of
+    * (dim, bits, seed + t): deterministic across runs and executors. */
+  def srpBucketRows(vecs: DataFrame, idCol: String, vecCol: String,
+      bits: Int, tables: Int, seed: Long, dim: Int): DataFrame = {
+    val allPlanes = typedLit((0 until tables).flatMap(t =>
+      Similarity.hyperplanes(dim, bits, seed + t)))
+    val tb = transform(sequence(lit(0), lit(tables - 1)), t =>
+      struct(t.as("t"),
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
+          (acc, i) => acc + when(
+            dot_product(col(vecCol), element_at(allPlanes, t * bits + i + 1)) >= 0,
+            shiftL(lit(1), i).cast("int")).otherwise(lit(0))).as("bkt")))
+    vecs.select(col(idCol), explode(tb).as("tb"))
+      .select(col(idCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+  }
+
+  /** A persisted-form embedding near-dup index — the [[MinhashIndex]]
+    * pattern for the vector modality: SRP bucket rows (`buckets`: id, t,
+    * bkt) for candidate generation, the vectors themselves (`vectors`:
+    * id, vec) for the exact-cosine verify, and the plane-family
+    * parameters, so a FUTURE batch can be deduped against this corpus
+    * without re-bucketing it. */
+  final case class EmbeddingIndex(
+      buckets: DataFrame, vectors: DataFrame,
+      bits: Int, tables: Int, seed: Long, dim: Int)
+
+  /** Bucket a corpus once into an [[EmbeddingIndex]]. Knob defaults are
+    * the self-dedup's ([[srpBitsFor]] / [[srpTablesFor]] at `threshold`)
+    * — sizing happens at BUILD time because the plane family is frozen
+    * into the index; probing batches inherit it from the meta. */
+  def buildEmbeddingIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = -1, tables: Int = -1,
+      seed: Long = 42L, dim: Int = -1): EmbeddingIndex = {
+    require(bits == -1 || (bits >= 1 && bits <= 30), s"bits=$bits out of range")
+    val planeDim =
+      if (dim > 0) dim
+      else vecs.select(size(col(vecCol)).as("__d"))
+        .filter(col("__d") > 0).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _ => throw new IllegalArgumentException(
+          "buildEmbeddingIndex: empty corpus (or all-null vectors) — " +
+            "pass dim explicitly to build an empty index")
+      }
+    lazy val nVecs = vecs.count()
+    val useBits = if (bits == -1) srpBitsFor(nVecs) else bits
+    val useTables = if (tables == -1) srpTablesFor(useBits, threshold) else tables
+    val bucketed = srpBucketRows(vecs, idCol, vecCol,
+      useBits, useTables, seed, planeDim)
+      .select(col(idCol).as("id"), col("t"), col("bkt"))
+    EmbeddingIndex(bucketed,
+      vecs.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      useBits, useTables, seed, planeDim)
+  }
+
+  /** Build and persist an [[EmbeddingIndex]] as parquet (`buckets/`,
+    * `vectors/`, one-row `meta/` with the plane-family parameters — a
+    * loader can never bucket a batch under mismatched planes). The
+    * offline half of incremental embedding dedup: runs once per corpus
+    * snapshot; each incoming batch pays only its own bucketing. */
+  def saveEmbeddingIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      path: String, threshold: Double, bits: Int = -1, tables: Int = -1,
+      seed: Long = 42L, dim: Int = -1): Unit = {
+    val idx = buildEmbeddingIndex(vecs, idCol, vecCol, threshold, bits, tables, seed, dim)
+    idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    idx.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    vecs.sparkSession.range(1)
+      .select(lit(idx.bits).as("bits"), lit(idx.tables).as("tables"),
+        lit(idx.seed).as("seed"), lit(idx.dim).as("dim"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a [[saveEmbeddingIndex]]-written index; parameters come
+    * from the persisted meta row, never the caller. */
+  def loadEmbeddingIndex(spark: SparkSession, path: String): EmbeddingIndex = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    EmbeddingIndex(
+      spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/vectors"),
+      m.getAs[Int]("bits"), m.getAs[Int]("tables"),
+      m.getAs[Long]("seed"), m.getAs[Int]("dim"))
+  }
+
+  /** INCREMENTAL embedding near-dup: new batch vs a prebuilt
+    * [[EmbeddingIndex]], emitting (new_id, index_id, cosine ≥ threshold)
+    * — [[minhashLshAgainstIndex]]'s contract for the vector modality.
+    * The batch is bucketed under the INDEX's plane family
+    * ([[srpBucketRows]] with the persisted bits/tables/seed/dim), so
+    * candidate generation is the same (t, bkt) equi-join the self-dedup
+    * plans — never the batch×corpus product.
+    *
+    * Physical shape by regime (the incremental-dedup plan family):
+    *  - broadcast regime (batch ≤ `broadcastMaxNewVecs` AND its
+    *    estimated vector payload ≤ [[verifyBroadcastMaxBytes]]): batch
+    *    bucket rows broadcast into the bucket join — the index side is a
+    *    pure scan; the verify broadcasts the batch vectors and semi-joins
+    *    the index vectors down to matched ids, so index vectors never
+    *    shuffle. Per-batch cost = batch bucketing + one index scan +
+    *    work proportional to MATCHES.
+    *  - candidate blowup (hot buckets — count > `maxBroadcastCandidates`)
+    *    or big batches: repartitioned joins at the corpus-tracked width.
+    *
+    * Same id-space contract as [[minhashLshAgainstIndex]]: equal ids
+    * across batch and index are treated as the same document. Recall is
+    * the plane family's 1 − (1 − pᵇ)ᵗ per pair — identical to the
+    * self-dedup's at the build threshold, deterministic per corpus
+    * (seeded planes). */
+  def embeddingNearDupAgainstIndex(
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      index: EmbeddingIndex, threshold: Double,
+      broadcastMaxNewVecs: Long = 100000L,
+      maxBroadcastCandidates: Long = 2000000L,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = newVecs.sparkSession
+    val newBuckets = srpBucketRows(newVecs, idCol, vecCol,
+      index.bits, index.tables, index.seed, index.dim)
+      .select(col(idCol).as("new_id"), col("t"), col("bkt"))
+      .localCheckpoint(true)
+    // batch size from the materialized bucket rows (tables × nNew) —
+    // no second pass over the (possibly expensive) batch input
+    val nNew = newBuckets.count() / math.max(1, index.tables)
+    val v1 = newVecs.select(col(idCol).as("new_id"), col(vecCol).as("v1"))
+    val v2 = index.vectors.select(col("id").as("index_id"), col("vec").as("v2"))
+    val newVecBytes = nNew * (16L + elemBytesFor(newVecs, vecCol) * index.dim)
+    val shuffleWidth = () => numPartitions.getOrElse(
+      graft.GraftSession.partitionsFor(spark,
+        (nNew + index.buckets.count() / math.max(1, index.tables)) * index.tables))
+    def shuffleVerify(cand: DataFrame, p: Int): DataFrame =
+      cand.repartition(p, col("new_id")).join(v1, Seq("new_id"))
+        .repartition(p, col("index_id")).join(v2, Seq("index_id"))
+    val verified =
+      if (nNew <= broadcastMaxNewVecs && newVecBytes <= verifyBroadcastMaxBytes) {
+        val cand = index.buckets
+          .select(col("id").as("index_id"), col("t"), col("bkt"))
+          .join(broadcast(newBuckets), Seq("t", "bkt"))
+          .filter(col("new_id") =!= col("index_id"))
+          .select("new_id", "index_id").distinct()
+          .localCheckpoint(true) // counted, then feeds the verify joins
+        if (cand.count() <= maxBroadcastCandidates) {
+          val matchedIdx = v2.join(
+            broadcast(cand.select("index_id").distinct()), Seq("index_id"))
+          cand.join(broadcast(v1), Seq("new_id"))
+            .join(matchedIdx, Seq("index_id"))
+        } else shuffleVerify(cand, shuffleWidth())
+      } else {
+        val p = shuffleWidth()
+        val cand = index.buckets
+          .select(col("id").as("index_id"), col("t"), col("bkt"))
+          .repartition(p, col("t"), col("bkt"))
+          .join(newBuckets.repartition(p, col("t"), col("bkt")), Seq("t", "bkt"))
+          .filter(col("new_id") =!= col("index_id"))
+          .select("new_id", "index_id")
+          .repartition(p, col("new_id"), col("index_id")).distinct()
+        shuffleVerify(cand, p)
+      }
+    verified
+      .withColumn("cosine", cosine_similarity(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("new_id"), col("index_id"),
+        roundPortable(col("cosine"), 6).as("cosine"))
+  }
 }

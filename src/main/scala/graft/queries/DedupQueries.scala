@@ -170,6 +170,26 @@ object DedupQueries {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** INCREMENTAL embedding dedup under the hard gate — q_minhash_incremental's
+    * shape for the vector modality: the even-id half of the embeddings is
+    * bucketed and persisted as an SRP index (parquet round-trip INSIDE the
+    * measured query), and the odd-id half is deduped AGAINST the loaded
+    * index without re-bucketing it. Oracle = exact cross-parity cosine, so
+    * the cross-corpus LSH recall AND the index round-trip (lost bucket
+    * row, plane-parameter drift, vector truncation) sit under one hash
+    * gate. */
+  val embeddingIncremental: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val path = SnapshotPaths.dirFor("embedding_index", dir)
+    TextDedup.saveEmbeddingIndex(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      path, threshold = 0.5)
+    TextDedup.embeddingNearDupAgainstIndex(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        TextDedup.loadEmbeddingIndex(s, path), threshold = 0.5)
+      .orderBy(col("new_id"), col("index_id"))
+  }
+
   /** INCREMENTAL dedup under the hard gate: the even-id half of the
     * corpus is signed and persisted as a minhash LSH index (the parquet
     * round-trip is INSIDE the measured query, like q_ann_ivf_loaded),
@@ -189,6 +209,41 @@ object DedupQueries {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         TextDedup.loadMinhashIndex(s, path), threshold = 0.7)
       .orderBy(col("new_id"), col("index_id"))
+  }
+
+  /** The STREAMING spelling of incremental dedup under the SAME hard
+    * gate: even ids are signed into a persisted index; the odd-id half
+    * arrives through the actual streaming path — file source →
+    * `Trigger.AvailableNow` → `foreachBatch` → dedup-against-index →
+    * per-batch parquet — and the read-back union of batch outputs is
+    * oracled with q_minhash_incremental's exact cross-parity Jaccard
+    * SQL. This is the reference's 15-minute-cron semantics (T1)
+    * composed with the index: streaming execution ≡ the batch operator,
+    * or the gate fails. */
+  val streamIncrementalDedup: Q = (s, dir) => {
+    import graft.streaming.StreamingOps
+    val docs = Scan.table(s, dir, "documents")
+    val idxPath = SnapshotPaths.dirFor("minhash_index_stream", dir)
+    val outDir = SnapshotPaths.dirFor("stream_dedup_out", dir)
+    // stale batch outputs from a previous differently-batched run would
+    // otherwise union into the read-back
+    deleteRecursively(outDir)
+    TextDedup.saveMinhashIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
+    StreamingOps.incrementalDedupStream(
+        StreamingOps.readDocumentsStream(s, dir).filter(col("doc_id") % 2 === 1),
+        idxPath, outDir, threshold = 0.7)
+      .awaitTermination()
+    s.read.parquet(s"$outDir/batch_*").orderBy(col("new_id"), col("index_id"))
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** INDEX MAINTENANCE under the hard gate: thirds of the corpus play
@@ -294,6 +349,7 @@ object DedupQueries {
     "q_minhash_lsh_pairs" -> minhashLshPairs,
     "q_minhash_incremental" -> minhashIncremental,
     "q_minhash_index_append" -> minhashIndexAppend,
+    "q_stream_incremental_dedup" -> streamIncrementalDedup,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_components_star" -> dedupComponentsStar,
     "q_simhash_pairs" -> simhashPairs,
@@ -302,6 +358,7 @@ object DedupQueries {
     "q_embedding_neardup" -> embeddingNearDup,
     "q_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q_embedding_neardup_lsh_shuffle" -> embeddingNearDupLshShuffle,
+    "q_embedding_incremental" -> embeddingIncremental,
     "q_ann_topk" -> annTopK,
     "q_ann_multi_topk" -> annMultiTopK,
     "q_ann_lsh_topk" -> annLshTopK,
@@ -391,17 +448,11 @@ object DedupQueries {
     // exact Jaccard over the full corpus, restricted to pairs that CROSS
     // the parity split (even ids = indexed corpus, odd ids = new batch);
     // ip keeps d1 < d2, so each side of the CASE picks the right parity
-    "q_minhash_incremental" ->
-      s"""WITH ${jaccardPairCtes("(SELECT doc_id, text FROM documents)")}
-         SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS new_id,
-                CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END AS index_id,
-                ${roundPortableSql("inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)", 4)} AS jaccard
-         FROM ip
-         JOIN sizes sa ON sa.doc_id = d1
-         JOIN sizes sb ON sb.doc_id = d2
-         WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7
-           AND (d1 % 2) <> (d2 % 2)
-         ORDER BY new_id, index_id""",
+    "q_minhash_incremental" -> crossParityJaccardSql,
+    // IDENTICAL SQL by design: the Spark side runs the same dedup
+    // through the streaming engine (file source → AvailableNow →
+    // foreachBatch), so streaming ≡ batch is oracled, not just asserted
+    "q_stream_incremental_dedup" -> crossParityJaccardSql,
     // exact Jaccard over pairs that cross from the new third (%3==2)
     // into either indexed third (%3∈{0,1}): the appended index must
     // behave exactly like a full rebuild over thirds 0+1
@@ -482,6 +533,15 @@ object DedupQueries {
     // same exact-cosine SQL: only the Spark-side verify join strategy
     // differs (forced shuffle branch)
     "q_embedding_neardup_lsh_shuffle" -> embNearDupSql,
+    // exact cosine restricted to cross-parity pairs (odd = new batch,
+    // even = persisted index) — the embedding twin of the
+    // q_minhash_incremental oracle
+    "q_embedding_incremental" ->
+      s"""SELECT a.vec_id AS new_id, b.vec_id AS index_id, $cosR6 AS cosine
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+          WHERE $cosR6 >= 0.5
+          ORDER BY new_id, index_id""",
     "q_ann_topk" ->
       s"""SELECT b.vec_id,
           ${roundPortableSql(
@@ -498,6 +558,18 @@ object DedupQueries {
     "q_ann_ivf_topk" -> annMultiTopKSql,
     "q_ann_ivf_loaded" -> annMultiTopKSql
   )
+
+  private lazy val crossParityJaccardSql: String =
+    s"""WITH ${jaccardPairCtes("(SELECT doc_id, text FROM documents)")}
+       SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS new_id,
+              CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END AS index_id,
+              ${roundPortableSql("inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)", 4)} AS jaccard
+       FROM ip
+       JOIN sizes sa ON sa.doc_id = d1
+       JOIN sizes sb ON sb.doc_id = d2
+       WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7
+         AND (d1 % 2) <> (d2 % 2)
+       ORDER BY new_id, index_id"""
 
   private lazy val annMultiTopKSql: String =
     s"""SELECT * FROM (

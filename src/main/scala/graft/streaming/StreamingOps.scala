@@ -23,31 +23,47 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over the events table (micro-batch T1 analog).
-    * The file source requires a DIRECTORY; a bare `events.parquet` file is
-    * staged into a temp dir via hard link (falling back to copy). In a
-    * real deployment the ingest path is already a directory of arriving
-    * part-files — exactly what this source models. */
-  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val file = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val dir =
-      if (java.nio.file.Files.isDirectory(file)) file
-      else {
-        val staged = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), s"graft_events_${sfDir.hashCode.toHexString}")
-        java.nio.file.Files.createDirectories(staged)
-        val target = staged.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(target)) {
-          try java.nio.file.Files.createLink(target, file)
-          catch { case _: Exception => java.nio.file.Files.copy(file, target) }
-        }
-        staged
+  /** Stage a bare `<table>.parquet` FILE into a temp directory (hard
+    * link, falling back to copy): the streaming file source requires a
+    * directory. In a real deployment the ingest path is already a
+    * directory of arriving part-files — exactly what this models. */
+  private def stagedDir(sfDir: String, table: String): java.nio.file.Path = {
+    val file = java.nio.file.Paths.get(s"$sfDir/$table.parquet")
+    if (java.nio.file.Files.isDirectory(file)) file
+    else {
+      val staged = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_${table}_${sfDir.hashCode.toHexString}")
+      java.nio.file.Files.createDirectories(staged)
+      val target = staged.resolve(s"$table.parquet")
+      if (!java.nio.file.Files.exists(target)) {
+        try java.nio.file.Files.createLink(target, file)
+        catch { case _: Exception => java.nio.file.Files.copy(file, target) }
       }
+      staged
+    }
+  }
+
+  /** File-source stream over the events table (micro-batch T1 analog). */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
       .schema(eventsRawSchema)
-      .parquet(dir.toString)
+      .parquet(stagedDir(sfDir, "events").toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+
+  /** The documents schema as the streaming file source needs it
+    * declared (mirrors the testdata parquet exactly). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over the documents table — the arriving-crawl
+    * half of streaming incremental dedup. */
+  def readDocumentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .parquet(stagedDir(sfDir, "documents").toString)
 
   /** Tumbling-window counts with a watermark (late data beyond the
     * horizon is dropped — the T2 drift alarm generalized to per-window
@@ -155,6 +171,46 @@ object StreamingOps {
         val record: org.json4s.JObject =
           ("run_id" -> s"batch_$batchId") ~ ("rows" -> rows) ~ ("path" -> path)
         graft.meta.RunLedger.append(ledgerPath, record)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming incremental dedup — the reference's 15-minute-cron
+    * micro-batch (T1) composed with the persisted minhash index: each
+    * arriving micro-batch is deduped against the index INSIDE
+    * `foreachBatch` (per-batch cost = batch signing + one index scan —
+    * [[graft.operators.TextDedup.minhashLshAgainstIndex]]'s plan), its
+    * duplicate pairs land in `outDir/batch_<id>`, and, when
+    * `foldInSurvivors` is set, the batch's non-duplicate docs are
+    * APPENDED to the index so the NEXT micro-batch sees them — the full
+    * crawl loop (dedup → accept → index) as one streaming query.
+    *
+    * foreachBatch is exactly-once PER BATCH ID (a replayed batch
+    * overwrites its own `batch_<id>` dir rather than double-appending
+    * pairs); the index append is the same at-least-once caveat as
+    * [[graft.operators.TextDedup.appendToMinhashIndex]] — duplicate
+    * index rows only widen candidate generation, the verify stage keeps
+    * results exact. */
+  def incrementalDedupStream(
+      docs: DataFrame, indexPath: String, outDir: String,
+      threshold: Double = 0.7, idCol: String = "doc_id",
+      textCol: String = "text",
+      foldInSurvivors: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(true) // consumed twice below
+        val idx = graft.operators.TextDedup.loadMinhashIndex(spark, indexPath)
+        val pairs = graft.operators.TextDedup.minhashLshAgainstIndex(
+          b, idCol, textCol, idx, threshold)
+          .localCheckpoint(true) // materialize BEFORE the index mutates
+        pairs.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        if (foldInSurvivors) {
+          val dupIds = pairs.select(col("new_id").as(idCol)).distinct()
+          graft.operators.TextDedup.appendToMinhashIndex(
+            b.join(dupIds, Seq(idCol), "left_anti"), idCol, textCol, indexPath)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())

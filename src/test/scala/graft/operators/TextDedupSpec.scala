@@ -385,6 +385,49 @@ class TextDedupSpec extends SparkSpec {
     assert((idx.n, idx.k, idx.numBands) == (3, 32, 8))
   }
 
+  test("embeddingNearDupAgainstIndex: batch-vs-index pairs, parquet round-trip, all regimes agree") {
+    import spark.implicits._
+    def vec(i: Int, nudge: Float = 0f): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      val v = Seq.fill(16)(r.nextGaussian().toFloat)
+      if (nudge == 0f) v else v.updated(0, v.head + nudge)
+    }
+    val indexVecs = (0L until 20L).map(i => (i * 2, vec(i.toInt))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (101L, vec(1, 0.01f)),  // ~ index vec 2
+      (103L, vec(5, 0.01f)),  // ~ index vec 10
+      (105L, vec(999))        // unique — no match at 0.9
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_idx").toString
+    TextDedup.saveEmbeddingIndex(indexVecs, "vec_id", "embedding", dir, threshold = 0.9)
+    val loaded = TextDedup.loadEmbeddingIndex(spark, dir)
+    def asPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = TextDedup.embeddingNearDupAgainstIndex(
+      batch, "vec_id", "embedding", loaded, threshold = 0.9)
+    assert(asPairs(direct) == Set((101L, 2L), (103L, 10L)))
+    // pairs AND cosines must equal the exact batch×index predicate —
+    // the loaded index is bit-faithful input to the verify
+    val exact = batch.select(col("vec_id").as("new_id"), col("embedding").as("v1"))
+      .crossJoin(indexVecs.select(col("vec_id").as("index_id"), col("embedding").as("v2")))
+      .withColumn("cosine", graft.functions.GraftFunctions.cosine_similarity(col("v1"), col("v2")))
+      .filter(col("cosine") >= 0.9)
+      .select(col("new_id"), col("index_id"),
+        graft.functions.GraftFunctions.roundPortable(col("cosine"), 6).as("cosine"))
+    assert(direct.collect().toSet == exact.collect().toSet)
+    // forced shuffle regime (count gate) and hot-bucket fallback
+    // (candidate cap) produce identical relations
+    assert(asPairs(TextDedup.embeddingNearDupAgainstIndex(
+      batch, "vec_id", "embedding", loaded, threshold = 0.9,
+      broadcastMaxNewVecs = 0L)) == asPairs(direct))
+    assert(asPairs(TextDedup.embeddingNearDupAgainstIndex(
+      batch, "vec_id", "embedding", loaded, threshold = 0.9,
+      maxBroadcastCandidates = 0L)) == asPairs(direct))
+    // meta round-trip carries the plane family
+    assert(loaded.dim == 16 && loaded.seed == 42L &&
+      loaded.bits >= 1 && loaded.tables >= 1)
+  }
+
   test("crossContainmentPairs flags embedded eval docs; corpus side never shuffles for candidates") {
     import spark.implicits._
     val corpus = Seq(

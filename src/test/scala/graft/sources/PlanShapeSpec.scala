@@ -180,6 +180,28 @@ class PlanShapeSpec extends SparkSpec {
       s"candidate exchange not at the requested width:\n$sym")
   }
 
+  test("embedding incremental dedup: batch regime broadcasts, index side scan-only") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextDedup
+    val emb = Scan.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("emb_idx_plan").toString
+    TextDedup.saveEmbeddingIndex(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir, threshold = 0.5)
+    val idx = TextDedup.loadEmbeddingIndex(spark, dir)
+    val inc = TextDedup.embeddingNearDupAgainstIndex(
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, threshold = 0.5)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"embedding incremental dedup degraded to a cross join:\n$plan")
+    // batch vectors + matched-id semi-join ship broadcast; the index
+    // vector relation is scanned, never reshuffled on its raw id
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected broadcast verify joins:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(id#"),
+      s"the index relation itself reshuffled:\n$plan")
+  }
+
   test("partitionsFor tracks rows between the core floor and the 6x-cores cap") {
     import graft.GraftSession.partitionsFor
     assert(partitionsFor(0L, 32) == 32)            // tiny input → full parallelism

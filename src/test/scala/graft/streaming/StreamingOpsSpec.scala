@@ -99,6 +99,56 @@ class StreamingOpsSpec extends SparkSpec {
     assert(snapshotRows == Scan.table(spark, sfDir, "events").count())
   }
 
+  test("incrementalDedupStream: per-batch dedup against the index; fold-in lets batch 2 match batch 1") {
+    import spark.implicits._
+    def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // base corpus → persisted index
+    val idxPath = java.nio.file.Files.createTempDirectory("mh_idx_stream").toString
+    graft.operators.TextDedup.saveMinhashIndex(
+      (0L until 20L).map(i => (i * 2, sent(i.toInt))).toDF("doc_id", "text"),
+      "doc_id", "text", idxPath)
+    // two arriving files = two micro-batches (maxFilesPerTrigger = 1,
+    // ordered by modification time): batch 1 carries one near-dup of the
+    // BASE corpus and one novel doc; batch 2 near-duplicates the NOVEL
+    // doc — matchable only if batch 1's survivors were folded in
+    val srcDir = java.nio.file.Files.createTempDirectory("stream_docs")
+    def writeFile(name: String, rows: Seq[(Long, String)], modTime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = srcDir.resolve(name)
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(modTime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile("b1.parquet",
+      Seq((101L, sent(5) + " tail"), (103L, sent(500))), t0)
+    writeFile("b2.parquet",
+      Seq((201L, sent(500) + " tail")), t0 + 10000)
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val outDir = java.nio.file.Files.createTempDirectory("stream_out").toString
+    StreamingOps.incrementalDedupStream(
+        stream, idxPath, outDir, threshold = 0.7, foldInSurvivors = true)
+      .awaitTermination()
+    val pairs = spark.read.parquet(s"$outDir/batch_*")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 1: 101 duplicates base doc 10; batch 2: 201 duplicates the
+    // APPENDED novel doc 103 — proof the fold-in landed before batch 2
+    assert(pairs == Set((101L, 10L), (201L, 103L)))
+    // and the duplicate (101) was NOT folded in: only survivors append
+    val idxIds = spark.read.parquet(s"$idxPath/shingles")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds.contains(103L) && !idxIds.contains(101L) && !idxIds.contains(201L))
+  }
+
   test("mapGroupsWithState running totals equal a batch groupBy") {
     val stream = StreamingOps.readEventsStream(spark, sfDir)
     val streamed = StreamingOps.runAvailableNow(
