@@ -39,13 +39,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // resolve snapshot-path tokens to THIS run's data dir — queries above
-    // wrote their snapshots via the same SnapshotPaths.dirFor, so the
-    // dumped SQL always reads the bytes this run produced, never a stale
-    // or concurrent session's snapshot
+    // resolve snapshot-path tokens to THIS run's (data dir, session) —
+    // queries above wrote their snapshots via the same
+    // SnapshotPaths.dirFor with the same session, so the dumped SQL
+    // always reads the bytes this run produced, never a stale or
+    // concurrent session's snapshot
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(graft.queries.SnapshotPaths.resolve(v, sfDir))}" }
+        s"${q(k)}: ${q(graft.queries.SnapshotPaths.resolve(v, sfDir, spark))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -73,15 +73,13 @@ object DedupQueries {
   }
 
   /** Path the q_simhash_pairs oracle reads back — derived from the data
-    * dir (see [[SnapshotPaths]]), which isolates PER DATA DIR: different
-    * scale factors / dirs never clobber or silently reuse each other's
-    * snapshot. Two concurrent sessions on the SAME data dir still share
-    * one snapshot dir (write-then-read within one query keeps the harness
-    * safe; mix a run id into [[SnapshotPaths.dirFor]] if same-dir
-    * concurrency ever matters). The snapshot write below is part of the
+    * dir AND the session (see [[SnapshotPaths]]): different scale
+    * factors / dirs never clobber or silently reuse each other's
+    * snapshot, and two concurrent sessions on the SAME data dir get
+    * disjoint dirs too. The snapshot write below is part of the
     * measured query. */
-  def simhashFpSnapshotDir(dataDir: String): String =
-    SnapshotPaths.dirFor("simhash_fp", dataDir)
+  def simhashFpSnapshotDir(s: SparkSession, dataDir: String): String =
+    SnapshotPaths.dirFor("simhash_fp", dataDir, s)
 
   /** xxhash64 simhash has no DuckDB twin, so the fingerprint bytes are
     * snapshotted to parquet and the oracle derives the pair set by exact
@@ -91,7 +89,7 @@ object DedupQueries {
     * even though the hash itself is engine-specific. */
   val simhashPairs: Q = (s, dir) => {
     import graft.functions.GraftFunctions.simhash64
-    val snap = simhashFpSnapshotDir(dir)
+    val snap = simhashFpSnapshotDir(s, dir)
     Scan.table(s, dir, "documents")
       .select(col("doc_id"), simhash64(split(col("text"), " ")).as("fp"))
       .coalesce(1).write.mode("overwrite").parquet(snap)
@@ -180,7 +178,7 @@ object DedupQueries {
     * gate. */
   val embeddingIncremental: Q = (s, dir) => {
     val emb = Scan.table(s, dir, "embeddings")
-    val path = SnapshotPaths.dirFor("embedding_index", dir)
+    val path = SnapshotPaths.dirFor("embedding_index", dir, s)
     TextDedup.saveEmbeddingIndex(
       emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
       path, threshold = 0.5)
@@ -202,7 +200,7 @@ object DedupQueries {
     * parameter mismatch) surfaces as a hash mismatch. */
   val minhashIncremental: Q = (s, dir) => {
     val docs = Scan.table(s, dir, "documents")
-    val path = SnapshotPaths.dirFor("minhash_index", dir)
+    val path = SnapshotPaths.dirFor("minhash_index", dir, s)
     TextDedup.saveMinhashIndex(
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
     TextDedup.minhashLshAgainstIndex(
@@ -223,8 +221,8 @@ object DedupQueries {
   val streamIncrementalDedup: Q = (s, dir) => {
     import graft.streaming.StreamingOps
     val docs = Scan.table(s, dir, "documents")
-    val idxPath = SnapshotPaths.dirFor("minhash_index_stream", dir)
-    val outDir = SnapshotPaths.dirFor("stream_dedup_out", dir)
+    val idxPath = SnapshotPaths.dirFor("minhash_index_stream", dir, s)
+    val outDir = SnapshotPaths.dirFor("stream_dedup_out", dir, s)
     // stale batch outputs from a previous differently-batched run would
     // otherwise union into the read-back
     deleteRecursively(outDir)
@@ -257,7 +255,7 @@ object DedupQueries {
     * disagreement surfaces as a missing pair → hash mismatch. */
   val minhashIndexAppend: Q = (s, dir) => {
     val docs = Scan.table(s, dir, "documents")
-    val path = SnapshotPaths.dirFor("minhash_index_append", dir)
+    val path = SnapshotPaths.dirFor("minhash_index_append", dir, s)
     TextDedup.saveMinhashIndex(
       docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path)
     TextDedup.appendToMinhashIndex(
@@ -333,7 +331,7 @@ object DedupQueries {
     val emb = Scan.table(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val idxPath = SnapshotPaths.dirFor("ivf_centroids", dir)
+    val idxPath = SnapshotPaths.dirFor("ivf_centroids", dir, s)
     Similarity.saveIndex(
       Similarity.kmeansCentroids(emb, "embedding", nCentroids = 8, maxIter = 5),
       idxPath)
@@ -489,8 +487,8 @@ object DedupQueries {
     "q_simhash_pairs" ->
       s"""SELECT a.doc_id AS d1, b.doc_id AS d2,
                  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-          FROM read_parquet('${simhashFpSnapshotDir(SnapshotPaths.DataDirToken)}/*.parquet') a
-          JOIN read_parquet('${simhashFpSnapshotDir(SnapshotPaths.DataDirToken)}/*.parquet') b
+          FROM read_parquet('${SnapshotPaths.tokenDirFor("simhash_fp")}/*.parquet') a
+          JOIN read_parquet('${SnapshotPaths.tokenDirFor("simhash_fp")}/*.parquet') b
             ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.fp, b.fp)) <= 3
           ORDER BY d1, d2""",

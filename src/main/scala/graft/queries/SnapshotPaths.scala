@@ -1,40 +1,67 @@
 package graft.queries
 
-/** Per-data-dir scratch paths for queries whose oracle reads back a
-  * Spark-written parquet snapshot (the simhash-fingerprint trick).
+import org.apache.spark.sql.SparkSession
+
+/** Per-(data dir, session) scratch paths for queries whose oracle reads
+  * back a Spark-written parquet snapshot (the simhash-fingerprint trick)
+  * or that round-trip an index/output dir inside the measured query.
   *
   * A FIXED path would let concurrent sessions clobber each other and let a
   * stale snapshot be read silently if the oracle ever ran without the
-  * engine query — so the path is derived from the data dir the query ran
-  * on. The oracle SQL can't know that dir when [[graft.SparkEntry.oracleSql]]
-  * is built, so it embeds [[DataDirToken]] and [[graft.Verify]] substitutes
-  * the concrete dir at dump time (both sides call [[dirFor]], so they can
-  * never disagree). The snapshot write is part of the measured query.
+  * engine query — so the path is derived from BOTH the data dir the query
+  * ran on (different scale factors never collide) AND a session tag
+  * (two concurrent sessions on the SAME data dir never share a snapshot
+  * dir — the round-6 residual). The oracle SQL can't know either when
+  * [[graft.SparkEntry.oracleSql]] is built, so it embeds [[DataDirToken]]
+  * and [[graft.Verify]] substitutes the concrete (dir, session) tag at
+  * dump time — the same session that ran the queries, so the dumped SQL
+  * always reads the bytes this run produced. The snapshot write is part
+  * of the measured query.
   */
 object SnapshotPaths {
 
-  /** Placeholder for the data dir inside builder-authored oracle SQL. */
+  /** Placeholder for the (data dir, session) tag inside builder-authored
+    * oracle SQL. */
   val DataDirToken = "__GRAFT_DATA_DIR__"
 
-  /** Sanitized dir + a short hash of the RAW dir: sanitization alone maps
-    * every non-[A-Za-z0-9._-] char to '_', so distinct dirs like
-    * `/data/sf1` and `/data_sf1` would collide to one snapshot dir —
-    * re-admitting the cross-session clobber this module exists to prevent.
-    * `String.hashCode` is specified by the JLS (stable across JVMs), so
-    * the Verify dump and a later oracle run can never disagree. The token
-    * passes through untouched: [[resolve]] substitutes the WHOLE tag for
-    * it at dump time. */
-  private def tag(dataDir: String): String =
-    if (dataDir == DataDirToken) dataDir
-    else dataDir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + java.lang.Integer.toHexString(dataDir.hashCode)
+  /** Per-process disambiguator: `System.identityHashCode` alone is only
+    * unique within one JVM; this makes the session tag unique across
+    * concurrent processes too. Random by design — never persisted,
+    * never compared across runs. */
+  private val jvmTag: String =
+    java.lang.Long.toHexString(new java.security.SecureRandom().nextLong())
+      .takeRight(8)
 
-  /** Scratch dir for snapshot `name` of queries run against `dataDir`. */
-  def dirFor(name: String, dataDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${tag(dataDir)}"
+  /** Session component of the tag: stable for the session's lifetime
+    * (a query's snapshot write and the Verify dump use the same session,
+    * so they can never disagree), distinct across sessions in one JVM
+    * (`newSession()` included) and across JVMs (jvmTag). */
+  def sessionTag(spark: SparkSession): String =
+    jvmTag + "-" + java.lang.Integer.toHexString(System.identityHashCode(spark))
+
+  /** Sanitized dir + a short hash of the RAW dir + the session tag.
+    * The hash exists because sanitization alone maps every
+    * non-[A-Za-z0-9._-] char to '_', so distinct dirs like `/data/sf1`
+    * and `/data_sf1` would collide to one snapshot dir; `String.hashCode`
+    * is specified by the JLS (stable across JVMs). */
+  private def tag(dataDir: String, spark: SparkSession): String =
+    dataDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + java.lang.Integer.toHexString(dataDir.hashCode) +
+      "_" + sessionTag(spark)
+
+  /** Scratch dir for snapshot `name` of queries run against `dataDir`
+    * in `spark`. */
+  def dirFor(name: String, dataDir: String, spark: SparkSession): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${tag(dataDir, spark)}"
+
+  /** The token-bearing form for builder-authored oracle SQL: the whole
+    * variable suffix ((dir, session) tag) is one token, substituted by
+    * [[resolve]] at dump time. */
+  def tokenDirFor(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$DataDirToken"
 
   /** Resolve every [[DataDirToken]]-carrying snapshot path in oracle SQL
-    * to the concrete dir for `dataDir`. */
-  def resolve(sql: String, dataDir: String): String =
-    sql.replace(DataDirToken, tag(dataDir))
+    * to the concrete dir for (`dataDir`, `spark`). */
+  def resolve(sql: String, dataDir: String, spark: SparkSession): String =
+    sql.replace(DataDirToken, tag(dataDir, spark))
 }
