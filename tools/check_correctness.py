@@ -80,11 +80,16 @@ def main():
 
 def load_bench(path):
     """Parse a bench artifact: JSONL (r7+), a legacy single object, or a
-    driver BENCH_r{N}.json wrapper (uses its `parsed` object)."""
-    merged = {}
-    for line in Path(path).read_text().splitlines():
-        if line.strip():
-            merged.update(json.loads(line))
+    (possibly pretty-printed) driver BENCH_r{N}.json wrapper (uses its
+    `parsed` object)."""
+    text = Path(path).read_text()
+    try:
+        merged = json.loads(text)  # single document (incl. pretty-printed)
+    except json.JSONDecodeError:
+        merged = {}
+        for line in text.splitlines():
+            if line.strip():
+                merged.update(json.loads(line))
     if "parsed" in merged and isinstance(merged["parsed"], dict):
         merged = merged["parsed"]
     return merged
@@ -98,6 +103,10 @@ def calibration_drift(argv):
     rerun, made mechanical."""
     prev_path = next((a.split("=", 1)[1] for a in argv
                       if a.startswith("--bench-prev=")), None)
+    if prev_path is None:
+        # default: the latest driver-captured round artifact in the repo
+        rounds = sorted(Path("/root/repo").glob("BENCH_r*.json"))
+        prev_path = str(rounds[-1]) if rounds else None
     cur_path = next((a.split("=", 1)[1] for a in argv
                      if a.startswith("--bench=")), "bench_out.json")
     if not prev_path or not Path(prev_path).exists() or not Path(cur_path).exists():
@@ -144,12 +153,9 @@ def bench_parity(argv, oracle_keys):
         return False  # no artifact around — parity not requested
     try:
         # JSONL since round 7 (detail / queries / contract lines, merged
-        # here with later lines winning); a single-object legacy artifact
-        # parses identically as one line
-        bench = {}
-        for line in Path(path).read_text().splitlines():
-            if line.strip():
-                bench.update(json.loads(line))
+        # with later lines winning); legacy single-object artifacts parse
+        # identically
+        bench = load_bench(path)
     except Exception as e:
         print(f"BENCH PARITY FAIL: cannot parse {path}: {e}")
         return True
