@@ -244,7 +244,10 @@ object TextDedup {
   /** Fold an ACCEPTED batch into a persisted index: sign the batch with
     * the index's own persisted parameters (meta row — the caller cannot
     * mismatch n/k/bands) and APPEND its band and shingle rows to the
-    * parquet relations. The index-maintenance step of the crawl loop:
+    * parquet relations (≙ the reference's closest analog: the
+    * upsert-shaped JSONL ledger, `utils/paths.py:75-96` — fold new run
+    * rows in without rewriting history; here generalized to the dedup
+    * index itself). The index-maintenance step of the crawl loop:
     * dedup a batch against the index ([[minhashLshAgainstIndex]]), drop
     * its duplicates, append the survivors — after which the NEXT batch
     * sees them, with per-batch cost tracking the BATCH (signing + two
@@ -268,6 +271,37 @@ object TextDedup {
       m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"))
     idx.bands.write.mode("append").parquet(s"$path/bands")
     idx.shingles.write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** Compact a persisted index IN PLACE without re-signing any
+    * document: a pure read → distinct → rewrite over the band and
+    * shingle relations, so the cost tracks INDEX size (id + hashes +
+    * shingle sets), never corpus text. Two things accumulate under the
+    * append regime and both collapse here: (a) duplicate rows from
+    * replayed appends ([[appendToMinhashIndex]] is at-least-once across
+    * its two writes — identical rows collapse exactly under
+    * `distinct`), and (b) per-append small part-files (each batch
+    * append lands its own files; at daily-crawl cadence the scan cost
+    * creeps — the rewrite re-bins to the partition width the compacted
+    * size asks for). Distinct DOCUMENTS sharing an id are an id-space
+    * violation (see [[minhashLshAgainstIndex]]) and are NOT merged.
+    * The rewrite materializes through the block manager
+    * (localCheckpoint) before overwriting the dirs it read — crash
+    * between the two writes leaves bands compacted and shingles not,
+    * which is benign (both relations are row-equivalent sets before
+    * and after). */
+  def compactMinhashIndex(spark: SparkSession, path: String): Unit = {
+    val idx = loadMinhashIndex(spark, path)
+    val nBands = idx.bands.count()
+    val p = graft.GraftSession.partitionsFor(spark, nBands)
+    // eager checkpoint: the overwrite below deletes the very files the
+    // plan would otherwise lazily re-read mid-write
+    val bands = idx.bands.distinct().repartition(p).localCheckpoint(true)
+    val shingles = idx.shingles.distinct()
+      .repartition(math.max(1, p / math.max(1, idx.numBands)))
+      .localCheckpoint(true)
+    bands.write.mode("overwrite").parquet(s"$path/bands")
+    shingles.write.mode("overwrite").parquet(s"$path/shingles")
   }
 
   /** Reload a [[saveMinhashIndex]]-written index; parameters come from
@@ -884,6 +918,39 @@ object TextDedup {
       .select(lit(idx.bits).as("bits"), lit(idx.tables).as("tables"),
         lit(idx.seed).as("seed"), lit(idx.dim).as("dim"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fold an ACCEPTED vector batch into a persisted embedding index —
+    * [[appendToMinhashIndex]]'s contract for the vector modality: the
+    * batch is bucketed under the INDEX's persisted plane family (the
+    * caller cannot mismatch bits/tables/seed/dim) and its bucket and
+    * vector rows are appended. Same at-least-once caveat and id-space
+    * contract as the minhash twin; [[compactEmbeddingIndex]] collapses
+    * replayed appends. */
+  def appendToEmbeddingIndex(newVecs: DataFrame, idCol: String,
+      vecCol: String, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val idx = loadEmbeddingIndex(spark, path)
+    srpBucketRows(newVecs, idCol, vecCol, idx.bits, idx.tables, idx.seed, idx.dim)
+      .select(col(idCol).as("id"), col("t"), col("bkt"))
+      .write.mode("append").parquet(s"$path/buckets")
+    newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
+  /** [[compactMinhashIndex]] for the embedding index: read → distinct →
+    * rewrite of the bucket and vector relations, collapsing replayed
+    * appends and re-binning per-append small files; cost tracks index
+    * size, never re-bucketing work (the bucket rows ARE the index). */
+  def compactEmbeddingIndex(spark: SparkSession, path: String): Unit = {
+    val idx = loadEmbeddingIndex(spark, path)
+    val p = graft.GraftSession.partitionsFor(spark, idx.buckets.count())
+    val buckets = idx.buckets.distinct().repartition(p).localCheckpoint(true)
+    val vectors = idx.vectors.distinct()
+      .repartition(math.max(1, p / math.max(1, idx.tables)))
+      .localCheckpoint(true)
+    buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    vectors.write.mode("overwrite").parquet(s"$path/vectors")
   }
 
   /** Reload a [[saveEmbeddingIndex]]-written index; parameters come

@@ -177,7 +177,8 @@ object StreamingOps {
       .start()
 
   /** Streaming incremental dedup — the reference's 15-minute-cron
-    * micro-batch (T1) composed with the persisted minhash index: each
+    * micro-batch (T1, `deployments/serve_15min.py:7`) composed with the
+    * persisted minhash index: each
     * arriving micro-batch is deduped against the index INSIDE
     * `foreachBatch` (per-batch cost = batch signing + one index scan —
     * [[graft.operators.TextDedup.minhashLshAgainstIndex]]'s plan), its

@@ -369,9 +369,13 @@ class TextDedupSpec extends SparkSpec {
     // keeping it also checks appended near-dups of base docs surface)
     TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir)
 
+    // collected ONCE: later in-place compaction rewrites the files a
+    // lazy plan would re-scan
     val b2 = TextDedup.minhashLshAgainstIndex(
       batch2, "doc_id", "text", TextDedup.loadMinhashIndex(spark, dir), threshold = 0.7)
-    assert(asPairs(b2) == Set((201L, 103L))) // the APPENDED doc, not a base one
+    val b2Rows = b2.collect().toSet
+    val b2Pairs = asPairs(b2)
+    assert(b2Pairs == Set((201L, 103L))) // the APPENDED doc, not a base one
     // append ≡ rebuild: a fresh index over base ∪ batch1 yields the
     // exact same result relation (values included) for batch2
     val rebuilt = java.nio.file.Files.createTempDirectory("mh_idx_rebuild").toString
@@ -379,10 +383,29 @@ class TextDedupSpec extends SparkSpec {
       baseDocs.union(batch1), "doc_id", "text", rebuilt)
     val viaRebuild = TextDedup.minhashLshAgainstIndex(
       batch2, "doc_id", "text", TextDedup.loadMinhashIndex(spark, rebuilt), threshold = 0.7)
-    assert(b2.collect().toSet == viaRebuild.collect().toSet)
+    assert(b2Rows == viaRebuild.collect().toSet)
     // meta params survive the append untouched
     val idx = TextDedup.loadMinhashIndex(spark, dir)
     assert((idx.n, idx.k, idx.numBands) == (3, 32, 8))
+
+    // REPLAYED append (the at-least-once failure mode): duplicate index
+    // rows widen candidates but results stay exact…
+    TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir)
+    val replayed = TextDedup.loadMinhashIndex(spark, dir)
+    assert(replayed.bands.count() > idx.bands.count()) // dups really landed
+    assert(asPairs(TextDedup.minhashLshAgainstIndex(
+      batch2, "doc_id", "text", replayed, threshold = 0.7)) == b2Pairs)
+    // …and compaction collapses them back to EXACTLY the rebuilt index's
+    // row multiset, without touching any document text
+    TextDedup.compactMinhashIndex(spark, dir)
+    val compacted = TextDedup.loadMinhashIndex(spark, dir)
+    val rebuiltIdx = TextDedup.loadMinhashIndex(spark, rebuilt)
+    assert(compacted.bands.count() == rebuiltIdx.bands.count())
+    assert(compacted.shingles.count() == rebuiltIdx.shingles.count())
+    assert(compacted.bands.exceptAll(rebuiltIdx.bands).isEmpty &&
+      rebuiltIdx.bands.exceptAll(compacted.bands).isEmpty)
+    assert(asPairs(TextDedup.minhashLshAgainstIndex(
+      batch2, "doc_id", "text", compacted, threshold = 0.7)) == b2Pairs)
   }
 
   test("embeddingNearDupAgainstIndex: batch-vs-index pairs, parquet round-trip, all regimes agree") {
@@ -426,6 +449,34 @@ class TextDedupSpec extends SparkSpec {
     // meta round-trip carries the plane family
     assert(loaded.dim == 16 && loaded.seed == 42L &&
       loaded.bits >= 1 && loaded.tables >= 1)
+
+    // append: a second batch near-duplicating batch-1's NOVEL vector
+    // matches only if the append landed (the crawl loop for vectors)
+    TextDedup.appendToEmbeddingIndex(batch, "vec_id", "embedding", dir)
+    val batch2 = Seq((201L, vec(999, 0.01f))).toDF("vec_id", "embedding")
+    val afterAppend = TextDedup.loadEmbeddingIndex(spark, dir)
+    // collected ONCE: the plan lazily scans index files that the
+    // in-place compaction below rewrites
+    val b2Pairs = asPairs(TextDedup.embeddingNearDupAgainstIndex(
+      batch2, "vec_id", "embedding", afterAppend, threshold = 0.9))
+    assert(b2Pairs == Set((201L, 105L)))
+    // replay the append, compact, and the index row multiset returns to
+    // exactly one copy per (id, bucket) — results unchanged throughout.
+    // (Counts are captured BEFORE compaction: the in-place rewrite
+    // deletes the files earlier DataFrames lazily point at.)
+    val cleanBuckets = afterAppend.buckets.count()
+    val cleanVectors = afterAppend.vectors.count()
+    TextDedup.appendToEmbeddingIndex(batch, "vec_id", "embedding", dir)
+    val replayed = TextDedup.loadEmbeddingIndex(spark, dir)
+    assert(replayed.buckets.count() > cleanBuckets)
+    assert(asPairs(TextDedup.embeddingNearDupAgainstIndex(
+      batch2, "vec_id", "embedding", replayed, threshold = 0.9)) == b2Pairs)
+    TextDedup.compactEmbeddingIndex(spark, dir)
+    val compacted = TextDedup.loadEmbeddingIndex(spark, dir)
+    assert(compacted.buckets.count() == cleanBuckets)
+    assert(compacted.vectors.count() == cleanVectors)
+    assert(asPairs(TextDedup.embeddingNearDupAgainstIndex(
+      batch2, "vec_id", "embedding", compacted, threshold = 0.9)) == b2Pairs)
   }
 
   test("crossContainmentPairs flags embedded eval docs; corpus side never shuffles for candidates") {
