@@ -211,25 +211,31 @@ object DedupQueries {
 
   /** The STREAMING spelling of incremental dedup under the SAME hard
     * gate: even ids are signed into a persisted index; the odd-id half
-    * arrives through the actual streaming path — file source →
+    * is staged as TWO part-files and arrives through the actual
+    * streaming path — file source with `maxFilesPerTrigger = 1` →
     * `Trigger.AvailableNow` → `foreachBatch` → dedup-against-index →
-    * per-batch parquet — and the read-back union of batch outputs is
-    * oracled with q_minhash_incremental's exact cross-parity Jaccard
-    * SQL. This is the reference's 15-minute-cron semantics (T1)
-    * composed with the index: streaming execution ≡ the batch operator,
-    * or the gate fails. */
+    * per-batch parquet — so TWO real micro-batch executions run and the
+    * read-back union of their outputs is oracled with
+    * q_minhash_incremental's exact cross-parity Jaccard SQL (the result
+    * is batch-split-invariant without fold-in, so the union must equal
+    * the one-shot batch operator row-for-row). This is the reference's
+    * 15-minute-cron semantics (T1) composed with the index: multi-batch
+    * streaming execution ≡ the batch operator, or the gate fails. */
   val streamIncrementalDedup: Q = (s, dir) => {
     import graft.streaming.StreamingOps
     val docs = Scan.table(s, dir, "documents")
     val idxPath = SnapshotPaths.dirFor("minhash_index_stream", dir, s)
+    val srcDir = SnapshotPaths.dirFor("stream_dedup_src", dir, s)
     val outDir = SnapshotPaths.dirFor("stream_dedup_out", dir, s)
     // stale batch outputs from a previous differently-batched run would
     // otherwise union into the read-back
     deleteRecursively(outDir)
     TextDedup.saveMinhashIndex(
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
+    docs.filter(col("doc_id") % 2 === 1).repartition(2)
+      .write.mode("overwrite").parquet(srcDir)
     StreamingOps.incrementalDedupStream(
-        StreamingOps.readDocumentsStream(s, dir).filter(col("doc_id") % 2 === 1),
+        StreamingOps.readDocumentsStreamFrom(s, srcDir),
         idxPath, outDir, threshold = 0.7)
       .awaitTermination()
     s.read.parquet(s"$outDir/batch_*").orderBy(col("new_id"), col("index_id"))

@@ -65,6 +65,17 @@ object StreamingOps {
       .schema(documentsSchema)
       .parquet(stagedDir(sfDir, "documents").toString)
 
+  /** Documents stream over an ARBITRARY staged directory with a
+    * per-trigger file cap — under `Trigger.AvailableNow` each part-file
+    * becomes (at most) its own micro-batch, so a K-file directory
+    * exercises K real micro-batch executions instead of one big one. */
+  def readDocumentsStreamFrom(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+
   /** Tumbling-window counts with a watermark (late data beyond the
     * horizon is dropped — the T2 drift alarm generalized to per-window
     * live aggregates). */
