@@ -272,6 +272,31 @@ object DedupQueries {
       .orderBy(col("new_id"), col("index_id"))
   }
 
+  /** The embedding twin of [[minhashIndexAppend]], same thirds shape:
+    * SRP index saved on vec_id%3==0, vec_id%3==1 APPENDED (bucketed
+    * under the INDEX's persisted planes), vec_id%3==2 deduped against
+    * the appended index. Oracle = exact cosine over pairs crossing from
+    * the new third into either indexed third — append ≡ full rebuild
+    * for vectors, under the hash gate. */
+  val embeddingIndexAppend: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val path = SnapshotPaths.dirFor("embedding_index_append", dir, s)
+    // threshold 0.4 (vs the incremental query's 0.5): the thirds split
+    // has NO cross pairs at cosine 0.5 at the driver's sf0.01, which
+    // would make this a vacuous 0-row gate — 0.4 yields 26 pairs there
+    // (426 at sf0.1) AND stresses recall harder (lower-cosine pairs
+    // collide less per table; srpTablesFor compensates at build time)
+    TextDedup.saveEmbeddingIndex(
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      path, threshold = 0.4)
+    TextDedup.appendToEmbeddingIndex(
+      emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", path)
+    TextDedup.embeddingNearDupAgainstIndex(
+        emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding",
+        TextDedup.loadEmbeddingIndex(s, path), threshold = 0.4)
+      .orderBy(col("new_id"), col("index_id"))
+  }
+
   val annTopK: Q = (s, dir) => {
     val emb = Scan.table(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
@@ -363,6 +388,7 @@ object DedupQueries {
     "q_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q_embedding_neardup_lsh_shuffle" -> embeddingNearDupLshShuffle,
     "q_embedding_incremental" -> embeddingIncremental,
+    "q_embedding_index_append" -> embeddingIndexAppend,
     "q_ann_topk" -> annTopK,
     "q_ann_multi_topk" -> annMultiTopK,
     "q_ann_lsh_topk" -> annLshTopK,
@@ -545,6 +571,15 @@ object DedupQueries {
           FROM embeddings a JOIN embeddings b
             ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
           WHERE $cosR6 >= 0.5
+          ORDER BY new_id, index_id""",
+    // exact cosine over pairs crossing from the new third (%3==2) into
+    // either indexed third — the appended SRP index must behave exactly
+    // like a full rebuild over thirds 0+1
+    "q_embedding_index_append" ->
+      s"""SELECT a.vec_id AS new_id, b.vec_id AS index_id, $cosR6 AS cosine
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id % 3 = 2 AND b.vec_id % 3 <> 2
+          WHERE $cosR6 >= 0.4
           ORDER BY new_id, index_id""",
     "q_ann_topk" ->
       s"""SELECT b.vec_id,
