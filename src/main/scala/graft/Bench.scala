@@ -12,11 +12,15 @@ object Bench {
     * and 6 both burned one on exactly this). Sized to a few hundred ms:
     * long enough to feel scheduler pressure, cheap enough to run 3×. */
   def calibrationBody(spark: SparkSession)(): Unit = {
+    // materialize through head(), NOT count(): counting the grouped agg
+    // lets ColumnPruning drop the hash/sum columns entirely, and the
+    // yardstick would silently measure a lighter plan than documented
     spark.range(0L, 4000000L, 1L, 8)
       .select(pmod(col("id"), lit(4096)).as("k"), xxhash64(col("id")).as("h"))
       .groupBy(col("k"))
       .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
-      .count()
+      .select(sum(col("s")).as("t"), sum(col("n")).as("m"))
+      .head()
     ()
   }
 

@@ -285,23 +285,44 @@ object TextDedup {
     * creeps — the rewrite re-bins to the partition width the compacted
     * size asks for). Distinct DOCUMENTS sharing an id are an id-space
     * violation (see [[minhashLshAgainstIndex]]) and are NOT merged.
-    * The rewrite materializes through the block manager
-    * (localCheckpoint) before overwriting the dirs it read — crash
-    * between the two writes leaves bands compacted and shingles not,
-    * which is benign (both relations are row-equivalent sets before
-    * and after). */
+    * Crash-safe via [[writeThenSwap]]: the live dirs are replaced only
+    * after their compacted replacements are fully on disk; a crash
+    * between the bands swap and the shingles swap leaves one relation
+    * compacted and the other not — benign, both are row-equivalent
+    * sets before and after. */
   def compactMinhashIndex(spark: SparkSession, path: String): Unit = {
     val idx = loadMinhashIndex(spark, path)
-    val nBands = idx.bands.count()
-    val p = graft.GraftSession.partitionsFor(spark, nBands)
-    // eager checkpoint: the overwrite below deletes the very files the
-    // plan would otherwise lazily re-read mid-write
-    val bands = idx.bands.distinct().repartition(p).localCheckpoint(true)
-    val shingles = idx.shingles.distinct()
-      .repartition(math.max(1, p / math.max(1, idx.numBands)))
-      .localCheckpoint(true)
-    bands.write.mode("overwrite").parquet(s"$path/bands")
-    shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    val p = graft.GraftSession.partitionsFor(spark, idx.bands.count())
+    writeThenSwap(idx.bands.distinct().repartition(p), s"$path/bands")
+    writeThenSwap(
+      idx.shingles.distinct()
+        .repartition(math.max(1, p / math.max(1, idx.numBands))),
+      s"$path/shingles")
+  }
+
+  /** Durably write `df` to a temp sibling of `dir`, then swap it in:
+    * the live relation is never deleted until its replacement is fully
+    * on disk, so a crash at ANY point leaves either the old or the new
+    * data intact (a direct `mode("overwrite")` of the dir being read
+    * deletes the index before the replacement commits — a mid-write
+    * crash would lose it, recoverable only by a full corpus re-sign).
+    * The two final renames are not one atomic step: a concurrent reader
+    * during the swap window can see a missing dir — an error, never
+    * partial data; compaction is a maintenance op, schedule it as one. */
+  private def writeThenSwap(df: DataFrame, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    def deleteAll(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    val live = java.nio.file.Paths.get(dir)
+    val tmp = java.nio.file.Paths.get(dir + ".tmp-compact")
+    val old = java.nio.file.Paths.get(dir + ".old-compact")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    deleteAll(old)
+    java.nio.file.Files.move(live, old)
+    java.nio.file.Files.move(tmp, live)
+    deleteAll(old)
   }
 
   /** Reload a [[saveMinhashIndex]]-written index; parameters come from
@@ -941,16 +962,16 @@ object TextDedup {
   /** [[compactMinhashIndex]] for the embedding index: read → distinct →
     * rewrite of the bucket and vector relations, collapsing replayed
     * appends and re-binning per-append small files; cost tracks index
-    * size, never re-bucketing work (the bucket rows ARE the index). */
+    * size, never re-bucketing work (the bucket rows ARE the index).
+    * Same [[writeThenSwap]] crash safety as the minhash twin. */
   def compactEmbeddingIndex(spark: SparkSession, path: String): Unit = {
     val idx = loadEmbeddingIndex(spark, path)
     val p = graft.GraftSession.partitionsFor(spark, idx.buckets.count())
-    val buckets = idx.buckets.distinct().repartition(p).localCheckpoint(true)
-    val vectors = idx.vectors.distinct()
-      .repartition(math.max(1, p / math.max(1, idx.tables)))
-      .localCheckpoint(true)
-    buckets.write.mode("overwrite").parquet(s"$path/buckets")
-    vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    writeThenSwap(idx.buckets.distinct().repartition(p), s"$path/buckets")
+    writeThenSwap(
+      idx.vectors.distinct()
+        .repartition(math.max(1, p / math.max(1, idx.tables))),
+      s"$path/vectors")
   }
 
   /** Reload a [[saveEmbeddingIndex]]-written index; parameters come
@@ -995,16 +1016,18 @@ object TextDedup {
       maxBroadcastCandidates: Long = 2000000L,
       numPartitions: Option[Int] = None): DataFrame = {
     val spark = newVecs.sparkSession
-    val newBuckets = srpBucketRows(newVecs, idCol, vecCol,
+    // ONE materialization of the batch input: bucket rows, the verify's
+    // v1 lookup, and the size/byte gates all derive from this checkpoint
+    // — a batch produced by an expensive upstream pipeline pays its
+    // compute exactly once per call (the minhash twin's `sigs` pattern)
+    val batchVecs = newVecs.select(col(idCol), col(vecCol)).localCheckpoint(true)
+    val newBuckets = srpBucketRows(batchVecs, idCol, vecCol,
       index.bits, index.tables, index.seed, index.dim)
       .select(col(idCol).as("new_id"), col("t"), col("bkt"))
-      .localCheckpoint(true)
-    // batch size from the materialized bucket rows (tables × nNew) —
-    // no second pass over the (possibly expensive) batch input
-    val nNew = newBuckets.count() / math.max(1, index.tables)
-    val v1 = newVecs.select(col(idCol).as("new_id"), col(vecCol).as("v1"))
+    val nNew = batchVecs.count()
+    val v1 = batchVecs.select(col(idCol).as("new_id"), col(vecCol).as("v1"))
     val v2 = index.vectors.select(col("id").as("index_id"), col("vec").as("v2"))
-    val newVecBytes = nNew * (16L + elemBytesFor(newVecs, vecCol) * index.dim)
+    val newVecBytes = nNew * (16L + elemBytesFor(batchVecs, vecCol) * index.dim)
     val shuffleWidth = () => numPartitions.getOrElse(
       graft.GraftSession.partitionsFor(spark,
         (nNew + index.buckets.count() / math.max(1, index.tables)) * index.tables))

@@ -49,10 +49,36 @@ object SnapshotPaths {
       "_" + java.lang.Integer.toHexString(dataDir.hashCode) +
       "_" + sessionTag(spark)
 
+  /** Session-scoped dirs can't overwrite a previous session's (that's
+    * the point), so without collection every Bench/Verify process would
+    * leak its snapshot/index dirs into the temp dir forever. Deleting
+    * on JVM exit is WRONG here — the Verify flow's oracle SQL is read
+    * by DuckDB after the JVM exits — so instead the first [[dirFor]]
+    * call of a JVM reaps graft_* dirs UNTOUCHED FOR 24 h: far past any
+    * live write-then-read window, far before the disk fills. */
+  private lazy val reapStale: Unit = {
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    try java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("graft_"))
+      .filter(p => try
+        java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: Exception => false })
+      .foreach { p =>
+        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        catch { case _: Exception => () } // concurrent reaper — fine
+      }
+    catch { case _: Exception => () } // reaping is best-effort hygiene
+  }
+
   /** Scratch dir for snapshot `name` of queries run against `dataDir`
     * in `spark`. */
-  def dirFor(name: String, dataDir: String, spark: SparkSession): String =
+  def dirFor(name: String, dataDir: String, spark: SparkSession): String = {
+    reapStale
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${tag(dataDir, spark)}"
+  }
 
   /** The token-bearing form for builder-authored oracle SQL: the whole
     * variable suffix ((dir, session) tag) is one token, substituted by

@@ -198,12 +198,24 @@ object StreamingOps {
     * APPENDED to the index so the NEXT micro-batch sees them — the full
     * crawl loop (dedup → accept → index) as one streaming query.
     *
-    * foreachBatch is exactly-once PER BATCH ID (a replayed batch
-    * overwrites its own `batch_<id>` dir rather than double-appending
-    * pairs); the index append is the same at-least-once caveat as
-    * [[graft.operators.TextDedup.appendToMinhashIndex]] — duplicate
-    * index rows only widen candidate generation, the verify stage keeps
-    * results exact. */
+    * The REPORTED pairs are batch-vs-index only (the oracle contract);
+    * fold-in additionally self-dedups the survivors WITHIN the batch
+    * (minhash LSH at the same parameters, keep-lowest-id) before
+    * appending — two near-dup docs arriving in the same micro-batch
+    * match nothing in the index, and without this both copies would
+    * enter the corpus forever.
+    *
+    * Replay semantics: the pairs output is exactly-once PER BATCH ID (a
+    * replayed batch overwrites its own `batch_<id>` dir rather than
+    * double-appending). The index append is at-least-once, with two
+    * consequences on a replay AFTER the append landed: duplicate index
+    * rows (benign — candidates widen, the verify stays exact; compact
+    * to collapse), and the replayed batch now SEEING its own first
+    * append, so its rewritten `batch_<id>` can carry self-match pairs
+    * the original execution lacked. If exact replay determinism
+    * matters, key the append by batchId (idempotent staging dirs)
+    * upstream; for a dedup pipeline the extra pairs are conservative
+    * (they only mark MORE duplicates). */
   def incrementalDedupStream(
       docs: DataFrame, indexPath: String, outDir: String,
       threshold: Double = 0.7, idCol: String = "doc_id",
@@ -220,8 +232,17 @@ object StreamingOps {
         pairs.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
         if (foldInSurvivors) {
           val dupIds = pairs.select(col("new_id").as(idCol)).distinct()
+          val survivors = b.join(dupIds, Seq(idCol), "left_anti")
+            .localCheckpoint(true) // feeds self-dedup AND the append
+          // intra-batch near-dups: same signing parameters as the index,
+          // keep the lowest id of each pair (minhashLsh emits d1 < d2)
+          val intraDup = graft.operators.TextDedup.minhashLsh(
+            survivors, idCol, textCol,
+            n = idx.n, k = idx.k, bands = idx.numBands, threshold = threshold)
+            .select(col("d2").as(idCol)).distinct()
           graft.operators.TextDedup.appendToMinhashIndex(
-            b.join(dupIds, Seq(idCol), "left_anti"), idCol, textCol, indexPath)
+            survivors.join(intraDup, Seq(idCol), "left_anti"),
+            idCol, textCol, indexPath)
         }
         ()
       }

@@ -128,8 +128,11 @@ class StreamingOpsSpec extends SparkSpec {
         java.nio.file.attribute.FileTime.fromMillis(modTime))
     }
     val t0 = System.currentTimeMillis() - 60000
+    // 107 near-duplicates 103 WITHIN batch 1: neither matches the index,
+    // so without intra-batch self-dedup both would enter the corpus
     writeFile("b1.parquet",
-      Seq((101L, sent(5) + " tail"), (103L, sent(500))), t0)
+      Seq((101L, sent(5) + " tail"), (103L, sent(500)),
+        (107L, sent(500) + " x")), t0)
     writeFile("b2.parquet",
       Seq((201L, sent(500) + " tail")), t0 + 10000)
     val stream = spark.readStream.schema(docSchema)
@@ -140,13 +143,18 @@ class StreamingOpsSpec extends SparkSpec {
       .awaitTermination()
     val pairs = spark.read.parquet(s"$outDir/batch_*")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // batch 1: 101 duplicates base doc 10; batch 2: 201 duplicates the
-    // APPENDED novel doc 103 — proof the fold-in landed before batch 2
+    // batch 1: 101 duplicates base doc 10 (107 matches NOTHING in the
+    // index — intra-batch dups are not reported, only kept out of the
+    // index); batch 2: 201 duplicates the APPENDED novel doc 103 —
+    // proof the fold-in landed before batch 2
     assert(pairs == Set((101L, 10L), (201L, 103L)))
-    // and the duplicate (101) was NOT folded in: only survivors append
+    // index admission: the index-dup (101) and the intra-batch dup
+    // (107, keep-lowest-id loses to 103) were NOT folded in; the novel
+    // doc (103) was; batch 2's duplicate (201) was not
     val idxIds = spark.read.parquet(s"$idxPath/shingles")
       .select("id").distinct().collect().map(_.getLong(0)).toSet
-    assert(idxIds.contains(103L) && !idxIds.contains(101L) && !idxIds.contains(201L))
+    assert(idxIds.contains(103L))
+    assert(!idxIds.contains(101L) && !idxIds.contains(107L) && !idxIds.contains(201L))
   }
 
   test("mapGroupsWithState running totals equal a batch groupBy") {

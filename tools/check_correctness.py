@@ -88,8 +88,15 @@ def load_bench(path):
     except json.JSONDecodeError:
         merged = {}
         for line in text.splitlines():
-            if line.strip():
+            if not line.strip():
+                continue
+            try:
                 merged.update(json.loads(line))
+            except json.JSONDecodeError:
+                # a tail-captured artifact loses line HEADS (that is the
+                # whole point of the 3-line layout) — skip the truncated
+                # line, keep whatever intact lines remain
+                continue
     if "parsed" in merged and isinstance(merged["parsed"], dict):
         merged = merged["parsed"]
     return merged
@@ -121,18 +128,26 @@ def calibration_drift(argv):
         print("CALIBRATION: artifact(s) lack a calibration row — skipping")
         return
     pq, cq = prev.get("queries", {}), cur.get("queries", {})
-    moved = []
+    moved, compared = [], 0
     for name in sorted(set(pq) & set(cq)):
         pr, cr = pq[name] / max(pc[0], 1e-9), cq[name] / max(cc[0], 1e-9)
-        if pr > 0 and (cr / pr > 2.0 or pr / cr > 2.0):
+        if min(pr, cr) <= 0:  # a 0.00 s artifact cell has no ratio to compare
+            continue
+        compared += 1
+        if cr / pr > 2.0 or pr / cr > 2.0:
             moved.append(f"{name}: {pr:.1f}x→{cr:.1f}x of calibration")
     if moved:
         print(f"CALIBRATION WARN ({len(moved)} ratio moves >2x vs {prev_path}):")
         for m in moved:
             print(f"  {m}")
+    elif compared == 0:
+        # an all-clear with nothing compared would be indistinguishable
+        # from a real one (e.g. the prev artifact carries only the
+        # contract line, which deliberately has no queries map)
+        print(f"CALIBRATION: no comparable query keys vs {prev_path} — skipping")
     else:
-        print(f"CALIBRATION OK: no query moved >2x vs {prev_path} "
-              f"(cal {pc[0]:.3f}s -> {cc[0]:.3f}s)")
+        print(f"CALIBRATION OK: {compared} queries, none moved >2x vs "
+              f"{prev_path} (cal {pc[0]:.3f}s -> {cc[0]:.3f}s)")
 
 
 def bench_parity(argv, oracle_keys):
