@@ -111,8 +111,12 @@ def calibration_drift(argv):
     prev_path = next((a.split("=", 1)[1] for a in argv
                       if a.startswith("--bench-prev=")), None)
     if prev_path is None:
-        # default: the latest driver-captured round artifact in the repo
-        rounds = sorted(Path("/root/repo").glob("BENCH_r*.json"))
+        # default: prefer the committed full-fidelity snapshot of a prior
+        # round's bench (BENCH_LOCAL_r*.jsonl — carries the queries map
+        # AND calibration); the driver-captured BENCH_r*.json keeps only
+        # the contract line, whose comparison would always skip
+        rounds = (sorted(Path("/root/repo").glob("BENCH_LOCAL_r*.jsonl"))
+                  or sorted(Path("/root/repo").glob("BENCH_r*.json")))
         prev_path = str(rounds[-1]) if rounds else None
     cur_path = next((a.split("=", 1)[1] for a in argv
                      if a.startswith("--bench=")), "bench_out.json")
