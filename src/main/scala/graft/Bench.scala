@@ -24,6 +24,28 @@ object Bench {
     ()
   }
 
+  /** The second yardstick: a FIXED, data-independent workload that is
+    * exchange-bound rather than CPU-bound — a seeded repartition + forced
+    * sort-merge join (the `merge` hint keeps it a real two-sided shuffle
+    * even though both sides are tiny enough to broadcast). The r7 lesson:
+    * the CPU-only row demonstrably fails to normalize shuffle-heavy
+    * queries (three same-code queries moved >2× in query÷calibration
+    * ratio between two r7 artifacts of the SAME commit, because shuffle
+    * cost responds to host disk/scheduler pressure differently than
+    * hash-aggregate CPU does). Drift checks now compare each query
+    * against BOTH rows and warn only when BOTH ratios move >2× — a query
+    * whose plan lives nearer one yardstick stays calm under the other. */
+  def calibrationShuffleBody(spark: SparkSession)(): Unit = {
+    val a = spark.range(0L, 1000000L, 1L, 8)
+      .select(pmod(xxhash64(col("id")), lit(65536)).as("k"), col("id").as("va"))
+    val b = spark.range(0L, 1000000L, 1L, 8)
+      .select(pmod(xxhash64(col("id") + 7L), lit(65536)).as("k"), col("id").as("vb"))
+    a.hint("merge").join(b, "k")
+      .select(sum(col("va") + col("vb")).as("t"), count(lit(1)).as("n"))
+      .head()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -61,13 +83,16 @@ object Bench {
     // queries just ran in (before-the-sweep would measure a colder, often
     // quieter machine)
     val calibration = BenchHarness.measure(runs)(calibrationBody(spark))
+    val calibrationShuffle =
+      BenchHarness.measure(runs)(calibrationShuffleBody(spark))
 
     // detail → queries → contract LAST: the driver keeps only the log
     // tail, so truncation eats diagnostics top-down and the size-bounded
     // contract line (the headline total) always survives
     val detail = BenchHarness.detailLine(runs, stats)
     val queriesL = BenchHarness.queriesLine(stats)
-    val json = BenchHarness.jsonLine(sfDir, runs, stats, Some(calibration))
+    val json = BenchHarness.jsonLine(sfDir, runs, stats, Some(calibration),
+      Some(calibrationShuffle))
     println(detail)
     println(queriesL)
     println(json)

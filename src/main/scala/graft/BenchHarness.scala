@@ -137,20 +137,29 @@ object BenchHarness {
     *    query÷calibration ratios; a real plan regression moves the
     *    ratio, pure host load does not. `null` only if the calibration
     *    itself failed.
+    *  - `calibration_shuffle`: same protocol over the exchange-bound
+    *    body ([[Bench.calibrationShuffleBody]]) — the r7 verdict's
+    *    measured gap: shuffle-heavy queries track this yardstick, not
+    *    the CPU one, under host disk/scheduler pressure. Drift checks
+    *    warn only when a query moves >2× against BOTH.
     */
   def jsonLine(sfDir: String, runs: Int, stats: Seq[(String, QueryStat)],
-      calibration: Option[QueryStat] = None): String = {
+      calibration: Option[QueryStat] = None,
+      calibrationShuffle: Option[QueryStat] = None): String = {
     val failed = stats.collect { case (k, st) if st.err.isDefined => (k, st) }
     val errors = failed.take(contractMaxErrors).map { case (k, st) =>
       s""""${esc(k)}":{"err":"${esc(clip(st.err.get))}","ok_runs":${st.okRuns}}"""
     }.mkString("{", ",", "}")
     val omitted = math.max(0, failed.size - contractMaxErrors)
     val total = stats.map(_._2.headline).sum
-    val cal = calibration.flatMap(c => c.min.map(m => (m, c.median.get)))
-      .map { case (m, md) => s"[${r4(m)},${r4(md)}]" }.getOrElse("null")
+    def calJson(c: Option[QueryStat]): String =
+      c.flatMap(c => c.min.map(m => (m, c.median.get)))
+        .map { case (m, md) => s"[${r4(m)},${r4(md)}]" }.getOrElse("null")
     s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""n_queries":${stats.size},"runs_per_query":$runs,""" +
-      s""""calibration":$cal,"errors":$errors,"errors_omitted":$omitted,""" +
+      s""""calibration":${calJson(calibration)},""" +
+      s""""calibration_shuffle":${calJson(calibrationShuffle)},""" +
+      s""""errors":$errors,"errors_omitted":$omitted,""" +
       s""""sf":"${esc(sfDir)}"}"""
   }
 }

@@ -49,7 +49,9 @@ class BenchHarnessSpec extends AnyFunSuite {
   test("the three artifact lines split contract / queries / detail correctly") {
     val ok = QueryStat(Vector(1.5, 1.25, 2.0), Vector.empty, Vector.empty)
     val cal = QueryStat(Vector(0.31, 0.25, 0.28), Vector.empty, Vector.empty)
-    val contract = jsonLine("/root/testdata/sf0.1", 3, Seq("q_ok" -> ok), Some(cal))
+    val calSh = QueryStat(Vector(0.61, 0.55, 0.58), Vector.empty, Vector.empty)
+    val contract =
+      jsonLine("/root/testdata/sf0.1", 3, Seq("q_ok" -> ok), Some(cal), Some(calSh))
     // contract: headline total, run count, calibration yardstick — and
     // NO per-query map (that's what made r6 truncate)
     assert(contract.contains(""""metric":"total""""))
@@ -60,6 +62,7 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(contract.contains(""""errors_omitted":0"""))
     assert(contract.contains(""""n_queries":1"""))
     assert(contract.contains(""""calibration":[0.2500,0.2800]"""))
+    assert(contract.contains(""""calibration_shuffle":[0.5500,0.5800]"""))
     assert(!contract.contains("q_ok"))
     // queries line: the per-query headline map (min of successful runs)
     val ql = queriesLine(Seq("q_ok" -> ok))
@@ -73,8 +76,9 @@ class BenchHarnessSpec extends AnyFunSuite {
 
   test("calibration is null when the synthetic workload itself failed") {
     val bad = measure(1)(() => throw new RuntimeException("cal broke"))
-    val json = jsonLine("/tmp/sf", 1, Seq(), Some(bad))
+    val json = jsonLine("/tmp/sf", 1, Seq(), Some(bad), Some(bad))
     assert(json.contains(""""calibration":null"""))
+    assert(json.contains(""""calibration_shuffle":null"""))
   }
 
   test("contract-line error messages are clipped and count-capped; detail keeps them whole") {
@@ -114,8 +118,9 @@ class BenchHarnessSpec extends AnyFunSuite {
     val boom = QueryStat(Vector.empty, Vector(999.99),
       Vector("org.apache.spark.SparkException: " + "y" * 300))
     val stats = SparkEntry.queries.keys.toSeq.sorted.map(_ -> boom)
+    val wideCal = QueryStat(Vector(999.99), Vector.empty, Vector.empty)
     val json = jsonLine("/root/testdata/sf0.1", 3, stats,
-      Some(QueryStat(Vector(999.99), Vector.empty, Vector.empty)))
+      Some(wideCal), Some(wideCal))
     assert(json.length <= contractLineBudget,
       s"contract line ${json.length}B exceeds budget ${contractLineBudget}B " +
         s"for ${stats.size} queries — re-tighten the clipping")
@@ -123,6 +128,6 @@ class BenchHarnessSpec extends AnyFunSuite {
     // the healthy-round line is far smaller still
     val okStats = SparkEntry.queries.keys.toSeq.sorted
       .map(_ -> QueryStat(Vector(9.99), Vector.empty, Vector.empty))
-    assert(jsonLine("/root/testdata/sf0.1", 3, okStats).length <= 300)
+    assert(jsonLine("/root/testdata/sf0.1", 3, okStats).length <= 330)
   }
 }

@@ -102,46 +102,101 @@ def load_bench(path):
     return merged
 
 
+def _round_num(path):
+    """Numeric round from BENCH_LOCAL_r{N}.jsonl / BENCH_r{N}.json — the
+    r7 advice: lexicographic sort breaks at r10 (r7 > r10)."""
+    import re
+    m = re.search(r"_r0*(\d+)\.", Path(path).name)
+    return int(m.group(1)) if m else -1
+
+
 def calibration_drift(argv):
     """WARN (never fail) when a query's time÷calibration ratio moved >2×
-    vs a previous round's artifact (--bench-prev=...). Host load moves
-    every absolute number but leaves the ratio ~fixed; a plan regression
-    moves the ratio — this is the signal that spared rounds 5/6 a judge
-    rerun, made mechanical."""
+    vs a previous round's artifact (--bench-prev=...) against EVERY
+    yardstick the two artifacts share. Host load moves every absolute
+    number but leaves the ratios ~fixed; a plan regression moves them —
+    this is the signal that spared rounds 5/6 a judge rerun, made
+    mechanical. Since r8 there are TWO yardsticks (`calibration` =
+    CPU-bound, `calibration_shuffle` = exchange-bound): the r7 verdict
+    measured three same-code shuffle-heavy queries moving >2× against the
+    CPU row alone, so a query is flagged only when it moved >2× against
+    ALL shared yardsticks — a shuffle-heavy query that tracks the shuffle
+    row stays calm even when host IO pressure skews the CPU ratio."""
     prev_path = next((a.split("=", 1)[1] for a in argv
                       if a.startswith("--bench-prev=")), None)
+    cur_path = next((a.split("=", 1)[1] for a in argv
+                     if a.startswith("--bench=")), "bench_out.json")
+    if not Path(cur_path).exists():
+        return
     if prev_path is None:
         # default: prefer the committed full-fidelity snapshot of a prior
         # round's bench (BENCH_LOCAL_r*.jsonl — carries the queries map
         # AND calibration); the driver-captured BENCH_r*.json keeps only
-        # the contract line, whose comparison would always skip
-        rounds = (sorted(Path("/root/repo").glob("BENCH_LOCAL_r*.jsonl"))
-                  or sorted(Path("/root/repo").glob("BENCH_r*.json")))
-        prev_path = str(rounds[-1]) if rounds else None
-    cur_path = next((a.split("=", 1)[1] for a in argv
-                     if a.startswith("--bench=")), "bench_out.json")
-    if not prev_path or not Path(prev_path).exists() or not Path(cur_path).exists():
+        # the contract line, whose comparison would always skip. Sort by
+        # NUMERIC round, and never self-compare: once this round's
+        # snapshot is committed, the newest snapshot is the current run
+        # itself (byte-identical queries map) — fall back to the next one.
+        cur_probe = None
+        try:
+            cur_probe = load_bench(cur_path)
+        except Exception:
+            pass
+        rounds = (sorted(Path("/root/repo").glob("BENCH_LOCAL_r*.jsonl"),
+                         key=_round_num)
+                  or sorted(Path("/root/repo").glob("BENCH_r*.json"),
+                            key=_round_num))
+        for cand in reversed(rounds):
+            try:
+                if cur_probe is not None and (load_bench(str(cand)).get("queries")
+                                              == cur_probe.get("queries")):
+                    continue  # same artifact content — vacuous comparison
+            except Exception:
+                continue
+            prev_path = str(cand)
+            break
+    if not prev_path or not Path(prev_path).exists():
         return
     try:
         prev, cur = load_bench(prev_path), load_bench(cur_path)
     except Exception as e:
         print(f"CALIBRATION: cannot compare ({e})")
         return
-    pc, cc = prev.get("calibration"), cur.get("calibration")
-    if not pc or not cc:
+    # ratios are only comparable at the same data scale (an sf0.001
+    # smoke vs an sf0.1 snapshot moves every per-query ratio by the
+    # data-size factor while the data-independent calibration stays put)
+    if prev.get("sf") and cur.get("sf") and prev["sf"] != cur["sf"]:
+        print(f"CALIBRATION: scale mismatch ({cur.get('sf')} vs "
+              f"{prev.get('sf')} in {prev_path}) — skipping")
+        return
+    # every yardstick PRESENT IN BOTH artifacts participates; pre-r8
+    # snapshots lack the shuffle row, so the comparison degrades to
+    # CPU-only against them (and says so)
+    yardsticks = [(label, prev.get(key), cur.get(key))
+                  for label, key in (("cpu", "calibration"),
+                                     ("shuffle", "calibration_shuffle"))
+                  if prev.get(key) and cur.get(key)]
+    if not yardsticks:
         print("CALIBRATION: artifact(s) lack a calibration row — skipping")
         return
     pq, cq = prev.get("queries", {}), cur.get("queries", {})
     moved, compared = [], 0
     for name in sorted(set(pq) & set(cq)):
-        pr, cr = pq[name] / max(pc[0], 1e-9), cq[name] / max(cc[0], 1e-9)
-        if min(pr, cr) <= 0:  # a 0.00 s artifact cell has no ratio to compare
-            continue
+        if pq[name] <= 0 or cq[name] <= 0:
+            continue  # a 0.00 s artifact cell has no ratio to compare
         compared += 1
-        if cr / pr > 2.0 or pr / cr > 2.0:
-            moved.append(f"{name}: {pr:.1f}x→{cr:.1f}x of calibration")
+        drifts = []
+        for label, pc, cc in yardsticks:
+            pr, cr = pq[name] / max(pc[0], 1e-9), cq[name] / max(cc[0], 1e-9)
+            if cr / pr > 2.0 or pr / cr > 2.0:
+                drifts.append(f"{label} {pr:.1f}x→{cr:.1f}x")
+        # flag only when EVERY shared yardstick moved — one calm ratio
+        # means the query tracks that yardstick's plan class
+        if len(drifts) == len(yardsticks):
+            moved.append(f"{name}: " + ", ".join(drifts))
+    names = "+".join(l for l, _, _ in yardsticks)
     if moved:
-        print(f"CALIBRATION WARN ({len(moved)} ratio moves >2x vs {prev_path}):")
+        print(f"CALIBRATION WARN ({len(moved)} queries moved >2x against "
+              f"{names} vs {prev_path}):")
         for m in moved:
             print(f"  {m}")
     elif compared == 0:
@@ -150,8 +205,10 @@ def calibration_drift(argv):
         # contract line, which deliberately has no queries map)
         print(f"CALIBRATION: no comparable query keys vs {prev_path} — skipping")
     else:
-        print(f"CALIBRATION OK: {compared} queries, none moved >2x vs "
-              f"{prev_path} (cal {pc[0]:.3f}s -> {cc[0]:.3f}s)")
+        cal0 = yardsticks[0]
+        print(f"CALIBRATION OK: {compared} queries, none moved >2x against "
+              f"{names} vs {prev_path} "
+              f"(cal {cal0[1][0]:.3f}s -> {cal0[2][0]:.3f}s)")
 
 
 def bench_parity(argv, oracle_keys):
