@@ -230,16 +230,67 @@ object TextDedup {
     * `shingles/`, one-row `meta/` carrying the signing parameters so a
     * loader can never band a batch with mismatched n/k/bands). The
     * offline half of incremental dedup: at 100 TB this runs once per
-    * corpus snapshot; each incoming batch pays only its own signing. */
+    * corpus snapshot; each incoming batch pays only its own signing.
+    * A save is a FULL REBUILD: any `commits/`/`staged/` dirs from a
+    * prior index at the same path (see [[appendToMinhashIndex]]) are
+    * wiped first — stale committed appends must never shadow a fresh
+    * corpus snapshot. */
   def saveMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3, k: Int = 32, bands: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    IndexFs.deleteRecursively(spark, s"$path/commits")
+    IndexFs.deleteRecursively(spark, s"$path/staged")
     val idx = buildMinhashIndex(docs, idCol, textCol, n, k, bands)
     idx.bands.write.mode("overwrite").parquet(s"$path/bands")
     idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
-    docs.sparkSession.range(1)
+    spark.range(1)
       .select(lit(n).as("n"), lit(k).as("k"), lit(bands).as("bands"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** Valid commit tags are single path segments — a `/` or `..` would
+    * escape the index's `commits/` namespace. */
+  private def requireValidTag(tag: String): Unit =
+    require(
+      tag.nonEmpty && tag != "." && tag != ".." &&
+        tag.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"commit tag must be a [A-Za-z0-9._-]+ path segment, got '$tag'")
+
+  /** The exactly-once half of index appends: write every relation of
+    * the batch under `staged/<tag>/`, then commit with ONE directory
+    * rename to `commits/<tag>/` (atomic on HDFS-like filesystems — see
+    * [[IndexFs]] for the object-store caveat). Idempotent per tag: if
+    * the commit dir already exists the batch landed in a prior attempt
+    * and NOTHING is written (returns false); a crash before the rename
+    * leaves only a `staged/` orphan that the next attempt overwrites.
+    * There is no half-appended state — either every relation of the
+    * batch is visible or none is, which closes BOTH r7 replay
+    * anomalies (double-append duplicates and the orphaned-relation
+    * candidate loss). */
+  private def stagedAppend(spark: SparkSession, path: String, tag: String,
+      relations: Seq[(String, DataFrame)]): Boolean = {
+    requireValidTag(tag)
+    val commitDir = s"$path/commits/$tag"
+    if (IndexFs.exists(spark, commitDir)) return false
+    val stageDir = s"$path/staged/$tag"
+    IndexFs.deleteRecursively(spark, stageDir)
+    relations.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$stageDir/$name")
+    }
+    IndexFs.rename(spark, stageDir, commitDir)
+    true
+  }
+
+  /** Parquet dirs holding relation `name` of the index at `path`: the
+    * base dir plus every LANDED commit's copy, minus `exclude` — the
+    * read-side contract of the staged-append protocol. Excluding a tag
+    * is what makes a replayed batch deterministic: it reads the index
+    * exactly as its first execution did, blind to its own append. */
+  private def relationDirs(spark: SparkSession, path: String, name: String,
+      exclude: Set[String]): Seq[String] =
+    s"$path/$name" +: IndexFs.listDirNames(spark, s"$path/commits")
+      .filterNot(exclude)
+      .map(tag => s"$path/commits/$tag/$name")
 
   /** Fold an ACCEPTED batch into a persisted index: sign the batch with
     * the index's own persisted parameters (meta row — the caller cannot
@@ -258,46 +309,109 @@ object TextDedup {
     * and band keys are a pure function of (text, n, k, bands) — oracled
     * end-to-end by q_minhash_index_append.
     *
-    * Not transactional across the two relations: a crash between the
-    * bands and shingles writes leaves a batch half-appended — re-run the
-    * whole append for that batch (duplicate rows only widen candidate
-    * generation; the verify stage keeps results exact) or rebuild. The
-    * caller owns id uniqueness across appends (see the id-space contract
-    * on [[minhashLshAgainstIndex]]). */
+    * Two append regimes, chosen by `commitTag`:
+    *  - `Some(tag)` — EXACTLY-ONCE per tag via [[stagedAppend]]: the
+    *    batch's relations stage under `staged/<tag>/` and land with one
+    *    atomic directory rename to `commits/<tag>/`; a replay of an
+    *    already-landed tag writes nothing and returns false. Because
+    *    commits live BESIDE the base relations, a concurrent
+    *    [[compactMinhashIndex]] can never swap a just-landed batch
+    *    away — compaction folds only the commits it listed at start and
+    *    deletes exactly those. This is the streaming/crawl-loop mode
+    *    ([[graft.streaming.StreamingOps.incrementalDedupStream]] keys
+    *    it by batch id).
+    *  - `None` — direct `mode("append")` into the base relations:
+    *    at-least-once (a replayed append duplicates rows — benign for
+    *    results, candidates widen and the verify stays exact; compact
+    *    collapses them) and SINGLE-WRITER with respect to compaction
+    *    (a compact racing a direct append can swap away its rows —
+    *    use tags when anything runs concurrently). Shingles append
+    *    before bands so a crash between the writes orphans only inert
+    *    shingle rows, never band rows whose candidates the verify join
+    *    would silently drop.
+    * The caller owns id uniqueness across appends (see the id-space
+    * contract on [[minhashLshAgainstIndex]]).
+    *
+    * @return true if the batch's rows landed in this call; false when
+    *         `commitTag` was already committed (idempotent skip). */
   def appendToMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
-    val m = newDocs.sparkSession.read.parquet(s"$path/meta").head()
+      path: String, commitTag: Option[String] = None): Boolean = {
+    val spark = newDocs.sparkSession
+    if (commitTag.exists(t => IndexFs.exists(spark, s"$path/commits/$t")))
+      return false // already landed — skip even the batch signing
+    val m = spark.read.parquet(s"$path/meta").head()
     val idx = buildMinhashIndex(newDocs, idCol, textCol,
       m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"))
-    idx.bands.write.mode("append").parquet(s"$path/bands")
-    idx.shingles.write.mode("append").parquet(s"$path/shingles")
+    commitTag match {
+      case Some(tag) =>
+        stagedAppend(spark, path, tag,
+          Seq("bands" -> idx.bands, "shingles" -> idx.shingles))
+      case None =>
+        idx.shingles.write.mode("append").parquet(s"$path/shingles")
+        idx.bands.write.mode("append").parquet(s"$path/bands")
+        true
+    }
   }
 
   /** Compact a persisted index IN PLACE without re-signing any
-    * document: a pure read → distinct → rewrite over the band and
-    * shingle relations, so the cost tracks INDEX size (id + hashes +
-    * shingle sets), never corpus text. Two things accumulate under the
-    * append regime and both collapse here: (a) duplicate rows from
-    * replayed appends ([[appendToMinhashIndex]] is at-least-once across
-    * its two writes — identical rows collapse exactly under
-    * `distinct`), and (b) per-append small part-files (each batch
-    * append lands its own files; at daily-crawl cadence the scan cost
-    * creeps — the rewrite re-bins to the partition width the compacted
-    * size asks for). Distinct DOCUMENTS sharing an id are an id-space
-    * violation (see [[minhashLshAgainstIndex]]) and are NOT merged.
-    * Crash-safe via [[writeThenSwap]]: the live dirs are replaced only
-    * after their compacted replacements are fully on disk; a crash
-    * between the bands swap and the shingles swap leaves one relation
-    * compacted and the other not — benign, both are row-equivalent
-    * sets before and after. */
-  def compactMinhashIndex(spark: SparkSession, path: String): Unit = {
-    val idx = loadMinhashIndex(spark, path)
-    val p = graft.GraftSession.partitionsFor(spark, idx.bands.count())
-    writeThenSwap(idx.bands.distinct().repartition(p), s"$path/bands")
-    writeThenSwap(
-      idx.shingles.distinct()
-        .repartition(math.max(1, p / math.max(1, idx.numBands))),
-      s"$path/shingles")
+    * document: fold the base relations plus every LANDED commit
+    * ([[appendToMinhashIndex]] tags) through distinct → rewrite, so the
+    * cost tracks INDEX size (id + hashes + shingle sets), never corpus
+    * text. Three things accumulate under the append regime and all
+    * collapse here: (a) duplicate rows from replayed UNTAGGED appends
+    * (identical rows collapse exactly under `distinct`), (b) per-append
+    * small part-files and commit dirs (each batch lands its own files;
+    * at daily-crawl cadence the scan cost creeps — the rewrite re-bins
+    * to the partition width the compacted size asks for and retires the
+    * commit dirs into the base), and (c) the `commits/` listing itself.
+    * Distinct DOCUMENTS sharing an id are an id-space violation (see
+    * [[minhashLshAgainstIndex]]) and are NOT merged.
+    *
+    * Concurrency contract: TAGGED appends may run concurrently with
+    * compaction — the commit set is snapshotted up front, only those
+    * dirs are folded and deleted, and a batch committing mid-compact
+    * simply stays in `commits/` for the next cycle (spec-proven:
+    * TextDedupSpec "a tagged append landing mid-compact survives").
+    * UNTAGGED (direct) appends are NOT safe against a concurrent
+    * compact: their rows land in the very base dirs the swap replaces.
+    * Crash-safe via [[writeThenSwap]]: a crash mid-compact leaves every
+    * row reachable (at worst both in the new base and in a not-yet-
+    * deleted commit dir — duplicates, collapsed by the next compact). */
+  def compactMinhashIndex(spark: SparkSession, path: String): Unit =
+    compactMinhashIndexWithHook(spark, path, () => ())
+
+  /** [[compactMinhashIndex]] with a test seam: `afterSnapshot` runs
+    * after the commit listing is taken — the window where a concurrent
+    * append historically raced the swap. */
+  private[graft] def compactMinhashIndexWithHook(spark: SparkSession,
+      path: String, afterSnapshot: () => Unit): Unit = {
+    val numBands = spark.read.parquet(s"$path/meta").head().getAs[Int]("bands")
+    compactIndex(spark, path, Seq("bands", "shingles"),
+      n => {
+        val p = graft.GraftSession.partitionsFor(spark, n)
+        Seq(p, math.max(1, p / math.max(1, numBands)))
+      },
+      afterSnapshot)
+  }
+
+  /** The shared compact engine (minhash and embedding twins): snapshot
+    * the landed commits, fold base + exactly those commits per relation
+    * (distinct at the width `widths` assigns from the first relation's
+    * row count), swap each in, then delete ONLY the folded commit dirs.
+    * Relation DataFrames are built from explicit dir lists, so a commit
+    * landing after the snapshot is neither read nor deleted. */
+  private[graft] def compactIndex(spark: SparkSession, path: String,
+      relations: Seq[String], widths: Long => Seq[Int],
+      afterSnapshot: () => Unit = () => ()): Unit = {
+    val folded = IndexFs.listDirNames(spark, s"$path/commits")
+    afterSnapshot()
+    def read(name: String): DataFrame = spark.read.parquet(
+      (s"$path/$name" +: folded.map(t => s"$path/commits/$t/$name")): _*)
+    val ws = widths(read(relations.head).count())
+    relations.zip(ws).foreach { case (name, w) =>
+      writeThenSwap(read(name).distinct().repartition(w), s"$path/$name")
+    }
+    folded.foreach(t => IndexFs.deleteRecursively(spark, s"$path/commits/$t"))
   }
 
   /** Durably write `df` to a temp sibling of `dir`, then swap it in:
@@ -306,31 +420,37 @@ object TextDedup {
     * data intact (a direct `mode("overwrite")` of the dir being read
     * deletes the index before the replacement commits — a mid-write
     * crash would lose it, recoverable only by a full corpus re-sign).
-    * The two final renames are not one atomic step: a concurrent reader
-    * during the swap window can see a missing dir — an error, never
-    * partial data; compaction is a maintenance op, schedule it as one. */
+    * All moves go through the Hadoop `FileSystem` for the dir's scheme
+    * ([[IndexFs]]) — on HDFS-like filesystems each rename is atomic; on
+    * object stores rename is a non-atomic copy, and the versioned-dir +
+    * marker-commit strategy documented on [[IndexFs]] should replace
+    * this swap. The two final renames are not one atomic step: a
+    * concurrent reader during the swap window can see a missing dir —
+    * an error, never partial data; compaction is a maintenance op,
+    * schedule it as one. */
   private def writeThenSwap(df: DataFrame, dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    def deleteAll(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    val live = java.nio.file.Paths.get(dir)
-    val tmp = java.nio.file.Paths.get(dir + ".tmp-compact")
-    val old = java.nio.file.Paths.get(dir + ".old-compact")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    deleteAll(old)
-    java.nio.file.Files.move(live, old)
-    java.nio.file.Files.move(tmp, live)
-    deleteAll(old)
+    val spark = df.sparkSession
+    val tmp = dir + ".tmp-compact"
+    val old = dir + ".old-compact"
+    df.write.mode("overwrite").parquet(tmp)
+    IndexFs.deleteRecursively(spark, old)
+    IndexFs.rename(spark, dir, old)
+    IndexFs.rename(spark, tmp, dir)
+    IndexFs.deleteRecursively(spark, old)
   }
 
-  /** Reload a [[saveMinhashIndex]]-written index; parameters come from
-    * the persisted meta row, never the caller. */
-  def loadMinhashIndex(spark: SparkSession, path: String): MinhashIndex = {
+  /** Reload a [[saveMinhashIndex]]-written index (base relations plus
+    * every landed commit); parameters come from the persisted meta row,
+    * never the caller. `excludeCommits` hides specific append tags —
+    * how a replayed streaming batch reads the index exactly as its
+    * first execution did (see
+    * [[graft.streaming.StreamingOps.incrementalDedupStream]]). */
+  def loadMinhashIndex(spark: SparkSession, path: String,
+      excludeCommits: Set[String] = Set.empty): MinhashIndex = {
     val m = spark.read.parquet(s"$path/meta").head()
-    MinhashIndex(spark.read.parquet(s"$path/bands"),
-      spark.read.parquet(s"$path/shingles"),
+    MinhashIndex(
+      spark.read.parquet(relationDirs(spark, path, "bands", excludeCommits): _*),
+      spark.read.parquet(relationDirs(spark, path, "shingles", excludeCommits): _*),
       m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"))
   }
 
@@ -932,6 +1052,8 @@ object TextDedup {
   def saveEmbeddingIndex(vecs: DataFrame, idCol: String, vecCol: String,
       path: String, threshold: Double, bits: Int = -1, tables: Int = -1,
       seed: Long = 42L, dim: Int = -1): Unit = {
+    IndexFs.deleteRecursively(vecs.sparkSession, s"$path/commits")
+    IndexFs.deleteRecursively(vecs.sparkSession, s"$path/staged")
     val idx = buildEmbeddingIndex(vecs, idCol, vecCol, threshold, bits, tables, seed, dim)
     idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
     idx.vectors.write.mode("overwrite").parquet(s"$path/vectors")
@@ -945,42 +1067,65 @@ object TextDedup {
     * [[appendToMinhashIndex]]'s contract for the vector modality: the
     * batch is bucketed under the INDEX's persisted plane family (the
     * caller cannot mismatch bits/tables/seed/dim) and its bucket and
-    * vector rows are appended. Same at-least-once caveat and id-space
-    * contract as the minhash twin; [[compactEmbeddingIndex]] collapses
-    * replayed appends. */
+    * vector rows are appended. Same two regimes as the minhash twin:
+    * `commitTag = Some(tag)` is exactly-once per tag (staged dir + one
+    * atomic rename, idempotent replay, safe against a concurrent
+    * [[compactEmbeddingIndex]]); `None` is a direct at-least-once
+    * append with the single-writer-vs-compact contract, vectors first
+    * so a half-append orphans only inert vector rows (bucket rows
+    * whose vectors are missing would generate candidates the verify
+    * join silently drops). Same id-space contract as the minhash twin.
+    *
+    * @return true if the batch's rows landed in this call; false when
+    *         `commitTag` was already committed (idempotent skip). */
   def appendToEmbeddingIndex(newVecs: DataFrame, idCol: String,
-      vecCol: String, path: String): Unit = {
+      vecCol: String, path: String,
+      commitTag: Option[String] = None): Boolean = {
     val spark = newVecs.sparkSession
+    if (commitTag.exists(t => IndexFs.exists(spark, s"$path/commits/$t")))
+      return false // already landed — skip even the batch bucketing
     val idx = loadEmbeddingIndex(spark, path)
-    srpBucketRows(newVecs, idCol, vecCol, idx.bits, idx.tables, idx.seed, idx.dim)
-      .select(col(idCol).as("id"), col("t"), col("bkt"))
-      .write.mode("append").parquet(s"$path/buckets")
-    newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .write.mode("append").parquet(s"$path/vectors")
+    val buckets =
+      srpBucketRows(newVecs, idCol, vecCol, idx.bits, idx.tables, idx.seed, idx.dim)
+        .select(col(idCol).as("id"), col("t"), col("bkt"))
+    val vectors = newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    commitTag match {
+      case Some(tag) =>
+        stagedAppend(spark, path, tag,
+          Seq("buckets" -> buckets, "vectors" -> vectors))
+      case None =>
+        vectors.write.mode("append").parquet(s"$path/vectors")
+        buckets.write.mode("append").parquet(s"$path/buckets")
+        true
+    }
   }
 
-  /** [[compactMinhashIndex]] for the embedding index: read → distinct →
-    * rewrite of the bucket and vector relations, collapsing replayed
-    * appends and re-binning per-append small files; cost tracks index
-    * size, never re-bucketing work (the bucket rows ARE the index).
-    * Same [[writeThenSwap]] crash safety as the minhash twin. */
+  /** [[compactMinhashIndex]] for the embedding index: fold base +
+    * landed commits per relation through distinct → rewrite, retiring
+    * commit dirs into the base; cost tracks index size, never
+    * re-bucketing work (the bucket rows ARE the index). Same
+    * [[compactIndex]] engine, so the same concurrency contract: tagged
+    * appends landing mid-compact survive, direct appends are
+    * single-writer. */
   def compactEmbeddingIndex(spark: SparkSession, path: String): Unit = {
-    val idx = loadEmbeddingIndex(spark, path)
-    val p = graft.GraftSession.partitionsFor(spark, idx.buckets.count())
-    writeThenSwap(idx.buckets.distinct().repartition(p), s"$path/buckets")
-    writeThenSwap(
-      idx.vectors.distinct()
-        .repartition(math.max(1, p / math.max(1, idx.tables))),
-      s"$path/vectors")
+    val tables = spark.read.parquet(s"$path/meta").head().getAs[Int]("tables")
+    compactIndex(spark, path, Seq("buckets", "vectors"),
+      n => {
+        val p = graft.GraftSession.partitionsFor(spark, n)
+        Seq(p, math.max(1, p / math.max(1, tables)))
+      })
   }
 
-  /** Reload a [[saveEmbeddingIndex]]-written index; parameters come
-    * from the persisted meta row, never the caller. */
-  def loadEmbeddingIndex(spark: SparkSession, path: String): EmbeddingIndex = {
+  /** Reload a [[saveEmbeddingIndex]]-written index (base relations plus
+    * every landed commit); parameters come from the persisted meta row,
+    * never the caller. `excludeCommits` hides specific append tags for
+    * deterministic batch replay (see [[loadMinhashIndex]]). */
+  def loadEmbeddingIndex(spark: SparkSession, path: String,
+      excludeCommits: Set[String] = Set.empty): EmbeddingIndex = {
     val m = spark.read.parquet(s"$path/meta").head()
     EmbeddingIndex(
-      spark.read.parquet(s"$path/buckets"),
-      spark.read.parquet(s"$path/vectors"),
+      spark.read.parquet(relationDirs(spark, path, "buckets", excludeCommits): _*),
+      spark.read.parquet(relationDirs(spark, path, "vectors", excludeCommits): _*),
       m.getAs[Int]("bits"), m.getAs[Int]("tables"),
       m.getAs[Long]("seed"), m.getAs[Int]("dim"))
   }

@@ -229,7 +229,7 @@ object DedupQueries {
     val outDir = SnapshotPaths.dirFor("stream_dedup_out", dir, s)
     // stale batch outputs from a previous differently-batched run would
     // otherwise union into the read-back
-    deleteRecursively(outDir)
+    graft.operators.IndexFs.deleteRecursively(s, outDir)
     TextDedup.saveMinhashIndex(
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
     docs.filter(col("doc_id") % 2 === 1).repartition(2)
@@ -239,15 +239,6 @@ object DedupQueries {
         idxPath, outDir, threshold = 0.7)
       .awaitTermination()
     s.read.parquet(s"$outDir/batch_*").orderBy(col("new_id"), col("index_id"))
-  }
-
-  private def deleteRecursively(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
   }
 
   /** INDEX MAINTENANCE under the hard gate: thirds of the corpus play
@@ -264,8 +255,12 @@ object DedupQueries {
     val path = SnapshotPaths.dirFor("minhash_index_append", dir, s)
     TextDedup.saveMinhashIndex(
       docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path)
+    // tagged (exactly-once) append — the save above wipes commits/, so
+    // the tag lands fresh every run while STILL exercising the staged
+    // commit protocol under the hash gate
     TextDedup.appendToMinhashIndex(
-      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", path)
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", path,
+      commitTag = Some("accepted_batch"))
     TextDedup.minhashLshAgainstIndex(
         docs.filter(col("doc_id") % 3 === 2), "doc_id", "text",
         TextDedup.loadMinhashIndex(s, path), threshold = 0.7)
@@ -290,7 +285,8 @@ object DedupQueries {
       emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
       path, threshold = 0.4)
     TextDedup.appendToEmbeddingIndex(
-      emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", path)
+      emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", path,
+      commitTag = Some("accepted_batch"))
     TextDedup.embeddingNearDupAgainstIndex(
         emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding",
         TextDedup.loadEmbeddingIndex(s, path), threshold = 0.4)

@@ -205,17 +205,18 @@ object StreamingOps {
     * match nothing in the index, and without this both copies would
     * enter the corpus forever.
     *
-    * Replay semantics: the pairs output is exactly-once PER BATCH ID (a
-    * replayed batch overwrites its own `batch_<id>` dir rather than
-    * double-appending). The index append is at-least-once, with two
-    * consequences on a replay AFTER the append landed: duplicate index
-    * rows (benign — candidates widen, the verify stays exact; compact
-    * to collapse), and the replayed batch now SEEING its own first
-    * append, so its rewritten `batch_<id>` can carry self-match pairs
-    * the original execution lacked. If exact replay determinism
-    * matters, key the append by batchId (idempotent staging dirs)
-    * upstream; for a dedup pipeline the extra pairs are conservative
-    * (they only mark MORE duplicates). */
+    * Replay semantics (r8: EXACTLY-ONCE end to end, per batch id): the
+    * pairs output overwrites its own `batch_<id>` dir; the index append
+    * is keyed by commit tag `batch_<id>` (staged dir + one atomic
+    * rename — [[graft.operators.TextDedup.appendToMinhashIndex]]), so a
+    * replayed batch appends nothing; and the index is LOADED excluding
+    * that same tag, so a replay whose first append already landed still
+    * reads the index exactly as the original execution did — its
+    * rewritten `batch_<id>` output is byte-identical (no self-match
+    * pairs), spec-proven in StreamingOpsSpec. The batch-keyed commit
+    * also makes the fold-in safe against a concurrent index compaction
+    * (commit dirs are never swapped away — see
+    * [[graft.operators.TextDedup.compactMinhashIndex]]). */
   def incrementalDedupStream(
       docs: DataFrame, indexPath: String, outDir: String,
       threshold: Double = 0.7, idCol: String = "doc_id",
@@ -223,31 +224,49 @@ object StreamingOps {
       foldInSurvivors: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.toDF().localCheckpoint(true) // consumed twice below
-        val idx = graft.operators.TextDedup.loadMinhashIndex(spark, indexPath)
-        val pairs = graft.operators.TextDedup.minhashLshAgainstIndex(
-          b, idCol, textCol, idx, threshold)
-          .localCheckpoint(true) // materialize BEFORE the index mutates
-        pairs.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-        if (foldInSurvivors) {
-          val dupIds = pairs.select(col("new_id").as(idCol)).distinct()
-          val survivors = b.join(dupIds, Seq(idCol), "left_anti")
-            .localCheckpoint(true) // feeds self-dedup AND the append
-          // intra-batch near-dups: same signing parameters as the index,
-          // keep the lowest id of each pair (minhashLsh emits d1 < d2)
-          val intraDup = graft.operators.TextDedup.minhashLsh(
-            survivors, idCol, textCol,
-            n = idx.n, k = idx.k, bands = idx.numBands, threshold = threshold)
-            .select(col("d2").as(idCol)).distinct()
-          graft.operators.TextDedup.appendToMinhashIndex(
-            survivors.join(intraDup, Seq(idCol), "left_anti"),
-            idCol, textCol, indexPath)
-        }
+        dedupBatchAgainstIndex(batch.toDF(), batchId, indexPath, outDir,
+          threshold, idCol, textCol, foldInSurvivors)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One micro-batch of [[incrementalDedupStream]], factored out so the
+    * replay contract is directly testable: calling this twice with the
+    * same `batchId` must leave the index row-set AND the `batch_<id>`
+    * output identical to one call. */
+  private[graft] def dedupBatchAgainstIndex(
+      batchDf: DataFrame, batchId: Long, indexPath: String, outDir: String,
+      threshold: Double, idCol: String, textCol: String,
+      foldInSurvivors: Boolean): Unit = {
+    val spark = batchDf.sparkSession
+    val tag = s"batch_$batchId"
+    val b = batchDf.localCheckpoint(true) // consumed twice below
+    // exclude this batch's OWN commit: on a replay whose first append
+    // landed, the load must see the pre-append index or the batch
+    // would emit self-match pairs its original execution lacked
+    val idx = graft.operators.TextDedup.loadMinhashIndex(
+      spark, indexPath, excludeCommits = Set(tag))
+    val pairs = graft.operators.TextDedup.minhashLshAgainstIndex(
+      b, idCol, textCol, idx, threshold)
+      .localCheckpoint(true) // materialize BEFORE the index mutates
+    pairs.write.mode("overwrite").parquet(s"$outDir/$tag")
+    if (foldInSurvivors) {
+      val dupIds = pairs.select(col("new_id").as(idCol)).distinct()
+      val survivors = b.join(dupIds, Seq(idCol), "left_anti")
+        .localCheckpoint(true) // feeds self-dedup AND the append
+      // intra-batch near-dups: same signing parameters as the index,
+      // keep the lowest id of each pair (minhashLsh emits d1 < d2)
+      val intraDup = graft.operators.TextDedup.minhashLsh(
+        survivors, idCol, textCol,
+        n = idx.n, k = idx.k, bands = idx.numBands, threshold = threshold)
+        .select(col("d2").as(idCol)).distinct()
+      graft.operators.TextDedup.appendToMinhashIndex(
+        survivors.join(intraDup, Seq(idCol), "left_anti"),
+        idCol, textCol, indexPath, commitTag = Some(tag))
+      ()
+    }
+  }
 
   /** Drives a streaming DataFrame to completion over the currently
     * available input (Trigger.AvailableNow ≙ the reference's bounded

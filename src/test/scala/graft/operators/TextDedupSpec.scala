@@ -408,6 +408,55 @@ class TextDedupSpec extends SparkSpec {
       batch2, "doc_id", "text", compacted, threshold = 0.7)) == b2Pairs)
   }
 
+  test("tagged appends are exactly-once, excludable at load, and survive a concurrent compact") {
+    import spark.implicits._
+    def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
+    val baseDocs = (0L until 20L).map(i => (i * 2, sent(i.toInt))).toDF("doc_id", "text")
+    val batch1 = Seq((101L, sent(500)), (103L, sent(501))).toDF("doc_id", "text")
+    val batch2 = Seq((201L, sent(600))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_tagged").toString
+    TextDedup.saveMinhashIndex(baseDocs, "doc_id", "text", dir)
+    val baseBands = TextDedup.loadMinhashIndex(spark, dir).bands.collect().toSet
+
+    // a crashed earlier attempt left a partial staging dir — the retry
+    // must overwrite it and land cleanly
+    IndexFs.fs(spark, dir).mkdirs(new org.apache.hadoop.fs.Path(s"$dir/staged/b1/bands"))
+    assert(TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir,
+      commitTag = Some("b1")))
+    assert(IndexFs.listDirNames(spark, s"$dir/commits") == Seq("b1"))
+    assert(!IndexFs.exists(spark, s"$dir/staged/b1")) // staging retired by the commit rename
+    val afterB1 = TextDedup.loadMinhashIndex(spark, dir).bands.collect().toSet
+    assert(afterB1.size > baseBands.size)
+
+    // replaying the same tag writes NOTHING (returns false, row-set identical)
+    assert(!TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir,
+      commitTag = Some("b1")))
+    assert(TextDedup.loadMinhashIndex(spark, dir).bands.collect().toSet == afterB1)
+
+    // excluding the tag reads the index exactly as it was before the append
+    assert(TextDedup.loadMinhashIndex(spark, dir, excludeCommits = Set("b1"))
+      .bands.collect().toSet == baseBands)
+
+    // a tagged append landing mid-compact (after the commit snapshot —
+    // the window where the r7 wholesale swap lost rows) SURVIVES: the
+    // compact folds and deletes only the commits it listed
+    TextDedup.compactMinhashIndexWithHook(spark, dir, () => {
+      TextDedup.appendToMinhashIndex(batch2, "doc_id", "text", dir,
+        commitTag = Some("b2"))
+      ()
+    })
+    assert(IndexFs.listDirNames(spark, s"$dir/commits") == Seq("b2")) // b1 folded, b2 kept
+    val afterCompact = TextDedup.loadMinhashIndex(spark, dir)
+    val ids = afterCompact.shingles.select("id").as[Long].collect().toSet
+    assert(Set(101L, 103L, 201L).subsetOf(ids)) // both batches fully present
+    // compacted base = the pre-compact rows exactly once; full load =
+    // that base plus b2's commit rows
+    assert(TextDedup.loadMinhashIndex(spark, dir, excludeCommits = Set("b2"))
+      .bands.collect().toSet == afterB1)
+    assert(afterCompact.bands.collect().toSet.size == afterB1.size +
+      spark.read.parquet(s"$dir/commits/b2/bands").collect().length)
+  }
+
   test("embeddingNearDupAgainstIndex: batch-vs-index pairs, parquet round-trip, all regimes agree") {
     import spark.implicits._
     def vec(i: Int, nudge: Float = 0f): Seq[Float] = {

@@ -151,10 +151,30 @@ class StreamingOpsSpec extends SparkSpec {
     // index admission: the index-dup (101) and the intra-batch dup
     // (107, keep-lowest-id loses to 103) were NOT folded in; the novel
     // doc (103) was; batch 2's duplicate (201) was not
-    val idxIds = spark.read.parquet(s"$idxPath/shingles")
-      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    // read through the loader: fold-ins land as batch-keyed COMMITS
+    // (commits/batch_0/), not in the base relations
+    val idxIds = graft.operators.TextDedup.loadMinhashIndex(spark, idxPath)
+      .shingles.select("id").distinct().collect().map(_.getLong(0)).toSet
     assert(idxIds.contains(103L))
     assert(!idxIds.contains(101L) && !idxIds.contains(107L) && !idxIds.contains(201L))
+
+    // REPLAY the first micro-batch (what a restart after a crash
+    // between the pairs write and the checkpoint commit does): its
+    // append is idempotent (tag batch_0 already landed) and its load
+    // EXCLUDES its own commit, so both the index row-set and the
+    // batch_0 output must come out identical — in r7 the replay saw its
+    // own first append and emitted self-match pairs (107 vs the folded
+    // 103) the original lacked
+    val bandsBefore = graft.operators.TextDedup.loadMinhashIndex(spark, idxPath)
+      .bands.collect().toSet
+    val out0Before = spark.read.parquet(s"$outDir/batch_0").collect().toSet
+    StreamingOps.dedupBatchAgainstIndex(
+      spark.read.schema(docSchema).parquet(srcDir.resolve("b1.parquet").toString),
+      batchId = 0L, idxPath, outDir, threshold = 0.7,
+      idCol = "doc_id", textCol = "text", foldInSurvivors = true)
+    assert(spark.read.parquet(s"$outDir/batch_0").collect().toSet == out0Before)
+    assert(graft.operators.TextDedup.loadMinhashIndex(spark, idxPath)
+      .bands.collect().toSet == bandsBefore)
   }
 
   test("mapGroupsWithState running totals equal a batch groupBy") {
