@@ -63,4 +63,46 @@ private[graft] object IndexFs {
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
   }
+
+  /** Valid commit tags are single path segments — a `/` or `..` would
+    * escape the index's `commits/` namespace. */
+  def requireValidTag(tag: String): Unit =
+    require(
+      tag.nonEmpty && tag != "." && tag != ".." &&
+        tag.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"commit tag must be a [A-Za-z0-9._-]+ path segment, got '$tag'")
+
+  /** The exactly-once half of index appends: write every relation of
+    * the batch under `staged/<tag>/`, then commit with ONE directory
+    * rename to `commits/<tag>/` (atomic on HDFS-like filesystems — see
+    * the object-store caveat above). Idempotent per tag: if the commit
+    * dir already exists the batch landed in a prior attempt and NOTHING
+    * is written (returns false); a crash before the rename leaves only
+    * a `staged/` orphan that the next attempt overwrites. There is no
+    * half-appended state — either every relation of the batch is
+    * visible or none is. */
+  def stagedAppend(spark: SparkSession, path: String, tag: String,
+      relations: Seq[(String, org.apache.spark.sql.DataFrame)]): Boolean = {
+    requireValidTag(tag)
+    val commitDir = s"$path/commits/$tag"
+    if (exists(spark, commitDir)) return false
+    val stageDir = s"$path/staged/$tag"
+    deleteRecursively(spark, stageDir)
+    relations.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$stageDir/$name")
+    }
+    rename(spark, stageDir, commitDir)
+    true
+  }
+
+  /** Parquet dirs holding relation `name` of the index at `path`: the
+    * base dir plus every LANDED commit's copy, minus `exclude` — the
+    * read-side contract of the staged-append protocol. Excluding a tag
+    * is what makes a replayed batch deterministic: it reads the index
+    * exactly as its first execution did, blind to its own append. */
+  def relationDirs(spark: SparkSession, path: String, name: String,
+      exclude: Set[String]): Seq[String] =
+    s"$path/$name" +: listDirNames(spark, s"$path/commits")
+      .filterNot(exclude)
+      .map(tag => s"$path/commits/$tag/$name")
 }

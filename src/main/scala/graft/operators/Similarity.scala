@@ -142,6 +142,145 @@ object Similarity {
   def loadIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Collect a centroid relation to its driver-side kernel form:
+    * (sorted ids, dense double vectors) — nCentroids rows by contract
+    * (aggregate-sized at any corpus scale — that is what makes IVF an
+    * index). Sorted by id for a deterministic kernel layout.
+    * float→double is exact, so the kernel's cosine is bit-identical to
+    * cosine_similarity against the original float centroid vectors.
+    * Null ELEMENTS inside a centroid become 0.0 (contributing nothing
+    * to dot/nb; cosine_similarity would also skip the position's na —
+    * a documented, vanishingly-rare divergence only for null-holed
+    * centroid vectors; k-means centroids are always dense). */
+  private def centroidKernel(centroidRel: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
+    val rows = centroidRel
+      .select(col("centroid_id").cast("long"), col("cvec"))
+      .filter(col("cvec").isNotNull).collect()
+      .sortBy { r =>
+        require(!r.isNullAt(0),
+          "centroid_id must be non-null and long-castable " +
+            "(string ids need a numeric surrogate)")
+        r.getLong(0)
+      }
+    (rows.map(_.getLong(0)).toSeq,
+      rows.map(_.getSeq[Any](1).map {
+        case null => 0.0
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toSeq).toSeq)
+  }
+
+  /** A persisted IVF index WITH its assigned corpus: the frozen
+    * centroid family (`centroids`: centroid_id, cvec) plus the cell
+    * relation (`cells`: id, vec, cluster_id) — the
+    * [[graft.operators.TextDedup.MinhashIndex]] pattern for ANN, so
+    * new vectors can be absorbed and future query batches served
+    * without re-assigning (or even re-reading) the corpus. */
+  final case class IvfIndex(centroids: DataFrame, cells: DataFrame)
+
+  /** Fit centroids on `corpus`, assign every corpus vector to its cell
+    * (the pure-projection codegen kernel — no shuffle), and persist
+    * both relations (`centroids/`, `cells/`). The fit-once half of
+    * fit-once/serve-many: appends ([[appendToIvfIndex]]) and probes
+    * ([[ivfTopKFromIndex]]) both run under THIS frozen centroid
+    * family. A save is a full rebuild: stale `commits/`/`staged/`
+    * dirs are wiped, like the minhash/embedding twins. */
+  def saveIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      path: String, nCentroids: Int = 16, seed: Long = 42L,
+      maxIter: Int = 20, sampleRows: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    IndexFs.deleteRecursively(spark, s"$path/commits")
+    IndexFs.deleteRecursively(spark, s"$path/staged")
+    saveIndex(
+      kmeansCentroids(corpus, corpusVec, nCentroids, seed, maxIter, sampleRows),
+      s"$path/centroids")
+    val (ids, vecs) = centroidKernel(loadIndex(spark, s"$path/centroids"))
+    require(ids.nonEmpty, "saveIvfIndex: empty corpus yields no centroids")
+    cellRows(corpus, corpusId, corpusVec, ids, vecs)
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Normalized cell rows (id, vec, cluster_id) for `vectors` under the
+    * kernel-form centroids — THE single spelling of the assignment,
+    * shared by the index build and the append so the two can never
+    * disagree. */
+  private def cellRows(vectors: DataFrame, idCol: String, vecCol: String,
+      ids: Seq[Long], vecs: Seq[Seq[Double]]): DataFrame =
+    vectors.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"),
+      element_at(nearest_centroids(col(vecCol), ids, vecs, 1), 1)
+        .cast("long").as("cluster_id"))
+
+  /** Absorb a new vector batch into a persisted IVF index WITHOUT a
+    * refit: assign under the frozen persisted centroids (the codegen
+    * projection — per-batch cost is one pass over the batch, blind to
+    * index size) and append the cell rows. Same two regimes as
+    * [[graft.operators.TextDedup.appendToMinhashIndex]]:
+    * `commitTag = Some(tag)` is exactly-once per tag (staged dir + one
+    * atomic rename, idempotent replay, safe against concurrent
+    * [[compactIvfIndex]]); `None` is a direct at-least-once append
+    * with the single-writer-vs-compact contract. The frozen-centroid
+    * trade is the standard IVF maintenance one: cell BALANCE can drift
+    * from what a refit would choose (costing recall at small nProbe,
+    * never correctness of the in-cell exact rank); refit + rebuild
+    * when drift matters.
+    *
+    * @return true if the batch's rows landed in this call; false when
+    *         `commitTag` was already committed (idempotent skip). */
+  def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String, commitTag: Option[String] = None): Boolean = {
+    val spark = newVecs.sparkSession
+    if (commitTag.exists(t => IndexFs.exists(spark, s"$path/commits/$t")))
+      return false // already landed — skip even the assignment
+    val (ids, vecs) = centroidKernel(loadIndex(spark, s"$path/centroids"))
+    val cells = cellRows(newVecs, idCol, vecCol, ids, vecs)
+    commitTag match {
+      case Some(tag) => IndexFs.stagedAppend(spark, path, tag, Seq("cells" -> cells))
+      case None => cells.write.mode("append").parquet(s"$path/cells"); true
+    }
+  }
+
+  /** Reload a [[saveIvfIndex]]-written index: centroids plus the cell
+    * relation unioned across base and landed commits. `excludeCommits`
+    * hides specific append tags for deterministic batch replay (see
+    * [[graft.operators.TextDedup.loadMinhashIndex]]). */
+  def loadIvfIndex(spark: SparkSession, path: String,
+      excludeCommits: Set[String] = Set.empty): IvfIndex =
+    IvfIndex(
+      loadIndex(spark, s"$path/centroids"),
+      spark.read.parquet(
+        IndexFs.relationDirs(spark, path, "cells", excludeCommits): _*))
+
+  /** Fold landed cell commits into the base cell relation — the
+    * [[graft.operators.TextDedup.compactMinhashIndex]] engine with the
+    * same concurrency contract (tagged appends landing mid-compact
+    * survive; direct appends are single-writer). Centroids are frozen
+    * and never rewritten. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+    TextDedup.compactIndex(spark, path, Seq("cells"),
+      n => Seq(graft.GraftSession.partitionsFor(spark, n)))
+
+  /** Serve a query batch from a persisted [[IvfIndex]]: probe nProbe
+    * cells per query, rank exactly within them — [[ivfTopK]]'s plan
+    * with the corpus-assignment stage REPLACED by the persisted cell
+    * relation (the serve-many half: the corpus is never re-read or
+    * re-assigned). Output columns (queryId, id, cosine, rank). */
+  def ivfTopKFromIndex(index: IvfIndex, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, nProbe: Int = 3): DataFrame = {
+    val (ids, vecs) = centroidKernel(index.centroids)
+    if (ids.isEmpty)
+      return queries.limit(0).crossJoin(index.cells.limit(0).select(col("id")))
+        .select(col(queryId), col("id"), lit(0.0).as("cosine"), lit(1).as("rank"))
+    val probedQueries = queries.withColumn("cluster_id",
+      explode(nearest_centroids(col(queryVec), ids, vecs, nProbe)))
+    val cand = index.cells
+      .join(broadcast(probedQueries), Seq("cluster_id"))
+      .withColumn("cosine",
+        roundPortable(cosine_similarity(col("vec"), col(queryVec)), 6))
+    rankTopK(cand, queryId, "id", k)
+  }
+
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest of `nCentroids` centroids — k-means by default
     * ([[kmeansCentroids]]); `useKMeans = false` falls back to the
@@ -172,34 +311,11 @@ object Similarity {
       if (useKMeans) kmeansCentroids(corpus, corpusVec, nCentroids)
       else corpus.orderBy(col(corpusId)).limit(nCentroids)
         .select(col(corpusId).as("centroid_id"), col(corpusVec).as("cvec")))
-    // collect the index to the driver: nCentroids rows by contract
-    // (aggregate-sized at any corpus scale — that is what makes IVF an
-    // index). Sorted by id for a deterministic kernel layout.
-    val centroidRows = centroidRel
-      .select(col("centroid_id").cast("long"), col("cvec"))
-      .filter(col("cvec").isNotNull).collect()
-      .sortBy { r =>
-        require(!r.isNullAt(0),
-          "ivfTopK: centroid_id must be non-null and long-castable " +
-            "(string ids need a numeric surrogate)")
-        r.getLong(0)
-      }
-    if (centroidRows.isEmpty) // empty corpus / all-null index → empty result
+    val (ids, vecs) = centroidKernel(centroidRel)
+    if (ids.isEmpty) // empty corpus / all-null index → empty result
       return queries.limit(0).crossJoin(corpus.limit(0))
         .select(col(queryId), col(corpusId),
           lit(0.0).as("cosine"), lit(1).as("rank"))
-    val ids = centroidRows.map(_.getLong(0)).toSeq
-    // float→double is exact, so the kernel's cosine is bit-identical to
-    // cosine_similarity against the original float centroid vectors.
-    // Null ELEMENTS inside a centroid become 0.0 (contributing nothing
-    // to dot/nb; cosine_similarity would also skip the position's na —
-    // a documented, vanishingly-rare divergence only for null-holed
-    // centroid vectors; k-means centroids are always dense)
-    val vecs = centroidRows.map(_.getSeq[Any](1).map {
-      case null => 0.0
-      case f: Float => f.toDouble
-      case d: Double => d
-    }.toSeq).toSeq
 
     val assignedCorpus = corpus.withColumn("cluster_id",
       element_at(nearest_centroids(col(corpusVec), ids, vecs, 1), 1))

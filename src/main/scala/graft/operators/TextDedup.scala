@@ -248,49 +248,18 @@ object TextDedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Valid commit tags are single path segments — a `/` or `..` would
-    * escape the index's `commits/` namespace. */
-  private def requireValidTag(tag: String): Unit =
-    require(
-      tag.nonEmpty && tag != "." && tag != ".." &&
-        tag.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
-      s"commit tag must be a [A-Za-z0-9._-]+ path segment, got '$tag'")
-
-  /** The exactly-once half of index appends: write every relation of
-    * the batch under `staged/<tag>/`, then commit with ONE directory
-    * rename to `commits/<tag>/` (atomic on HDFS-like filesystems — see
-    * [[IndexFs]] for the object-store caveat). Idempotent per tag: if
-    * the commit dir already exists the batch landed in a prior attempt
-    * and NOTHING is written (returns false); a crash before the rename
-    * leaves only a `staged/` orphan that the next attempt overwrites.
-    * There is no half-appended state — either every relation of the
-    * batch is visible or none is, which closes BOTH r7 replay
-    * anomalies (double-append duplicates and the orphaned-relation
-    * candidate loss). */
+  /** Staged exactly-once append and commit-aware relation reads live in
+    * [[IndexFs]] (shared with the IVF index); aliased here so the
+    * surrounding maintenance code reads naturally. The minhash-specific
+    * semantics (which relations, what a half-append would have lost)
+    * are documented on [[appendToMinhashIndex]]. */
   private def stagedAppend(spark: SparkSession, path: String, tag: String,
-      relations: Seq[(String, DataFrame)]): Boolean = {
-    requireValidTag(tag)
-    val commitDir = s"$path/commits/$tag"
-    if (IndexFs.exists(spark, commitDir)) return false
-    val stageDir = s"$path/staged/$tag"
-    IndexFs.deleteRecursively(spark, stageDir)
-    relations.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$stageDir/$name")
-    }
-    IndexFs.rename(spark, stageDir, commitDir)
-    true
-  }
+      relations: Seq[(String, DataFrame)]): Boolean =
+    IndexFs.stagedAppend(spark, path, tag, relations)
 
-  /** Parquet dirs holding relation `name` of the index at `path`: the
-    * base dir plus every LANDED commit's copy, minus `exclude` — the
-    * read-side contract of the staged-append protocol. Excluding a tag
-    * is what makes a replayed batch deterministic: it reads the index
-    * exactly as its first execution did, blind to its own append. */
   private def relationDirs(spark: SparkSession, path: String, name: String,
       exclude: Set[String]): Seq[String] =
-    s"$path/$name" +: IndexFs.listDirNames(spark, s"$path/commits")
-      .filterNot(exclude)
-      .map(tag => s"$path/commits/$tag/$name")
+    IndexFs.relationDirs(spark, path, name, exclude)
 
   /** Fold an ACCEPTED batch into a persisted index: sign the batch with
     * the index's own persisted parameters (meta row — the caller cannot

@@ -368,6 +368,32 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF INDEX MAINTENANCE under the hard gate — the ANN twin of
+    * [[minhashIndexAppend]]'s thirds shape: vec_id%3==0 is fitted and
+    * assigned into a persisted cells index, %3==1 is APPENDED under the
+    * frozen centroids (tagged — the exactly-once staged-commit path),
+    * and %3==2 queries probe the loaded index EXHAUSTIVELY
+    * (nProbe = nCentroids), which makes the result centroid-independent:
+    * exact brute-force top-k over thirds 0∪1 (the q_ann_ivf_topk trick).
+    * A lost append row drops a corpus vector from some cell → a
+    * different top-k → hash mismatch; a drifted assignment between the
+    * build and append kernels surfaces the same way at smaller nProbe
+    * in SimilaritySpec. */
+  val annIvfAppend: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val path = SnapshotPaths.dirFor("ivf_cells_append", dir, s)
+    Similarity.saveIvfIndex(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", path, nCentroids = 8, maxIter = 5)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", path, commitTag = Some("accepted_batch"))
+    val queries = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") < 15)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopKFromIndex(Similarity.loadIvfIndex(s, path), queries,
+        "query_id", "qvec", k = 3, nProbe = 8)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_dedup_exact_text" -> exactTextDedup,
     "q_ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -389,7 +415,8 @@ object DedupQueries {
     "q_ann_multi_topk" -> annMultiTopK,
     "q_ann_lsh_topk" -> annLshTopK,
     "q_ann_ivf_topk" -> annIvfTopK,
-    "q_ann_ivf_loaded" -> annIvfLoaded)
+    "q_ann_ivf_loaded" -> annIvfLoaded,
+    "q_ann_ivf_append" -> annIvfAppend)
 
   import graft.functions.GraftFunctions.roundPortableSql
 
@@ -591,7 +618,19 @@ object DedupQueries {
     // inside the gated query
     "q_ann_lsh_topk" -> annMultiTopKSql,
     "q_ann_ivf_topk" -> annMultiTopKSql,
-    "q_ann_ivf_loaded" -> annMultiTopKSql
+    "q_ann_ivf_loaded" -> annMultiTopKSql,
+    // exhaustive-probe IVF over a built-then-appended cells index ≡
+    // exact brute force over thirds 0∪1 for queries in third 2 —
+    // append-under-frozen-centroids must equal a full rebuild
+    "q_ann_ivf_append" ->
+      s"""SELECT * FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   $cosR6 AS cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                     ORDER BY $cosR6 DESC, b.vec_id) AS INTEGER) AS rank
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id % 3 = 2 AND a.vec_id < 15 AND b.vec_id % 3 <> 2)
+          WHERE rank <= 3 ORDER BY query_id, rank"""
   )
 
   private lazy val crossParityJaccardSql: String =

@@ -104,6 +104,45 @@ class SimilaritySpec extends SparkSpec {
     assert(probe(reloaded) == probe(fitted))
   }
 
+  test("IVF cells index: append under frozen centroids ≡ fresh assignment; exactly-once tags; compact") {
+    val partA = emb.filter(col("vec_id") % 3 === 0)
+    val partB = emb.filter(col("vec_id") % 3 === 1)
+    val corpusAB = emb.filter(col("vec_id") % 3 < 2)
+    val queries = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    Similarity.saveIvfIndex(partA, "vec_id", "embedding", dir,
+      nCentroids = 4, maxIter = 5)
+    assert(Similarity.appendToIvfIndex(partB, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    val idx = Similarity.loadIvfIndex(spark, dir)
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long](1),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    // NON-exhaustive probing (2 of 4 cells): the served result must
+    // still equal ivfTopK's fresh corpus assignment under the SAME
+    // centroids — build-assign(A) ∪ append-assign(B) ≡ assign(A∪B)
+    // because both run the one cellRows kernel
+    val served = results(Similarity.ivfTopKFromIndex(idx, queries,
+      "query_id", "qvec", k = 3, nProbe = 2))
+    val fresh = results(Similarity.ivfTopK(corpusAB, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 3, nCentroids = 4, nProbe = 2,
+      centroids = Some(idx.centroids)))
+    assert(served == fresh && served.nonEmpty)
+    // replaying the tag writes nothing; cells row-set unchanged
+    val cellsBefore = idx.cells.collect().toSet
+    assert(!Similarity.appendToIvfIndex(partB, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    assert(Similarity.loadIvfIndex(spark, dir).cells.collect().toSet == cellsBefore)
+    // compaction folds the commit into the base; served results unchanged
+    Similarity.compactIvfIndex(spark, dir)
+    assert(IndexFs.listDirNames(spark, s"$dir/commits").isEmpty)
+    val compacted = Similarity.loadIvfIndex(spark, dir)
+    assert(compacted.cells.collect().toSet == cellsBefore)
+    assert(results(Similarity.ivfTopKFromIndex(compacted, queries,
+      "query_id", "qvec", k = 3, nProbe = 2)) == served)
+  }
+
   test("annTopK (multi-probe LSH) recalls most of the exact top-k") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
