@@ -834,13 +834,31 @@ object TextDedup {
     * realized recall for a given corpus is deterministic — gate-critical
     * configs are verified empirically, not just by this formula. */
   def srpTablesFor(bits: Int, threshold: Double,
-      targetMissProb: Double = 1e-4, maxTables: Int = 256): Int = {
+      targetMissProb: Double = 1e-4, maxTables: Int = 256): Int =
+    math.min(maxTables, srpTablesNeeded(bits, threshold, targetMissProb))
+
+  /** The UNCAPPED table count for (bits, threshold, targetMissProb) —
+    * what [[srpTablesFor]] would return with no `maxTables` bound
+    * (clamped to Int range). */
+  private def srpTablesNeeded(bits: Int, threshold: Double,
+      targetMissProb: Double): Int = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val pb = math.pow(p, bits)
     if (pb >= 1.0) 1
-    else math.min(maxTables, math.max(1,
-      math.ceil(math.log(targetMissProb) / math.log1p(-pb)).toInt))
+    else {
+      val t = math.ceil(math.log(targetMissProb) / math.log1p(-pb))
+      if (t > Int.MaxValue) Int.MaxValue else math.max(1, t.toInt)
+    }
   }
+
+  /** True when [[srpTablesFor]]'s `maxTables` cap truncated the table
+    * count for this config — i.e. the a-priori per-pair recall target is
+    * NOT attainable and realized recall degrades silently as bits grow
+    * with the corpus. Recall-gated builds assert on this
+    * ([[buildEmbeddingIndex]] `requireRecallTarget`). */
+  def srpConfigCapped(bits: Int, threshold: Double,
+      targetMissProb: Double = 1e-4, maxTables: Int = 256): Boolean =
+    srpTablesNeeded(bits, threshold, targetMissProb) > maxTables
 
   def embeddingNearDupPairsLsh(
       vecs: DataFrame, idCol: String, vecCol: String,
@@ -991,7 +1009,21 @@ object TextDedup {
     * into the index; probing batches inherit it from the meta. */
   def buildEmbeddingIndex(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = -1, tables: Int = -1,
-      seed: Long = 42L, dim: Int = -1): EmbeddingIndex = {
+      seed: Long = 42L, dim: Int = -1,
+      /** When true, the build REFUSES (loud `require`) any auto-sized
+        * config whose table count [[srpTablesFor]] had to cap — i.e.
+        * whose a-priori per-pair recall target is unattainable. Recall-
+        * GATED builds (an oracle compares the probabilistic result to an
+        * exact one) set this so growing the corpus past the attainable
+        * range fails at build time with the knobs to turn, instead of
+        * failing the hash gate with silently-missing pairs: at
+        * threshold 0.4 the default config is attainable up to
+        * bits = 7 ⇔ roughly 4k index vectors (≥ sf0.1's third with
+        * margin; ~sf1 crosses it), at 0.5 up to bits = 8. Remedies when
+        * it fires: raise `maxTables` (more tables = linear cost), raise
+        * `targetBucketSize` via explicit `bits` (bigger buckets = more
+        * verify work), or raise the gate threshold. */
+      requireRecallTarget: Boolean = false): EmbeddingIndex = {
     require(bits == -1 || (bits >= 1 && bits <= 30), s"bits=$bits out of range")
     val planeDim =
       if (dim > 0) dim
@@ -1005,6 +1037,14 @@ object TextDedup {
     lazy val nVecs = vecs.count()
     val useBits = if (bits == -1) srpBitsFor(nVecs) else bits
     val useTables = if (tables == -1) srpTablesFor(useBits, threshold) else tables
+    if (requireRecallTarget && tables == -1)
+      require(!srpConfigCapped(useBits, threshold),
+        s"buildEmbeddingIndex: recall target unattainable — " +
+          s"srpTablesFor capped at 256 tables for bits=$useBits (corpus " +
+          s"n=$nVecs) at threshold=$threshold; this build feeds a " +
+          "recall-gated oracle, which would fail on silently-missing " +
+          "pairs. Raise maxTables, pass explicit smaller bits (bigger " +
+          "buckets), or raise the threshold.")
     val bucketed = srpBucketRows(vecs, idCol, vecCol,
       useBits, useTables, seed, planeDim)
       .select(col(idCol).as("id"), col("t"), col("bkt"))
@@ -1020,10 +1060,12 @@ object TextDedup {
     * snapshot; each incoming batch pays only its own bucketing. */
   def saveEmbeddingIndex(vecs: DataFrame, idCol: String, vecCol: String,
       path: String, threshold: Double, bits: Int = -1, tables: Int = -1,
-      seed: Long = 42L, dim: Int = -1): Unit = {
+      seed: Long = 42L, dim: Int = -1,
+      requireRecallTarget: Boolean = false): Unit = {
     IndexFs.deleteRecursively(vecs.sparkSession, s"$path/commits")
     IndexFs.deleteRecursively(vecs.sparkSession, s"$path/staged")
-    val idx = buildEmbeddingIndex(vecs, idCol, vecCol, threshold, bits, tables, seed, dim)
+    val idx = buildEmbeddingIndex(vecs, idCol, vecCol, threshold, bits, tables,
+      seed, dim, requireRecallTarget)
     idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
     idx.vectors.write.mode("overwrite").parquet(s"$path/vectors")
     vecs.sparkSession.range(1)

@@ -181,7 +181,7 @@ object DedupQueries {
     val path = SnapshotPaths.dirFor("embedding_index", dir, s)
     TextDedup.saveEmbeddingIndex(
       emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-      path, threshold = 0.5)
+      path, threshold = 0.5, requireRecallTarget = true)
     TextDedup.embeddingNearDupAgainstIndex(
         emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
         TextDedup.loadEmbeddingIndex(s, path), threshold = 0.5)
@@ -281,9 +281,14 @@ object DedupQueries {
     // would make this a vacuous 0-row gate — 0.4 yields 26 pairs there
     // (426 at sf0.1) AND stresses recall harder (lower-cosine pairs
     // collide less per table; srpTablesFor compensates at build time)
+    // requireRecallTarget: this probabilistic build feeds an EXACT
+    // oracle, so a corpus grown past the attainable-recall range (the
+    // 256-table cap — ~4k index vectors at threshold 0.4, well past
+    // sf0.1's third) must fail loudly at build time, not as a
+    // mysterious hash mismatch
     TextDedup.saveEmbeddingIndex(
       emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
-      path, threshold = 0.4)
+      path, threshold = 0.4, requireRecallTarget = true)
     TextDedup.appendToEmbeddingIndex(
       emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", path,
       commitTag = Some("accepted_batch"))

@@ -49,19 +49,31 @@ object SnapshotPaths {
       "_" + java.lang.Integer.toHexString(dataDir.hashCode) +
       "_" + sessionTag(spark)
 
+  /** Every SnapshotPaths dir lives under this dedicated subdirectory of
+    * the temp dir — which is what makes the reaper SAFE: it enumerates
+    * only dirs this object itself created, never an unrelated process's
+    * `graft_*`-prefixed temp dirs (the r7 reaper keyed on the name
+    * prefix alone and could delete a live foreign dir aged past the
+    * cutoff, e.g. another session's streaming staging dir). */
+  def scratchRoot: String = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_snapshots")
+    java.nio.file.Files.createDirectories(root)
+    root.toString
+  }
+
   /** Session-scoped dirs can't overwrite a previous session's (that's
     * the point), so without collection every Bench/Verify process would
-    * leak its snapshot/index dirs into the temp dir forever. Deleting
+    * leak its snapshot/index dirs into [[scratchRoot]] forever. Deleting
     * on JVM exit is WRONG here — the Verify flow's oracle SQL is read
     * by DuckDB after the JVM exits — so instead the first [[dirFor]]
-    * call of a JVM reaps graft_* dirs UNTOUCHED FOR 24 h: far past any
-    * live write-then-read window, far before the disk fills. */
+    * call of a JVM reaps scratchRoot dirs UNTOUCHED FOR 24 h: far past
+    * any live write-then-read window, far before the disk fills. */
   private lazy val reapStale: Unit = {
     import scala.jdk.CollectionConverters._
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val tmp = java.nio.file.Paths.get(scratchRoot)
     try java.nio.file.Files.list(tmp).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("graft_"))
       .filter(p => try
         java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
       catch { case _: Exception => false })
@@ -77,14 +89,14 @@ object SnapshotPaths {
     * in `spark`. */
   def dirFor(name: String, dataDir: String, spark: SparkSession): String = {
     reapStale
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${tag(dataDir, spark)}"
+    s"$scratchRoot/graft_${name}_${tag(dataDir, spark)}"
   }
 
   /** The token-bearing form for builder-authored oracle SQL: the whole
     * variable suffix ((dir, session) tag) is one token, substituted by
     * [[resolve]] at dump time. */
   def tokenDirFor(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$DataDirToken"
+    s"$scratchRoot/graft_${name}_$DataDirToken"
 
   /** Resolve every [[DataDirToken]]-carrying snapshot path in oracle SQL
     * to the concrete dir for (`dataDir`, `spark`). */

@@ -38,6 +38,18 @@ class SnapshotPathsSpec extends SparkSpec {
       .contains(SnapshotPaths.dirFor("fp", dir, s2)))
   }
 
+  test("snapshots live under the dedicated scratch root (the reaper's scope)") {
+    // the stale-dir reaper enumerates ONLY this subdirectory, so every
+    // dir SnapshotPaths hands out must live inside it — a dir outside
+    // would leak forever, and a reaper scoped wider could delete
+    // unrelated processes' graft_* temp dirs (the r7 hazard)
+    val root = SnapshotPaths.scratchRoot
+    assert(java.nio.file.Paths.get(root).getFileName.toString == "graft_snapshots")
+    assert(SnapshotPaths.dirFor("fp", "/root/testdata/sf0.01", spark)
+      .startsWith(root + "/graft_"))
+    assert(SnapshotPaths.tokenDirFor("fp").startsWith(root + "/graft_"))
+  }
+
   test("resolve substitutes exactly what dirFor produces") {
     val sql = s"read_parquet('${SnapshotPaths.tokenDirFor("fp")}/*.parquet')"
     val resolved = SnapshotPaths.resolve(sql, "/root/testdata/sf0.01", spark)
