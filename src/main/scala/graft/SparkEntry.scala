@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, DedupQueries, MixtureQueries, MultimodalQueries, ParityQueries, TextQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, MixtureQueries, MultimodalQueries, ParityQueries, TextQueries, TrainingDataQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ParityQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       WindowQueries.queries ++ AnalyticsQueries.queries ++
-      MultimodalQueries.queries ++ MixtureQueries.queries)
+      MultimodalQueries.queries ++ MixtureQueries.queries ++
+      TrainingDataQueries.queries)
       .map { case (k, f) =>
         k -> { (s: SparkSession, dir: String) => f(GraftSession.configure(s), dir) }
       }
@@ -34,5 +35,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
       WindowQueries.oracles ++ AnalyticsQueries.oracles ++
-      MultimodalQueries.oracles ++ MixtureQueries.oracles
+      MultimodalQueries.oracles ++ MixtureQueries.oracles ++
+      TrainingDataQueries.oracles
 }

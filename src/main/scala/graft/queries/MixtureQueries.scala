@@ -63,11 +63,13 @@ object MixtureQueries {
     "q_packing_bins" -> packingBins)
 
   /** DuckDB twin of [[Sampling.hashBucket]] (plain % — the 60-bit hash
-    * value is non-negative, so % ≡ pmod on both engines). */
-  private def bucketSql(salt: String): String =
+    * value is non-negative, so % ≡ pmod on both engines). Shared with
+    * [[TrainingDataQueries]] (the capstone splits its accepted docs
+    * with the same spelling). */
+  private[queries] def bucketSql(salt: String): String =
     s"((('0x' || substr(md5(doc_id::VARCHAR || '/$salt'), 1, 15))::BIGINT) % 1000000)"
 
-  private def ppm(f: Double): Long = (f * Sampling.Buckets).toLong
+  private[queries] def ppm(f: Double): Long = (f * Sampling.Buckets).toLong
 
   private val mixtureThresholdSql =
     mixture.foldLeft(ppm(mixtureDefault).toString) {

@@ -119,9 +119,13 @@ object TextQueries {
   private val distinctRatio = roundPortableSql(
     "LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE / LEN(STRING_SPLIT(text, ' '))", 4)
 
-  /** Stage-1-3 CTEs shared by both curation oracles. */
-  private def curationCtes: String =
-    s"""WITH feat AS (
+  /** Curation FEATURE CTEs (`feat`, `kept` — stages 1-2 plus the
+    * content hash) over an arbitrary `(doc_id, text)` source — THE
+    * single SQL spelling of the feature/filter stages, shared by the
+    * curation oracles here and the training-data capstone
+    * ([[TrainingDataQueries]], which runs stage 3 per crawl wave). */
+  private[queries] def curationFeatureCtes(src: String): String =
+    s"""feat AS (
             SELECT doc_id, text,
               CASE
                 WHEN $hitsEn > 0 AND $hitsEn >= GREATEST($hitsEs, $hitsFr, $hitsDe) THEN 'en'
@@ -136,10 +140,14 @@ object TextQueries {
                 + ($hitsEn / 5.0) * 0.2""", 4)} AS quality,
               CAST($wsToks AS BIGINT) AS n_tokens,
               MD5(text) AS content_hash
-            FROM documents),
+            FROM $src),
           kept AS (
             SELECT * FROM feat
-            WHERE pred_lang IN ('en') AND quality >= 0.3 AND n_tokens >= 5),
+            WHERE pred_lang IN ('en') AND quality >= 0.3 AND n_tokens >= 5)"""
+
+  /** Stage-1-3 CTEs shared by both curation oracles. */
+  private def curationCtes: String =
+    s"""WITH ${curationFeatureCtes("documents")},
           canon AS (
             SELECT content_hash, MIN(doc_id) AS doc_id
             FROM kept GROUP BY content_hash),

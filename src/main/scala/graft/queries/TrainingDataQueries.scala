@@ -1,0 +1,144 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Packing, Sampling, TextDedup}
+import graft.sources.Scan
+
+/** The training-data CAPSTONE: the full crawl-ingest flow — curate →
+  * dedup-against-index → append survivors → pack → split — as ONE
+  * hash-gated query (`q_training_data_e2e`), the extension-brief analog
+  * of `q_orchestrator_e2e`. Every stage is individually gated elsewhere;
+  * what only this entry catches is COMPOSITION bugs: schema drift
+  * between stages, id-space collisions, an append whose effect the next
+  * stage silently fails to see.
+  *
+  * Shape: the even-id half of `documents` plays the existing corpus
+  * (signed into a persisted minhash index); the odd half arrives as two
+  * crawl WAVES (doc_id % 4 = 1, then 3). Each wave is curated
+  * ([[Curation.curate]]: lang/quality filter → exact dedup → in-wave
+  * near-dup removal), deduped against the LOADED index, and its accepted
+  * docs are APPENDED (tagged — the exactly-once staged-commit path)
+  * before the next wave loads. The append is LOAD-BEARING in the output:
+  * wave-B docs near-duplicating wave-A survivors are dropped only
+  * because wave A's commit landed — a lost append changes the accepted
+  * set and fails the hash gate. Accepted docs then get train/val/test
+  * splits ([[Sampling.withSplit]]) and 2048-token packing offsets
+  * ([[Packing.withPackingBins]] — the distributed prefix sum).
+  *
+  * Oracle: the existing exact-SQL spellings composed — curation feature
+  * CTEs ([[TextQueries.curationFeatureCtes]]) with per-wave stage-3
+  * canon, one global exact-Jaccard pair relation
+  * ([[DedupQueries.jaccardPairCtes]]) driving in-wave keep-first drops
+  * AND both against-index stages, the md5 split buckets
+  * ([[MixtureQueries.bucketSql]]), and the window cumsum for packing.
+  * Valid in the shared every-LSH-oracle regime: 100% LSH recall on the
+  * testdata corpus (measured; threshold 0.7).
+  */
+object TrainingDataQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val trainingDataE2E: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+    val idxPath = SnapshotPaths.dirFor("e2e_index", dir, s)
+    // the pre-existing corpus, signed once (save wipes stale commits,
+    // so re-runs in one session start from the same index state)
+    TextDedup.saveMinhashIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
+
+    // one crawl wave: curate, drop docs already in the (current) index,
+    // fold the accepted survivors in for the NEXT wave to see
+    def ingestWave(wave: Int, tag: String): DataFrame = {
+      val curated = Curation.curate(
+        docs.filter(col("doc_id") % 4 === wave), "doc_id", "text")
+      val dupIds = TextDedup.minhashLshAgainstIndex(
+          curated, "doc_id", "text",
+          TextDedup.loadMinhashIndex(s, idxPath), threshold = 0.7)
+        .select(col("new_id").as("doc_id")).distinct()
+      val accepted = curated.join(dupIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true) // feeds the append AND the final output
+      TextDedup.appendToMinhashIndex(
+        accepted, "doc_id", "text", idxPath, commitTag = Some(tag))
+      accepted
+    }
+    val accepted = ingestWave(1, "wave_a").unionByName(ingestWave(3, "wave_b"))
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        col("n_tokens"), col("text"))
+      .localCheckpoint(true) // consumed by split AND packing
+
+    val packed = Packing.withPackingBins(
+      accepted.select(col("doc_id"), col("n_tokens")),
+      "doc_id", "n_tokens", budget = 2048)
+      .select(col("doc_id"), col("start_offset"), col("bin"), col("bin_offset"))
+    Sampling.withSplit(accepted, "doc_id")
+      .join(packed, Seq("doc_id"))
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        col("n_tokens"), col("split"), col("start_offset"),
+        col("bin"), col("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    "q_training_data_e2e" -> trainingDataE2E)
+
+  import MixtureQueries.{bucketSql, ppm}
+
+  val oracles: ListMap[String, String] = ListMap(
+    // the composed exact spelling; see the object doc for the mapping
+    "q_training_data_e2e" ->
+      s"""WITH ${TextQueries.curationFeatureCtes(
+             "(SELECT * FROM documents WHERE doc_id % 2 = 1)")},
+          canon AS (
+            SELECT doc_id % 4 AS wave, content_hash, MIN(doc_id) AS doc_id
+            FROM kept GROUP BY doc_id % 4, content_hash),
+          surv AS (
+            SELECT k.doc_id, k.pred_lang, k.quality, k.n_tokens
+            FROM kept k JOIN canon c
+              ON k.content_hash = c.content_hash AND k.doc_id = c.doc_id),
+          ${DedupQueries.jaccardPairCtes("(SELECT doc_id, text FROM documents)")},
+          jp AS (
+            SELECT d1, d2 FROM ip
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+          sym AS (SELECT d1, d2 FROM jp
+                  UNION ALL SELECT d2 AS d1, d1 AS d2 FROM jp),
+          s4drop AS (
+            SELECT DISTINCT jp.d2 AS doc_id
+            FROM jp
+            JOIN surv a ON a.doc_id = jp.d1
+            JOIN surv b ON b.doc_id = jp.d2
+            WHERE jp.d1 % 4 = jp.d2 % 4),
+          cur AS (SELECT * FROM surv
+                  WHERE doc_id NOT IN (SELECT doc_id FROM s4drop)),
+          acc_a AS (
+            SELECT * FROM cur WHERE doc_id % 4 = 1
+              AND NOT EXISTS (SELECT 1 FROM sym
+                              WHERE sym.d1 = cur.doc_id AND sym.d2 % 2 = 0)),
+          acc_b AS (
+            SELECT * FROM cur WHERE doc_id % 4 = 3
+              AND NOT EXISTS (
+                SELECT 1 FROM sym
+                WHERE sym.d1 = cur.doc_id
+                  AND (sym.d2 % 2 = 0
+                       OR sym.d2 IN (SELECT doc_id FROM acc_a)))),
+          acc AS (SELECT * FROM acc_a UNION ALL SELECT * FROM acc_b),
+          packed AS (
+            SELECT doc_id, pred_lang, quality, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) - n_tokens AS start_offset
+            FROM acc)
+          SELECT doc_id, pred_lang, quality, n_tokens,
+                 CASE WHEN ${bucketSql("split")} < ${ppm(0.05)} THEN 'val'
+                      WHEN ${bucketSql("split")} < ${2 * ppm(0.05)} THEN 'test'
+                      ELSE 'train' END AS split,
+                 start_offset,
+                 start_offset // 2048 AS bin,
+                 start_offset % 2048 AS bin_offset
+          FROM packed ORDER BY doc_id""")
+}

@@ -202,6 +202,28 @@ class PlanShapeSpec extends SparkSpec {
       s"the index relation itself reshuffled:\n$plan")
   }
 
+  test("training-data capstone: final assembly has no cartesian and bounded exchanges") {
+    // the e2e chain's per-stage plans are asserted by the curation /
+    // incremental-dedup tests above; what composition can newly break is
+    // the FINAL assembly (accepted ∪ accepted → split → packing join) —
+    // a lost join key degrading to a nested-loop product, or the packing
+    // prefix-sum re-shuffling more than its one range partition + the
+    // O(partitions) subtotal exchange
+    val out = graft.queries.TrainingDataQueries.trainingDataE2E(
+      spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"capstone assembly degraded to a cross join:\n$plan")
+    // split is a pure projection (no exchange); packing contributes its
+    // range partition + subtotal exchanges; the doc_id join and final
+    // orderBy add at most a handful — anything past this bound means a
+    // stage re-shuffled data another stage had already placed
+    val shuffles = "Exchange ".r.findAllIn(plan).length
+    assert(shuffles <= 8,
+      s"capstone assembly shuffled $shuffles times:\n$plan")
+  }
+
   test("partitionsFor tracks rows between the core floor and the 6x-cores cap") {
     import graft.GraftSession.partitionsFor
     assert(partitionsFor(0L, 32) == 32)            // tiny input → full parallelism
