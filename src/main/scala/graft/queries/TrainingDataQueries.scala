@@ -42,9 +42,14 @@ object TrainingDataQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val trainingDataE2E: Q = (s, dir) => {
-    val docs = Scan.table(s, dir, "documents")
-    val idxPath = SnapshotPaths.dirFor("e2e_index", dir, s)
+  /** The flow itself, shared verbatim by the gated query and
+    * ScaleBench's `training_e2e` row (one spelling — the bench can
+    * never drift from what the oracle gates). Signs the even-id half
+    * into `idxPath`, ingests the two odd-id waves, returns the
+    * accepted set with split + packing columns (unordered — the query
+    * adds its total ORDER BY). */
+  def ingestFlow(docs: DataFrame, idxPath: String): DataFrame = {
+    val s = docs.sparkSession
     // the pre-existing corpus, signed once (save wipes stale commits,
     // so re-runs in one session start from the same index state)
     TextDedup.saveMinhashIndex(
@@ -79,8 +84,12 @@ object TrainingDataQueries {
       .select(col("doc_id"), col("pred_lang"), col("quality"),
         col("n_tokens"), col("split"), col("start_offset"),
         col("bin"), col("bin_offset"))
-      .orderBy(col("doc_id"))
   }
+
+  val trainingDataE2E: Q = (s, dir) =>
+    ingestFlow(Scan.table(s, dir, "documents"),
+        SnapshotPaths.dirFor("e2e_index", dir, s))
+      .orderBy(col("doc_id"))
 
   val queries: ListMap[String, Q] = ListMap(
     "q_training_data_e2e" -> trainingDataE2E)
