@@ -55,6 +55,64 @@ private[graft] object IndexFs {
       throw new java.io.IOException(s"IndexFs.rename failed: $src -> $dst")
   }
 
+  /** No-clobber directory rename — the commit step of [[stagedAppend]].
+    * Returns true when THIS call moved `src` to `dst`; false when `dst`
+    * already exists (a same-tag writer won the race). Built on
+    * `FileContext.rename` with `Rename.NONE`, whose contract REJECTS an
+    * existing destination — unlike `FileSystem.rename`, which on
+    * HDFS-like filesystems moves the source INTO an existing destination
+    * directory (nesting the loser's data as `dst/<srcName>` while
+    * returning true — the silent-wrong outcome for two same-tag
+    * writers). Schemes with no `AbstractFileSystem` binding fall back to
+    * a guarded `FileSystem.rename` with existence re-checks; there the
+    * no-clobber window narrows to the rename call itself, so same-tag
+    * concurrency is detected best-effort and the formal contract stays
+    * single-writer-per-tag (see [[stagedAppend]]). */
+  def renameNoClobber(spark: SparkSession, src: String, dst: String): Boolean = {
+    val f = fs(spark, src)
+    val srcP = f.makeQualified(new HPath(src))
+    val dstP = f.makeQualified(new HPath(dst))
+    val parent = dstP.getParent
+    if (parent != null && !f.exists(parent)) f.mkdirs(parent)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        srcP.toUri, spark.sparkContext.hadoopConfiguration)
+      try { fc.rename(srcP, dstP); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (f.exists(dstP)) false
+        else if (f.rename(srcP, dstP)) true
+        else if (f.exists(dstP)) false // lost the race inside the rename
+        else throw new java.io.IOException(
+          s"IndexFs.renameNoClobber failed: $src -> $dst")
+    }
+  }
+
+  /** A tag counts as committed when its commit dir is present (landed,
+    * not yet folded) OR its tombstone survives under `committed/`
+    * (landed, then folded into the base by a compaction) — the
+    * replay-protection check that OUTLIVES the commit dir. Before r9
+    * this keyed on `commits/<tag>` alone, so a batch replayed after a
+    * compaction re-appended its rows (duplicates) and, load-side, could
+    * no longer exclude its own folded-in data. */
+  def isCommitted(spark: SparkSession, path: String, tag: String): Boolean =
+    exists(spark, s"$path/commits/$tag") || exists(spark, s"$path/committed/$tag")
+
+  /** Zero-byte tombstone recording that `tag` landed and was folded;
+    * written by compaction BEFORE it deletes `commits/<tag>`, so there
+    * is no instant at which a landed tag reads as uncommitted. One tiny
+    * file per folded tag accumulates under `committed/` for the index's
+    * lifetime — the price of replay protection with no bounded-replay
+    * horizon assumption; a `save*Index` full rebuild wipes the whole
+    * tag namespace (commits, staged, committed) together. */
+  def markCommitted(spark: SparkSession, path: String, tag: String): Unit = {
+    requireValidTag(tag)
+    val f = fs(spark, path)
+    val p = new HPath(s"$path/committed/$tag")
+    if (!f.exists(p)) { f.create(p, true).close() }
+  }
+
   /** Names of the immediate child DIRECTORIES of `path` (empty when the
     * path is absent) — how maintenance enumerates landed commits. */
   def listDirNames(spark: SparkSession, path: String): Seq[String] = {
@@ -73,26 +131,38 @@ private[graft] object IndexFs {
       s"commit tag must be a [A-Za-z0-9._-]+ path segment, got '$tag'")
 
   /** The exactly-once half of index appends: write every relation of
-    * the batch under `staged/<tag>/`, then commit with ONE directory
-    * rename to `commits/<tag>/` (atomic on HDFS-like filesystems — see
-    * the object-store caveat above). Idempotent per tag: if the commit
-    * dir already exists the batch landed in a prior attempt and NOTHING
-    * is written (returns false); a crash before the rename leaves only
-    * a `staged/` orphan that the next attempt overwrites. There is no
-    * half-appended state — either every relation of the batch is
-    * visible or none is. */
+    * the batch under `staged/<tag>/`, then commit with ONE no-clobber
+    * directory rename to `commits/<tag>/` (atomic on HDFS-like
+    * filesystems — see the object-store caveat above). Idempotent per
+    * tag ACROSS compactions: if the tag [[isCommitted]] — its commit
+    * dir is live, or only its tombstone survives a fold — the batch
+    * landed in a prior attempt and NOTHING is written (returns false);
+    * a crash before the rename leaves only a `staged/` orphan that the
+    * next attempt overwrites (and that compaction eventually reaps).
+    * There is no half-appended state — either every relation of the
+    * batch is visible or none is.
+    *
+    * Concurrency: writers of DISTINCT tags never share a staged or
+    * commit dir and may run fully concurrently (spec-proven). Two
+    * writers of the SAME tag are formally out of contract (they would
+    * interleave inside one staged dir); the commit step still resolves
+    * the detectable outcomes — a loser whose rename finds the dest
+    * already present gets `false` (a lost race, not an error, and never
+    * the nested `commits/<tag>/<tag>` layout `FileSystem.rename` would
+    * produce — see [[renameNoClobber]]) and its staged copy is
+    * discarded: the winner's commit IS this batch. */
   def stagedAppend(spark: SparkSession, path: String, tag: String,
       relations: Seq[(String, org.apache.spark.sql.DataFrame)]): Boolean = {
     requireValidTag(tag)
-    val commitDir = s"$path/commits/$tag"
-    if (exists(spark, commitDir)) return false
+    if (isCommitted(spark, path, tag)) return false
     val stageDir = s"$path/staged/$tag"
     deleteRecursively(spark, stageDir)
     relations.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$stageDir/$name")
     }
-    rename(spark, stageDir, commitDir)
-    true
+    val landed = renameNoClobber(spark, stageDir, s"$path/commits/$tag")
+    if (!landed) deleteRecursively(spark, stageDir)
+    landed
   }
 
   /** Parquet dirs holding relation `name` of the index at `path`: the

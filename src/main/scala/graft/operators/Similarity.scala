@@ -191,6 +191,7 @@ object Similarity {
     val spark = corpus.sparkSession
     IndexFs.deleteRecursively(spark, s"$path/commits")
     IndexFs.deleteRecursively(spark, s"$path/staged")
+    IndexFs.deleteRecursively(spark, s"$path/committed")
     saveIndex(
       kmeansCentroids(corpus, corpusVec, nCentroids, seed, maxIter, sampleRows),
       s"$path/centroids")
@@ -231,8 +232,9 @@ object Similarity {
   def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String, commitTag: Option[String] = None): Boolean = {
     val spark = newVecs.sparkSession
-    if (commitTag.exists(t => IndexFs.exists(spark, s"$path/commits/$t")))
-      return false // already landed — skip even the assignment
+    if (commitTag.exists(t => IndexFs.isCommitted(spark, path, t)))
+      return false // already landed (live commit OR folded tombstone) —
+                   // skip even the assignment
     val (ids, vecs) = centroidKernel(loadIndex(spark, s"$path/centroids"))
     val cells = cellRows(newVecs, idCol, vecCol, ids, vecs)
     commitTag match {
@@ -243,8 +245,10 @@ object Similarity {
 
   /** Reload a [[saveIvfIndex]]-written index: centroids plus the cell
     * relation unioned across base and landed commits. `excludeCommits`
-    * hides specific append tags for deterministic batch replay (see
-    * [[graft.operators.TextDedup.loadMinhashIndex]]). */
+    * hides specific append tags for deterministic batch replay — only
+    * until a compaction folds the tag; window and tombstone semantics
+    * as documented on
+    * [[graft.operators.TextDedup.loadMinhashIndex]]. */
   def loadIvfIndex(spark: SparkSession, path: String,
       excludeCommits: Set[String] = Set.empty): IvfIndex =
     IvfIndex(

@@ -240,6 +240,7 @@ object TextDedup {
     val spark = docs.sparkSession
     IndexFs.deleteRecursively(spark, s"$path/commits")
     IndexFs.deleteRecursively(spark, s"$path/staged")
+    IndexFs.deleteRecursively(spark, s"$path/committed")
     val idx = buildMinhashIndex(docs, idCol, textCol, n, k, bands)
     idx.bands.write.mode("overwrite").parquet(s"$path/bands")
     idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
@@ -282,8 +283,12 @@ object TextDedup {
     *  - `Some(tag)` — EXACTLY-ONCE per tag via [[stagedAppend]]: the
     *    batch's relations stage under `staged/<tag>/` and land with one
     *    atomic directory rename to `commits/<tag>/`; a replay of an
-    *    already-landed tag writes nothing and returns false. Because
-    *    commits live BESIDE the base relations, a concurrent
+    *    already-landed tag writes nothing and returns false — INCLUDING
+    *    after a compaction folded the tag into the base, because the
+    *    fold leaves a `committed/<tag>` tombstone that
+    *    [[graft.operators.IndexFs.isCommitted]] honors (r9; previously
+    *    idempotence died with the commit dir). Because commits live
+    *    BESIDE the base relations, a concurrent
     *    [[compactMinhashIndex]] can never swap a just-landed batch
     *    away — compaction folds only the commits it listed at start and
     *    deletes exactly those. This is the streaming/crawl-loop mode
@@ -306,8 +311,9 @@ object TextDedup {
   def appendToMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
       path: String, commitTag: Option[String] = None): Boolean = {
     val spark = newDocs.sparkSession
-    if (commitTag.exists(t => IndexFs.exists(spark, s"$path/commits/$t")))
-      return false // already landed — skip even the batch signing
+    if (commitTag.exists(t => IndexFs.isCommitted(spark, path, t)))
+      return false // already landed (live commit OR folded tombstone) —
+                   // skip even the batch signing
     val m = spark.read.parquet(s"$path/meta").head()
     val idx = buildMinhashIndex(newDocs, idCol, textCol,
       m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"))
@@ -335,6 +341,11 @@ object TextDedup {
     * commit dirs into the base), and (c) the `commits/` listing itself.
     * Distinct DOCUMENTS sharing an id are an id-space violation (see
     * [[minhashLshAgainstIndex]]) and are NOT merged.
+    *
+    * Folded tags leave `committed/<tag>` tombstones
+    * ([[graft.operators.IndexFs.markCommitted]]) so replay protection
+    * SURVIVES the fold; orphaned `staged/` dirs from crashed appends
+    * are reaped (see [[compactIndex]]).
     *
     * Concurrency contract: TAGGED appends may run concurrently with
     * compaction — the commit set is snapshotted up front, only those
@@ -373,6 +384,7 @@ object TextDedup {
       relations: Seq[String], widths: Long => Seq[Int],
       afterSnapshot: () => Unit = () => ()): Unit = {
     val folded = IndexFs.listDirNames(spark, s"$path/commits")
+    val stagedAtStart = IndexFs.listDirNames(spark, s"$path/staged")
     afterSnapshot()
     def read(name: String): DataFrame = spark.read.parquet(
       (s"$path/$name" +: folded.map(t => s"$path/commits/$t/$name")): _*)
@@ -380,7 +392,24 @@ object TextDedup {
     relations.zip(ws).foreach { case (name, w) =>
       writeThenSwap(read(name).distinct().repartition(w), s"$path/$name")
     }
-    folded.foreach(t => IndexFs.deleteRecursively(spark, s"$path/commits/$t"))
+    // tombstone BEFORE delete: a replay arriving between the two still
+    // reads the tag as committed — there is no instant at which a folded
+    // tag could re-append (the r8 gap: idempotence keyed on the very
+    // commit dirs this loop deletes)
+    folded.foreach { t =>
+      IndexFs.markCommitted(spark, path, t)
+      IndexFs.deleteRecursively(spark, s"$path/commits/$t")
+    }
+    // reap staged/ orphans from crashed appends (staged, never renamed,
+    // never retried — they'd otherwise accumulate forever). Only dirs
+    // already present when the compact STARTED and still uncommitted
+    // now qualify: an append that began mid-compact is not in the
+    // snapshot. The residual race — a first attempt staged before this
+    // compact began and still mid-write now — fails LOUDLY (its commit
+    // rename finds no staged dir) and its retry lands cleanly.
+    stagedAtStart
+      .filterNot(t => IndexFs.exists(spark, s"$path/commits/$t"))
+      .foreach(t => IndexFs.deleteRecursively(spark, s"$path/staged/$t"))
   }
 
   /** Durably write `df` to a temp sibling of `dir`, then swap it in:
@@ -413,7 +442,18 @@ object TextDedup {
     * never the caller. `excludeCommits` hides specific append tags —
     * how a replayed streaming batch reads the index exactly as its
     * first execution did (see
-    * [[graft.streaming.StreamingOps.incrementalDedupStream]]). */
+    * [[graft.streaming.StreamingOps.incrementalDedupStream]]).
+    *
+    * Exclusion can hide only commits NOT YET folded: once a compaction
+    * folds a tag into the base, its rows are indistinguishable there
+    * and the pre-append state genuinely cannot be reconstructed. The
+    * APPEND side stays exactly-once across the fold (tombstones —
+    * [[appendToMinhashIndex]]), so the index is never corrupted; what
+    * the fold bounds is byte-determinism of a REPLAYED batch's own
+    * output, which may then see self-matches its first execution
+    * lacked. Operators needing replay determinism should compact on a
+    * cadence longer than their replay horizon (e.g. checkpoint
+    * retention). */
   def loadMinhashIndex(spark: SparkSession, path: String,
       excludeCommits: Set[String] = Set.empty): MinhashIndex = {
     val m = spark.read.parquet(s"$path/meta").head()
@@ -1064,6 +1104,7 @@ object TextDedup {
       requireRecallTarget: Boolean = false): Unit = {
     IndexFs.deleteRecursively(vecs.sparkSession, s"$path/commits")
     IndexFs.deleteRecursively(vecs.sparkSession, s"$path/staged")
+    IndexFs.deleteRecursively(vecs.sparkSession, s"$path/committed")
     val idx = buildEmbeddingIndex(vecs, idCol, vecCol, threshold, bits, tables,
       seed, dim, requireRecallTarget)
     idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
@@ -1093,8 +1134,9 @@ object TextDedup {
       vecCol: String, path: String,
       commitTag: Option[String] = None): Boolean = {
     val spark = newVecs.sparkSession
-    if (commitTag.exists(t => IndexFs.exists(spark, s"$path/commits/$t")))
-      return false // already landed — skip even the batch bucketing
+    if (commitTag.exists(t => IndexFs.isCommitted(spark, path, t)))
+      return false // already landed (live commit OR folded tombstone) —
+                   // skip even the batch bucketing
     val idx = loadEmbeddingIndex(spark, path)
     val buckets =
       srpBucketRows(newVecs, idCol, vecCol, idx.bits, idx.tables, idx.seed, idx.dim)
@@ -1130,7 +1172,10 @@ object TextDedup {
   /** Reload a [[saveEmbeddingIndex]]-written index (base relations plus
     * every landed commit); parameters come from the persisted meta row,
     * never the caller. `excludeCommits` hides specific append tags for
-    * deterministic batch replay (see [[loadMinhashIndex]]). */
+    * deterministic batch replay — only until a compaction folds the
+    * tag; the determinism window and the tombstone-backed append
+    * idempotence that outlives it are documented on
+    * [[loadMinhashIndex]]. */
   def loadEmbeddingIndex(spark: SparkSession, path: String,
       excludeCommits: Set[String] = Set.empty): EmbeddingIndex = {
     val m = spark.read.parquet(s"$path/meta").head()

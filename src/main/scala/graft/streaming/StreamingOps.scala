@@ -205,18 +205,25 @@ object StreamingOps {
     * match nothing in the index, and without this both copies would
     * enter the corpus forever.
     *
-    * Replay semantics (r8: EXACTLY-ONCE end to end, per batch id): the
-    * pairs output overwrites its own `batch_<id>` dir; the index append
-    * is keyed by commit tag `batch_<id>` (staged dir + one atomic
-    * rename — [[graft.operators.TextDedup.appendToMinhashIndex]]), so a
-    * replayed batch appends nothing; and the index is LOADED excluding
-    * that same tag, so a replay whose first append already landed still
-    * reads the index exactly as the original execution did — its
-    * rewritten `batch_<id>` output is byte-identical (no self-match
-    * pairs), spec-proven in StreamingOpsSpec. The batch-keyed commit
-    * also makes the fold-in safe against a concurrent index compaction
-    * (commit dirs are never swapped away — see
-    * [[graft.operators.TextDedup.compactMinhashIndex]]). */
+    * Replay semantics (r8, hardened r9): APPENDS are exactly-once per
+    * batch id across the index's whole lifetime — the commit tag
+    * `batch_<id>` (staged dir + one atomic rename —
+    * [[graft.operators.TextDedup.appendToMinhashIndex]]) stays
+    * recognized even after a compaction folds the commit, via the
+    * `committed/` tombstones compaction leaves behind; a replayed
+    * batch never re-appends. OUTPUT byte-determinism of a replay has a
+    * window: the pairs output overwrites its own `batch_<id>` dir and
+    * the index is LOADED excluding the batch's own tag, so a replay
+    * whose first append already landed reads the index exactly as the
+    * original execution did (byte-identical rewrite, no self-match
+    * pairs — spec-proven in StreamingOpsSpec) — UNTIL a compaction
+    * folds that tag into the base, after which the batch's own rows
+    * can no longer be excluded and a replay may emit self-match pairs.
+    * Schedule compaction on a cadence longer than the replay horizon
+    * (checkpoint retention) when byte-stable replays matter. The
+    * batch-keyed commit also makes the fold-in safe against a
+    * concurrent index compaction (commit dirs are never swapped away —
+    * see [[graft.operators.TextDedup.compactMinhashIndex]]). */
   def incrementalDedupStream(
       docs: DataFrame, indexPath: String, outDir: String,
       threshold: Double = 0.7, idCol: String = "doc_id",
