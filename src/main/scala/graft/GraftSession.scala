@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session factory with the engine's required settings.
   *
@@ -50,6 +50,46 @@ object GraftSession {
   /** [[partitionsFor]] with cores from the session. */
   def partitionsFor(spark: SparkSession, nRows: Long): Int =
     partitionsFor(nRows, spark.sparkContext.defaultParallelism)
+
+  /** Conf key selecting the scratch strategy for [[pin]]: unset (the
+    * default) pins with `localCheckpoint(eager = true)` — executor
+    * block storage, the fastest choice in local mode and on healthy
+    * clusters; set to a directory URI, pins round-trip through parquet
+    * under it — CLUSTER-DURABLE scratch that survives executor loss,
+    * the right choice for long multi-stage jobs on preemptible fleets
+    * (a lost executor invalidates localCheckpoint blocks and kills the
+    * job, because truncated lineage cannot recompute). The caller owns
+    * the directory's lifecycle (point it at job-temp storage). */
+  val ScratchDirKey = "spark.graft.scratchDir"
+
+  /** Materialize an intermediate that is consumed more than once (or
+    * must be frozen before its inputs mutate — the dedup operators'
+    * signature pinning), cutting lineage either way. THE single scratch
+    * seam: every composed operator pins through here, so switching
+    * [[ScratchDirKey]] moves the whole engine between local-fast and
+    * cluster-durable scratch with no operator changes — spec-proven
+    * equivalent (GraftSessionSpec).
+    *
+    * Contract: pin preserves VALUES, not physical structure — the
+    * parquet strategy reassembles partitions by file-size bin-packing
+    * and keeps no ordering. An operator whose later passes read the
+    * materialized frame's partition index or within-partition order
+    * (e.g. [[graft.operators.Packing]]'s prefix sum) must materialize
+    * with `localCheckpoint` itself, not through this seam. */
+  def pin(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(ScratchDirKey) match {
+      case Some(root) =>
+        val path = s"$root/pin-${java.util.UUID.randomUUID().toString}"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
+
+  /** `.pinScratch()` — the postfix spelling of [[pin]], so call sites
+    * read like the `.localCheckpoint(true)` chains they replace. */
+  implicit final class Pinnable(private val df: DataFrame) extends AnyVal {
+    def pinScratch(): DataFrame = pin(df)
+  }
 
   /** Runs `body`, then releases every RDD persisted DURING it (the
     * localCheckpoint scratch the dedup/similarity operators materialize).

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.GraftSession.Pinnable
 import graft.functions.TextAnalysis._
 
 /** The composed training-data curation pipeline — the end-to-end shape a
@@ -73,7 +74,7 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String,
       cfg: Config): (DataFrame, DataFrame) = {
     val surviving = filterAndExactDedup(docs, idCol, textCol, cfg)
-      .localCheckpoint(true)
+      .pinScratch()
     val nearDups = TextDedup.minhashLsh(
       surviving, idCol, textCol, n = cfg.shingleSize,
       threshold = cfg.nearDupThreshold, maxBucketSize = cfg.maxBucketSize,

@@ -14,16 +14,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Semantics that maintenance protocols lean on: on HDFS-like
   * filesystems (HDFS, local, ABFS) `rename` of a directory is a single
-  * atomic metadata operation — the commit primitive of both
-  * [[TextDedup]]'s write-then-swap and its staged append. Object stores
-  * (S3A) emulate rename as an O(data) copy-and-delete with NO
-  * atomicity; there the right protocol is versioned directories plus a
-  * marker-file commit (write `<dir>.v<N>/`, then PUT a tiny
-  * `<dir>.current` pointer naming it — the pointer PUT is the atomic
-  * step), which this layer deliberately does not hide behind the same
-  * API: a swap that is atomic on one store and silently not on another
-  * is worse than an explicit contract. Callers document which regime
-  * they assume.
+  * atomic metadata operation — the commit primitive of both the
+  * relation publish and the staged append. Object stores (S3A) emulate
+  * rename as an O(data) copy-and-delete with NO atomicity; for them
+  * [[publishRelation]] implements the versioned-dir + marker-file
+  * protocol (write `<dir>.v<N>/`, then PUT a tiny `<dir>.current`
+  * pointer naming it — the pointer PUT is the atomic step, and readers
+  * resolve through [[resolveDir]]), selected per deployment by
+  * [[CommitProtocolKey]] or by scheme. The two protocols share one
+  * read path but are NOT interchangeable on the same index: pick one
+  * per deployment (spec-proven equivalent on the same data —
+  * IndexFsSpec / TextDedupSpec protocol twins).
   */
 private[graft] object IndexFs {
 
@@ -81,36 +82,251 @@ private[graft] object IndexFs {
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (f.exists(dstP)) false
-        else if (f.rename(srcP, dstP)) true
-        else if (f.exists(dstP)) false // lost the race inside the rename
-        else throw new java.io.IOException(
-          s"IndexFs.renameNoClobber failed: $src -> $dst")
+        renameNoClobberFallback(f, srcP, dstP)
+    }
+  }
+
+  /** The no-`AbstractFileSystem` fallback of [[renameNoClobber]],
+    * factored out so its race resolution is directly testable. The
+    * hazard it closes: two same-tag writers can both pass the exists
+    * pre-check, after which `FileSystem.rename` moves the LOSER's
+    * source INTO the just-created destination (as `dst/<srcName>`) and
+    * still returns true — exactly the silent-wrong nesting the
+    * `FileContext` path rejects by contract. Detection: a clean move
+    * leaves `dst`'s child set equal to `src`'s; nesting leaves
+    * `dst/<srcName>` holding it instead. A detected nesting is resolved
+    * as a lost race (the loser's nested copy is deleted, returns
+    * false — the winner's commit IS the batch); any other unexpected
+    * destination layout throws rather than reading as success. */
+  private[graft] def renameNoClobberFallback(
+      f: FileSystem, srcP: HPath, dstP: HPath,
+      /** Test seam: runs between the exists pre-check and the rename —
+        * the race window this fallback's detection exists for. */
+      beforeRename: () => Unit = () => ()): Boolean = {
+    if (f.exists(dstP)) return false
+    val srcChildren = f.listStatus(srcP).map(_.getPath.getName).toSet
+    beforeRename()
+    if (!f.rename(srcP, dstP)) {
+      if (f.exists(dstP)) return false // lost the race inside the rename
+      throw new java.io.IOException(
+        s"IndexFs.renameNoClobber failed: $srcP -> $dstP")
+    }
+    val dstChildren = f.listStatus(dstP).map(_.getPath.getName).toSet
+    if (dstChildren == srcChildren) true
+    else {
+      val nested = new HPath(dstP, srcP.getName)
+      if (f.exists(nested) && f.getFileStatus(nested).isDirectory &&
+          f.listStatus(nested).map(_.getPath.getName).toSet == srcChildren) {
+        f.delete(nested, true); false
+      } else throw new java.io.IOException(
+        s"IndexFs.renameNoClobber: unexpected destination layout after " +
+          s"fallback rename $srcP -> $dstP (children $dstChildren, " +
+          s"expected $srcChildren) — manual inspection required")
     }
   }
 
   /** A tag counts as committed when its commit dir is present (landed,
-    * not yet folded) OR its tombstone survives under `committed/`
-    * (landed, then folded into the base by a compaction) — the
-    * replay-protection check that OUTLIVES the commit dir. Before r9
-    * this keyed on `commits/<tag>` alone, so a batch replayed after a
-    * compaction re-appended its rows (duplicates) and, load-side, could
-    * no longer exclude its own folded-in data. */
+    * not yet folded), OR its tombstone survives under `committed/`
+    * (landed, then folded into the base by a compaction), OR it is
+    * recorded in the folded-tombstone relation ([[foldTombstones]]) —
+    * the replay-protection check that OUTLIVES both the commit dir and
+    * the per-tag tombstone file. Before r9 this keyed on
+    * `commits/<tag>` alone, so a batch replayed after a compaction
+    * re-appended its rows (duplicates) and, load-side, could no longer
+    * exclude its own folded-in data. */
   def isCommitted(spark: SparkSession, path: String, tag: String): Boolean =
-    exists(spark, s"$path/commits/$tag") || exists(spark, s"$path/committed/$tag")
+    exists(spark, s"$path/commits/$tag") ||
+      exists(spark, s"$path/committed/$tag") ||
+      foldedTags(spark, path).contains(tag)
 
   /** Zero-byte tombstone recording that `tag` landed and was folded;
     * written by compaction BEFORE it deletes `commits/<tag>`, so there
-    * is no instant at which a landed tag reads as uncommitted. One tiny
-    * file per folded tag accumulates under `committed/` for the index's
-    * lifetime — the price of replay protection with no bounded-replay
-    * horizon assumption; a `save*Index` full rebuild wipes the whole
-    * tag namespace (commits, staged, committed) together. */
+    * is no instant at which a landed tag reads as uncommitted. Per-tag
+    * files are transient: each compaction ends by folding them into one
+    * versioned `_folded-<n>` text file ([[foldTombstones]]), so
+    * `committed/` stays O(1) files at any append cadence — at a
+    * tag-per-15-minutes crawl loop, the unfolded r9 scheme grew ~35k
+    * listing entries per year per index, an FS-listing hazard on object
+    * stores. A `save*Index` full rebuild wipes the whole tag namespace
+    * (commits, staged, committed — fold file included) together. */
   def markCommitted(spark: SparkSession, path: String, tag: String): Unit = {
     requireValidTag(tag)
     val f = fs(spark, path)
     val p = new HPath(s"$path/committed/$tag")
     if (!f.exists(p)) { f.create(p, true).close() }
+  }
+
+  /** Reserved prefix of the folded-tombstone files under `committed/`
+    * ([[requireValidTag]] keeps user tags out of this namespace). */
+  private val FoldedPrefix = "_folded-"
+
+  /** Tags recorded in the NEWEST folded-tombstone file (empty when none
+    * exists). Fold files are versioned `_folded-<n>`: a fold writes
+    * version n+1 (containing everything it absorbs) BEFORE deleting
+    * version n and the per-tag files, so a concurrent reader finds
+    * every folded tag in whichever version its listing surfaces. */
+  private[graft] def foldedTags(spark: SparkSession, path: String): Set[String] = {
+    val f = fs(spark, path)
+    val dir = new HPath(s"$path/committed")
+    if (!f.exists(dir)) return Set.empty
+    val folds = f.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(FoldedPrefix))
+    if (folds.isEmpty) return Set.empty
+    val latest = folds.maxBy(_.getPath.getName.stripPrefix(FoldedPrefix).toLong)
+    val in = f.open(latest.getPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** Fold the per-tag tombstone files under `committed/` into a single
+    * versioned `_folded-<n>` text file (one tag per line) — the growth
+    * bound on replay protection: recognition of every folded tag is
+    * permanent, but the FILE COUNT under `committed/` stays constant
+    * instead of growing by one per folded tag forever. Ordering makes
+    * the fold safe against concurrent [[isCommitted]] probes: the new
+    * version (a superset of the old one plus every per-tag file) is
+    * fully written before anything it absorbs is deleted, so no probe
+    * can miss a tag. Driver-side IO on driver-sized data (one line per
+    * tag ever folded). */
+  private[graft] def foldTombstones(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val dir = new HPath(s"$path/committed")
+    if (!f.exists(dir)) return
+    val entries = f.listStatus(dir).filter(_.isFile)
+    val (folds, tagFiles) =
+      entries.partition(_.getPath.getName.startsWith(FoldedPrefix))
+    if (tagFiles.isEmpty && folds.length <= 1) return // already folded
+    val union = foldedTags(spark, path) ++ tagFiles.map(_.getPath.getName)
+    val next =
+      (0L +: folds.toSeq.map(_.getPath.getName.stripPrefix(FoldedPrefix).toLong))
+        .max + 1
+    val out = f.create(new HPath(dir, FoldedPrefix + next), true)
+    try out.write((union.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // only now retire what the new version absorbed
+    (folds ++ tagFiles).foreach(s => f.delete(s.getPath, false))
+  }
+
+  /** Conf key selecting the relation-publish protocol:
+    *  - `rename` — write a tmp sibling, swap it in with directory
+    *    renames (atomic on HDFS-like filesystems; the default there).
+    *  - `marker` — write a fresh VERSIONED dir (`<dir>.v<N>`), then
+    *    atomically overwrite a tiny `<dir>.current` pointer file naming
+    *    it; the pointer PUT is the commit step. The right protocol for
+    *    object stores, where rename is a non-atomic O(data)
+    *    copy-and-delete: data dirs are never mutated in place, only
+    *    superseded, and a reader resolves through the pointer.
+    * Unset, the protocol is chosen by scheme: marker for known
+    * object-store schemes, rename otherwise. The setting is
+    * per-deployment — an index written under one protocol must be read
+    * under the same one. */
+  val CommitProtocolKey = "spark.graft.commitProtocol"
+
+  /** Schemes whose `rename` is an emulated copy (no atomicity, O(data))
+    * — these default to the marker protocol. ABFS/HDFS-like stores keep
+    * real renames. */
+  private val objectStoreSchemes = Set("s3", "s3a", "s3n", "gs", "oss", "cos")
+
+  private def useMarker(spark: SparkSession, path: String): Boolean =
+    spark.conf.getOption(CommitProtocolKey) match {
+      case Some("marker") => true
+      case Some("rename") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"$CommitProtocolKey must be 'rename' or 'marker', got '$other'")
+      case None =>
+        val scheme = new HPath(path).toUri.getScheme
+        scheme != null && objectStoreSchemes.contains(scheme.toLowerCase)
+    }
+
+  private def readSmallFile(f: FileSystem, p: HPath): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** The CURRENT physical dir of a published relation: the versioned
+    * dir the `<dir>.current` pointer names when one exists (marker
+    * protocol), else `dir` itself — every relation read goes through
+    * this, so the two protocols share one read path. */
+  def resolveDir(spark: SparkSession, dir: String): String = {
+    val ptr = new HPath(dir + ".current")
+    val f = fs(spark, dir)
+    if (!f.exists(ptr)) dir else dir + "." + readSmallFile(f, ptr)
+  }
+
+  /** Publish `df` as the new content of relation `dir` under the
+    * selected protocol ([[CommitProtocolKey]]). Rename protocol: durable
+    * write-then-swap (tmp sibling, two renames — a crash leaves old or
+    * new data intact, never neither; the two final renames are not one
+    * atomic step, so a concurrent reader can see a missing dir — an
+    * error, never partial data). Marker protocol: write `<dir>.v<N+1>`,
+    * atomically overwrite the `<dir>.current` pointer, THEN retire the
+    * superseded version — a reader that resolved before the PUT keeps
+    * reading a complete old version; one that resolves after sees the
+    * complete new one; there is no missing-dir window at all (the
+    * marker protocol is strictly stronger — it is the default only on
+    * object stores because it leaves pointer files and doubles
+    * transient storage). */
+  def publishRelation(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    if (!useMarker(spark, dir)) {
+      if (!exists(spark, dir)) { df.write.mode("overwrite").parquet(dir); return }
+      val tmp = dir + ".tmp-publish"
+      val old = dir + ".old-publish"
+      df.write.mode("overwrite").parquet(tmp)
+      deleteRecursively(spark, old)
+      rename(spark, dir, old)
+      rename(spark, tmp, dir)
+      deleteRecursively(spark, old)
+    } else {
+      val f = fs(spark, dir)
+      val ptr = new HPath(dir + ".current")
+      val cur: Option[Long] =
+        if (f.exists(ptr)) Some(readSmallFile(f, ptr).stripPrefix("v").toLong)
+        else None
+      val next = cur.getOrElse(0L) + 1
+      df.write.mode("overwrite").parquet(s"$dir.v$next")
+      val out = f.create(ptr, true) // overwrite PUT — the atomic commit
+      try out.write(s"v$next".getBytes("UTF-8")) finally out.close()
+      cur.foreach(k => deleteRecursively(spark, s"$dir.v$k"))
+      if (cur.isEmpty) deleteRecursively(spark, dir) // pre-marker plain dir
+    }
+  }
+
+  /** Remove a relation's marker-protocol state (pointer + every
+    * versioned dir) — part of a `save*Index` full rebuild, which writes
+    * the plain base dir fresh: a stale pointer from a previous
+    * incarnation's compactions must not shadow it. */
+  private[graft] def clearPublished(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val p = new HPath(dir)
+    val parent = p.getParent
+    deleteRecursively(spark, dir + ".current")
+    if (parent != null && f.exists(parent)) {
+      val prefix = p.getName + ".v"
+      f.listStatus(parent).filter(_.getPath.getName.startsWith(prefix))
+        .foreach(s => f.delete(s.getPath, true))
+    }
+  }
+
+  /** Newest modification time (epoch ms) across `path` and its children
+    * two levels deep — the recency signal the staged-orphan reaper uses.
+    * One level is not enough: a staged dir's relation subdirs are
+    * created once, but their mtimes bump as each part-file lands, so an
+    * append actively writing always reads as recent. Returns
+    * Long.MinValue for an absent path. */
+  private[graft] def newestMtime(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val p = new HPath(path)
+    if (!f.exists(p)) return Long.MinValue
+    def mtimes(q: HPath, depth: Int): Seq[Long] = {
+      val st = f.getFileStatus(q)
+      st.getModificationTime +: (
+        if (depth <= 0 || !st.isDirectory) Seq.empty
+        else f.listStatus(q).toSeq.flatMap(c => mtimes(c.getPath, depth - 1)))
+    }
+    mtimes(p, 2).max
   }
 
   /** Names of the immediate child DIRECTORIES of `path` (empty when the
@@ -123,12 +339,15 @@ private[graft] object IndexFs {
   }
 
   /** Valid commit tags are single path segments — a `/` or `..` would
-    * escape the index's `commits/` namespace. */
+    * escape the index's `commits/` namespace — and may not start with
+    * `_`, which is reserved for index metadata files (the folded
+    * tombstones under `committed/`). */
   def requireValidTag(tag: String): Unit =
     require(
-      tag.nonEmpty && tag != "." && tag != ".." &&
+      tag.nonEmpty && tag != "." && tag != ".." && !tag.startsWith("_") &&
         tag.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
-      s"commit tag must be a [A-Za-z0-9._-]+ path segment, got '$tag'")
+      s"commit tag must be a [A-Za-z0-9.-][A-Za-z0-9._-]* path segment " +
+        s"('_' prefix reserved), got '$tag'")
 
   /** The exactly-once half of index appends: write every relation of
     * the batch under `staged/<tag>/`, then commit with ONE no-clobber
@@ -152,7 +371,11 @@ private[graft] object IndexFs {
     * produce — see [[renameNoClobber]]) and its staged copy is
     * discarded: the winner's commit IS this batch. */
   def stagedAppend(spark: SparkSession, path: String, tag: String,
-      relations: Seq[(String, org.apache.spark.sql.DataFrame)]): Boolean = {
+      relations: Seq[(String, org.apache.spark.sql.DataFrame)],
+      /** Test seam: runs after the relation writes, before the commit
+        * rename — the window where external disturbance of the staged
+        * dir must be caught by the post-commit verification below. */
+      beforeCommitRename: () => Unit = () => ()): Boolean = {
     requireValidTag(tag)
     if (isCommitted(spark, path, tag)) return false
     val stageDir = s"$path/staged/$tag"
@@ -160,19 +383,39 @@ private[graft] object IndexFs {
     relations.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$stageDir/$name")
     }
+    beforeCommitRename()
     val landed = renameNoClobber(spark, stageDir, s"$path/commits/$tag")
-    if (!landed) deleteRecursively(spark, stageDir)
-    landed
+    if (!landed) { deleteRecursively(spark, stageDir); return false }
+    // Post-commit verification that the commit carries EVERY relation of
+    // the batch: anything that disturbed the staged dir mid-write (an
+    // out-of-contract concurrent writer; historically, the orphan reaper
+    // racing a slow append) would otherwise land a half-appended batch —
+    // bands without shingles — that silently violates the all-or-nothing
+    // invariant and breaks later loads. Fail LOUDLY and clear the commit
+    // (the tag has no tombstone yet), so a clean retry can land.
+    val missing = relations.map(_._1)
+      .filterNot(name => exists(spark, s"$path/commits/$tag/$name"))
+    if (missing.nonEmpty) {
+      deleteRecursively(spark, s"$path/commits/$tag")
+      throw new java.io.IOException(
+        s"IndexFs.stagedAppend: commit '$tag' landed missing relation(s) " +
+          s"${missing.mkString(", ")} — the staged dir was disturbed " +
+          "mid-write; commit removed, retry the append")
+    }
+    true
   }
 
   /** Parquet dirs holding relation `name` of the index at `path`: the
-    * base dir plus every LANDED commit's copy, minus `exclude` — the
-    * read-side contract of the staged-append protocol. Excluding a tag
-    * is what makes a replayed batch deterministic: it reads the index
-    * exactly as its first execution did, blind to its own append. */
+    * base dir (resolved through the publish pointer when the marker
+    * protocol owns it) plus every LANDED commit's copy, minus `exclude`
+    * — the read-side contract of the staged-append protocol. Excluding
+    * a tag is what makes a replayed batch deterministic: it reads the
+    * index exactly as its first execution did, blind to its own append.
+    * Commit dirs are never republished in place, so only the base
+    * resolves. */
   def relationDirs(spark: SparkSession, path: String, name: String,
       exclude: Set[String]): Seq[String] =
-    s"$path/$name" +: listDirNames(spark, s"$path/commits")
+    resolveDir(spark, s"$path/$name") +: listDirNames(spark, s"$path/commits")
       .filterNot(exclude)
       .map(tag => s"$path/commits/$tag/$name")
 }

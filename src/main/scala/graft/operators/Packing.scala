@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
+import graft.GraftSession.Pinnable
+
 /** Sequence-packing bins for LLM pretraining batch assembly (extension
   * surface): assign every document a position in a stream of
   * fixed-token-budget bins, by cumulative token count in a total key
@@ -62,6 +64,13 @@ object Packing {
 
     // (1) the ONE shuffle: range-partition on the packing order, sort
     // locally, materialize once — both later passes read these blocks.
+    // Deliberately NOT the GraftSession.pin scratch seam: pin preserves
+    // VALUES only, while passes (2) and (3) read this frame's physical
+    // partition structure (partition index IS the range order, rows are
+    // sorted within) — a parquet round-trip reassembles partitions by
+    // file-size bin-packing and would silently scramble the stream
+    // layout (caught by GraftSessionSpec when this site briefly used
+    // the seam).
     val ranged = docs
       .repartitionByRange(p, col(keyCol))
       .sortWithinPartitions(col(keyCol))

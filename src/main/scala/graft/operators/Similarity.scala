@@ -192,6 +192,7 @@ object Similarity {
     IndexFs.deleteRecursively(spark, s"$path/commits")
     IndexFs.deleteRecursively(spark, s"$path/staged")
     IndexFs.deleteRecursively(spark, s"$path/committed")
+    IndexFs.clearPublished(spark, s"$path/cells")
     saveIndex(
       kmeansCentroids(corpus, corpusVec, nCentroids, seed, maxIter, sampleRows),
       s"$path/centroids")
@@ -273,16 +274,25 @@ object Similarity {
   def ivfTopKFromIndex(index: IvfIndex, queries: DataFrame,
       queryId: String, queryVec: String, k: Int, nProbe: Int = 3): DataFrame = {
     val (ids, vecs) = centroidKernel(index.centroids)
+    // Project to EXACTLY the two query columns, under internal names,
+    // before anything joins against the cell relation: a queries frame
+    // already carrying `id`, `vec`, or `cluster_id` (e.g. a slice of the
+    // corpus itself) would otherwise collide with the cells schema —
+    // ambiguous-column failures or, worse, the cosine binding to the
+    // wrong `vec` operand. Mirrors cellRows' corpus-side normalization.
+    val q = queries.select(
+      col(queryId).as("__query_id"), col(queryVec).as("__query_vec"))
     if (ids.isEmpty)
-      return queries.limit(0).crossJoin(index.cells.limit(0).select(col("id")))
-        .select(col(queryId), col("id"), lit(0.0).as("cosine"), lit(1).as("rank"))
-    val probedQueries = queries.withColumn("cluster_id",
-      explode(nearest_centroids(col(queryVec), ids, vecs, nProbe)))
+      return q.limit(0).select(col("__query_id").as(queryId),
+        lit(0L).as("id"), lit(0.0).as("cosine"), lit(1).as("rank"))
+    val probedQueries = q.withColumn("cluster_id",
+      explode(nearest_centroids(col("__query_vec"), ids, vecs, nProbe)))
     val cand = index.cells
       .join(broadcast(probedQueries), Seq("cluster_id"))
       .withColumn("cosine",
-        roundPortable(cosine_similarity(col("vec"), col(queryVec)), 6))
-    rankTopK(cand, queryId, "id", k)
+        roundPortable(cosine_similarity(col("vec"), col("__query_vec")), 6))
+    rankTopK(cand, "__query_id", "id", k)
+      .withColumnRenamed("__query_id", queryId)
   }
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their

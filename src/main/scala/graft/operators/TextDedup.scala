@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.GraftSession.Pinnable
 import graft.functions.GraftFunctions._
 
 /** Document deduplication suite — the scale-generalization of the
@@ -58,7 +59,7 @@ object TextDedup {
     // projection is recomputed per branch (3× scan+split at any scale).
     val sh = withShingles(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("shingles")).as("s"))
-      .localCheckpoint(true)
+      .pinScratch()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // A shingle held by a single doc cannot form a pair — drop it before
     // the self-join. On natural text most shingles are unique, so this
@@ -105,7 +106,7 @@ object TextDedup {
     // materialize once (the checkpoint-multiply-consumed pattern)
     val eShingled = withShingles(eval, evalId, evalText, n)
       .filter(size(col("shingles")) > 0)
-      .localCheckpoint(true)
+      .pinScratch()
     val eSh = eShingled.select(col(evalId).as("eval_id"),
       explode(col("shingles")).as("s"))
     val eSizes = eShingled.select(col(evalId).as("eval_id"),
@@ -168,7 +169,7 @@ object TextDedup {
     // it once (at cluster scale this would be a parquet/checkpoint stage;
     // the lineage-truncating local checkpoint is the single-app form).
     val sigs = withMinhashSignature(signable, k)
-      .localCheckpoint(true)
+      .pinScratch()
     val shingled = sigs.select(col(idCol), col("shingles"))
     // count on the just-materialized checkpoint — no extra input pass
     val p = numPartitions.getOrElse(
@@ -218,7 +219,7 @@ object TextDedup {
     // one signature pass feeds both the banding and the shingle relation
     val sigs = withMinhashSignature(
       withShingles(docs, idCol, textCol, n).filter(size(col("shingles")) > 0), k)
-      .localCheckpoint(true)
+      .pinScratch()
     MinhashIndex(
       withBands(sigs, idCol, bands, k / bands)
         .select(col(idCol).as("id"), col("band"), col("bh")),
@@ -241,6 +242,10 @@ object TextDedup {
     IndexFs.deleteRecursively(spark, s"$path/commits")
     IndexFs.deleteRecursively(spark, s"$path/staged")
     IndexFs.deleteRecursively(spark, s"$path/committed")
+    // the rebuild writes plain base dirs: a stale publish pointer from a
+    // previous incarnation's compactions must not shadow them
+    IndexFs.clearPublished(spark, s"$path/bands")
+    IndexFs.clearPublished(spark, s"$path/shingles")
     val idx = buildMinhashIndex(docs, idCol, textCol, n, k, bands)
     idx.bands.write.mode("overwrite").parquet(s"$path/bands")
     idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
@@ -354,9 +359,11 @@ object TextDedup {
     * TextDedupSpec "a tagged append landing mid-compact survives").
     * UNTAGGED (direct) appends are NOT safe against a concurrent
     * compact: their rows land in the very base dirs the swap replaces.
-    * Crash-safe via [[writeThenSwap]]: a crash mid-compact leaves every
-    * row reachable (at worst both in the new base and in a not-yet-
-    * deleted commit dir — duplicates, collapsed by the next compact). */
+    * Crash-safe via [[graft.operators.IndexFs.publishRelation]] (r10:
+    * write-then-swap on HDFS-like filesystems, versioned-dir + marker
+    * pointer on object stores): a crash mid-compact leaves every row
+    * reachable (at worst both in the new base and in a not-yet-deleted
+    * commit dir — duplicates, collapsed by the next compact). */
   def compactMinhashIndex(spark: SparkSession, path: String): Unit =
     compactMinhashIndexWithHook(spark, path, () => ())
 
@@ -382,60 +389,56 @@ object TextDedup {
     * landing after the snapshot is neither read nor deleted. */
   private[graft] def compactIndex(spark: SparkSession, path: String,
       relations: Seq[String], widths: Long => Seq[Int],
-      afterSnapshot: () => Unit = () => ()): Unit = {
+      afterSnapshot: () => Unit = () => (),
+      beforeCommitDelete: String => Unit = _ => (),
+      stagedOrphanTtlMs: Long = DefaultStagedOrphanTtlMs): Unit = {
     val folded = IndexFs.listDirNames(spark, s"$path/commits")
     val stagedAtStart = IndexFs.listDirNames(spark, s"$path/staged")
     afterSnapshot()
     def read(name: String): DataFrame = spark.read.parquet(
-      (s"$path/$name" +: folded.map(t => s"$path/commits/$t/$name")): _*)
+      (IndexFs.resolveDir(spark, s"$path/$name") +:
+        folded.map(t => s"$path/commits/$t/$name")): _*)
     val ws = widths(read(relations.head).count())
     relations.zip(ws).foreach { case (name, w) =>
-      writeThenSwap(read(name).distinct().repartition(w), s"$path/$name")
+      IndexFs.publishRelation(read(name).distinct().repartition(w), s"$path/$name")
     }
     // tombstone BEFORE delete: a replay arriving between the two still
     // reads the tag as committed — there is no instant at which a folded
     // tag could re-append (the r8 gap: idempotence keyed on the very
-    // commit dirs this loop deletes)
+    // commit dirs this loop deletes). `beforeCommitDelete` is the test
+    // seam proving that ordering: it runs inside the window.
     folded.foreach { t =>
       IndexFs.markCommitted(spark, path, t)
+      beforeCommitDelete(t)
       IndexFs.deleteRecursively(spark, s"$path/commits/$t")
     }
-    // reap staged/ orphans from crashed appends (staged, never renamed,
-    // never retried — they'd otherwise accumulate forever). Only dirs
-    // already present when the compact STARTED and still uncommitted
-    // now qualify: an append that began mid-compact is not in the
-    // snapshot. The residual race — a first attempt staged before this
-    // compact began and still mid-write now — fails LOUDLY (its commit
-    // rename finds no staged dir) and its retry lands cleanly.
+    // Reap staged/ orphans from crashed appends (staged, never renamed,
+    // never retried — they'd otherwise accumulate forever). The contract
+    // allows tagged appends CONCURRENT with compaction, so "present at
+    // snapshot and still uncommitted" is NOT proof of death — a slow
+    // append staged before this compact began may still be mid-write,
+    // and deleting under it would let its later relation writes recreate
+    // the dir and commit a half-appended batch. Reap only what is
+    // provably or overwhelmingly-likely dead: (a) tags already committed
+    // (stagedAppend early-returns on those forever — the staged copy can
+    // never be consumed), or (b) dirs whose newest mtime, part-files
+    // included, is older than the TTL — far longer than any plausible
+    // append. The belt-and-braces half lives in stagedAppend itself: a
+    // commit missing a relation post-rename fails loudly and is removed.
+    val now = System.currentTimeMillis()
     stagedAtStart
-      .filterNot(t => IndexFs.exists(spark, s"$path/commits/$t"))
+      .filter(t => IndexFs.isCommitted(spark, path, t) ||
+        now - IndexFs.newestMtime(spark, s"$path/staged/$t") > stagedOrphanTtlMs)
       .foreach(t => IndexFs.deleteRecursively(spark, s"$path/staged/$t"))
+    // bound the tombstone namespace: fold per-tag files into the single
+    // versioned relation — committed/ stays O(1) files at any cadence
+    IndexFs.foldTombstones(spark, path)
   }
 
-  /** Durably write `df` to a temp sibling of `dir`, then swap it in:
-    * the live relation is never deleted until its replacement is fully
-    * on disk, so a crash at ANY point leaves either the old or the new
-    * data intact (a direct `mode("overwrite")` of the dir being read
-    * deletes the index before the replacement commits — a mid-write
-    * crash would lose it, recoverable only by a full corpus re-sign).
-    * All moves go through the Hadoop `FileSystem` for the dir's scheme
-    * ([[IndexFs]]) — on HDFS-like filesystems each rename is atomic; on
-    * object stores rename is a non-atomic copy, and the versioned-dir +
-    * marker-commit strategy documented on [[IndexFs]] should replace
-    * this swap. The two final renames are not one atomic step: a
-    * concurrent reader during the swap window can see a missing dir —
-    * an error, never partial data; compaction is a maintenance op,
-    * schedule it as one. */
-  private def writeThenSwap(df: DataFrame, dir: String): Unit = {
-    val spark = df.sparkSession
-    val tmp = dir + ".tmp-compact"
-    val old = dir + ".old-compact"
-    df.write.mode("overwrite").parquet(tmp)
-    IndexFs.deleteRecursively(spark, old)
-    IndexFs.rename(spark, dir, old)
-    IndexFs.rename(spark, tmp, dir)
-    IndexFs.deleteRecursively(spark, old)
-  }
+  /** Staged-orphan reap age threshold: a staged dir untouched this long
+    * (newest part-file mtime) is not a live append. Generous on purpose
+    * — reaping is a space reclaim, never a correctness need. */
+  private[graft] val DefaultStagedOrphanTtlMs: Long = 24L * 3600 * 1000
 
   /** Reload a [[saveMinhashIndex]]-written index (base relations plus
     * every landed commit); parameters come from the persisted meta row,
@@ -517,7 +520,7 @@ object TextDedup {
     val sigs = withMinhashSignature(
       withShingles(newDocs, idCol, textCol, index.n)
         .filter(size(col("shingles")) > 0), index.k)
-      .localCheckpoint(true)
+      .pinScratch()
     val nNew = sigs.count()
     val newBands = capBuckets(
       withBands(sigs, idCol, index.numBands, index.k / index.numBands),
@@ -548,7 +551,7 @@ object TextDedup {
         val cand = idxBands.join(broadcast(newBands), Seq("band", "bh"))
           .filter(col("new_id") =!= col("index_id"))
           .select("new_id", "index_id").distinct()
-          .localCheckpoint(true) // counted, then feeds the verify joins
+          .pinScratch() // counted, then feeds the verify joins
         if (cand.count() <= maxBroadcastCandidates) {
           // matched ids only — the index shingle relation is scanned, not
           // shuffled, and everything downstream is match-sized
@@ -642,7 +645,7 @@ object TextDedup {
     // approximate (pairs differing in every chunk are never candidates).
     // Fingerprints feed both sides of the chunk self-join — materialize.
     val fp = fps.select(col(idCol), col(fpCol).as("fp"))
-      .localCheckpoint(true)
+      .pinScratch()
     val w = 64 / chunks
     val chunked = fp.select(col(idCol), col("fp"),
       explode(transform(sequence(lit(0), lit(chunks - 1)),
@@ -715,6 +718,9 @@ object TextDedup {
     // localCheckpoint persists the underlying RDD directly.
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val pre = sc.getPersistentRDDs.keySet.toSet
+      // deliberately NOT the pinScratch seam: these per-iteration label
+      // snapshots are released block-by-block as they're superseded —
+      // a lifecycle the parquet-scratch strategy has no analog for
       val out = df.localCheckpoint(true)
       (out, sc.getPersistentRDDs.keySet.toSet -- pre)
     }
@@ -951,7 +957,7 @@ object TextDedup {
     // on the bucket key at the scaled width: the self-join clusters on
     // (t, bkt) with no further exchange (ReuseExchange dedups the sides).
     val bucketed = srpBucketRows(vecs, idCol, vecCol, useBits, useTables, seed, planeDim)
-      .localCheckpoint(true)
+      .pinScratch()
       .repartition(p, col("t"), col("bkt"))
     val cand = bucketed.select(col(idCol).as("d1"), col("t"), col("bkt"))
       .join(bucketed.select(col(idCol).as("d2"), col("t"), col("bkt")),
@@ -1105,6 +1111,8 @@ object TextDedup {
     IndexFs.deleteRecursively(vecs.sparkSession, s"$path/commits")
     IndexFs.deleteRecursively(vecs.sparkSession, s"$path/staged")
     IndexFs.deleteRecursively(vecs.sparkSession, s"$path/committed")
+    IndexFs.clearPublished(vecs.sparkSession, s"$path/buckets")
+    IndexFs.clearPublished(vecs.sparkSession, s"$path/vectors")
     val idx = buildEmbeddingIndex(vecs, idCol, vecCol, threshold, bits, tables,
       seed, dim, requireRecallTarget)
     idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
@@ -1221,7 +1229,7 @@ object TextDedup {
     // v1 lookup, and the size/byte gates all derive from this checkpoint
     // — a batch produced by an expensive upstream pipeline pays its
     // compute exactly once per call (the minhash twin's `sigs` pattern)
-    val batchVecs = newVecs.select(col(idCol), col(vecCol)).localCheckpoint(true)
+    val batchVecs = newVecs.select(col(idCol), col(vecCol)).pinScratch()
     val newBuckets = srpBucketRows(batchVecs, idCol, vecCol,
       index.bits, index.tables, index.seed, index.dim)
       .select(col(idCol).as("new_id"), col("t"), col("bkt"))
@@ -1242,7 +1250,7 @@ object TextDedup {
           .join(broadcast(newBuckets), Seq("t", "bkt"))
           .filter(col("new_id") =!= col("index_id"))
           .select("new_id", "index_id").distinct()
-          .localCheckpoint(true) // counted, then feeds the verify joins
+          .pinScratch() // counted, then feeds the verify joins
         if (cand.count() <= maxBroadcastCandidates) {
           val matchedIdx = v2.join(
             broadcast(cand.select("index_id").distinct()), Seq("index_id"))

@@ -227,16 +227,21 @@ object DedupQueries {
     val idxPath = SnapshotPaths.dirFor("minhash_index_stream", dir, s)
     val srcDir = SnapshotPaths.dirFor("stream_dedup_src", dir, s)
     val outDir = SnapshotPaths.dirFor("stream_dedup_out", dir, s)
+    val ckptDir = SnapshotPaths.dirFor("stream_dedup_ckpt", dir, s)
     // stale batch outputs from a previous differently-batched run would
-    // otherwise union into the read-back
+    // otherwise union into the read-back; the checkpoint goes with them —
+    // this gate query is a FRESH run each time (source files and index
+    // are regenerated), not a resumed one (restart-with-checkpoint
+    // semantics are spec-proven in StreamingOpsSpec)
     graft.operators.IndexFs.deleteRecursively(s, outDir)
+    graft.operators.IndexFs.deleteRecursively(s, ckptDir)
     TextDedup.saveMinhashIndex(
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
     docs.filter(col("doc_id") % 2 === 1).repartition(2)
       .write.mode("overwrite").parquet(srcDir)
     StreamingOps.incrementalDedupStream(
         StreamingOps.readDocumentsStreamFrom(s, srcDir),
-        idxPath, outDir, threshold = 0.7)
+        idxPath, outDir, ckptDir, threshold = 0.7)
       .awaitTermination()
     s.read.parquet(s"$outDir/batch_*").orderBy(col("new_id"), col("index_id"))
   }

@@ -5,6 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.GraftSession.Pinnable
 import graft.operators.{Curation, Packing, Sampling, TextDedup}
 import graft.sources.Scan
 
@@ -65,7 +66,7 @@ object TrainingDataQueries {
           TextDedup.loadMinhashIndex(s, idxPath), threshold = 0.7)
         .select(col("new_id").as("doc_id")).distinct()
       val accepted = curated.join(dupIds, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true) // feeds the append AND the final output
+        .pinScratch() // feeds the append AND the final output
       TextDedup.appendToMinhashIndex(
         accepted, "doc_id", "text", idxPath, commitTag = Some(tag))
       accepted
@@ -73,7 +74,7 @@ object TrainingDataQueries {
     val accepted = ingestWave(1, "wave_a").unionByName(ingestWave(3, "wave_b"))
       .select(col("doc_id"), col("pred_lang"), col("quality"),
         col("n_tokens"), col("text"))
-      .localCheckpoint(true) // consumed by split AND packing
+      .pinScratch() // consumed by split AND packing
 
     val packed = Packing.withPackingBins(
       accepted.select(col("doc_id"), col("n_tokens")),

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
+import graft.GraftSession.Pinnable
+
 /** Structured Streaming forms of the engine's incremental features
   * (SURVEY §2.9): the reference's 15-minute cron micro-batch (T1) becomes
   * a file-source stream with `Trigger.AvailableNow`; its cross-run
@@ -223,13 +225,29 @@ object StreamingOps {
     * (checkpoint retention) when byte-stable replays matter. The
     * batch-keyed commit also makes the fold-in safe against a
     * concurrent index compaction (commit dirs are never swapped away —
-    * see [[graft.operators.TextDedup.compactMinhashIndex]]). */
+    * see [[graft.operators.TextDedup.compactMinhashIndex]]).
+    *
+    * `checkpointDir` is REQUIRED (r10) because the whole tag scheme
+    * keys on batch ids: batch identity lives in the checkpoint, and
+    * without a durable one Spark falls back to a temp dir, so a
+    * RESTARTED run renumbers batches from 0 — colliding with tags the
+    * previous run committed. Tombstones make that collision SILENT
+    * data loss (the replayed `batch_0` tag reads as committed forever,
+    * so genuinely-new survivors never enter the index and the new
+    * run's pairs overwrite the old `batch_0` output). With the durable
+    * checkpoint a restart resumes the batch numbering and file
+    * progress exactly where the previous run stopped — restart-proven
+    * in StreamingOpsSpec. The reference's served flow
+    * (`deployments/serve_15min.py:5-14`) is restarted by design, so
+    * restart-safety is part of the semantics being mirrored. */
   def incrementalDedupStream(
       docs: DataFrame, indexPath: String, outDir: String,
+      checkpointDir: String,
       threshold: Double = 0.7, idCol: String = "doc_id",
       textCol: String = "text",
       foldInSurvivors: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         dedupBatchAgainstIndex(batch.toDF(), batchId, indexPath, outDir,
           threshold, idCol, textCol, foldInSurvivors)
@@ -248,7 +266,7 @@ object StreamingOps {
       foldInSurvivors: Boolean): Unit = {
     val spark = batchDf.sparkSession
     val tag = s"batch_$batchId"
-    val b = batchDf.localCheckpoint(true) // consumed twice below
+    val b = batchDf.pinScratch() // consumed twice below
     // exclude this batch's OWN commit: on a replay whose first append
     // landed, the load must see the pre-append index or the batch
     // would emit self-match pairs its original execution lacked
@@ -256,12 +274,12 @@ object StreamingOps {
       spark, indexPath, excludeCommits = Set(tag))
     val pairs = graft.operators.TextDedup.minhashLshAgainstIndex(
       b, idCol, textCol, idx, threshold)
-      .localCheckpoint(true) // materialize BEFORE the index mutates
+      .pinScratch() // materialize BEFORE the index mutates
     pairs.write.mode("overwrite").parquet(s"$outDir/$tag")
     if (foldInSurvivors) {
       val dupIds = pairs.select(col("new_id").as(idCol)).distinct()
       val survivors = b.join(dupIds, Seq(idCol), "left_anti")
-        .localCheckpoint(true) // feeds self-dedup AND the append
+        .pinScratch() // feeds self-dedup AND the append
       // intra-batch near-dups: same signing parameters as the index,
       // keep the lowest id of each pair (minhashLsh emits d1 < d2)
       val intraDup = graft.operators.TextDedup.minhashLsh(

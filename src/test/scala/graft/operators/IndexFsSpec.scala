@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import graft.SparkSpec
+
+/** Contract tests for the staged-commit filesystem layer all three
+  * persisted index families share — the r9 exactly-once machinery
+  * (tombstones, no-clobber commit rename, orphan handling) proven at
+  * the primitive level; the per-family twins live in TextDedupSpec /
+  * SimilaritySpec / StreamingOpsSpec. */
+class IndexFsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def touch(path: String): Unit = {
+    val f = IndexFs.fs(spark, path)
+    f.mkdirs(new HPath(path).getParent)
+    f.create(new HPath(path), true).close()
+  }
+
+  test("isCommitted: live commit dir, per-tag tombstone, and folded tombstone all count") {
+    val dir = tmp("idxfs_committed")
+    assert(!IndexFs.isCommitted(spark, dir, "t1"))
+    // live commit dir
+    IndexFs.fs(spark, dir).mkdirs(new HPath(s"$dir/commits/t1"))
+    assert(IndexFs.isCommitted(spark, dir, "t1"))
+    // per-tag tombstone outlives the commit dir
+    IndexFs.markCommitted(spark, dir, "t1")
+    IndexFs.deleteRecursively(spark, s"$dir/commits/t1")
+    assert(IndexFs.isCommitted(spark, dir, "t1"))
+    // folded tombstone outlives the per-tag file
+    IndexFs.foldTombstones(spark, dir)
+    assert(!IndexFs.exists(spark, s"$dir/committed/t1"))
+    assert(IndexFs.isCommitted(spark, dir, "t1"))
+  }
+
+  test("foldTombstones bounds committed/ to one file and never loses a tag") {
+    val dir = tmp("idxfs_fold")
+    def committedFiles(): Seq[String] = {
+      val f = IndexFs.fs(spark, dir)
+      val p = new HPath(s"$dir/committed")
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).map(_.getPath.getName).toSeq.sorted
+    }
+    // rounds of mark → fold: the file count stays 1 regardless of how
+    // many tags have ever been folded, and every tag stays recognized
+    (1 to 4).foreach { round =>
+      IndexFs.markCommitted(spark, dir, s"tag_$round")
+      IndexFs.markCommitted(spark, dir, s"extra_$round")
+      IndexFs.foldTombstones(spark, dir)
+      assert(committedFiles() == Seq(s"_folded-$round"),
+        s"round $round: ${committedFiles()}")
+      (1 to round).foreach { r =>
+        assert(IndexFs.isCommitted(spark, dir, s"tag_$r"))
+        assert(IndexFs.isCommitted(spark, dir, s"extra_$r"))
+      }
+    }
+    assert(!IndexFs.isCommitted(spark, dir, "never_seen"))
+    // an already-folded dir is a no-op (no version churn)
+    IndexFs.foldTombstones(spark, dir)
+    assert(committedFiles() == Seq("_folded-4"))
+  }
+
+  test("requireValidTag rejects path escapes and the reserved '_' namespace") {
+    IndexFs.requireValidTag("batch_0") // the crawl loop's shape
+    IndexFs.requireValidTag("b-1.2")
+    Seq("", ".", "..", "a/b", "_folded-1", "_anything").foreach { bad =>
+      assertThrows[IllegalArgumentException](IndexFs.requireValidTag(bad))
+    }
+  }
+
+  test("renameNoClobber fallback: a dst created inside the race window resolves as a lost race, never nesting") {
+    val root = tmp("idxfs_nest")
+    val f = IndexFs.fs(spark, root)
+    def mkCommit(dir: String): Unit =
+      Seq("bands", "shingles").foreach(r => touch(s"$dir/$r/part-0"))
+    mkCommit(s"$root/staged/t1") // the loser's staged copy
+    val src = f.makeQualified(new HPath(s"$root/staged/t1"))
+    val dst = f.makeQualified(new HPath(s"$root/commits/t1"))
+    f.mkdirs(dst.getParent)
+    // the winner's commit lands BETWEEN the exists pre-check and the
+    // rename — FileSystem.rename would move the loser INTO it
+    // (commits/t1/t1) and return true, the silent-wrong layout
+    val won = IndexFs.renameNoClobberFallback(f, src, dst,
+      beforeRename = () => mkCommit(s"$root/commits/t1"))
+    assert(!won) // resolved as a lost race...
+    assert(!f.exists(new HPath(s"$root/commits/t1/t1")),
+      "loser nested inside the winner's commit")
+    // ...with the winner's layout intact
+    assert(f.listStatus(dst).map(_.getPath.getName).toSet ==
+      Set("bands", "shingles"))
+  }
+
+  test("renameNoClobber fallback: clean move when nothing races") {
+    val root = tmp("idxfs_clean")
+    val f = IndexFs.fs(spark, root)
+    touch(s"$root/staged/t1/bands/part-0")
+    val src = f.makeQualified(new HPath(s"$root/staged/t1"))
+    val dst = f.makeQualified(new HPath(s"$root/commits/t1"))
+    f.mkdirs(dst.getParent)
+    assert(IndexFs.renameNoClobberFallback(f, src, dst))
+    assert(!f.exists(src))
+    assert(f.exists(new HPath(s"$root/commits/t1/bands/part-0")))
+    // pre-existing dst short-circuits to false without touching it
+    touch(s"$root/staged/t1/bands/part-0")
+    assert(!IndexFs.renameNoClobberFallback(f, src, dst))
+    assert(f.exists(new HPath(s"$root/commits/t1/bands/part-0")))
+  }
+
+  test("stagedAppend: a staged dir disturbed mid-write fails LOUDLY, never a half-appended commit") {
+    import spark.implicits._
+    val dir = tmp("idxfs_half")
+    val rel1 = Seq((1L, "a")).toDF("id", "v")
+    val rel2 = Seq((2L, "b")).toDF("id", "v")
+    // the historical reaper race: the staged dir is deleted after the
+    // first relation lands and recreated by the second write — the
+    // commit rename would land a batch missing relation "r1"
+    val ex = intercept[java.io.IOException] {
+      IndexFs.stagedAppend(spark, dir, "t1",
+        Seq("r1" -> rel1, "r2" -> rel2),
+        beforeCommitRename = () =>
+          IndexFs.deleteRecursively(spark, s"$dir/staged/t1/r1"))
+    }
+    assert(ex.getMessage.contains("r1"))
+    // the half-commit was removed and the tag NOT burned: a clean retry lands
+    assert(!IndexFs.exists(spark, s"$dir/commits/t1"))
+    assert(!IndexFs.isCommitted(spark, dir, "t1"))
+    assert(IndexFs.stagedAppend(spark, dir, "t1",
+      Seq("r1" -> rel1, "r2" -> rel2)))
+    assert(spark.read.parquet(s"$dir/commits/t1/r1").count() == 1)
+    assert(spark.read.parquet(s"$dir/commits/t1/r2").count() == 1)
+  }
+
+  test("stagedAppend: same-tag double commit yields one winner, one false, no nested dir") {
+    import spark.implicits._
+    val dir = tmp("idxfs_double")
+    val rel = Seq((1L, "a")).toDF("id", "v")
+    // the loser stages, then the winner commits inside the loser's
+    // write→rename window; the loser's no-clobber rename must yield
+    // false and leave the winner's commit exactly as it landed
+    val loser = IndexFs.stagedAppend(spark, dir, "t1", Seq("r" -> rel),
+      beforeCommitRename = () => {
+        val won = IndexFs.stagedAppend(spark, dir + "_w", "t1", Seq("r" -> rel))
+        assert(won)
+        // move the winner's commit into OUR index (same-tag writer)
+        IndexFs.rename(spark, s"${dir}_w/commits/t1", s"$dir/commits/t1")
+      })
+    assert(!loser)
+    assert(!IndexFs.exists(spark, s"$dir/commits/t1/t1"),
+      "loser nested inside the winner's commit")
+    assert(!IndexFs.exists(spark, s"$dir/staged/t1"), "loser's staging not discarded")
+    assert(IndexFs.listDirNames(spark, s"$dir/commits/t1") == Seq("r"))
+    assert(spark.read.parquet(s"$dir/commits/t1/r").count() == 1)
+  }
+
+  private def withMarkerProtocol[T](body: => T): T = {
+    spark.conf.set(IndexFs.CommitProtocolKey, "marker")
+    try body finally spark.conf.unset(IndexFs.CommitProtocolKey)
+  }
+
+  test("publishRelation marker protocol: versioned dirs, pointer commit, superseded version retired") {
+    import spark.implicits._
+    withMarkerProtocol {
+      val dir = tmp("idxfs_marker") + "/rel"
+      IndexFs.publishRelation(Seq((1L, "a")).toDF("id", "v"), dir)
+      assert(IndexFs.resolveDir(spark, dir) == s"$dir.v1")
+      assert(spark.read.parquet(IndexFs.resolveDir(spark, dir))
+        .collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // a republish bumps the version, moves the pointer, retires v1 —
+      // and at NO point does a resolved dir go missing (the window the
+      // rename swap has; the marker protocol's reason to exist)
+      IndexFs.publishRelation(Seq((2L, "b")).toDF("id", "v"), dir)
+      assert(IndexFs.resolveDir(spark, dir) == s"$dir.v2")
+      assert(spark.read.parquet(IndexFs.resolveDir(spark, dir))
+        .collect().map(_.getLong(0)).toSeq == Seq(2L))
+      assert(!IndexFs.exists(spark, s"$dir.v1"))
+      assert(!IndexFs.exists(spark, dir)) // no stale plain dir either
+    }
+  }
+
+  test("publishRelation adopts a plain pre-marker dir; clearPublished resets for a rebuild") {
+    import spark.implicits._
+    val dir = tmp("idxfs_adopt") + "/rel"
+    // rename protocol first (the default on file://): plain dir
+    IndexFs.publishRelation(Seq((1L, "a")).toDF("id", "v"), dir)
+    assert(IndexFs.resolveDir(spark, dir) == dir)
+    withMarkerProtocol {
+      // marker publish over a plain dir: v1 + pointer, plain retired
+      IndexFs.publishRelation(Seq((2L, "b")).toDF("id", "v"), dir)
+      assert(IndexFs.resolveDir(spark, dir) == s"$dir.v1")
+      assert(!IndexFs.exists(spark, dir))
+    }
+    // a save*-style rebuild clears pointer + versions so its fresh plain
+    // dir cannot be shadowed by the stale pointer
+    IndexFs.clearPublished(spark, dir)
+    assert(IndexFs.resolveDir(spark, dir) == dir)
+    assert(!IndexFs.exists(spark, s"$dir.v1") &&
+      !IndexFs.exists(spark, s"$dir.current"))
+  }
+
+  test("newestMtime sees part-file recency two levels deep") {
+    val dir = tmp("idxfs_mtime")
+    touch(s"$dir/staged/t1/bands/part-0")
+    val old = System.currentTimeMillis() - 100L * 3600 * 1000
+    // age the dir and the relation dir but NOT the part file — the
+    // part-file write is what a live append keeps fresh
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/staged/t1"),
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/staged/t1/bands"),
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    val got = IndexFs.newestMtime(spark, s"$dir/staged/t1")
+    assert(got > old + 90L * 3600 * 1000, "part-file mtime not surfaced")
+    assert(IndexFs.newestMtime(spark, s"$dir/absent") == Long.MinValue)
+  }
+}

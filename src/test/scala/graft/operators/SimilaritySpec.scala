@@ -141,6 +141,45 @@ class SimilaritySpec extends SparkSpec {
     assert(compacted.cells.collect().toSet == cellsBefore)
     assert(results(Similarity.ivfTopKFromIndex(compacted, queries,
       "query_id", "qvec", k = 3, nProbe = 2)) == served)
+    // replay AFTER the fold: the tombstone keeps the tag recognized, so
+    // the replayed batch writes nothing and the row-set stays put (the
+    // r8 gap: idempotence died with the commit dir)
+    assert(!Similarity.appendToIvfIndex(partB, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    assert(Similarity.loadIvfIndex(spark, dir).cells.collect().toSet == cellsBefore)
+    // a rebuilt index re-opens the tag space (save wipes committed/)
+    Similarity.saveIvfIndex(partA, "vec_id", "embedding", dir,
+      nCentroids = 4, maxIter = 5)
+    assert(Similarity.appendToIvfIndex(partB, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+  }
+
+  test("ivfTopKFromIndex: a queries frame carrying id/vec/cluster_id columns cannot collide with the cells schema") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_collide").toString
+    Similarity.saveIvfIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 4, maxIter = 5)
+    val idx = Similarity.loadIvfIndex(spark, dir)
+    val clean = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val expected = results(Similarity.ivfTopKFromIndex(idx, clean,
+      "query_id", "qvec", k = 3, nProbe = 2))
+    assert(expected.nonEmpty)
+    // the adversarial frame: every cells column name, PLUS a decoy `vec`
+    // whose values would poison the cosine if the operand bound wrong —
+    // exactly the shape of "a slice of the corpus used as queries"
+    val dirty = clean
+      .withColumn("id", col("query_id") + 1000)
+      .withColumn("vec", org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.lit(0.0f)))
+      .withColumn("cluster_id", org.apache.spark.sql.functions.lit(-1L))
+    assert(results(Similarity.ivfTopKFromIndex(idx, dirty,
+      "query_id", "qvec", k = 3, nProbe = 2)) == expected)
+    // output schema is unchanged by the internal normalization
+    assert(Similarity.ivfTopKFromIndex(idx, dirty, "query_id", "qvec", k = 3)
+      .columns.toSeq == Seq("query_id", "id", "cosine", "rank"))
   }
 
   test("annTopK (multi-probe LSH) recalls most of the exact top-k") {

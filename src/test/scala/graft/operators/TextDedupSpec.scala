@@ -578,6 +578,161 @@ class TextDedupSpec extends SparkSpec {
     assert(TextDedup.srpTablesFor(30, 0.99, maxTables = 64) <= 64)
   }
 
+  test("tombstones: append → compact → replay is a no-op; bounded committed/; save* re-opens the tag space") {
+    import spark.implicits._
+    def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
+    val baseDocs = (0L until 20L).map(i => (i * 2, sent(i.toInt))).toDF("doc_id", "text")
+    val batch1 = Seq((101L, sent(500))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_tomb").toString
+    TextDedup.saveMinhashIndex(baseDocs, "doc_id", "text", dir)
+    assert(TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir,
+      commitTag = Some("b1")))
+    val full = TextDedup.loadMinhashIndex(spark, dir).bands.collect().toSet
+
+    // compact folds b1 into the base; replay protection must OUTLIVE the
+    // commit dir (the r8 gap: idempotence keyed on the dir itself). The
+    // beforeCommitDelete seam drives a replay INSIDE the window between
+    // markCommitted and the commit-dir delete — no instant exists at
+    // which the landed tag reads as uncommitted.
+    var windowChecked = false
+    TextDedup.compactIndex(spark, dir, Seq("bands", "shingles"),
+      n => Seq(4, 4),
+      beforeCommitDelete = tag => {
+        assert(tag == "b1")
+        assert(IndexFs.isCommitted(spark, dir, "b1"))
+        assert(!TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir,
+          commitTag = Some("b1")))
+        windowChecked = true
+      })
+    assert(windowChecked)
+    assert(IndexFs.listDirNames(spark, s"$dir/commits").isEmpty)
+    // post-fold replay: still false, row-set identical
+    assert(!TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir,
+      commitTag = Some("b1")))
+    assert(TextDedup.loadMinhashIndex(spark, dir).bands.collect().toSet == full)
+    // the compact's own fold already bounded committed/ to ONE file, and
+    // recognition survives further compactions
+    def committedFiles() = {
+      val f = IndexFs.fs(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/committed")
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).map(_.getPath.getName).toSeq.sorted
+    }
+    assert(committedFiles() == Seq("_folded-1"))
+    TextDedup.compactMinhashIndex(spark, dir)
+    assert(committedFiles() == Seq("_folded-1"))
+    assert(!TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir,
+      commitTag = Some("b1")))
+
+    // a save* FULL REBUILD wipes the whole tag namespace: a rebuilt
+    // index must accept tags the previous incarnation had folded
+    TextDedup.saveMinhashIndex(baseDocs, "doc_id", "text", dir)
+    assert(committedFiles().isEmpty)
+    assert(TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir,
+      commitTag = Some("b1")))
+  }
+
+  test("tombstones: the embedding-index twin survives its compaction") {
+    import spark.implicits._
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }
+    val base = (0L until 20L).map(i => (i * 2, vec(i.toInt))).toDF("vec_id", "embedding")
+    val batch = Seq((101L, vec(500))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_idx_tomb").toString
+    TextDedup.saveEmbeddingIndex(base, "vec_id", "embedding", dir, threshold = 0.9)
+    assert(TextDedup.appendToEmbeddingIndex(batch, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    TextDedup.compactEmbeddingIndex(spark, dir)
+    assert(IndexFs.listDirNames(spark, s"$dir/commits").isEmpty)
+    val after = TextDedup.loadEmbeddingIndex(spark, dir)
+    val buckets = after.buckets.collect().toSet
+    assert(buckets.exists(_.getLong(0) == 101L)) // the fold kept the batch
+    assert(!TextDedup.appendToEmbeddingIndex(batch, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    assert(TextDedup.loadEmbeddingIndex(spark, dir).buckets.collect().toSet == buckets)
+  }
+
+  test("the whole staged-commit cycle under the marker protocol equals the rename twin") {
+    import spark.implicits._
+    def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
+    val baseDocs = (0L until 20L).map(i => (i * 2, sent(i.toInt))).toDF("doc_id", "text")
+    val batch1 = Seq((101L, sent(500))).toDF("doc_id", "text")
+    val batch2 = Seq((201L, sent(500) + " tail")).toDF("doc_id", "text")
+    // save → tagged append → query → compact → replay → query, returning
+    // the final band set and the batch2-vs-index pairs
+    def cycle(dir: String): (Set[org.apache.spark.sql.Row], Set[(Long, Long)]) = {
+      TextDedup.saveMinhashIndex(baseDocs, "doc_id", "text", dir)
+      assert(TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir,
+        commitTag = Some("b1")))
+      TextDedup.compactMinhashIndex(spark, dir)
+      assert(!TextDedup.appendToMinhashIndex(batch1, "doc_id", "text", dir,
+        commitTag = Some("b1"))) // tombstone survives under both protocols
+      TextDedup.compactMinhashIndex(spark, dir) // a second fold cycle
+      val idx = TextDedup.loadMinhashIndex(spark, dir)
+      (idx.bands.collect().toSet,
+        TextDedup.minhashLshAgainstIndex(batch2, "doc_id", "text", idx,
+            threshold = 0.7)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val renameDir = java.nio.file.Files.createTempDirectory("mh_rename").toString
+    val (renameBands, renamePairs) = cycle(renameDir)
+    spark.conf.set(IndexFs.CommitProtocolKey, "marker")
+    val markerDir = java.nio.file.Files.createTempDirectory("mh_marker").toString
+    try {
+      val (markerBands, markerPairs) = cycle(markerDir)
+      assert(markerBands == renameBands)
+      assert(markerPairs == renamePairs && renamePairs == Set((201L, 101L)))
+      // the marker artifacts are real: pointer present, plain dir retired
+      assert(IndexFs.exists(spark, s"$markerDir/bands.current"))
+      assert(!IndexFs.exists(spark, s"$markerDir/bands"))
+    } finally spark.conf.unset(IndexFs.CommitProtocolKey)
+    // rename twin left NO marker artifacts
+    assert(!IndexFs.exists(spark, s"$renameDir/bands.current"))
+    assert(IndexFs.exists(spark, s"$renameDir/bands"))
+  }
+
+  test("staged-orphan reap: live appends survive, committed and stale orphans are reaped") {
+    import spark.implicits._
+    def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
+    val baseDocs = (0L until 10L).map(i => (i * 2, sent(i.toInt))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_reap").toString
+    TextDedup.saveMinhashIndex(baseDocs, "doc_id", "text", dir)
+    val f = IndexFs.fs(spark, dir)
+    def stage(tag: String): Unit = {
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/staged/$tag/bands"))
+      f.create(new org.apache.hadoop.fs.Path(s"$dir/staged/$tag/bands/part-0"), true).close()
+    }
+    def ageTo(tag: String, ms: Long): Unit =
+      Seq(s"$dir/staged/$tag", s"$dir/staged/$tag/bands",
+          s"$dir/staged/$tag/bands/part-0").foreach { p =>
+        java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(p),
+          java.nio.file.attribute.FileTime.fromMillis(ms))
+      }
+    // three orphan shapes at snapshot time:
+    //  - "live": RECENT mtime, uncommitted — a slow append still writing
+    //    (the ADVICE race: r9 reaped it, letting the append recreate the
+    //    dir mid-write and commit a half batch). Must SURVIVE.
+    //  - "stale": uncommitted, older than the TTL — a crashed append
+    //    nobody will retry. Must be reaped.
+    //  - "dead": its tag is committed — stagedAppend early-returns on
+    //    that tag forever, so the staged copy can never be consumed.
+    //    Must be reaped regardless of mtime.
+    stage("live"); stage("stale"); stage("dead")
+    ageTo("stale", System.currentTimeMillis() - 48L * 3600 * 1000)
+    IndexFs.markCommitted(spark, dir, "dead")
+    TextDedup.compactMinhashIndex(spark, dir)
+    assert(IndexFs.exists(spark, s"$dir/staged/live"),
+      "reaper deleted a possibly-live staged append")
+    assert(!IndexFs.exists(spark, s"$dir/staged/stale"))
+    assert(!IndexFs.exists(spark, s"$dir/staged/dead"))
+    // the survivor's tag still lands cleanly afterwards
+    assert(TextDedup.appendToMinhashIndex(
+      Seq((301L, sent(700))).toDF("doc_id", "text"), "doc_id", "text", dir,
+      commitTag = Some("live")))
+  }
+
   test("embeddingNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f)),

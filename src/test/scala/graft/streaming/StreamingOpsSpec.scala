@@ -138,8 +138,10 @@ class StreamingOpsSpec extends SparkSpec {
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
     val outDir = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
     StreamingOps.incrementalDedupStream(
-        stream, idxPath, outDir, threshold = 0.7, foldInSurvivors = true)
+        stream, idxPath, outDir, ckptDir, threshold = 0.7,
+        foldInSurvivors = true)
       .awaitTermination()
     val pairs = spark.read.parquet(s"$outDir/batch_*")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -175,6 +177,70 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/batch_0").collect().toSet == out0Before)
     assert(graft.operators.TextDedup.loadMinhashIndex(spark, idxPath)
       .bands.collect().toSet == bandsBefore)
+  }
+
+  test("incrementalDedupStream: durable checkpoint — a restart continues batch ids and appends new data") {
+    import spark.implicits._
+    def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val idxPath = java.nio.file.Files.createTempDirectory("mh_idx_restart").toString
+    graft.operators.TextDedup.saveMinhashIndex(
+      (0L until 20L).map(i => (i * 2, sent(i.toInt))).toDF("doc_id", "text"),
+      "doc_id", "text", idxPath)
+    val srcDir = java.nio.file.Files.createTempDirectory("restart_docs")
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("restart_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("restart_ckpt").toString
+    def runOnce(): Unit =
+      StreamingOps.incrementalDedupStream(
+          spark.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+          idxPath, outDir, ckptDir, threshold = 0.7, foldInSurvivors = true)
+        .awaitTermination()
+    def indexIds() = graft.operators.TextDedup.loadMinhashIndex(spark, idxPath)
+      .shingles.select("id").as[Long].collect().toSet
+    def batchDirs() = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .map[String](_.getFileName.toString).filter(_.startsWith("batch_"))
+      .sorted.toArray.toSeq
+
+    // run 1: one file, one micro-batch → batch_0; novel doc 103 folded in
+    writeFile("b1.parquet", Seq((103L, sent(500))))
+    runOnce()
+    assert(batchDirs() == Seq("batch_0"))
+    assert(indexIds().contains(103L))
+    val out0 = spark.read.parquet(s"$outDir/batch_0").collect().toSet
+
+    // compact: folds tag batch_0 into the base, leaving only its
+    // tombstone — the exact state in which a RESET batch numbering
+    // (the r9 temp-checkpoint failure) would silently drop new data,
+    // because a re-issued batch_0 tag reads as committed forever
+    graft.operators.TextDedup.compactMinhashIndex(spark, idxPath)
+
+    // run 2 = the restart, same checkpoint: a new file must land as
+    // batch_1 (numbering CONTINUES), its novel doc must enter the index
+    // (no silent drop), and batch_0's output must not be rewritten
+    writeFile("b2.parquet", Seq((201L, sent(600))))
+    runOnce()
+    assert(batchDirs() == Seq("batch_0", "batch_1"))
+    assert(indexIds().contains(201L), "restarted run silently dropped its batch")
+    assert(spark.read.parquet(s"$outDir/batch_0").collect().toSet == out0)
+
+    // run 3, nothing new arrived: a true no-op — no new batch dirs, no
+    // index growth (AvailableNow over a fully-processed source)
+    val idsBefore = indexIds()
+    runOnce()
+    assert(batchDirs() == Seq("batch_0", "batch_1"))
+    assert(indexIds() == idsBefore)
   }
 
   test("mapGroupsWithState running totals equal a batch groupBy") {
