@@ -135,7 +135,7 @@ private[graft] object IndexFs {
     * re-appended its rows (duplicates) and, load-side, could no longer
     * exclude its own folded-in data. */
   def isCommitted(spark: SparkSession, path: String, tag: String): Boolean =
-    exists(spark, s"$path/commits/$tag") ||
+    commitLanded(spark, path, tag) ||
       exists(spark, s"$path/committed/$tag") ||
       foldedTags(spark, path).contains(tag)
 
@@ -349,58 +349,110 @@ private[graft] object IndexFs {
       s"commit tag must be a [A-Za-z0-9.-][A-Za-z0-9._-]* path segment " +
         s"('_' prefix reserved), got '$tag'")
 
-  /** The exactly-once half of index appends: write every relation of
-    * the batch under `staged/<tag>/`, then commit with ONE no-clobber
-    * directory rename to `commits/<tag>/` (atomic on HDFS-like
-    * filesystems — see the object-store caveat above). Idempotent per
-    * tag ACROSS compactions: if the tag [[isCommitted]] — its commit
-    * dir is live, or only its tombstone survives a fold — the batch
+  /** Marker file that makes a commit dir COUNT under the marker
+    * protocol: relations are written directly into `commits/<tag>/`
+    * (invisible to readers, which enumerate landed commits only) and
+    * the exclusive creation of this zero-byte file is the commit step —
+    * atomic where the store supports conditional PUT (S3 conditional
+    * writes; exists-check + create elsewhere, best-effort like the
+    * rename fallback). Reserved name: relations cannot be called this
+    * (`_` prefix, filtered from relation listings by parquet anyway). */
+  private val CommitMarker = "_OK"
+
+  /** Is `commits/<tag>` a LANDED commit? Rename protocol: existence is
+    * landing (the rename was the commit). Marker protocol: only with
+    * its [[CommitMarker]] — a dir without one is an in-flight or
+    * crashed append, invisible to readers and maintenance. */
+  private def commitLanded(spark: SparkSession, path: String, tag: String): Boolean =
+    exists(spark, s"$path/commits/$tag") &&
+      (!useMarker(spark, path) || exists(spark, s"$path/commits/$tag/$CommitMarker"))
+
+  /** Tags of every LANDED commit at `path` — the single enumeration
+    * every reader and maintenance pass uses, so in-flight marker-mode
+    * appends are invisible everywhere at once. */
+  private[graft] def landedCommits(spark: SparkSession, path: String): Seq[String] = {
+    val all = listDirNames(spark, s"$path/commits")
+    if (!useMarker(spark, path)) all
+    else all.filter(t => exists(spark, s"$path/commits/$t/$CommitMarker"))
+  }
+
+  /** The exactly-once half of index appends. Rename protocol (HDFS-like
+    * stores): write every relation of the batch under `staged/<tag>/`,
+    * then commit with ONE no-clobber directory rename to
+    * `commits/<tag>/`. Marker protocol (object stores, where that
+    * rename is a non-atomic O(data) copy): write the relations directly
+    * into `commits/<tag>/` — invisible until landed, because every
+    * reader enumerates [[landedCommits]] — then commit by EXCLUSIVELY
+    * creating the `_OK` marker inside it. Both spellings are idempotent
+    * per tag ACROSS compactions: if the tag [[isCommitted]] — its
+    * commit landed, or only its tombstone survives a fold — the batch
     * landed in a prior attempt and NOTHING is written (returns false);
-    * a crash before the rename leaves only a `staged/` orphan that the
-    * next attempt overwrites (and that compaction eventually reaps).
-    * There is no half-appended state — either every relation of the
-    * batch is visible or none is.
+    * a crash before the commit step leaves only an orphan (a `staged/`
+    * dir, or an unmarked commit dir) that the next attempt overwrites
+    * and compaction eventually reaps. There is no half-appended state —
+    * either every relation of the batch is visible or none is.
     *
     * Concurrency: writers of DISTINCT tags never share a staged or
     * commit dir and may run fully concurrently (spec-proven). Two
     * writers of the SAME tag are formally out of contract (they would
-    * interleave inside one staged dir); the commit step still resolves
-    * the detectable outcomes — a loser whose rename finds the dest
-    * already present gets `false` (a lost race, not an error, and never
-    * the nested `commits/<tag>/<tag>` layout `FileSystem.rename` would
-    * produce — see [[renameNoClobber]]) and its staged copy is
-    * discarded: the winner's commit IS this batch. */
+    * interleave inside one dir); the commit step still resolves the
+    * detectable outcomes — the rename loser gets `false` (never the
+    * nested `commits/<tag>/<tag>` layout — see [[renameNoClobber]]) and
+    * its staged copy is discarded; the marker loser's exclusive create
+    * fails and returns `false` (though under the marker protocol its
+    * interleaved relation writes may have mixed with the winner's —
+    * single-writer-per-tag is a hard requirement there, not just a
+    * formality). */
   def stagedAppend(spark: SparkSession, path: String, tag: String,
       relations: Seq[(String, org.apache.spark.sql.DataFrame)],
       /** Test seam: runs after the relation writes, before the commit
-        * rename — the window where external disturbance of the staged
-        * dir must be caught by the post-commit verification below. */
+        * step — the window where external disturbance of the written
+        * relations must be caught by the post-commit verification. */
       beforeCommitRename: () => Unit = () => ()): Boolean = {
     requireValidTag(tag)
     if (isCommitted(spark, path, tag)) return false
-    val stageDir = s"$path/staged/$tag"
-    deleteRecursively(spark, stageDir)
-    relations.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$stageDir/$name")
-    }
-    beforeCommitRename()
-    val landed = renameNoClobber(spark, stageDir, s"$path/commits/$tag")
-    if (!landed) { deleteRecursively(spark, stageDir); return false }
+    val commitDir = s"$path/commits/$tag"
+    val landed =
+      if (useMarker(spark, path)) {
+        relations.foreach { case (name, df) =>
+          df.write.mode("overwrite").parquet(s"$commitDir/$name")
+        }
+        beforeCommitRename()
+        val f = fs(spark, path)
+        try { f.create(new HPath(s"$commitDir/$CommitMarker"), false).close(); true }
+        catch {
+          case e: java.io.IOException => // incl. FileAlreadyExistsException
+            if (exists(spark, s"$commitDir/$CommitMarker")) false // lost the race
+            else throw e
+        }
+      } else {
+        val stageDir = s"$path/staged/$tag"
+        deleteRecursively(spark, stageDir)
+        relations.foreach { case (name, df) =>
+          df.write.mode("overwrite").parquet(s"$stageDir/$name")
+        }
+        beforeCommitRename()
+        val won = renameNoClobber(spark, stageDir, commitDir)
+        if (!won) deleteRecursively(spark, stageDir)
+        won
+      }
+    if (!landed) return false
     // Post-commit verification that the commit carries EVERY relation of
-    // the batch: anything that disturbed the staged dir mid-write (an
-    // out-of-contract concurrent writer; historically, the orphan reaper
-    // racing a slow append) would otherwise land a half-appended batch —
-    // bands without shingles — that silently violates the all-or-nothing
-    // invariant and breaks later loads. Fail LOUDLY and clear the commit
-    // (the tag has no tombstone yet), so a clean retry can land.
+    // the batch: anything that disturbed the written relations mid-write
+    // (an out-of-contract concurrent writer; historically, the orphan
+    // reaper racing a slow append) would otherwise land a half-appended
+    // batch — bands without shingles — that silently violates the
+    // all-or-nothing invariant and breaks later loads. Fail LOUDLY and
+    // clear the commit (the tag has no tombstone yet), so a clean retry
+    // can land.
     val missing = relations.map(_._1)
-      .filterNot(name => exists(spark, s"$path/commits/$tag/$name"))
+      .filterNot(name => exists(spark, s"$commitDir/$name"))
     if (missing.nonEmpty) {
-      deleteRecursively(spark, s"$path/commits/$tag")
+      deleteRecursively(spark, commitDir)
       throw new java.io.IOException(
         s"IndexFs.stagedAppend: commit '$tag' landed missing relation(s) " +
-          s"${missing.mkString(", ")} — the staged dir was disturbed " +
-          "mid-write; commit removed, retry the append")
+          s"${missing.mkString(", ")} — the batch's writes were disturbed " +
+          "mid-append; commit removed, retry the append")
     }
     true
   }
@@ -415,7 +467,7 @@ private[graft] object IndexFs {
     * resolves. */
   def relationDirs(spark: SparkSession, path: String, name: String,
       exclude: Set[String]): Seq[String] =
-    resolveDir(spark, s"$path/$name") +: listDirNames(spark, s"$path/commits")
+    resolveDir(spark, s"$path/$name") +: landedCommits(spark, path)
       .filterNot(exclude)
       .map(tag => s"$path/commits/$tag/$name")
 }

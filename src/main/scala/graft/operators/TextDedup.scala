@@ -392,8 +392,13 @@ object TextDedup {
       afterSnapshot: () => Unit = () => (),
       beforeCommitDelete: String => Unit = _ => (),
       stagedOrphanTtlMs: Long = DefaultStagedOrphanTtlMs): Unit = {
-    val folded = IndexFs.listDirNames(spark, s"$path/commits")
+    // LANDED commits only: under the marker protocol an in-flight
+    // append's commit dir exists before its _OK marker does — folding
+    // it would commit a half-written batch
+    val folded = IndexFs.landedCommits(spark, path)
     val stagedAtStart = IndexFs.listDirNames(spark, s"$path/staged")
+    val unlandedAtStart =
+      IndexFs.listDirNames(spark, s"$path/commits").diff(folded)
     afterSnapshot()
     def read(name: String): DataFrame = spark.read.parquet(
       (IndexFs.resolveDir(spark, s"$path/$name") +:
@@ -430,6 +435,15 @@ object TextDedup {
       .filter(t => IndexFs.isCommitted(spark, path, t) ||
         now - IndexFs.newestMtime(spark, s"$path/staged/$t") > stagedOrphanTtlMs)
       .foreach(t => IndexFs.deleteRecursively(spark, s"$path/staged/$t"))
+    // marker-protocol twin of the staged reap: a commit dir that was
+    // already unmarked at snapshot, is STILL unlanded now, and has gone
+    // stale is a crashed marker-mode append (never committed, never
+    // retried) — same TTL discipline, same live-append protection
+    unlandedAtStart
+      .filterNot(t => IndexFs.isCommitted(spark, path, t))
+      .filter(t =>
+        now - IndexFs.newestMtime(spark, s"$path/commits/$t") > stagedOrphanTtlMs)
+      .foreach(t => IndexFs.deleteRecursively(spark, s"$path/commits/$t"))
     // bound the tombstone namespace: fold per-tag files into the single
     // versioned relation — committed/ stays O(1) files at any cadence
     IndexFs.foldTombstones(spark, path)

@@ -180,6 +180,35 @@ class IndexFsSpec extends SparkSpec {
     }
   }
 
+  test("stagedAppend marker protocol: the _OK marker IS the commit; crashed appends stay invisible and retry cleanly") {
+    import spark.implicits._
+    withMarkerProtocol {
+      val dir = tmp("idxfs_mkcommit")
+      val rel = Seq((1L, "a")).toDF("id", "v")
+      // a crash after the relation writes but before the marker:
+      // the commit dir exists, but no reader or maintenance pass
+      // counts it (the marker-protocol analog of a staged/ orphan)
+      rel.write.mode("overwrite").parquet(s"$dir/commits/t1/r")
+      assert(IndexFs.landedCommits(spark, dir).isEmpty)
+      assert(!IndexFs.isCommitted(spark, dir, "t1"))
+      assert(IndexFs.relationDirs(spark, dir, "r", Set.empty).size == 1) // base only
+      // the retry overwrites the orphan and lands with the marker
+      assert(IndexFs.stagedAppend(spark, dir, "t1", Seq("r" -> rel)))
+      assert(IndexFs.exists(spark, s"$dir/commits/t1/_OK"))
+      assert(IndexFs.landedCommits(spark, dir) == Seq("t1"))
+      assert(IndexFs.isCommitted(spark, dir, "t1"))
+      assert(IndexFs.relationDirs(spark, dir, "r", Set.empty).size == 2)
+      // replay is a no-op; no staged/ dir ever exists in marker mode
+      assert(!IndexFs.stagedAppend(spark, dir, "t1", Seq("r" -> rel)))
+      assert(!IndexFs.exists(spark, s"$dir/staged"))
+      // same-tag loser: a marker that appears inside the commit window
+      // makes the exclusive create fail → false, winner's marker stands
+      assert(!IndexFs.stagedAppend(spark, dir + "2", "t1", Seq("r" -> rel),
+        beforeCommitRename = () =>
+          touch(s"${dir}2/commits/t1/_OK")))
+    }
+  }
+
   test("publishRelation adopts a plain pre-marker dir; clearPublished resets for a rebuild") {
     import spark.implicits._
     val dir = tmp("idxfs_adopt") + "/rel"

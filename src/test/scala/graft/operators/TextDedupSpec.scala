@@ -687,6 +687,24 @@ class TextDedupSpec extends SparkSpec {
       // the marker artifacts are real: pointer present, plain dir retired
       assert(IndexFs.exists(spark, s"$markerDir/bands.current"))
       assert(!IndexFs.exists(spark, s"$markerDir/bands"))
+      // marker-mode orphan discipline: an unmarked commit dir is a
+      // crashed append — invisible to loads AND to compaction's fold,
+      // reaped only once stale (the staged-reap TTL twin)
+      IndexFs.fs(spark, markerDir).mkdirs(
+        new org.apache.hadoop.fs.Path(s"$markerDir/commits/crashed/bands"))
+      TextDedup.compactMinhashIndex(spark, markerDir)
+      assert(IndexFs.exists(spark, s"$markerDir/commits/crashed"),
+        "reaper deleted a possibly-live marker-mode append")
+      assert(TextDedup.loadMinhashIndex(spark, markerDir)
+        .bands.collect().toSet == markerBands)
+      val old = System.currentTimeMillis() - 48L * 3600 * 1000
+      Seq(s"$markerDir/commits/crashed", s"$markerDir/commits/crashed/bands")
+        .foreach { p =>
+          java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(p),
+            java.nio.file.attribute.FileTime.fromMillis(old))
+        }
+      TextDedup.compactMinhashIndex(spark, markerDir)
+      assert(!IndexFs.exists(spark, s"$markerDir/commits/crashed"))
     } finally spark.conf.unset(IndexFs.CommitProtocolKey)
     // rename twin left NO marker artifacts
     assert(!IndexFs.exists(spark, s"$renameDir/bands.current"))
