@@ -243,6 +243,64 @@ class StreamingOpsSpec extends SparkSpec {
     assert(indexIds() == idsBefore)
   }
 
+  test("cluster posture composes: crawl loop under marker protocol + parquet scratch ≡ default run") {
+    import spark.implicits._
+    def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // one shape, run twice: batch 1 (novel 103 + index-dup 101), then
+    // batch 2 near-duplicating the folded-in 103 — the fold-in is
+    // load-bearing, so any protocol/scratch break changes the pairs
+    def runLoop(): (Set[(Long, Long)], Set[Long]) = {
+      val idxPath = java.nio.file.Files.createTempDirectory("mh_posture").toString
+      graft.operators.TextDedup.saveMinhashIndex(
+        (0L until 20L).map(i => (i * 2, sent(i.toInt))).toDF("doc_id", "text"),
+        "doc_id", "text", idxPath)
+      val srcDir = java.nio.file.Files.createTempDirectory("posture_docs")
+      def writeFile(name: String, rows: Seq[(Long, String)], modTime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("stage").toString
+        rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dst = srcDir.resolve(name)
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(modTime))
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      writeFile("b1.parquet", Seq((101L, sent(5) + " tail"), (103L, sent(500))), t0)
+      writeFile("b2.parquet", Seq((201L, sent(500) + " tail")), t0 + 10000)
+      val outDir = java.nio.file.Files.createTempDirectory("posture_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("posture_ckpt").toString
+      StreamingOps.incrementalDedupStream(
+          spark.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+          idxPath, outDir, ckpt, threshold = 0.7, foldInSurvivors = true)
+        .awaitTermination()
+      val pairs = spark.read.parquet(s"$outDir/batch_*")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = graft.operators.TextDedup.loadMinhashIndex(spark, idxPath)
+        .shingles.select("id").as[Long].collect().toSet
+      (pairs, ids)
+    }
+    val default = runLoop()
+    assert(default._1 == Set((101L, 10L), (201L, 103L)))
+    // the full cluster posture: object-store commit protocol AND
+    // parquet scratch, composed with the durable checkpoint the
+    // operator already requires
+    spark.conf.set(graft.operators.IndexFs.CommitProtocolKey, "marker")
+    spark.conf.set(graft.GraftSession.ScratchDirKey,
+      java.nio.file.Files.createTempDirectory("posture_scratch").toString)
+    try assert(runLoop() == default)
+    finally {
+      spark.conf.unset(graft.operators.IndexFs.CommitProtocolKey)
+      spark.conf.unset(graft.GraftSession.ScratchDirKey)
+    }
+  }
+
   test("mapGroupsWithState running totals equal a batch groupBy") {
     val stream = StreamingOps.readEventsStream(spark, sfDir)
     val streamed = StreamingOps.runAvailableNow(
