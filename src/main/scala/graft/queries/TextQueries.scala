@@ -58,6 +58,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** LM-based quality scoring (CCNet-style): fit the stupid-backoff
+    * bigram model on the even-id half of `documents` (the reference
+    * corpus), score the odd-id half by average per-token log-prob — the
+    * fit-once/score-many curation regime under the hash gate. The
+    * oracle re-derives BOTH the counts and the scores in SQL from the
+    * same split spelling, so a lost count, a backoff-formula drift, or
+    * a tokenization mismatch all fail the gate. */
+  val perplexity: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    val lm = graft.operators.NgramLm.fit(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    graft.operators.NgramLm.scoreAvgLogProb(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", lm)
+      .orderBy(col("doc_id"))
+  }
+
   val fingerprints: Q = (s, dir) => {
     val d = Scan.table(s, dir, "documents")
     d.select(
@@ -104,6 +120,7 @@ object TextQueries {
     "q_text_quality" -> qualityProfile,
     "q_text_repetition" -> repetition,
     "q_text_langid" -> langIdRollup,
+    "q_text_perplexity" -> perplexity,
     "q_text_fingerprints" -> fingerprints)
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
@@ -228,6 +245,38 @@ object TextQueries {
               ELSE 'und' END AS predicted_lang
             FROM documents)
           GROUP BY predicted_lang ORDER BY predicted_lang""",
+    // the bigram LM, counts AND scores re-derived in SQL: adjacent
+    // token pairs via list indexing over the same single-space split,
+    // stupid backoff (0.4) with the full-corpus token mass, mean log10
+    // rounded portably — identical arithmetic to NgramLm
+    "q_text_perplexity" ->
+      s"""WITH sp AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents),
+          bg AS (
+            SELECT doc_id, UNNEST(LIST_TRANSFORM(
+              GENERATE_SERIES(1, LEN(s) - 1),
+              i -> {'w1': s[i], 'w2': s[i + 1]})) AS p
+            FROM sp),
+          pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+          train_words AS (
+            SELECT UNNEST(s) AS w FROM sp WHERE doc_id % 2 = 0),
+          uni AS (SELECT w, COUNT(*) AS c FROM train_words GROUP BY w),
+          tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM train_words),
+          bi AS (SELECT w1, w2, COUNT(*) AS c FROM pairs
+                 WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+          scored AS (
+            SELECT sp2.doc_id,
+              CASE WHEN bi.c IS NOT NULL THEN CAST(bi.c AS DOUBLE) / up.c
+                   WHEN uc.c IS NOT NULL THEN CAST(0.4 AS DOUBLE) * uc.c / t.t
+                   ELSE CAST(0.4 AS DOUBLE) / t.t END AS prob
+            FROM pairs sp2
+            LEFT JOIN bi ON bi.w1 = sp2.w1 AND bi.w2 = sp2.w2
+            LEFT JOIN uni up ON up.w = sp2.w1
+            LEFT JOIN uni uc ON uc.w = sp2.w2
+            CROSS JOIN tot t
+            WHERE sp2.doc_id % 2 = 1)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+            ${roundPortableSql("AVG(LOG10(prob))", 4)} AS avg_logprob
+          FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "q_text_fingerprints" ->
       """SELECT doc_id, MD5(text) AS md5_fp,
           LIST_REDUCE(
