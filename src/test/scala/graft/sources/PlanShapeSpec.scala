@@ -241,6 +241,29 @@ class PlanShapeSpec extends SparkSpec {
       s"dimension join not broadcast:\n$plan")
   }
 
+  test("NgramLm scoring plan: no cartesian, count-relation joins, scan pruned to (doc_id, text)") {
+    val docs = Scan.table(spark, "/root/testdata/sf0.001", "documents")
+    val lm = graft.operators.NgramLm.fit(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      "doc_id", "text")
+    val scored = graft.operators.NgramLm.scoreAvgLogProb(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+      "doc_id", "text", lm)
+    val plan = formatted(scored)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LM scoring must join on gram keys, never a product:\n$plan")
+    // per-doc mean is a partial+final hash aggregate (map-side combine)
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    // the candidate scan reads only the two columns the scorer needs
+    val reads = plan.linesIterator.map(_.trim)
+      .filter(_.startsWith("ReadSchema:")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+        r.contains("doc_id") && r.contains("text") && !r.contains("lang") &&
+        !r.contains("source") && !r.contains("n_chars")),
+      s"scan not pruned to (doc_id, text): $reads")
+  }
+
   test("projection-only spec scan pushes no filters but still prunes (P1 alone)") {
     val customer = Scan.table(spark, "/root/testdata/sf0.001", "customer")
     val spec = ObjectSpec("Account", Seq("c_custkey", "c_mktsegment"),
