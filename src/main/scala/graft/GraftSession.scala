@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session factory with the engine's required settings.
@@ -81,9 +83,18 @@ object GraftSession {
       case Some(root) =>
         val path = s"$root/pin-${java.util.UUID.randomUUID().toString}"
         df.write.mode("overwrite").parquet(path)
+        parquetPins.add(path)
         df.sparkSession.read.parquet(path)
       case None => df.localCheckpoint(true)
     }
+
+  /** Parquet pins created and not yet reclaimed — the bookkeeping that
+    * lets [[releasingScratch]] treat parquet scratch exactly like the
+    * localCheckpoint blocks it already releases. Without it every pin
+    * under [[ScratchDirKey]] leaked a full intermediate copy until the
+    * job ended (the 15-minute crawl loop would leak one batch-sized dir
+    * set per trigger, forever). */
+  private val parquetPins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /** `.pinScratch()` — the postfix spelling of [[pin]], so call sites
     * read like the `.localCheckpoint(true)` chains they replace. */
@@ -102,9 +113,20 @@ object GraftSession {
   def releasingScratch[T](spark: SparkSession)(body: => T): T = {
     val sc = spark.sparkContext
     val pre = sc.getPersistentRDDs.keySet.toSet
+    val prePins = new java.util.HashSet(parquetPins)
     try body
-    finally (sc.getPersistentRDDs.keySet.toSet -- pre)
-      .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    finally {
+      (sc.getPersistentRDDs.keySet.toSet -- pre)
+        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      // parquet pins created DURING the body: every consumer is done,
+      // reclaim the files (the parquet twin of the unpersist above)
+      parquetPins.iterator().asScala.filterNot(prePins.contains).toList
+        .foreach { p =>
+          parquetPins.remove(p)
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
+        }
+    }
   }
 
   /** The deliberate scratch release above logs a "lineage truncated,

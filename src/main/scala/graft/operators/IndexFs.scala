@@ -150,7 +150,13 @@ private[graft] object IndexFs {
     * stores. A `save*Index` full rebuild wipes the whole tag namespace
     * (commits, staged, committed — fold file included) together. */
   def markCommitted(spark: SparkSession, path: String, tag: String): Unit = {
-    requireValidTag(tag)
+    // path-safety only, NOT the full new-tag rule: maintenance must be
+    // able to tombstone a commit dir that ALREADY EXISTS under a name a
+    // stricter round would no longer accept (e.g. an r9-era `_`-prefixed
+    // tag) — rejecting it here would abort every future compaction of
+    // that index. The fold-file test is exact (`_folded-<digits>`), so
+    // even those legacy names can't be misparsed as fold versions.
+    requirePathSegment(tag)
     val f = fs(spark, path)
     val p = new HPath(s"$path/committed/$tag")
     if (!f.exists(p)) { f.create(p, true).close() }
@@ -160,53 +166,85 @@ private[graft] object IndexFs {
     * ([[requireValidTag]] keeps user tags out of this namespace). */
   private val FoldedPrefix = "_folded-"
 
+  /** Fold files are `_folded-<digits>` EXACTLY — a stricter test than a
+    * prefix check so a crashed fold's temp file (or a legacy tag that
+    * happens to start with `_`) can never be parsed as a version. */
+  private def isFoldFile(name: String): Boolean =
+    name.startsWith(FoldedPrefix) &&
+      name.length > FoldedPrefix.length &&
+      name.drop(FoldedPrefix.length).forall(_.isDigit)
+
   /** Tags recorded in the NEWEST folded-tombstone file (empty when none
     * exists). Fold files are versioned `_folded-<n>`: a fold writes
     * version n+1 (containing everything it absorbs) BEFORE deleting
     * version n and the per-tag files, so a concurrent reader finds
-    * every folded tag in whichever version its listing surfaces. */
+    * every folded tag in whichever version its listing surfaces. The
+    * list→open window can still see a version vanish mid-read (the fold
+    * deleting what it superseded); that reads again — the replacement
+    * version is a superset — and a persistent failure is LOUD, never an
+    * empty (silently-wrong) answer. */
   private[graft] def foldedTags(spark: SparkSession, path: String): Set[String] = {
-    val f = fs(spark, path)
-    val dir = new HPath(s"$path/committed")
-    if (!f.exists(dir)) return Set.empty
-    val folds = f.listStatus(dir)
-      .filter(s => s.isFile && s.getPath.getName.startsWith(FoldedPrefix))
-    if (folds.isEmpty) return Set.empty
-    val latest = folds.maxBy(_.getPath.getName.stripPrefix(FoldedPrefix).toLong)
-    val in = f.open(latest.getPath)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toSet
-    finally in.close()
+    def readOnce(): Set[String] = {
+      val f = fs(spark, path)
+      val dir = new HPath(s"$path/committed")
+      if (!f.exists(dir)) return Set.empty
+      val folds = f.listStatus(dir)
+        .filter(s => s.isFile && isFoldFile(s.getPath.getName))
+      if (folds.isEmpty) return Set.empty
+      val latest = folds.maxBy(_.getPath.getName.stripPrefix(FoldedPrefix).toLong)
+      val in = f.open(latest.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+    try readOnce()
+    catch { case _: java.io.FileNotFoundException =>
+      try readOnce()
+      catch { case _: java.io.FileNotFoundException => readOnce() }
+    }
   }
 
   /** Fold the per-tag tombstone files under `committed/` into a single
     * versioned `_folded-<n>` text file (one tag per line) — the growth
     * bound on replay protection: recognition of every folded tag is
     * permanent, but the FILE COUNT under `committed/` stays constant
-    * instead of growing by one per folded tag forever. Ordering makes
-    * the fold safe against concurrent [[isCommitted]] probes: the new
-    * version (a superset of the old one plus every per-tag file) is
-    * fully written before anything it absorbs is deleted, so no probe
-    * can miss a tag. Driver-side IO on driver-sized data (one line per
-    * tag ever folded). */
+    * instead of growing by one per folded tag forever. Two orderings
+    * make it safe: the new version is written to a temp name and
+    * RENAMED into place (a crash mid-write leaves only the temp, which
+    * the fold-file test ignores and the next fold deletes — a truncated
+    * newest version can never exist), and it lands before anything it
+    * absorbed is deleted, so no concurrent [[isCommitted]] probe can
+    * miss a tag. Driver-side IO on driver-sized data. */
   private[graft] def foldTombstones(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
     val dir = new HPath(s"$path/committed")
     if (!f.exists(dir)) return
     val entries = f.listStatus(dir).filter(_.isFile)
-    val (folds, tagFiles) =
-      entries.partition(_.getPath.getName.startsWith(FoldedPrefix))
-    if (tagFiles.isEmpty && folds.length <= 1) return // already folded
+    val folds = entries.filter(e => isFoldFile(e.getPath.getName))
+    // leftover temp from a crashed fold; stale, single-scheduler contract
+    val crashedTmp = entries.filter(_.getPath.getName == FoldTmpName)
+    val tagFiles = entries.filterNot(e =>
+      isFoldFile(e.getPath.getName) || e.getPath.getName == FoldTmpName)
+    if (tagFiles.isEmpty && folds.length <= 1 && crashedTmp.isEmpty) return
     val union = foldedTags(spark, path) ++ tagFiles.map(_.getPath.getName)
     val next =
       (0L +: folds.toSeq.map(_.getPath.getName.stripPrefix(FoldedPrefix).toLong))
         .max + 1
-    val out = f.create(new HPath(dir, FoldedPrefix + next), true)
+    crashedTmp.foreach(s => f.delete(s.getPath, false))
+    val tmp = new HPath(dir, FoldTmpName)
+    val out = f.create(tmp, true)
     try out.write((union.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (!f.rename(tmp, new HPath(dir, FoldedPrefix + next)))
+      throw new java.io.IOException(
+        s"IndexFs.foldTombstones: rename of $tmp to version $next failed")
     // only now retire what the new version absorbed
     (folds ++ tagFiles).foreach(s => f.delete(s.getPath, false))
   }
+
+  /** Temp name of an in-progress fold — `_`-prefixed (outside the tag
+    * namespace) but NOT a valid fold-file name, so readers ignore it. */
+  private val FoldTmpName = "_folding-tmp"
 
   /** Conf key selecting the relation-publish protocol:
     *  - `rename` — write a tmp sibling, swap it in with directory
@@ -287,10 +325,36 @@ private[graft] object IndexFs {
         else None
       val next = cur.getOrElse(0L) + 1
       df.write.mode("overwrite").parquet(s"$dir.v$next")
-      val out = f.create(ptr, true) // overwrite PUT — the atomic commit
-      try out.write(s"v$next".getBytes("UTF-8")) finally out.close()
+      atomicWriteSmallFile(spark, f, ptr, s"v$next") // the atomic commit
       cur.foreach(k => deleteRecursively(spark, s"$dir.v$k"))
       if (cur.isEmpty) deleteRecursively(spark, dir) // pre-marker plain dir
+    }
+  }
+
+  /** Replace a tiny control file (the publish pointer) with NO
+    * truncation window: write a temp sibling, rename over with
+    * `Options.Rename.OVERWRITE` (atomic on any FS with an
+    * `AbstractFileSystem` binding — a bare `create(overwrite = true)`
+    * would truncate the LIVE pointer first, so a crash or a concurrent
+    * read in that window sees an empty file and the whole read path
+    * bricks). Schemes without a binding are the true object stores,
+    * where the direct overwrite PUT is itself atomic — there the PUT is
+    * used as-is. */
+  private def atomicWriteSmallFile(spark: SparkSession, f: FileSystem,
+      p: HPath, content: String): Unit = {
+    val tmp = new HPath(p.getParent, p.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val out2 = f.create(p, true)
+        try out2.write(content.getBytes("UTF-8")) finally out2.close()
+        f.delete(tmp, false); ()
     }
   }
 
@@ -303,6 +367,7 @@ private[graft] object IndexFs {
     val p = new HPath(dir)
     val parent = p.getParent
     deleteRecursively(spark, dir + ".current")
+    deleteRecursively(spark, dir + ".current.tmp")
     if (parent != null && f.exists(parent)) {
       val prefix = p.getName + ".v"
       f.listStatus(parent).filter(_.getPath.getName.startsWith(prefix))
@@ -320,13 +385,19 @@ private[graft] object IndexFs {
     val f = fs(spark, path)
     val p = new HPath(path)
     if (!f.exists(p)) return Long.MinValue
-    def mtimes(q: HPath, depth: Int): Seq[Long] = {
-      val st = f.getFileStatus(q)
-      st.getModificationTime +: (
-        if (depth <= 0 || !st.isDirectory) Seq.empty
-        else f.listStatus(q).toSeq.flatMap(c => mtimes(c.getPath, depth - 1)))
-    }
-    mtimes(p, 2).max
+    // entries can vanish mid-walk: the contract ALLOWS tagged appends
+    // concurrent with the compaction that calls this (a retry's
+    // delete-and-restage, a parquet writer retiring `_temporary`) — a
+    // vanished entry is simply not evidence of recency, never a crash
+    def mtimes(q: HPath, depth: Int): Seq[Long] =
+      try {
+        val st = f.getFileStatus(q)
+        st.getModificationTime +: (
+          if (depth <= 0 || !st.isDirectory) Seq.empty
+          else f.listStatus(q).toSeq.flatMap(c => mtimes(c.getPath, depth - 1)))
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val all = mtimes(p, 2)
+    if (all.isEmpty) Long.MinValue else all.max
   }
 
   /** Names of the immediate child DIRECTORIES of `path` (empty when the
@@ -338,16 +409,26 @@ private[graft] object IndexFs {
     else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
   }
 
-  /** Valid commit tags are single path segments — a `/` or `..` would
-    * escape the index's `commits/` namespace — and may not start with
-    * `_`, which is reserved for index metadata files (the folded
-    * tombstones under `committed/`). */
-  def requireValidTag(tag: String): Unit =
+  /** Bare path-segment safety — a `/` or `..` would escape the index's
+    * namespace. The floor every tag-shaped input must clear. */
+  private def requirePathSegment(tag: String): Unit =
     require(
-      tag.nonEmpty && tag != "." && tag != ".." && !tag.startsWith("_") &&
+      tag.nonEmpty && tag != "." && tag != ".." &&
         tag.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
-      s"commit tag must be a [A-Za-z0-9.-][A-Za-z0-9._-]* path segment " +
-        s"('_' prefix reserved), got '$tag'")
+      s"tag must be a [A-Za-z0-9._-]+ path segment, got '$tag'")
+
+  /** Valid NEW commit tags are single path segments — a `/` or `..`
+    * would escape the index's `commits/` namespace — and may not start
+    * with `_`, which is reserved for index metadata files (the folded
+    * tombstones under `committed/`, the `_OK` commit marker). Applied
+    * at append time; maintenance of already-landed names is more
+    * permissive ([[markCommitted]]). */
+  def requireValidTag(tag: String): Unit = {
+    requirePathSegment(tag)
+    require(!tag.startsWith("_"),
+      s"commit tag must not start with '_' (reserved for index metadata), " +
+        s"got '$tag'")
+  }
 
   /** Marker file that makes a commit dir COUNT under the marker
     * protocol: relations are written directly into `commits/<tag>/`

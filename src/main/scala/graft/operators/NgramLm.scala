@@ -75,13 +75,21 @@ object NgramLm {
   def fit(docs: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = Int.MaxValue): BigramLm = {
     val words = docs.select(explode(split(col(textCol), " ")).as("w"))
-    val uniAll = words.groupBy("w").agg(count(lit(1)).as("c"))
-    val total = words.count()
-    val uni =
+    // pin the UNPRUNED unigram relation first: both the total token mass
+    // and the (possibly pruned) vocabulary derive from it, so the corpus
+    // is tokenized exactly twice (unigram + bigram aggregate) — a
+    // words.count() here would be a third full corpus scan for a number
+    // the vocabulary-sized aggregate already carries
+    val uniAll = words.groupBy("w").agg(count(lit(1)).as("c")).pinScratch()
+    val total = uniAll.agg(sum("c")).head match {
+      case r if r.isNullAt(0) => 0L // empty corpus
+      case r => r.getLong(0)
+    }
+    val pinnedUni =
       if (maxVocab == Int.MaxValue) uniAll
       else uniAll.orderBy(col("c").desc, col("w")).limit(maxVocab)
         .repartition(col("w")) // TakeOrdered funnels to 1 partition; respread
-    val pinnedUni = uni.pinScratch()
+        .pinScratch()
     val bi = bigramPairs(docs, idCol, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val biKept =

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.GraftSession.Pinnable
-
 /** Sequence-packing bins for LLM pretraining batch assembly (extension
   * surface): assign every document a position in a stream of
   * fixed-token-budget bins, by cumulative token count in a total key

@@ -240,7 +240,12 @@ object Similarity {
     val cells = cellRows(newVecs, idCol, vecCol, ids, vecs)
     commitTag match {
       case Some(tag) => IndexFs.stagedAppend(spark, path, tag, Seq("cells" -> cells))
-      case None => cells.write.mode("append").parquet(s"$path/cells"); true
+      case None =>
+        // resolved dir — see appendToMinhashIndex: a plain-dir append is
+        // invisible once the marker protocol owns the base relation
+        cells.write.mode("append")
+          .parquet(IndexFs.resolveDir(spark, s"$path/cells"))
+        true
     }
   }
 
@@ -273,6 +278,13 @@ object Similarity {
     * re-assigned). Output columns (queryId, id, cosine, rank). */
   def ivfTopKFromIndex(index: IvfIndex, queries: DataFrame,
       queryId: String, queryVec: String, k: Int, nProbe: Int = 3): DataFrame = {
+    // the output contract is (queryId, id, cosine, rank): a queryId that
+    // collides with one of the fixed output names would yield a frame
+    // with duplicate columns — ambiguous downstream, silently wrong on
+    // positional access. Loud beats deferred.
+    require(!Set("id", "cosine", "rank").contains(queryId),
+      s"queryId '$queryId' collides with the output schema " +
+        "(id, cosine, rank) — alias the query id column first")
     val (ids, vecs) = centroidKernel(index.centroids)
     // Project to EXACTLY the two query columns, under internal names,
     // before anything joins against the cell relation: a queries frame

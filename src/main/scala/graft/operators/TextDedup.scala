@@ -327,8 +327,14 @@ object TextDedup {
         stagedAppend(spark, path, tag,
           Seq("bands" -> idx.bands, "shingles" -> idx.shingles))
       case None =>
-        idx.shingles.write.mode("append").parquet(s"$path/shingles")
-        idx.bands.write.mode("append").parquet(s"$path/bands")
+        // append into the RESOLVED dirs: under the marker protocol the
+        // plain base dir is retired after the first compaction, and an
+        // append into it would be invisible to every pointer-following
+        // reader — silent data loss, not duplicates
+        idx.shingles.write.mode("append")
+          .parquet(IndexFs.resolveDir(spark, s"$path/shingles"))
+        idx.bands.write.mode("append")
+          .parquet(IndexFs.resolveDir(spark, s"$path/bands"))
         true
     }
   }
@@ -1169,8 +1175,12 @@ object TextDedup {
         stagedAppend(spark, path, tag,
           Seq("buckets" -> buckets, "vectors" -> vectors))
       case None =>
-        vectors.write.mode("append").parquet(s"$path/vectors")
-        buckets.write.mode("append").parquet(s"$path/buckets")
+        // resolved dirs — see the minhash twin: a plain-dir append is
+        // invisible once the marker protocol owns the base relation
+        vectors.write.mode("append")
+          .parquet(IndexFs.resolveDir(spark, s"$path/vectors"))
+        buckets.write.mode("append")
+          .parquet(IndexFs.resolveDir(spark, s"$path/buckets"))
         true
     }
   }

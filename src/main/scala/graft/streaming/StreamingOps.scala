@@ -263,7 +263,12 @@ object StreamingOps {
   private[graft] def dedupBatchAgainstIndex(
       batchDf: DataFrame, batchId: Long, indexPath: String, outDir: String,
       threshold: Double, idCol: String, textCol: String,
-      foldInSurvivors: Boolean): Unit = {
+      foldInSurvivors: Boolean): Unit =
+    // scratch scoped to the micro-batch: every pin below is consumed
+    // within it, and a long-running crawl stream would otherwise
+    // accumulate one batch worth of checkpoint blocks (or parquet pin
+    // dirs, under the cluster scratch strategy) per trigger, forever
+    graft.GraftSession.releasingScratch(batchDf.sparkSession) {
     val spark = batchDf.sparkSession
     val tag = s"batch_$batchId"
     val b = batchDf.pinScratch() // consumed twice below

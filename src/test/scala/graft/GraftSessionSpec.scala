@@ -30,6 +30,28 @@ class GraftSessionSpec extends SparkSpec {
     }
   }
 
+  test("releasingScratch reclaims parquet pins created in its scope (the crawl-loop leak)") {
+    import spark.implicits._
+    val df = (1L to 10L).toDF("id")
+    withScratchDir {
+      val root = spark.conf.get(GraftSession.ScratchDirKey)
+      def pinDirs() = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        .filter(_.getFileName.toString.startsWith("pin-")).count()
+      // a pin OUTSIDE any scope stays (caller-managed)
+      val outside = GraftSession.pin(df)
+      assert(pinDirs() == 1)
+      // pins INSIDE the scope are reclaimed once the scope ends; the
+      // pre-existing one is untouched and stays readable
+      GraftSession.releasingScratch(spark) {
+        assert(GraftSession.pin(df).count() == 10)
+        assert(GraftSession.pin(df).count() == 10)
+        assert(pinDirs() == 3)
+      }
+      assert(pinDirs() == 1)
+      assert(outside.count() == 10)
+    }
+  }
+
   test("composed flow (curate → dedup-against-index → append → pack) is strategy-invariant") {
     // the REAL capstone flow on the real corpus — the same spelling
     // q_training_data_e2e gates — run under both scratch strategies

@@ -61,6 +61,22 @@ class IndexFsSpec extends SparkSpec {
     // an already-folded dir is a no-op (no version churn)
     IndexFs.foldTombstones(spark, dir)
     assert(committedFiles() == Seq("_folded-4"))
+    // a crashed fold's temp file is never read as a version and is
+    // cleaned by the next fold without losing recognition
+    touch(s"$dir/committed/_folding-tmp")
+    assert(IndexFs.isCommitted(spark, dir, "tag_1"))
+    IndexFs.markCommitted(spark, dir, "tag_5")
+    IndexFs.foldTombstones(spark, dir)
+    assert(committedFiles() == Seq("_folded-5"))
+    (1 to 5).foreach(r => assert(IndexFs.isCommitted(spark, dir, s"tag_$r")))
+    // legacy '_'-prefixed tags (pre-r10 rule) stay maintainable: the
+    // tombstone lands, folds, and stays recognized — only NEW appends
+    // reject the reserved prefix
+    IndexFs.markCommitted(spark, dir, "_legacy")
+    assert(IndexFs.isCommitted(spark, dir, "_legacy"))
+    IndexFs.foldTombstones(spark, dir)
+    assert(committedFiles() == Seq("_folded-6"))
+    assert(IndexFs.isCommitted(spark, dir, "_legacy"))
   }
 
   test("requireValidTag rejects path escapes and the reserved '_' namespace") {

@@ -180,6 +180,14 @@ class SimilaritySpec extends SparkSpec {
     // output schema is unchanged by the internal normalization
     assert(Similarity.ivfTopKFromIndex(idx, dirty, "query_id", "qvec", k = 3)
       .columns.toSeq == Seq("query_id", "id", "cosine", "rank"))
+    // a queryId that collides with the fixed output names would yield
+    // duplicate columns — rejected loudly, not deferred to a downstream
+    // ambiguous-reference (or a silently wrong positional read)
+    Seq("id", "cosine", "rank").foreach { bad =>
+      assertThrows[IllegalArgumentException](
+        Similarity.ivfTopKFromIndex(idx,
+          clean.withColumnRenamed("query_id", bad), bad, "qvec", k = 3))
+    }
   }
 
   test("annTopK (multi-probe LSH) recalls most of the exact top-k") {

@@ -705,6 +705,18 @@ class TextDedupSpec extends SparkSpec {
         }
       TextDedup.compactMinhashIndex(spark, markerDir)
       assert(!IndexFs.exists(spark, s"$markerDir/commits/crashed"))
+      // UNTAGGED append after the base went pointer-resolved: the rows
+      // must land in the CURRENT version, not a recreated plain dir the
+      // readers would never see (the silent-loss hole of the first
+      // marker-protocol cut)
+      TextDedup.appendToMinhashIndex(
+        Seq((301L, sent(700))).toDF("doc_id", "text"), "doc_id", "text",
+        markerDir)
+      assert(!IndexFs.exists(spark, s"$markerDir/bands"),
+        "untagged append recreated the retired plain dir")
+      assert(TextDedup.loadMinhashIndex(spark, markerDir)
+        .shingles.select("id").as[Long].collect().toSet.contains(301L),
+        "untagged append invisible under the marker protocol")
     } finally spark.conf.unset(IndexFs.CommitProtocolKey)
     // rename twin left NO marker artifacts
     assert(!IndexFs.exists(spark, s"$renameDir/bands.current"))
