@@ -179,57 +179,79 @@ object Multimodal {
     private def fourCC(b: Array[Byte], off: Int): String =
       new String(b, off, 4, "US-ASCII")
 
+    /** Shared container walk: validates the RIFF/AVI envelope, reads the
+      * `avih` geometry, and invokes `onFrame(payloadOff, payloadLen)` for
+      * every `##db`/`##dc` frame chunk inside a `movi` list. Returns
+      * (width, height, frameCount) or aborts (require inside the caller's
+      * Try) on anything malformed. LIST recursion is depth-capped so an
+      * adversarial blob of thousands of nested LISTs aborts to None
+      * instead of a fatal StackOverflowError escaping the guard — real
+      * AVIs nest 2-3 deep. */
+    private def walkAvi(content: Array[Byte])(
+        onFrame: (Int, Int) => Unit): (Int, Int, Int) = {
+      require(content.length >= 12 && fourCC(content, 0) == "RIFF" &&
+        fourCC(content, 8) == "AVI ")
+      var width = -1
+      var height = -1
+      var frames = 0
+      val maxListDepth = 64
+      def walk(off0: Int, end: Int, inMovi: Boolean, depth: Int = 0): Unit = {
+        require(depth <= maxListDepth, s"LIST nesting exceeds $maxListDepth")
+        var off = off0
+        while (off + 8 <= end) {
+          val id = fourCC(content, off)
+          val size = u32le(content, off + 4).toInt
+          // a corrupt size field (u32 overflowing Int to negative)
+          // would stall or rewind the walk — the loop must always
+          // ADVANCE or abort to None, never spin on a bad blob
+          require(size >= 0, s"negative chunk size at $off")
+          val payload = off + 8
+          if (id == "LIST" && size >= 4) {
+            val listType = fourCC(content, payload)
+            walk(payload + 4, math.min(end, payload + size),
+              inMovi || listType == "movi", depth + 1)
+          } else if (id == "avih" && size >= 40) {
+            // MainAVIHeader: dwWidth/dwHeight at payload offsets 32/36
+            width = u32le(content, payload + 32).toInt
+            height = u32le(content, payload + 36).toInt
+          } else if (inMovi && id.length == 4 &&
+              id(0).isDigit && id(1).isDigit &&
+              id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')) {
+            frames += 1
+            onFrame(payload, math.min(end, payload + size) - payload)
+          }
+          off = payload + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(content.length, (u32le(content, 4) + 8).toInt), inMovi = false)
+      require(width > 0 && height > 0 && frames > 0)
+      (width, height, frames)
+    }
+
     def tryDecode(content: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
       scala.util.Try {
-        require(content.length >= 12 && fourCC(content, 0) == "RIFF" &&
-          fourCC(content, 8) == "AVI ")
-        var width = -1
-        var height = -1
-        var frames = 0
         val acc = new Array[Float](FeatureDim)
-        // walk a chunk sequence in [off, end); LIST chunks recurse into
-        // their payload (after the 4-byte list type). Depth is capped so
-        // an adversarial blob of thousands of nested LISTs aborts to None
-        // (require, inside the Try) instead of a fatal StackOverflowError
-        // escaping the guard — real AVIs nest 2-3 deep.
-        val maxListDepth = 64
-        def walk(off0: Int, end: Int, inMovi: Boolean, depth: Int = 0): Unit = {
-          require(depth <= maxListDepth, s"LIST nesting exceeds $maxListDepth")
-          var off = off0
-          while (off + 8 <= end) {
-            val id = fourCC(content, off)
-            val size = u32le(content, off + 4).toInt
-            // a corrupt size field (u32 overflowing Int to negative)
-            // would stall or rewind the walk — the loop must always
-            // ADVANCE or abort to None, never spin on a bad blob
-            require(size >= 0, s"negative chunk size at $off")
-            val payload = off + 8
-            if (id == "LIST" && size >= 4) {
-              val listType = fourCC(content, payload)
-              walk(payload + 4, math.min(end, payload + size),
-                inMovi || listType == "movi", depth + 1)
-            } else if (id == "avih" && size >= 40) {
-              // MainAVIHeader: dwWidth/dwHeight at payload offsets 32/36
-              width = u32le(content, payload + 32).toInt
-              height = u32le(content, payload + 36).toInt
-            } else if (inMovi && id.length == 4 &&
-                id(0).isDigit && id(1).isDigit &&
-                id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')) {
-              frames += 1
-              var i = payload
-              val stop = math.min(end, payload + size)
-              while (i < stop) {
-                acc(java.lang.Byte.toUnsignedInt(content(i)) % FeatureDim) += 1f
-                i += 1
-              }
-            }
-            off = payload + size + (size & 1) // chunks are word-aligned
+        val (width, height, frames) = walkAvi(content) { (payload, len) =>
+          var i = payload
+          while (i < payload + len) {
+            acc(java.lang.Byte.toUnsignedInt(content(i)) % FeatureDim) += 1f
+            i += 1
           }
         }
-        walk(12, math.min(content.length, (u32le(content, 4) + 8).toInt), inMovi = false)
-        require(width > 0 && height > 0 && frames > 0)
         val norm = math.sqrt(acc.map(v => v.toDouble * v).sum).toFloat
         (width, height, frames, if (norm == 0f) acc else acc.map(_ / norm))
+      }.toOption
+
+    /** The frame PAYLOADS of a well-formed AVI, in container order — the
+      * primitive under [[Multimodal.extractFrames]]. None on anything
+      * malformed (same per-record-resilience contract as [[tryDecode]]). */
+    def tryExtractFrames(content: Array[Byte]): Option[Vector[Array[Byte]]] =
+      scala.util.Try {
+        val out = Vector.newBuilder[Array[Byte]]
+        walkAvi(content) { (payload, len) =>
+          out += java.util.Arrays.copyOfRange(content, payload, payload + len)
+        }
+        out.result()
       }.toOption
   }
 
@@ -403,6 +425,44 @@ object Multimodal {
               StubCodec.frameCount(m.kind, m.duration_ms),
               StubCodec.features(m.content))
           }
+        }
+      }
+  }
+
+  /** One decoded frame payload of one video row. `frame_len`/`byte_sum`
+    * ride along so downstream filters (blank-frame drop, size caps) and
+    * the correctness gate can work without touching the bytes again. */
+  final case class FrameRecord(
+      media_id: Long, frame_idx: Int, frame_len: Int, byte_sum: Long,
+      frame_bytes: Array[Byte])
+
+  /** REAL frame extraction for AVI video rows: one output row per
+    * `##db`/`##dc` chunk in the container's `movi` list, payload bytes
+    * included — the video analog of image decode (what a frame-level
+    * embedding or caption model consumes). Per-partition batch transform
+    * like [[decodeAndFeaturize]]: map-side flatMap, no shuffle, one
+    * codec walk per record. Rows whose bytes aren't a well-formed AVI
+    * produce NO frames (per-record resilience — one bad blob never
+    * kills a sweep; undecodable containers are observable as media_ids
+    * absent from the output, and [[decodeAndFeaturize]]'s stub route is
+    * the place that surfaces them positively). */
+  def extractFrames(media: DataFrame): Dataset[FrameRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select("media_id", "kind", "content", "mime", "duration_ms")
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        batch.flatMap { m =>
+          RiffAviCodec.tryExtractFrames(m.content).getOrElse(Vector.empty)
+            .iterator.zipWithIndex.map { case (bytes, idx) =>
+              var sum = 0L
+              var i = 0
+              while (i < bytes.length) {
+                sum += java.lang.Byte.toUnsignedInt(bytes(i)); i += 1
+              }
+              FrameRecord(m.media_id, idx, bytes.length, sum, bytes)
+            }
         }
       }
   }

@@ -119,6 +119,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.RiffAviCodec.tryDecode(bos.toByteArray).isEmpty)
   }
 
+  test("extractFrames: exact generator payloads back, in order, map-only") {
+    val avis = Multimodal.synthesizeAvis(spark, 20, partitions = 4)
+    val frames = Multimodal.extractFrames(avis)
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame extraction must not shuffle:\n$plan")
+    val rows = frames.collect()
+    // one row per movi chunk the generator wrote
+    assert(rows.length == (0 until 20).map(id => id % 24 + 1).sum)
+    rows.foreach { f =>
+      assert(f.frame_len == 16)
+      assert(f.frame_bytes.length == 16)
+      // byte k of frame f of video id is (id*31 + f*7 + k*13) mod 256
+      (0 until 16).foreach { k =>
+        val expect = ((f.media_id * 31 + f.frame_idx * 7 + k * 13) & 0xff).toByte
+        assert(f.frame_bytes(k) == expect,
+          s"media ${f.media_id} frame ${f.frame_idx} byte $k")
+      }
+      assert(f.byte_sum == f.frame_bytes.map(java.lang.Byte.toUnsignedInt).sum)
+    }
+    // frame_idx is dense per video, starting at 0, container order
+    rows.groupBy(_.media_id).foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until (id % 24 + 1).toInt),
+        s"media $id")
+    }
+    // non-AVI "video" bytes produce no frames — and no exception
+    val junk = Multimodal.synthesize(spark, 9).filter(col("kind") === "video")
+    assert(Multimodal.extractFrames(junk).count() == 0)
+  }
+
   test("sampleFrames: one row per sampled frame, video only") {
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)
     val perVideo = frames.groupBy("media_id").count().collect()
