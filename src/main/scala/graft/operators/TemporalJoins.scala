@@ -33,7 +33,11 @@ import org.apache.spark.sql.types.TimestampType
   */
 object TemporalJoins {
 
-  private val Internal = Seq("__k", "__t", "__side", "__p", "__m")
+  // __rt is not a top-level column but a payload STRUCT FIELD — a
+  // payload column literally named __rt would duplicate it inside the
+  // struct and break getField("__rt") with an ambiguity the message
+  // wouldn't explain, so it is reserved like the real internals
+  private val Internal = Seq("__k", "__t", "__side", "__p", "__m", "__rt")
 
   /** As-of join: for every left row, attach the payload of the right
     * row with the same key and the nearest time at-or-before it
@@ -160,17 +164,20 @@ object TemporalJoins {
     require(reserved.isEmpty,
       s"reserved internal column names in input: ${reserved.mkString(", ")}")
 
-    // epoch micros stay exact in double until year ~2255 (< 2^53)
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      floor(unix_micros(c) / lit(bucketMicros.toDouble)).cast("long")
+    // floor-division on the long micros: subtracting the (always
+    // non-negative) pmod makes the numerator an exact multiple, so the
+    // integral `div` IS the floor — unconditionally exact, no
+    // magnitude-dependent double-precision argument needed
+    def floorDiv(x: org.apache.spark.sql.Column) =
+      call_function("div", x - pmod(x, lit(bucketMicros)), lit(bucketMicros))
+    def bucketOf(c: org.apache.spark.sql.Column) = floorDiv(unix_micros(c))
 
     val p = points
       .filter(col(pointKey).isNotNull && col(pointTime).isNotNull)
       .withColumn("__pb", bucketOf(col(pointTime)))
     val firstB = bucketOf(col(startCol))
     // end is EXCLUSIVE: the last covered instant is end - 1 µs
-    val lastB = floor((unix_micros(col(endCol)) - 1) / lit(bucketMicros.toDouble))
-      .cast("long")
+    val lastB = floorDiv(unix_micros(col(endCol)) - 1)
     val iv = intervals
       .filter(col(intervalKey).isNotNull && col(startCol).isNotNull &&
         col(endCol).isNotNull && col(endCol) > col(startCol))

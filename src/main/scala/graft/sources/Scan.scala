@@ -17,18 +17,56 @@ import graft.spec.ObjectSpec
   */
 object Scan {
 
-  /** Reads one named table from a scale-factor directory.
-    *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no type for;
-    * with `spark.sql.legacy.parquet.nanosAsLong` the scan yields raw nanos
-    * as long, converted here to a microsecond timestamp (`ts div 1000`,
-    * truncation — byte-identical to DuckDB's read of the same file). */
+  /** Reads one named table from a scale-factor directory. Every
+    * timestamp column is normalized to `TimestampType`
+    * ([[normalizeTimestamps]]); `events.ts` additionally handles the
+    * legacy nanos-as-long encoding ([[normalizeEventsTs]]). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    val df = normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+    if (name == "events") normalizeEventsTs(df) else df
   }
+
+  /** Cast every `TIMESTAMP_NTZ` column to the session-timezone
+    * `TimestampType`. The testdata's timestamp columns are parquet
+    * TIMESTAMP(isAdjustedToUTC=false) in some generations — Spark 4
+    * infers those as NTZ, a type with no epoch arithmetic (`cast to
+    * double`, `unix_micros` both fail), which would fork every temporal
+    * operator into two type paths. The session is pinned UTC, so this
+    * cast preserves wall-clock values exactly, and DuckDB reads the
+    * same files as naive timestamps — oracle parity is unaffected. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }
+    if (ntz.isEmpty) df
+    else df.withColumns(ntz.map(c =>
+      c -> col(c).cast(org.apache.spark.sql.types.TimestampType)).toMap)
+  }
+
+  /** Normalize the events `ts` column to `TimestampType` across the
+    * physical encodings the testdata has shipped with:
+    *
+    *  - parquet TIMESTAMP(NANOS) — no Spark type; with
+    *    `spark.sql.legacy.parquet.nanosAsLong` the scan yields raw nanos
+    *    as long, converted here to a microsecond timestamp (`ts div
+    *    1000`, truncation — byte-identical to DuckDB's read);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark reads
+    *    `TIMESTAMP_NTZ`, cast here to the session-timezone timestamp
+    *    (the session is pinned UTC, so the wall-clock values are
+    *    preserved exactly — and DuckDB reads the same file as a naive
+    *    timestamp, so oracle parity holds unchanged).
+    *
+    * Downstream operators (windows, sessionization, temporal joins)
+    * then see ONE type with working epoch arithmetic either way. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Spec-driven scan: projection + optional predicate + optional limit,
     * the analog of `_build_soql_from_spec` + `extract_salesforce_to_csv`

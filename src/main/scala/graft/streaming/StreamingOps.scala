@@ -18,12 +18,14 @@ import graft.GraftSession.Pinnable
 object StreamingOps {
 
   /** The events schema as the streaming file source needs it declared
-    * (streams cannot infer). `ts` arrives as raw nanos (long) — see
-    * `graft.sources.Scan.table` — and is normalized here. */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+    * (streams cannot infer) — taken from a batch footer read of the
+    * same directory, so the declared schema always matches the physical
+    * encoding the testdata currently ships (`ts` has been raw nanos
+    * long in one generation and TIMESTAMP_NTZ micros in another; the
+    * type-dispatching normalizer `Scan.normalizeEventsTs` absorbs the
+    * difference after the scan either way). */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(dir).schema
 
   /** Stage a bare `<table>.parquet` FILE into a temp directory (hard
     * link, falling back to copy): the streaming file source requires a
@@ -47,11 +49,11 @@ object StreamingOps {
   }
 
   /** File-source stream over the events table (micro-batch T1 analog). */
-  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stagedDir(sfDir, "events").toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedDir(sfDir, "events").toString
+    graft.sources.Scan.normalizeEventsTs(
+      spark.readStream.schema(eventsRawSchema(spark, dir)).parquet(dir))
+  }
 
   /** The documents schema as the streaming file source needs it
     * declared (mirrors the testdata parquet exactly). */

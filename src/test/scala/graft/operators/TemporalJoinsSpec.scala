@@ -68,6 +68,31 @@ class TemporalJoinsSpec extends SparkSpec {
       5L -> None))
   }
 
+  test("asofJoin forward + tolerance: the delta is measured forward") {
+    // forward deltas are rt - t: a sign flip would null every forward
+    // match (negative ≤ tol always holds, so the flip instead shows as
+    // out-of-tolerance matches surviving; both directions pinned here)
+    val out = TemporalJoins.asofJoin(left, right, "k", "rk", "t", "rt",
+      Seq("state"), toleranceMicros = Some(1800000000L), // 30 min
+      direction = "forward")
+    assert(matches(out) == Map(
+      1L -> None,      // no later state at all
+      2L -> Some(10L), // exact-time match, delta 0
+      3L -> None,      // next state is 1 h ahead — beyond 30 min
+      4L -> None, 5L -> None))
+    val wide = TemporalJoins.asofJoin(left, right, "k", "rk", "t", "rt",
+      Seq("state"), toleranceMicros = Some(3600000000L), // 1 hour
+      direction = "forward")
+    assert(matches(wide)(3L) == Some(10L)) // 1 h ahead exactly — inclusive
+  }
+
+  test("asofJoin: a payload column named __rt is rejected up front") {
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(left, right.withColumnRenamed("state", "__rt"),
+        "k", "rk", "t", "rt", Seq("__rt"))
+    }
+  }
+
   test("asofJoin: same-(key,time) right rows resolve to the greatest payload") {
     import spark.implicits._
     val dupes = Seq(
@@ -181,6 +206,26 @@ class TemporalJoinsSpec extends SparkSpec {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("spans more than")), ex.toString)
+  }
+
+  test("pointInIntervalJoin: pre-epoch timestamps bucket by true floor division") {
+    import spark.implicits._
+    // negative epoch micros: truncating division would round TOWARD
+    // zero and put 23:30 and 00:30 in the same bucket as their
+    // intervals only if floor semantics hold
+    val pts = Seq(
+      (20L, "a", ts("1969-12-31 23:30:00")),
+      (21L, "a", ts("1970-01-01 00:30:00"))
+    ).toDF("event_id", "k", "t")
+    val ivs = Seq(
+      ("a", ts("1969-12-31 23:00:00"), ts("1970-01-01 00:00:00"), 1L),
+      ("a", ts("1970-01-01 00:00:00"), ts("1970-01-01 01:00:00"), 2L)
+    ).toDF("ik", "start", "end", "ival")
+    val out = TemporalJoins.pointInIntervalJoin(
+      pts, ivs, "k", "t", "ik", "start", "end", bucketMicros = 3600000000L)
+    val pairs = out.select("event_id", "ival").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20L, 1L), (21L, 2L)))
   }
 
   test("pointInIntervalJoin: shared column names rejected") {

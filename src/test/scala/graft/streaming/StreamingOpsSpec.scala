@@ -72,10 +72,10 @@ class StreamingOpsSpec extends SparkSpec {
       try java.nio.file.Files.createLink(staged.resolve(n), src)
       catch { case _: Exception => java.nio.file.Files.copy(src, staged.resolve(n)) }
     }
-    val stream = spark.readStream
-      .schema(StreamingOps.eventsRawSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.sources.Scan.normalizeEventsTs(
+      spark.readStream
+        .schema(StreamingOps.eventsRawSchema(spark, staged.toString))
+        .parquet(staged.toString))
     // bounded-state dedup: watermark covers the full 30-day event span,
     // so every duplicate is within the horizon and collapses
     val deduped = StreamingOps.runAvailableNow(
