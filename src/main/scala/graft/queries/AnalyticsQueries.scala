@@ -100,7 +100,26 @@ object AnalyticsQueries {
       .toDF("o_orderpriority", "cnt")
   }
 
+  /** Exact quantile profile (A-series extension): per-returnflag
+    * p25/p50/p75/p95 of extendedprice via the exact `percentile`
+    * aggregate — one hash aggregate, interpolation identical to
+    * DuckDB's `quantile_cont` ((n-1)·p rank, linear), portably rounded.
+    * The exact form is the profile/debug spelling; the 100 TB curation
+    * path is `approx_percentile` (t-digest, mergeable, bounded state) —
+    * its error vs this exact answer is spec-bounded in QuantileSpec. */
+  val quantileProfile: Q = (s, dir) =>
+    Scan.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("records"),
+        roundPortable(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+        roundPortable(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        roundPortable(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+        roundPortable(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"))
+      .orderBy(col("l_returnflag"))
+
   val queries: ListMap[String, Q] = ListMap(
+    "q_quantile_profile" -> quantileProfile,
     "q_topk_aggregate_single_pass" -> topkAggregate,
     "q_join_revenue_by_segment" -> revenueBySegment,
     "q_distinct_customers" -> distinctCustomers,
@@ -109,6 +128,13 @@ object AnalyticsQueries {
     "q_salted_returnflag_rollup" -> saltedReturnflagRollup)
 
   val oracles: ListMap[String, String] = ListMap(
+    "q_quantile_profile" ->
+      s"""SELECT l_returnflag, COUNT(*) AS records,
+          ${roundPortableSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,
+          ${roundPortableSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+          ${roundPortableSql("quantile_cont(l_extendedprice, 0.75)", 4)} AS p75,
+          ${roundPortableSql("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_topk_aggregate_single_pass" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt
          FROM orders GROUP BY o_orderpriority

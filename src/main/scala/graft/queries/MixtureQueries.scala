@@ -56,10 +56,37 @@ object MixtureQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shard assignment rollup: 16 shards, per-shard row count + an
+    * assignment-sensitive checksum (sum of doc ids) + char mass — one
+    * document on the wrong shard anywhere fails the hash gate, and the
+    * near-uniform counts document the balance property. */
+  val shardCounts: Q = (s, dir) =>
+    graft.operators.Sharding.withShard(
+        Scan.table(s, dir, "documents"), "doc_id", nShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("records"), sum(col("doc_id")).as("sum_doc_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("shard"))
+
+  /** The deterministic global shuffle, pinned row-by-row: the first 200
+    * documents in (hash, key) order WITH their order hash — the oracle
+    * recomputes the same 60-bit hash, so a single transposition (or an
+    * engine hash divergence) changes the selected set or a hash value
+    * and fails the gate. */
+  val shuffleOrder: Q = (s, dir) =>
+    graft.operators.Sharding.shuffled(
+        Scan.table(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"),
+        graft.operators.Sharding.orderHash(col("doc_id"), "shard")
+          .as("shuffle_order"))
+      .limit(200)
+
   val queries: ListMap[String, Q] = ListMap(
     "q_sample_by_hash" -> sampleByHash,
     "q_stratified_sample" -> stratifiedSample,
     "q_split_counts" -> splitCounts,
+    "q_shard_counts" -> shardCounts,
+    "q_shuffle_order" -> shuffleOrder,
     "q_packing_bins" -> packingBins)
 
   /** DuckDB twin of [[Sampling.hashBucket]] (plain % — the 60-bit hash
@@ -68,6 +95,11 @@ object MixtureQueries {
     * with the same spelling). */
   private[queries] def bucketSql(salt: String): String =
     s"((('0x' || substr(md5(doc_id::VARCHAR || '/$salt'), 1, 15))::BIGINT) % 1000000)"
+
+  /** DuckDB twin of [[graft.operators.Sharding.orderHash]] (salt
+    * "shard"): the raw 60-bit hash, before any bucket/modulo fold. */
+  private val hashSql =
+    "(('0x' || substr(md5(doc_id::VARCHAR || '/shard'), 1, 15))::BIGINT)"
 
   private[queries] def ppm(f: Double): Long = (f * Sampling.Buckets).toLong
 
@@ -93,6 +125,15 @@ object MixtureQueries {
           COUNT(*) AS records,
           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
           FROM documents GROUP BY 1 ORDER BY split""",
+    "q_shard_counts" ->
+      s"""SELECT ($hashSql % 16) AS shard,
+          COUNT(*) AS records,
+          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY 1 ORDER BY shard""",
+    "q_shuffle_order" ->
+      s"""SELECT doc_id, $hashSql AS shuffle_order
+          FROM documents ORDER BY $hashSql, doc_id LIMIT 200""",
     // global-window cumsum in DuckDB ≡ the engine's two-pass distributed
     // prefix sum — exact integer arithmetic, so every row hash-matches
     "q_packing_bins" ->

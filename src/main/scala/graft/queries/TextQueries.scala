@@ -83,6 +83,57 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrub under the hash gate. The corpus text is synthetic (no
+    * organic PII), so every row gets a deterministic PII-bearing suffix
+    * built FROM ITS OWN doc_id — all four redaction passes fire on
+    * every row, and the oracle rebuilds the same suffix and re-runs the
+    * same RE2-compatible patterns, so a pattern-semantics divergence
+    * between engines, a pass-order change, or a missed match anywhere
+    * in 60k rows fails the gate. */
+  val piiRedaction: Q = (s, dir) => {
+    import graft.functions.TextRedact
+    val d = Scan.table(s, dir, "documents")
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val withPii = concat(
+      col("text"),
+      lit(" contact user"), str(col("doc_id")), lit("@example.com via "),
+      lit("https://ex.org/u/"), str(col("doc_id")), lit("?ref=1 ip 10."),
+      str(pmod(col("doc_id"), lit(200L))), lit(".3."),
+      str(pmod(col("doc_id"), lit(250L))),
+      lit(" tel +1 (555) 010-"), str(pmod(col("doc_id"), lit(9000L))))
+    d.select(
+      col("doc_id"),
+      TextRedact.redactPii(withPii).as("redacted"),
+      TextRedact.matchCount(withPii, TextRedact.EmailPattern).as("n_emails"),
+      TextRedact.matchCount(withPii, TextRedact.UrlPattern).as("n_urls"),
+      TextRedact.matchCount(withPii, TextRedact.Ipv4Pattern).as("n_ips"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF keyword extraction under the hash gate: document
+    * frequencies over the FULL corpus, smooth-idf weights, top-3 terms
+    * per doc ranked on the portably-rounded weight — the oracle
+    * re-derives counts, lengths, DF, the identically-parenthesized
+    * weight arithmetic and the rank, so a tokenization drift, a lost
+    * count, or an idf-formula change fails row-for-row. Output bounded
+    * to every 20th document (rank runs BEFORE the bound on both sides —
+    * DF stays full-corpus). */
+  val tfidfTopTerms: Q = (s, dir) =>
+    graft.operators.TfIdf.topTerms(
+        Scan.table(s, dir, "documents"), "doc_id", "text", k = 3)
+      .filter(col("doc_id") % 20 === 0)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** Fixed-window chunking under the hash gate: 64-token windows at
+    * stride 48 (25% overlap) — every chunk boundary, overlap region and
+    * short tail must match the oracle's list-slicing recomputation
+    * row-for-row. */
+  val chunking: Q = (s, dir) =>
+    graft.operators.Chunking.chunkByTokens(
+        Scan.table(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** The curation pipeline's deterministic core (lang filter → quality
     * filter → exact dedup), oracle-checked end-to-end. */
   val curationFilter: Q = (s, dir) =>
@@ -121,7 +172,10 @@ object TextQueries {
     "q_text_repetition" -> repetition,
     "q_text_langid" -> langIdRollup,
     "q_text_perplexity" -> perplexity,
-    "q_text_fingerprints" -> fingerprints)
+    "q_text_fingerprints" -> fingerprints,
+    "q_pii_redaction" -> piiRedaction,
+    "q_text_chunking" -> chunking,
+    "q_tfidf_top_terms" -> tfidfTopTerms)
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
   private[queries] val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
@@ -284,6 +338,77 @@ object TextQueries {
               LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text)),
                 i -> CAST(ASCII(text[i:i]) AS BIGINT))),
             (acc, u) -> (acc * 31 + u) % 2147483647) AS rolling_fp
+          FROM documents ORDER BY doc_id""",
+    // same suffix synthesis, same RE2-subset patterns, same pass order
+    // (URL → email → IP → phone) — regexp semantics divergence between
+    // the engines fails the gate on the full corpus
+    "q_pii_redaction" -> {
+      val suffix = "text || ' contact user' || doc_id::VARCHAR || " +
+        "'@example.com via https://ex.org/u/' || doc_id::VARCHAR || " +
+        "'?ref=1 ip 10.' || (doc_id % 200)::VARCHAR || '.3.' || " +
+        "(doc_id % 250)::VARCHAR || ' tel +1 (555) 010-' || " +
+        "(doc_id % 9000)::VARCHAR"
+      s"""SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            $suffix,
+            'https?://[^\\s]+', '<URL>', 'g'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+            '\\+?\\d[\\d().\\-\\s]{6,}\\d', '<PHONE>', 'g') AS redacted,
+          CAST(LEN(regexp_extract_all($suffix,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
+          CAST(LEN(regexp_extract_all($suffix,
+            'https?://[^\\s]+', 0)) AS BIGINT) AS n_urls,
+          CAST(LEN(regexp_extract_all($suffix,
+            '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', 0)) AS BIGINT) AS n_ips
           FROM documents ORDER BY doc_id"""
+    },
+    // the full tf-idf derivation in SQL: same tokenizer, same two
+    // aggregates, same smooth-idf arithmetic with IDENTICAL
+    // parenthesization (tf · (ln((N+1)/(df+1)) + 1)), same portable
+    // rounding, same (weight desc, token) rank — DF over the FULL
+    // corpus, the doc_id bound applied after ranking
+    "q_tfidf_top_terms" ->
+      s"""WITH toks AS (
+            SELECT doc_id,
+              UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                x -> x <> '')) AS token
+            FROM documents),
+          tc AS (SELECT doc_id, token, COUNT(*) AS n_term
+                 FROM toks GROUP BY 1, 2),
+          dl AS (SELECT doc_id, SUM(n_term) AS n_doc_tokens
+                 FROM tc GROUP BY 1),
+          dfr AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY 1),
+          nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+                 FROM documents),
+          v AS (
+            SELECT tc.doc_id, tc.token, tc.n_term, dfr.df,
+              ${roundPortableSql(
+                "(tc.n_term::DOUBLE / dl.n_doc_tokens) * " +
+                  "(LN((nd.n + 1.0) / (dfr.df::DOUBLE + 1.0)) + 1.0)", 4)} AS tfidf
+            FROM tc JOIN dfr USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN nd),
+          r AS (SELECT v.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, token) AS rank FROM v)
+          SELECT doc_id, token, CAST(n_term AS BIGINT) AS n_term,
+            CAST(df AS BIGINT) AS df, tfidf, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3 AND doc_id % 20 = 0
+          ORDER BY doc_id, rank""",
+    // chunk boundaries re-derived by list slicing: 1-based inclusive
+    // DuckDB slices ≡ Spark slice(toks, s+1, 64); range() excludes the
+    // end, matching sequence(0, n-1, 48)'s last-start-below-n rule
+    "q_text_chunking" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents),
+          starts AS (
+            SELECT doc_id, toks, UNNEST(RANGE(0, LEN(toks), 48)) AS s
+            FROM t WHERE LEN(toks) > 0)
+          SELECT doc_id,
+            CAST(s // 48 AS BIGINT) AS chunk_id,
+            ARRAY_TO_STRING(toks[s + 1 : s + 64], ' ') AS chunk_text,
+            CAST(LEN(toks[s + 1 : s + 64]) AS BIGINT) AS n_chunk_tokens
+          FROM starts ORDER BY doc_id, chunk_id"""
   )
 }
