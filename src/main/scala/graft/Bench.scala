@@ -46,6 +46,29 @@ object Bench {
     ()
   }
 
+  /** The per-run interleaved micro-calibration (r12, the BENCH_r11
+    * lesson: load arrived and left mid-sweep, so the two end-of-sweep
+    * yardsticks read ~clean while five queries were 5× inflated — a
+    * load sample is only meaningful from the SAME host window as the
+    * query run it normalizes). A ~0.2 s blend of the two big yardsticks'
+    * shapes — hash-aggregate CPU AND a real two-sided merge-join
+    * exchange — so both CPU-bound and shuffle-bound queries scale with
+    * it under load. Runs once before EVERY query run (~82×3 ≈ 50 s per
+    * sweep — the price of an artifact that can't lie). Fixed seed/size:
+    * its idle-host time is pinned as [[BenchHarness.calRefSeconds]];
+    * changing this body requires re-pinning that constant. */
+  def microCalibrationBody(spark: SparkSession)(): Unit = {
+    val a = spark.range(0L, 400000L, 1L, 4)
+      .select(pmod(xxhash64(col("id")), lit(8192)).as("k"), col("id").as("va"))
+    val b = spark.range(0L, 400000L, 1L, 4)
+      .select(pmod(xxhash64(col("id") + 7L), lit(8192)).as("k"), col("id").as("vb"))
+    a.hint("merge").join(b, "k")
+      .groupBy(col("k")).agg(sum(col("va") + col("vb")).as("s"), count(lit(1)).as("n"))
+      .select(sum(col("s")).as("t"), sum(col("n")).as("m"))
+      .head()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -65,6 +88,10 @@ object Bench {
     // machinery) so the first timed query doesn't absorb JVM spin-up.
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => }
+    // ... and the micro-calibration's own plan (Janino compile + first
+    // exchange), so query 1's first interleaved sample isn't inflated.
+    try { microCalibrationBody(spark)(); microCalibrationBody(spark)() }
+    catch { case _: Throwable => }
 
     // Each run fully materializes the query (count()) before
     // GraftSession.releasingScratch releases the blocks it persisted
@@ -74,11 +101,26 @@ object Bench {
     // query 8 s fresh vs 40+ s after five checkpointing queries).
     // Iterating SparkEntry.queries ITSELF pins the bench to the exact
     // correctness key set — the artifacts can't silently diverge.
-    val stats = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> BenchHarness.measure(runs) { () =>
+    // Optional name filter (comma-separated substrings) for local
+    // iteration and the load-robustness validation runs — the driver
+    // never sets it, so round artifacts always cover the full key set.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
+      filter.isEmpty || filter.exists(name.contains)
+    }
+    // Interleaved protocol (r12): micro-calibration → query, per run, so
+    // every timing carries a load sample from its own host window; the
+    // normalized column is computed against the PINNED idle reference
+    // (see BenchHarness.calRefSeconds for why it cannot be in-artifact).
+    val paired = selected.map { case (name, fn) =>
+      name -> BenchHarness.measureInterleaved(runs)(microCalibrationBody(spark)) { () =>
         GraftSession.releasingScratch(spark) { fn(spark, sfDir).count(); () }
       }
     }
+    val stats = paired.map { case (n, p) => n -> p.stat }
+    val norms = paired.map { case (n, p) => n -> p.normalized() }
     // calibration AFTER the sweep: it samples the same host window the
     // queries just ran in (before-the-sweep would measure a colder, often
     // quieter machine)
@@ -90,9 +132,16 @@ object Bench {
     // tail, so truncation eats diagnostics top-down and the size-bounded
     // contract line (the headline total) always survives
     val detail = BenchHarness.detailLine(runs, stats)
-    val queriesL = BenchHarness.queriesLine(stats)
+    val queriesL = BenchHarness.queriesLine(stats, norms)
+    val normTotal =
+      if (norms.nonEmpty && norms.forall(_._2.isDefined))
+        Some(norms.flatMap(_._2).sum)
+      else if (norms.exists(_._2.isDefined))
+        Some(paired.map { case (_, p) =>
+          p.normalized().getOrElse(p.stat.headline) }.sum) // raw fallback for norm-less rows
+      else None
     val json = BenchHarness.jsonLine(sfDir, runs, stats, Some(calibration),
-      Some(calibrationShuffle))
+      Some(calibrationShuffle), normTotal, paired.flatMap(_._2.calTimes))
     println(detail)
     println(queriesL)
     println(json)

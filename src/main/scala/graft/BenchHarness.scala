@@ -37,6 +37,26 @@ object BenchHarness {
     * keeps them all, untruncated). */
   val contractMaxErrors: Int = 8
 
+  /** The pinned idle-host reference time (seconds) for
+    * [[Bench.microCalibrationBody]] under the bench's default config
+    * (local[4], shuffle.partitions=4). This is the r11 lesson applied:
+    * BENCH_r11 reported 5× "regressions" that were pure host contention,
+    * and an in-artifact yardstick cannot catch that case — uniform load
+    * inflates a same-artifact calibration minimum exactly like the
+    * queries, so `q ÷ cal_sameRun` normalizes but `q × (cal_min_artifact
+    * ÷ cal_i)` does not. Hence a CONSTANT: the micro-calibration's
+    * min-of-7 on an idle host, frozen here. Its absolute value is
+    * arbitrary; what matters is that it never changes, so normalized
+    * numbers ("idle-host-equivalent seconds") are comparable across
+    * artifacts regardless of load during either run. Re-pin only if the
+    * micro-calibration body or the default bench config changes
+    * (instrument: `graft.tools.CalRefProbe`, cross-checked against the
+    * `cal_inter` row of an idle-host bench run — pinned at r12 from the
+    * idle in-bench samples [min 0.278, median 0.320]; validated by a
+    * 32-busy-loop-sibling rerun whose raw times inflated 1.8–2.7×
+    * while every normalized value stayed within 0.75–1.06× of idle). */
+  val calRefSeconds: Double = 0.30
+
   /** One query's measurement: wall times of successful runs, wall times
     * of failed runs, and the error messages (first one is `err`). */
   final case class QueryStat(
@@ -81,6 +101,60 @@ object BenchHarness {
     stat
   }
 
+  /** A query's measurement plus its interleaved micro-calibration: each
+    * run of `body` is immediately preceded by one run of the calibration
+    * micro-op, so every query timing carries a load sample from the SAME
+    * host window (the end-of-sweep calibration rows sample a window up to
+    * minutes away — BENCH_r11's load arrived and left mid-sweep, so they
+    * read ~clean while five queries were 5× inflated). `pairs` holds the
+    * (calSec, querySec) couples where both succeeded. */
+  final case class PairedStat(
+      stat: QueryStat, calTimes: Vector[Double], pairs: Vector[(Double, Double)]) {
+    /** Calibration-normalized headline: `min_i( q_i × calRef ÷ cal_i )`,
+      * i.e. each run re-projected to what it would cost on the pinned
+      * idle reference host, then min like the raw headline. Under uniform
+      * host load both factors of a pair inflate together and the product
+      * stays ≈ idle-time; on an idle host cal_i ≈ calRef and it degrades
+      * to the raw min. None when no run had both a cal and a success. */
+    def normalized(calRef: Double = calRefSeconds): Option[Double] =
+      if (pairs.isEmpty) None
+      else Some(pairs.map { case (c, q) => q * (calRef / c) }.min)
+  }
+
+  /** Times `cal` then `body`, `runs` times, pairing each body run with
+    * its immediately-preceding calibration sample. A throwing cal run is
+    * recorded as a missing sample (that body run then contributes to the
+    * raw stat only); body failures are recorded exactly as in
+    * [[measure]]. */
+  def measureInterleaved(runs: Int)(cal: () => Unit)(body: () => Unit): PairedStat = {
+    var stat = QueryStat(Vector.empty, Vector.empty, Vector.empty)
+    var calTimes = Vector.empty[Double]
+    var pairs = Vector.empty[(Double, Double)]
+    var i = 0
+    while (i < runs) {
+      val calSec: Option[Double] = {
+        val c0 = System.nanoTime()
+        try { cal(); Some((System.nanoTime() - c0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      calSec.foreach(c => calTimes = calTimes :+ c)
+      val t0 = System.nanoTime()
+      try {
+        body()
+        val q = (System.nanoTime() - t0) / 1e9
+        stat = stat.copy(times = stat.times :+ q)
+        calSec.foreach(c => pairs = pairs :+ (c, q))
+      } catch {
+        case t: Throwable =>
+          stat = stat.copy(
+            failTimes = stat.failTimes :+ (System.nanoTime() - t0) / 1e9,
+            errors = stat.errors :+ s"${t.getClass.getName}: ${String.valueOf(t.getMessage)}")
+      }
+      i += 1
+    }
+    PairedStat(stat, calTimes, pairs)
+  }
+
   /** 4-decimal (0.1 ms) timings — sub-0.1 ms precision is noise. */
   private def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
 
@@ -118,10 +192,20 @@ object BenchHarness {
     * with the query count (name bytes alone put 65 queries near the tail
     * window), which is exactly why it is NOT on the contract line: if
     * anything truncates, it's this map's head, never the total. */
-  def queriesLine(stats: Seq[(String, QueryStat)]): String = {
+  def queriesLine(stats: Seq[(String, QueryStat)],
+      norms: Seq[(String, Option[Double])] = Seq.empty): String = {
     val qs = stats.map { case (k, st) => s""""${esc(k)}":${r4(st.headline)}""" }
       .mkString("{", ",", "}")
-    s"""{"metric":"queries","unit":"sec","queries":$qs,"n_queries":${stats.size}}"""
+    val normPart =
+      if (norms.isEmpty) ""
+      else {
+        val ns = norms.map { case (k, n) =>
+          s""""${esc(k)}":${n.map(r4).getOrElse("null")}"""
+        }.mkString("{", ",", "}")
+        s""","queries_norm":$ns"""
+      }
+    s"""{"metric":"queries","unit":"sec","queries":$qs$normPart,""" +
+      s""""n_queries":${stats.size}}"""
   }
 
   /** Line 3 (LAST) — the size-bounded contract:
@@ -142,10 +226,21 @@ object BenchHarness {
     *    measured gap: shuffle-heavy queries track this yardstick, not
     *    the CPU one, under host disk/scheduler pressure. Drift checks
     *    warn only when a query moves >2× against BOTH.
+    *  - `value_norm` (r12, the BENCH_r11 lesson): sum of per-query
+    *    calibration-normalized headlines ([[PairedStat.normalized]]) —
+    *    idle-host-equivalent seconds, computed against the PINNED
+    *    [[calRefSeconds]] via the per-run interleaved micro-calibration.
+    *    `value` answers "how long did it take here, now"; `value_norm`
+    *    answers "how fast is the code" — on a loaded host they diverge
+    *    and value_norm is the one to trust. `cal_ref` echoes the pinned
+    *    constant; `cal_inter` is [min, median] over ALL interleaved
+    *    samples — median ≫ cal_ref is the in-artifact load flag.
     */
   def jsonLine(sfDir: String, runs: Int, stats: Seq[(String, QueryStat)],
       calibration: Option[QueryStat] = None,
-      calibrationShuffle: Option[QueryStat] = None): String = {
+      calibrationShuffle: Option[QueryStat] = None,
+      normTotal: Option[Double] = None,
+      calInterleaved: Seq[Double] = Seq.empty): String = {
     val failed = stats.collect { case (k, st) if st.err.isDefined => (k, st) }
     val errors = failed.take(contractMaxErrors).map { case (k, st) =>
       s""""${esc(k)}":{"err":"${esc(clip(st.err.get))}","ok_runs":${st.okRuns}}"""
@@ -155,7 +250,21 @@ object BenchHarness {
     def calJson(c: Option[QueryStat]): String =
       c.flatMap(c => c.min.map(m => (m, c.median.get)))
         .map { case (m, md) => s"[${r4(m)},${r4(md)}]" }.getOrElse("null")
-    s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+    val normPart = normTotal match {
+      case Some(n) =>
+        val inter =
+          if (calInterleaved.isEmpty) "null"
+          else {
+            val s = calInterleaved.sorted
+            val md = if (s.size % 2 == 1) s(s.size / 2)
+              else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+            s"[${r4(s.head)},${r4(md)}]"
+          }
+        s""""value_norm":${r4(n)},"cal_ref":${r4(calRefSeconds)},""" +
+          s""""cal_inter":$inter,"""
+      case None => ""
+    }
+    s"""{"metric":"total","value":${r4(total)},"unit":"sec",$normPart""" +
       s""""n_queries":${stats.size},"runs_per_query":$runs,""" +
       s""""calibration":${calJson(calibration)},""" +
       s""""calibration_shuffle":${calJson(calibrationShuffle)},""" +

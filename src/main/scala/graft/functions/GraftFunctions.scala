@@ -31,6 +31,22 @@ object GraftFunctions {
     s"FLOOR(($expr) * $p + 0.5) / $p"
   }
 
+  /** Portable whitespace, as an EXPLICIT class body — `\s` is NOT in
+    * the Java∩RE2 portable subset: Java's `\s` is `[ \t\n\x0B\f\r]`
+    * while RE2's (DuckDB's regexp engine) omits U+000B (vertical tab),
+    * so a document carrying `\v` would tokenize/redact differently on
+    * the two engines and silently fail a hash gate. Every tokenizer and
+    * redaction pattern in the repo spells whitespace with this class
+    * instead (the RE2 semantics, identical on both engines); the escape
+    * spellings (`\t` …) are interpreted the same by Java and RE2, and
+    * the Scala value is interpolated verbatim into oracle SQL so the
+    * two sides can never drift. */
+  val WsClass: String = " \\t\\n\\f\\r"
+
+  /** A run of portable whitespace — the `\s+` replacement (see
+    * [[WsClass]]). */
+  val WsRun: String = s"[$WsClass]+"
+
   /** Codegen'd dot product over array<float|double>. */
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
 

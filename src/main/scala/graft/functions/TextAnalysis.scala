@@ -22,9 +22,12 @@ object TextAnalysis {
     (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
 
   /** Word-ish token count via a BPE-ish regex: alnum runs or single
-    * non-space symbols (≈ GPT-2 pre-tokenizer classes, RE2-compatible). */
+    * non-space symbols (≈ GPT-2 pre-tokenizer classes, RE2-compatible —
+    * whitespace as the explicit portable class, never `\s`; see
+    * [[GraftFunctions.WsClass]]). */
   def regexTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+    regexp_count(text,
+      lit(s"[A-Za-z0-9]+|[^A-Za-z0-9${GraftFunctions.WsClass}]")).cast("long")
 
   /** Byte-pair-encoding token estimate: the classic chars/4 heuristic. */
   def approxBpeTokenCount(text: Column): Column =

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * `regexp_replace`, codegen'd) and RE2 (the DuckDB oracle) interpret
   * identically: character classes, bounded/greedy quantifiers, `\b`,
   * alternation-free groups — no backreferences, no lookaround, no
-  * engine-specific escapes. Redaction is then a pure engine-portable
-  * projection: no UDF, no shuffle, fully inside whole-stage codegen,
-  * and the oracle recomputes it bit-for-bit.
+  * engine-specific escapes, and no `\s` (a known subset edge: Java's
+  * `\s` includes U+000B vertical tab, RE2's does not — whitespace is
+  * spelled as the explicit [[graft.functions.GraftFunctions.WsClass]]
+  * instead, which both engines read identically). Redaction is then a
+  * pure engine-portable projection: no UDF, no shuffle, fully inside
+  * whole-stage codegen, and the oracle recomputes it bit-for-bit.
   *
   * [[redactPii]] applies the passes in a FIXED order (URL → email →
   * IPv4 → phone): URLs are redacted first so their host/path digits
@@ -27,8 +30,8 @@ object TextRedact {
   /** `user.name+tag@host.tld` — local part, @, dotted host, 2+ alpha TLD. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** `http(s)://` up to the next whitespace. */
-  val UrlPattern = "https?://[^\\s]+"
+  /** `http(s)://` up to the next (portable) whitespace. */
+  val UrlPattern = s"https?://[^${GraftFunctions.WsClass}]+"
 
   /** Dotted quad; `\b` keeps it off digit runs inside longer numbers.
     * (Octets are not range-checked — 999.9.9.9 redacts too; an
@@ -38,7 +41,7 @@ object TextRedact {
   /** Phone-shaped digit run: optional +, then 8+ chars of digits,
     * space, (), dot or dash, ending in a digit. Deliberately broad —
     * over-redaction is the safe direction. */
-  val PhonePattern = "\\+?\\d[\\d().\\-\\s]{6,}\\d"
+  val PhonePattern = s"\\+?\\d[\\d().\\-${GraftFunctions.WsClass}]{6,}\\d"
 
   def redactEmails(c: Column): Column = regexp_replace(c, EmailPattern, "<EMAIL>")
   def redactUrls(c: Column): Column = regexp_replace(c, UrlPattern, "<URL>")

@@ -28,22 +28,49 @@ object Chunking {
 
   /** Whitespace tokens with empties dropped (leading/consecutive
     * whitespace yields "" elements from split — both engines agree
-    * after the filter). */
+    * after the filter). Portable whitespace class, not `\s` (see
+    * [[graft.functions.GraftFunctions.WsClass]]). */
   private def tokens(textCol: Column): Column =
-    filter(split(textCol, "\\s+"), t => t =!= "")
+    filter(split(textCol, graft.functions.GraftFunctions.WsRun), t => t =!= "")
 
-  /** Explode `textCol` into (chunk_id, chunk_text, n_chunk_tokens)
-    * rows, keeping `keepCols` from the document row. */
+  /** Default per-document token bound for [[chunkByTokens]]: documents
+    * over it fail loudly instead of tokenizing unboundedly. */
+  val defaultMaxDocTokens: Int = 1000000
+
+  /** Explode `textCol` into (idCol, chunk_id, chunk_text,
+    * n_chunk_tokens) rows — only `idCol` survives from the document row
+    * (join any other columns back on it downstream).
+    *
+    * Memory bound: the whole document tokenizes into ONE array per row
+    * before the explode, so a single multi-GB document would hold its
+    * full token array in the executor while fanning out — `maxDocTokens`
+    * caps that, failing LOUDLY via `raise_error` in the emptiness
+    * filter (the [[TemporalJoins.pointInIntervalJoin]] pattern — column
+    * pruning can never drop a filter predicate) rather than degrading
+    * or OOMing silently; raise it deliberately for a known-long-doc
+    * corpus. */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int, stride: Int): DataFrame = {
+      maxTokens: Int, stride: Int,
+      maxDocTokens: Int = defaultMaxDocTokens): DataFrame = {
     require(maxTokens > 0, s"maxTokens=$maxTokens must be positive")
     require(stride > 0 && stride <= maxTokens,
       s"stride=$stride must be in [1, maxTokens=$maxTokens]")
+    require(maxDocTokens >= maxTokens,
+      s"maxDocTokens=$maxDocTokens must be >= maxTokens=$maxTokens")
+    val reserved = df.columns.filter(c => c == "__toks" || c == "__start")
+    require(reserved.isEmpty,
+      s"reserved internal column names in input: ${reserved.mkString(", ")}")
     val toks = tokens(col(textCol))
     val starts = sequence(lit(0), size(col("__toks")) - 1, lit(stride))
     val piece = slice(col("__toks"), col("__start") + 1, lit(maxTokens))
     df.withColumn("__toks", toks)
-      .filter(size(col("__toks")) > 0)
+      .filter(when(size(col("__toks")) > maxDocTokens,
+          raise_error(concat(
+            lit("Chunking.chunkByTokens: document "), col(idCol).cast("string"),
+            lit(" has "), size(col("__toks")).cast("string"),
+            lit(s" tokens > maxDocTokens=$maxDocTokens — pre-split the " +
+              "document or raise maxDocTokens deliberately"))).cast("boolean"))
+        .otherwise(size(col("__toks")) > 0))
       .withColumn("__start", explode(starts))
       .select(
         col(idCol),

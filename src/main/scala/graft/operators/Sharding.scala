@@ -47,12 +47,46 @@ object Sharding {
       .withColumn("shard", pmod(h, lit(nShards.toLong)))
   }
 
+  /** Row bound above which [[shuffled]] refuses to run (override via
+    * its `maxRows`): a materialized total order at full-corpus scale is
+    * the plan [[writeShards]] exists to avoid. */
+  val shuffledDefaultMaxRows: Long = 100000000L
+
   /** The deterministic global shuffle: rows in (hash, key) order —
     * reproducible across runs, partitionings and engines. The key
     * tie-break makes the order total even under (astronomically
-    * unlikely) 60-bit collisions, so replays hash-identically. */
-  def shuffled(df: DataFrame, keyCol: String, salt: String = "shard"): DataFrame =
-    df.orderBy(orderHash(col(keyCol), salt), col(keyCol))
+    * unlikely) 60-bit collisions, so replays hash-identically.
+    *
+    * THE NON-SCALE SPELLING: `orderBy` is a range exchange plus a
+    * total sort — correct, but at full-corpus scale the right plan is
+    * [[writeShards]] (one hash exchange + per-shard local sorts, no
+    * global sort stage). To keep a casual full-corpus call from
+    * silently planning a 100 TB global sort, the input is counted (one
+    * cheap column-pruned pass — this spelling is for bounded extracts,
+    * where that pass is noise) and anything over `maxRows` fails
+    * LOUDLY via `raise_error` in the sort key (the
+    * [[TemporalJoins.pointInIntervalJoin]] pattern); raise `maxRows`
+    * deliberately if a big materialized order is truly intended. */
+  def shuffled(df: DataFrame, keyCol: String, salt: String = "shard",
+      maxRows: Long = shuffledDefaultMaxRows): DataFrame = {
+    require(maxRows > 0, s"maxRows=$maxRows must be positive")
+    require(!df.columns.contains("__n_rows"),
+      "reserved internal column name in input: __n_rows")
+    val n = df.agg(count(lit(1)).as("__n_rows"))
+    // the guard lives INSIDE the leading sort key (cast to long, so the
+    // when-branches unify): column pruning can never drop it, and it
+    // fires before any row ships through the range exchange
+    val guardedKey = when(col("__n_rows") > maxRows,
+        raise_error(concat(
+          lit("Sharding.shuffled: input has "), col("__n_rows").cast("string"),
+          lit(s" rows > maxRows=$maxRows — this is the non-scale spelling " +
+            "(global sort); use writeShards for full-corpus materialization " +
+            "or raise maxRows explicitly"))).cast("long"))
+      .otherwise(orderHash(col(keyCol), salt))
+    df.crossJoin(broadcast(n))
+      .orderBy(guardedKey, col(keyCol))
+      .drop("__n_rows")
+  }
 
   /** Materialize the corpus as exactly `nShards` shard dirs
     * (`shard=K/`), each internally in deterministic shuffle order: one

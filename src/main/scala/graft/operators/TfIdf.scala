@@ -28,12 +28,28 @@ object TfIdf {
   /** (doc, token, tf, df, tfidf) rows for every surviving (doc, token)
     * pair. Tokens are whitespace words, exactly the corpus tokenizer
     * used by [[NgramLm]] / TextAnalysis — one tokenization story across
-    * the quality stack. */
+    * the quality stack.
+    *
+    * N (the idf numerator) is the number of documents with ≥1 token —
+    * derived LAZILY from the already-reduced doc-length relation via a
+    * broadcast 1-row cross join (the oracle's `nd` CTE spelling), never
+    * an eager `.count()` at construction: the r11 spelling ran a second
+    * full corpus scan (plus a distinct exchange) as a Spark ACTION
+    * before the plan was even materialized — at 100 TB, a whole extra
+    * pass to fetch one scalar. The doc-length branch re-uses the term-
+    * count shuffle (ReuseExchange dedupes identical Exchange subtrees),
+    * so the corpus is scanned and exploded exactly once; token-less
+    * documents contribute no rows and no longer count toward N (idf's N
+    * conventionally counts indexed documents, all of which have terms).
+    * Callers that already know N can pass `nDocs` and skip even the
+    * 1-row aggregate branch. */
   def tfidfVectors(docs: DataFrame, idCol: String, textCol: String,
-      minDf: Long = 1L, roundDecimals: Int = 4): DataFrame = {
+      minDf: Long = 1L, roundDecimals: Int = 4,
+      nDocs: Option[Long] = None): DataFrame = {
     require(minDf >= 1, s"minDf=$minDf must be >= 1")
     val toks = docs.select(col(idCol),
-      explode(filter(split(col(textCol), "\\s+"), t => t =!= "")).as("token"))
+      explode(filter(split(col(textCol), graft.functions.GraftFunctions.WsRun),
+        t => t =!= "")).as("token"))
     // (doc, token) counts and per-doc lengths in ONE aggregate pass
     // each; docLen re-derives from the term counts (sum of counts), so
     // the corpus is exploded exactly once
@@ -41,18 +57,32 @@ object TfIdf {
       .agg(count(lit(1)).as("n_term"))
     val docLens = termCounts.groupBy(col(idCol))
       .agg(sum(col("n_term")).as("n_doc_tokens"))
-    val df = termCounts.groupBy(col("token"))
+    // The n_term > 0 predicate is a semantic no-op (counts are ≥ 1) that
+    // matters to the PLAN: without a reference to n_term, column pruning
+    // specializes this branch's partial aggregate to a count-less
+    // distinct, its exchange subtree stops being canonically identical
+    // to termCounts', and ReuseExchange forks a SECOND corpus
+    // scan+explode. With it, all branches dedupe to one scan
+    // (plan-asserted in TfIdfSpec).
+    val df = termCounts.filter(col("n_term") > 0)
+      .groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    val nDocs = docs.select(col(idCol)).distinct().count()
+    // Same no-op-reference trick for the N branch (pruning would
+    // otherwise reduce it to distinct-doc_id over its own third scan).
+    val nd = nDocs
+      .map(n => docs.sparkSession.range(1).select(lit(n.toDouble).as("__n_docs")))
+      .getOrElse(docLens.filter(col("n_doc_tokens") > 0)
+        .agg(count(lit(1)).cast("double").as("__n_docs")))
     termCounts
       .join(df, "token")
       .join(docLens, idCol)
+      .crossJoin(broadcast(nd))
       .select(
         col(idCol), col("token"), col("n_term"), col("df"),
         roundPortable(
           (col("n_term").cast("double") / col("n_doc_tokens")) *
-            (log((lit(nDocs.toDouble) + 1.0) / (col("df").cast("double") + 1.0))
+            (log((col("__n_docs") + 1.0) / (col("df").cast("double") + 1.0))
               + 1.0),
           roundDecimals).as("tfidf"))
   }

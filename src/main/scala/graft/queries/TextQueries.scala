@@ -258,7 +258,8 @@ object TextQueries {
     "q_text_token_counts" ->
       s"""SELECT doc_id,
           CAST($wsToks AS BIGINT) AS ws_tokens,
-          CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+          CAST(LEN(REGEXP_EXTRACT_ALL(text,
+            '[A-Za-z0-9]+|[^A-Za-z0-9${graft.functions.GraftFunctions.WsClass}]')) AS BIGINT)
             AS regex_tokens,
           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
           FROM documents ORDER BY doc_id""",
@@ -341,8 +342,12 @@ object TextQueries {
           FROM documents ORDER BY doc_id""",
     // same suffix synthesis, same RE2-subset patterns, same pass order
     // (URL → email → IP → phone) — regexp semantics divergence between
-    // the engines fails the gate on the full corpus
+    // the engines fails the gate on the full corpus. The patterns are
+    // the TextRedact CONSTANTS interpolated verbatim (r12): the two
+    // sides structurally cannot drift, and whitespace is the explicit
+    // portable class, never `\s` (the Java-vs-RE2 `\v` edge)
     "q_pii_redaction" -> {
+      import graft.functions.TextRedact
       val suffix = "text || ' contact user' || doc_id::VARCHAR || " +
         "'@example.com via https://ex.org/u/' || doc_id::VARCHAR || " +
         "'?ref=1 ip 10.' || (doc_id % 200)::VARCHAR || '.3.' || " +
@@ -351,27 +356,30 @@ object TextQueries {
       s"""SELECT doc_id,
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
             $suffix,
-            'https?://[^\\s]+', '<URL>', 'g'),
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-            '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
-            '\\+?\\d[\\d().\\-\\s]{6,}\\d', '<PHONE>', 'g') AS redacted,
+            '${TextRedact.UrlPattern}', '<URL>', 'g'),
+            '${TextRedact.EmailPattern}', '<EMAIL>', 'g'),
+            '${TextRedact.Ipv4Pattern}', '<IP>', 'g'),
+            '${TextRedact.PhonePattern}', '<PHONE>', 'g') AS redacted,
           CAST(LEN(regexp_extract_all($suffix,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
+            '${TextRedact.EmailPattern}', 0)) AS BIGINT) AS n_emails,
           CAST(LEN(regexp_extract_all($suffix,
-            'https?://[^\\s]+', 0)) AS BIGINT) AS n_urls,
+            '${TextRedact.UrlPattern}', 0)) AS BIGINT) AS n_urls,
           CAST(LEN(regexp_extract_all($suffix,
-            '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', 0)) AS BIGINT) AS n_ips
+            '${TextRedact.Ipv4Pattern}', 0)) AS BIGINT) AS n_ips
           FROM documents ORDER BY doc_id"""
     },
     // the full tf-idf derivation in SQL: same tokenizer, same two
     // aggregates, same smooth-idf arithmetic with IDENTICAL
     // parenthesization (tf · (ln((N+1)/(df+1)) + 1)), same portable
     // rounding, same (weight desc, token) rank — DF over the FULL
-    // corpus, the doc_id bound applied after ranking
+    // corpus, the doc_id bound applied after ranking. N = docs with
+    // ≥1 token, counted from the reduced `dl` relation exactly as the
+    // Spark side derives it from docLens (r12: no second corpus pass)
     "q_tfidf_top_terms" ->
       s"""WITH toks AS (
             SELECT doc_id,
-              UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+              UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text,
+                '${graft.functions.GraftFunctions.WsRun}'),
                 x -> x <> '')) AS token
             FROM documents),
           tc AS (SELECT doc_id, token, COUNT(*) AS n_term
@@ -379,8 +387,7 @@ object TextQueries {
           dl AS (SELECT doc_id, SUM(n_term) AS n_doc_tokens
                  FROM tc GROUP BY 1),
           dfr AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY 1),
-          nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
-                 FROM documents),
+          nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
           v AS (
             SELECT tc.doc_id, tc.token, tc.n_term, dfr.df,
               ${roundPortableSql(
@@ -400,7 +407,8 @@ object TextQueries {
     "q_text_chunking" ->
       s"""WITH t AS (
             SELECT doc_id,
-              LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS toks
+              LIST_FILTER(STRING_SPLIT_REGEX(text,
+                '${graft.functions.GraftFunctions.WsRun}'), x -> x <> '') AS toks
             FROM documents),
           starts AS (
             SELECT doc_id, toks, UNNEST(RANGE(0, LEN(toks), 48)) AS s

@@ -241,13 +241,21 @@ object StreamingOps {
     * progress exactly where the previous run stopped — restart-proven
     * in StreamingOpsSpec. The reference's served flow
     * (`deployments/serve_15min.py:5-14`) is restarted by design, so
-    * restart-safety is part of the semantics being mirrored. */
+    * restart-safety is part of the semantics being mirrored.
+    *
+    * `trigger` defaults to `AvailableNow` (drain what's there, then
+    * stop — the cron-shaped parity mode). A RESIDENT crawl loop passes
+    * `Trigger.ProcessingTime(...)` instead: the query then runs until
+    * `stop()`. The tag scheme and checkpoint semantics are
+    * trigger-independent (batch ids come from the checkpoint either
+    * way — spec-proven under ProcessingTime in StreamingOpsSpec). */
   def incrementalDedupStream(
       docs: DataFrame, indexPath: String, outDir: String,
       checkpointDir: String,
       threshold: Double = 0.7, idCol: String = "doc_id",
       textCol: String = "text",
-      foldInSurvivors: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      foldInSurvivors: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -255,7 +263,7 @@ object StreamingOps {
           threshold, idCol, textCol, foldInSurvivors)
         ()
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** One micro-batch of [[incrementalDedupStream]], factored out so the

@@ -110,6 +110,64 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(st.times.forall(_ >= 0.0))
   }
 
+  test("measureInterleaved pairs each body run with its preceding calibration sample") {
+    val ps = measureInterleaved(3)(() => ())(() => ())
+    assert(ps.stat.okRuns == 3 && ps.calTimes.size == 3 && ps.pairs.size == 3)
+    // a failing body run contributes a cal sample but no pair
+    var n = 0
+    val flaky = measureInterleaved(3)(() => ()) { () =>
+      n += 1; if (n == 2) throw new RuntimeException("boom")
+    }
+    assert(flaky.stat.okRuns == 2 && flaky.calTimes.size == 3 && flaky.pairs.size == 2)
+    // a failing calibration is a missing sample — the body still times
+    var m = 0
+    val calFlaky = measureInterleaved(3) { () =>
+      m += 1; if (m == 1) throw new RuntimeException("cal boom")
+    }(() => ())
+    assert(calFlaky.stat.okRuns == 3 && calFlaky.calTimes.size == 2 &&
+      calFlaky.pairs.size == 2)
+    // all runs failing both ways → no normalization, loudly None
+    val dead = measureInterleaved(2)(
+      () => throw new RuntimeException("c"))(
+      () => throw new RuntimeException("b"))
+    assert(dead.normalized(0.3).isEmpty)
+  }
+
+  test("normalized headline is invariant under uniform host load (the BENCH_r11 failure mode)") {
+    // idle host: cal_i ≈ calRef → normalized degrades to the raw min
+    val idle = PairedStat(QueryStat(Vector(2.0, 2.2), Vector.empty, Vector.empty),
+      Vector(0.3, 0.3), Vector((0.3, 2.0), (0.3, 2.2)))
+    assert(math.abs(idle.normalized(0.3).get - 2.0) < 1e-9)
+    // loaded host: every pair inflated 4x — raw headline lies 4x,
+    // normalized still reports the idle-equivalent time
+    val loaded = PairedStat(QueryStat(Vector(8.0, 8.8), Vector.empty, Vector.empty),
+      Vector(1.2, 1.2), Vector((1.2, 8.0), (1.2, 8.8)))
+    assert(loaded.stat.headline == 8.0)
+    assert(math.abs(loaded.normalized(0.3).get - 2.0) < 1e-9)
+    // load arriving mid-query (one clean pair, one inflated): min picks
+    // the best re-projected run, not the lucky raw one
+    val mixed = PairedStat(QueryStat(Vector(2.0, 8.0), Vector.empty, Vector.empty),
+      Vector(0.3, 1.2), Vector((0.3, 2.0), (1.2, 8.0)))
+    assert(math.abs(mixed.normalized(0.3).get - 2.0) < 1e-9)
+  }
+
+  test("artifact lines carry the normalized column and the pinned reference") {
+    val ok = QueryStat(Vector(1.5), Vector.empty, Vector.empty)
+    val ql = queriesLine(Seq("q_a" -> ok, "q_b" -> ok),
+      Seq("q_a" -> Some(1.25), "q_b" -> None))
+    assert(ql.contains(""""queries_norm":{"q_a":1.2500,"q_b":null}"""))
+    // without norms the line keeps its r11 shape (no queries_norm key)
+    assert(!queriesLine(Seq("q_a" -> ok)).contains("queries_norm"))
+    val json = jsonLine("/tmp/sf", 3, Seq("q_a" -> ok),
+      normTotal = Some(42.5), calInterleaved = Seq(0.5, 0.3, 0.4))
+    assert(json.contains(""""value_norm":42.5000"""))
+    assert(json.contains(s""""cal_ref":${"%.4f".formatLocal(java.util.Locale.ROOT, calRefSeconds)}"""))
+    assert(json.contains(""""cal_inter":[0.3000,0.4000]"""))
+    // no norm → none of the three keys appear (r11-shape contract line)
+    val plain = jsonLine("/tmp/sf", 3, Seq("q_a" -> ok))
+    assert(!plain.contains("value_norm") && !plain.contains("cal_ref"))
+  }
+
   test("contract line fits its budget over the REAL key set with EVERY query failing") {
     // worst case by construction: every SparkEntry query throws (errors
     // map at its count cap), four-digit total, calibration present — if
@@ -120,7 +178,8 @@ class BenchHarnessSpec extends AnyFunSuite {
     val stats = SparkEntry.queries.keys.toSeq.sorted.map(_ -> boom)
     val wideCal = QueryStat(Vector(999.99), Vector.empty, Vector.empty)
     val json = jsonLine("/root/testdata/sf0.1", 3, stats,
-      Some(wideCal), Some(wideCal))
+      Some(wideCal), Some(wideCal),
+      normTotal = Some(9999.9999), calInterleaved = Seq(999.99, 999.99))
     assert(json.length <= contractLineBudget,
       s"contract line ${json.length}B exceeds budget ${contractLineBudget}B " +
         s"for ${stats.size} queries — re-tighten the clipping")

@@ -41,6 +41,19 @@ class TextRedactSpec extends SparkSpec {
     assert(row.getLong(0) == 2 && row.getLong(1) == 1)
   }
 
+  test("whitespace is the explicit portable class — RE2 semantics on U+000B (\\v)") {
+    // no pattern may carry \s: Java's \s includes U+000B, RE2's does
+    // not, and a corpus document carrying \v would silently fail the
+    // hash gate. With the explicit class, \v is NOT whitespace on
+    // either engine — a URL runs straight through it (RE2 behavior).
+    Seq(TextRedact.EmailPattern, TextRedact.UrlPattern,
+        TextRedact.Ipv4Pattern, TextRedact.PhonePattern)
+      .foreach(p => assert(!p.contains("\\s"), s"\\s leaked into pattern: $p"))
+    assert(red("see https://x.co/a\u000Bb end") == "see <URL> end")
+    // real whitespace still terminates the URL token
+    assert(red("see https://x.co/a b end") == "see <URL> b end")
+  }
+
   test("redaction is a codegen projection — no UDF, no shuffle") {
     import spark.implicits._
     val plan = (1 to 10).map(i => s"t$i").toDF("t")

@@ -52,6 +52,43 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("guards: reserved internal names and maxDocTokens bounds fail at construction") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(df.withColumn("__toks", lit(1)),
+        "doc_id", "text", 4, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(df.withColumn("__start", lit(1)),
+        "doc_id", "text", 4, 2)
+    }
+    intercept[IllegalArgumentException] {
+      // maxDocTokens below maxTokens can never emit a full window
+      Chunking.chunkByTokens(df, "doc_id", "text", 4, 2, maxDocTokens = 3)
+    }
+  }
+
+  test("maxDocTokens: an over-long document fails LOUDLY, never a silent giant array") {
+    import spark.implicits._
+    val long = (1 to 20).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, "a b"), (2L, long)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Chunking.chunkByTokens(df, "doc_id", "text", 4, 4, maxDocTokens = 10)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("Chunking.chunkByTokens") && m.contains("maxDocTokens=10")),
+      s"expected the loud guard message, got: ${messages(e).mkString(" | ")}")
+    // at the bound: runs, and the short doc still chunks normally
+    val ok = Chunking.chunkByTokens(df, "doc_id", "text", 4, 4, maxDocTokens = 20)
+      .collect().map(_.getLong(0))
+    assert(ok.count(_ == 2L) == 5 && ok.count(_ == 1L) == 1)
+  }
+
   test("plan: tokenize → explode is shuffle-free") {
     import spark.implicits._
     val plan = Chunking.chunkByTokens(

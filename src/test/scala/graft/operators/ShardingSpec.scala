@@ -51,6 +51,30 @@ class ShardingSpec extends SparkSpec {
     assert(a.toSet == (0L until 300L).toSet)
   }
 
+  test("shuffled: over-maxRows input fails LOUDLY, never a silent full-corpus sort") {
+    val e = intercept[Exception] {
+      Sharding.shuffled(docs(300), "id", maxRows = 100L).collect()
+    }
+    // raise_error surfaces wrapped in Spark's execution exception chain
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("Sharding.shuffled") && m.contains("writeShards")),
+      s"expected the loud guard message, got: ${messages(e).mkString(" | ")}")
+    // at the bound: still runs, still the deterministic order
+    val ok = Sharding.shuffled(docs(300), "id", maxRows = 300L).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ok.toSet == (0L until 300L).toSet)
+    // reserved-name and bad-bound guards fail at construction
+    intercept[IllegalArgumentException] {
+      Sharding.shuffled(docs(10).withColumnRenamed("body", "__n_rows"), "id")
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.shuffled(docs(10), "id", maxRows = 0L)
+    }
+  }
+
   test("writeShards: nShards dirs, disjoint membership, rows preserved, in-shard order") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     Sharding.writeShards(docs(500), "id", 8, dir)

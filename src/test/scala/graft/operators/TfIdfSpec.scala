@@ -54,10 +54,23 @@ class TfIdfSpec extends SparkSpec {
     }
   }
 
-  test("plan: aggregates + vocabulary joins, no cartesian") {
-    val plan = TfIdf.tfidfVectors(corpus, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+  test("plan: ONE corpus scan, reused exchanges, lazy N — no eager action, no cartesian") {
+    val out = TfIdf.tfidfVectors(corpus, "doc_id", "text")
+    // construction is LAZY (r12): the r11 spelling ran an eager
+    // distinct().count() corpus scan before the plan existed
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE echoes the pre-reuse plan below
+    assert(!plan.contains("CartesianProduct"),
       s"tf-idf must stay equi-join shaped:\n$plan")
+    // the ONLY nested-loop is the broadcast 1-row N constant join
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 == 1,
+      s"expected exactly the 1-row N broadcast join:\n$plan")
+    // the corpus is scanned+exploded ONCE; every other branch rides a
+    // reused exchange (the no-op n_term/n_doc_tokens references keep
+    // the branches canonically identical — see tfidfVectors)
+    assert(plan.split("LocalTableScan").length - 1 == 1,
+      s"expected one corpus scan, got:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"expected exchange reuse:\n$plan")
   }
 }

@@ -243,6 +243,73 @@ class StreamingOpsSpec extends SparkSpec {
     assert(indexIds() == idsBefore)
   }
 
+  test("incrementalDedupStream under Trigger.ProcessingTime: resident mode, same tags and checkpoint semantics") {
+    import spark.implicits._
+    // the RESIDENT spelling of the crawl loop: same plan, but the query
+    // stays up and drains micro-batches on a processing-time cadence
+    // until stop() — batch ids must still come from the checkpoint and
+    // fold-ins must still land tagged, exactly as under AvailableNow
+    def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val idxPath = java.nio.file.Files.createTempDirectory("mh_idx_pt").toString
+    graft.operators.TextDedup.saveMinhashIndex(
+      (0L until 20L).map(i => (i * 2, sent(i.toInt))).toDF("doc_id", "text"),
+      "doc_id", "text", idxPath)
+    val srcDir = java.nio.file.Files.createTempDirectory("pt_docs")
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    // two staged files → two micro-batches under maxFilesPerTrigger=1:
+    // batch 0 carries an index-dup (101 ~ indexed 10) and a novel doc
+    // 103; batch 1 near-duplicates the FOLDED-IN 103 — so the second
+    // trigger proves the first's fold-in landed before it ran
+    writeFile("b1.parquet", Seq((101L, sent(5) + " tail"), (103L, sent(500))))
+    writeFile("b2.parquet", Seq((201L, sent(500) + " tail")))
+    val outDir = java.nio.file.Files.createTempDirectory("pt_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("pt_ckpt").toString
+    val query = StreamingOps.incrementalDedupStream(
+      spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+      idxPath, outDir, ckptDir, threshold = 0.7, foldInSurvivors = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    def batchDirs() = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .map[String](_.getFileName.toString).filter(_.startsWith("batch_"))
+      .sorted.toArray.toSeq
+    try {
+      // resident query: poll for both batch outputs, bounded wait
+      val deadline = System.currentTimeMillis() + 120000
+      while (batchDirs().size < 2 && System.currentTimeMillis() < deadline) {
+        query.processAllAvailable()
+        Thread.sleep(50)
+      }
+    } finally query.stop()
+    query.awaitTermination()
+    assert(batchDirs() == Seq("batch_0", "batch_1"),
+      s"expected two checkpoint-numbered batch outputs, got ${batchDirs()}")
+    val pairs = (spark.read.parquet(s"$outDir/batch_0").collect() ++
+        spark.read.parquet(s"$outDir/batch_1").collect())
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("index_id"))).toSet
+    assert(pairs == Set((101L, 10L), (201L, 103L)))
+    // fold-ins landed batch-tagged, exactly as under AvailableNow
+    val idxIds = graft.operators.TextDedup.loadMinhashIndex(spark, idxPath)
+      .shingles.select("id").as[Long].collect().toSet
+    assert(idxIds.contains(103L) && !idxIds.contains(101L) &&
+      !idxIds.contains(201L))
+    val commitTags = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$idxPath/commits"))
+      .map[String](_.getFileName.toString).sorted.toArray.toSeq
+    assert(commitTags == Seq("batch_0", "batch_1"),
+      s"fold-ins must land under their batch tags, got $commitTags")
+  }
+
   test("cluster posture composes: crawl loop under marker protocol + parquet scratch ≡ default run") {
     import spark.implicits._
     def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
