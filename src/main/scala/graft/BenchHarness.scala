@@ -110,15 +110,24 @@ object BenchHarness {
     * (calSec, querySec) couples where both succeeded. */
   final case class PairedStat(
       stat: QueryStat, calTimes: Vector[Double], pairs: Vector[(Double, Double)]) {
-    /** Calibration-normalized headline: `min_i( q_i × calRef ÷ cal_i )`,
-      * i.e. each run re-projected to what it would cost on the pinned
-      * idle reference host, then min like the raw headline. Under uniform
-      * host load both factors of a pair inflate together and the product
-      * stays ≈ idle-time; on an idle host cal_i ≈ calRef and it degrades
-      * to the raw min. None when no run had both a cal and a success. */
+    /** Calibration-normalized headline:
+      * `min(q) × calRef ÷ min(cal)` over the runs where both succeeded —
+      * the best the query did, corrected by the best the host offered in
+      * the same window. Under uniform host load both minima inflate
+      * together and the quotient stays ≈ idle-time; on an idle host
+      * min(cal) ≈ calRef and it degrades to the raw min; when load
+      * arrives mid-query, both minima land in the quietest run.
+      *
+      * Deliberately NOT `min_i(q_i × calRef ÷ cal_i)`: a per-pair
+      * product min picks the run where q happened to dip while cal
+      * happened to spike — anti-correlated noise compounds into
+      * systematic over-correction (measured ~0.55× on a full sweep).
+      * Decoupled minima are order statistics of the same windows and
+      * cannot combine one run's luck with another's misfortune.
+      * None when no run had both a cal sample and a success. */
     def normalized(calRef: Double = calRefSeconds): Option[Double] =
       if (pairs.isEmpty) None
-      else Some(pairs.map { case (c, q) => q * (calRef / c) }.min)
+      else Some(pairs.map(_._2).min * (calRef / pairs.map(_._1).min))
   }
 
   /** Times `cal` then `body`, `runs` times, pairing each body run with

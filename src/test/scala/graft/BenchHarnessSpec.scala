@@ -144,11 +144,18 @@ class BenchHarnessSpec extends AnyFunSuite {
       Vector(1.2, 1.2), Vector((1.2, 8.0), (1.2, 8.8)))
     assert(loaded.stat.headline == 8.0)
     assert(math.abs(loaded.normalized(0.3).get - 2.0) < 1e-9)
-    // load arriving mid-query (one clean pair, one inflated): min picks
-    // the best re-projected run, not the lucky raw one
+    // load arriving mid-query (one clean pair, one inflated): both
+    // minima land in the quiet run and report its time
     val mixed = PairedStat(QueryStat(Vector(2.0, 8.0), Vector.empty, Vector.empty),
       Vector(0.3, 1.2), Vector((0.3, 2.0), (1.2, 8.0)))
     assert(math.abs(mixed.normalized(0.3).get - 2.0) < 1e-9)
+    // anti-correlated noise (q dips while cal spikes, and vice versa):
+    // a per-pair product min would report 1.0 (over-correction); the
+    // decoupled minima cannot combine one run's luck with another's
+    // misfortune and report the true 2.0
+    val anti = PairedStat(QueryStat(Vector(2.0, 4.0), Vector.empty, Vector.empty),
+      Vector(0.6, 0.3), Vector((0.6, 2.0), (0.3, 4.0)))
+    assert(math.abs(anti.normalized(0.3).get - 2.0) < 1e-9)
   }
 
   test("artifact lines carry the normalized column and the pinned reference") {
