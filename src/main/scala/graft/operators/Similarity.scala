@@ -271,6 +271,58 @@ object Similarity {
     TextDedup.compactIndex(spark, path, Seq("cells"),
       n => Seq(graft.GraftSession.partitionsFor(spark, n)))
 
+  /** Re-fit the centroid family from the index's CURRENT vectors and
+    * rebuild the cell relation under the new family — the maintenance
+    * op that closes [[appendToIvfIndex]]'s frozen-centroid drift trade
+    * (cell balance drifts as appends accumulate; recall at small
+    * nProbe degrades, never in-cell rank correctness). Cost tracks
+    * INDEX size, like compaction: one bounded-sample k-means fit, one
+    * assignment pass (the codegen kernel) over the indexed vectors,
+    * one cell rewrite — the original corpus is never re-read.
+    *
+    * Contract: the [[saveIvfIndex]] REBUILD contract (single
+    * maintainer, no concurrent appends or probes), NOT compaction's —
+    * a refit changes what cluster ids MEAN, so an append staged under
+    * the old family and landing mid-refit would insert stale
+    * assignments. What survives the refit:
+    *  - landed commit tags fold into the rebuilt base and are
+    *    tombstoned in the compact ordering (tombstone BEFORE the
+    *    commit dir is deleted), so exactly-once replay of an absorbed
+    *    append stays an idempotent no-op forever;
+    *  - unlanded/crashed commit dirs are dropped from the rebuild and
+    *    deliberately NOT tombstoned — their tag may legitimately
+    *    re-append later, and will assign under the NEW family;
+    *  - replayed UNTAGGED appends collapse via distinct on (id, vec),
+    *    exactly like compaction.
+    * The vectors are pinned through the scratch seam BEFORE any dir is
+    * rewritten — the rebuild reads the very relation it overwrites. */
+  def refitIvfIndex(spark: SparkSession, path: String, nCentroids: Int = 16,
+      seed: Long = 42L, maxIter: Int = 20,
+      sampleRows: Int = 100000): Unit = {
+    import graft.GraftSession.Pinnable
+    val folded = IndexFs.landedCommits(spark, path)
+    val vectors = spark.read.parquet(
+        IndexFs.resolveDir(spark, s"$path/cells") +:
+          folded.map(t => s"$path/commits/$t/cells"): _*)
+      .select(col("id"), col("vec")).distinct()
+      .pinScratch()
+    val nVecs = vectors.count()
+    require(nVecs > 0, "refitIvfIndex: index holds no vectors")
+    saveIndex(
+      kmeansCentroids(vectors, "vec", nCentroids, seed, maxIter, sampleRows),
+      s"$path/centroids")
+    val (ids, vecs) = centroidKernel(loadIndex(spark, s"$path/centroids"))
+    IndexFs.publishRelation(
+      cellRows(vectors, "id", "vec", ids, vecs)
+        .repartition(graft.GraftSession.partitionsFor(spark, nVecs)),
+      s"$path/cells")
+    folded.foreach { t =>
+      IndexFs.markCommitted(spark, path, t)
+      IndexFs.deleteRecursively(spark, s"$path/commits/$t")
+    }
+    IndexFs.foldTombstones(spark, path)
+  }
+
   /** Serve a query batch from a persisted [[IvfIndex]]: probe nProbe
     * cells per query, rank exactly within them — [[ivfTopK]]'s plan
     * with the corpus-assignment stage REPLACED by the persisted cell

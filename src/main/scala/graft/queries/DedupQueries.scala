@@ -404,6 +404,38 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF REFIT under the hard gate — the maintenance op that closes
+    * the frozen-centroid drift trade, pinned end-to-end. Thirds 0 is
+    * built (8 centroids), thirds 1 tagged-appended under the frozen
+    * family, then REFIT re-clusters the union and rebuilds the cells
+    * under a NEW centroid family, the SAME tag is replayed (must be a
+    * tombstoned no-op — a re-append would duplicate every appended
+    * vector, duplicating top-k candidates → hash mismatch), and
+    * thirds-2 queries probe exhaustively. Exhaustive probing makes the
+    * result centroid-family-independent: exact brute force over 0∪1,
+    * the same SQL as q_ann_ivf_append — so the gate proves the refit
+    * preserved the vector SET exactly (no lost cell row, no
+    * re-appended duplicate) while the family changed underneath. */
+  val annIvfRefit: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val path = SnapshotPaths.dirFor("ivf_cells_refit", dir, s)
+    Similarity.saveIvfIndex(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", path, nCentroids = 8, maxIter = 5)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", path, commitTag = Some("accepted_batch"))
+    // refit with a DIFFERENT seed: the new family is genuinely not the
+    // frozen one, so family-independence is exercised, not vacuous
+    Similarity.refitIvfIndex(s, path, nCentroids = 8, seed = 7L, maxIter = 5)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", path, commitTag = Some("accepted_batch"))
+    val queries = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") < 15)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopKFromIndex(Similarity.loadIvfIndex(s, path), queries,
+        "query_id", "qvec", k = 3, nProbe = 8)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_dedup_exact_text" -> exactTextDedup,
     "q_ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -426,7 +458,8 @@ object DedupQueries {
     "q_ann_lsh_topk" -> annLshTopK,
     "q_ann_ivf_topk" -> annIvfTopK,
     "q_ann_ivf_loaded" -> annIvfLoaded,
-    "q_ann_ivf_append" -> annIvfAppend)
+    "q_ann_ivf_append" -> annIvfAppend,
+    "q_ann_ivf_refit" -> annIvfRefit)
 
   import graft.functions.GraftFunctions.roundPortableSql
 
@@ -631,17 +664,22 @@ object DedupQueries {
     "q_ann_ivf_loaded" -> annMultiTopKSql,
     // exhaustive-probe IVF over a built-then-appended cells index ≡
     // exact brute force over thirds 0∪1 for queries in third 2 —
-    // append-under-frozen-centroids must equal a full rebuild
-    "q_ann_ivf_append" ->
-      s"""SELECT * FROM (
-            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-                   $cosR6 AS cosine,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                     ORDER BY $cosR6 DESC, b.vec_id) AS INTEGER) AS rank
-            FROM embeddings a JOIN embeddings b
-              ON a.vec_id % 3 = 2 AND a.vec_id < 15 AND b.vec_id % 3 <> 2)
-          WHERE rank <= 3 ORDER BY query_id, rank"""
+    // append-under-frozen-centroids must equal a full rebuild; the
+    // refit variant re-clusters and rebuilds mid-query and must
+    // preserve the same vector set (identical oracle)
+    "q_ann_ivf_append" -> ivfThirdsSql,
+    "q_ann_ivf_refit" -> ivfThirdsSql
   )
+
+  private lazy val ivfThirdsSql: String =
+    s"""SELECT * FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                 $cosR6 AS cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY $cosR6 DESC, b.vec_id) AS INTEGER) AS rank
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id % 3 = 2 AND a.vec_id < 15 AND b.vec_id % 3 <> 2)
+        WHERE rank <= 3 ORDER BY query_id, rank"""
 
   private lazy val crossParityJaccardSql: String =
     s"""WITH ${jaccardPairCtes("(SELECT doc_id, text FROM documents)")}

@@ -154,6 +154,80 @@ class SimilaritySpec extends SparkSpec {
       commitTag = Some("b1")))
   }
 
+  test("refitIvfIndex: new centroid family, exact vector set, tombstoned tags, re-openable crashed tags") {
+    val partA = emb.filter(col("vec_id") % 3 === 0)
+    val partB = emb.filter(col("vec_id") % 3 === 1)
+    val queries = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_refit").toString
+    Similarity.saveIvfIndex(partA, "vec_id", "embedding", dir,
+      nCentroids = 4, maxIter = 5)
+    assert(Similarity.appendToIvfIndex(partB, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    val before = Similarity.loadIvfIndex(spark, dir)
+    val famBefore = before.centroids.collect().map(_.getLong(0)).toSet
+    val vecsBefore = before.cells.select("id", "vec").collect().toSet
+
+    // refit with a different seed: genuinely new family, same vectors
+    Similarity.refitIvfIndex(spark, dir, nCentroids = 4, seed = 7L, maxIter = 5)
+    val after = Similarity.loadIvfIndex(spark, dir)
+    assert(after.cells.select("id", "vec").collect().toSet == vecsBefore,
+      "refit must preserve the vector set exactly")
+    // the rebuilt assignment is consistent with the NEW family: every
+    // cell id is a live centroid id and assignment matches the kernel
+    val famAfter = after.centroids.collect().map(_.getLong(0)).toSet
+    assert(after.cells.select("cluster_id").distinct().collect()
+      .map(_.getLong(0)).toSet.subsetOf(famAfter))
+    assert(famAfter == famBefore, "4 centroid ids either way") // ids are 0..n-1
+    // commit dirs folded, tag tombstoned: replay is a no-op forever
+    assert(IndexFs.listDirNames(spark, s"$dir/commits").isEmpty)
+    assert(!Similarity.appendToIvfIndex(partB, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    assert(Similarity.loadIvfIndex(spark, dir)
+      .cells.select("id", "vec").collect().toSet == vecsBefore)
+    // served results after refit = exact fresh assignment under the new
+    // family (non-exhaustive probing, the real serving regime)
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long](1),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val served = results(Similarity.ivfTopKFromIndex(after, queries,
+      "query_id", "qvec", k = 3, nProbe = 2))
+    val fresh = results(Similarity.ivfTopK(
+      emb.filter(col("vec_id") % 3 < 2), "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 3, nCentroids = 4, nProbe = 2,
+      centroids = Some(after.centroids)))
+    assert(served == fresh && served.nonEmpty)
+    // an UNLANDED (crashed marker-mode) commit dir is dropped from the
+    // rebuild and NOT tombstoned — its tag may re-append later under
+    // the new family. Protocols are per-deployment (never mixed on one
+    // index), so this sub-scenario runs on its own marker-mode index.
+    spark.conf.set(IndexFs.CommitProtocolKey, "marker")
+    try {
+      val mDir = java.nio.file.Files.createTempDirectory("ivf_refit_m").toString
+      Similarity.saveIvfIndex(partA, "vec_id", "embedding", mDir,
+        nCentroids = 4, maxIter = 5)
+      val baseVecs = Similarity.loadIvfIndex(spark, mDir)
+        .cells.select("id", "vec").collect().toSet
+      // stage a commit dir, then delete its _OK marker = a crashed append
+      val crashed = emb.filter(col("vec_id") % 3 === 1 && col("vec_id") < 10)
+      assert(Similarity.appendToIvfIndex(crashed, "vec_id", "embedding", mDir,
+        commitTag = Some("b2")))
+      val okMarker = new org.apache.hadoop.fs.Path(s"$mDir/commits/b2/_OK")
+      val fsys = okMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(okMarker, false)
+      Similarity.refitIvfIndex(spark, mDir, nCentroids = 4, seed = 9L, maxIter = 5)
+      assert(Similarity.loadIvfIndex(spark, mDir)
+        .cells.select("id", "vec").collect().toSet == baseVecs,
+        "an unlanded commit must not leak into the rebuild")
+      assert(Similarity.appendToIvfIndex(crashed, "vec_id", "embedding", mDir,
+        commitTag = Some("b2")), "a crashed tag must stay re-appendable")
+      assert(Similarity.loadIvfIndex(spark, mDir)
+        .cells.select("id", "vec").collect().toSet ==
+          baseVecs ++ crashed.select(col("vec_id").cast("long"),
+            col("embedding").cast("array<float>")).collect().toSet)
+    } finally spark.conf.unset(IndexFs.CommitProtocolKey)
+  }
+
   test("ivfTopKFromIndex: a queries frame carrying id/vec/cluster_id columns cannot collide with the cells schema") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_collide").toString
     Similarity.saveIvfIndex(emb, "vec_id", "embedding", dir,
