@@ -1201,6 +1201,60 @@ object TextDedup {
       })
   }
 
+  /** Re-size the plane family to the index's CURRENT vector count and
+    * re-bucket every vector under it — the embedding twin of
+    * [[graft.operators.Similarity.refitIvfIndex]], closing the same
+    * drift class: planes are sized at SAVE time (`srpBitsFor(n)` /
+    * `srpTablesFor`), so a corpus grown by appends crowds its buckets
+    * (per-bucket work rises, hot-bucket caps engage earlier, realized
+    * recall sags). Cost tracks INDEX size: one distinct pass over the
+    * persisted vectors + the bucketing projection + the rewrite — the
+    * original corpus relation is never touched.
+    *
+    * Contract: the [[saveEmbeddingIndex]] REBUILD contract (single
+    * maintainer, no concurrent appends or probes) — a refit changes
+    * the persisted plane family (`meta`), so an append bucketing under
+    * the old family and landing mid-refit would insert
+    * foreign-family bucket rows. Landed commit tags fold into the
+    * rebuilt base and are tombstoned BEFORE their commit dirs are
+    * deleted (exactly-once replay survives, forever); unlanded crashed
+    * commit dirs are dropped and deliberately NOT tombstoned — their
+    * tag may re-append later under the new family. Replayed untagged
+    * appends collapse via distinct, like compaction. Vectors are
+    * pinned through the scratch seam before any dir is rewritten. */
+  def refitEmbeddingIndex(spark: SparkSession, path: String,
+      threshold: Double, bits: Int = -1, tables: Int = -1,
+      seed: Long = 42L, requireRecallTarget: Boolean = false): Unit = {
+    import graft.GraftSession.Pinnable
+    val folded = IndexFs.landedCommits(spark, path)
+    val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
+    val vectors = spark.read.parquet(
+        IndexFs.resolveDir(spark, s"$path/vectors") +:
+          folded.map(t => s"$path/commits/$t/vectors"): _*)
+      .distinct()
+      .pinScratch()
+    val nVecs = vectors.count()
+    require(nVecs > 0, "refitEmbeddingIndex: index holds no vectors")
+    val idx = buildEmbeddingIndex(vectors, "id", "vec", threshold,
+      bits, tables, seed, dim, requireRecallTarget)
+    IndexFs.publishRelation(
+      idx.buckets.repartition(
+        graft.GraftSession.partitionsFor(spark, nVecs * idx.tables)),
+      s"$path/buckets")
+    IndexFs.publishRelation(
+      idx.vectors.repartition(graft.GraftSession.partitionsFor(spark, nVecs)),
+      s"$path/vectors")
+    spark.range(1)
+      .select(lit(idx.bits).as("bits"), lit(idx.tables).as("tables"),
+        lit(idx.seed).as("seed"), lit(idx.dim).as("dim"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    folded.foreach { t =>
+      IndexFs.markCommitted(spark, path, t)
+      IndexFs.deleteRecursively(spark, s"$path/commits/$t")
+    }
+    IndexFs.foldTombstones(spark, path)
+  }
+
   /** Reload a [[saveEmbeddingIndex]]-written index (base relations plus
     * every landed commit); parameters come from the persisted meta row,
     * never the caller. `excludeCommits` hides specific append tags for

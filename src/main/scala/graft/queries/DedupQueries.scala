@@ -303,6 +303,37 @@ object DedupQueries {
       .orderBy(col("new_id"), col("index_id"))
   }
 
+  /** Embedding-index REFIT under the hash gate — the drift-reset
+    * maintenance op pinned end-to-end, [[annIvfRefit]]'s shape for the
+    * SRP index: save on thirds 0 (planes sized for ONE third),
+    * tagged-append thirds 1 (the drifted state: 2× the vectors the
+    * family was sized for), REFIT (planes re-sized to the grown count,
+    * every vector re-bucketed, the absorbed tag tombstoned), replay
+    * the tag (must be a no-op — a re-append would bucket under the NEW
+    * family and duplicate candidates), then dedup thirds 2 against the
+    * rebuilt index. Oracle = the exact-cosine append SQL: the refit
+    * must preserve the vector set and hold the recall regime under the
+    * re-sized family. */
+  val embeddingIndexRefit: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val path = SnapshotPaths.dirFor("embedding_index_refit", dir, s)
+    TextDedup.saveEmbeddingIndex(
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      path, threshold = 0.4, requireRecallTarget = true)
+    TextDedup.appendToEmbeddingIndex(
+      emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", path,
+      commitTag = Some("accepted_batch"))
+    TextDedup.refitEmbeddingIndex(s, path, threshold = 0.4,
+      requireRecallTarget = true)
+    TextDedup.appendToEmbeddingIndex(
+      emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", path,
+      commitTag = Some("accepted_batch"))
+    TextDedup.embeddingNearDupAgainstIndex(
+        emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding",
+        TextDedup.loadEmbeddingIndex(s, path), threshold = 0.4)
+      .orderBy(col("new_id"), col("index_id"))
+  }
+
   val annTopK: Q = (s, dir) => {
     val emb = Scan.table(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
@@ -453,6 +484,7 @@ object DedupQueries {
     "q_embedding_neardup_lsh_shuffle" -> embeddingNearDupLshShuffle,
     "q_embedding_incremental" -> embeddingIncremental,
     "q_embedding_index_append" -> embeddingIndexAppend,
+    "q_embedding_index_refit" -> embeddingIndexRefit,
     "q_ann_topk" -> annTopK,
     "q_ann_multi_topk" -> annMultiTopK,
     "q_ann_lsh_topk" -> annLshTopK,
@@ -640,13 +672,11 @@ object DedupQueries {
           ORDER BY new_id, index_id""",
     // exact cosine over pairs crossing from the new third (%3==2) into
     // either indexed third — the appended SRP index must behave exactly
-    // like a full rebuild over thirds 0+1
-    "q_embedding_index_append" ->
-      s"""SELECT a.vec_id AS new_id, b.vec_id AS index_id, $cosR6 AS cosine
-          FROM embeddings a JOIN embeddings b
-            ON a.vec_id % 3 = 2 AND b.vec_id % 3 <> 2
-          WHERE $cosR6 >= 0.4
-          ORDER BY new_id, index_id""",
+    // like a full rebuild over thirds 0+1; the refit variant re-sizes
+    // the plane family and re-buckets mid-query and must preserve the
+    // same vector set and recall regime (identical oracle)
+    "q_embedding_index_append" -> embThirdsSql,
+    "q_embedding_index_refit" -> embThirdsSql,
     "q_ann_topk" ->
       s"""SELECT b.vec_id,
           ${roundPortableSql(
@@ -670,6 +700,13 @@ object DedupQueries {
     "q_ann_ivf_append" -> ivfThirdsSql,
     "q_ann_ivf_refit" -> ivfThirdsSql
   )
+
+  private lazy val embThirdsSql: String =
+    s"""SELECT a.vec_id AS new_id, b.vec_id AS index_id, $cosR6 AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id % 3 = 2 AND b.vec_id % 3 <> 2
+        WHERE $cosR6 >= 0.4
+        ORDER BY new_id, index_id"""
 
   private lazy val ivfThirdsSql: String =
     s"""SELECT * FROM (

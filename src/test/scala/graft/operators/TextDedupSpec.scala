@@ -528,6 +528,56 @@ class TextDedupSpec extends SparkSpec {
       batch2, "vec_id", "embedding", compacted, threshold = 0.9)) == b2Pairs)
   }
 
+  test("refitEmbeddingIndex: re-sized planes, exact vector set, tombstoned tags, results preserved") {
+    import spark.implicits._
+    def vec(i: Int, nudge: Float = 0f): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      val v = Seq.fill(16)(r.nextGaussian().toFloat)
+      if (nudge == 0f) v else v.updated(0, v.head + nudge)
+    }
+    // 100 index vectors: big enough that srpBitsFor(n) > 1, so the
+    // refit's re-sizing is observable (a 20-vector corpus auto-sizes
+    // to the same 1 bit the build pinned)
+    val indexVecs = (0L until 100L).map(i => (i * 2, vec(i.toInt))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (201L, vec(1, 0.01f)), (203L, vec(5, 0.01f)), (205L, vec(999))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_refit").toString
+    // undersized on purpose: bits sized as if for a tiny corpus — the
+    // drifted state a refit exists to reset
+    TextDedup.saveEmbeddingIndex(indexVecs, "vec_id", "embedding", dir,
+      threshold = 0.9, bits = 1)
+    assert(TextDedup.appendToEmbeddingIndex(batch, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    val before = TextDedup.loadEmbeddingIndex(spark, dir)
+    val vecsBefore = before.vectors.collect().toSet
+    def asPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = Seq((301L, vec(999, 0.01f))).toDF("vec_id", "embedding")
+    val pairsBefore = asPairs(TextDedup.embeddingNearDupAgainstIndex(
+      probe, "vec_id", "embedding", before, threshold = 0.9))
+    assert(pairsBefore == Set((301L, 205L)))
+
+    TextDedup.refitEmbeddingIndex(spark, dir, threshold = 0.9)
+    val after = TextDedup.loadEmbeddingIndex(spark, dir)
+    // the family was genuinely re-sized (auto bits for 23 vectors > 1)
+    assert(after.bits > before.bits,
+      s"expected re-sized planes, got bits ${before.bits} -> ${after.bits}")
+    // vector set preserved exactly; buckets consistent with the new
+    // family (every vector appears in exactly `tables` buckets)
+    assert(after.vectors.collect().toSet == vecsBefore)
+    assert(after.buckets.count() == vecsBefore.size.toLong * after.tables)
+    // commit folded + tombstoned: replay is a no-op forever
+    assert(IndexFs.listDirNames(spark, s"$dir/commits").isEmpty)
+    assert(!TextDedup.appendToEmbeddingIndex(batch, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    assert(TextDedup.loadEmbeddingIndex(spark, dir).vectors.collect().toSet
+      == vecsBefore)
+    // probing under the re-sized family preserves the result
+    assert(asPairs(TextDedup.embeddingNearDupAgainstIndex(
+      probe, "vec_id", "embedding", after, threshold = 0.9)) == pairsBefore)
+  }
+
   test("crossContainmentPairs flags embedded eval docs; corpus side never shuffles for candidates") {
     import spark.implicits._
     val corpus = Seq(
