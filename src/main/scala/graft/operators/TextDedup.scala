@@ -1224,10 +1224,16 @@ object TextDedup {
     * pinned through the scratch seam before any dir is rewritten. */
   def refitEmbeddingIndex(spark: SparkSession, path: String,
       threshold: Double, bits: Int = -1, tables: Int = -1,
-      seed: Long = 42L, requireRecallTarget: Boolean = false): Unit = {
+      /** -1 (default) keeps the index's persisted plane seed — a refit
+        * re-SIZES the family by default, it doesn't silently rotate a
+        * custom seed to 42; pass explicitly to re-seed on purpose. */
+      seedOverride: Long = -1L,
+      requireRecallTarget: Boolean = false): Unit = {
     import graft.GraftSession.Pinnable
     val folded = IndexFs.landedCommits(spark, path)
-    val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    val seed = if (seedOverride == -1L) meta.getAs[Long]("seed") else seedOverride
     val vectors = spark.read.parquet(
         IndexFs.resolveDir(spark, s"$path/vectors") +:
           folded.map(t => s"$path/commits/$t/vectors"): _*)

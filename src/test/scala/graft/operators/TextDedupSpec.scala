@@ -560,9 +560,12 @@ class TextDedupSpec extends SparkSpec {
 
     TextDedup.refitEmbeddingIndex(spark, dir, threshold = 0.9)
     val after = TextDedup.loadEmbeddingIndex(spark, dir)
-    // the family was genuinely re-sized (auto bits for 23 vectors > 1)
+    // the family was genuinely re-sized...
     assert(after.bits > before.bits,
       s"expected re-sized planes, got bits ${before.bits} -> ${after.bits}")
+    // ...but the persisted plane SEED survives by default (a refit
+    // re-sizes, it doesn't silently rotate a custom seed)
+    assert(after.seed == before.seed)
     // vector set preserved exactly; buckets consistent with the new
     // family (every vector appears in exactly `tables` buckets)
     assert(after.vectors.collect().toSet == vecsBefore)
