@@ -158,6 +158,33 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(math.abs(anti.normalized(0.3).get - 2.0) < 1e-9)
   }
 
+  test("normalization algebra: uniform-load invariance and idle identity hold for arbitrary pairs") {
+    // property over seeded pseudo-random pair sets: for ANY measurement,
+    // (a) uniform load cancels exactly — scaling every (cal, q) by the
+    // same factor leaves `normalized` unchanged; (b) on a perfectly
+    // idle host (cal_i == calRef) `normalized` IS the raw min
+    val calRef = 0.3
+    (1 to 50).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val pairs = Vector.fill(1 + rnd.nextInt(5))(
+        (calRef * (0.5 + rnd.nextDouble()), 0.1 + 10 * rnd.nextDouble()))
+      val stat = QueryStat(pairs.map(_._2), Vector.empty, Vector.empty)
+      val base = PairedStat(stat, pairs.map(_._1), pairs).normalized(calRef).get
+      val f = 0.25 + 4 * rnd.nextDouble()
+      val scaled = pairs.map { case (c, q) => (c * f, q * f) }
+      val underLoad = PairedStat(
+        QueryStat(scaled.map(_._2), Vector.empty, Vector.empty),
+        scaled.map(_._1), scaled).normalized(calRef).get
+      assert(math.abs(underLoad - base) < 1e-9 * math.max(1.0, base),
+        s"seed=$seed f=$f: $underLoad != $base")
+      val idlePairs = pairs.map { case (_, q) => (calRef, q) }
+      val idle = PairedStat(
+        QueryStat(idlePairs.map(_._2), Vector.empty, Vector.empty),
+        idlePairs.map(_._1), idlePairs).normalized(calRef).get
+      assert(math.abs(idle - idlePairs.map(_._2).min) < 1e-12)
+    }
+  }
+
   test("artifact lines carry the normalized column and the pinned reference") {
     val ok = QueryStat(Vector(1.5), Vector.empty, Vector.empty)
     val ql = queriesLine(Seq("q_a" -> ok, "q_b" -> ok),
