@@ -133,15 +133,19 @@ object Bench {
     // contract line (the headline total) always survives
     val detail = BenchHarness.detailLine(runs, stats)
     val queriesL = BenchHarness.queriesLine(stats, norms)
+    // Rows with no (cal, query) pair fall back to their RAW headline in
+    // the normalized sum (a hole would misreport the total more than an
+    // unnormalized row does) — but the contract line COUNTS them
+    // (`norm_fallback`), so value_norm can never silently mix loaded-
+    // host seconds: non-zero fallback means read queries_norm's nulls.
     val normTotal =
-      if (norms.nonEmpty && norms.forall(_._2.isDefined))
-        Some(norms.flatMap(_._2).sum)
-      else if (norms.exists(_._2.isDefined))
+      if (norms.exists(_._2.isDefined))
         Some(paired.map { case (_, p) =>
-          p.normalized().getOrElse(p.stat.headline) }.sum) // raw fallback for norm-less rows
+          p.normalized().getOrElse(p.stat.headline) }.sum)
       else None
     val json = BenchHarness.jsonLine(sfDir, runs, stats, Some(calibration),
-      Some(calibrationShuffle), normTotal, paired.flatMap(_._2.calTimes))
+      Some(calibrationShuffle), normTotal, paired.flatMap(_._2.calTimes),
+      normFallback = norms.count(_._2.isEmpty))
     println(detail)
     println(queriesL)
     println(json)

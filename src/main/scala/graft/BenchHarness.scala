@@ -52,9 +52,11 @@ object BenchHarness {
     * micro-calibration body or the default bench config changes
     * (instrument: `graft.tools.CalRefProbe`, cross-checked against the
     * `cal_inter` row of an idle-host bench run — pinned at r12 from the
-    * idle in-bench samples [min 0.278, median 0.320]; validated by a
-    * 32-busy-loop-sibling rerun whose raw times inflated 1.8–2.7×
-    * while every normalized value stayed within 0.75–1.06× of idle). */
+    * idle in-bench samples [min 0.278, median 0.320]; validated with
+    * the shipped decoupled-minima estimator by a 32-busy-loop-sibling
+    * rerun whose raw times inflated 1.6–2.8× while every normalized
+    * value stayed within 0.68–1.08× of idle — the numbers BASELINE.md
+    * quotes). */
   val calRefSeconds: Double = 0.30
 
   /** One query's measurement: wall times of successful runs, wall times
@@ -243,13 +245,22 @@ object BenchHarness {
     *    answers "how fast is the code" — on a loaded host they diverge
     *    and value_norm is the one to trust. `cal_ref` echoes the pinned
     *    constant; `cal_inter` is [min, median] over ALL interleaved
-    *    samples — median ≫ cal_ref is the in-artifact load flag.
+    *    samples — median ≫ cal_ref is the in-artifact load flag;
+    *    `norm_fallback` counts rows whose normalized value fell back
+    *    to the raw headline (no surviving (cal, query) pair) — when
+    *    non-zero, value_norm carries that many unnormalized seconds
+    *    and the affected rows are queries_norm's nulls.
     */
   def jsonLine(sfDir: String, runs: Int, stats: Seq[(String, QueryStat)],
       calibration: Option[QueryStat] = None,
       calibrationShuffle: Option[QueryStat] = None,
       normTotal: Option[Double] = None,
-      calInterleaved: Seq[Double] = Seq.empty): String = {
+      calInterleaved: Seq[Double] = Seq.empty,
+      /** Count of rows whose normalized value fell back to the raw
+        * headline (no successful (cal, query) pair) — non-zero means
+        * `value_norm` carries that many unnormalized seconds; the
+        * affected rows are the `queries_norm` nulls. */
+      normFallback: Int = 0): String = {
     val failed = stats.collect { case (k, st) if st.err.isDefined => (k, st) }
     val errors = failed.take(contractMaxErrors).map { case (k, st) =>
       s""""${esc(k)}":{"err":"${esc(clip(st.err.get))}","ok_runs":${st.okRuns}}"""
@@ -270,7 +281,7 @@ object BenchHarness {
             s"[${r4(s.head)},${r4(md)}]"
           }
         s""""value_norm":${r4(n)},"cal_ref":${r4(calRefSeconds)},""" +
-          s""""cal_inter":$inter,"""
+          s""""cal_inter":$inter,"norm_fallback":$normFallback,"""
       case None => ""
     }
     s"""{"metric":"total","value":${r4(total)},"unit":"sec",$normPart""" +

@@ -41,14 +41,20 @@ object Chunking {
     * n_chunk_tokens) rows — only `idCol` survives from the document row
     * (join any other columns back on it downstream).
     *
-    * Memory bound: the whole document tokenizes into ONE array per row
-    * before the explode, so a single multi-GB document would hold its
-    * full token array in the executor while fanning out — `maxDocTokens`
-    * caps that, failing LOUDLY via `raise_error` in the emptiness
+    * Memory bound: the whole document tokenizes into ONE array per row,
+    * and `maxDocTokens` fails LOUDLY via `raise_error` in the emptiness
     * filter (the [[TemporalJoins.pointInIntervalJoin]] pattern — column
-    * pruning can never drop a filter predicate) rather than degrading
-    * or OOMing silently; raise it deliberately for a known-long-doc
-    * corpus. */
+    * pruning can never drop a filter predicate) when a document exceeds
+    * it. Honest scope: the guard fires AFTER the array is built (it
+    * reads its size), so it cannot prevent the tokenize allocation
+    * itself — that allocation is the same order as the input string
+    * Spark already holds per row, so it adds no new asymptotic hazard.
+    * What the guard does bound is everything DOWNSTREAM of an
+    * over-long document: the ceil(n/stride) explode fan-out, the
+    * per-chunk slices over a giant parent array, and silently poisoned
+    * job memory — the run refuses loudly instead of degrading. Raise
+    * it deliberately for a known-long-doc corpus; pre-split upstream
+    * when individual documents are themselves too large to hold. */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int, stride: Int,
       maxDocTokens: Int = defaultMaxDocTokens): DataFrame = {

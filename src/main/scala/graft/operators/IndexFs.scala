@@ -457,6 +457,76 @@ private[graft] object IndexFs {
     else all.filter(t => exists(spark, s"$path/commits/$t/$CommitMarker"))
   }
 
+  /** The commit-namespace snapshot every maintenance pass (compaction,
+    * refit) takes FIRST: the landed tags it will fold, plus the
+    * staged/unlanded dirs present at start — the only dirs the orphan
+    * reap may later consider (anything appearing AFTER the snapshot is
+    * a live concurrent append, untouchable). */
+  private[graft] final case class MaintenanceSnapshot(
+      landed: Seq[String], stagedAtStart: Seq[String],
+      unlandedAtStart: Seq[String])
+
+  private[graft] def maintenanceSnapshot(
+      spark: SparkSession, path: String): MaintenanceSnapshot = {
+    val landed = landedCommits(spark, path)
+    MaintenanceSnapshot(landed,
+      listDirNames(spark, s"$path/staged"),
+      listDirNames(spark, s"$path/commits").diff(landed))
+  }
+
+  /** Retire commit tags whose rows a maintenance pass just folded into
+    * the rebuilt/compacted base: tombstone BEFORE delete — a replay
+    * arriving between the two still reads the tag as committed, so
+    * there is no instant at which a folded tag could re-append (the r8
+    * gap: idempotence keyed on the very commit dirs this loop
+    * deletes). `beforeCommitDelete` is the test seam proving that
+    * ordering: it runs inside the window. THE single copy of this
+    * ordering — compaction and both index refits all route here. */
+  private[graft] def retireFoldedCommits(spark: SparkSession, path: String,
+      folded: Seq[String],
+      beforeCommitDelete: String => Unit = _ => ()): Unit =
+    folded.foreach { t =>
+      markCommitted(spark, path, t)
+      beforeCommitDelete(t)
+      deleteRecursively(spark, s"$path/commits/$t")
+    }
+
+  /** Reap provably-dead append orphans, then fold tombstones to O(1)
+    * files — the shared tail of every maintenance pass. The contract
+    * allows tagged appends CONCURRENT with maintenance, so "present at
+    * snapshot and still uncommitted" is NOT proof of death — a slow
+    * append staged before this pass began may still be mid-write, and
+    * deleting under it would let its later relation writes recreate
+    * the dir and commit a half-appended batch. Reap only what is
+    * provably or overwhelmingly-likely dead: (a) tags already
+    * committed (stagedAppend early-returns on those forever — the
+    * staged copy can never be consumed), or (b) dirs whose newest
+    * mtime, part-files included, is older than the TTL — far longer
+    * than any plausible append. The marker-protocol twin applies the
+    * same discipline to commit dirs that were already unmarked at
+    * snapshot, are STILL unlanded now, and have gone stale (a crashed
+    * marker-mode append — never committed, never retried). */
+  private[graft] def reapDeadOrphans(spark: SparkSession, path: String,
+      snapshot: MaintenanceSnapshot,
+      stagedOrphanTtlMs: Long = DefaultStagedOrphanTtlMs): Unit = {
+    val now = System.currentTimeMillis()
+    snapshot.stagedAtStart
+      .filter(t => isCommitted(spark, path, t) ||
+        now - newestMtime(spark, s"$path/staged/$t") > stagedOrphanTtlMs)
+      .foreach(t => deleteRecursively(spark, s"$path/staged/$t"))
+    snapshot.unlandedAtStart
+      .filterNot(t => isCommitted(spark, path, t))
+      .filter(t =>
+        now - newestMtime(spark, s"$path/commits/$t") > stagedOrphanTtlMs)
+      .foreach(t => deleteRecursively(spark, s"$path/commits/$t"))
+    foldTombstones(spark, path)
+  }
+
+  /** Staged-orphan reap age threshold: a staged dir untouched this long
+    * (newest part-file mtime) is not a live append. Generous on purpose
+    * — reaping is a space reclaim, never a correctness need. */
+  private[graft] val DefaultStagedOrphanTtlMs: Long = 24L * 3600 * 1000
+
   /** The exactly-once half of index appends. Rename protocol (HDFS-like
     * stores): write every relation of the batch under `staged/<tag>/`,
     * then commit with ONE no-clobber directory rename to

@@ -66,7 +66,12 @@ object Sharding {
     * where that pass is noise) and anything over `maxRows` fails
     * LOUDLY via `raise_error` in the sort key (the
     * [[TemporalJoins.pointInIntervalJoin]] pattern); raise `maxRows`
-    * deliberately if a big materialized order is truly intended. */
+    * deliberately if a big materialized order is truly intended.
+    * The count and the sort are two scans of `df`: a source that GROWS
+    * between them (files landing in a live directory) can pass the
+    * guard yet sort more than `maxRows` — the guard is a mistake
+    * barrier for static extracts, not an admission control for moving
+    * sources. */
   def shuffled(df: DataFrame, keyCol: String, salt: String = "shard",
       maxRows: Long = shuffledDefaultMaxRows): DataFrame = {
     require(maxRows > 0, s"maxRows=$maxRows must be positive")

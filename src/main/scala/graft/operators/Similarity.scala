@@ -296,31 +296,36 @@ object Similarity {
     *    exactly like compaction.
     * The vectors are pinned through the scratch seam BEFORE any dir is
     * rewritten — the rebuild reads the very relation it overwrites. */
-  def refitIvfIndex(spark: SparkSession, path: String, nCentroids: Int = 16,
+  def refitIvfIndex(spark: SparkSession, path: String,
+      /** -1 (default) keeps the persisted family SIZE — a refit
+        * re-fits the centroids, it doesn't silently shrink an index
+        * built with nCentroids=64 to a 16-cell default; pass
+        * explicitly to re-size on purpose. */
+      nCentroids: Int = -1,
       seed: Long = 42L, maxIter: Int = 20,
       sampleRows: Int = 100000): Unit = {
     import graft.GraftSession.Pinnable
-    val folded = IndexFs.landedCommits(spark, path)
+    val snapshot = IndexFs.maintenanceSnapshot(spark, path)
+    val useCentroids =
+      if (nCentroids != -1) nCentroids
+      else loadIndex(spark, s"$path/centroids").count().toInt
     val vectors = spark.read.parquet(
         IndexFs.resolveDir(spark, s"$path/cells") +:
-          folded.map(t => s"$path/commits/$t/cells"): _*)
+          snapshot.landed.map(t => s"$path/commits/$t/cells"): _*)
       .select(col("id"), col("vec")).distinct()
       .pinScratch()
     val nVecs = vectors.count()
     require(nVecs > 0, "refitIvfIndex: index holds no vectors")
     saveIndex(
-      kmeansCentroids(vectors, "vec", nCentroids, seed, maxIter, sampleRows),
+      kmeansCentroids(vectors, "vec", useCentroids, seed, maxIter, sampleRows),
       s"$path/centroids")
     val (ids, vecs) = centroidKernel(loadIndex(spark, s"$path/centroids"))
     IndexFs.publishRelation(
       cellRows(vectors, "id", "vec", ids, vecs)
         .repartition(graft.GraftSession.partitionsFor(spark, nVecs)),
       s"$path/cells")
-    folded.foreach { t =>
-      IndexFs.markCommitted(spark, path, t)
-      IndexFs.deleteRecursively(spark, s"$path/commits/$t")
-    }
-    IndexFs.foldTombstones(spark, path)
+    IndexFs.retireFoldedCommits(spark, path, snapshot.landed)
+    IndexFs.reapDeadOrphans(spark, path, snapshot)
   }
 
   /** Serve a query batch from a persisted [[IvfIndex]]: probe nProbe

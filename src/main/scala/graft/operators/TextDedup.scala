@@ -400,65 +400,27 @@ object TextDedup {
       stagedOrphanTtlMs: Long = DefaultStagedOrphanTtlMs): Unit = {
     // LANDED commits only: under the marker protocol an in-flight
     // append's commit dir exists before its _OK marker does — folding
-    // it would commit a half-written batch
-    val folded = IndexFs.landedCommits(spark, path)
-    val stagedAtStart = IndexFs.listDirNames(spark, s"$path/staged")
-    val unlandedAtStart =
-      IndexFs.listDirNames(spark, s"$path/commits").diff(folded)
+    // it would commit a half-written batch. The snapshot / fold /
+    // orphan-reap machinery is shared with the index refits
+    // (IndexFs.maintenanceSnapshot / retireFoldedCommits /
+    // reapDeadOrphans — one spec-proven copy of the ordering).
+    val snapshot = IndexFs.maintenanceSnapshot(spark, path)
     afterSnapshot()
     def read(name: String): DataFrame = spark.read.parquet(
       (IndexFs.resolveDir(spark, s"$path/$name") +:
-        folded.map(t => s"$path/commits/$t/$name")): _*)
+        snapshot.landed.map(t => s"$path/commits/$t/$name")): _*)
     val ws = widths(read(relations.head).count())
     relations.zip(ws).foreach { case (name, w) =>
       IndexFs.publishRelation(read(name).distinct().repartition(w), s"$path/$name")
     }
-    // tombstone BEFORE delete: a replay arriving between the two still
-    // reads the tag as committed — there is no instant at which a folded
-    // tag could re-append (the r8 gap: idempotence keyed on the very
-    // commit dirs this loop deletes). `beforeCommitDelete` is the test
-    // seam proving that ordering: it runs inside the window.
-    folded.foreach { t =>
-      IndexFs.markCommitted(spark, path, t)
-      beforeCommitDelete(t)
-      IndexFs.deleteRecursively(spark, s"$path/commits/$t")
-    }
-    // Reap staged/ orphans from crashed appends (staged, never renamed,
-    // never retried — they'd otherwise accumulate forever). The contract
-    // allows tagged appends CONCURRENT with compaction, so "present at
-    // snapshot and still uncommitted" is NOT proof of death — a slow
-    // append staged before this compact began may still be mid-write,
-    // and deleting under it would let its later relation writes recreate
-    // the dir and commit a half-appended batch. Reap only what is
-    // provably or overwhelmingly-likely dead: (a) tags already committed
-    // (stagedAppend early-returns on those forever — the staged copy can
-    // never be consumed), or (b) dirs whose newest mtime, part-files
-    // included, is older than the TTL — far longer than any plausible
-    // append. The belt-and-braces half lives in stagedAppend itself: a
-    // commit missing a relation post-rename fails loudly and is removed.
-    val now = System.currentTimeMillis()
-    stagedAtStart
-      .filter(t => IndexFs.isCommitted(spark, path, t) ||
-        now - IndexFs.newestMtime(spark, s"$path/staged/$t") > stagedOrphanTtlMs)
-      .foreach(t => IndexFs.deleteRecursively(spark, s"$path/staged/$t"))
-    // marker-protocol twin of the staged reap: a commit dir that was
-    // already unmarked at snapshot, is STILL unlanded now, and has gone
-    // stale is a crashed marker-mode append (never committed, never
-    // retried) — same TTL discipline, same live-append protection
-    unlandedAtStart
-      .filterNot(t => IndexFs.isCommitted(spark, path, t))
-      .filter(t =>
-        now - IndexFs.newestMtime(spark, s"$path/commits/$t") > stagedOrphanTtlMs)
-      .foreach(t => IndexFs.deleteRecursively(spark, s"$path/commits/$t"))
-    // bound the tombstone namespace: fold per-tag files into the single
-    // versioned relation — committed/ stays O(1) files at any cadence
-    IndexFs.foldTombstones(spark, path)
+    IndexFs.retireFoldedCommits(spark, path, snapshot.landed, beforeCommitDelete)
+    IndexFs.reapDeadOrphans(spark, path, snapshot, stagedOrphanTtlMs)
   }
 
-  /** Staged-orphan reap age threshold: a staged dir untouched this long
-    * (newest part-file mtime) is not a live append. Generous on purpose
-    * — reaping is a space reclaim, never a correctness need. */
-  private[graft] val DefaultStagedOrphanTtlMs: Long = 24L * 3600 * 1000
+  /** Alias of [[IndexFs.DefaultStagedOrphanTtlMs]] (the historical
+    * public spelling). */
+  private[graft] val DefaultStagedOrphanTtlMs: Long =
+    IndexFs.DefaultStagedOrphanTtlMs
 
   /** Reload a [[saveMinhashIndex]]-written index (base relations plus
     * every landed commit); parameters come from the persisted meta row,
@@ -1230,19 +1192,22 @@ object TextDedup {
       seedOverride: Long = -1L,
       requireRecallTarget: Boolean = false): Unit = {
     import graft.GraftSession.Pinnable
-    val folded = IndexFs.landedCommits(spark, path)
+    val snapshot = IndexFs.maintenanceSnapshot(spark, path)
     val meta = spark.read.parquet(s"$path/meta").head()
     val dim = meta.getAs[Int]("dim")
     val seed = if (seedOverride == -1L) meta.getAs[Long]("seed") else seedOverride
     val vectors = spark.read.parquet(
         IndexFs.resolveDir(spark, s"$path/vectors") +:
-          folded.map(t => s"$path/commits/$t/vectors"): _*)
+          snapshot.landed.map(t => s"$path/commits/$t/vectors"): _*)
       .distinct()
       .pinScratch()
     val nVecs = vectors.count()
     require(nVecs > 0, "refitEmbeddingIndex: index holds no vectors")
+    // bits resolved HERE from the count already taken — passing -1 down
+    // would have buildEmbeddingIndex recount the pinned frame
+    val useBits = if (bits == -1) srpBitsFor(nVecs) else bits
     val idx = buildEmbeddingIndex(vectors, "id", "vec", threshold,
-      bits, tables, seed, dim, requireRecallTarget)
+      useBits, tables, seed, dim, requireRecallTarget)
     IndexFs.publishRelation(
       idx.buckets.repartition(
         graft.GraftSession.partitionsFor(spark, nVecs * idx.tables)),
@@ -1254,11 +1219,8 @@ object TextDedup {
       .select(lit(idx.bits).as("bits"), lit(idx.tables).as("tables"),
         lit(idx.seed).as("seed"), lit(idx.dim).as("dim"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    folded.foreach { t =>
-      IndexFs.markCommitted(spark, path, t)
-      IndexFs.deleteRecursively(spark, s"$path/commits/$t")
-    }
-    IndexFs.foldTombstones(spark, path)
+    IndexFs.retireFoldedCommits(spark, path, snapshot.landed)
+    IndexFs.reapDeadOrphans(spark, path, snapshot)
   }
 
   /** Reload a [[saveEmbeddingIndex]]-written index (base relations plus

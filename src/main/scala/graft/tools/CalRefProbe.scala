@@ -21,7 +21,9 @@ object CalRefProbe {
       graft.Bench.microCalibrationBody(spark)()
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"CALREF min=${times.min}%.4f median=${times.sorted.apply(n / 2)}%.4f all=${times.map(t => f"$t%.3f").mkString(",")}")
+    val s = times.sorted
+    val median = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    println(f"CALREF min=${times.min}%.4f median=$median%.4f all=${times.map(t => f"$t%.3f").mkString(",")}")
     spark.stop()
   }
 }

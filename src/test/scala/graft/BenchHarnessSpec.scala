@@ -193,8 +193,10 @@ class BenchHarnessSpec extends AnyFunSuite {
     // without norms the line keeps its r11 shape (no queries_norm key)
     assert(!queriesLine(Seq("q_a" -> ok)).contains("queries_norm"))
     val json = jsonLine("/tmp/sf", 3, Seq("q_a" -> ok),
-      normTotal = Some(42.5), calInterleaved = Seq(0.5, 0.3, 0.4))
+      normTotal = Some(42.5), calInterleaved = Seq(0.5, 0.3, 0.4),
+      normFallback = 2)
     assert(json.contains(""""value_norm":42.5000"""))
+    assert(json.contains(""""norm_fallback":2"""))
     assert(json.contains(s""""cal_ref":${"%.4f".formatLocal(java.util.Locale.ROOT, calRefSeconds)}"""))
     assert(json.contains(""""cal_inter":[0.3000,0.4000]"""))
     // no norm → none of the three keys appear (r11-shape contract line)
