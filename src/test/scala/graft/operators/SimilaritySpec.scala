@@ -228,6 +228,41 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(IndexFs.CommitProtocolKey)
   }
 
+  test("refitIvfIndex measurably resets append-induced cell imbalance") {
+    import spark.implicits._
+    // build on a seeded gaussian cloud, then append a DRIFTED batch
+    // (every vector offset the same way): under the frozen centroids
+    // the whole batch lands in whichever cells face the drift
+    // direction, so the max cell share balloons — the documented
+    // recall hazard at small nProbe. A refit re-clusters and must pull
+    // the max share back down. Seeded end-to-end, so the inequality is
+    // deterministic, not a flaky statistical bound.
+    def gauss(i: Int, shift: Double): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      Seq.fill(8)(r.nextGaussian().toFloat).updated(0, (r.nextGaussian() + shift).toFloat)
+    }
+    val base = (0L until 200L).map(i => (i, gauss(i.toInt, 0.0))).toDF("vec_id", "embedding")
+    val drifted = (1000L until 1200L).map(i => (i, gauss(i.toInt, 25.0))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    Similarity.saveIvfIndex(base, "vec_id", "embedding", dir,
+      nCentroids = 8, maxIter = 10)
+    Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", dir,
+      commitTag = Some("drift"))
+    def maxCellShare(): Double = {
+      val counts = Similarity.loadIvfIndex(spark, dir)
+        .cells.groupBy("cluster_id").count()
+        .collect().map(_.getLong(1).toDouble)
+      counts.max / counts.sum
+    }
+    val before = maxCellShare()
+    // the drifted half crowds the facing cells: far above the 1/8 ideal
+    assert(before > 0.25, s"fixture failed to drift: max share $before")
+    Similarity.refitIvfIndex(spark, dir, maxIter = 10)
+    val after = maxCellShare()
+    assert(after < before * 0.75,
+      s"refit should measurably rebalance cells: $before -> $after")
+  }
+
   test("ivfTopKFromIndex: a queries frame carrying id/vec/cluster_id columns cannot collide with the cells schema") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_collide").toString
     Similarity.saveIvfIndex(emb, "vec_id", "embedding", dir,

@@ -581,6 +581,41 @@ class TextDedupSpec extends SparkSpec {
       probe, "vec_id", "embedding", after, threshold = 0.9)) == pairsBefore)
   }
 
+  test("refitEmbeddingIndex measurably decrowds buckets after 10x growth") {
+    import spark.implicits._
+    // planes sized for a 20-vector corpus, then grown 10×: per-bucket
+    // population explodes (bits stayed at the 20-vector size), which
+    // is the documented recall/verify-cost hazard — crowded buckets
+    // hit candidate caps earlier and quadratic in-bucket verify work
+    // grows. The refit re-sizes bits to the grown count and must cut
+    // the mean bucket population. Seeded → deterministic.
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }
+    val small = (0L until 20L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val growth = (100L until 280L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_crowd").toString
+    TextDedup.saveEmbeddingIndex(small, "vec_id", "embedding", dir, threshold = 0.9)
+    TextDedup.appendToEmbeddingIndex(growth, "vec_id", "embedding", dir,
+      commitTag = Some("growth"))
+    def meanBucketPop(): Double = {
+      val idx = TextDedup.loadEmbeddingIndex(spark, dir)
+      val pops = idx.buckets.groupBy("t", "bkt").count()
+        .collect().map(_.getLong(2).toDouble)
+      pops.sum / pops.length
+    }
+    val bitsBefore = TextDedup.loadEmbeddingIndex(spark, dir).bits
+    val before = meanBucketPop()
+    TextDedup.refitEmbeddingIndex(spark, dir, threshold = 0.9)
+    val after = TextDedup.loadEmbeddingIndex(spark, dir)
+    assert(after.bits > bitsBefore,
+      s"refit must widen the bucket key: bits $bitsBefore -> ${after.bits}")
+    val afterPop = meanBucketPop()
+    assert(afterPop < before * 0.6,
+      s"refit should measurably decrowd buckets: mean pop $before -> $afterPop")
+  }
+
   test("crossContainmentPairs flags embedded eval docs; corpus side never shuffles for candidates") {
     import spark.implicits._
     val corpus = Seq(
