@@ -457,6 +457,45 @@ private[graft] object IndexFs {
     else all.filter(t => exists(spark, s"$path/commits/$t/$CommitMarker"))
   }
 
+  /** Marker file a refit creates before its first family-changing write
+    * and removes after its last — the crash-visibility fix for the one
+    * failure mode that LOOKS healthy: a refit that dies between
+    * publishing the re-bucketed/re-assigned relations and overwriting
+    * the family metadata (or vice versa) leaves an index whose family
+    * and assignments disagree, and unlike a crashed save nothing is
+    * missing — probes would just silently lose recall. While the marker
+    * exists, loads and maintenance refuse loudly
+    * ([[requireNoCrashedRefit]]); re-running the refit converges (it
+    * derives everything from the family-independent vector relation and
+    * republishes family + assignments together), which is the documented
+    * recovery. `_`-prefixed: outside the tag namespace, invisible to
+    * parquet. */
+  private val RefitMarker = "_REFIT-INPROGRESS"
+
+  private[graft] def beginRefit(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    f.create(new HPath(s"$path/$RefitMarker"), true).close()
+  }
+
+  private[graft] def endRefit(spark: SparkSession, path: String): Unit =
+    deleteRecursively(spark, s"$path/$RefitMarker")
+
+  private[graft] def refitCrashed(spark: SparkSession, path: String): Boolean =
+    exists(spark, s"$path/$RefitMarker")
+
+  /** The read-side guard: every index load and non-refit maintenance
+    * entry point calls this, so a family/assignment mismatch left by a
+    * crashed refit fails LOUDLY at the next touch instead of serving
+    * silently-degraded recall. (A reader racing a LIVE refit hits the
+    * same error — correctly: refits run under the rebuild contract,
+    * single maintainer, no concurrent readers.) */
+  def requireNoCrashedRefit(spark: SparkSession, path: String): Unit =
+    if (refitCrashed(spark, path)) throw new IllegalStateException(
+      s"index at $path has an in-progress or crashed refit " +
+        s"($RefitMarker present): its family metadata and bucket/cell " +
+        "assignments may disagree (a recall-losing state that looks " +
+        "healthy). Re-run the refit to converge, then retry.")
+
   /** The commit-namespace snapshot every maintenance pass (compaction,
     * refit) takes FIRST: the landed tags it will fold, plus the
     * staged/unlanded dirs present at start — the only dirs the orphan

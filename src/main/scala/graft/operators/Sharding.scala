@@ -71,7 +71,12 @@ object Sharding {
     * between them (files landing in a live directory) can pass the
     * guard yet sort more than `maxRows` — the guard is a mistake
     * barrier for static extracts, not an admission control for moving
-    * sources. */
+    * sources. Two EVALUATIONS, too: "one cheap column-pruned pass"
+    * holds when `df` is a scan-rooted plan, but a frame derived from
+    * expensive upstream work (joins, explodes, UDF-heavy projections)
+    * recomputes that whole pipeline for the guard — cache() or
+    * localCheckpoint() such inputs first, or go straight to
+    * [[writeShards]]. */
   def shuffled(df: DataFrame, keyCol: String, salt: String = "shard",
       maxRows: Long = shuffledDefaultMaxRows): DataFrame = {
     require(maxRows > 0, s"maxRows=$maxRows must be positive")

@@ -193,6 +193,7 @@ object Similarity {
     IndexFs.deleteRecursively(spark, s"$path/staged")
     IndexFs.deleteRecursively(spark, s"$path/committed")
     IndexFs.clearPublished(spark, s"$path/cells")
+    IndexFs.endRefit(spark, path) // full rebuild supersedes a crashed refit
     saveIndex(
       kmeansCentroids(corpus, corpusVec, nCentroids, seed, maxIter, sampleRows),
       s"$path/centroids")
@@ -233,6 +234,9 @@ object Similarity {
   def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String, commitTag: Option[String] = None): Boolean = {
     val spark = newVecs.sparkSession
+    // assigning under a crashed refit's centroids would entrench the
+    // family/assignment mismatch; converge with a refit re-run first
+    IndexFs.requireNoCrashedRefit(spark, path)
     if (commitTag.exists(t => IndexFs.isCommitted(spark, path, t)))
       return false // already landed (live commit OR folded tombstone) —
                    // skip even the assignment
@@ -256,11 +260,13 @@ object Similarity {
     * as documented on
     * [[graft.operators.TextDedup.loadMinhashIndex]]. */
   def loadIvfIndex(spark: SparkSession, path: String,
-      excludeCommits: Set[String] = Set.empty): IvfIndex =
+      excludeCommits: Set[String] = Set.empty): IvfIndex = {
+    IndexFs.requireNoCrashedRefit(spark, path)
     IvfIndex(
       loadIndex(spark, s"$path/centroids"),
       spark.read.parquet(
         IndexFs.relationDirs(spark, path, "cells", excludeCommits): _*))
+  }
 
   /** Fold landed cell commits into the base cell relation — the
     * [[graft.operators.TextDedup.compactMinhashIndex]] engine with the
@@ -316,6 +322,12 @@ object Similarity {
       .pinScratch()
     val nVecs = vectors.count()
     require(nVecs > 0, "refitIvfIndex: index holds no vectors")
+    // marker ON from the first family-changing write to the last: a
+    // crash between the centroid overwrite and the cell rebuild leaves
+    // assignments under the OLD family served as if they were the new
+    // one — a recall-losing state that looks healthy — so loads refuse
+    // until a re-run converges (IndexFs.RefitMarker)
+    IndexFs.beginRefit(spark, path)
     saveIndex(
       kmeansCentroids(vectors, "vec", useCentroids, seed, maxIter, sampleRows),
       s"$path/centroids")
@@ -326,6 +338,7 @@ object Similarity {
       s"$path/cells")
     IndexFs.retireFoldedCommits(spark, path, snapshot.landed)
     IndexFs.reapDeadOrphans(spark, path, snapshot)
+    IndexFs.endRefit(spark, path)
   }
 
   /** Serve a query batch from a persisted [[IvfIndex]]: probe nProbe

@@ -398,6 +398,10 @@ object TextDedup {
       afterSnapshot: () => Unit = () => (),
       beforeCommitDelete: String => Unit = _ => (),
       stagedOrphanTtlMs: Long = DefaultStagedOrphanTtlMs): Unit = {
+    // a crashed refit leaves family metadata and bucket/cell rows that
+    // may disagree — folding commits into that base would entrench the
+    // mixed-family state; converge with a refit re-run first
+    IndexFs.requireNoCrashedRefit(spark, path)
     // LANDED commits only: under the marker protocol an in-flight
     // append's commit dir exists before its _OK marker does — folding
     // it would commit a half-written batch. The snapshot / fold /
@@ -1095,15 +1099,27 @@ object TextDedup {
     IndexFs.deleteRecursively(vecs.sparkSession, s"$path/committed")
     IndexFs.clearPublished(vecs.sparkSession, s"$path/buckets")
     IndexFs.clearPublished(vecs.sparkSession, s"$path/vectors")
+    IndexFs.endRefit(vecs.sparkSession, path) // full rebuild supersedes a crashed refit
     val idx = buildEmbeddingIndex(vecs, idCol, vecCol, threshold, bits, tables,
       seed, dim, requireRecallTarget)
     idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
     idx.vectors.write.mode("overwrite").parquet(s"$path/vectors")
-    vecs.sparkSession.range(1)
-      .select(lit(idx.bits).as("bits"), lit(idx.tables).as("tables"),
-        lit(idx.seed).as("seed"), lit(idx.dim).as("dim"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeEmbeddingMeta(vecs.sparkSession, path,
+      idx.bits, idx.tables, idx.seed, idx.dim, threshold)
   }
+
+  /** THE single spelling of the embedding index's meta row — save and
+    * refit both route here so the persisted parameter set can never
+    * fork. `threshold` rides along (r13): the refit re-derives
+    * `srpTablesFor` from it by default, so a mistyped refit threshold
+    * can no longer silently re-target the family's recall. */
+  private def writeEmbeddingMeta(spark: SparkSession, path: String,
+      bits: Int, tables: Int, seed: Long, dim: Int, threshold: Double): Unit =
+    spark.range(1)
+      .select(lit(bits).as("bits"), lit(tables).as("tables"),
+        lit(seed).as("seed"), lit(dim).as("dim"),
+        lit(threshold).as("threshold"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
 
   /** Fold an ACCEPTED vector batch into a persisted embedding index —
     * [[appendToMinhashIndex]]'s contract for the vector modality: the
@@ -1185,7 +1201,16 @@ object TextDedup {
     * appends collapse via distinct, like compaction. Vectors are
     * pinned through the scratch seam before any dir is rewritten. */
   def refitEmbeddingIndex(spark: SparkSession, path: String,
-      threshold: Double, bits: Int = -1, tables: Int = -1,
+      /** -1 (default) re-uses the threshold PERSISTED in the index meta
+        * at save time, so the refit re-derives `srpTablesFor` for the
+        * same recall target the index was built for — a re-supplied
+        * mistyped value can no longer silently re-target the family
+        * (mirrors how the seed is preserved). Pass explicitly to
+        * re-target on purpose. Indexes written before the threshold was
+        * persisted (no `threshold` meta column) require an explicit
+        * value. */
+      threshold: Double = -1.0,
+      bits: Int = -1, tables: Int = -1,
       /** -1 (default) keeps the index's persisted plane seed — a refit
         * re-SIZES the family by default, it doesn't silently rotate a
         * custom seed to 42; pass explicitly to re-seed on purpose. */
@@ -1196,6 +1221,16 @@ object TextDedup {
     val meta = spark.read.parquet(s"$path/meta").head()
     val dim = meta.getAs[Int]("dim")
     val seed = if (seedOverride == -1L) meta.getAs[Long]("seed") else seedOverride
+    val useThreshold =
+      if (threshold != -1.0) threshold
+      else {
+        require(meta.schema.fieldNames.contains("threshold"),
+          "refitEmbeddingIndex: this index predates the persisted " +
+            "threshold (no `threshold` meta column) — pass threshold " +
+            "explicitly (or re-save the index)")
+        meta.getAs[Double]("threshold")
+      }
+    val crashed = IndexFs.refitCrashed(spark, path)
     val vectors = spark.read.parquet(
         IndexFs.resolveDir(spark, s"$path/vectors") +:
           snapshot.landed.map(t => s"$path/commits/$t/vectors"): _*)
@@ -1206,8 +1241,29 @@ object TextDedup {
     // bits resolved HERE from the count already taken — passing -1 down
     // would have buildEmbeddingIndex recount the pinned frame
     val useBits = if (bits == -1) srpBitsFor(nVecs) else bits
-    val idx = buildEmbeddingIndex(vectors, "id", "vec", threshold,
+    val useTables = if (tables == -1) srpTablesFor(useBits, useThreshold) else tables
+    // Unchanged family ⇒ the re-bucket would rewrite every row to
+    // produce a bit-identical index (7.5× of nothing at 100× — measured
+    // on the full path, ScaleBench). What remains useful is exactly
+    // compaction: fold landed commits (a rewrite only when there ARE
+    // any), else just reap orphans / fold tombstones — zero relation
+    // writes. Never taken after a CRASHED refit: there the persisted
+    // meta can't be trusted to describe the bucket rows, so the full
+    // rebuild must run to converge.
+    if (!crashed && useBits == meta.getAs[Int]("bits") &&
+        useTables == meta.getAs[Int]("tables") &&
+        seed == meta.getAs[Long]("seed")) {
+      if (snapshot.landed.isEmpty) IndexFs.reapDeadOrphans(spark, path, snapshot)
+      else compactEmbeddingIndex(spark, path)
+      return
+    }
+    val idx = buildEmbeddingIndex(vectors, "id", "vec", useThreshold,
       useBits, tables, seed, dim, requireRecallTarget)
+    // marker ON from the first family-changing write to the last: a
+    // crash inside this window leaves family metadata and bucket rows
+    // that may disagree — a recall-losing state that looks healthy —
+    // so loads refuse until a re-run converges (IndexFs.RefitMarker)
+    IndexFs.beginRefit(spark, path)
     IndexFs.publishRelation(
       idx.buckets.repartition(
         graft.GraftSession.partitionsFor(spark, nVecs * idx.tables)),
@@ -1215,12 +1271,11 @@ object TextDedup {
     IndexFs.publishRelation(
       idx.vectors.repartition(graft.GraftSession.partitionsFor(spark, nVecs)),
       s"$path/vectors")
-    spark.range(1)
-      .select(lit(idx.bits).as("bits"), lit(idx.tables).as("tables"),
-        lit(idx.seed).as("seed"), lit(idx.dim).as("dim"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeEmbeddingMeta(spark, path, idx.bits, idx.tables, idx.seed, idx.dim,
+      useThreshold)
     IndexFs.retireFoldedCommits(spark, path, snapshot.landed)
     IndexFs.reapDeadOrphans(spark, path, snapshot)
+    IndexFs.endRefit(spark, path)
   }
 
   /** Reload a [[saveEmbeddingIndex]]-written index (base relations plus
@@ -1232,6 +1287,7 @@ object TextDedup {
     * [[loadMinhashIndex]]. */
   def loadEmbeddingIndex(spark: SparkSession, path: String,
       excludeCommits: Set[String] = Set.empty): EmbeddingIndex = {
+    IndexFs.requireNoCrashedRefit(spark, path)
     val m = spark.read.parquet(s"$path/meta").head()
     EmbeddingIndex(
       spark.read.parquet(relationDirs(spark, path, "buckets", excludeCommits): _*),

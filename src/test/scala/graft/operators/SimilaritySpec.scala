@@ -263,6 +263,35 @@ class SimilaritySpec extends SparkSpec {
       s"refit should measurably rebalance cells: $before -> $after")
   }
 
+  test("a crashed IVF refit is loud at every entry point and a re-run converges") {
+    val partA = emb.filter(col("vec_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_crash_refit").toString
+    Similarity.saveIvfIndex(partA, "vec_id", "embedding", dir,
+      nCentroids = 4, maxIter = 5)
+    val vecsBefore = Similarity.loadIvfIndex(spark, dir)
+      .cells.select("id", "vec").collect().toSet
+    // simulate a refit that died between the centroid overwrite and the
+    // cell rebuild: the marker is what the crash window leaves behind
+    IndexFs.beginRefit(spark, dir)
+    intercept[IllegalStateException] { Similarity.loadIvfIndex(spark, dir) }
+    intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(partA, "vec_id", "embedding", dir)
+    }
+    intercept[IllegalStateException] { Similarity.compactIvfIndex(spark, dir) }
+    // the documented recovery: re-run the refit (it derives everything
+    // from the family-independent (id, vec) rows and republishes
+    // centroids + cells together)
+    Similarity.refitIvfIndex(spark, dir, nCentroids = 4, maxIter = 5)
+    assert(Similarity.loadIvfIndex(spark, dir)
+      .cells.select("id", "vec").collect().toSet == vecsBefore)
+    // a full save also supersedes a crashed refit
+    IndexFs.beginRefit(spark, dir)
+    Similarity.saveIvfIndex(partA, "vec_id", "embedding", dir,
+      nCentroids = 4, maxIter = 5)
+    assert(Similarity.loadIvfIndex(spark, dir)
+      .cells.select("id", "vec").collect().toSet == vecsBefore)
+  }
+
   test("ivfTopKFromIndex: a queries frame carrying id/vec/cluster_id columns cannot collide with the cells schema") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_collide").toString
     Similarity.saveIvfIndex(emb, "vec_id", "embedding", dir,

@@ -616,6 +616,129 @@ class TextDedupSpec extends SparkSpec {
       s"refit should measurably decrowd buckets: mean pop $before -> $afterPop")
   }
 
+  test("refitEmbeddingIndex: unchanged family early-exits without rewriting relations; threshold defaults from meta") {
+    import spark.implicits._
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }
+    val vecs = (0L until 50L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_noop_refit").toString
+    TextDedup.saveEmbeddingIndex(vecs, "vec_id", "embedding", dir, threshold = 0.9)
+    val metaBefore = spark.read.parquet(s"$dir/meta").head()
+    assert(metaBefore.getAs[Double]("threshold") == 0.9,
+      "save must persist the threshold in meta")
+    // (file name, mtime) fingerprints of the physical relation dirs: a
+    // rewrite lands NEW part-file names, a no-op leaves both untouched
+    def relState(name: String): Set[(String, Long)] = {
+      val p = IndexFs.resolveDir(spark, s"$dir/$name")
+      IndexFs.fs(spark, p).listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    }
+    val vecsBefore = relState("vectors")
+    val bktsBefore = relState("buckets")
+    // no threshold passed: defaults from meta; same vector count ⇒ same
+    // resolved family ⇒ the re-bucket must be skipped entirely
+    TextDedup.refitEmbeddingIndex(spark, dir)
+    assert(relState("vectors") == vecsBefore && relState("buckets") == bktsBefore,
+      "an unchanged-family refit must not rewrite the relations")
+    assert(spark.read.parquet(s"$dir/meta").head() == metaBefore)
+    // an explicit seed change IS a family change: the rebuild runs and
+    // the meta-persisted threshold still governs the table re-derivation
+    TextDedup.refitEmbeddingIndex(spark, dir, seedOverride = 7L)
+    assert(relState("vectors") != vecsBefore,
+      "a changed family must rewrite the relations")
+    val after = TextDedup.loadEmbeddingIndex(spark, dir)
+    assert(after.seed == 7L)
+    assert(after.tables == TextDedup.srpTablesFor(after.bits, 0.9))
+    assert(spark.read.parquet(s"$dir/meta").head()
+      .getAs[Double]("threshold") == 0.9,
+      "the refit must carry the persisted threshold forward")
+  }
+
+  test("refitEmbeddingIndex: unchanged family with landed commits folds them at compaction cost") {
+    import spark.implicits._
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }
+    val base = (0L until 20L).map(i => (i * 2, vec(i.toInt))).toDF("vec_id", "embedding")
+    val batch = (100L until 110L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_fold_refit").toString
+    // explicit family: the post-append count must not drift the resolved
+    // bits, so the early-exit path (not the rebuild) is what folds
+    TextDedup.saveEmbeddingIndex(base, "vec_id", "embedding", dir,
+      threshold = 0.9, bits = 2, tables = 3)
+    assert(TextDedup.appendToEmbeddingIndex(batch, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    val unionVecs = TextDedup.loadEmbeddingIndex(spark, dir).vectors.collect().toSet
+    TextDedup.refitEmbeddingIndex(spark, dir, bits = 2, tables = 3)
+    // folded: commit dirs retired, tag tombstoned, vector set preserved
+    assert(IndexFs.listDirNames(spark, s"$dir/commits").isEmpty)
+    assert(!TextDedup.appendToEmbeddingIndex(batch, "vec_id", "embedding", dir,
+      commitTag = Some("b1")))
+    val after = TextDedup.loadEmbeddingIndex(spark, dir)
+    assert(after.vectors.collect().toSet == unionVecs)
+    assert(after.bits == 2 && after.tables == 3)
+  }
+
+  test("a crashed embedding refit is loud at every entry point and a re-run converges") {
+    import spark.implicits._
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }
+    val vecs = (0L until 30L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_crash_refit").toString
+    TextDedup.saveEmbeddingIndex(vecs, "vec_id", "embedding", dir, threshold = 0.9)
+    val vecsBefore = TextDedup.loadEmbeddingIndex(spark, dir).vectors.collect().toSet
+    // simulate a refit that died mid-publish: the marker is what the
+    // crash window leaves behind
+    IndexFs.beginRefit(spark, dir)
+    intercept[IllegalStateException] { TextDedup.loadEmbeddingIndex(spark, dir) }
+    intercept[IllegalStateException] { TextDedup.compactEmbeddingIndex(spark, dir) }
+    intercept[IllegalStateException] {
+      TextDedup.appendToEmbeddingIndex(vecs, "vec_id", "embedding", dir)
+    }
+    // the documented recovery: re-run the refit. The marker forces the
+    // full rebuild (family metadata can't be trusted to describe the
+    // bucket rows), which republishes family + assignments together.
+    TextDedup.refitEmbeddingIndex(spark, dir)
+    val after = TextDedup.loadEmbeddingIndex(spark, dir) // loud no more
+    assert(after.vectors.collect().toSet == vecsBefore)
+    // a full save also supersedes a crashed refit
+    IndexFs.beginRefit(spark, dir)
+    TextDedup.saveEmbeddingIndex(vecs, "vec_id", "embedding", dir, threshold = 0.9)
+    assert(TextDedup.loadEmbeddingIndex(spark, dir)
+      .vectors.collect().toSet == vecsBefore)
+  }
+
+  test("refitEmbeddingIndex on a pre-threshold meta requires an explicit threshold") {
+    import spark.implicits._
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }
+    val vecs = (0L until 30L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_legacy_meta").toString
+    TextDedup.saveEmbeddingIndex(vecs, "vec_id", "embedding", dir, threshold = 0.9)
+    // rewrite meta WITHOUT the threshold column — an index written
+    // before r13 persisted it
+    val m = spark.read.parquet(s"$dir/meta").head()
+    spark.range(1)
+      .select(lit(m.getAs[Int]("bits")).as("bits"),
+        lit(m.getAs[Int]("tables")).as("tables"),
+        lit(m.getAs[Long]("seed")).as("seed"), lit(m.getAs[Int]("dim")).as("dim"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.refitEmbeddingIndex(spark, dir, seedOverride = 7L)
+    }
+    assert(e.getMessage.contains("threshold"))
+    // explicit threshold still works on the legacy meta
+    TextDedup.refitEmbeddingIndex(spark, dir, threshold = 0.9, seedOverride = 7L)
+    assert(TextDedup.loadEmbeddingIndex(spark, dir).seed == 7L)
+  }
+
   test("crossContainmentPairs flags embedded eval docs; corpus side never shuffles for candidates") {
     import spark.implicits._
     val corpus = Seq(
