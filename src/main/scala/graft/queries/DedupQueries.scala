@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, TextDedup}
+import graft.operators.{RecallProbe, Similarity, TextDedup}
 import graft.sources.Scan
 
 /** Dedup + similarity-search extension queries over `documents` /
@@ -334,6 +334,50 @@ object DedupQueries {
       .orderBy(col("new_id"), col("index_id"))
   }
 
+  /** The ANN recall probe under the hard gate — the "when to refit"
+    * signal pinned end-to-end. An IVF index is built on the even ids;
+    * the probe draws 10 query vectors and the eval slice from it by
+    * portable md5 order, then probes EXHAUSTIVELY (nProbe =
+    * nCentroids): with every cell probed, the restricted-index answer
+    * must equal exact brute force over the slice, so every per-query
+    * row must read exactly (n_true = k, n_found = k, recall = 1.0). A
+    * lost cell row, a sampling divergence (Spark md5 vs DuckDB md5),
+    * or an intersection bug each surface as a hash mismatch. The
+    * DRIFT regime (nProbe < nCentroids: recall sags as appends crowd
+    * cells, refit restores it) is spec-proven in SimilaritySpec —
+    * this entry pins the probe machinery itself. */
+  val recallProbeIvf: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val path = SnapshotPaths.dirFor("ivf_recall_probe", dir, s)
+    Similarity.saveIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nCentroids = 8, maxIter = 5)
+    RecallProbe.ivfIndexRecall(s, path, k = 3, nProbe = 8, nQueries = 10)
+      .orderBy(col("query_id"))
+  }
+
+  /** The embedding-index recall probe under the hard gate: index on
+    * even ids at the build-time recall target 0.4 (persisted in meta —
+    * the probe DEFAULTS its threshold from there, so the
+    * meta-threshold plumbing is itself gated), odd ids as the query
+    * batch, eval slice = the whole indexed half. Oracle = exact
+    * cross-parity cosine pair counts with recall 1.0 — valid exactly
+    * while the family's REALIZED recall is 100% (requireRecallTarget
+    * sizes the tables for it; seeded planes make it deterministic per
+    * corpus), so this entry doubles as a realized-recall regression
+    * gate, the very signal the probe exists to measure. */
+  val recallProbeEmbedding: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val path = SnapshotPaths.dirFor("embedding_recall_probe", dir, s)
+    TextDedup.saveEmbeddingIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, threshold = 0.4,
+      requireRecallTarget = true)
+    RecallProbe.embeddingIndexRecall(s, path,
+        emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("batch_id"), col("embedding").as("bvec")),
+        "batch_id", "bvec")
+      .orderBy(col("query_id"))
+  }
+
   val annTopK: Q = (s, dir) => {
     val emb = Scan.table(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
@@ -491,7 +535,9 @@ object DedupQueries {
     "q_ann_ivf_topk" -> annIvfTopK,
     "q_ann_ivf_loaded" -> annIvfLoaded,
     "q_ann_ivf_append" -> annIvfAppend,
-    "q_ann_ivf_refit" -> annIvfRefit)
+    "q_ann_ivf_refit" -> annIvfRefit,
+    "q_recall_probe_ivf" -> recallProbeIvf,
+    "q_recall_probe_embedding" -> recallProbeEmbedding)
 
   import graft.functions.GraftFunctions.roundPortableSql
 
@@ -698,7 +744,32 @@ object DedupQueries {
     // refit variant re-clusters and rebuilds mid-query and must
     // preserve the same vector set (identical oracle)
     "q_ann_ivf_append" -> ivfThirdsSql,
-    "q_ann_ivf_refit" -> ivfThirdsSql
+    "q_ann_ivf_refit" -> ivfThirdsSql,
+    // the probe's sampled query ids are reproduced by the SAME portable
+    // md5 order; exhaustive probing pins every recall row at exactly
+    // (k, k, 1.0) — any lost candidate anywhere in the probe machinery
+    // breaks the hash
+    "q_recall_probe_ivf" ->
+      """WITH s AS (
+           SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || '/recall-q'), vec_id
+           LIMIT 10)
+         SELECT vec_id AS query_id, 3 AS n_true, 3 AS n_found,
+                CAST(1.0 AS DOUBLE) AS recall
+         FROM s ORDER BY query_id""",
+    // exact cross-parity pair counts; recall pinned at 1.0 — valid
+    // exactly while the family's realized recall is 100%, so the gate
+    // IS the recall regression check the probe exists to provide
+    "q_recall_probe_embedding" ->
+      s"""SELECT a.vec_id AS query_id,
+                 CAST(COUNT(*) AS INTEGER) AS n_true,
+                 CAST(COUNT(*) AS INTEGER) AS n_found,
+                 CAST(1.0 AS DOUBLE) AS recall
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+          WHERE $cosR6 >= 0.4
+          GROUP BY a.vec_id
+          ORDER BY query_id"""
   )
 
   private lazy val embThirdsSql: String =
