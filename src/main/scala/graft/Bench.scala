@@ -58,6 +58,14 @@ object Bench {
     * its idle-host time is pinned as [[BenchHarness.calRefSeconds]];
     * changing this body requires re-pinning that constant. */
   def microCalibrationBody(spark: SparkSession)(): Unit = {
+    microCalibrationFrame(spark).head()
+    ()
+  }
+
+  /** The micro-calibration's plan as a FRAME, so the workload the pinned
+    * [[BenchHarness.calRefSeconds]] was measured on can be FINGERPRINTED
+    * ([[microCalibrationFingerprint]]) instead of trusted. */
+  def microCalibrationFrame(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     val a = spark.range(0L, 400000L, 1L, 4)
       .select(pmod(xxhash64(col("id")), lit(8192)).as("k"), col("id").as("va"))
     val b = spark.range(0L, 400000L, 1L, 4)
@@ -65,13 +73,35 @@ object Bench {
     a.hint("merge").join(b, "k")
       .groupBy(col("k")).agg(sum(col("va") + col("vb")).as("s"), count(lit(1)).as("n"))
       .select(sum(col("s")).as("t"), sum(col("n")).as("m"))
-      .head()
-    ()
+  }
+
+  /** Bench default worker count AND shuffle width — part of what the
+    * pinned [[BenchHarness.calRefSeconds]] is valid for, so it is named
+    * here and folded into [[microCalibrationFingerprint]]. */
+  val defaultCpus = "4"
+
+  /** Fingerprint of everything [[BenchHarness.calRefSeconds]] was pinned
+    * AGAINST: the micro-calibration's canonicalized optimized logical
+    * plan (stable across sessions — expression ids are normalized; it
+    * changes whenever the body's shape, sizes, seeds or the Spark
+    * version change) plus the default bench config. A silent edit to
+    * either would skew every future `value_norm` with no alarm — so the
+    * pinned [[BenchHarness.calRefFingerprint]] is asserted against this
+    * in BenchFingerprintSpec, and changing the body without re-pinning
+    * the reference (instrument: [[graft.tools.CalRefProbe]], which
+    * prints both) fails the build. */
+  def microCalibrationFingerprint(spark: SparkSession): String = {
+    val plan = microCalibrationFrame(spark)
+      .queryExecution.optimizedPlan.canonicalized.toString
+    val src = plan +
+      s"|master=local[$defaultCpus]|spark.sql.shuffle.partitions=$defaultCpus"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     // ≥3 attempts per query: min isolates steady-state cost (one-time
     // Janino/shuffle init lands on whichever run hits it first), median
     // shows dispersion — the signal that separates a real plan regression
@@ -128,11 +158,16 @@ object Bench {
     val calibrationShuffle =
       BenchHarness.measure(runs)(calibrationShuffleBody(spark))
 
-    // detail → queries → contract LAST: the driver keeps only the log
-    // tail, so truncation eats diagnostics top-down and the size-bounded
-    // contract line (the headline total) always survives
+    // detail → queries_compact → contract LAST: the driver keeps only
+    // the log tail, so truncation eats diagnostics top-down; the last
+    // TWO lines (compact per-query array + size-bounded contract) fit
+    // the window together by tested construction, so the driver
+    // artifact carries every per-query value AND the headline total.
+    // The full NAMED maps go to bench_out.json only (r13 — BENCH_r12's
+    // tail kept 57/84 named rows).
     val detail = BenchHarness.detailLine(runs, stats)
     val queriesL = BenchHarness.queriesLine(stats, norms)
+    val compact = BenchHarness.queriesCompactLine(stats, norms)
     // Rows with no (cal, query) pair fall back to their RAW headline in
     // the normalized sum (a hole would misreport the total more than an
     // unnormalized row does) — but the contract line COUNTS them
@@ -147,16 +182,18 @@ object Bench {
       Some(calibrationShuffle), normTotal, paired.flatMap(_._2.calTimes),
       normFallback = norms.count(_._2.isEmpty))
     println(detail)
-    println(queriesL)
+    println(compact)
     println(json)
     // a throwing query must fail the round LOUDLY, not just in-band
     stats.collect { case (n, st) if st.err.isDefined => n -> st.err.get }
       .foreach { case (n, e) => System.err.println(s"[bench] QUERY FAILED $n: $e") }
     // also land the metrics as a FILE so the bench is machine-readable
-    // without scraping [info]-prefixed sbt stdout (overridable path)
+    // without scraping [info]-prefixed sbt stdout (overridable path);
+    // the file keeps the FULL named per-query line the stdout artifact
+    // no longer carries
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (detail + "\n" + queriesL + "\n" + json + "\n")
+      (detail + "\n" + queriesL + "\n" + compact + "\n" + json + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

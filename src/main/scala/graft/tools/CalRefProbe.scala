@@ -24,6 +24,12 @@ object CalRefProbe {
     val s = times.sorted
     val median = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     println(f"CALREF min=${times.min}%.4f median=$median%.4f all=${times.map(t => f"$t%.3f").mkString(",")}")
+    // the fingerprint the pinned constant is valid for — when re-pinning
+    // calRefSeconds, copy THIS into BenchHarness.calRefFingerprint
+    println(s"CALREF_FINGERPRINT ${graft.Bench.microCalibrationFingerprint(spark)}" +
+      (if (graft.Bench.microCalibrationFingerprint(spark) ==
+        graft.BenchHarness.calRefFingerprint) " (matches pinned)"
+       else s" (PINNED IS ${graft.BenchHarness.calRefFingerprint} — STALE)"))
     spark.stop()
   }
 }

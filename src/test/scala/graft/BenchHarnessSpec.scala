@@ -204,6 +204,39 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(!plain.contains("value_norm") && !plain.contains("cal_ref"))
   }
 
+  test("compact queries line: every value, name-sorted, norm-else-raw, adaptive precision") {
+    val a = QueryStat(Vector(1.234), Vector.empty, Vector.empty)
+    val b = QueryStat(Vector(2.5), Vector.empty, Vector.empty)
+    val line = queriesCompactLine(Seq("q_b" -> b, "q_a" -> a),
+      Seq("q_a" -> Some(1.0), "q_b" -> None))
+    // name-ascending; q_a carries its normalized value, q_b (no norm)
+    // falls back to its raw headline — the value_norm summation rule
+    assert(line.contains(""""norm_else_raw":[1.00,2.50]"""))
+    assert(line.contains(""""order":"name-asc""""))
+    assert(line.contains(""""see":"bench_out.json""""))
+    assert(line.contains(""""n_queries":2"""))
+    // adaptive precision: ≥100 s at 0.1 s, ≥1000 s whole — ≤6 chars at
+    // any magnitude, which is what makes the window bound constructive
+    val mid = QueryStat(Vector(123.456), Vector.empty, Vector.empty)
+    val big = QueryStat(Vector(12345.678), Vector.empty, Vector.empty)
+    assert(queriesCompactLine(Seq("q" -> mid)).contains("[123.5]"))
+    assert(queriesCompactLine(Seq("q" -> big)).contains("[12346]"))
+  }
+
+  test("compact queries line + contract line fit the driver tail window together over the REAL key set") {
+    // the r12 artifact kept 57/84 named rows; the compact line must
+    // carry ALL per-query values alongside the worst-case contract line
+    // — tested over the real key set at worst-case sub-1000 values
+    val wide = QueryStat(Vector(999.9), Vector.empty, Vector.empty)
+    val stats = SparkEntry.queries.keys.toSeq.sorted.map(_ -> wide)
+    val compact = queriesCompactLine(stats, stats.map(_._1 -> Some(999.9)))
+    assert(compact.length + contractLineBudget <= tailWindowBudget,
+      s"compact line ${compact.length}B + contract budget $contractLineBudget" +
+        s"B exceeds the ~$tailWindowBudget-char driver tail for " +
+        s"${stats.size} queries — shrink the rendering or drop to a top-N line")
+    assert(!compact.contains("\n"))
+  }
+
   test("contract line fits its budget over the REAL key set with EVERY query failing") {
     // worst case by construction: every SparkEntry query throws (errors
     // map at its count cap), four-digit total, calibration present — if
