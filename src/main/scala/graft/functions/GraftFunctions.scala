@@ -169,6 +169,19 @@ object GraftFunctions {
       centroidVecs: Seq[Seq[Double]], nProbe: Int): Column =
     c(NearestCentroids(e(vec), centroidIds, centroidVecs, nProbe))
 
+  /** How many elements of a string array the given Bloom filter kernel
+    * might contain, as a codegen'd projection (see [[BloomHitCount]]) —
+    * the zero-shuffle corpus-side probe of Bloom-prefiltered
+    * decontamination. */
+  def bloom_hit_count(arr: Column, kernel: BloomHitCount.Kernel): Column =
+    c(BloomHitCount(e(arr), kernel))
+
+  /** Morton/Z-order interleave of already-bucketed rank columns (see
+    * [[ZValueInterleave]]) — the multi-dimensional clustering key of
+    * [[graft.operators.Layout]]. */
+  def z_interleave(ranks: Seq[Column], bits: Int): Column =
+    c(ZValueInterleave(ranks.map(e), bits))
+
   /** Registers the native expressions for SQL use
     * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`). */
   def register(spark: SparkSession): Unit = {

@@ -111,6 +111,19 @@ object TextDedup {
       explode(col("shingles")).as("s"))
     val eSizes = eShingled.select(col(evalId).as("eval_id"),
       size(col("shingles")).as("n_eval"))
+    containmentFromShingles(cSh, eSh, eSizes, threshold)
+  }
+
+  /** THE single spelling of the containment verify join — shared by
+    * [[crossContainmentPairs]] (eval shingled in-flight) and
+    * [[Decontaminate.decontaminateAgainstIndex]] (eval shingles read
+    * from the persisted artifact), so the two decontamination paths can
+    * never diverge on the metric. Inputs: corpus shingles
+    * `(corpus_id, s)`, eval shingles `(eval_id, s)` (distinct per doc —
+    * [[withShingles]]' contract — which is what makes `count(*)` the
+    * intersection size), eval sizes `(eval_id, n_eval)`. */
+  private[operators] def containmentFromShingles(cSh: DataFrame,
+      eSh: DataFrame, eSizes: DataFrame, threshold: Double): DataFrame =
     cSh.join(broadcast(eSh), Seq("s"))
       .groupBy(col("corpus_id"), col("eval_id"))
       .agg(count(lit(1)).as("inter")) // shingle sets are distinct per doc
@@ -119,7 +132,6 @@ object TextDedup {
       .filter(col("containment") >= threshold)
       .select(col("corpus_id"), col("eval_id"),
         roundPortable(col("containment"), 4).as("containment"))
-  }
 
   /** MinHash signatures via the native [[graft.functions.MinHashSignature]]
     * expression: each shingle string-hashed once, slot i = min of the

@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{RecallProbe, Similarity, TextDedup}
+import graft.operators.{Decontaminate, RecallProbe, Similarity, TextDedup}
 import graft.sources.Scan
 
 /** Dedup + similarity-search extension queries over `documents` /
@@ -120,6 +120,40 @@ object DedupQueries {
         docs.filter(col("doc_id") >= 100), "doc_id", "text",
         docs.filter(col("doc_id") < 100), "doc_id", "text",
         n = 3, threshold = 0.5)
+      .orderBy(col("corpus_id"), col("eval_id"))
+  }
+
+  /** The 100 TB decontamination spelling under the hard gate: eval
+    * shingle membership compressed into a Bloom filter probed by a
+    * codegen'd zero-shuffle corpus map, exact verify only on the
+    * candidates. Shares q_decontaminate's EXACT oracle — the operator's
+    * result-preservation proof (no Bloom false negatives; verify
+    * removes false positives) is what the identical hash certifies. */
+  val decontaminateBloom: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+    Decontaminate.bloomDecontaminate(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text",
+        docs.filter(col("doc_id") < 100), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy(col("corpus_id"), col("eval_id"))
+  }
+
+  /** Same result through the PERSISTED artifact: the eval suite is
+    * saved (Bloom bytes in meta + shingle index + sizes), loaded back,
+    * and the corpus decontaminated against the loaded index — the crawl
+    * loop's steady-state shape, where the eval side is built once and
+    * every batch pays only the map-side probe + candidate verify. The
+    * save/load round-trip is INSIDE the measured query, as with the
+    * other index queries. */
+  val decontaminateBloomIndex: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+    val path = SnapshotPaths.dirFor("decontam_index", dir, s)
+    Decontaminate.saveDecontaminationIndex(
+      docs.filter(col("doc_id") < 100), "doc_id", "text",
+      path, n = 3, threshold = 0.5)
+    Decontaminate.decontaminateAgainstIndex(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text",
+        Decontaminate.loadDecontaminationIndex(s, path))
       .orderBy(col("corpus_id"), col("eval_id"))
   }
 
@@ -523,6 +557,8 @@ object DedupQueries {
     "q_simhash_pairs" -> simhashPairs,
     "q_simhash_portable_pairs" -> simhashPortablePairs,
     "q_decontaminate" -> decontaminate,
+    "q_decontaminate_bloom" -> decontaminateBloom,
+    "q_decontaminate_bloom_index" -> decontaminateBloomIndex,
     "q_embedding_neardup" -> embeddingNearDup,
     "q_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q_embedding_neardup_lsh_shuffle" -> embeddingNearDupLshShuffle,
@@ -540,6 +576,24 @@ object DedupQueries {
     "q_recall_probe_embedding" -> recallProbeEmbedding)
 
   import graft.functions.GraftFunctions.roundPortableSql
+
+  /** Exact cross-corpus containment — shared by q_decontaminate (exact
+    * operator), q_decontaminate_bloom (Bloom prefilter + exact verify,
+    * provably result-identical) and q_decontaminate_bloom_index (same
+    * through the persisted artifact). */
+  private lazy val decontamSql: String =
+    s"""WITH sh AS (${shingleSelect("documents")}),
+        se AS (SELECT doc_id, s FROM sh WHERE doc_id < 100),
+        sc AS (SELECT doc_id, s FROM sh WHERE doc_id >= 100),
+        esz AS (SELECT doc_id, COUNT(*) AS n FROM se GROUP BY 1),
+        ip AS (SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
+                      COUNT(*) AS inter
+               FROM sc c JOIN se e ON c.s = e.s GROUP BY 1, 2)
+        SELECT corpus_id, eval_id,
+               ${roundPortableSql("inter::DOUBLE / esz.n", 4)} AS containment
+        FROM ip JOIN esz ON esz.doc_id = eval_id
+        WHERE inter::DOUBLE / esz.n >= 0.5
+        ORDER BY corpus_id, eval_id"""
 
   private val cosExpr =
     "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
@@ -689,19 +743,17 @@ object DedupQueries {
          ORDER BY d1, d2""",
     // cross-corpus containment: |∩ shingles| / |eval shingles| — the
     // asymmetric decontamination metric, same shared shingle spelling
-    "q_decontaminate" ->
-      s"""WITH sh AS (${shingleSelect("documents")}),
-          se AS (SELECT doc_id, s FROM sh WHERE doc_id < 100),
-          sc AS (SELECT doc_id, s FROM sh WHERE doc_id >= 100),
-          esz AS (SELECT doc_id, COUNT(*) AS n FROM se GROUP BY 1),
-          ip AS (SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
-                        COUNT(*) AS inter
-                 FROM sc c JOIN se e ON c.s = e.s GROUP BY 1, 2)
-          SELECT corpus_id, eval_id,
-                 ${roundPortableSql("inter::DOUBLE / esz.n", 4)} AS containment
-          FROM ip JOIN esz ON esz.doc_id = eval_id
-          WHERE inter::DOUBLE / esz.n >= 0.5
-          ORDER BY corpus_id, eval_id""",
+    "q_decontaminate" -> decontamSql,
+    // SAME exact-containment SQL: the Bloom prefilter is provably
+    // result-preserving (no false negatives + the exact verify removes
+    // false positives — Decontaminate's object doc), so any over-prune,
+    // a build/probe hash divergence, or a needed-hits cut that drops a
+    // true positive fails the hash here
+    "q_decontaminate_bloom" -> decontamSql,
+    // and through the persisted artifact (save → load → decontaminate):
+    // a lost shingle row, a corrupted filter byte, or a meta round-trip
+    // bug surfaces as a result delta against the identical oracle
+    "q_decontaminate_bloom_index" -> decontamSql,
     "q_embedding_neardup" -> embNearDupSql,
     "q_embedding_neardup_lsh" -> embNearDupSql,
     // same exact-cosine SQL: only the Spark-side verify join strategy
