@@ -118,7 +118,28 @@ object AnalyticsQueries {
         roundPortable(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"))
       .orderBy(col("l_returnflag"))
 
+  /** Z-order clustered layout under the hard gate: events re-written
+    * clustered on (user_id, ts) — the Morton-curve write
+    * ([[graft.operators.Layout]]) whose per-file min/max windows stay
+    * narrow in BOTH dimensions (the file-skipping property, measured in
+    * LayoutSpec/SCALE.md) — then read back in full. Layout changes
+    * BYTES PLACEMENT, never content: the oracle is the plain table, so
+    * a row lost, duplicated, or mangled by the range exchange +
+    * per-file sort + parquet round-trip fails the hash. The write is
+    * inside the measured query, as with the other snapshot queries. */
+  val zorderLayout: Q = (s, dir) => {
+    val events = Scan.table(s, dir, "events")
+    val path = SnapshotPaths.dirFor("zorder_layout", dir, s)
+    graft.operators.Layout.writeZOrdered(
+      events, Seq("user_id", "ts"), path, numFiles = 8)
+    s.read.parquet(path)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
+    "q_zorder_layout" -> zorderLayout,
     "q_quantile_profile" -> quantileProfile,
     "q_topk_aggregate_single_pass" -> topkAggregate,
     "q_join_revenue_by_segment" -> revenueBySegment,
@@ -128,6 +149,10 @@ object AnalyticsQueries {
     "q_salted_returnflag_rollup" -> saltedReturnflagRollup)
 
   val oracles: ListMap[String, String] = ListMap(
+    // the z-ordered snapshot must carry EXACTLY the source table's rows
+    "q_zorder_layout" ->
+      """SELECT event_id, user_id, ts, event_type, value, props
+         FROM events ORDER BY event_id""",
     "q_quantile_profile" ->
       s"""SELECT l_returnflag, COUNT(*) AS records,
           ${roundPortableSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions.z_interleave
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events =
+    graft.sources.Scan.table(spark, "/root/testdata/sf0.001", "events")
+
+  test("z_interleave: known Morton values, null propagation, bounds") {
+    // 2 dims × 2 bits: (x=0b10, y=0b01) → bits x0→0, y0→1, x1→2, y1→3
+    // x = 10b: bit0=0 → pos0, bit1=1 → pos2;  y = 01b: bit0=1 → pos1
+    // result = 0b0110 = 6
+    val r = Seq((2L, 1L)).toDF("x", "y")
+      .select(z_interleave(Seq(col("x"), col("y")), 2).as("z"))
+      .head.getLong(0)
+    assert(r == 6L)
+    // identity in 1 dim: interleave of one column is the column
+    val one = Seq(5L).toDF("x")
+      .select(z_interleave(Seq(col("x")), 3).as("z")).head.getLong(0)
+    assert(one == 5L)
+    // null rank → null key
+    val n = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(z_interleave(Seq(col("x"), col("y")), 2))
+    assert(n.head.isNullAt(0))
+    // locality: nearby points interleave to nearby keys, far to far
+    val z00 = Seq((0L, 0L)).toDF("x", "y")
+      .select(z_interleave(Seq(col("x"), col("y")), 8).as("z")).head.getLong(0)
+    val zFF = Seq((255L, 255L)).toDF("x", "y")
+      .select(z_interleave(Seq(col("x"), col("y")), 8).as("z")).head.getLong(0)
+    assert(z00 == 0L && zFF == 65535L)
+  }
+
+  test("z_interleave: interpreted eval ≡ codegen on testdata ranks") {
+    val ranks = events.select(
+      pmod(col("user_id"), lit(16)).as("a"), pmod(col("event_id"), lit(16)).as("b"))
+    val viaExpr = ranks
+      .select(z_interleave(Seq(col("a"), col("b")), 4).as("z"))
+    // reference spelling in pure column arithmetic (bit-by-bit sums)
+    val viaSql = ranks.select(
+      (0 until 4).map(b =>
+        shiftleft(shiftright(col("a"), b).bitwiseAND(1), b * 2) +
+          shiftleft(shiftright(col("b"), b).bitwiseAND(1), b * 2 + 1))
+        .reduce(_ + _).cast("long").as("z"))
+    assert(viaExpr.exceptAll(viaSql).count() == 0)
+    assert(viaSql.exceptAll(viaExpr).count() == 0)
+  }
+
+  test("withZValue: no corpus shuffle — only the aggregate-sized stats subplan") {
+    val z = Layout.withZValue(events, Seq("user_id", "ts"))
+    val plan = z.queryExecution.executedPlan.toString
+    // allowed: the global min/max aggregate's SinglePartition exchange
+    // (aggregate-sized) + its broadcast; forbidden: any hash/range
+    // repartition of the events scan itself
+    assert(!plan.contains("hashpartitioning"), s"corpus shuffled:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"corpus shuffled:\n$plan")
+    assert(z.columns.contains("__zvalue"))
+    assert(z.count() == events.count())
+    // reserved-name guard
+    val clash = events.withColumn("__zvalue", lit(1L))
+    assertThrows[IllegalArgumentException] {
+      Layout.withZValue(clash, Seq("user_id"))
+    }
+  }
+
+  test("writeZOrdered round-trips content exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.writeZOrdered(events, Seq("user_id", "ts"), s"$dir/z", numFiles = 8)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.columns.sorted.toSeq == events.columns.sorted.toSeq)
+    assert(back.count() == events.count())
+    val a = events.select(events.columns.sorted.map(col): _*)
+    val b = back.select(back.columns.sorted.map(col): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("z-ordered files are narrow in BOTH dimensions; single-sort is not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    Layout.writeZOrdered(events, Seq("user_id", "ts"), s"$dir/z", numFiles = 16)
+    // the comparison layout: clustered on ts alone (the "obvious" sort)
+    events.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(s"$dir/ts_sorted")
+
+    def avgWidth(path: String, column: String): Double = {
+      val stats = Layout.fileStats(spark.read.parquet(path), Seq(column))
+        .select(col(s"min_$column").cast("double"),
+          col(s"max_$column").cast("double"))
+        .collect()
+      val gMin = stats.map(_.getDouble(0)).min
+      val gMax = stats.map(_.getDouble(1)).max
+      stats.map(r => (r.getDouble(1) - r.getDouble(0)) / (gMax - gMin))
+        .sum / stats.length
+    }
+
+    val zUser = avgWidth(s"$dir/z", "user_id")
+    val zTs = avgWidth(s"$dir/z", "ts")
+    val sortedUser = avgWidth(s"$dir/ts_sorted", "user_id")
+    val sortedTs = avgWidth(s"$dir/ts_sorted", "ts")
+    // ts-sorted: perfect on ts, useless on user_id (every file spans
+    // all users). z-order: BOTH windows narrow — a filter on either
+    // column (or both) skips most files. 16 files ≈ a 4×4 grid → ≈0.25
+    // expected per dim; 0.6 is the generous red line.
+    assert(sortedUser > 0.9, s"fixture vacuous: ts-sort clustered user_id ($sortedUser)")
+    assert(zUser < 0.6, s"z-order user_id width $zUser — no pruning power")
+    assert(zTs < 0.6, s"z-order ts width $zTs — no pruning power")
+    assert(sortedTs < zTs, "single-column sort should beat z-order on its own column")
+  }
+
+  test("string dimension: hash ranks cluster equal values into few files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstr").toString
+    Layout.writeZOrdered(events, Seq("event_type"), s"$dir/z", numFiles = 8)
+    val spread = spark.read.parquet(s"$dir/z")
+      .select(col("event_type"), input_file_name().as("f"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_files"))
+      .agg(max(col("n_files"))).head.getLong(0)
+    // equal strings share a rank, so a value spans at most a couple of
+    // boundary-adjacent files — equality predicates prune the rest
+    assert(spread <= 3, s"one event_type spread over $spread of 8 files")
+  }
+
+  test("single-value and null dimensions degrade gracefully") {
+    val df = events.withColumn("const", lit(7L))
+      .withColumn("maybe", when(col("event_id") % 2 === 0, col("user_id")))
+    // constant dim: lo == hi → rank 0 everywhere, no crash
+    val z1 = Layout.withZValue(df, Seq("const", "user_id"))
+    assert(z1.count() == df.count())
+    // nullable dim: nulls rank 0, key never null
+    val z2 = Layout.withZValue(df, Seq("maybe", "ts"))
+    assert(z2.filter(col("__zvalue").isNull).count() == 0)
+  }
+}
