@@ -116,4 +116,68 @@ object Layout {
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The files of a parquet dataset whose FOOTER stats admit rows with
+    * `column ∈ [lo, hi]` — file-level skipping from metadata alone, no
+    * data pages touched. This is the read-side payoff of
+    * [[writeZOrdered]]: Spark's own parquet reader prunes row groups
+    * AFTER opening every file; pre-selecting files here also removes
+    * the per-file open/footer/schedule cost from the query, which at
+    * 100 TB × narrow predicate is most of the scan. A file is KEPT
+    * when any row group's [min, max] intersects [lo, hi], when the
+    * column chunk carries no usable stats, or when the column is
+    * absent — pruning may only ever widen the result, never narrow it
+    * (the caller re-applies the exact filter). Integer-backed columns
+    * only (int/long/date/timestamp-as-micros) — exactly the types
+    * [[withZValue]] range-ranks; string dims are hash-ranked, so range
+    * stats carry no signal for them.
+    *
+    * Driver-side footer reads, O(files) metadata ops — the same
+    * metadata plane a table format (Delta/Iceberg) would serve from a
+    * manifest; at a 100k-file dataset this is listing + 100k footer
+    * GETs, amortized by caching the (file → ranges) map per snapshot
+    * (it is immutable once written). Returns (selected, total). */
+  def prunedFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+    require(lo <= hi, s"empty range: lo=$lo > hi=$hi")
+    val fs = IndexFs.fs(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    val selected = files.filter { p =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, p,
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      footer.getBlocks.asScala.exists { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == column) match {
+          case None => true // column absent → cannot rule the file out
+          case Some(chunk) => chunk.getStatistics match {
+            case ls: LongStatistics if ls.hasNonNullValue =>
+              ls.getMax >= lo && ls.getMin <= hi
+            case is: IntStatistics if is.hasNonNullValue =>
+              is.getMax.toLong >= lo && is.getMin.toLong <= hi
+            case s if s != null && !s.hasNonNullValue && s.getNumNulls > 0 =>
+              false // a wholly-null chunk holds no value in any range
+            case _ => true // no usable stats → keep (safe)
+          }
+        }
+      }
+    }
+    (selected.map(_.toString).toSeq, files.length)
+  }
+
+  /** Reads only the [[prunedFiles]] of a dataset — a SUPERSET of the
+    * rows with `column ∈ [lo, hi]` (whole files; re-apply the exact
+    * filter). Empty selection → an empty frame with the dataset's
+    * schema. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    val (selected, _) = prunedFiles(spark, path, column, lo, hi)
+    if (selected.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(selected: _*)
+  }
 }

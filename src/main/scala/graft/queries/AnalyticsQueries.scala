@@ -138,8 +138,28 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Footer-stat file skipping under the hard gate: the z-ordered
+    * snapshot is read back through [[graft.operators.Layout.readPruned]]
+    * — file selection from parquet FOOTER min/max alone (no data pages)
+    * — with the exact band filter re-applied. The oracle filters the
+    * plain table, so a file wrongly pruned (lost rows) or the superset
+    * contract breaking in either direction fails the hash. At sf0.1
+    * the band covers ~0.5% of users: most of the 8 files never open. */
+  val zorderPrunedRead: Q = (s, dir) => {
+    val events = Scan.table(s, dir, "events")
+    val path = SnapshotPaths.dirFor("zorder_pruned", dir, s)
+    graft.operators.Layout.writeZOrdered(
+      events, Seq("user_id", "ts"), path, numFiles = 8)
+    graft.operators.Layout.readPruned(s, path, "user_id", 3L, 9L)
+      .filter(col("user_id").between(3L, 9L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_zorder_layout" -> zorderLayout,
+    "q_zorder_pruned_read" -> zorderPrunedRead,
     "q_quantile_profile" -> quantileProfile,
     "q_topk_aggregate_single_pass" -> topkAggregate,
     "q_join_revenue_by_segment" -> revenueBySegment,
@@ -153,6 +173,10 @@ object AnalyticsQueries {
     "q_zorder_layout" ->
       """SELECT event_id, user_id, ts, event_type, value, props
          FROM events ORDER BY event_id""",
+    // footer-pruned read + exact filter ≡ filtering the plain table
+    "q_zorder_pruned_read" ->
+      """SELECT event_id, user_id, ts, event_type, value, props
+         FROM events WHERE user_id BETWEEN 3 AND 9 ORDER BY event_id""",
     "q_quantile_profile" ->
       s"""SELECT l_returnflag, COUNT(*) AS records,
           ${roundPortableSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,

@@ -124,6 +124,32 @@ class LayoutSpec extends SparkSpec {
     assert(spread <= 3, s"one event_type spread over $spread of 8 files")
   }
 
+  test("prunedFiles/readPruned: footer-level skipping is a lossless superset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zpruneread").toString
+    Layout.writeZOrdered(events, Seq("user_id", "ts"), s"$dir/z", numFiles = 16)
+    val (sel, total) = Layout.prunedFiles(spark, s"$dir/z", "user_id", 3L, 5L)
+    assert(total == 16)
+    assert(sel.nonEmpty && sel.length < total,
+      s"selected ${sel.length}/$total — footer pruning has no effect")
+    // pruned read + exact filter ≡ full-scan filter, row for row
+    val pruned = Layout.readPruned(spark, s"$dir/z", "user_id", 3L, 5L)
+      .filter(col("user_id").between(3, 5))
+    val full = spark.read.parquet(s"$dir/z")
+      .filter(col("user_id").between(3, 5))
+    assert(pruned.exceptAll(full).count() == 0)
+    assert(full.exceptAll(pruned).count() == 0)
+    assert(full.count() > 0, "fixture vacuous: no rows in the probe band")
+    // band outside the data → zero files, empty frame, schema intact
+    val (none, _) = Layout.prunedFiles(spark, s"$dir/z", "user_id", 100000L, 200000L)
+    assert(none.isEmpty)
+    val empty = Layout.readPruned(spark, s"$dir/z", "user_id", 100000L, 200000L)
+    assert(empty.count() == 0)
+    assert(empty.columns.sorted.toSeq == events.columns.sorted.toSeq)
+    // absent column → nothing pruned (safe), never an error
+    val (all, t2) = Layout.prunedFiles(spark, s"$dir/z", "no_such_col", 0L, 1L)
+    assert(all.length == t2)
+  }
+
   test("single-value and null dimensions degrade gracefully") {
     val df = events.withColumn("const", lit(7L))
       .withColumn("maybe", when(col("event_id") % 2 === 0, col("user_id")))
