@@ -122,6 +122,30 @@ object ParityQueries {
       .orderBy(col("user_id"))
   }
 
+  // --- MERGE: keyed upsert + delete into a published snapshot — the
+  // D3 keep-last rule lifted from the JSONL ledger to a table-sized
+  // snapshot with atomic publication. Built INSIDE the measured query:
+  // baseline snapshot (even keys) → one CDC batch (every 3rd key
+  // re-priced, every 9th deleted) → read the published result back.
+  // Rerun-stable: a replay of the same two upserts converges to the
+  // same fixed point, so the bench's repeat runs and the Verify dump
+  // agree. A lost survivor, a delete that missed, a replaced row
+  // surviving, or a torn publish all fail the hash. ---
+  val mergeUpsert: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val path = SnapshotPaths.dirFor("merge_snapshot", dir, s)
+    graft.operators.SnapshotMerge.upsert(
+      orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"), path)
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+    graft.operators.SnapshotMerge.upsert(batch, Seq("o_orderkey"), path,
+      deleteCol = Some("is_deleted"))
+    graft.operators.SnapshotMerge.read(s, path).orderBy(col("o_orderkey"))
+  }
+
   // --- A11/O2: top-k value counts with deterministic tie-break ---
   val topkOrderPriority: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -256,6 +280,7 @@ object ParityQueries {
     "q_empty_input_schema" -> emptyInputSchema,
     "q_dedup_keep_first" -> dedupKeepFirst,
     "q_dedup_keep_last" -> dedupKeepLast,
+    "q_merge_upsert" -> mergeUpsert,
     "q_topk_order_priority" -> topkOrderPriority,
     "q_top_orders_by_price" -> topOrdersByPrice,
     "q_union_merge_recount" -> unionMergeRecount,
@@ -353,6 +378,21 @@ object ParityQueries {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1 ORDER BY user_id""",
+    // the merged snapshot: survivors (evens the batch didn't touch) +
+    // the batch's non-deleted rows — keep-last by construction
+    "q_merge_upsert" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 2 = 0),
+              upd AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                             o_totalprice + 1000.0 AS o_totalprice,
+                             (o_orderkey % 9 = 0) AS del
+                      FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM snap
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM upd WHERE NOT del
+         ORDER BY o_orderkey""",
     "q_topk_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt
          FROM orders GROUP BY o_orderpriority
