@@ -277,7 +277,7 @@ private[graft] object IndexFs {
         scheme != null && objectStoreSchemes.contains(scheme.toLowerCase)
     }
 
-  private def readSmallFile(f: FileSystem, p: HPath): String = {
+  private[graft] def readSmallFile(f: FileSystem, p: HPath): String = {
     val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
@@ -340,7 +340,7 @@ private[graft] object IndexFs {
     * bricks). Schemes without a binding are the true object stores,
     * where the direct overwrite PUT is itself atomic — there the PUT is
     * used as-is. */
-  private def atomicWriteSmallFile(spark: SparkSession, f: FileSystem,
+  private[graft] def atomicWriteSmallFile(spark: SparkSession, f: FileSystem,
       p: HPath, content: String): Unit = {
     val tmp = new HPath(p.getParent, p.getName + ".tmp")
     val out = f.create(tmp, true)

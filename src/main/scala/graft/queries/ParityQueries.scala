@@ -146,6 +146,32 @@ object ParityQueries {
     graft.operators.SnapshotMerge.read(s, path).orderBy(col("o_orderkey"))
   }
 
+  // --- MERGE through the SHARDED snapshot — the 100 TB layout: the
+  // same fixture and batch as q_merge_upsert, but the snapshot lives
+  // as key-hash shard dirs behind a manifest and the batch rewrites
+  // only the shards it touches. Shares q_merge_upsert's oracle
+  // verbatim: layout must never change the merged content. Rerun-safe:
+  // create is skipped when the snapshot exists and the repeated batch
+  // is a fixed point. ---
+  val mergeUpsertSharded: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val path = SnapshotPaths.dirFor("merge_snapshot_sharded", dir, s)
+    if (!graft.operators.SnapshotMerge.existsSharded(s, path)) {
+      graft.operators.SnapshotMerge.createSharded(
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+        nShards = 16, path)
+    }
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+    graft.operators.SnapshotMerge.upsertSharded(batch, Seq("o_orderkey"),
+      path, deleteCol = Some("is_deleted"))
+    graft.operators.SnapshotMerge.readSharded(s, path)
+      .orderBy(col("o_orderkey"))
+  }
+
   // --- A11/O2: top-k value counts with deterministic tie-break ---
   val topkOrderPriority: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -281,11 +307,29 @@ object ParityQueries {
     "q_dedup_keep_first" -> dedupKeepFirst,
     "q_dedup_keep_last" -> dedupKeepLast,
     "q_merge_upsert" -> mergeUpsert,
+    "q_merge_upsert_sharded" -> mergeUpsertSharded,
     "q_topk_order_priority" -> topkOrderPriority,
     "q_top_orders_by_price" -> topOrdersByPrice,
     "q_union_merge_recount" -> unionMergeRecount,
     "q_profile_orders" -> profileOrders
   )
+
+  /** Shared by q_merge_upsert (flat published snapshot) and
+    * q_merge_upsert_sharded (manifest-committed shard layout): layout
+    * must never change the merged content. */
+  private lazy val mergeUpsertSql: String =
+    """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                     FROM orders WHERE o_orderkey % 2 = 0),
+            upd AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                           o_totalprice + 1000.0 AS o_totalprice,
+                           (o_orderkey % 9 = 0) AS del
+                    FROM orders WHERE o_orderkey % 3 = 0)
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM snap
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+       UNION ALL
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       FROM upd WHERE NOT del
+       ORDER BY o_orderkey"""
 
   val oracles: ListMap[String, String] = ListMap(
     // DSv2 pipeline: aggregate the deterministic org snapshot the query
@@ -380,19 +424,13 @@ object ParityQueries {
          WHERE rn = 1 ORDER BY user_id""",
     // the merged snapshot: survivors (evens the batch didn't touch) +
     // the batch's non-deleted rows — keep-last by construction
-    "q_merge_upsert" ->
-      """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-                       FROM orders WHERE o_orderkey % 2 = 0),
-              upd AS (SELECT o_orderkey, o_custkey, o_orderstatus,
-                             o_totalprice + 1000.0 AS o_totalprice,
-                             (o_orderkey % 9 = 0) AS del
-                      FROM orders WHERE o_orderkey % 3 = 0)
-         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM snap
-         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
-         UNION ALL
-         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         FROM upd WHERE NOT del
-         ORDER BY o_orderkey""",
+    "q_merge_upsert" -> mergeUpsertSql,
+    // SAME SQL through the sharded layout: shard assignment, the
+    // manifest swap, and by-reference carry of untouched shards must
+    // never change the merged CONTENT — a key hashed to the wrong
+    // shard, a dropped manifest entry, or a double-carried dir all
+    // fail the hash
+    "q_merge_upsert_sharded" -> mergeUpsertSql,
     "q_topk_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt
          FROM orders GROUP BY o_orderpriority

@@ -99,6 +99,71 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(expected.exceptAll(got).count() == 0)
   }
 
+  test("sharded: create/read round-trip and merge ≡ the unsharded operator") {
+    val flat = tmp(); val sharded = tmp()
+    val big = spark.range(0, 500)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"),
+        (col("id") * 1.5).as("score"))
+    SnapshotMerge.upsert(big, Seq("id"), flat)
+    SnapshotMerge.createSharded(big, Seq("id"), 8, sharded)
+    assert(SnapshotMerge.readSharded(spark, sharded).count() == 500)
+    val batch = spark.range(0, 500, 7) // touches a subset of keys
+      .select(col("id"), lit("upd").as("name"), lit(-1.0).as("score"),
+        (col("id") % 3 === 0).as("del"))
+    SnapshotMerge.upsert(batch, Seq("id"), flat, deleteCol = Some("del"))
+    SnapshotMerge.upsertSharded(batch, Seq("id"), sharded, deleteCol = Some("del"))
+    val a = SnapshotMerge.read(spark, flat)
+    val b = SnapshotMerge.readSharded(spark, sharded)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("sharded: untouched shards are carried by reference, not rewritten") {
+    val dir = tmp()
+    val big = spark.range(0, 400)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    SnapshotMerge.createSharded(big, Seq("id"), 16, dir)
+    val before = SnapshotMerge.readManifest(spark, dir)
+    assert(before.shards.nonEmpty)
+    // a one-key batch touches exactly one shard
+    val batch = Seq((7L, "updated")).toDF("id", "name")
+    SnapshotMerge.upsertSharded(batch, Seq("id"), dir)
+    val after = SnapshotMerge.readManifest(spark, dir)
+    assert(after.version == before.version + 1)
+    val changed = after.shards.filter { case (k, p) => before.shards.get(k) != Some(p) }
+    assert(changed.size == 1,
+      s"one-key batch rewrote ${changed.size} shards: ${changed.keys}")
+    // the untouched entries point at the ORIGINAL physical dirs
+    (after.shards -- changed.keys).foreach { case (k, p) =>
+      assert(before.shards(k) == p)
+    }
+    assert(SnapshotMerge.readSharded(spark, dir)
+      .filter(col("id") === 7L).select("name").as[String].head() == "updated")
+  }
+
+  test("sharded: replay skip, schema survival on empty, vacuum reaps orphans") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 4, dir)
+    val batch = Seq((2L, "b2", 21.0)).toDF("id", "name", "score")
+    assert(SnapshotMerge.upsertSharded(batch, Seq("id"), dir,
+      commitTag = Some("b1")))
+    assert(!SnapshotMerge.upsertSharded(batch, Seq("id"), dir,
+      commitTag = Some("b1")))
+    // delete everything: snapshot empties but keeps its schema
+    val killAll = SnapshotMerge.readSharded(spark, dir)
+      .withColumn("del", lit(true))
+    SnapshotMerge.upsertSharded(killAll, Seq("id"), dir, deleteCol = Some("del"))
+    val empty = SnapshotMerge.readSharded(spark, dir)
+    assert(empty.count() == 0)
+    assert(empty.columns.sorted.toSeq == Seq("id", "name", "score"))
+    // plant an orphan (a crashed upsert's half-published delta)
+    val orphan = s"$dir/shards-v99/__shard=0"
+    base.limit(1).write.parquet(orphan)
+    assert(SnapshotMerge.vacuumSharded(spark, dir) > 0)
+    assert(!IndexFs.exists(spark, orphan))
+    // the live state survives vacuum
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 0)
+  }
+
   test("marker protocol: version swap leaves a resolvable snapshot at every step") {
     val dir = tmp()
     spark.conf.set(IndexFs.CommitProtocolKey, "marker")
