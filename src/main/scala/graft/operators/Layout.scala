@@ -91,19 +91,51 @@ object Layout {
       .drop(ranged.flatMap(n => Seq(s"__zlo_$n", s"__zhi_$n")): _*)
   }
 
+  /** The clustered frame [[writeZOrdered]]/[[optimize]] materialize:
+    * range-exchange on the z-key into `numFiles` slices, local sort
+    * per slice. */
+  private def clustered(df: DataFrame, cols: Seq[String], numFiles: Int,
+      bits: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles=$numFiles must be positive")
+    withZValue(df, cols, bits = bits)
+      .repartitionByRange(numFiles, col("__zvalue"))
+      .sortWithinPartitions("__zvalue")
+      .drop("__zvalue")
+  }
+
   /** Z-ordered clustered write: range-exchange on the z-key into
     * `numFiles` output slices, local sort per slice, parquet. Content
     * is preserved row-for-row (layout only); every file's min/max
     * window is narrow in every z-dimension — the property
     * [[fileStats]] measures and the spec asserts. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
-      numFiles: Int, bits: Int = -1): Unit = {
-    require(numFiles > 0, s"numFiles=$numFiles must be positive")
-    withZValue(df, cols, bits = bits)
-      .repartitionByRange(numFiles, col("__zvalue"))
-      .sortWithinPartitions("__zvalue")
-      .drop("__zvalue")
-      .write.mode("overwrite").parquet(path)
+      numFiles: Int, bits: Int = -1): Unit =
+    clustered(df, cols, numFiles, bits).write.mode("overwrite").parquet(path)
+
+  /** The cheap INGEST path of a clustered dataset: appends `df`'s rows
+    * as plain unclustered files — batch-cost, no re-cluster — at the
+    * price of layout drift: the appended files' stat windows span the
+    * full range in every dimension, so pruning degrades as appends
+    * accumulate (exactly the frozen-family drift of the ANN indexes,
+    * for files). [[optimize]] is the reset. Single-writer vs
+    * optimize, like the index plain appends. */
+  def appendUnclustered(df: DataFrame, path: String): Unit =
+    df.write.mode("append")
+      .parquet(IndexFs.resolveDir(df.sparkSession, path))
+
+  /** The maintenance reset — Delta's OPTIMIZE ZORDER shape: reads the
+    * CURRENT dataset (accumulated appends included), re-clusters the
+    * whole of it on `cols`, and swaps the result in atomically via
+    * [[IndexFs.publishRelation]] — readers resolve the complete old
+    * layout or the complete new one, never a mix, and a crash
+    * mid-optimize leaves the old one intact. Content-preserving by
+    * construction (hash-gated in q_zorder_optimize); cost is one full
+    * read + clustered write — dataset-linear, a deliberate maintenance
+    * window off the ingest path, same posture as the index refits. */
+  def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String], numFiles: Int, bits: Int = -1): Unit = {
+    val all = spark.read.parquet(IndexFs.resolveDir(spark, path))
+    IndexFs.publishRelation(clustered(all, cols, numFiles, bits), path)
   }
 
   /** Per-file min/max of the given columns for a written dataset — the
@@ -142,9 +174,10 @@ object Layout {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
     require(lo <= hi, s"empty range: lo=$lo > hi=$hi")
-    val fs = IndexFs.fs(spark, path)
+    val resolved = IndexFs.resolveDir(spark, path) // follow a publish pointer
+    val fs = IndexFs.fs(spark, resolved)
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(resolved))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).sortBy(_.getName)
     val selected = files.filter { p =>
@@ -177,7 +210,8 @@ object Layout {
   def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
       column: String, lo: Long, hi: Long): DataFrame = {
     val (selected, _) = prunedFiles(spark, path, column, lo, hi)
-    if (selected.isEmpty) spark.read.parquet(path).limit(0)
+    if (selected.isEmpty)
+      spark.read.parquet(IndexFs.resolveDir(spark, path)).limit(0)
     else spark.read.parquet(selected: _*)
   }
 }

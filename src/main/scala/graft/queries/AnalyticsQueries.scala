@@ -157,9 +157,33 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The layout LIFECYCLE under the hard gate: half the events written
+    * clustered, the other half arriving through the cheap unclustered
+    * append (the ingest path — batch cost, layout drift), then
+    * [[graft.operators.Layout.optimize]] re-clusters everything and
+    * swaps it in atomically. The oracle is the full plain table: a row
+    * lost or duplicated by the append, the full re-cluster, or the
+    * publish swap fails the hash. Drift-and-restore of the pruning
+    * windows themselves is spec-asserted (LayoutSpec). */
+  val zorderOptimize: Q = (s, dir) => {
+    val events = Scan.table(s, dir, "events")
+    val path = SnapshotPaths.dirFor("zorder_optimize", dir, s)
+    graft.operators.Layout.writeZOrdered(
+      events.filter(col("event_id") % 2 === 0), Seq("user_id", "ts"),
+      path, numFiles = 8)
+    graft.operators.Layout.appendUnclustered(
+      events.filter(col("event_id") % 2 === 1), path)
+    graft.operators.Layout.optimize(s, path, Seq("user_id", "ts"), numFiles = 8)
+    graft.operators.Layout.readPruned(s, path, "user_id", Long.MinValue, Long.MaxValue)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_zorder_layout" -> zorderLayout,
     "q_zorder_pruned_read" -> zorderPrunedRead,
+    "q_zorder_optimize" -> zorderOptimize,
     "q_quantile_profile" -> quantileProfile,
     "q_topk_aggregate_single_pass" -> topkAggregate,
     "q_join_revenue_by_segment" -> revenueBySegment,
@@ -177,6 +201,10 @@ object AnalyticsQueries {
     "q_zorder_pruned_read" ->
       """SELECT event_id, user_id, ts, event_type, value, props
          FROM events WHERE user_id BETWEEN 3 AND 9 ORDER BY event_id""",
+    // clustered-write + unclustered-append + optimize ≡ the plain table
+    "q_zorder_optimize" ->
+      """SELECT event_id, user_id, ts, event_type, value, props
+         FROM events ORDER BY event_id""",
     "q_quantile_profile" ->
       s"""SELECT l_returnflag, COUNT(*) AS records,
           ${roundPortableSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,

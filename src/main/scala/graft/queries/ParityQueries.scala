@@ -172,6 +172,38 @@ object ParityQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  // --- The STREAMING CDC loop under the hard gate: the same snapshot
+  // and batch as q_merge_upsert, but the batch ARRIVES as two
+  // micro-batch files through mergeStream (foreachBatch →
+  // SnapshotMerge.upsert, commitTag = batch id). Keys are unique in
+  // the batch, so the two-file split applies to the same fixed point
+  // regardless of arrival order — the flat query's oracle verbatim.
+  // Fresh-run semantics (checkpoint + snapshot wiped first), like
+  // q_stream_incremental_dedup; restart-with-checkpoint is spec-proven
+  // in StreamingOpsSpec. ---
+  val streamMergeUpsert: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val snapDir = SnapshotPaths.dirFor("merge_stream_snap", dir, s)
+    val srcDir = SnapshotPaths.dirFor("merge_stream_src", dir, s)
+    val ckptDir = SnapshotPaths.dirFor("merge_stream_ckpt", dir, s)
+    graft.operators.IndexFs.deleteRecursively(s, snapDir)
+    graft.operators.IndexFs.deleteRecursively(s, ckptDir)
+    graft.operators.SnapshotMerge.upsert(
+      orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"), snapDir)
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    graft.streaming.StreamingOps.mergeStream(stream, snapDir,
+        Seq("o_orderkey"), ckptDir, deleteCol = Some("is_deleted"))
+      .awaitTermination()
+    graft.operators.SnapshotMerge.read(s, snapDir).orderBy(col("o_orderkey"))
+  }
+
   // --- A11/O2: top-k value counts with deterministic tie-break ---
   val topkOrderPriority: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -308,6 +340,7 @@ object ParityQueries {
     "q_dedup_keep_last" -> dedupKeepLast,
     "q_merge_upsert" -> mergeUpsert,
     "q_merge_upsert_sharded" -> mergeUpsertSharded,
+    "q_stream_merge_upsert" -> streamMergeUpsert,
     "q_topk_order_priority" -> topkOrderPriority,
     "q_top_orders_by_price" -> topOrdersByPrice,
     "q_union_merge_recount" -> unionMergeRecount,
@@ -431,6 +464,9 @@ object ParityQueries {
     // shard, a dropped manifest entry, or a double-carried dir all
     // fail the hash
     "q_merge_upsert_sharded" -> mergeUpsertSql,
+    // and through the STREAMING loop: micro-batched arrival of the
+    // same (key-disjoint) batch must reach the same fixed point
+    "q_stream_merge_upsert" -> mergeUpsertSql,
     "q_topk_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt
          FROM orders GROUP BY o_orderpriority

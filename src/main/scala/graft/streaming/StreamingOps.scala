@@ -308,6 +308,59 @@ object StreamingOps {
     }
   }
 
+  /** Streaming CDC apply — the crawl/change feed folded into a keyed
+    * snapshot: every micro-batch is one [[graft.operators.SnapshotMerge]]
+    * merge (replace / insert / delete by key) with `commitTag =
+    * batch_<id>`, so a replayed micro-batch is skipped and the stream
+    * is exactly-once per batch id. Replay ordering is safe by
+    * construction: a batch can only replay at restart, BEFORE any
+    * later batch runs, so a re-applied merge never overwrites newer
+    * data — and an untagged-window crash (publish landed, tag didn't)
+    * re-applies the same batch idempotently.
+    *
+    * `checkpointDir` is REQUIRED for the same reason as
+    * [[incrementalDedupStream]]: batch identity lives in the
+    * checkpoint; a temp checkpoint would renumber batches from 0 on
+    * restart and the tag scheme would read old commits as this run's.
+    *
+    * `sharded = true` merges through the manifest layout
+    * ([[graft.operators.SnapshotMerge.upsertSharded]] — the snapshot
+    * must have been `createSharded` first): the steady-state 100 TB
+    * shape, each micro-batch rewriting only the shards it touches. */
+  def mergeStream(updates: DataFrame, snapshotDir: String,
+      keyCols: Seq[String], checkpointDir: String,
+      deleteCol: Option[String] = None,
+      updateOrder: Option[Seq[org.apache.spark.sql.Column]] = None,
+      sharded: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyMergeBatch(batch.toDF(), batchId, snapshotDir, keyCols,
+          deleteCol, updateOrder, sharded)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch of [[mergeStream]], factored out so the replay
+    * contract is directly testable: a second call with the same
+    * `batchId` must leave the snapshot identical to one call. */
+  private[graft] def applyMergeBatch(batchDf: DataFrame, batchId: Long,
+      snapshotDir: String, keyCols: Seq[String], deleteCol: Option[String],
+      updateOrder: Option[Seq[org.apache.spark.sql.Column]],
+      sharded: Boolean): Unit =
+    graft.GraftSession.releasingScratch(batchDf.sparkSession) {
+      val tag = s"batch_$batchId"
+      if (sharded)
+        graft.operators.SnapshotMerge.upsertSharded(batchDf, keyCols,
+          snapshotDir, deleteCol, updateOrder, commitTag = Some(tag))
+      else
+        graft.operators.SnapshotMerge.upsert(batchDf, keyCols,
+          snapshotDir, deleteCol, updateOrder, commitTag = Some(tag))
+      ()
+    }
+
   /** Drives a streaming DataFrame to completion over the currently
     * available input (Trigger.AvailableNow ≙ the reference's bounded
     * scheduled run) into an in-memory table; returns the result. */

@@ -150,6 +150,40 @@ class LayoutSpec extends SparkSpec {
     assert(all.length == t2)
   }
 
+  test("append drifts the layout; optimize restores it; content survives both") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zopt").toString
+    val evens = events.filter(col("event_id") % 2 === 0)
+    val odds = events.filter(col("event_id") % 2 === 1)
+    Layout.writeZOrdered(evens, Seq("user_id", "ts"), s"$dir/z", numFiles = 12)
+    val (selFresh, totalFresh) =
+      Layout.prunedFiles(spark, s"$dir/z", "user_id", 3L, 5L)
+    assert(selFresh.length < totalFresh)
+    // the cheap ingest path: odd half appended UNCLUSTERED
+    Layout.appendUnclustered(odds, s"$dir/z")
+    // content is already complete…
+    val afterAppend = spark.read.parquet(s"$dir/z")
+    assert(afterAppend.count() == events.count())
+    // …but the appended files span every user — pruning degraded: the
+    // same band now admits MORE files (the fresh hits plus appends)
+    val (selDrift, totalDrift) =
+      Layout.prunedFiles(spark, s"$dir/z", "user_id", 3L, 5L)
+    assert(totalDrift > totalFresh)
+    assert(selDrift.length > selFresh.length,
+      s"append should widen the selection: ${selFresh.length} → ${selDrift.length}")
+    // the maintenance reset: re-cluster everything, atomic swap
+    Layout.optimize(spark, s"$dir/z", Seq("user_id", "ts"), numFiles = 12)
+    val back = spark.read.parquet(graft.operators.IndexFs.resolveDir(spark, s"$dir/z"))
+    val a = events.select(events.columns.sorted.map(col): _*)
+    val b = back.select(back.columns.sorted.map(col): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val (selOpt, totalOpt) =
+      Layout.prunedFiles(spark, s"$dir/z", "user_id", 3L, 5L)
+    assert(totalOpt == 12)
+    assert(selOpt.length < totalOpt,
+      s"optimize must restore pruning: ${selOpt.length}/$totalOpt")
+    assert(selOpt.length <= selDrift.length)
+  }
+
   test("single-value and null dimensions degrade gracefully") {
     val df = events.withColumn("const", lit(7L))
       .withColumn("maybe", when(col("event_id") % 2 === 0, col("user_id")))
