@@ -293,6 +293,34 @@ object ParityQueries {
       .orderBy(col("StageName"))
   }
 
+  /** Fixed path the q_sim_source_agg_pushdown oracle reads back. */
+  val simAggSnapshotDir = "/tmp/graft_sim_agg_snapshot"
+
+  /** DSv2 AGGREGATE pushdown under the hard gate: the connector dumps
+    * its deterministic org once (the oracle's bytes), then the SAME
+    * "remote org" is aggregated THROUGH the connector — COUNT/MIN/MAX/
+    * SUM and the filter compile into the scan (partial per partition,
+    * Spark merges; plan engagement is spec-asserted in
+    * SalesforceSimSourceSpec), so the wire carries partitions×1 rows
+    * where the un-pushed plan ships every record. DuckDB aggregates
+    * the dumped snapshot independently: a null-handling divergence,
+    * a partial-merge bug, or a filter applied on the wrong side of the
+    * aggregation fails the hash. */
+  val simSourceAggPushdown: Q = (s, _) => {
+    def remote = s.read.format("graft.sources.v2.SalesforceSimSource")
+      .option("object", "Account").option("rows", "20000").load()
+    remote.coalesce(1).write.mode("overwrite").parquet(simAggSnapshotDir)
+    remote.filter(col("BillingState") === "alpha")
+      .agg(count(lit(1)).as("records"),
+        count(col("AnnualRevenue")).as("with_revenue"),
+        graft.functions.GraftFunctions.roundPortable(
+          min(col("AnnualRevenue")), 4).as("min_revenue"),
+        graft.functions.GraftFunctions.roundPortable(
+          max(col("AnnualRevenue")), 4).as("max_revenue"),
+        graft.functions.GraftFunctions.roundPortable(
+          sum(col("AnnualRevenue")), 4).as("sum_revenue"))
+  }
+
   // --- §2.12 end-to-end: the reference's primary entry point
   //     (flows/sf_etl_orchestrator_flow.py:85-250) under the hard gate.
   //     Runs the FULL orchestrated DAG (extract → process/load + parallel
@@ -325,6 +353,7 @@ object ParityQueries {
 
   val queries: ListMap[String, Q] = ListMap(
     "q_sim_source_pipeline" -> simSourcePipeline,
+    "q_sim_source_agg_pushdown" -> simSourceAggPushdown,
     "q_orchestrator_e2e" -> orchestratorE2E,
     "q_tolerant_cast" -> tolerantCast,
     "q_schema_gate_report" -> schemaGateReport,
@@ -375,6 +404,17 @@ object ParityQueries {
          ${r4("AVG(Amount)")} AS avg_amount
          FROM read_parquet('$simOrgSnapshotDir/*.parquet')
          GROUP BY StageName ORDER BY StageName""",
+    // aggregate pushdown: DuckDB re-aggregates the dumped org bytes;
+    // the Spark side computed the same numbers INSIDE the connector
+    // scan (partial per partition + merge)
+    "q_sim_source_agg_pushdown" ->
+      s"""SELECT COUNT(*) AS records,
+          COUNT(AnnualRevenue) AS with_revenue,
+          ${r4("MIN(AnnualRevenue)")} AS min_revenue,
+          ${r4("MAX(AnnualRevenue)")} AS max_revenue,
+          ${r4("SUM(AnnualRevenue)")} AS sum_revenue
+          FROM read_parquet('$simAggSnapshotDir/*.parquet')
+          WHERE BillingState = 'alpha'""",
     "q_tolerant_cast" ->
       s"""SELECT o_orderpriority,
           COUNT(*) AS records,

@@ -109,6 +109,18 @@ class SimTable(spec: ObjectSpec, rows: Long, partitions: Int,
     new SimScanBuilder(spec, rows, partitions, backend)
 }
 
+/** One pushed-down aggregate: `fn` ∈ count_star | count | min | max |
+  * sum, `col` the referenced field (None for count_star). `soql` is the
+  * SOQL aggregate expression the live wire would run — Salesforce SOQL
+  * supports exactly these (`SELECT COUNT(Id), MIN(Amount) FROM …`). */
+private[v2] final case class PushedAgg(fn: String, col: Option[String]) {
+  def soql: String = fn match {
+    case "count_star" => "COUNT()"
+    case "count" => s"COUNT(${col.get})"
+    case other => s"${other.toUpperCase}(${col.get})"
+  }
+}
+
 /** The SOQL compiler's Spark form: each pushdown callback is one clause
   * of the SOQL the reference builds by hand. */
 class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
@@ -116,11 +128,13 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = SalesforceSim.schemaFor(spec)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Long = -1L
+  private var pushedAggs: Option[Seq[PushedAgg]] = None
 
   // ≙ SELECT <fields> (extract.py:30)
   override def pruneColumns(required: StructType): Unit = {
@@ -147,8 +161,51 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
   // ≙ LIMIT n (extract.py:32)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
-  override def build(): Scan =
-    new SimScan(spec, rows, partitions, requiredSchema, pushed, limit, backend)
+  // ≙ SELECT COUNT()/MIN/MAX/SUM(...) — SOQL aggregate queries: the
+  // remote end returns ONE aggregate row per partition range instead of
+  // shipping every record over the wire, the difference between a
+  // row-count-sized extract and a constant-sized one. PARTIAL pushdown
+  // (supportCompletePushDown stays false): each partition emits its
+  // partial (count/min/max/sum over its range, post-filter) and Spark
+  // plans the final merge — so the parallel fan-out is preserved.
+  // Global aggregates only (no GROUP BY — Spark then keeps the whole
+  // aggregate); min/max/sum only on numeric (double) fields, where the
+  // generator's cell semantics match SOQL's null-skipping aggregates.
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions.nonEmpty) return false
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference => Some(nr.fieldNames.mkString("."))
+        case _ => None
+      }
+    def numeric(n: String): Boolean =
+      SalesforceSim.schemaFor(spec).fields
+        .exists(f => f.name == n && f.dataType == DoubleType)
+    val compiled: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PushedAgg("count_star", None))
+      case c: Count if !c.isDistinct =>
+        ref(c.column).map(n => PushedAgg("count", Some(n)))
+      case m: Min =>
+        ref(m.column).filter(numeric).map(n => PushedAgg("min", Some(n)))
+      case m: Max =>
+        ref(m.column).filter(numeric).map(n => PushedAgg("max", Some(n)))
+      case s: Sum if !s.isDistinct =>
+        ref(s.column).filter(numeric).map(n => PushedAgg("sum", Some(n)))
+      case _ => None
+    }
+    if (compiled.isEmpty || compiled.exists(_.isEmpty)) false
+    else { pushedAggs = Some(compiled.flatten); true }
+  }
+
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) =>
+      new SimAggScan(spec, rows, partitions, aggs, pushed, backend)
+    case None =>
+      new SimScan(spec, rows, partitions, requiredSchema, pushed, limit, backend)
+  }
 }
 
 class SimScan(
@@ -255,4 +312,142 @@ class SimReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Aggregate-pushdown scan: each partition's reader runs the aggregate
+  * SOQL over its range and emits ONE partial row; Spark merges the
+  * partials (the fan-out survives, the wire carries partitions×1 rows
+  * instead of the table). */
+class SimAggScan(
+    spec: ObjectSpec, rows: Long, partitions: Int,
+    aggs: Seq[PushedAgg], filters: Array[Filter],
+    backend: SalesforceBackend)
+  extends Scan with Batch {
+
+  override def toBatch: Batch = this
+
+  override val readSchema: StructType = StructType(aggs.map { a =>
+    a.fn match {
+      case "count_star" | "count" =>
+        StructField(a.soql, LongType, nullable = false)
+      case _ => StructField(a.soql, DoubleType, nullable = true)
+    }
+  })
+
+  override def description(): String =
+    s"SalesforceSim(${spec.apiName}) PushedAggregates: " +
+      s"[${aggs.map(_.soql).mkString(", ")}], " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    (0 until partitions).map { p =>
+      SimPartition(p * per, math.min(rows, (p + 1) * per))
+    }.filter(p => p.start < p.end).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SimAggReaderFactory(spec, aggs, filters, backend)
+}
+
+class SimAggReaderFactory(
+    spec: ObjectSpec, aggs: Seq[PushedAgg], filters: Array[Filter],
+    backend: SalesforceBackend) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SimPartition]
+    new SimAggReader(spec, aggs, filters, p.start, p.end, backend)
+  }
+}
+
+/** Computes one partial aggregate row for its range — what the live
+  * wire's aggregate SOQL response IS; the zero-egress sim folds the
+  * generated rows locally with the same null-skipping semantics SOQL
+  * (and Spark's merge) use: COUNT() counts rows, COUNT(f)/MIN/MAX/SUM
+  * skip nulls, empty input → count 0 / min-max-sum null. */
+class SimAggReader(
+    spec: ObjectSpec, aggs: Seq[PushedAgg], filters: Array[Filter],
+    start: Long, end: Long, backend: SalesforceBackend)
+  extends PartitionReader[InternalRow] {
+
+  private val fullSchema = SalesforceSim.schemaFor(spec)
+  private val filterCols = filters.flatMap(_.references).distinct.toSet
+  private val neededCols = (aggs.flatMap(_.col) ++ filterCols).distinct
+  private val fetchSchema = StructType(fullSchema.fields.filter(f =>
+    neededCols.contains(f.name)))
+  private val fetchIndex = fetchSchema.fieldNames.zipWithIndex.toMap
+
+  // the aggregate SOQL the live backend would run for this range — the
+  // select list IS the pushed aggregates, not the fields
+  private val soql = CompiledSoql(spec.apiName, aggs.map(_.soql),
+    filters.toSeq, None)
+
+  private var done = false
+  private var result: InternalRow = _
+
+  private def matches(row: Array[Any]): Boolean = filters.forall {
+    case EqualTo(attr, value) =>
+      val c = row(fetchIndex(attr)); c != null && c.toString == value.toString
+    case IsNotNull(attr) => row(fetchIndex(attr)) != null
+    case GreaterThan(attr, value: Number) =>
+      val c = row(fetchIndex(attr))
+      c != null && c.asInstanceOf[Double] > value.doubleValue()
+    case LessThan(attr, value: Number) =>
+      val c = row(fetchIndex(attr))
+      c != null && c.asInstanceOf[Double] < value.doubleValue()
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    // fetch only the agg/filter columns (the sim generates them; a live
+    // backend would instead return `soql`'s single aggregate row)
+    val rows = backend.fetch(
+      CompiledSoql(spec.apiName, fetchSchema.fieldNames.toSeq,
+        filters.toSeq, None),
+      start, end, fetchSchema)
+    val counts = new Array[Long](aggs.length)
+    val doubles = new Array[Double](aggs.length)
+    val seen = new Array[Boolean](aggs.length)
+    while (rows.hasNext) {
+      val r = rows.next()
+      if (matches(r)) {
+        var i = 0
+        while (i < aggs.length) {
+          val a = aggs(i)
+          a.fn match {
+            case "count_star" => counts(i) += 1
+            case "count" => if (r(fetchIndex(a.col.get)) != null) counts(i) += 1
+            case _ =>
+              val v = r(fetchIndex(a.col.get))
+              if (v != null) {
+                val d = v.asInstanceOf[Double]
+                if (!seen(i)) { doubles(i) = d; seen(i) = true }
+                else a.fn match {
+                  case "min" => if (d < doubles(i)) doubles(i) = d
+                  case "max" => if (d > doubles(i)) doubles(i) = d
+                  case "sum" => doubles(i) += d
+                }
+              }
+          }
+          i += 1
+        }
+      }
+    }
+    result = new GenericInternalRow(aggs.zipWithIndex.map { case (a, i) =>
+      a.fn match {
+        case "count_star" | "count" => java.lang.Long.valueOf(counts(i))
+        case _ =>
+          if (seen(i)) java.lang.Double.valueOf(doubles(i)) else null
+      }
+    }.toArray[Any])
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = result
+  override def close(): Unit = ()
+
+  /** The wire-shape evidence for specs: the aggregate SOQL this range
+    * compiles to. */
+  def aggregateSoql: String = soql.toSoql
 }

@@ -92,4 +92,64 @@ class SalesforceSimSourceSpec extends SparkSpec {
     val stats = rows.map(r => r.getDouble(r.fieldIndex("sum_annualrevenue")))
     assert(stats.forall(_ > 0.0))
   }
+
+  test("aggregates are pushed: COUNT/MIN/MAX/SUM become partial scan output") {
+    val agg = read("Account", rows = 10000).agg(
+      count(lit(1)).as("n"), count(col("AnnualRevenue")).as("nn"),
+      min(col("AnnualRevenue")).as("mn"), max(col("AnnualRevenue")).as("mx"),
+      sum(col("AnnualRevenue")).as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"aggregates not pushed:\n$plan")
+    assert(plan.contains("COUNT(") && plan.contains("MIN(AnnualRevenue)")
+      && plan.contains("SUM(AnnualRevenue)"), plan)
+    // correctness against a Scala-side fold of the raw generated column
+    val raw = read("Account", rows = 10000).select("AnnualRevenue")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val vals = raw.flatten
+    val got = agg.collect().head
+    assert(got.getLong(0) == 10000L)
+    assert(got.getLong(1) == vals.length.toLong)
+    assert(got.getDouble(2) == vals.min)
+    assert(got.getDouble(3) == vals.max)
+    assert(math.abs(got.getDouble(4) - vals.sum) <= math.abs(vals.sum) * 1e-9)
+  }
+
+  test("pushed filter composes with pushed aggregate (post-filter partials)") {
+    val agg = read("Account", rows = 5000)
+      .filter(col("BillingState") === "alpha")
+      .agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(plan.contains("EqualTo(BillingState,alpha)"), plan)
+    val expected = read("Account", rows = 5000).select("BillingState")
+      .collect().count(r => !r.isNullAt(0) && r.getString(0) == "alpha")
+    assert(agg.collect().head.getLong(0) == expected.toLong)
+  }
+
+  test("group-by and distinct aggregates are NOT claimed — Spark keeps them, correctly") {
+    val grouped = read("Account", rows = 2000)
+      .groupBy("BillingState").agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    val viaRaw = read("Account", rows = 2000).select("BillingState")
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val got = grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == viaRaw)
+    val distinctAgg = read("Account", rows = 2000)
+      .agg(countDistinct(col("BillingState")).as("d"))
+    assert(!distinctAgg.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(distinctAgg.collect().head.getLong(0) == viaRaw.size.toLong)
+  }
+
+  test("PushedAgg compiles the SOQL aggregate select list") {
+    assert(PushedAgg("count_star", None).soql == "COUNT()")
+    assert(PushedAgg("count", Some("Id")).soql == "COUNT(Id)")
+    assert(PushedAgg("min", Some("AnnualRevenue")).soql == "MIN(AnnualRevenue)")
+    val soql = CompiledSoql("Account",
+      Seq("COUNT()", "SUM(AnnualRevenue)"),
+      Seq(org.apache.spark.sql.sources.EqualTo("BillingState", "alpha")), None)
+    assert(soql.toSoql ==
+      "SELECT COUNT(), SUM(AnnualRevenue) FROM Account WHERE BillingState = 'alpha'")
+  }
 }
