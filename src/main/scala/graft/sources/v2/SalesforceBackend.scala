@@ -25,7 +25,8 @@ trait SalesforceBackend extends Serializable {
 /** The pushed-down query, renderable as the reference-shaped SOQL. */
 final case class CompiledSoql(
     objectName: String, fields: Seq[String],
-    filters: Seq[Filter], limit: Option[Long]) {
+    filters: Seq[Filter], limit: Option[Long],
+    groupBy: Seq[String] = Nil) {
 
   private def lit(v: Any): String = v match {
     case n: Number => n.toString
@@ -43,16 +44,20 @@ final case class CompiledSoql(
     case _ => None // un-pushable filters stay Spark-side
   }
 
-  /** `SELECT f1, f2 FROM Obj WHERE c1 AND c2 LIMIT n` — the exact shape
-    * of `_build_soql_from_spec` (`extract.py:29-33`). */
+  /** `SELECT f1, f2 FROM Obj WHERE c1 AND c2 [GROUP BY g1] LIMIT n` —
+    * the exact shape of `_build_soql_from_spec` (`extract.py:29-33`),
+    * plus the SOQL aggregate-query form (`GROUP BY`, r13 aggregate
+    * pushdown). */
   def toSoql: String = {
     val select = fields.mkString(", ")
     val where = filters.flatMap(clause) match {
       case Nil => ""
       case cs => cs.mkString(" WHERE ", " AND ", "")
     }
+    val group =
+      if (groupBy.isEmpty) "" else groupBy.mkString(" GROUP BY ", ", ", "")
     val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"SELECT $select FROM $objectName$where$lim"
+    s"SELECT $select FROM $objectName$where$group$lim"
   }
 }
 

@@ -135,6 +135,7 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
   private var pushed: Array[Filter] = Array.empty
   private var limit: Long = -1L
   private var pushedAggs: Option[Seq[PushedAgg]] = None
+  private var pushedGroupBy: Seq[String] = Nil
 
   // ≙ SELECT <fields> (extract.py:30)
   override def pruneColumns(required: StructType): Unit = {
@@ -161,21 +162,22 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
   // ≙ LIMIT n (extract.py:32)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
-  // ≙ SELECT COUNT()/MIN/MAX/SUM(...) — SOQL aggregate queries: the
-  // remote end returns ONE aggregate row per partition range instead of
-  // shipping every record over the wire, the difference between a
-  // row-count-sized extract and a constant-sized one. PARTIAL pushdown
-  // (supportCompletePushDown stays false): each partition emits its
-  // partial (count/min/max/sum over its range, post-filter) and Spark
-  // plans the final merge — so the parallel fan-out is preserved.
-  // Global aggregates only (no GROUP BY — Spark then keeps the whole
-  // aggregate); min/max/sum only on numeric (double) fields, where the
-  // generator's cell semantics match SOQL's null-skipping aggregates.
+  // ≙ SELECT [g1,] COUNT()/MIN/MAX/SUM(...) [GROUP BY g1] — SOQL
+  // aggregate queries: the remote end returns per-group aggregate rows
+  // per partition range instead of shipping every record over the
+  // wire, the difference between a row-count-sized extract and a
+  // group-count-sized one. PARTIAL pushdown (supportCompletePushDown
+  // stays false): each partition emits its partials (per group,
+  // post-filter) and Spark plans the final merge — the parallel
+  // fan-out is preserved and groups split across partitions re-merge.
+  // GROUP BY columns must be plain field references; min/max/sum only
+  // on numeric (double) fields, where the generator's cell semantics
+  // match SOQL's null-skipping aggregates. DISTINCT aggregates are
+  // declined (not partial-mergeable remotely).
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (agg.groupByExpressions.nonEmpty) return false
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference => Some(nr.fieldNames.mkString("."))
@@ -184,6 +186,8 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
     def numeric(n: String): Boolean =
       SalesforceSim.schemaFor(spec).fields
         .exists(f => f.name == n && f.dataType == DoubleType)
+    val groups: Seq[Option[String]] = agg.groupByExpressions.toSeq.map(ref)
+    if (groups.exists(_.isEmpty)) return false
     val compiled: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(PushedAgg("count_star", None))
       case c: Count if !c.isDistinct =>
@@ -197,12 +201,16 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
       case _ => None
     }
     if (compiled.isEmpty || compiled.exists(_.isEmpty)) false
-    else { pushedAggs = Some(compiled.flatten); true }
+    else {
+      pushedAggs = Some(compiled.flatten)
+      pushedGroupBy = groups.flatten
+      true
+    }
   }
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) =>
-      new SimAggScan(spec, rows, partitions, aggs, pushed, backend)
+      new SimAggScan(spec, rows, partitions, aggs, pushedGroupBy, pushed, backend)
     case None =>
       new SimScan(spec, rows, partitions, requiredSchema, pushed, limit, backend)
   }
@@ -315,28 +323,33 @@ class SimReader(
 }
 
 /** Aggregate-pushdown scan: each partition's reader runs the aggregate
-  * SOQL over its range and emits ONE partial row; Spark merges the
-  * partials (the fan-out survives, the wire carries partitions×1 rows
-  * instead of the table). */
+  * SOQL over its range and emits one partial row PER GROUP (one total,
+  * ungrouped); Spark merges the partials — the wire carries
+  * partitions×groups rows instead of the table. */
 class SimAggScan(
     spec: ObjectSpec, rows: Long, partitions: Int,
-    aggs: Seq[PushedAgg], filters: Array[Filter],
+    aggs: Seq[PushedAgg], groupBy: Seq[String], filters: Array[Filter],
     backend: SalesforceBackend)
   extends Scan with Batch {
 
   override def toBatch: Batch = this
 
-  override val readSchema: StructType = StructType(aggs.map { a =>
-    a.fn match {
-      case "count_star" | "count" =>
-        StructField(a.soql, LongType, nullable = false)
-      case _ => StructField(a.soql, DoubleType, nullable = true)
-    }
-  })
+  // group columns FIRST (their source types), then the aggregates —
+  // the layout Spark's partial-pushdown rewrite expects
+  override val readSchema: StructType = StructType(
+    groupBy.map(g => SalesforceSim.schemaFor(spec)(g)) ++
+      aggs.map { a =>
+        a.fn match {
+          case "count_star" | "count" =>
+            StructField(a.soql, LongType, nullable = false)
+          case _ => StructField(a.soql, DoubleType, nullable = true)
+        }
+      })
 
   override def description(): String =
     s"SalesforceSim(${spec.apiName}) PushedAggregates: " +
       s"[${aggs.map(_.soql).mkString(", ")}], " +
+      s"PushedGroupBy: [${groupBy.mkString(", ")}], " +
       s"PushedFilters: [${filters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -347,42 +360,54 @@ class SimAggScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SimAggReaderFactory(spec, aggs, filters, backend)
+    new SimAggReaderFactory(spec, aggs, groupBy, filters, backend)
 }
 
 class SimAggReaderFactory(
-    spec: ObjectSpec, aggs: Seq[PushedAgg], filters: Array[Filter],
+    spec: ObjectSpec, aggs: Seq[PushedAgg], groupBy: Seq[String],
+    filters: Array[Filter],
     backend: SalesforceBackend) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SimPartition]
-    new SimAggReader(spec, aggs, filters, p.start, p.end, backend)
+    new SimAggReader(spec, aggs, groupBy, filters, p.start, p.end, backend)
   }
 }
 
-/** Computes one partial aggregate row for its range — what the live
-  * wire's aggregate SOQL response IS; the zero-egress sim folds the
-  * generated rows locally with the same null-skipping semantics SOQL
-  * (and Spark's merge) use: COUNT() counts rows, COUNT(f)/MIN/MAX/SUM
-  * skip nulls, empty input → count 0 / min-max-sum null. */
+/** Computes the partial aggregate rows for its range — one per group
+  * (one total, ungrouped): what the live wire's aggregate SOQL
+  * response IS; the zero-egress sim folds the generated rows locally
+  * with the same null-skipping semantics SOQL (and Spark's merge) use:
+  * COUNT() counts rows, COUNT(f)/MIN/MAX/SUM skip nulls, empty group →
+  * never emitted, empty UNGROUPED input → count 0 / min-max-sum null
+  * (the SQL global-aggregate rule). */
 class SimAggReader(
-    spec: ObjectSpec, aggs: Seq[PushedAgg], filters: Array[Filter],
+    spec: ObjectSpec, aggs: Seq[PushedAgg], groupBy: Seq[String],
+    filters: Array[Filter],
     start: Long, end: Long, backend: SalesforceBackend)
   extends PartitionReader[InternalRow] {
 
   private val fullSchema = SalesforceSim.schemaFor(spec)
   private val filterCols = filters.flatMap(_.references).distinct.toSet
-  private val neededCols = (aggs.flatMap(_.col) ++ filterCols).distinct
+  private val neededCols =
+    (groupBy ++ aggs.flatMap(_.col) ++ filterCols).distinct
   private val fetchSchema = StructType(fullSchema.fields.filter(f =>
     neededCols.contains(f.name)))
   private val fetchIndex = fetchSchema.fieldNames.zipWithIndex.toMap
+  private val groupIdx = groupBy.map(fetchIndex)
 
   // the aggregate SOQL the live backend would run for this range — the
-  // select list IS the pushed aggregates, not the fields
-  private val soql = CompiledSoql(spec.apiName, aggs.map(_.soql),
-    filters.toSeq, None)
+  // select list IS the group keys + pushed aggregates, not the fields
+  private val soql = CompiledSoql(spec.apiName,
+    groupBy ++ aggs.map(_.soql), filters.toSeq, None, groupBy)
 
-  private var done = false
-  private var result: InternalRow = _
+  private final class Acc {
+    val counts = new Array[Long](aggs.length)
+    val doubles = new Array[Double](aggs.length)
+    val seen = new Array[Boolean](aggs.length)
+  }
+
+  private var out: Iterator[InternalRow] = _
+  private var current: InternalRow = _
 
   private def matches(row: Array[Any]): Boolean = filters.forall {
     case EqualTo(attr, value) =>
@@ -397,35 +422,38 @@ class SimAggReader(
     case _ => true
   }
 
-  override def next(): Boolean = {
-    if (done) return false
-    // fetch only the agg/filter columns (the sim generates them; a live
-    // backend would instead return `soql`'s single aggregate row)
+  private def fold(): Iterator[InternalRow] = {
+    // fetch only the group/agg/filter columns (the sim generates them;
+    // a live backend would instead return `soql`'s aggregate rows)
     val rows = backend.fetch(
       CompiledSoql(spec.apiName, fetchSchema.fieldNames.toSeq,
         filters.toSeq, None),
       start, end, fetchSchema)
-    val counts = new Array[Long](aggs.length)
-    val doubles = new Array[Double](aggs.length)
-    val seen = new Array[Boolean](aggs.length)
+    val groupsAcc =
+      new scala.collection.mutable.LinkedHashMap[List[Any], Acc]()
+    // ungrouped: the single global accumulator exists even on empty input
+    if (groupBy.isEmpty) groupsAcc(Nil) = new Acc
     while (rows.hasNext) {
       val r = rows.next()
       if (matches(r)) {
+        val key = groupIdx.map(r(_)).toList
+        val acc = groupsAcc.getOrElseUpdate(key, new Acc)
         var i = 0
         while (i < aggs.length) {
           val a = aggs(i)
           a.fn match {
-            case "count_star" => counts(i) += 1
-            case "count" => if (r(fetchIndex(a.col.get)) != null) counts(i) += 1
+            case "count_star" => acc.counts(i) += 1
+            case "count" =>
+              if (r(fetchIndex(a.col.get)) != null) acc.counts(i) += 1
             case _ =>
               val v = r(fetchIndex(a.col.get))
               if (v != null) {
                 val d = v.asInstanceOf[Double]
-                if (!seen(i)) { doubles(i) = d; seen(i) = true }
+                if (!acc.seen(i)) { acc.doubles(i) = d; acc.seen(i) = true }
                 else a.fn match {
-                  case "min" => if (d < doubles(i)) doubles(i) = d
-                  case "max" => if (d > doubles(i)) doubles(i) = d
-                  case "sum" => doubles(i) += d
+                  case "min" => if (d < acc.doubles(i)) acc.doubles(i) = d
+                  case "max" => if (d > acc.doubles(i)) acc.doubles(i) = d
+                  case "sum" => acc.doubles(i) += d
                 }
               }
           }
@@ -433,18 +461,24 @@ class SimAggReader(
         }
       }
     }
-    result = new GenericInternalRow(aggs.zipWithIndex.map { case (a, i) =>
-      a.fn match {
-        case "count_star" | "count" => java.lang.Long.valueOf(counts(i))
-        case _ =>
-          if (seen(i)) java.lang.Double.valueOf(doubles(i)) else null
+    groupsAcc.iterator.map { case (key, acc) =>
+      val aggVals = aggs.zipWithIndex.map { case (a, i) =>
+        a.fn match {
+          case "count_star" | "count" => java.lang.Long.valueOf(acc.counts(i))
+          case _ =>
+            if (acc.seen(i)) java.lang.Double.valueOf(acc.doubles(i)) else null
+        }
       }
-    }.toArray[Any])
-    done = true
-    true
+      new GenericInternalRow((key ++ aggVals).toArray[Any]): InternalRow
+    }
   }
 
-  override def get(): InternalRow = result
+  override def next(): Boolean = {
+    if (out == null) out = fold()
+    if (out.hasNext) { current = out.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
   override def close(): Unit = ()
 
   /** The wire-shape evidence for specs: the aggregate SOQL this range

@@ -126,20 +126,49 @@ class SalesforceSimSourceSpec extends SparkSpec {
     assert(agg.collect().head.getLong(0) == expected.toLong)
   }
 
-  test("group-by and distinct aggregates are NOT claimed — Spark keeps them, correctly") {
+  test("GROUP BY pushes too: per-group partials per partition, Spark merges") {
     val grouped = read("Account", rows = 2000)
-      .groupBy("BillingState").agg(count(lit(1)).as("n"))
-    assert(!grouped.queryExecution.executedPlan.toString
-      .contains("PushedAggregates"))
+      .groupBy("BillingState")
+      .agg(count(lit(1)).as("n"), sum(col("AnnualRevenue")).as("s"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"grouped agg not pushed:\n$plan")
+    assert(plan.contains("PushedGroupBy: [BillingState]"), plan)
+    val raw = read("Account", rows = 2000)
+      .select("BillingState", "AnnualRevenue").collect()
+    val viaRaw = raw.groupBy(_.getString(0)).view.mapValues { rs =>
+      (rs.length.toLong,
+        rs.filter(!_.isNullAt(1)).map(_.getDouble(1)).sum)
+    }.toMap
+    val got = grouped.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == viaRaw.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert(n == viaRaw(k)._1)
+      assert(math.abs(s - viaRaw(k)._2) <= math.abs(viaRaw(k)._2) * 1e-9)
+    }
+  }
+
+  test("distinct aggregates are NOT claimed — Spark keeps them, correctly") {
     val viaRaw = read("Account", rows = 2000).select("BillingState")
       .collect().groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
-    val got = grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got == viaRaw)
     val distinctAgg = read("Account", rows = 2000)
       .agg(countDistinct(col("BillingState")).as("d"))
     assert(!distinctAgg.queryExecution.executedPlan.toString
       .contains("PushedAggregates"))
     assert(distinctAgg.collect().head.getLong(0) == viaRaw.size.toLong)
+  }
+
+  test("the spec pipeline's grouped aggregation itself engages the pushdown") {
+    // S1→A1 end-to-end: SpecAggregate's groupBy/agg over the connector
+    // compiles into the scan — the reference's flagship aggregation
+    // happens "remotely", rows never cross the wire
+    val out = SpecAggregate.run(spark, SpecRegistry("Account"),
+      read("Account", 3000))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"spec aggregation did not push into the source:\n$plan")
+    assert(out.collect().map(r =>
+      r.getLong(r.fieldIndex("records"))).sum == 3000L)
   }
 
   test("PushedAgg compiles the SOQL aggregate select list") {
