@@ -56,9 +56,24 @@ object Decontaminate {
   /** Smallest number of Bloom hits a doc needs before it could possibly
     * reach `threshold` containment against ANY eval doc — the phase-1
     * cut. Monotone in the WEAKEST eval doc (smallest shingle set), so
-    * it is a lower bound for every eval doc simultaneously. */
-  def neededHits(threshold: Double, minEvalShingles: Long): Long =
-    math.max(1L, math.ceil(threshold * minEvalShingles.toDouble).toLong)
+    * it is a lower bound for every eval doc simultaneously.
+    *
+    * Derived with the SAME double division the verify join runs, not
+    * `ceil(threshold * n)`: the float product can round up past the
+    * true bound (0.07 × 100 = 7.000000000000001 → ceil 8, yet 7/100 ≥
+    * 0.07 passes the verify), and an off-by-one here silently drops a
+    * genuinely contaminated doc — the one error class this operator's
+    * exactness contract forbids. Double division is monotone in the
+    * denominator, so the bound for the smallest eval doc transfers to
+    * every larger one. */
+  def neededHits(threshold: Double, minEvalShingles: Long): Long = {
+    var h = math.max(1L, math.ceil(threshold * minEvalShingles.toDouble).toLong)
+    while (h > 1 &&
+        (h - 1).toDouble / minEvalShingles.toDouble >= threshold) {
+      h -= 1
+    }
+    h
+  }
 
   /** Builds the eval-side Bloom filter over the eval set's shingles.
     * Three eval-sized SHUFFLE-FREE actions: a min-size/HLL-cardinality
@@ -72,11 +87,19 @@ object Decontaminate {
     * shingles (< n tokens) are dropped, matching the exact operator
     * (they can't be contaminated against). */
   def buildEvalBloom(eval: DataFrame, evalId: String, evalText: String,
-      n: Int = 3, fpp: Double = 0.01): EvalBloom = {
+      n: Int = 3, fpp: Double = 0.01): EvalBloom =
+    buildEvalBloomFrom(
+      TextDedup.withShingles(eval, evalId, evalText, n)
+        .filter(size(col("shingles")) > 0)
+        .pinScratch(), // feeds the stats aggregate AND the filter aggregate
+      n, fpp)
+
+  /** [[buildEvalBloom]] over an ALREADY shingled-and-pinned eval frame —
+    * the seam [[saveDecontaminationIndex]] uses so the save path
+    * shingles the eval set once, not twice. */
+  private def buildEvalBloomFrom(shingled: DataFrame, n: Int,
+      fpp: Double): EvalBloom = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp out of (0, 1)")
-    val shingled = TextDedup.withShingles(eval, evalId, evalText, n)
-      .filter(size(col("shingles")) > 0)
-      .pinScratch() // feeds the stats aggregate AND the filter aggregate
     val exploded = shingled.select(explode(col("shingles")).as("s"))
     val statsRow = exploded.agg(
         approx_count_distinct(col("s"), 0.02).as("est")).head()
@@ -144,10 +167,12 @@ object Decontaminate {
       evalText: String, path: String, n: Int = 3, threshold: Double = 0.5,
       fpp: Double = 0.01): Unit = {
     val spark = eval.sparkSession
-    val bloom = buildEvalBloom(eval, evalId, evalText, n, fpp)
+    // shingle ONCE: the pinned frame feeds the bloom build, the shingle
+    // relation write, and the sizes write
     val shingled = TextDedup.withShingles(eval, evalId, evalText, n)
       .filter(size(col("shingles")) > 0)
-      .pinScratch() // feeds shingles AND sizes
+      .pinScratch()
+    val bloom = buildEvalBloomFrom(shingled, n, fpp)
     shingled.select(col(evalId).as("eval_id"), explode(col("shingles")).as("s"))
       .write.mode("overwrite").parquet(s"$path/eval_shingles")
     shingled.select(col(evalId).as("eval_id"), size(col("shingles")).as("n_eval"))

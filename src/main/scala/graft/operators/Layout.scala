@@ -39,6 +39,17 @@ import graft.functions.GraftFunctions.z_interleave
   */
 object Layout {
 
+  /** Numeric view of a range-rankable column: DATE → epoch days
+    * (`unix_date` — a direct DATE→DOUBLE cast is not a legal Spark
+    * cast), everything else casts. Shared by the rank and the min/max
+    * stats so they can never disagree. */
+  private def numericView(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col(name)).cast("double")
+      case _ => col(name).cast("double")
+    }
+
   /** Per-column rank in `[0, 2^bits)` — see the object doc for the
     * per-type construction. */
   private def rankCol(df: DataFrame, name: String, bits: Int): Column = {
@@ -47,7 +58,7 @@ object Layout {
       case _: org.apache.spark.sql.types.NumericType |
           org.apache.spark.sql.types.TimestampType |
           org.apache.spark.sql.types.DateType =>
-        val v = col(name).cast("double")
+        val v = numericView(df, name)
         val lo = col(s"__zlo_$name"); val hi = col(s"__zhi_$name")
         // lo == hi → division null → coalesce to 0 (single-value dim)
         val scaled = floor((v - lo) / (hi - lo) * buckets).cast("long")
@@ -81,8 +92,8 @@ object Layout {
     val ranged = rangedCols(df, cols)
     val withStats = if (ranged.isEmpty) df else {
       val aggs = ranged.flatMap { n =>
-        Seq(min(col(n)).cast("double").as(s"__zlo_$n"),
-          max(col(n)).cast("double").as(s"__zhi_$n"))
+        Seq(min(numericView(df, n)).as(s"__zlo_$n"),
+          max(numericView(df, n)).as(s"__zhi_$n"))
       }
       df.crossJoin(broadcast(df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)))
     }
@@ -109,8 +120,13 @@ object Layout {
     * window is narrow in every z-dimension — the property
     * [[fileStats]] measures and the spec asserts. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
-      numFiles: Int, bits: Int = -1): Unit =
+      numFiles: Int, bits: Int = -1): Unit = {
+    // a stale marker-protocol pointer from a previous [[optimize]]
+    // incarnation must not shadow this plain write (readers would
+    // resolve the OLD version dir) — same rule as the index rebuilds
+    IndexFs.clearPublished(df.sparkSession, path)
     clustered(df, cols, numFiles, bits).write.mode("overwrite").parquet(path)
+  }
 
   /** The cheap INGEST path of a clustered dataset: appends `df`'s rows
     * as plain unclustered files — batch-cost, no re-cluster — at the

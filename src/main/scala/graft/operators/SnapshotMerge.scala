@@ -121,13 +121,22 @@ object SnapshotMerge {
 
   private def manifestPtr(dir: String) = s"$dir/manifest.current"
 
+  /** Version tag of the shard-assignment function, persisted in the
+    * manifest header: a snapshot built under a DIFFERENT assignment
+    * must fail loudly at read (silently looking keys up in the wrong
+    * shard dirs would duplicate rows on upsert) — any change to
+    * [[shardExpr]]'s encoding must bump this. */
+  private val ShardHashVersion = "h1"
+
   /** (version, nShards, salt, shard → physical dir). */
   private[operators] final case class Manifest(
       version: Long, nShards: Int, salt: String, shards: Map[Long, String])
 
   private def shardExpr(keyCols: Seq[String], nShards: Int,
       salt: String): Column = {
-    // null components encoded distinctly so ("a", null) ≠ ("a·null")
+    // \u0001-separated components with a \u0002 null sentinel:
+    // ("a", null) ≠ ("a", "") and ("ab","c") ≠ ("a","bc") — the control
+    // chars never occur in real key text, so the encoding is injective
     val key = concat_ws("",
       keyCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     pmod(Sharding.orderHash(key, salt), lit(nShards.toLong))
@@ -136,7 +145,7 @@ object SnapshotMerge {
   private def writeManifest(spark: SparkSession, dir: String,
       m: Manifest): Unit = {
     val f = IndexFs.fs(spark, dir)
-    val body = (s"meta\t${m.nShards}\t${m.salt}" +:
+    val body = (s"meta\t${m.nShards}\t${m.salt}\t$ShardHashVersion" +:
       m.shards.toSeq.sortBy(_._1).map { case (k, p) => s"$k\t$p" })
       .mkString("\n")
     val name = s"manifest-v${m.version}"
@@ -156,6 +165,10 @@ object SnapshotMerge {
       new org.apache.hadoop.fs.Path(s"$dir/$name")).split("\n").toSeq
     val meta = lines.head.split("\t")
     require(meta(0) == "meta", s"corrupt manifest $name: bad header")
+    require(meta.length >= 4 && meta(3) == ShardHashVersion,
+      s"snapshot at $dir was sharded under hash version " +
+        s"${meta.lift(3).getOrElse("h1")}, this build uses $ShardHashVersion" +
+        " — rebuild it (createSharded) before merging into it")
     Manifest(name.stripPrefix("manifest-v").toLong,
       meta(1).toInt, meta(2),
       lines.tail.filter(_.nonEmpty).map { l =>

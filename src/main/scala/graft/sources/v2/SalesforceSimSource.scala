@@ -239,11 +239,7 @@ class SimScan(
     val effective = if (capRange) math.min(rows, limit) else rows
     // a pushed limit still collapses the fan-out: one reader emits at
     // most `limit` rows; parallel partitions would overfetch
-    val nParts = if (limit >= 0) 1 else partitions
-    val per = math.max(1L, (effective + nParts - 1) / nParts)
-    (0 until nParts).map { p =>
-      SimPartition(p * per, math.min(effective, (p + 1) * per))
-    }.filter(p => p.start < p.end).toArray[InputPartition]
+    SimPushdown.ranges(effective, if (limit >= 0) 1 else partitions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -252,6 +248,34 @@ class SimScan(
 }
 
 case class SimPartition(start: Long, end: Long) extends InputPartition
+
+/** THE single spelling of the pushed-filter evaluation and the range
+  * chunking, shared by the row reader and the aggregate reader — the
+  * residual-filter contract ("claiming a filter you don't evaluate
+  * silently returns wrong rows/aggregates") must not live in two
+  * divergeable copies. */
+private[v2] object SimPushdown {
+  def matches(filters: Array[Filter], fetchIndex: Map[String, Int],
+      row: Array[Any]): Boolean = filters.forall {
+    case EqualTo(attr, value) =>
+      val c = row(fetchIndex(attr)); c != null && c.toString == value.toString
+    case IsNotNull(attr) => row(fetchIndex(attr)) != null
+    case GreaterThan(attr, value: Number) =>
+      val c = row(fetchIndex(attr))
+      c != null && c.asInstanceOf[Double] > value.doubleValue()
+    case LessThan(attr, value: Number) =>
+      val c = row(fetchIndex(attr))
+      c != null && c.asInstanceOf[Double] < value.doubleValue()
+    case _ => true
+  }
+
+  def ranges(total: Long, parts: Int): Array[InputPartition] = {
+    val per = math.max(1L, (total + parts - 1) / parts)
+    (0 until parts).map { p =>
+      SimPartition(p * per, math.min(total, (p + 1) * per))
+    }.filter(p => p.start < p.end).toArray[InputPartition]
+  }
+}
 
 class SimReaderFactory(
     objectName: String, schema: StructType, fullSchema: StructType,
@@ -292,19 +316,8 @@ class SimReader(
   private var emitted = 0L
   private var current: InternalRow = _
 
-  private def matches(row: Array[Any]): Boolean = filters.forall {
-    case EqualTo(attr, value) =>
-      val c = row(fetchIndex(attr))
-      c != null && c.toString == value.toString
-    case IsNotNull(attr) => row(fetchIndex(attr)) != null
-    case GreaterThan(attr, value: Number) =>
-      val c = row(fetchIndex(attr))
-      c != null && c.asInstanceOf[Double] > value.doubleValue()
-    case LessThan(attr, value: Number) =>
-      val c = row(fetchIndex(attr))
-      c != null && c.asInstanceOf[Double] < value.doubleValue()
-    case _ => true
-  }
+  private def matches(row: Array[Any]): Boolean =
+    SimPushdown.matches(filters, fetchIndex, row)
 
   override def next(): Boolean = {
     while (emitted < limit && rows.hasNext) {
@@ -352,12 +365,8 @@ class SimAggScan(
       s"PushedGroupBy: [${groupBy.mkString(", ")}], " +
       s"PushedFilters: [${filters.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + partitions - 1) / partitions)
-    (0 until partitions).map { p =>
-      SimPartition(p * per, math.min(rows, (p + 1) * per))
-    }.filter(p => p.start < p.end).toArray[InputPartition]
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    SimPushdown.ranges(rows, partitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SimAggReaderFactory(spec, aggs, groupBy, filters, backend)
@@ -390,8 +399,13 @@ class SimAggReader(
   private val filterCols = filters.flatMap(_.references).distinct.toSet
   private val neededCols =
     (groupBy ++ aggs.flatMap(_.col) ++ filterCols).distinct
-  private val fetchSchema = StructType(fullSchema.fields.filter(f =>
-    neededCols.contains(f.name)))
+  private val fetchSchema = {
+    val needed = fullSchema.fields.filter(f => neededCols.contains(f.name))
+    // a bare global COUNT() needs no column, but a well-formed SOQL
+    // needs a non-empty SELECT list — floor at one field (COUNT()
+    // counts rows regardless of which)
+    StructType(if (needed.nonEmpty) needed else fullSchema.fields.take(1))
+  }
   private val fetchIndex = fetchSchema.fieldNames.zipWithIndex.toMap
   private val groupIdx = groupBy.map(fetchIndex)
 
@@ -409,18 +423,8 @@ class SimAggReader(
   private var out: Iterator[InternalRow] = _
   private var current: InternalRow = _
 
-  private def matches(row: Array[Any]): Boolean = filters.forall {
-    case EqualTo(attr, value) =>
-      val c = row(fetchIndex(attr)); c != null && c.toString == value.toString
-    case IsNotNull(attr) => row(fetchIndex(attr)) != null
-    case GreaterThan(attr, value: Number) =>
-      val c = row(fetchIndex(attr))
-      c != null && c.asInstanceOf[Double] > value.doubleValue()
-    case LessThan(attr, value: Number) =>
-      val c = row(fetchIndex(attr))
-      c != null && c.asInstanceOf[Double] < value.doubleValue()
-    case _ => true
-  }
+  private def matches(row: Array[Any]): Boolean =
+    SimPushdown.matches(filters, fetchIndex, row)
 
   private def fold(): Iterator[InternalRow] = {
     // fetch only the group/agg/filter columns (the sim generates them;

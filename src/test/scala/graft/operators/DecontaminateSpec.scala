@@ -62,6 +62,20 @@ class DecontaminateSpec extends SparkSpec {
     assert(Decontaminate.neededHits(0.5, 4L) == 2L)
     assert(Decontaminate.neededHits(0.0, 100L) == 1L) // floor at 1
     assert(Decontaminate.neededHits(1.0, 7L) == 7L)
+    // the float-ceil trap: IEEE 0.07 × 100 = 7.000000000000001, whose
+    // ceil (8) would DROP a doc at exactly-threshold containment 7/100
+    // — the cut must mirror the verify join's double division instead
+    assert(Decontaminate.neededHits(0.07, 100L) == 7L)
+    assert(7.0 / 100.0 >= 0.07) // the verify-side compare it must admit
+    // exhaustive consistency: for every (t, n) probed, (needed-1)/n
+    // fails the verify compare and needed/n rounds consistently
+    for (t <- Seq(0.01, 0.07, 0.1, 1.0 / 3.0, 0.5, 0.66, 0.99);
+         n <- 1L to 200L) {
+      val h = Decontaminate.neededHits(t, n)
+      assert(h >= 1 && h <= n.max(1))
+      if (h > 1) assert((h - 1).toDouble / n.toDouble < t,
+        s"needed=$h not minimal for t=$t n=$n")
+    }
   }
 
   test("bloomPrefilter keeps every truly contaminated doc, passes columns through") {

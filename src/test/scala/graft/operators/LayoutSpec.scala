@@ -194,4 +194,16 @@ class LayoutSpec extends SparkSpec {
     val z2 = Layout.withZValue(df, Seq("maybe", "ts"))
     assert(z2.filter(col("__zvalue").isNull).count() == 0)
   }
+
+  test("DateType dimensions range-rank (via epoch days, not an illegal cast)") {
+    val df = events.withColumn("day", to_date(col("ts")))
+    // a bare DATE→DOUBLE cast is not a legal Spark cast — the rank and
+    // the min/max stats must route through unix_date
+    val z = Layout.withZValue(df, Seq("day", "user_id"))
+    assert(z.count() == df.count())
+    assert(z.filter(col("__zvalue").isNull).count() == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zdate").toString
+    Layout.writeZOrdered(df, Seq("day", "user_id"), s"$dir/z", numFiles = 4)
+    assert(spark.read.parquet(s"$dir/z").count() == df.count())
+  }
 }
