@@ -182,6 +182,12 @@ object GraftFunctions {
   def z_interleave(ranks: Seq[Column], bits: Int): Column =
     c(ZValueInterleave(ranks.map(e), bits))
 
+  /** Hilbert-curve key over the same bucketed ranks (see
+    * [[HilbertIndex]]) — [[graft.operators.Layout]]'s better-locality
+    * curve option. */
+  def hilbert_index(ranks: Seq[Column], bits: Int): Column =
+    c(HilbertIndex(ranks.map(e), bits))
+
   /** Registers the native expressions for SQL use
     * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`). */
   def register(spark: SparkSession): Unit = {

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.z_interleave
+import graft.functions.GraftFunctions.{hilbert_index, z_interleave}
 
 /** Multi-dimensional clustered data layout — Z-order (Morton-curve)
   * writes, the file-skipping lever the other operators assume the
@@ -82,8 +82,10 @@ object Layout {
     * driver action. `bits` defaults to the widest interleave that fits
     * a long (≤ 16 per dimension). */
   def withZValue(df: DataFrame, cols: Seq[String], zCol: String = "__zvalue",
-      bits: Int = -1): DataFrame = {
+      bits: Int = -1, curve: String = "morton"): DataFrame = {
     require(cols.nonEmpty, "z-order needs at least one column")
+    require(curve == "morton" || curve == "hilbert",
+      s"unknown curve '$curve' (expected 'morton' or 'hilbert')")
     require(cols.forall(df.columns.contains),
       s"z-order columns ${cols.filterNot(df.columns.contains)} absent from input")
     require(!df.columns.contains(zCol), s"reserved column name in input: $zCol")
@@ -97,8 +99,11 @@ object Layout {
       }
       df.crossJoin(broadcast(df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)))
     }
+    val ranks = cols.map(n => rankCol(df, n, b))
+    val key =
+      if (curve == "hilbert") hilbert_index(ranks, b) else z_interleave(ranks, b)
     withStats
-      .withColumn(zCol, z_interleave(cols.map(n => rankCol(df, n, b)), b))
+      .withColumn(zCol, key)
       .drop(ranged.flatMap(n => Seq(s"__zlo_$n", s"__zhi_$n")): _*)
   }
 
@@ -106,9 +111,9 @@ object Layout {
     * range-exchange on the z-key into `numFiles` slices, local sort
     * per slice. */
   private def clustered(df: DataFrame, cols: Seq[String], numFiles: Int,
-      bits: Int): DataFrame = {
+      bits: Int, curve: String): DataFrame = {
     require(numFiles > 0, s"numFiles=$numFiles must be positive")
-    withZValue(df, cols, bits = bits)
+    withZValue(df, cols, bits = bits, curve = curve)
       .repartitionByRange(numFiles, col("__zvalue"))
       .sortWithinPartitions("__zvalue")
       .drop("__zvalue")
@@ -120,12 +125,13 @@ object Layout {
     * window is narrow in every z-dimension — the property
     * [[fileStats]] measures and the spec asserts. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
-      numFiles: Int, bits: Int = -1): Unit = {
+      numFiles: Int, bits: Int = -1, curve: String = "morton"): Unit = {
     // a stale marker-protocol pointer from a previous [[optimize]]
     // incarnation must not shadow this plain write (readers would
     // resolve the OLD version dir) — same rule as the index rebuilds
     IndexFs.clearPublished(df.sparkSession, path)
-    clustered(df, cols, numFiles, bits).write.mode("overwrite").parquet(path)
+    clustered(df, cols, numFiles, bits, curve)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** The cheap INGEST path of a clustered dataset: appends `df`'s rows
@@ -149,9 +155,10 @@ object Layout {
     * read + clustered write — dataset-linear, a deliberate maintenance
     * window off the ingest path, same posture as the index refits. */
   def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
-      cols: Seq[String], numFiles: Int, bits: Int = -1): Unit = {
+      cols: Seq[String], numFiles: Int, bits: Int = -1,
+      curve: String = "morton"): Unit = {
     val all = spark.read.parquet(IndexFs.resolveDir(spark, path))
-    IndexFs.publishRelation(clustered(all, cols, numFiles, bits), path)
+    IndexFs.publishRelation(clustered(all, cols, numFiles, bits, curve), path)
   }
 
   /** Per-file min/max of the given columns for a written dataset — the

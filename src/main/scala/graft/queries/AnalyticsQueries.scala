@@ -180,10 +180,26 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The Hilbert-curve layout under the same content gate: identical
+    * write shape to [[zorderLayout]] with `curve = "hilbert"` — tighter
+    * per-file windows (unit-step curve adjacency, LayoutSpec), same
+    * layout-never-changes-content contract against the plain table. */
+  val hilbertLayout: Q = (s, dir) => {
+    val events = Scan.table(s, dir, "events")
+    val path = SnapshotPaths.dirFor("hilbert_layout", dir, s)
+    graft.operators.Layout.writeZOrdered(
+      events, Seq("user_id", "ts"), path, numFiles = 8, curve = "hilbert")
+    s.read.parquet(path)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_zorder_layout" -> zorderLayout,
     "q_zorder_pruned_read" -> zorderPrunedRead,
     "q_zorder_optimize" -> zorderOptimize,
+    "q_hilbert_layout" -> hilbertLayout,
     "q_quantile_profile" -> quantileProfile,
     "q_topk_aggregate_single_pass" -> topkAggregate,
     "q_join_revenue_by_segment" -> revenueBySegment,
@@ -203,6 +219,10 @@ object AnalyticsQueries {
          FROM events WHERE user_id BETWEEN 3 AND 9 ORDER BY event_id""",
     // clustered-write + unclustered-append + optimize ≡ the plain table
     "q_zorder_optimize" ->
+      """SELECT event_id, user_id, ts, event_type, value, props
+         FROM events ORDER BY event_id""",
+    // the Hilbert-curve layout carries the same rows, exactly
+    "q_hilbert_layout" ->
       """SELECT event_id, user_id, ts, event_type, value, props
          FROM events ORDER BY event_id""",
     "q_quantile_profile" ->
