@@ -123,16 +123,20 @@ object Layout {
     * `numFiles` output slices, local sort per slice, parquet. Content
     * is preserved row-for-row (layout only); every file's min/max
     * window is narrow in every z-dimension — the property
-    * [[fileStats]] measures and the spec asserts. */
+    * [[fileStats]] measures and the spec asserts.
+    *
+    * Published via [[IndexFs.publishRelation]] (write-then-swap), for
+    * two reasons at once: a rewrite that crashes mid-write leaves the
+    * PREVIOUS dataset intact and resolvable (never neither — deleting
+    * first would destroy the only complete copy before the new one
+    * exists), and a stale marker-protocol pointer from a previous
+    * [[optimize]] is superseded rather than left shadowing the new
+    * data. Read the result through [[readPruned]] or
+    * [[IndexFs.resolveDir]] on marker-protocol deployments (rename
+    * protocol keeps the plain dir, so a direct read works there). */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
-      numFiles: Int, bits: Int = -1, curve: String = "morton"): Unit = {
-    // a stale marker-protocol pointer from a previous [[optimize]]
-    // incarnation must not shadow this plain write (readers would
-    // resolve the OLD version dir) — same rule as the index rebuilds
-    IndexFs.clearPublished(df.sparkSession, path)
-    clustered(df, cols, numFiles, bits, curve)
-      .write.mode("overwrite").parquet(path)
-  }
+      numFiles: Int, bits: Int = -1, curve: String = "morton"): Unit =
+    IndexFs.publishRelation(clustered(df, cols, numFiles, bits, curve), path)
 
   /** The cheap INGEST path of a clustered dataset: appends `df`'s rows
     * as plain unclustered files — batch-cost, no re-cluster — at the

@@ -137,8 +137,8 @@ object SnapshotMerge {
     // \u0001-separated components with a \u0002 null sentinel:
     // ("a", null) ≠ ("a", "") and ("ab","c") ≠ ("a","bc") — the control
     // chars never occur in real key text, so the encoding is injective
-    val key = concat_ws("",
-      keyCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val key = concat_ws("\u0001",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
     pmod(Sharding.orderHash(key, salt), lit(nShards.toLong))
   }
 
@@ -165,10 +165,13 @@ object SnapshotMerge {
       new org.apache.hadoop.fs.Path(s"$dir/$name")).split("\n").toSeq
     val meta = lines.head.split("\t")
     require(meta(0) == "meta", s"corrupt manifest $name: bad header")
-    require(meta.length >= 4 && meta(3) == ShardHashVersion,
-      s"snapshot at $dir was sharded under hash version " +
-        s"${meta.lift(3).getOrElse("h1")}, this build uses $ShardHashVersion" +
-        " — rebuild it (createSharded) before merging into it")
+    // manifests written before the tag existed were built under the
+    // same (never-changed) h1 assignment — read them as h1
+    val ver = if (meta.length >= 4) meta(3) else "h1"
+    require(ver == ShardHashVersion,
+      s"snapshot at $dir was sharded under hash version $ver, this " +
+        s"build uses $ShardHashVersion — rebuild it (createSharded) " +
+        "before merging into it")
     Manifest(name.stripPrefix("manifest-v").toLong,
       meta(1).toInt, meta(2),
       lines.tail.filter(_.nonEmpty).map { l =>

@@ -254,6 +254,25 @@ class LayoutSpec extends SparkSpec {
     assert(hW <= mW * 1.25, s"hilbert $hW vs morton $mW")
   }
 
+  test("a failed rewrite leaves the previous dataset intact (write-then-swap)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcrash").toString
+    Layout.writeZOrdered(events, Seq("user_id", "ts"), s"$dir/z", numFiles = 4)
+    val before = spark.read.parquet(
+      IndexFs.resolveDir(spark, s"$dir/z")).count()
+    assert(before > 0)
+    // a rewrite whose job dies mid-write (simulated: a poisoned column
+    // that throws during evaluation) must NOT have deleted the only
+    // complete copy first — the publishRelation crash contract
+    val poison = events.withColumn("value",
+      when(col("event_id") >= 0,
+        raise_error(lit("simulated executor death")).cast("double")))
+    intercept[Exception] {
+      Layout.writeZOrdered(poison, Seq("user_id", "ts"), s"$dir/z", numFiles = 4)
+    }
+    assert(spark.read.parquet(
+      IndexFs.resolveDir(spark, s"$dir/z")).count() == before)
+  }
+
   test("DateType dimensions range-rank (via epoch days, not an illegal cast)") {
     val df = events.withColumn("day", to_date(col("ts")))
     // a bare DATE→DOUBLE cast is not a legal Spark cast — the rank and
