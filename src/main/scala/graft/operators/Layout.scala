@@ -107,6 +107,27 @@ object Layout {
       .drop(ranged.flatMap(n => Seq(s"__zlo_$n", s"__zhi_$n")): _*)
   }
 
+  /** Runs `body` with parquet timestamps written as INT64 micros
+    * instead of the session default (legacy INT96): INT96 column chunks
+    * carry only Binary stats, which neither [[prunedFiles]] nor Spark's
+    * own row-group skipping can use — a timestamp z-dimension written
+    * as INT96 would silently never prune. Scoped to the LAYOUT writes
+    * (set/restore) rather than session-wide because Spark INT64
+    * timestamps are tagged `isAdjustedToUTC`, which changes how
+    * non-Spark consumers (pandas/duckdb reading a result dump) type the
+    * column; layout files are internal — always read back through
+    * Spark — so the tag is free here and the stats are the win. */
+  private[operators] def withMicrosTimestamps[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The clustered frame [[writeZOrdered]]/[[optimize]] materialize:
     * range-exchange on the z-key into `numFiles` slices, local sort
     * per slice. */
@@ -136,7 +157,11 @@ object Layout {
     * protocol keeps the plain dir, so a direct read works there). */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
       numFiles: Int, bits: Int = -1, curve: String = "morton"): Unit =
-    IndexFs.publishRelation(clustered(df, cols, numFiles, bits, curve), path)
+    withMicrosTimestamps(df.sparkSession) {
+      IndexFs.publishRelation(clustered(df, cols, numFiles, bits, curve), path)
+      writeStatsSidecar(df.sparkSession,
+        IndexFs.resolveDir(df.sparkSession, path), cols)
+    }
 
   /** The cheap INGEST path of a clustered dataset: appends `df`'s rows
     * as plain unclustered files — batch-cost, no re-cluster — at the
@@ -146,8 +171,10 @@ object Layout {
     * for files). [[optimize]] is the reset. Single-writer vs
     * optimize, like the index plain appends. */
   def appendUnclustered(df: DataFrame, path: String): Unit =
-    df.write.mode("append")
-      .parquet(IndexFs.resolveDir(df.sparkSession, path))
+    withMicrosTimestamps(df.sparkSession) {
+      df.write.mode("append")
+        .parquet(IndexFs.resolveDir(df.sparkSession, path))
+    }
 
   /** The maintenance reset — Delta's OPTIMIZE ZORDER shape: reads the
     * CURRENT dataset (accumulated appends included), re-clusters the
@@ -162,7 +189,10 @@ object Layout {
       cols: Seq[String], numFiles: Int, bits: Int = -1,
       curve: String = "morton"): Unit = {
     val all = spark.read.parquet(IndexFs.resolveDir(spark, path))
-    IndexFs.publishRelation(clustered(all, cols, numFiles, bits, curve), path)
+    withMicrosTimestamps(spark) {
+      IndexFs.publishRelation(clustered(all, cols, numFiles, bits, curve), path)
+      writeStatsSidecar(spark, IndexFs.resolveDir(spark, path), cols)
+    }
   }
 
   /** Per-file min/max of the given columns for a written dataset — the
@@ -176,69 +206,222 @@ object Layout {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** The files of a parquet dataset whose FOOTER stats admit rows with
-    * `column ∈ [lo, hi]` — file-level skipping from metadata alone, no
-    * data pages touched. This is the read-side payoff of
-    * [[writeZOrdered]]: Spark's own parquet reader prunes row groups
-    * AFTER opening every file; pre-selecting files here also removes
-    * the per-file open/footer/schedule cost from the query, which at
-    * 100 TB × narrow predicate is most of the scan. A file is KEPT
-    * when any row group's [min, max] intersects [lo, hi], when the
-    * column chunk carries no usable stats, or when the column is
-    * absent — pruning may only ever widen the result, never narrow it
-    * (the caller re-applies the exact filter). Integer-backed columns
-    * only (int/long/date/timestamp-as-micros) — exactly the types
-    * [[withZValue]] range-ranks; string dims are hash-ranked, so range
-    * stats carry no signal for them.
-    *
-    * Driver-side footer reads, O(files) metadata ops — the same
-    * metadata plane a table format (Delta/Iceberg) would serve from a
-    * manifest; at a 100k-file dataset this is listing + 100k footer
-    * GETs, amortized by caching the (file → ranges) map per snapshot
-    * (it is immutable once written). Returns (selected, total). */
-  def prunedFiles(spark: org.apache.spark.sql.SparkSession, path: String,
-      column: String, lo: Long, hi: Long): (Seq[String], Int) = {
-    import scala.jdk.CollectionConverters._
-    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
-    require(lo <= hi, s"empty range: lo=$lo > hi=$hi")
-    val resolved = IndexFs.resolveDir(spark, path) // follow a publish pointer
-    val fs = IndexFs.fs(spark, resolved)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(resolved))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath).sortBy(_.getName)
-    val selected = files.filter { p =>
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-        conf, p,
-        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-      footer.getBlocks.asScala.exists { block =>
-        block.getColumns.asScala
-          .find(_.getPath.toDotString == column) match {
-          case None => true // column absent → cannot rule the file out
-          case Some(chunk) => chunk.getStatistics match {
-            case ls: LongStatistics if ls.hasNonNullValue =>
-              ls.getMax >= lo && ls.getMin <= hi
-            case is: IntStatistics if is.hasNonNullValue =>
-              is.getMax.toLong >= lo && is.getMin.toLong <= hi
-            case s if s != null && !s.hasNonNullValue && s.getNumNulls > 0 =>
-              false // a wholly-null chunk holds no value in any range
-            case _ => true // no usable stats → keep (safe)
-          }
+  /** A pruning predicate on one dimension: `column ∈ [lo, hi]`, in the
+    * column's integer backing (long/int as themselves, DATE as epoch
+    * days, TIMESTAMP as epoch micros — the units parquet footer stats
+    * carry). A multi-band read is the CONJUNCTION of its bands — the
+    * whole point of a multi-dimension clustered layout. */
+  final case class Band(column: String, lo: Long, hi: Long) {
+    require(lo <= hi, s"empty range on $column: lo=$lo > hi=$hi")
+  }
+
+  /** Per-(block, column) footer stat, reduced to what pruning needs.
+    * `Absent`/`NoStats` can never rule a file out (pruning may only
+    * widen, never narrow); `AllNull` admits no value in any range. */
+  private sealed trait ColStat
+  private final case class RangeStat(lo: Long, hi: Long) extends ColStat
+  private case object AllNullStat extends ColStat
+  private case object NoStats extends ColStat
+  private case object AbsentCol extends ColStat
+
+  /** One file's blocks: block index → (column → stat). */
+  private final case class FileStats(
+      file: String, blocks: Seq[Map[String, ColStat]])
+
+  /** Does some block admit EVERY band? (A matching row must live in a
+    * block whose every banded column's window intersects its band —
+    * per-block conjunction, strictly tighter than per-file.) */
+  private def admits(fs: FileStats, bands: Seq[Band]): Boolean =
+    fs.blocks.isEmpty || fs.blocks.exists { block =>
+      bands.forall { b =>
+        block.getOrElse(b.column, AbsentCol) match {
+          case RangeStat(l, h) => h >= b.lo && l <= b.hi
+          case AllNullStat => false
+          case NoStats | AbsentCol => true
         }
       }
     }
+
+  /** Footer-derived [[FileStats]] for one parquet file — integer-backed
+    * columns only (int/long/date/timestamp written as INT64 micros:
+    * [[graft.GraftSession]] pins
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`; a
+    * timestamp written as legacy INT96 carries Binary stats, which read
+    * as [[NoStats]] → kept, safe but unpruned). */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path, cols: Seq[String]): FileStats = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, p,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val blocks = footer.getBlocks.asScala.toSeq.map { block =>
+      cols.map { c =>
+        c -> (block.getColumns.asScala.find(_.getPath.toDotString == c) match {
+          case None => AbsentCol: ColStat
+          case Some(chunk) => chunk.getStatistics match {
+            case ls: LongStatistics if ls.hasNonNullValue =>
+              RangeStat(ls.getMin, ls.getMax)
+            case is: IntStatistics if is.hasNonNullValue =>
+              RangeStat(is.getMin.toLong, is.getMax.toLong)
+            case s if s != null && !s.hasNonNullValue && s.getNumNulls > 0 =>
+              AllNullStat
+            case _ => NoStats
+          }
+        })
+      }.toMap
+    }
+    FileStats(p.toString, blocks)
+  }
+
+  /** The stats sidecar's name inside a data dir — `_`-prefixed so every
+    * parquet reader treats it as hidden metadata. */
+  private[operators] val SidecarName = "_stats.tsv"
+
+  /** Persists the (file → per-block per-column min/max) map as ONE
+    * small sidecar file inside `resolvedDir` — written once at
+    * [[writeZOrdered]]/[[optimize]] time (when the files are fresh and
+    * the footers are hot), so [[prunedFiles]] answers from a single
+    * small read instead of O(files) serial driver footer GETs: the
+    * metadata plane a table format (Delta/Iceberg) keeps in its
+    * manifest, in one file. The sidecar names the columns it covers;
+    * files appended AFTER it was written ([[appendUnclustered]]) simply
+    * have no entry and are footer-read at query time (and never
+    * pruned away wrongly) — [[optimize]] rewrites the sidecar fresh. */
+  private[operators] def writeStatsSidecar(
+      spark: org.apache.spark.sql.SparkSession, resolvedDir: String,
+      cols: Seq[String]): Unit = {
+    val fs = IndexFs.fs(spark, resolvedDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(resolvedDir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    val kindOf: ColStat => String = {
+      case RangeStat(_, _) => "range"
+      case AllNullStat => "allnull"
+      case NoStats => "nostats"
+      case AbsentCol => "absent"
+    }
+    val lines = Seq("graft-layout-stats\tv1", s"cols\t${cols.mkString("\t")}") ++
+      files.flatMap { p =>
+        val st = footerStats(conf, p, cols)
+        st.blocks.zipWithIndex.flatMap { case (block, bi) =>
+          cols.map { c =>
+            val (kind, lo, hi) = block(c) match {
+              case RangeStat(l, h) => ("range", l.toString, h.toString)
+              case other => (kindOf(other), "", "")
+            }
+            s"${p.getName}\t$bi\t$c\t$kind\t$lo\t$hi"
+          }
+        } match {
+          // a zero-block (empty) file still needs a row so the sidecar
+          // marks it COVERED (blocks=[] admits nothing to prune wrongly)
+          case Nil => Seq(s"${p.getName}\t-\t-\tempty\t\t")
+          case rows => rows
+        }
+      }
+    IndexFs.atomicWriteSmallFile(spark, fs,
+      new org.apache.hadoop.fs.Path(s"$resolvedDir/$SidecarName"),
+      lines.mkString("\n"))
+  }
+
+  /** Parses a sidecar into (covered columns, file name → stats);
+    * None when absent or unparseable (→ footer fallback). */
+  private def readSidecar(spark: org.apache.spark.sql.SparkSession,
+      resolvedDir: String): Option[(Set[String], Map[String, FileStats])] = {
+    val fs = IndexFs.fs(spark, resolvedDir)
+    val p = new org.apache.hadoop.fs.Path(s"$resolvedDir/$SidecarName")
+    if (!fs.exists(p)) return None
+    val lines = IndexFs.readSmallFile(fs, p).split("\n").toSeq
+    if (lines.length < 2 || lines.head != "graft-layout-stats\tv1") return None
+    val cols = lines(1).split("\t").toSeq.drop(1)
+    val byFile = lines.drop(2).filter(_.nonEmpty).map(_.split("\t", -1))
+      .groupBy(_(0))
+    val stats = byFile.map { case (name, rows) =>
+      val blocks = rows.filter(_(3) != "empty").groupBy(_(1).toInt).toSeq
+        .sortBy(_._1).map { case (_, cells) =>
+          cells.map { cell =>
+            cell(2) -> (cell(3) match {
+              case "range" => RangeStat(cell(4).toLong, cell(5).toLong)
+              case "allnull" => AllNullStat
+              case "absent" => AbsentCol
+              case _ => NoStats
+            })
+          }.toMap
+        }
+      name -> FileStats(s"$resolvedDir/$name", blocks)
+    }
+    Some((cols.toSet, stats))
+  }
+
+  /** The files under a single RESOLVED dir whose stats admit every
+    * band. Answers from the [[writeStatsSidecar]] sidecar when it
+    * exists and covers every banded column — one small read, zero
+    * footer GETs; files the sidecar doesn't know (later appends) and
+    * datasets without a sidecar fall back to per-file footer reads.
+    * Returns (selected paths, total file count). */
+  private[operators] def prunedFilesInDir(
+      spark: org.apache.spark.sql.SparkSession, resolvedDir: String,
+      bands: Seq[Band]): (Seq[String], Int) = {
+    require(bands.nonEmpty, "pruning needs at least one band")
+    val fs = IndexFs.fs(spark, resolvedDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(resolvedDir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    val sidecar = readSidecar(spark, resolvedDir)
+      .filter { case (cols, _) => bands.forall(b => cols.contains(b.column)) }
+    val statsFor: org.apache.hadoop.fs.Path => FileStats = p =>
+      sidecar.flatMap(_._2.get(p.getName))
+        .getOrElse(footerStats(conf, p, bands.map(_.column)))
+    val selected = files.filter(p => admits(statsFor(p), bands))
     (selected.map(_.toString).toSeq, files.length)
   }
 
+  /** The files of a parquet dataset whose stats admit rows inside EVERY
+    * band — file-level skipping from metadata alone, no data pages
+    * touched. This is the read-side payoff of [[writeZOrdered]]:
+    * Spark's own parquet reader prunes row groups AFTER opening every
+    * file; pre-selecting files here also removes the per-file
+    * open/footer/schedule cost from the query, which at 100 TB × narrow
+    * predicate is most of the scan. A file is KEPT when any row group
+    * admits the conjunction (per band: its [min, max] intersects, or
+    * the chunk carries no usable stats, or the column is absent) —
+    * pruning may only ever widen the result, never narrow it (the
+    * caller re-applies the exact filter). Integer-backed columns only
+    * (int/long/date/timestamp-as-INT64-micros — [[graft.GraftSession]]
+    * pins the micros output type; legacy INT96 timestamps carry
+    * unusable Binary stats and simply never prune) — exactly the types
+    * [[withZValue]] range-ranks; string dims are hash-ranked, so range
+    * stats carry no signal for them.
+    *
+    * Metadata cost: ONE small sidecar read when [[writeStatsSidecar]]
+    * ran at write time (the default — [[writeZOrdered]] and
+    * [[optimize]] both write it); only sidecar-less datasets and
+    * post-sidecar appends pay the O(files) driver footer GETs.
+    * Returns (selected, total). */
+  def prunedFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      bands: Seq[Band]): (Seq[String], Int) =
+    prunedFilesInDir(spark, IndexFs.resolveDir(spark, path), bands)
+
+  /** Single-band [[prunedFiles]]. */
+  def prunedFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, lo: Long, hi: Long): (Seq[String], Int) =
+    prunedFiles(spark, path, Seq(Band(column, lo, hi)))
+
   /** Reads only the [[prunedFiles]] of a dataset — a SUPERSET of the
-    * rows with `column ∈ [lo, hi]` (whole files; re-apply the exact
-    * filter). Empty selection → an empty frame with the dataset's
-    * schema. */
+    * rows inside every band (whole files; re-apply the exact filter).
+    * Empty selection → an empty frame with the dataset's schema. */
   def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
-      column: String, lo: Long, hi: Long): DataFrame = {
-    val (selected, _) = prunedFiles(spark, path, column, lo, hi)
+      bands: Seq[Band]): DataFrame = {
+    val (selected, _) = prunedFiles(spark, path, bands)
     if (selected.isEmpty)
       spark.read.parquet(IndexFs.resolveDir(spark, path)).limit(0)
     else spark.read.parquet(selected: _*)
   }
+
+  /** Single-band [[readPruned]]. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, lo: Long, hi: Long): DataFrame =
+    readPruned(spark, path, Seq(Band(column, lo, hi)))
 }

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * object-store version pointer), and a crash mid-merge leaves the old
   * snapshot intact and resolvable.
   *
+  * Key semantics are NULL-SAFE: a null key component matches itself
+  * (the anti-join uses `<=>`), consistent with how
+  * [[graft.ops.Dedup.keepLast]] groups nulls and how [[shardExpr]]
+  * routes them — upserting a null-keyed row REPLACES the existing
+  * null-keyed row instead of silently duplicating it.
+  *
   * Scale shape: the updates' KEY SET is broadcast (a CDC batch is
   * batch-sized by contract) so the survivor anti-join is map-side —
   * the snapshot never shuffles; the merge cost is one snapshot scan +
@@ -26,7 +32,8 @@ import org.apache.spark.sql.functions._
   * shards its keys touch — the same "rewrite what changed" contract,
   * manifest-pointer committed. Set `broadcastKeys = false` for
   * backfill-sized batches (the join then shuffles both sides at the
-  * corpus-tracked width).
+  * corpus-tracked width) — both the flat and the sharded path take the
+  * flag.
   *
   * Replay: `commitTag` short-circuits an already-committed tag
   * (at-most-once per tag); a crash AFTER publish but BEFORE the tag
@@ -36,9 +43,14 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotMerge {
 
+  /** Trailing-slash-insensitive snapshot root (a caller spelling
+    * `dir/` must address the same snapshot as `dir`). */
+  private def norm(dir: String): String =
+    if (dir.length > 1 && dir.endsWith("/")) dir.dropRight(1) else dir
+
   /** The snapshot's data relation (published — read through
     * [[IndexFs.resolveDir]]). */
-  private def dataDir(dir: String): String = s"$dir/data"
+  private def dataDir(dir: String): String = s"${norm(dir)}/data"
 
   /** True when the snapshot has been published at least once. */
   def exists(spark: SparkSession, dir: String): Boolean =
@@ -48,6 +60,24 @@ object SnapshotMerge {
     * published relation. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(IndexFs.resolveDir(spark, dataDir(dir)))
+
+  /** The survivor side of a merge: current rows whose key does NOT
+    * appear in the batch's key set. NULL-SAFE equality (`<=>`) on every
+    * key component — plain equality would let a null-keyed current row
+    * survive its own replacement (nulls never `=` each other) and the
+    * re-insert would duplicate it. Spark hash joins support
+    * EqualNullSafe keys, so the broadcast shape is preserved.
+    * Factored out so the plan (broadcast vs shuffle) is directly
+    * spec-assertable. */
+  private[operators] def survivorAntiJoin(current: DataFrame,
+      touchedKeys: DataFrame, keyCols: Seq[String],
+      broadcastKeys: Boolean): DataFrame = {
+    val keyed = touchedKeys.toDF(keyCols.map(c => s"__mergekey_$c"): _*)
+    val rhs = if (broadcastKeys) broadcast(keyed) else keyed
+    val cond = keyCols.map(c => col(c) <=> col(s"__mergekey_$c"))
+      .reduce(_ && _)
+    current.join(rhs, cond, "left_anti")
+  }
 
   /** Merge `updates` into the snapshot at `dir` by `keyCols`.
     *
@@ -98,8 +128,8 @@ object SnapshotMerge {
         require(current.columns.sorted.toSeq == inserts.columns.sorted.toSeq,
           s"upsert schema mismatch: snapshot has ${current.columns.sorted.mkString(",")}, " +
             s"updates bring ${inserts.columns.sorted.mkString(",")}")
-        val keys = if (broadcastKeys) broadcast(touchedKeys) else touchedKeys
-        current.join(keys, keyCols, "left_anti").unionByName(inserts)
+        survivorAntiJoin(current, touchedKeys, keyCols, broadcastKeys)
+          .unionByName(inserts)
       }
     IndexFs.publishRelation(merged, dataDir(dir))
     commitTag.foreach(t => IndexFs.markCommitted(spark, dir, t))
@@ -117,9 +147,19 @@ object SnapshotMerge {
   // same version-pointer idea as IndexFs's marker protocol, applied
   // per shard so unchanged data is REFERENCED, not copied — what a
   // table format's metadata layer does, in one small file.
+  //
+  // COMMIT vs RETIRE are separate phases (the Delta/Iceberg posture):
+  // the commit is ONLY the manifest pointer swap — superseded shard
+  // dirs and manifests are never deleted inline. The upsert records
+  // them in a retire log (`_retired/retired-v<N>`, mtime = the moment
+  // of supersession) and [[vacuumSharded]] reaps them later, behind a
+  // caller-chosen retention window — so a long-running reader that
+  // resolved the OLD manifest keeps a complete, scannable old snapshot
+  // for at least `minAgeMs` after the merge that superseded it.
   // ------------------------------------------------------------------
 
-  private def manifestPtr(dir: String) = s"$dir/manifest.current"
+  private def manifestPtr(dir: String) = s"${norm(dir)}/manifest.current"
+  private def retiredDir(dir: String) = s"${norm(dir)}/_retired"
 
   /** Version tag of the shard-assignment function, persisted in the
     * manifest header: a snapshot built under a DIFFERENT assignment
@@ -128,9 +168,25 @@ object SnapshotMerge {
     * [[shardExpr]]'s encoding must bump this. */
   private val ShardHashVersion = "h1"
 
-  /** (version, nShards, salt, shard → physical dir). */
+  /** (version, nShards, salt, shard → physical dir). In-memory paths
+    * are always ABSOLUTE (resolved against the snapshot root at read);
+    * on disk they are stored RELATIVE to the root, so the snapshot
+    * survives being moved/mounted under a different spelling and no
+    * maintenance op ever compares paths across spellings. */
   private[operators] final case class Manifest(
       version: Long, nShards: Int, salt: String, shards: Map[Long, String])
+
+  /** A stored shard path, resolved against the snapshot root. Legacy
+    * manifests (written before paths went relative) carried absolute
+    * paths — those pass through untouched. */
+  private def resolveShardPath(dir: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"${norm(dir)}/$p"
+
+  /** The on-disk (relative) spelling of a shard path under `dir`. */
+  private def relativizeShardPath(dir: String, p: String): String = {
+    val root = norm(dir) + "/"
+    if (p.startsWith(root)) p.stripPrefix(root) else p
+  }
 
   private def shardExpr(keyCols: Seq[String], nShards: Int,
       salt: String): Column = {
@@ -146,10 +202,11 @@ object SnapshotMerge {
       m: Manifest): Unit = {
     val f = IndexFs.fs(spark, dir)
     val body = (s"meta\t${m.nShards}\t${m.salt}\t$ShardHashVersion" +:
-      m.shards.toSeq.sortBy(_._1).map { case (k, p) => s"$k\t$p" })
+      m.shards.toSeq.sortBy(_._1)
+        .map { case (k, p) => s"$k\t${relativizeShardPath(dir, p)}" })
       .mkString("\n")
     val name = s"manifest-v${m.version}"
-    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/$name"), true)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"${norm(dir)}/$name"), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     // the atomic commit: readers resolve through this pointer only
     IndexFs.atomicWriteSmallFile(spark, f,
@@ -162,7 +219,7 @@ object SnapshotMerge {
     val name = IndexFs.readSmallFile(f,
       new org.apache.hadoop.fs.Path(manifestPtr(dir)))
     val lines = IndexFs.readSmallFile(f,
-      new org.apache.hadoop.fs.Path(s"$dir/$name")).split("\n").toSeq
+      new org.apache.hadoop.fs.Path(s"${norm(dir)}/$name")).split("\n").toSeq
     val meta = lines.head.split("\t")
     require(meta(0) == "meta", s"corrupt manifest $name: bad header")
     // manifests written before the tag existed were built under the
@@ -175,8 +232,29 @@ object SnapshotMerge {
     Manifest(name.stripPrefix("manifest-v").toLong,
       meta(1).toInt, meta(2),
       lines.tail.filter(_.nonEmpty).map { l =>
-        val Array(k, p) = l.split("\t", 2); k.toLong -> p
+        val Array(k, p) = l.split("\t", 2)
+        k.toLong -> resolveShardPath(dir, p)
       }.toMap)
+  }
+
+  /** Appends a retire log entry: the shard dirs + manifest file that
+    * version `supersededBy` made unreachable. The LOG FILE's mtime is
+    * the supersession instant — exactly what [[vacuumSharded]]'s
+    * retention window must measure from (a shard dir's own mtime is its
+    * WRITE time, which can be arbitrarily older than the merge that
+    * retired it). Advisory, not transactional: a torn write degrades
+    * to the orphan path (mtime-cutoff reaping), never to data loss. */
+  private def writeRetireLog(spark: SparkSession, dir: String,
+      supersededBy: Long, retiredDirs: Seq[String],
+      retiredManifest: String): Unit = {
+    if (retiredDirs.isEmpty && retiredManifest.isEmpty) return
+    val f = IndexFs.fs(spark, dir)
+    val body = (retiredManifest +: retiredDirs.map(relativizeShardPath(dir, _)))
+      .filter(_.nonEmpty).mkString("\n")
+    val p = new org.apache.hadoop.fs.Path(
+      s"${retiredDir(dir)}/retired-v$supersededBy")
+    val out = f.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
   def existsSharded(spark: SparkSession, dir: String): Boolean =
@@ -198,8 +276,8 @@ object SnapshotMerge {
       "reserved internal column name in input: __shard")
     require(!existsSharded(spark, dir),
       s"sharded snapshot already exists at $dir — upsertSharded into it")
-    df.limit(0).write.mode("overwrite").parquet(s"$dir/schema")
-    val vDir = s"$dir/shards-v1"
+    df.limit(0).write.mode("overwrite").parquet(s"${norm(dir)}/schema")
+    val vDir = s"${norm(dir)}/shards-v1"
     df.withColumn("__shard", shardExpr(keyCols, nShards, salt))
       .repartition(col("__shard"))
       .write.partitionBy("__shard").mode("overwrite").parquet(vDir)
@@ -214,21 +292,26 @@ object SnapshotMerge {
     * even an empty snapshot reads with full schema). */
   def readSharded(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(spark, dir)
-    val dirs = s"$dir/schema" +: m.shards.toSeq.sortBy(_._1).map(_._2)
+    val dirs = s"${norm(dir)}/schema" +: m.shards.toSeq.sortBy(_._1).map(_._2)
     spark.read.parquet(dirs: _*)
   }
 
   /** [[upsert]] against a sharded snapshot: reads and rewrites ONLY the
     * shards the batch's keys hash into; everything else is carried into
     * the new manifest by REFERENCE. Commit = the manifest pointer swap
-    * (atomic); a crash before it leaves the old manifest resolving the
-    * complete old snapshot, and the half-written delta dirs are inert
-    * until [[vacuumSharded]] reaps them. Same merge/delete/precedence/
-    * replay contract as [[upsert]]. Single writer per snapshot. */
+    * (atomic); superseded dirs are NOT deleted here — they are logged
+    * to `_retired/` and reaped by [[vacuumSharded]] behind its
+    * retention window, so a reader that resolved the old manifest keeps
+    * a complete old snapshot. A crash before the swap leaves the old
+    * manifest resolving the complete old snapshot, and the half-written
+    * delta dirs are inert until [[vacuumSharded]] reaps them. Same
+    * merge/delete/precedence/replay/broadcast contract as [[upsert]].
+    * Single writer per snapshot. */
   def upsertSharded(updates: DataFrame, keyCols: Seq[String], dir: String,
       deleteCol: Option[String] = None,
       updateOrder: Option[Seq[Column]] = None,
-      commitTag: Option[String] = None): Boolean = {
+      commitTag: Option[String] = None,
+      broadcastKeys: Boolean = true): Boolean = {
     val spark = updates.sparkSession
     require(keyCols.nonEmpty && keyCols.forall(updates.columns.contains),
       s"bad key columns $keyCols for ${updates.columns.mkString(",")}")
@@ -256,7 +339,8 @@ object SnapshotMerge {
     val touched = touchedKeys.select(col("__shard")).distinct()
       .collect().map(_.getLong(0)).toSet
 
-    val currentTouchedDirs = m.shards.view.filterKeys(touched).values.toSeq
+    val currentTouchedDirs =
+      m.shards.view.filterKeys(touched).values.toSeq
     val survivors =
       if (currentTouchedDirs.isEmpty) inserts.limit(0)
       else {
@@ -267,13 +351,13 @@ object SnapshotMerge {
           s"upsertSharded schema mismatch: snapshot has " +
             s"${current.columns.sorted.mkString(",")}, updates bring " +
             s"${inserts.drop("__shard").columns.sorted.mkString(",")}")
-        current
-          .join(broadcast(touchedKeys.drop("__shard")), keyCols, "left_anti")
+        survivorAntiJoin(current, touchedKeys.drop("__shard"), keyCols,
+          broadcastKeys)
           .withColumn("__shard", shard)
       }
 
     val next = m.version + 1
-    val deltaDir = s"$dir/shards-v$next"
+    val deltaDir = s"${norm(dir)}/shards-v$next"
     survivors.unionByName(inserts)
       .repartition(col("__shard"))
       .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
@@ -285,41 +369,181 @@ object SnapshotMerge {
     // the delta (a touched shard rewritten to zero rows drops out)
     val merged = (m.shards -- touched) ++ rewritten
     writeManifest(spark, dir, Manifest(next, m.nShards, m.salt, merged))
-    // retire the superseded physical dirs (crash here → inert orphans,
-    // reaped by vacuumSharded)
-    currentTouchedDirs.foreach(IndexFs.deleteRecursively(spark, _))
-    val f = IndexFs.fs(spark, dir)
-    f.delete(new org.apache.hadoop.fs.Path(s"$dir/manifest-v${m.version}"), false)
+    // the commit is complete at the pointer swap above; superseded
+    // dirs + manifest go to the retire log for a windowed vacuum
+    writeRetireLog(spark, dir, next, currentTouchedDirs,
+      s"manifest-v${m.version}")
     commitTag.foreach(t => IndexFs.markCommitted(spark, dir, t))
     true
   }
 
-  /** Deletes physical shard dirs and manifest files no CURRENT manifest
-    * references — the orphans a crash between pointer swap and retire
-    * leaves behind. Safe for readers that resolved the current
-    * manifest; single-writer discipline covers the rest. */
-  def vacuumSharded(spark: SparkSession, dir: String): Int = {
+  /** Re-clusters every shard of a sharded snapshot on `clusterCols`
+    * ([[Layout]] curve layout, per shard) — the OPTIMIZE that gives the
+    * MERGE store the same footer-stat file skipping the plain z-ordered
+    * datasets have ([[Layout.readPruned]] /
+    * [[readShardedPruned]]). ONE Spark job for all shards: the z-key is
+    * computed over the full snapshot (global min/max ranks, so a band
+    * maps to the same rank window in every shard), rows are
+    * range-exchanged on (shard, z) into ≈`nShards × filesPerShard`
+    * slices, and the partitioned write splits boundary slices per
+    * shard — clustered files land under each `__shard=` dir, each with
+    * a narrow stats window, plus a [[Layout]] stats sidecar per shard.
+    * Commits like an upsert: new version dir, manifest pointer swap,
+    * superseded dirs retire-logged for [[vacuumSharded]]. Content is
+    * preserved row-for-row (hash-gated in q_merge_optimize_sharded).
+    * Single writer, maintenance-window cost: one full snapshot read +
+    * clustered write — the same posture as [[Layout.optimize]] and the
+    * index refits. `keyCols` are the snapshot's merge keys (the
+    * manifest persists the hash params but not the key column NAMES —
+    * schema-level knowledge the caller owns, same as
+    * [[upsertSharded]]); the shard assignment is recomputed from them,
+    * deterministically identical to every batch's. */
+  def optimizeSharded(spark: SparkSession, dir: String,
+      keyCols: Seq[String], clusterCols: Seq[String],
+      filesPerShard: Int = 1, curve: String = "morton"): Unit = {
+    require(filesPerShard > 0, s"filesPerShard=$filesPerShard must be positive")
     val m = readManifest(spark, dir)
-    val live = m.shards.values.toSet
+    require(m.shards.nonEmpty, s"nothing to optimize at $dir (empty snapshot)")
+    val current = spark.read.parquet(m.shards.toSeq.sortBy(_._1).map(_._2): _*)
+    require(keyCols.nonEmpty && keyCols.forall(current.columns.contains),
+      s"bad key columns $keyCols for ${current.columns.mkString(",")}")
+    require(clusterCols.nonEmpty && clusterCols.forall(current.columns.contains),
+      s"bad cluster columns $clusterCols for ${current.columns.mkString(",")}")
+    val next = m.version + 1
+    val deltaDir = s"${norm(dir)}/shards-v$next"
+    val withShard = current.withColumn("__shard",
+      shardExpr(keyCols, m.nShards, m.salt))
+    Layout.withMicrosTimestamps(spark) {
+      Layout.withZValue(withShard, clusterCols, curve = curve)
+        .repartitionByRange(math.max(1, m.shards.size * filesPerShard),
+          col("__shard"), col("__zvalue"))
+        .sortWithinPartitions("__shard", "__zvalue")
+        .drop("__zvalue")
+        .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
+    }
+    val rewritten = IndexFs.listDirNames(spark, deltaDir)
+      .filter(_.startsWith("__shard="))
+      .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
+      .toMap
+    rewritten.values.foreach(d => Layout.writeStatsSidecar(spark, d, clusterCols))
+    val mergedShards = m.shards.filter { case (k, _) =>
+      !rewritten.contains(k) } ++ rewritten
+    writeManifest(spark, dir, Manifest(next, m.nShards, m.salt, mergedShards))
+    writeRetireLog(spark, dir, next,
+      m.shards.view.filterKeys(rewritten.contains).values.toSeq,
+      s"manifest-v${m.version}")
+  }
+
+  /** Footer-stat pruned read over a sharded snapshot (after
+    * [[optimizeSharded]]): file selection across every live shard dir
+    * from each shard's stats sidecar / parquet footers — a SUPERSET of
+    * the rows matching `bands` (re-apply the exact filter), same
+    * contract as [[Layout.readPruned]]. */
+  def readShardedPruned(spark: SparkSession, dir: String,
+      bands: Seq[Layout.Band]): DataFrame = {
+    val m = readManifest(spark, dir)
+    val dirs = m.shards.toSeq.sortBy(_._1).map(_._2)
+    val selected = dirs.flatMap(d => Layout.prunedFilesInDir(spark, d, bands)._1)
+    if (selected.isEmpty)
+      spark.read.parquet(s"${norm(dir)}/schema").limit(0)
+    else spark.read.parquet(selected: _*)
+  }
+
+  /** Reaps snapshot state nothing can reach anymore, behind a
+    * retention window:
+    *
+    *  - RETIRED shard dirs + manifests (logged by [[upsertSharded]] /
+    *    [[optimizeSharded]] at supersession time): deleted once their
+    *    retire-log entry is older than `minAgeMs` — measured from the
+    *    SUPERSESSION instant (the log file's mtime), so "readers get at
+    *    least `minAgeMs` to finish a scan of the old version" holds
+    *    regardless of when the data was originally written.
+    *  - ORPHANS (delta dirs a crashed upsert half-wrote before its
+    *    pointer swap — reachable by no manifest, logged by no retire
+    *    entry): deleted once their newest mtime is older than
+    *    `minAgeMs`.
+    *
+    * Liveness is decided on QUALIFIED paths (`fs.makeQualified`) — a
+    * caller spelling `dir` differently than at write time (trailing
+    * slash, `file:` scheme, a moved snapshot read via relative
+    * manifests) can never make a live dir look dead. The current
+    * manifest and its shard dirs are never touched. Default
+    * `minAgeMs = 0` reaps everything superseded — the spec/CI setting;
+    * production callers pass a window comfortably above their longest
+    * query (the Delta VACUUM posture). */
+  def vacuumSharded(spark: SparkSession, dir: String,
+      minAgeMs: Long = 0L): Int = {
+    require(minAgeMs >= 0, s"minAgeMs=$minAgeMs must be >= 0")
+    val m = readManifest(spark, dir)
     val f = IndexFs.fs(spark, dir)
+    def qual(p: String): String =
+      f.makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val live = m.shards.values.map(qual).toSet
+    val curManifest = s"manifest-v${m.version}"
     var reaped = 0
+
+    // phase 1: expired retire logs — delete what they name, then them
+    val rDir = new org.apache.hadoop.fs.Path(retiredDir(dir))
+    val protectedPaths = scala.collection.mutable.Set.empty[String]
+    val protectedManifests = scala.collection.mutable.Set.empty[String]
+    if (f.exists(rDir)) {
+      f.listStatus(rDir).filter(_.isFile).sortBy(_.getPath.getName).foreach { st =>
+        val entries = IndexFs.readSmallFile(f, st.getPath)
+          .split("\n").map(_.trim).filter(_.nonEmpty)
+        if (st.getModificationTime <= cutoff) {
+          entries.foreach { e =>
+            if (e.startsWith("manifest-v")) {
+              if (e != curManifest) {
+                val mp = new org.apache.hadoop.fs.Path(s"${norm(dir)}/$e")
+                if (f.exists(mp)) { f.delete(mp, false); reaped += 1 }
+              }
+            } else {
+              val p = resolveShardPath(dir, e)
+              if (!live.contains(qual(p)) && IndexFs.exists(spark, p)) {
+                IndexFs.deleteRecursively(spark, p); reaped += 1
+              }
+            }
+          }
+          f.delete(st.getPath, false)
+        } else {
+          // still inside the window: everything it names stays
+          entries.foreach { e =>
+            if (e.startsWith("manifest-v")) protectedManifests += e
+            else protectedPaths += qual(resolveShardPath(dir, e))
+          }
+        }
+      }
+    }
+
+    // phase 2: orphans — unreachable, unlogged, past the window
     IndexFs.listDirNames(spark, dir).filter(_.startsWith("shards-v")).foreach { v =>
-      val vDir = s"$dir/$v"
+      val vDir = s"${norm(dir)}/$v"
       IndexFs.listDirNames(spark, vDir).filter(_.startsWith("__shard=")).foreach { s =>
         val p = s"$vDir/$s"
-        if (!live.contains(p)) { IndexFs.deleteRecursively(spark, p); reaped += 1 }
+        val q = qual(p)
+        if (!live.contains(q) && !protectedPaths.contains(q) &&
+            IndexFs.newestMtime(spark, p) <= cutoff) {
+          IndexFs.deleteRecursively(spark, p); reaped += 1
+        }
       }
-      // a version dir with no live shards left is a husk (only write
+      // a version dir with no shard children left is a husk (only write
       // markers like _SUCCESS remain) — drop it whole
       if (IndexFs.listDirNames(spark, vDir)
-          .count(_.startsWith("__shard=")) == 0) {
+          .count(_.startsWith("__shard=")) == 0 &&
+          IndexFs.newestMtime(spark, vDir) <= cutoff) {
         IndexFs.deleteRecursively(spark, vDir)
       }
     }
-    val curName = s"manifest-v${m.version}"
-    f.listStatus(new org.apache.hadoop.fs.Path(dir))
+
+    // phase 3: superseded manifest FILES past the window (pre-retire-log
+    // leftovers and crash debris); the current one and any named by an
+    // unexpired retire log stay
+    f.listStatus(new org.apache.hadoop.fs.Path(norm(dir)))
       .filter(st => st.isFile && st.getPath.getName.startsWith("manifest-v")
-        && st.getPath.getName != curName)
+        && st.getPath.getName != curManifest
+        && !protectedManifests.contains(st.getPath.getName)
+        && st.getModificationTime <= cutoff)
       .foreach { st => f.delete(st.getPath, false); reaped += 1 }
     reaped
   }

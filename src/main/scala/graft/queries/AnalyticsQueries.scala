@@ -132,26 +132,41 @@ object AnalyticsQueries {
     val path = SnapshotPaths.dirFor("zorder_layout", dir, s)
     graft.operators.Layout.writeZOrdered(
       events, Seq("user_id", "ts"), path, numFiles = 8)
-    s.read.parquet(path)
+    // read through the publish pointer: on marker-protocol deployments
+    // the data lives at path.vN and the plain dir does not exist
+    s.read.parquet(graft.operators.IndexFs.resolveDir(s, path))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("value"), col("props"))
       .orderBy(col("event_id"))
   }
 
-  /** Footer-stat file skipping under the hard gate: the z-ordered
+  /** Stats-based file skipping under the hard gate: the z-ordered
     * snapshot is read back through [[graft.operators.Layout.readPruned]]
-    * — file selection from parquet FOOTER min/max alone (no data pages)
-    * — with the exact band filter re-applied. The oracle filters the
-    * plain table, so a file wrongly pruned (lost rows) or the superset
-    * contract breaking in either direction fails the hash. At sf0.1
-    * the band covers ~0.5% of users: most of the 8 files never open. */
+    * — file selection from the write-time stats sidecar (one small
+    * read; parquet footers are the fallback) — under a TWO-dimensional
+    * band (user_id × ts), the conjunction a multi-dim clustered layout
+    * exists to serve, with the exact filters re-applied. The oracle
+    * filters the plain table, so a file wrongly pruned (lost rows) or
+    * the superset contract breaking in either direction fails the
+    * hash. At sf0.1 the band covers ~5% of users × a third of the time
+    * range: most of the 8 files never open (2-dim prunes at least as
+    * hard as either 1-dim — LayoutSpec asserts strictly harder on its
+    * fixture). */
   val zorderPrunedRead: Q = (s, dir) => {
+    import graft.operators.Layout
     val events = Scan.table(s, dir, "events")
     val path = SnapshotPaths.dirFor("zorder_pruned", dir, s)
-    graft.operators.Layout.writeZOrdered(
-      events, Seq("user_id", "ts"), path, numFiles = 8)
-    graft.operators.Layout.readPruned(s, path, "user_id", 3L, 9L)
+    Layout.writeZOrdered(events, Seq("user_id", "ts"), path, numFiles = 8)
+    val tsLo = java.time.Instant.parse("2024-01-08T00:00:00Z")
+    val tsHi = java.time.Instant.parse("2024-01-18T00:00:00Z")
+    Layout.readPruned(s, path, Seq(
+        Layout.Band("user_id", 3L, 9L),
+        // micros, inclusive band ending one tick before tsHi
+        Layout.Band("ts", tsLo.getEpochSecond * 1000000L,
+          tsHi.getEpochSecond * 1000000L - 1L)))
       .filter(col("user_id").between(3L, 9L))
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-18 00:00:00").cast("timestamp"))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("value"), col("props"))
       .orderBy(col("event_id"))
@@ -189,7 +204,7 @@ object AnalyticsQueries {
     val path = SnapshotPaths.dirFor("hilbert_layout", dir, s)
     graft.operators.Layout.writeZOrdered(
       events, Seq("user_id", "ts"), path, numFiles = 8, curve = "hilbert")
-    s.read.parquet(path)
+    s.read.parquet(graft.operators.IndexFs.resolveDir(s, path))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("value"), col("props"))
       .orderBy(col("event_id"))
@@ -213,10 +228,14 @@ object AnalyticsQueries {
     "q_zorder_layout" ->
       """SELECT event_id, user_id, ts, event_type, value, props
          FROM events ORDER BY event_id""",
-    // footer-pruned read + exact filter ≡ filtering the plain table
+    // sidecar/footer-pruned read + exact 2-dim filter ≡ filtering the
+    // plain table on the same conjunction
     "q_zorder_pruned_read" ->
       """SELECT event_id, user_id, ts, event_type, value, props
-         FROM events WHERE user_id BETWEEN 3 AND 9 ORDER BY event_id""",
+         FROM events WHERE user_id BETWEEN 3 AND 9
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-18 00:00:00'
+         ORDER BY event_id""",
     // clustered-write + unclustered-append + optimize ≡ the plain table
     "q_zorder_optimize" ->
       """SELECT event_id, user_id, ts, event_type, value, props

@@ -321,6 +321,67 @@ object ParityQueries {
           sum(col("AnnualRevenue")), 4).as("sum_revenue"))
   }
 
+  /** Fixed path the q_sim_source_agg_avg oracle reads back. */
+  val simAvgSnapshotDir = "/tmp/graft_sim_avg_snapshot"
+
+  /** COMPLETE aggregate pushdown — AVG + multi-column GROUP BY — under
+    * the hard gate: with `partitions=1` the scan's per-group rows are
+    * FINAL (one reader runs ONE aggregate SOQL over the whole object —
+    * the reference's one-call extract shape, `extract.py:66-101`), so
+    * the connector advertises `supportCompletePushDown`, Spark plans NO
+    * merge at all, and AVG — refused in partial mode because averages
+    * of averages lose the weights — pushes natively as SOQL
+    * `AVG(field)`. DuckDB re-aggregates the dumped org bytes; plan
+    * engagement (PushedAggregates carries AVG, no Spark-side final
+    * aggregate) is spec-asserted in SalesforceSimSourceSpec. */
+  val simSourceAggAvg: Q = (s, _) => {
+    def remote = s.read.format("graft.sources.v2.SalesforceSimSource")
+      .option("object", "Account").option("rows", "20000")
+      .option("partitions", "1").load()
+    remote.coalesce(1).write.mode("overwrite").parquet(simAvgSnapshotDir)
+    remote.groupBy(col("BillingState"), col("Industry"))
+      .agg(count(lit(1)).as("records"),
+        graft.functions.GraftFunctions.roundPortable(
+          avg(col("AnnualRevenue")), 4).as("avg_revenue"),
+        graft.functions.GraftFunctions.roundPortable(
+          sum(col("AnnualRevenue")), 4).as("sum_revenue"))
+      .orderBy(col("BillingState"), col("Industry"))
+  }
+
+  // --- OPTIMIZE over the SHARDED snapshot: the clustered-layout reset
+  // composed with the manifest store — after the same create+merge as
+  // q_merge_upsert_sharded (own path), optimizeSharded re-clusters
+  // every shard on (o_custkey, o_orderkey) and the result is read back
+  // through the stats-pruned path with a band on o_custkey + the exact
+  // filter re-applied. The oracle filters the merged content directly:
+  // a row lost by the re-cluster, a file wrongly pruned, or a torn
+  // manifest swap fails the hash. vacuumSharded runs FIRST (reaping
+  // previous iterations' retire-logged dirs — never the live ones), so
+  // the windowed vacuum sits on the measured path too. ---
+  val mergeOptimizeSharded: Q = (s, dir) => {
+    import graft.operators.{Layout, SnapshotMerge}
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val path = SnapshotPaths.dirFor("merge_optimize_sharded", dir, s)
+    if (!SnapshotMerge.existsSharded(s, path)) {
+      SnapshotMerge.createSharded(
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+        nShards = 8, path)
+    } else SnapshotMerge.vacuumSharded(s, path)
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+    SnapshotMerge.upsertSharded(batch, Seq("o_orderkey"), path,
+      deleteCol = Some("is_deleted"))
+    SnapshotMerge.optimizeSharded(s, path, Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderkey"), filesPerShard = 2)
+    SnapshotMerge.readShardedPruned(s, path,
+        Seq(Layout.Band("o_custkey", 100L, 500L)))
+      .filter(col("o_custkey").between(100L, 500L))
+      .orderBy(col("o_orderkey"))
+  }
+
   // --- §2.12 end-to-end: the reference's primary entry point
   //     (flows/sf_etl_orchestrator_flow.py:85-250) under the hard gate.
   //     Runs the FULL orchestrated DAG (extract → process/load + parallel
@@ -354,6 +415,7 @@ object ParityQueries {
   val queries: ListMap[String, Q] = ListMap(
     "q_sim_source_pipeline" -> simSourcePipeline,
     "q_sim_source_agg_pushdown" -> simSourceAggPushdown,
+    "q_sim_source_agg_avg" -> simSourceAggAvg,
     "q_orchestrator_e2e" -> orchestratorE2E,
     "q_tolerant_cast" -> tolerantCast,
     "q_schema_gate_report" -> schemaGateReport,
@@ -369,6 +431,7 @@ object ParityQueries {
     "q_dedup_keep_last" -> dedupKeepLast,
     "q_merge_upsert" -> mergeUpsert,
     "q_merge_upsert_sharded" -> mergeUpsertSharded,
+    "q_merge_optimize_sharded" -> mergeOptimizeSharded,
     "q_stream_merge_upsert" -> streamMergeUpsert,
     "q_topk_order_priority" -> topkOrderPriority,
     "q_top_orders_by_price" -> topOrdersByPrice,
@@ -415,6 +478,15 @@ object ParityQueries {
           ${r4("SUM(AnnualRevenue)")} AS sum_revenue
           FROM read_parquet('$simAggSnapshotDir/*.parquet')
           WHERE BillingState = 'alpha'""",
+    // COMPLETE pushdown (partitions=1): the connector's per-group rows
+    // are the final answer — DuckDB re-aggregates the dumped bytes
+    "q_sim_source_agg_avg" ->
+      s"""SELECT BillingState, Industry, COUNT(*) AS records,
+          ${r4("AVG(AnnualRevenue)")} AS avg_revenue,
+          ${r4("SUM(AnnualRevenue)")} AS sum_revenue
+          FROM read_parquet('$simAvgSnapshotDir/*.parquet')
+          GROUP BY BillingState, Industry
+          ORDER BY BillingState, Industry""",
     "q_tolerant_cast" ->
       s"""SELECT o_orderpriority,
           COUNT(*) AS records,
@@ -507,6 +579,24 @@ object ParityQueries {
     // and through the STREAMING loop: micro-batched arrival of the
     // same (key-disjoint) batch must reach the same fixed point
     "q_stream_merge_upsert" -> mergeUpsertSql,
+    // OPTIMIZE + pruned read: the merged content filtered to the band —
+    // re-clustering and stats-based file skipping must be invisible to
+    // the result
+    "q_merge_optimize_sharded" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 2 = 0),
+              upd AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                             o_totalprice + 1000.0 AS o_totalprice,
+                             (o_orderkey % 9 = 0) AS del
+                      FROM orders WHERE o_orderkey % 3 = 0),
+              merged AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM snap
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM upd WHERE NOT del)
+         SELECT * FROM merged WHERE o_custkey BETWEEN 100 AND 500
+         ORDER BY o_orderkey""",
     "q_topk_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt
          FROM orders GROUP BY o_orderpriority

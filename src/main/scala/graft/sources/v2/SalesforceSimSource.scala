@@ -110,9 +110,14 @@ class SimTable(spec: ObjectSpec, rows: Long, partitions: Int,
 }
 
 /** One pushed-down aggregate: `fn` ∈ count_star | count | min | max |
-  * sum, `col` the referenced field (None for count_star). `soql` is the
-  * SOQL aggregate expression the live wire would run — Salesforce SOQL
-  * supports exactly these (`SELECT COUNT(Id), MIN(Amount) FROM …`). */
+  * sum | avg, `col` the referenced field (None for count_star). `soql`
+  * is the SOQL aggregate expression the live wire would run —
+  * Salesforce SOQL supports exactly these (`SELECT COUNT(Id),
+  * MIN(Amount), AVG(Amount) FROM …`). `avg` is COMPLETE-pushdown-only:
+  * per-partition AVG partials are not mergeable (averaging averages
+  * loses the weights), so it is offered only when the scan is a single
+  * partition and its answer is final — see
+  * [[SimScanBuilder.supportCompletePushDown]]. */
 private[v2] final case class PushedAgg(fn: String, col: Option[String]) {
   def soql: String = fn match {
     case "count_star" => "COUNT()"
@@ -162,20 +167,34 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
   // ≙ LIMIT n (extract.py:32)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
-  // ≙ SELECT [g1,] COUNT()/MIN/MAX/SUM(...) [GROUP BY g1] — SOQL
-  // aggregate queries: the remote end returns per-group aggregate rows
-  // per partition range instead of shipping every record over the
+  // ≙ SELECT [g1,] COUNT()/MIN/MAX/SUM/AVG(...) [GROUP BY g1, g2] —
+  // SOQL aggregate queries: the remote end returns per-group aggregate
+  // rows per partition range instead of shipping every record over the
   // wire, the difference between a row-count-sized extract and a
-  // group-count-sized one. PARTIAL pushdown (supportCompletePushDown
-  // stays false): each partition emits its partials (per group,
-  // post-filter) and Spark plans the final merge — the parallel
-  // fan-out is preserved and groups split across partitions re-merge.
-  // GROUP BY columns must be plain field references; min/max/sum only
-  // on numeric (double) fields, where the generator's cell semantics
+  // group-count-sized one. Two modes, Spark picks via
+  // [[supportCompletePushDown]]:
+  //  - PARTIAL (the default, any partition count): each partition
+  //    emits its partials (per group, post-filter) and Spark plans the
+  //    final merge — the parallel fan-out is preserved and groups
+  //    split across partitions re-merge. AVG is NOT accepted here:
+  //    per-range AVG responses cannot be re-merged without the weights
+  //    (Spark itself refuses Avg in partial mode and re-plans avg as
+  //    sum+count, which this connector does accept — so partial-mode
+  //    avg still pushes, as its two mergeable halves).
+  //  - COMPLETE (single-partition scans only — `partitions=1`, the
+  //    reference's own one-SOQL-call extract shape): one reader runs
+  //    ONE aggregate SOQL over the whole object and its per-group rows
+  //    ARE the final answer; Spark plans no merge at all. Here AVG is
+  //    accepted directly (`AVG(field)`, which SOQL serves natively).
+  // GROUP BY columns must be plain field references (multi-column
+  // GROUP BY accepted — SOQL allows it); min/max/sum/avg only on
+  // numeric (double) fields, where the generator's cell semantics
   // match SOQL's null-skipping aggregates. DISTINCT aggregates are
-  // declined (not partial-mergeable remotely).
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+  // declined (not mergeable remotely, and SOQL COUNT_DISTINCT has no
+  // per-range merge either).
+  private def compileAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      allowAvg: Boolean): Option[(Seq[PushedAgg], Seq[String])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -187,7 +206,7 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
       SalesforceSim.schemaFor(spec).fields
         .exists(f => f.name == n && f.dataType == DoubleType)
     val groups: Seq[Option[String]] = agg.groupByExpressions.toSeq.map(ref)
-    if (groups.exists(_.isEmpty)) return false
+    if (groups.exists(_.isEmpty)) return None
     val compiled: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(PushedAgg("count_star", None))
       case c: Count if !c.isDistinct =>
@@ -198,15 +217,31 @@ class SimScanBuilder(spec: ObjectSpec, rows: Long, partitions: Int,
         ref(m.column).filter(numeric).map(n => PushedAgg("max", Some(n)))
       case s: Sum if !s.isDistinct =>
         ref(s.column).filter(numeric).map(n => PushedAgg("sum", Some(n)))
+      case a: Avg if allowAvg && !a.isDistinct =>
+        ref(a.column).filter(numeric).map(n => PushedAgg("avg", Some(n)))
       case _ => None
     }
-    if (compiled.isEmpty || compiled.exists(_.isEmpty)) false
-    else {
-      pushedAggs = Some(compiled.flatten)
-      pushedGroupBy = groups.flatten
-      true
-    }
+    if (compiled.isEmpty || compiled.exists(_.isEmpty)) None
+    else Some((compiled.flatten, groups.flatten))
   }
+
+  /** Complete pushdown — scan output is final, no Spark-side merge —
+    * is sound ONLY when one reader sees the whole object: a
+    * single-partition scan. That is exactly the reference's extract
+    * shape (one SOQL call, `extract.py:66-101`). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    partitions == 1 && compileAggregation(agg, allowAvg = true).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    compileAggregation(agg, allowAvg = partitions == 1) match {
+      case Some((aggs, groups)) =>
+        pushedAggs = Some(aggs)
+        pushedGroupBy = groups
+        true
+      case None => false
+    }
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) =>
@@ -453,11 +488,15 @@ class SimAggReader(
               val v = r(fetchIndex(a.col.get))
               if (v != null) {
                 val d = v.asInstanceOf[Double]
-                if (!acc.seen(i)) { acc.doubles(i) = d; acc.seen(i) = true }
+                if (!acc.seen(i)) {
+                  acc.doubles(i) = d; acc.seen(i) = true
+                  if (a.fn == "avg") acc.counts(i) = 1
+                }
                 else a.fn match {
                   case "min" => if (d < acc.doubles(i)) acc.doubles(i) = d
                   case "max" => if (d > acc.doubles(i)) acc.doubles(i) = d
                   case "sum" => acc.doubles(i) += d
+                  case "avg" => acc.doubles(i) += d; acc.counts(i) += 1
                 }
               }
           }
@@ -469,6 +508,11 @@ class SimAggReader(
       val aggVals = aggs.zipWithIndex.map { case (a, i) =>
         a.fn match {
           case "count_star" | "count" => java.lang.Long.valueOf(acc.counts(i))
+          case "avg" =>
+            // SOQL AVG skips nulls; all-null → null (SQL semantics)
+            if (acc.seen(i))
+              java.lang.Double.valueOf(acc.doubles(i) / acc.counts(i))
+            else null
           case _ =>
             if (acc.seen(i)) java.lang.Double.valueOf(acc.doubles(i)) else null
         }

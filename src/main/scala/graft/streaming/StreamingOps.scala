@@ -326,18 +326,29 @@ object StreamingOps {
     * `sharded = true` merges through the manifest layout
     * ([[graft.operators.SnapshotMerge.upsertSharded]] — the snapshot
     * must have been `createSharded` first): the steady-state 100 TB
-    * shape, each micro-batch rewriting only the shards it touches. */
+    * shape, each micro-batch rewriting only the shards it touches.
+    *
+    * `streamName` namespaces the commit tags
+    * (`stream_<name>_batch_<id>`) — batch ids alone are NOT a stream
+    * identity: a second stream merging into the same snapshot, or a
+    * wiped-and-recreated checkpoint (batch ids restart at 0), would
+    * silently skip every batch whose bare id collides with a
+    * previously committed one. Two streams feeding one snapshot MUST
+    * use distinct names; re-creating a checkpoint from scratch for the
+    * same logical stream means its already-committed prefix is
+    * deliberately skipped — pick a NEW name to replay from zero. */
   def mergeStream(updates: DataFrame, snapshotDir: String,
       keyCols: Seq[String], checkpointDir: String,
       deleteCol: Option[String] = None,
       updateOrder: Option[Seq[org.apache.spark.sql.Column]] = None,
       sharded: Boolean = false,
+      streamName: String = "default",
       trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyMergeBatch(batch.toDF(), batchId, snapshotDir, keyCols,
-          deleteCol, updateOrder, sharded)
+          deleteCol, updateOrder, sharded, streamName)
         ()
       }
       .trigger(trigger)
@@ -349,9 +360,9 @@ object StreamingOps {
   private[graft] def applyMergeBatch(batchDf: DataFrame, batchId: Long,
       snapshotDir: String, keyCols: Seq[String], deleteCol: Option[String],
       updateOrder: Option[Seq[org.apache.spark.sql.Column]],
-      sharded: Boolean): Unit =
+      sharded: Boolean, streamName: String = "default"): Unit =
     graft.GraftSession.releasingScratch(batchDf.sparkSession) {
-      val tag = s"batch_$batchId"
+      val tag = s"stream_${streamName}_batch_$batchId"
       if (sharded)
         graft.operators.SnapshotMerge.upsertSharded(batchDf, keyCols,
           snapshotDir, deleteCol, updateOrder, commitTag = Some(tag))

@@ -273,6 +273,88 @@ class LayoutSpec extends SparkSpec {
       IndexFs.resolveDir(spark, s"$dir/z")).count() == before)
   }
 
+  test("stats sidecar: written at write time, answers ≡ footers exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zside").toString
+    Layout.writeZOrdered(events, Seq("user_id", "ts"), s"$dir/z", numFiles = 16)
+    val side = new java.io.File(s"$dir/z/${Layout.SidecarName}")
+    assert(side.exists, "writeZOrdered must persist the stats sidecar")
+    val bands = Seq(Layout.Band("user_id", 3L, 5L))
+    val (viaSidecar, total) = Layout.prunedFiles(spark, s"$dir/z", bands)
+    assert(viaSidecar.nonEmpty && viaSidecar.length < total)
+    // the footer path must give the IDENTICAL selection: the sidecar is
+    // a cache of the footers, never a different answer
+    assert(side.delete())
+    val (viaFooters, total2) = Layout.prunedFiles(spark, s"$dir/z", bands)
+    assert(total2 == total)
+    assert(viaSidecar.toSet == viaFooters.toSet,
+      s"sidecar selected ${viaSidecar.length}, footers ${viaFooters.length}")
+    // a band column the sidecar does not cover → clean footer fallback
+    Layout.writeZOrdered(events, Seq("user_id"), s"$dir/u", numFiles = 8)
+    val (selUncovered, t3) = Layout.prunedFiles(spark, s"$dir/u",
+      Seq(Layout.Band("event_id", 0L, 10L)))
+    assert(selUncovered.length <= t3) // no crash; footer answer
+  }
+
+  test("2-dim band: conjunction prunes harder than either dimension alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_z2d").toString
+    // uniform 32×32 grid → 16 z-ordered files ≈ a 4×4 block grid
+    val grid = spark.range(1024)
+      .select((col("id") / 32).cast("long").as("x"),
+        (col("id") % 32).cast("long").as("y"))
+    Layout.writeZOrdered(grid, Seq("x", "y"), s"$dir/g", numFiles = 16)
+    val bx = Layout.Band("x", 0L, 7L)
+    val by = Layout.Band("y", 0L, 7L)
+    val selX = Layout.prunedFiles(spark, s"$dir/g", Seq(bx))._1
+    val selY = Layout.prunedFiles(spark, s"$dir/g", Seq(by))._1
+    val selXY = Layout.prunedFiles(spark, s"$dir/g", Seq(bx, by))._1
+    assert(selX.length < 16 && selY.length < 16, "fixture vacuous")
+    assert(selXY.length < selX.length && selXY.length < selY.length,
+      s"2-dim must out-prune 1-dim: xy=${selXY.length} x=${selX.length} y=${selY.length}")
+    // and the conjunction read is still a lossless superset
+    val pruned = Layout.readPruned(spark, s"$dir/g", Seq(bx, by))
+      .filter(col("x").between(0, 7) && col("y").between(0, 7))
+    val full = spark.read.parquet(s"$dir/g")
+      .filter(col("x").between(0, 7) && col("y").between(0, 7))
+    assert(pruned.exceptAll(full).count() == 0)
+    assert(full.exceptAll(pruned).count() == 0)
+    assert(full.count() == 64)
+  }
+
+  test("timestamp dimension prunes (INT64 micros stats, not INT96)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zts").toString
+    Layout.writeZOrdered(events, Seq("ts"), s"$dir/t", numFiles = 8)
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-13T00:00:00Z")
+    val band = Layout.Band("ts",
+      lo.getEpochSecond * 1000000L, hi.getEpochSecond * 1000000L - 1L)
+    val (sel, total) = Layout.prunedFiles(spark, s"$dir/t", Seq(band))
+    assert(sel.nonEmpty && sel.length < total,
+      s"timestamp stats must prune: ${sel.length}/$total — INT96 regression?")
+    val cond = col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-13 00:00:00").cast("timestamp")
+    val pruned = Layout.readPruned(spark, s"$dir/t", Seq(band)).filter(cond)
+    val full = spark.read.parquet(s"$dir/t").filter(cond)
+    assert(pruned.exceptAll(full).count() == 0)
+    assert(full.exceptAll(pruned).count() == 0)
+    assert(full.count() > 0, "fixture vacuous: no rows in the time band")
+  }
+
+  test("appended files have no sidecar entry and are footer-read, never lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsideapp").toString
+    val evens = events.filter(col("event_id") % 2 === 0)
+    val odds = events.filter(col("event_id") % 2 === 1)
+    Layout.writeZOrdered(evens, Seq("user_id", "ts"), s"$dir/z", numFiles = 8)
+    Layout.appendUnclustered(odds, s"$dir/z") // sidecar now stale (no entries)
+    val bands = Seq(Layout.Band("user_id", 3L, 5L))
+    val pruned = Layout.readPruned(spark, s"$dir/z", bands)
+      .filter(col("user_id").between(3, 5))
+    val full = spark.read.parquet(s"$dir/z").filter(col("user_id").between(3, 5))
+    assert(pruned.exceptAll(full).count() == 0)
+    assert(full.exceptAll(pruned).count() == 0)
+    // odd rows in the band came only from appended files
+    assert(pruned.filter(col("event_id") % 2 === 1).count() > 0)
+  }
+
   test("DateType dimensions range-rank (via epoch days, not an illegal cast)") {
     val df = events.withColumn("day", to_date(col("ts")))
     // a bare DATE→DOUBLE cast is not a legal Spark cast — the rank and

@@ -164,6 +164,161 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(SnapshotMerge.readSharded(spark, dir).count() == 0)
   }
 
+  test("null-keyed rows REPLACE, never duplicate (null-safe key equality)") {
+    val dir = tmp()
+    val withNull = Seq((Some(1L), "a", 10.0), (None, "nullkey", 20.0))
+      .toDF("id", "name", "score")
+    SnapshotMerge.upsert(withNull, Seq("id"), dir)
+    // upsert the null key again with a new payload: one row, new value
+    val update = Seq((Option.empty[Long], "nullkey2", 21.0))
+      .toDF("id", "name", "score")
+    SnapshotMerge.upsert(update, Seq("id"), dir)
+    val got = SnapshotMerge.read(spark, dir)
+    assert(got.count() == 2, "null-keyed row duplicated instead of replaced")
+    assert(got.filter(col("id").isNull).select("name").as[String].head() == "nullkey2")
+    // and a null-keyed DELETE removes it
+    SnapshotMerge.upsert(
+      Seq((Option.empty[Long], "x", 0.0, true)).toDF("id", "name", "score", "del"),
+      Seq("id"), dir, deleteCol = Some("del"))
+    assert(SnapshotMerge.read(spark, dir).filter(col("id").isNull).count() == 0)
+    // sharded path: same contract (shardExpr routes nulls deterministically)
+    val sDir = tmp()
+    SnapshotMerge.createSharded(withNull, Seq("id"), 4, sDir)
+    SnapshotMerge.upsertSharded(update, Seq("id"), sDir)
+    val gotS = SnapshotMerge.readSharded(spark, sDir)
+    assert(gotS.count() == 2)
+    assert(gotS.filter(col("id").isNull).select("name").as[String].head() == "nullkey2")
+  }
+
+  test("broadcastKeys=false: backfill regime shuffles instead of broadcasting") {
+    val current = spark.range(0, 1000)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    val keys = spark.range(0, 1000, 2).select(col("id"))
+    def planOf(broadcastKeys: Boolean): String =
+      SnapshotMerge.survivorAntiJoin(current, keys, Seq("id"), broadcastKeys)
+        .queryExecution.executedPlan.toString
+    assert(planOf(true).contains("BroadcastHashJoin"),
+      "CDC default must broadcast the key set")
+    // without the hint AND below the auto-broadcast size cutoff the
+    // planner may still pick broadcast on its own (fine in practice);
+    // the flag's contract is that it never FORCES one — assert with
+    // auto-broadcast off, the backfill regime where the flag matters
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    val shuffled = try { spark.conf.set(thresholdKey, "-1"); planOf(false) }
+    finally spark.conf.set(thresholdKey, saved)
+    assert(!shuffled.contains("BroadcastHashJoin") &&
+      !shuffled.contains("BroadcastExchange"),
+      s"broadcastKeys=false must not broadcast:\n$shuffled")
+    // end-to-end: both regimes reach the identical snapshot (sharded too)
+    val a = tmp(); val b = tmp()
+    val big = spark.range(0, 300)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    val batch = spark.range(0, 300, 3)
+      .select(col("id"), lit("upd").as("name"))
+    SnapshotMerge.upsert(big, Seq("id"), a)
+    SnapshotMerge.upsert(batch, Seq("id"), a, broadcastKeys = false)
+    SnapshotMerge.createSharded(big, Seq("id"), 8, b)
+    SnapshotMerge.upsertSharded(batch, Seq("id"), b, broadcastKeys = false)
+    val fa = SnapshotMerge.read(spark, a)
+    val fb = SnapshotMerge.readSharded(spark, b)
+    assert(fa.exceptAll(fb).count() == 0 && fb.exceptAll(fa).count() == 0)
+  }
+
+  test("a reader on the old manifest survives a concurrent upsert (deferred retire)") {
+    val dir = tmp()
+    val big = spark.range(0, 400)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    SnapshotMerge.createSharded(big, Seq("id"), 8, dir)
+    // the long-running reader: resolves the CURRENT manifest now…
+    val oldReader = SnapshotMerge.readSharded(spark, dir)
+    // …then a merge supersedes every shard it touches
+    val batch = spark.range(0, 400, 5)
+      .select(col("id"), lit("upd").as("name"))
+    SnapshotMerge.upsertSharded(batch, Seq("id"), dir)
+    // the old scan still completes over the complete OLD snapshot —
+    // nothing it resolved was deleted at commit time
+    assert(oldReader.count() == 400)
+    assert(oldReader.filter(col("name") === "upd").count() == 0,
+      "old reader must see the old version, not a mix")
+    // a retention window keeps the superseded dirs through vacuum…
+    assert(SnapshotMerge.vacuumSharded(spark, dir, minAgeMs = 3600L * 1000) == 0)
+    assert(oldReader.count() == 400)
+    // …and an expired window reaps them (retire-log mtime, not write mtime)
+    assert(SnapshotMerge.vacuumSharded(spark, dir) > 0)
+    val after = SnapshotMerge.readSharded(spark, dir)
+    assert(after.filter(col("name") === "upd").count() == batch.count())
+    assert(after.count() == 400)
+  }
+
+  test("vacuum decides liveness on qualified paths — spelling never kills live dirs") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 4, dir)
+    SnapshotMerge.upsertSharded(
+      Seq((2L, "b2", 21.0)).toDF("id", "name", "score"), Seq("id"), dir)
+    // vacuum addressed with a trailing slash AND a file: scheme — both
+    // must resolve to the same snapshot and reap only the retirees
+    SnapshotMerge.vacuumSharded(spark, dir + "/")
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+    SnapshotMerge.upsertSharded(
+      Seq((3L, "c2", 31.0)).toDF("id", "name", "score"), Seq("id"), dir)
+    SnapshotMerge.vacuumSharded(spark, "file:" + dir)
+    val got = SnapshotMerge.readSharded(spark, dir).orderBy("id")
+      .select("name").as[String].collect().toSeq
+    assert(got == Seq("a", "b2", "c2"))
+  }
+
+  test("a moved snapshot keeps working (relative manifest paths)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_mv").toString
+    val a = s"$root/orig"; val b = s"$root/moved"
+    SnapshotMerge.createSharded(base, Seq("id"), 4, a)
+    SnapshotMerge.upsertSharded(
+      Seq((2L, "b2", 21.0)).toDF("id", "name", "score"), Seq("id"), a)
+    IndexFs.rename(spark, a, b)
+    assert(SnapshotMerge.readSharded(spark, b).count() == 3)
+    assert(SnapshotMerge.readSharded(spark, b)
+      .filter(col("id") === 2L).select("name").as[String].head() == "b2")
+    // and it stays writable + vacuumable at the new location
+    SnapshotMerge.upsertSharded(
+      Seq((4L, "d", 40.0)).toDF("id", "name", "score"), Seq("id"), b)
+    SnapshotMerge.vacuumSharded(spark, b)
+    assert(SnapshotMerge.readSharded(spark, b).count() == 4)
+  }
+
+  test("optimizeSharded: clustered shards, pruned read skips files, content intact") {
+    val dir = tmp()
+    val big = spark.range(0, 2000)
+      .select(col("id"), (col("id") % 100).as("cat"),
+        concat(lit("n"), col("id")).as("name"))
+    SnapshotMerge.createSharded(big, Seq("id"), 4, dir)
+    SnapshotMerge.optimizeSharded(spark, dir, Seq("id"), Seq("cat", "id"),
+      filesPerShard = 4)
+    // content preserved row-for-row
+    val back = SnapshotMerge.readSharded(spark, dir)
+    assert(back.exceptAll(big).count() == 0 && big.exceptAll(back).count() == 0)
+    // the pruned path reads fewer files than the snapshot holds
+    val m = SnapshotMerge.readManifest(spark, dir)
+    val allFiles = m.shards.values.toSeq.map { d =>
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    }.sum
+    val band = Seq(Layout.Band("cat", 0L, 9L))
+    val prunedFiles = m.shards.values.toSeq.map { d =>
+      Layout.prunedFilesInDir(spark, d, band)._1.length
+    }.sum
+    assert(prunedFiles < allFiles,
+      s"optimizeSharded must enable skipping: $prunedFiles/$allFiles files")
+    // and the pruned read + exact filter ≡ the full filter
+    val pruned = SnapshotMerge.readShardedPruned(spark, dir, band)
+      .filter(col("cat").between(0, 9))
+    val full = back.filter(col("cat").between(0, 9))
+    assert(pruned.exceptAll(full).count() == 0)
+    assert(full.exceptAll(pruned).count() == 0)
+    assert(full.count() == 200)
+    // superseded pre-optimize dirs retire through the windowed vacuum
+    assert(SnapshotMerge.vacuumSharded(spark, dir) > 0)
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 2000)
+  }
+
   test("marker protocol: version swap leaves a resolvable snapshot at every step") {
     val dir = tmp()
     spark.conf.set(IndexFs.CommitProtocolKey, "marker")

@@ -148,6 +148,55 @@ class SalesforceSimSourceSpec extends SparkSpec {
     }
   }
 
+  test("AVG pushes COMPLETELY on a single-partition scan; partial mode still correct") {
+    def read1(rows: Long) = spark.read
+      .format("graft.sources.v2.SalesforceSimSource")
+      .option("object", "Account").option("rows", rows.toString)
+      .option("partitions", "1").load()
+    val agg = read1(5000).groupBy(col("BillingState"), col("Industry"))
+      .agg(avg(col("AnnualRevenue")).as("a"), count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") && plan.contains("AVG(AnnualRevenue)"),
+      s"AVG not pushed on a 1-partition scan:\n$plan")
+    // COMPLETE pushdown: no Spark-side aggregate node remains — the
+    // scan's per-group rows ARE the final answer
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must plan no merge:\n$plan")
+    // correctness vs a Scala-side fold of the generated org
+    val rows = read1(5000).select("BillingState", "Industry", "AnnualRevenue")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val expected = rows.groupBy(_._1).map { case (k, vs) =>
+      val xs = vs.flatMap(_._2)
+      k -> (xs.sum / xs.length, vs.length.toLong)
+    }
+    val got = agg.collect().map(r =>
+      ((r.getString(0), r.getString(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (a, n)) =>
+      assert(got(k)._2 == n)
+      assert(math.abs(got(k)._1 - a) <= math.abs(a) * 1e-9, s"avg mismatch at $k")
+    }
+    // multi-partition: the connector refuses AVG (not partial-mergeable);
+    // Spark re-plans avg as sum+count — which DO push — and the answer
+    // is identical
+    val multi = spark.read.format("graft.sources.v2.SalesforceSimSource")
+      .option("object", "Account").option("rows", "5000")
+      .option("partitions", "4").load()
+      .groupBy(col("BillingState"), col("Industry"))
+      .agg(avg(col("AnnualRevenue")).as("a"), count(lit(1)).as("n"))
+    val mPlan = multi.queryExecution.executedPlan.toString
+    assert(!mPlan.contains("AVG(AnnualRevenue)"),
+      s"partial mode must not claim AVG:\n$mPlan")
+    val gotMulti = multi.collect().map(r =>
+      ((r.getString(0), r.getString(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    assert(gotMulti.keySet == expected.keySet)
+    expected.foreach { case (k, (a, n)) =>
+      assert(gotMulti(k)._2 == n)
+      assert(math.abs(gotMulti(k)._1 - a) <= math.abs(a) * 1e-9)
+    }
+  }
+
   test("distinct aggregates are NOT claimed — Spark keeps them, correctly") {
     val viaRaw = read("Account", rows = 2000).select("BillingState")
       .collect().groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap

@@ -467,4 +467,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     assert(a.count() == 100) // 100 base − 1 delete + 1 insert
   }
+
+  test("mergeStream: commit tags are namespaced per stream — no cross-stream skips") {
+    import spark.implicits._
+    val snap = java.nio.file.Files.createTempDirectory("cdc_two").toString
+    graft.operators.SnapshotMerge.upsert(
+      Seq((1L, "a")).toDF("id", "name"), Seq("id"), snap)
+    // two DISTINCT streams feed the same snapshot; both start at batch 0.
+    // Under bare batch_<id> tags stream B's batch 0 would read stream
+    // A's commit as its own and silently drop the batch.
+    StreamingOps.applyMergeBatch(Seq((2L, "fromA")).toDF("id", "name"),
+      0L, snap, Seq("id"), None, None, sharded = false, streamName = "a")
+    StreamingOps.applyMergeBatch(Seq((3L, "fromB")).toDF("id", "name"),
+      0L, snap, Seq("id"), None, None, sharded = false, streamName = "b")
+    val state = graft.operators.SnapshotMerge.read(spark, snap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "a", 2L -> "fromA", 3L -> "fromB"),
+      s"stream B's batch 0 was skipped: $state")
+    // replay WITHIN a stream still short-circuits
+    StreamingOps.applyMergeBatch(Seq((2L, "replayed")).toDF("id", "name"),
+      0L, snap, Seq("id"), None, None, sharded = false, streamName = "a")
+    assert(graft.operators.SnapshotMerge.read(spark, snap)
+      .filter(col("id") === 2L).select("name").as[String].head() == "fromA")
+  }
 }
