@@ -99,6 +99,20 @@ object Bench {
       .digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** One tiny KMeans fit (16 vectors, k=2, 1 iteration) — absorbs
+    * spark.ml's first-use class-load/codegen so it lands in warm-up,
+    * never in a measured query's run 1. Deterministic and
+    * data-independent, like the calibration bodies. */
+  def warmSparkMl(spark: SparkSession): Unit = {
+    val vecs = spark.range(0L, 16L)
+      .select(col("id").as("vec_id"),
+        array((0 until 4).map(i =>
+          pmod(col("id") + lit(i), lit(7)).cast("float")): _*).as("v"))
+    graft.operators.Similarity.kmeansCentroids(
+      vecs, "v", nCentroids = 2, maxIter = 1).count()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
@@ -122,6 +136,14 @@ object Bench {
     // exchange), so query 1's first interleaved sample isn't inflated.
     try { microCalibrationBody(spark)(); microCalibrationBody(spark)() }
     catch { case _: Throwable => }
+    // ... and spark.ml: the FIRST KMeans fit in a JVM pays class-load +
+    // codegen (~3.5 s measured at r14 — TimeProbe q_ann_ivf_topk run 1
+    // = 5.12 s vs steady 1.44 s), so without this a fitting query's min
+    // depends on whether an earlier sweep entry already fitted a model
+    // — sweep reordering between rounds moved the ivf rows for exactly
+    // this reason (the r13 "residual": steady-state min ≡ the fit-once
+    // q_ann_ivf_loaded path, 1.435 vs 1.412 s probed same-host).
+    try warmSparkMl(spark) catch { case _: Throwable => }
 
     // Each run fully materializes the query (count()) before
     // GraftSession.releasingScratch releases the blocks it persisted

@@ -230,20 +230,23 @@ object BenchHarness {
     * [[queriesLine]]). A reader reconstructs names by sorting the
     * round's correctness key set — the bench iterates
     * `SparkEntry.queries`, the same set, and `n_queries` cross-checks
-    * the arity. Values at 0.01 s — the artifact's real cross-round
-    * resolution; anything ≥ 1000 s rounds to whole seconds so the
+    * the arity. Values at 0.01 s below 10 s — the regime every real
+    * query lives in and the artifact's real cross-round resolution;
+    * coarser above (0.1 s to 100 s, whole seconds past that) so the
     * byte bound holds at any magnitude ([[tailWindowBudget]],
     * spec-rendered over the real key set at worst-case values). */
   def queriesCompactLine(stats: Seq[(String, QueryStat)],
       norms: Seq[(String, Option[Double])] = Seq.empty): String = {
     val normOf = norms.toMap
-    // adaptive precision keeps every value ≤ 6 chars: 0.01 s below
-    // 100 s (the real regime), 0.1 s below 1000 s, whole seconds above
-    // — precision a reader loses only at magnitudes where it carries
-    // no information, bytes the budget keeps at any magnitude
+    // adaptive precision keeps every sub-1000 value ≤ 4 chars: 0.01 s
+    // below 10 s (the real regime — nothing in the suite exceeds 9 s),
+    // 0.1 s below 100 s, whole seconds above — precision a reader
+    // loses only at magnitudes where the ±15% cross-round noise band
+    // already dwarfs it, bytes the budget keeps at 98+ queries
+    // (r14: the r13 rendering overflowed the tail window at 98)
     def rAdaptive(v: Double): String =
-      if (v < 100) "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      else if (v < 1000) "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      if (v < 10) "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      else if (v < 100) "%.1f".formatLocal(java.util.Locale.ROOT, v)
       else math.round(v).toString
     val vals = stats.sortBy(_._1).map { case (k, st) =>
       rAdaptive(normOf.getOrElse(k, None).getOrElse(st.headline))

@@ -293,6 +293,20 @@ private[graft] object IndexFs {
     if (!f.exists(ptr)) dir else dir + "." + readSmallFile(f, ptr)
   }
 
+  /** When set (milliseconds), marker-protocol [[publishRelation]] does
+    * NOT retire the superseded version dir inline: it stays on disk and
+    * [[vacuumPublished]] reaps versions older than the window — so a
+    * long-running reader that resolved the OLD pointer keeps a
+    * complete, scannable old version for at least this long after the
+    * publish that superseded it (the same commit-vs-retire split
+    * [[graft.operators.SnapshotMerge.vacuumSharded]] gives the sharded
+    * snapshot). Unset (the default): retire stays inline — single-
+    * reader/short-query deployments keep today's storage footprint. */
+  val PublishRetentionKey = "spark.graft.publishRetention.ms"
+
+  private def publishRetention(spark: SparkSession): Option[Long] =
+    spark.conf.getOption(PublishRetentionKey).map(_.toLong)
+
   /** Publish `df` as the new content of relation `dir` under the
     * selected protocol ([[CommitProtocolKey]]). Rename protocol: durable
     * write-then-swap (tmp sibling, two renames — a crash leaves old or
@@ -305,7 +319,9 @@ private[graft] object IndexFs {
     * complete new one; there is no missing-dir window at all (the
     * marker protocol is strictly stronger — it is the default only on
     * object stores because it leaves pointer files and doubles
-    * transient storage). */
+    * transient storage). With [[PublishRetentionKey]] set the retire is
+    * DEFERRED to [[vacuumPublished]] behind that window, protecting
+    * long-running readers of the old version too. */
   def publishRelation(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
     if (!useMarker(spark, dir)) {
@@ -326,9 +342,47 @@ private[graft] object IndexFs {
       val next = cur.getOrElse(0L) + 1
       df.write.mode("overwrite").parquet(s"$dir.v$next")
       atomicWriteSmallFile(spark, f, ptr, s"v$next") // the atomic commit
-      cur.foreach(k => deleteRecursively(spark, s"$dir.v$k"))
+      if (publishRetention(spark).isEmpty)
+        cur.foreach(k => deleteRecursively(spark, s"$dir.v$k"))
       if (cur.isEmpty) deleteRecursively(spark, dir) // pre-marker plain dir
     }
+  }
+
+  /** Reaps superseded marker-protocol versions of relation `dir` older
+    * than `minAgeMs` (defaults to [[PublishRetentionKey]], else 0 =
+    * everything superseded). Age is measured from each version dir's
+    * newest mtime — a version's last write necessarily PRECEDES the
+    * publish that superseded it, so the window a reader actually gets
+    * is at least `minAgeMs` minus the write duration; size the window
+    * accordingly (longest query + longest publish write). The CURRENT
+    * version is never touched. Returns dirs reaped. No-op under the
+    * rename protocol (no versioned dirs exist). */
+  def vacuumPublished(spark: SparkSession, dir: String,
+      minAgeMs: Option[Long] = None): Int = {
+    val f = fs(spark, dir)
+    val ptr = new HPath(dir + ".current")
+    if (!f.exists(ptr)) return 0
+    val curName = dir + "." + readSmallFile(f, ptr)
+    val p = new HPath(dir)
+    val parent = p.getParent
+    if (parent == null || !f.exists(parent)) return 0
+    val window = minAgeMs.orElse(publishRetention(spark)).getOrElse(0L)
+    val cutoff = System.currentTimeMillis() - window
+    // digits-only suffix: a sibling relation named e.g. `<name>.vectors`
+    // must never match
+    val versioned = java.util.regex.Pattern
+      .compile(java.util.regex.Pattern.quote(p.getName + ".v") + "\\d+")
+    var reaped = 0
+    f.listStatus(parent)
+      .filter(st => st.isDirectory
+        && versioned.matcher(st.getPath.getName).matches()
+        && st.getPath.toString != f.makeQualified(new HPath(curName)).toString)
+      .foreach { st =>
+        if (newestMtime(spark, st.getPath.toString) <= cutoff) {
+          deleteRecursively(spark, st.getPath.toString); reaped += 1
+        }
+      }
+    reaped
   }
 
   /** Replace a tiny control file (the publish pointer) with NO

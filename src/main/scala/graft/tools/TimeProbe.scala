@@ -26,6 +26,8 @@ object TimeProbe {
     // warm codegen/shuffle machinery like Bench does
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => }
+    // ... and spark.ml (first-fit class-load — see Bench.warmSparkMl)
+    try graft.Bench.warmSparkMl(spark) catch { case _: Throwable => }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to runs).map { _ =>

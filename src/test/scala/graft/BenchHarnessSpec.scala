@@ -215,11 +215,14 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(line.contains(""""order":"name-asc""""))
     assert(line.contains(""""see":"bench_out.json""""))
     assert(line.contains(""""n_queries":2"""))
-    // adaptive precision: ≥100 s at 0.1 s, ≥1000 s whole — ≤6 chars at
-    // any magnitude, which is what makes the window bound constructive
-    val mid = QueryStat(Vector(123.456), Vector.empty, Vector.empty)
+    // adaptive precision: ≥10 s at 0.1 s, ≥100 s whole — ≤4 chars for
+    // any sub-1000 value, which is what makes the window bound
+    // constructive at 98+ queries (r14 re-tightening)
+    val mid = QueryStat(Vector(12.345), Vector.empty, Vector.empty)
+    val hund = QueryStat(Vector(123.456), Vector.empty, Vector.empty)
     val big = QueryStat(Vector(12345.678), Vector.empty, Vector.empty)
-    assert(queriesCompactLine(Seq("q" -> mid)).contains("[123.5]"))
+    assert(queriesCompactLine(Seq("q" -> mid)).contains("[12.3]"))
+    assert(queriesCompactLine(Seq("q" -> hund)).contains("[123]"))
     assert(queriesCompactLine(Seq("q" -> big)).contains("[12346]"))
   }
 

@@ -196,6 +196,42 @@ class IndexFsSpec extends SparkSpec {
     }
   }
 
+  test("publish retention: deferred retire keeps old versions for readers; vacuumPublished reaps behind the window") {
+    import spark.implicits._
+    withMarkerProtocol {
+      val root = tmp("idxfs_retention")
+      val dir = s"$root/rel"
+      spark.conf.set(IndexFs.PublishRetentionKey, "3600000")
+      try {
+        IndexFs.publishRelation(Seq((1L, "a")).toDF("id", "v"), dir)
+        // the long-running reader resolves v1…
+        val oldResolved = IndexFs.resolveDir(spark, dir)
+        val oldReader = spark.read.parquet(oldResolved)
+        // …then a republish supersedes it WITHOUT deleting it
+        IndexFs.publishRelation(Seq((2L, "b")).toDF("id", "v"), dir)
+        assert(IndexFs.resolveDir(spark, dir) == s"$dir.v2")
+        assert(IndexFs.exists(spark, s"$dir.v1"),
+          "retention must defer the retire")
+        assert(oldReader.collect().map(_.getLong(0)).toSeq == Seq(1L))
+        // a sibling relation whose name shares the `<name>.v` prefix is
+        // never a vacuum candidate
+        IndexFs.publishRelation(Seq((9L, "z")).toDF("id", "v"), s"$dir.vectors")
+        // inside the window: nothing reaped
+        assert(IndexFs.vacuumPublished(spark, dir) == 0)
+        assert(IndexFs.exists(spark, s"$dir.v1"))
+        // expired window: v1 reaped, current + sibling untouched
+        assert(IndexFs.vacuumPublished(spark, dir, Some(0L)) == 1)
+        assert(!IndexFs.exists(spark, s"$dir.v1"))
+        assert(spark.read.parquet(IndexFs.resolveDir(spark, dir))
+          .collect().map(_.getLong(0)).toSeq == Seq(2L))
+        assert(IndexFs.exists(spark, IndexFs.resolveDir(spark, s"$dir.vectors")))
+      } finally spark.conf.unset(IndexFs.PublishRetentionKey)
+      // with the conf unset the inline retire is back (the default)
+      IndexFs.publishRelation(Seq((3L, "c")).toDF("id", "v"), dir)
+      assert(!IndexFs.exists(spark, s"$dir.v2"))
+    }
+  }
+
   test("stagedAppend marker protocol: the _OK marker IS the commit; crashed appends stay invisible and retry cleanly") {
     import spark.implicits._
     withMarkerProtocol {
