@@ -188,6 +188,12 @@ object GraftFunctions {
   def hilbert_index(ranks: Seq[Column], bits: Int): Column =
     c(HilbertIndex(ranks.map(e), bits))
 
+  /** Binary-search rank of `value` against an ascending boundary array
+    * (see [[BucketSearch]]) — the equi-depth bucket index of
+    * [[graft.operators.Layout]]'s `rankMode = "equidepth"`. */
+  def bucket_search(value: Column, boundaries: Column): Column =
+    c(BucketSearch(e(value), e(boundaries)))
+
   /** Registers the native expressions for SQL use
     * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`). */
   def register(spark: SparkSession): Unit = {

@@ -31,10 +31,17 @@ import graft.functions.GraftFunctions.{hilbert_index, z_interleave}
   *    hash-mode columns.
   *
   * Nulls rank as bucket 0 (they cluster together at the curve origin).
-  * Equi-width (not equi-depth) buckets are deliberate: ranks come from
-  * one min/max pass, no quantile sketch, and a skewed dimension costs
+  * Equi-width buckets are the default: ranks come from one min/max
+  * pass, no quantile sketch, and a mildly skewed dimension costs
   * resolution in ITS bits only — the interleave still separates the
-  * other dimensions. The write is one range exchange + per-file local
+  * other dimensions. For a HEAVILY skewed dimension (power-law ids,
+  * exponential values) equi-width collapses — nearly every row lands
+  * in bucket 0 and that dimension's file stats stop pruning —
+  * `rankMode = "equidepth"` fixes it: boundaries from one
+  * `percentile_approx` pass (t-digest, same lazy-scalar broadcast
+  * subplan), per-row rank via a codegen binary search
+  * ([[graft.functions.BucketSearch]]), ~equal rows per bucket at any
+  * distribution. The write is one range exchange + per-file local
   * sort on the z-key — the same shuffle budget as any clustered write.
   */
 object Layout {
@@ -51,10 +58,22 @@ object Layout {
     }
 
   /** Per-column rank in `[0, 2^bits)` — see the object doc for the
-    * per-type construction. */
-  private def rankCol(df: DataFrame, name: String, bits: Int): Column = {
+    * per-type construction. Equi-depth mode replaces the min/max scale
+    * with a binary search against the column's quantile boundaries
+    * ([[graft.functions.BucketSearch]]): ~equal rows per bucket at ANY
+    * distribution, where equi-width collapses a skewed dimension into
+    * one bucket and its file stats stop pruning. */
+  private def rankCol(df: DataFrame, name: String, bits: Int,
+      rankMode: String): Column = {
     val buckets = 1L << bits
     df.schema(name).dataType match {
+      case _: org.apache.spark.sql.types.NumericType |
+          org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.DateType if rankMode == "equidepth" =>
+        // boundaries are the (1/b … (b−1)/b) quantiles → result already
+        // in [0, buckets); null value / null boundaries (empty input) → 0
+        coalesce(graft.functions.GraftFunctions.bucket_search(
+          numericView(df, name), col(s"__zqs_$name")), lit(0L))
       case _: org.apache.spark.sql.types.NumericType |
           org.apache.spark.sql.types.TimestampType |
           org.apache.spark.sql.types.DateType =>
@@ -82,29 +101,47 @@ object Layout {
     * driver action. `bits` defaults to the widest interleave that fits
     * a long (≤ 16 per dimension). */
   def withZValue(df: DataFrame, cols: Seq[String], zCol: String = "__zvalue",
-      bits: Int = -1, curve: String = "morton"): DataFrame = {
+      bits: Int = -1, curve: String = "morton",
+      rankMode: String = "equiwidth"): DataFrame = {
     require(cols.nonEmpty, "z-order needs at least one column")
     require(curve == "morton" || curve == "hilbert",
       s"unknown curve '$curve' (expected 'morton' or 'hilbert')")
+    require(rankMode == "equiwidth" || rankMode == "equidepth",
+      s"unknown rankMode '$rankMode' (expected 'equiwidth' or 'equidepth')")
     require(cols.forall(df.columns.contains),
       s"z-order columns ${cols.filterNot(df.columns.contains)} absent from input")
     require(!df.columns.contains(zCol), s"reserved column name in input: $zCol")
-    val b = if (bits > 0) bits else math.min(16, 63 / cols.size)
+    // equi-depth defaults to 8 bits/dim: its stats pass ships 2^b − 1
+    // quantile boundaries per dimension (vs 2 scalars), and 256
+    // ~equal-population buckets already saturate file-level pruning at
+    // any realistic file count
+    val b = if (bits > 0) bits
+      else if (rankMode == "equidepth") math.min(8, 63 / cols.size)
+      else math.min(16, 63 / cols.size)
     require(cols.size * b <= 63, s"${cols.size} dims × $b bits exceed a long")
     val ranged = rangedCols(df, cols)
     val withStats = if (ranged.isEmpty) df else {
       val aggs = ranged.flatMap { n =>
-        Seq(min(numericView(df, n)).as(s"__zlo_$n"),
-          max(numericView(df, n)).as(s"__zhi_$n"))
+        if (rankMode == "equidepth") {
+          val qs = (1 until (1 << b)).map(_.toDouble / (1 << b))
+          Seq(percentile_approx(numericView(df, n), typedLit(qs), lit(10000))
+            .as(s"__zqs_$n"))
+        } else {
+          Seq(min(numericView(df, n)).as(s"__zlo_$n"),
+            max(numericView(df, n)).as(s"__zhi_$n"))
+        }
       }
       df.crossJoin(broadcast(df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)))
     }
-    val ranks = cols.map(n => rankCol(df, n, b))
+    val ranks = cols.map(n => rankCol(df, n, b, rankMode))
     val key =
       if (curve == "hilbert") hilbert_index(ranks, b) else z_interleave(ranks, b)
+    val statCols =
+      if (rankMode == "equidepth") ranged.map(n => s"__zqs_$n")
+      else ranged.flatMap(n => Seq(s"__zlo_$n", s"__zhi_$n"))
     withStats
       .withColumn(zCol, key)
-      .drop(ranged.flatMap(n => Seq(s"__zlo_$n", s"__zhi_$n")): _*)
+      .drop(statCols: _*)
   }
 
   /** Runs `body` with parquet timestamps written as INT64 micros
@@ -132,9 +169,9 @@ object Layout {
     * range-exchange on the z-key into `numFiles` slices, local sort
     * per slice. */
   private def clustered(df: DataFrame, cols: Seq[String], numFiles: Int,
-      bits: Int, curve: String): DataFrame = {
+      bits: Int, curve: String, rankMode: String): DataFrame = {
     require(numFiles > 0, s"numFiles=$numFiles must be positive")
-    withZValue(df, cols, bits = bits, curve = curve)
+    withZValue(df, cols, bits = bits, curve = curve, rankMode = rankMode)
       .repartitionByRange(numFiles, col("__zvalue"))
       .sortWithinPartitions("__zvalue")
       .drop("__zvalue")
@@ -156,9 +193,11 @@ object Layout {
     * [[IndexFs.resolveDir]] on marker-protocol deployments (rename
     * protocol keeps the plain dir, so a direct read works there). */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
-      numFiles: Int, bits: Int = -1, curve: String = "morton"): Unit =
+      numFiles: Int, bits: Int = -1, curve: String = "morton",
+      rankMode: String = "equiwidth"): Unit =
     withMicrosTimestamps(df.sparkSession) {
-      IndexFs.publishRelation(clustered(df, cols, numFiles, bits, curve), path)
+      IndexFs.publishRelation(
+        clustered(df, cols, numFiles, bits, curve, rankMode), path)
       writeStatsSidecar(df.sparkSession,
         IndexFs.resolveDir(df.sparkSession, path), cols)
     }
@@ -187,10 +226,11 @@ object Layout {
     * window off the ingest path, same posture as the index refits. */
   def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
       cols: Seq[String], numFiles: Int, bits: Int = -1,
-      curve: String = "morton"): Unit = {
+      curve: String = "morton", rankMode: String = "equiwidth"): Unit = {
     val all = spark.read.parquet(IndexFs.resolveDir(spark, path))
     withMicrosTimestamps(spark) {
-      IndexFs.publishRelation(clustered(all, cols, numFiles, bits, curve), path)
+      IndexFs.publishRelation(
+        clustered(all, cols, numFiles, bits, curve, rankMode), path)
       writeStatsSidecar(spark, IndexFs.resolveDir(spark, path), cols)
     }
   }

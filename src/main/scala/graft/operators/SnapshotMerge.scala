@@ -400,7 +400,8 @@ object SnapshotMerge {
     * deterministically identical to every batch's. */
   def optimizeSharded(spark: SparkSession, dir: String,
       keyCols: Seq[String], clusterCols: Seq[String],
-      filesPerShard: Int = 1, curve: String = "morton"): Unit = {
+      filesPerShard: Int = 1, curve: String = "morton",
+      rankMode: String = "equiwidth"): Unit = {
     require(filesPerShard > 0, s"filesPerShard=$filesPerShard must be positive")
     val m = readManifest(spark, dir)
     require(m.shards.nonEmpty, s"nothing to optimize at $dir (empty snapshot)")
@@ -414,7 +415,8 @@ object SnapshotMerge {
     val withShard = current.withColumn("__shard",
       shardExpr(keyCols, m.nShards, m.salt))
     Layout.withMicrosTimestamps(spark) {
-      Layout.withZValue(withShard, clusterCols, curve = curve)
+      Layout.withZValue(withShard, clusterCols, curve = curve,
+          rankMode = rankMode)
         .repartitionByRange(math.max(1, m.shards.size * filesPerShard),
           col("__shard"), col("__zvalue"))
         .sortWithinPartitions("__shard", "__zvalue")

@@ -195,6 +195,31 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The EQUI-DEPTH clustered layout under the hard gate: same write
+    * shape as [[zorderLayout]] with `rankMode = "equidepth"` — ranks
+    * from one `percentile_approx` boundary pass + the codegen
+    * binary-search bucket ([[graft.functions.BucketSearch]]), the
+    * skew-robust construction — then a stats-pruned band read with the
+    * exact filter re-applied. The oracle filters the plain table:
+    * placement may move with the (t-digest) boundaries, but rows lost
+    * or duplicated by the quantile ranking, or a file wrongly pruned,
+    * fail the hash regardless of placement (the superset contract is
+    * placement-independent). Skew-robustness itself — equi-depth
+    * keeping pruning power where equi-width collapses — is
+    * spec-asserted on a decoupled exponential fixture (LayoutSpec). */
+  val zorderEquidepth: Q = (s, dir) => {
+    import graft.operators.Layout
+    val events = Scan.table(s, dir, "events")
+    val path = SnapshotPaths.dirFor("zorder_equidepth", dir, s)
+    Layout.writeZOrdered(events, Seq("user_id", "ts"), path, numFiles = 8,
+      rankMode = "equidepth")
+    Layout.readPruned(s, path, Seq(Layout.Band("user_id", 3L, 9L)))
+      .filter(col("user_id").between(3L, 9L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
   /** The Hilbert-curve layout under the same content gate: identical
     * write shape to [[zorderLayout]] with `curve = "hilbert"` — tighter
     * per-file windows (unit-step curve adjacency, LayoutSpec), same
@@ -214,6 +239,7 @@ object AnalyticsQueries {
     "q_zorder_layout" -> zorderLayout,
     "q_zorder_pruned_read" -> zorderPrunedRead,
     "q_zorder_optimize" -> zorderOptimize,
+    "q_zorder_equidepth" -> zorderEquidepth,
     "q_hilbert_layout" -> hilbertLayout,
     "q_quantile_profile" -> quantileProfile,
     "q_topk_aggregate_single_pass" -> topkAggregate,
@@ -240,6 +266,10 @@ object AnalyticsQueries {
     "q_zorder_optimize" ->
       """SELECT event_id, user_id, ts, event_type, value, props
          FROM events ORDER BY event_id""",
+    // equi-depth ranks + pruned band read ≡ filtering the plain table
+    "q_zorder_equidepth" ->
+      """SELECT event_id, user_id, ts, event_type, value, props
+         FROM events WHERE user_id BETWEEN 3 AND 9 ORDER BY event_id""",
     // the Hilbert-curve layout carries the same rows, exactly
     "q_hilbert_layout" ->
       """SELECT event_id, user_id, ts, event_type, value, props

@@ -355,6 +355,65 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.filter(col("event_id") % 2 === 1).count() > 0)
   }
 
+  test("bucket_search: known ranks, null propagation, interpreted ≡ codegen") {
+    import graft.functions.GraftFunctions.bucket_search
+    val bs = typedLit(Seq(1.0, 2.0, 3.0))
+    def rank(v: Double): Long =
+      Seq(v).toDF("v").select(bucket_search(col("v"), bs)).head.getLong(0)
+    assert(rank(0.5) == 0L)
+    assert(rank(1.0) == 1L) // value == boundary counts as past it
+    assert(rank(2.5) == 2L)
+    assert(rank(99.0) == 3L)
+    val n = Seq(Option.empty[Double]).toDF("v")
+      .select(bucket_search(col("v"), bs))
+    assert(n.head.isNullAt(0))
+    // interpreted ≡ codegen over real data: binary search against the
+    // deciles must agree with the count-of-boundaries-below spelling
+    val deciles = typedLit((1 to 9).map(_ * 100.0))
+    val vals = events.select(col("value"))
+    val viaExpr = vals.select(bucket_search(col("value"), deciles).as("r"))
+    val viaSql = vals.select(
+      aggregate(deciles, lit(0L),
+        (acc, b) => acc + when(col("value") >= b, 1L).otherwise(0L)).as("r"))
+    assert(viaExpr.exceptAll(viaSql).count() == 0)
+    assert(viaSql.exceptAll(viaExpr).count() == 0)
+  }
+
+  test("equidepth ranks keep pruning power on a skewed dimension; content survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zdepth").toString
+    // exponential skew DECOUPLED from id (v monotone in id would make
+    // any id-clustering cluster v for free and the fixture vacuous):
+    // ~72% of rows live in the bottom ~0.03% of the value range
+    val skewed = spark.range(0, 10000)
+      .select(col("id"),
+        exp(pmod(xxhash64(col("id")), lit(10000)) / lit(500.0)).as("v"))
+    Layout.writeZOrdered(skewed, Seq("v", "id"), s"$dir/w", numFiles = 16)
+    Layout.writeZOrdered(skewed, Seq("v", "id"), s"$dir/d", numFiles = 16,
+      rankMode = "equidepth")
+    // content round-trip under the quantile ranks
+    val back = spark.read.parquet(s"$dir/d")
+    assert(back.exceptAll(skewed).count() == 0 &&
+      skewed.exceptAll(back).count() == 0)
+    // the dense low region (~25% of rows, a sliver of the value range):
+    // equi-width ranks put ~72% of rows in v-bucket 0, so every file
+    // catches low-v rows and the band prunes nothing; equi-depth
+    // separates the region into its own files
+    val lowHi = math.exp(5.0) // e ≤ 2500 of 10000
+    def selectedLow(path: String): Int = {
+      // v is double — footer DoubleStatistics are not integer-backed, so
+      // prune via fileStats directly (the diagnostic the stats serve)
+      val stats = Layout.fileStats(spark.read.parquet(path), Seq("v"))
+        .select(col("min_v"), col("max_v")).collect()
+      stats.count(r => r.getDouble(0) <= lowHi) // file admits low-band rows
+    }
+    val selW = selectedLow(s"$dir/w")
+    val selD = selectedLow(s"$dir/d")
+    assert(selW >= 14, s"fixture vacuous: equi-width should catch ~all files, got $selW/16")
+    assert(selD < selW,
+      s"equi-depth must out-prune equi-width on the skewed dim: $selD vs $selW of 16")
+    assert(selD <= 8, s"equi-depth low-band files $selD/16 — no concentration")
+  }
+
   test("DateType dimensions range-rank (via epoch days, not an illegal cast)") {
     val df = events.withColumn("day", to_date(col("ts")))
     // a bare DATE→DOUBLE cast is not a legal Spark cast — the rank and
