@@ -141,4 +141,25 @@ class EngineProperties extends SparkSpec {
         assert(lsh.contains(p), s"seed=$seed: identical-doc pair $p missed"))
     }
   }
+
+  test("bucket_search rank == count of boundaries ≤ value, for ANY ascending boundaries") {
+    import graft.functions.GraftFunctions.bucket_search
+    val boundariesGen = Gen.nonEmptyListOf(Gen.choose(-1e4, 1e4))
+      .map(_.distinct.sorted)
+    val valuesGen = Gen.listOfN(50, Gen.choose(-2e4, 2e4))
+    (1L to 6L).foreach { seed =>
+      val bs = sample(boundariesGen, seed)
+      val vs = sample(valuesGen, seed + 50, size = 50)
+      // exercise exact-boundary hits too, not just random interior points
+      val probes = vs ++ bs
+      val got = probes.toDF("v")
+        .select(col("v"), bucket_search(col("v"), typedLit(bs)).as("r"))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1))
+      got.foreach { case (v, r) =>
+        val expected = bs.count(_ <= v).toLong
+        assert(r == expected,
+          s"seed=$seed: bucket_search($v) = $r, expected $expected over ${bs.size} boundaries")
+      }
+    }
+  }
 }
