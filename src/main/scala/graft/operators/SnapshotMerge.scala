@@ -213,28 +213,15 @@ object SnapshotMerge {
       new org.apache.hadoop.fs.Path(manifestPtr(dir)), name)
   }
 
+  /** The LIVE manifest — resolved through the atomic pointer. Manifests
+    * written before the hash-version tag existed were built under the
+    * same (never-changed) h1 assignment — read as h1. */
   private[operators] def readManifest(spark: SparkSession,
       dir: String): Manifest = {
     val f = IndexFs.fs(spark, dir)
     val name = IndexFs.readSmallFile(f,
       new org.apache.hadoop.fs.Path(manifestPtr(dir)))
-    val lines = IndexFs.readSmallFile(f,
-      new org.apache.hadoop.fs.Path(s"${norm(dir)}/$name")).split("\n").toSeq
-    val meta = lines.head.split("\t")
-    require(meta(0) == "meta", s"corrupt manifest $name: bad header")
-    // manifests written before the tag existed were built under the
-    // same (never-changed) h1 assignment — read them as h1
-    val ver = if (meta.length >= 4) meta(3) else "h1"
-    require(ver == ShardHashVersion,
-      s"snapshot at $dir was sharded under hash version $ver, this " +
-        s"build uses $ShardHashVersion — rebuild it (createSharded) " +
-        "before merging into it")
-    Manifest(name.stripPrefix("manifest-v").toLong,
-      meta(1).toInt, meta(2),
-      lines.tail.filter(_.nonEmpty).map { l =>
-        val Array(k, p) = l.split("\t", 2)
-        k.toLong -> resolveShardPath(dir, p)
-      }.toMap)
+    readManifestFile(spark, dir, name)
   }
 
   /** Appends a retire log entry: the shard dirs + manifest file that
@@ -292,6 +279,68 @@ object SnapshotMerge {
     * even an empty snapshot reads with full schema). */
   def readSharded(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(spark, dir)
+    val dirs = s"${norm(dir)}/schema" +: m.shards.toSeq.sortBy(_._1).map(_._2)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Reads a named manifest FILE (not the pointer) — shared by
+    * [[readManifest]] and the time-travel path. */
+  private def readManifestFile(spark: SparkSession, dir: String,
+      name: String): Manifest = {
+    val f = IndexFs.fs(spark, dir)
+    val lines = IndexFs.readSmallFile(f,
+      new org.apache.hadoop.fs.Path(s"${norm(dir)}/$name")).split("\n").toSeq
+    val meta = lines.head.split("\t")
+    require(meta(0) == "meta", s"corrupt manifest $name: bad header")
+    val ver = if (meta.length >= 4) meta(3) else "h1"
+    require(ver == ShardHashVersion,
+      s"snapshot at $dir was sharded under hash version $ver, this " +
+        s"build uses $ShardHashVersion — rebuild it (createSharded) " +
+        "before merging into it")
+    Manifest(name.stripPrefix("manifest-v").toLong,
+      meta(1).toInt, meta(2),
+      lines.tail.filter(_.nonEmpty).map { l =>
+        val Array(k, p) = l.split("\t", 2)
+        k.toLong -> resolveShardPath(dir, p)
+      }.toMap)
+  }
+
+  /** The snapshot versions currently READABLE — every manifest whose
+    * file [[vacuumSharded]] has not yet reaped, ascending. The newest
+    * entry is the live version; older entries are time-travel targets
+    * for as long as the retention window keeps them. O(1) driver
+    * listing of the snapshot root. */
+  def shardedVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = IndexFs.fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(norm(dir))
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches("manifest-v\\d+"))
+      .map(_.getPath.getName.stripPrefix("manifest-v").toLong).sorted
+  }
+
+  /** TIME TRAVEL: the snapshot exactly as version `version` committed
+    * it — the emergent read the commit-vs-retire split pays for: every
+    * upsert/optimize leaves its predecessor's manifest AND shard dirs
+    * intact until [[vacuumSharded]]'s window expires, so any version
+    * inside the window is a complete, consistent union scan (the
+    * Delta/Iceberg `VERSION AS OF` shape). Fails LOUDLY — never a
+    * partial result — when the version's manifest or any of its shard
+    * dirs has been vacuumed: a time-travel read outside the retention
+    * window is a caller error, not a silently-smaller snapshot. */
+  def readShardedVersion(spark: SparkSession, dir: String,
+      version: Long): DataFrame = {
+    val name = s"manifest-v$version"
+    require(IndexFs.exists(spark, s"${norm(dir)}/$name"),
+      s"version $version of $dir is not readable — never committed, or " +
+        s"its manifest was vacuumed past the retention window " +
+        s"(readable versions: ${shardedVersions(spark, dir).mkString(",")})")
+    val m = readManifestFile(spark, dir, name)
+    val missing = m.shards.values.filterNot(IndexFs.exists(spark, _))
+    require(missing.isEmpty,
+      s"version $version of $dir lost ${missing.size} shard dir(s) to " +
+        s"vacuum — raise vacuumSharded's minAgeMs above the longest " +
+        s"time-travel horizon (first missing: ${missing.head})")
     val dirs = s"${norm(dir)}/schema" +: m.shards.toSeq.sortBy(_._1).map(_._2)
     spark.read.parquet(dirs: _*)
   }

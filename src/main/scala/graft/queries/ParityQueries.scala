@@ -204,6 +204,65 @@ object ParityQueries {
     graft.operators.SnapshotMerge.read(s, snapDir).orderBy(col("o_orderkey"))
   }
 
+  // --- TIME TRAVEL over the sharded snapshot: the emergent read the
+  // r14 commit-vs-retire split pays for. Version 1 (the pre-batch
+  // snapshot) is read back AFTER a later version committed — its
+  // manifest and shard dirs are retained until a windowed vacuum, so
+  // the read is complete and consistent (VERSION AS OF). The batch is
+  // tagged, so bench re-runs replay-skip it and version numbering is
+  // stable; the oracle is the version-1 content — a time-travel read
+  // leaking post-batch rows (or losing retained ones) fails the hash. ---
+  val mergeTimeTravel: Q = (s, dir) => {
+    import graft.operators.SnapshotMerge
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val path = SnapshotPaths.dirFor("merge_time_travel", dir, s)
+    if (!SnapshotMerge.existsSharded(s, path)) {
+      SnapshotMerge.createSharded(
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+        nShards = 8, path)
+    }
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+    SnapshotMerge.upsertSharded(batch, Seq("o_orderkey"), path,
+      deleteCol = Some("is_deleted"), commitTag = Some("tt_batch_1"))
+    SnapshotMerge.readShardedVersion(s, path, 1L).orderBy(col("o_orderkey"))
+  }
+
+  // --- STREAMING CDC through the SHARDED layout: the same micro-batch
+  // feed as q_stream_merge_upsert applied via mergeStream(sharded =
+  // true) — exactly-once per batch THROUGH the manifest pointer swaps,
+  // each micro-batch rewriting only its touched shards. Shares the flat
+  // query's oracle verbatim: arrival mode and layout must never change
+  // the merged content. ---
+  val streamMergeUpsertSharded: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val snapDir = SnapshotPaths.dirFor("merge_stream_shard_snap", dir, s)
+    val srcDir = SnapshotPaths.dirFor("merge_stream_shard_src", dir, s)
+    val ckptDir = SnapshotPaths.dirFor("merge_stream_shard_ckpt", dir, s)
+    graft.operators.IndexFs.deleteRecursively(s, snapDir)
+    graft.operators.IndexFs.deleteRecursively(s, ckptDir)
+    graft.operators.SnapshotMerge.createSharded(
+      orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+      nShards = 8, snapDir)
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    graft.streaming.StreamingOps.mergeStream(stream, snapDir,
+        Seq("o_orderkey"), ckptDir, deleteCol = Some("is_deleted"),
+        sharded = true, streamName = "cdc_sharded")
+      .awaitTermination()
+    graft.operators.SnapshotMerge.readSharded(s, snapDir)
+      .orderBy(col("o_orderkey"))
+  }
+
   // --- A11/O2: top-k value counts with deterministic tie-break ---
   val topkOrderPriority: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -432,7 +491,9 @@ object ParityQueries {
     "q_merge_upsert" -> mergeUpsert,
     "q_merge_upsert_sharded" -> mergeUpsertSharded,
     "q_merge_optimize_sharded" -> mergeOptimizeSharded,
+    "q_merge_time_travel" -> mergeTimeTravel,
     "q_stream_merge_upsert" -> streamMergeUpsert,
+    "q_stream_merge_upsert_sharded" -> streamMergeUpsertSharded,
     "q_topk_order_priority" -> topkOrderPriority,
     "q_top_orders_by_price" -> topOrdersByPrice,
     "q_union_merge_recount" -> unionMergeRecount,
@@ -579,6 +640,14 @@ object ParityQueries {
     // and through the STREAMING loop: micro-batched arrival of the
     // same (key-disjoint) batch must reach the same fixed point
     "q_stream_merge_upsert" -> mergeUpsertSql,
+    // …including through the sharded manifest layout
+    "q_stream_merge_upsert_sharded" -> mergeUpsertSql,
+    // VERSION AS OF 1 == the snapshot before the batch: retained
+    // manifests + shard dirs must reproduce the pre-merge content
+    // exactly — leaked post-batch rows or vacuum-lost files fail
+    "q_merge_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""",
     // OPTIMIZE + pruned read: the merged content filtered to the band —
     // re-clustering and stats-based file skipping must be invisible to
     // the result

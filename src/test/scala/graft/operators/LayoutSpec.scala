@@ -383,21 +383,26 @@ class LayoutSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_zdepth").toString
     // exponential skew DECOUPLED from id (v monotone in id would make
     // any id-clustering cluster v for free and the fixture vacuous):
-    // ~72% of rows live in the bottom ~0.03% of the value range
-    val skewed = spark.range(0, 10000)
+    // ~72% of rows live in the bottom ~0.4% of the value range at
+    // bits=8. Partition count pinned (8) — the shared test session's
+    // parallelism varies with suite order, and range-exchange sampling
+    // + percentile partials both see it; bits pinned equal so the two
+    // modes differ ONLY in rank construction
+    val skewed = spark.range(0, 10000, 1, 8)
       .select(col("id"),
         exp(pmod(xxhash64(col("id")), lit(10000)) / lit(500.0)).as("v"))
-    Layout.writeZOrdered(skewed, Seq("v", "id"), s"$dir/w", numFiles = 16)
+    Layout.writeZOrdered(skewed, Seq("v", "id"), s"$dir/w", numFiles = 16,
+      bits = 8)
     Layout.writeZOrdered(skewed, Seq("v", "id"), s"$dir/d", numFiles = 16,
-      rankMode = "equidepth")
+      bits = 8, rankMode = "equidepth")
     // content round-trip under the quantile ranks
     val back = spark.read.parquet(s"$dir/d")
     assert(back.exceptAll(skewed).count() == 0 &&
       skewed.exceptAll(back).count() == 0)
     // the dense low region (~25% of rows, a sliver of the value range):
-    // equi-width ranks put ~72% of rows in v-bucket 0, so every file
-    // catches low-v rows and the band prunes nothing; equi-depth
-    // separates the region into its own files
+    // equi-width ranks put ~72% of rows in v-bucket 0, so low-v rows
+    // interleave through every z range and ~every file catches them;
+    // equi-depth confines the region to its own rank window
     val lowHi = math.exp(5.0) // e ≤ 2500 of 10000
     def selectedLow(path: String): Int = {
       // v is double — footer DoubleStatistics are not integer-backed, so
@@ -408,10 +413,10 @@ class LayoutSpec extends SparkSpec {
     }
     val selW = selectedLow(s"$dir/w")
     val selD = selectedLow(s"$dir/d")
-    assert(selW >= 14, s"fixture vacuous: equi-width should catch ~all files, got $selW/16")
+    assert(selW >= 13, s"fixture vacuous: equi-width should catch ~all files, got $selW/16")
     assert(selD < selW,
       s"equi-depth must out-prune equi-width on the skewed dim: $selD vs $selW of 16")
-    assert(selD <= 8, s"equi-depth low-band files $selD/16 — no concentration")
+    assert(selD <= 10, s"equi-depth low-band files $selD/16 — no concentration")
   }
 
   test("DateType dimensions range-rank (via epoch days, not an illegal cast)") {

@@ -285,6 +285,42 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(SnapshotMerge.readSharded(spark, b).count() == 4)
   }
 
+  test("time travel: VERSION AS OF reads retained versions; vacuum expiry fails loudly") {
+    val dir = tmp()
+    val big = spark.range(0, 200)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    SnapshotMerge.createSharded(big, Seq("id"), 4, dir) // v1
+    SnapshotMerge.upsertSharded(
+      spark.range(0, 200, 2).select(col("id"), lit("u1").as("name")),
+      Seq("id"), dir) // v2
+    SnapshotMerge.upsertSharded(
+      Seq((7L, "u2")).toDF("id", "name"), Seq("id"), dir) // v3
+    assert(SnapshotMerge.shardedVersions(spark, dir) == Seq(1L, 2L, 3L))
+    // v1: the original content, untouched by either batch
+    val v1 = SnapshotMerge.readShardedVersion(spark, dir, 1L)
+    assert(v1.count() == 200)
+    assert(v1.filter(col("name") =!= concat(lit("n"), col("id"))).count() == 0)
+    // v2: evens updated, the v3 batch invisible
+    val v2 = SnapshotMerge.readShardedVersion(spark, dir, 2L)
+    assert(v2.filter(col("name") === "u1").count() == 100)
+    assert(v2.filter(col("name") === "u2").count() == 0)
+    // the live read is v3
+    assert(SnapshotMerge.readSharded(spark, dir)
+      .filter(col("name") === "u2").count() == 1)
+    // a version that never committed fails loudly
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.readShardedVersion(spark, dir, 99L)
+    }
+    // expired retention: old versions reaped → time travel to them is a
+    // LOUD error, never a partial result; the live version is untouched
+    assert(SnapshotMerge.vacuumSharded(spark, dir) > 0)
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.readShardedVersion(spark, dir, 1L)
+    }
+    assert(SnapshotMerge.shardedVersions(spark, dir) == Seq(3L))
+    assert(SnapshotMerge.readShardedVersion(spark, dir, 3L).count() == 200)
+  }
+
   test("optimizeSharded: clustered shards, pruned read skips files, content intact") {
     val dir = tmp()
     val big = spark.range(0, 2000)
