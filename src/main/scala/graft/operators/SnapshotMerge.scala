@@ -93,13 +93,28 @@ object SnapshotMerge {
     * @param broadcastKeys broadcast the batch key set into the
     *        survivor anti-join (the CDC default); disable for
     *        backfill-sized batches
+    * @param allowSchemaEvolution accept a batch whose non-key columns
+    *        differ from the snapshot's (the Delta `mergeSchema`
+    *        posture): the published snapshot's schema becomes the UNION
+    *        — survivors null-fill columns only the batch brings, batch
+    *        rows null-fill columns only the snapshot has. Key columns
+    *        must exist on both sides regardless. Off by default: an
+    *        unannounced schema change is usually a bug, and the loud
+    *        mismatch error is the guard. FLAT snapshots only — the
+    *        sharded layout's untouched shards are carried by reference
+    *        (never rewritten), so their files would keep the old
+    *        physical schema and every read would need file-level schema
+    *        merging; evolving a sharded snapshot is an explicit rebuild
+    *        (`createSharded` under the new schema), enforced loudly
+    *        in [[upsertSharded]].
     * @return true if this call merged the batch; false on an
     *         idempotent replay skip */
   def upsert(updates: DataFrame, keyCols: Seq[String], dir: String,
       deleteCol: Option[String] = None,
       updateOrder: Option[Seq[Column]] = None,
       commitTag: Option[String] = None,
-      broadcastKeys: Boolean = true): Boolean = {
+      broadcastKeys: Boolean = true,
+      allowSchemaEvolution: Boolean = false): Boolean = {
     val spark = updates.sparkSession
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     require(keyCols.forall(updates.columns.contains),
@@ -125,11 +140,17 @@ object SnapshotMerge {
       if (!exists(spark, dir)) inserts
       else {
         val current = read(spark, dir)
-        require(current.columns.sorted.toSeq == inserts.columns.sorted.toSeq,
-          s"upsert schema mismatch: snapshot has ${current.columns.sorted.mkString(",")}, " +
-            s"updates bring ${inserts.columns.sorted.mkString(",")}")
+        if (allowSchemaEvolution)
+          require(keyCols.forall(current.columns.contains),
+            s"key columns ${keyCols.filterNot(current.columns.contains)} " +
+              s"absent from the snapshot at $dir")
+        else
+          require(current.columns.sorted.toSeq == inserts.columns.sorted.toSeq,
+            s"upsert schema mismatch: snapshot has ${current.columns.sorted.mkString(",")}, " +
+              s"updates bring ${inserts.columns.sorted.mkString(",")} " +
+              "(set allowSchemaEvolution = true to union the schemas)")
         survivorAntiJoin(current, touchedKeys, keyCols, broadcastKeys)
-          .unionByName(inserts)
+          .unionByName(inserts, allowMissingColumns = allowSchemaEvolution)
       }
     IndexFs.publishRelation(merged, dataDir(dir))
     commitTag.foreach(t => IndexFs.markCommitted(spark, dir, t))
@@ -388,18 +409,27 @@ object SnapshotMerge {
     val touched = touchedKeys.select(col("__shard")).distinct()
       .collect().map(_.getLong(0)).toSet
 
+    // schema gate against the zero-row anchor relation, NOT just the
+    // touched dirs (a batch landing only in empty shards must not
+    // smuggle a divergent schema past the check): the sharded layout
+    // does not evolve in place — untouched shards are carried by
+    // reference with their old physical schema, so evolution is an
+    // explicit rebuild (createSharded under the new schema)
+    val anchorCols = spark.read.parquet(s"${norm(dir)}/schema").columns
+    require(
+      anchorCols.sorted.toSeq ==
+        inserts.columns.filterNot(_ == "__shard").sorted.toSeq,
+      s"upsertSharded schema mismatch: snapshot has " +
+        s"${anchorCols.sorted.mkString(",")}, updates bring " +
+        s"${inserts.drop("__shard").columns.sorted.mkString(",")} — " +
+        "the sharded layout does not evolve in place; rebuild with " +
+        "createSharded under the new schema")
     val currentTouchedDirs =
       m.shards.view.filterKeys(touched).values.toSeq
     val survivors =
       if (currentTouchedDirs.isEmpty) inserts.limit(0)
       else {
         val current = spark.read.parquet(currentTouchedDirs: _*)
-        require(
-          current.columns.sorted.toSeq ==
-            inserts.columns.filterNot(_ == "__shard").sorted.toSeq,
-          s"upsertSharded schema mismatch: snapshot has " +
-            s"${current.columns.sorted.mkString(",")}, updates bring " +
-            s"${inserts.drop("__shard").columns.sorted.mkString(",")}")
         survivorAntiJoin(current, touchedKeys.drop("__shard"), keyCols,
           broadcastKeys)
           .withColumn("__shard", shard)

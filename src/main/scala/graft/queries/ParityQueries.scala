@@ -204,6 +204,37 @@ object ParityQueries {
     graft.operators.SnapshotMerge.read(s, snapDir).orderBy(col("o_orderkey"))
   }
 
+  // --- SCHEMA EVOLUTION on the flat MERGE (the Delta mergeSchema
+  // posture): the snapshot starts WITHOUT o_totalprice; the batch
+  // brings it with allowSchemaEvolution = true, so the published
+  // schema becomes the union — survivors carry NULL for the new
+  // column, batch rows carry their values, deletes still apply. The
+  // oracle spells the same union with an explicit CAST(NULL): a
+  // survivor row dropped or mis-filled, or the evolved column leaking
+  // into deletes, fails the hash. Rerun-stable: the evolved snapshot
+  // re-accepts the same batch as a fixed point. ---
+  val mergeSchemaEvolution: Q = (s, dir) => {
+    import graft.operators.SnapshotMerge
+    val orders = t(s, dir, "orders")
+    val path = SnapshotPaths.dirFor("merge_schema_evo", dir, s)
+    if (!SnapshotMerge.exists(s, path)) {
+      SnapshotMerge.upsert(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), path)
+    }
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        (col("o_orderkey") % 9 === 0).as("is_deleted"))
+    SnapshotMerge.upsert(batch, Seq("o_orderkey"), path,
+      deleteCol = Some("is_deleted"), allowSchemaEvolution = true)
+    SnapshotMerge.read(s, path)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // --- TIME TRAVEL over the sharded snapshot: the emergent read the
   // r14 commit-vs-retire split pays for. Version 1 (the pre-batch
   // snapshot) is read back AFTER a later version committed — its
@@ -491,6 +522,7 @@ object ParityQueries {
     "q_merge_upsert" -> mergeUpsert,
     "q_merge_upsert_sharded" -> mergeUpsertSharded,
     "q_merge_optimize_sharded" -> mergeOptimizeSharded,
+    "q_merge_schema_evolution" -> mergeSchemaEvolution,
     "q_merge_time_travel" -> mergeTimeTravel,
     "q_stream_merge_upsert" -> streamMergeUpsert,
     "q_stream_merge_upsert_sharded" -> streamMergeUpsertSharded,
@@ -642,6 +674,21 @@ object ParityQueries {
     "q_stream_merge_upsert" -> mergeUpsertSql,
     // …including through the sharded manifest layout
     "q_stream_merge_upsert_sharded" -> mergeUpsertSql,
+    // schema evolution: survivors null-fill the batch's new column
+    "q_merge_schema_evolution" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus
+                       FROM orders WHERE o_orderkey % 2 = 0),
+              upd AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                             o_totalprice + 1000.0 AS o_totalprice,
+                             (o_orderkey % 9 = 0) AS del
+                      FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(NULL AS DOUBLE) AS o_totalprice
+         FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM upd WHERE NOT del
+         ORDER BY o_orderkey""",
     // VERSION AS OF 1 == the snapshot before the batch: retained
     // manifests + shard dirs must reproduce the pre-merge content
     // exactly — leaked post-batch rows or vacuum-lost files fail

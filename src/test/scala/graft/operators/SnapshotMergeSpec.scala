@@ -285,6 +285,48 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(SnapshotMerge.readSharded(spark, b).count() == 4)
   }
 
+  test("schema evolution: union schema with null fill; off by default; sharded declines") {
+    val dir = tmp()
+    SnapshotMerge.upsert(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), Seq("id"), dir)
+    val widened = Seq((2L, "b2", 21.0), (3L, "c", 30.0))
+      .toDF("id", "name", "score")
+    // off by default: the mismatch is loud and names the escape hatch
+    val e = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsert(widened, Seq("id"), dir)
+    }
+    assert(e.getMessage.contains("allowSchemaEvolution"))
+    // on: survivors null-fill the new column, batch rows carry it
+    SnapshotMerge.upsert(widened, Seq("id"), dir, allowSchemaEvolution = true)
+    val got = SnapshotMerge.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq((1L, "a", None), (2L, "b2", Some(21.0)),
+      (3L, "c", Some(30.0))))
+    // the reverse direction: a batch MISSING a column null-fills it
+    SnapshotMerge.upsert(Seq((4L, "d")).toDF("id", "name"), Seq("id"), dir,
+      allowSchemaEvolution = true)
+    assert(SnapshotMerge.read(spark, dir)
+      .filter(col("id") === 4L && col("score").isNull).count() == 1)
+    // evolution never relaxes the key requirement
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.upsert(
+        Seq((1, "x")).toDF("other", "name"), Seq("other"), dir,
+        allowSchemaEvolution = true)
+    }
+    // sharded: divergent schema is a loud error even when the batch
+    // touches only EMPTY shards (the anchor relation is the gate, not
+    // the touched dirs)
+    val sDir = tmp()
+    SnapshotMerge.createSharded(
+      Seq((1L, "a")).toDF("id", "name"), Seq("id"), 4, sDir)
+    val sE = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertSharded(
+        Seq((99L, "z", 1.0)).toDF("id", "name", "score"), Seq("id"), sDir)
+    }
+    assert(sE.getMessage.contains("createSharded"))
+  }
+
   test("time travel: VERSION AS OF reads retained versions; vacuum expiry fails loudly") {
     val dir = tmp()
     val big = spark.range(0, 200)
