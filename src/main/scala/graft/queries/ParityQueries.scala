@@ -204,6 +204,25 @@ object ParityQueries {
     graft.operators.SnapshotMerge.read(s, snapDir).orderBy(col("o_orderkey"))
   }
 
+  // --- JSONL source under the hard gate: the documents table
+  // round-trips through newline-delimited JSON inside the measured
+  // query and is read back SCHEMA-FIRST with per-line corruption
+  // tolerance (Scan.jsonl — the training-data interchange format;
+  // inference is refused by design, a full extra corpus pass at
+  // 100 TB). The oracle is the documents table itself: an escaping
+  // bug, a mistyped column, or a row lost to the tolerant parse fails
+  // the hash. Corrupt-line quarantine is spec-asserted
+  // (JsonlScanSpec). ---
+  val jsonlScan: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = SnapshotPaths.dirFor("jsonl_docs", dir, s)
+    docs.write.mode("overwrite").json(path)
+    graft.sources.Scan.jsonl(s, path, docs.schema)
+      .filter(col("_corrupt_record").isNull) // clean by construction
+      .drop("_corrupt_record")
+      .orderBy(col("doc_id"))
+  }
+
   // --- SCHEMA EVOLUTION on the flat MERGE (the Delta mergeSchema
   // posture): the snapshot starts WITHOUT o_totalprice; the batch
   // brings it with allowSchemaEvolution = true, so the published
@@ -507,6 +526,7 @@ object ParityQueries {
     "q_sim_source_agg_pushdown" -> simSourceAggPushdown,
     "q_sim_source_agg_avg" -> simSourceAggAvg,
     "q_orchestrator_e2e" -> orchestratorE2E,
+    "q_jsonl_scan" -> jsonlScan,
     "q_tolerant_cast" -> tolerantCast,
     "q_schema_gate_report" -> schemaGateReport,
     "q_opportunity_by_stage" -> opportunityByStage,
@@ -580,6 +600,10 @@ object ParityQueries {
           FROM read_parquet('$simAvgSnapshotDir/*.parquet')
           GROUP BY BillingState, Industry
           ORDER BY BillingState, Industry""",
+    // JSONL round-trip ≡ the source table, bit for bit
+    "q_jsonl_scan" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
     "q_tolerant_cast" ->
       s"""SELECT o_orderpriority,
           COUNT(*) AS records,

@@ -112,4 +112,43 @@ object Scan {
       if (df.columns.isEmpty || df.isEmpty) emptyRelation(spark, fallback) else df
     }
   }
+
+  /** Schema-FIRST JSONL scan with per-line corruption tolerance — the
+    * training-data interchange format (crawl dumps, annotation exports
+    * ship as newline-delimited JSON). Schema is supplied, never
+    * inferred: at 100 TB inference is a full extra pass over the corpus
+    * before the first real one, and a sampled inference can silently
+    * mistype a sparse column. PERMISSIVE mode: a malformed line becomes
+    * one row with every data column null and the RAW line captured in
+    * `corruptCol` — quarantine-able downstream (filter it, ship it to a
+    * dead-letter sink) instead of poisoning the job the way FAILFAST
+    * would or vanishing the way DROPMALFORMED would; well-formed lines
+    * carry a null `corruptCol`. The scan is a plain distributed text
+    * read — splittable, parallel, pushdown-friendly (the JSON parse is
+    * per-partition; column pruning reaches the parser via Spark's JSON
+    * relation). Empty/missing path → typed empty relation, the [[csv]]
+    * tolerance contract. One Spark rule to know: a query whose
+    * referenced columns are ONLY `corruptCol` (e.g. a bare
+    * `filter($"_corrupt_record".isNotNull).count()`) is disallowed on a
+    * raw JSON scan — select at least one data column alongside it, or
+    * materialize the parse first (the dead-letter sink pattern does
+    * both anyway). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already contains the corrupt-record column $corruptCol")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val full = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        corruptCol, org.apache.spark.sql.types.StringType, nullable = true))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      emptyRelation(spark, full)
+    else
+      spark.read
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corruptCol)
+        .json(path)
+  }
 }
