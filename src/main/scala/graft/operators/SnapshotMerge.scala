@@ -104,9 +104,9 @@ object SnapshotMerge {
     *        sharded layout's untouched shards are carried by reference
     *        (never rewritten), so their files would keep the old
     *        physical schema and every read would need file-level schema
-    *        merging; evolving a sharded snapshot is an explicit rebuild
-    *        (`createSharded` under the new schema), enforced loudly
-    *        in [[upsertSharded]].
+    *        merging; evolving a sharded snapshot is the explicit
+    *        [[evolveSharded]] maintenance op (full per-shard rewrite),
+    *        enforced loudly in [[upsertSharded]].
     * @return true if this call merged the batch; false on an
     *         idempotent replay skip */
   def upsert(updates: DataFrame, keyCols: Seq[String], dir: String,
@@ -181,6 +181,15 @@ object SnapshotMerge {
 
   private def manifestPtr(dir: String) = s"${norm(dir)}/manifest.current"
   private def retiredDir(dir: String) = s"${norm(dir)}/_retired"
+
+  /** The zero-row schema anchor's CURRENT physical dir —
+    * [[evolveSharded]] republishes the anchor via
+    * [[IndexFs.publishRelation]], which under the marker protocol
+    * versions it behind a pointer; every anchor read resolves through
+    * that pointer (plain dir when no pointer exists — the
+    * createSharded-only case). */
+  private def schemaAnchorDir(spark: SparkSession, dir: String): String =
+    IndexFs.resolveDir(spark, s"${norm(dir)}/schema")
 
   /** Version tag of the shard-assignment function, persisted in the
     * manifest header: a snapshot built under a DIFFERENT assignment
@@ -300,7 +309,14 @@ object SnapshotMerge {
     * even an empty snapshot reads with full schema). */
   def readSharded(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(spark, dir)
-    val dirs = s"${norm(dir)}/schema" +: m.shards.toSeq.sortBy(_._1).map(_._2)
+    // the anchor joins the scan ONLY when no shard holds rows: when
+    // shards exist they carry the schema themselves, and mixing the
+    // anchor in would tear a read caught between evolveSharded's
+    // anchor republish and its pointer swap (two physical schemas in
+    // one un-merged union)
+    val dirs =
+      if (m.shards.isEmpty) Seq(schemaAnchorDir(spark, dir))
+      else m.shards.toSeq.sortBy(_._1).map(_._2)
     spark.read.parquet(dirs: _*)
   }
 
@@ -362,7 +378,12 @@ object SnapshotMerge {
       s"version $version of $dir lost ${missing.size} shard dir(s) to " +
         s"vacuum — raise vacuumSharded's minAgeMs above the longest " +
         s"time-travel horizon (first missing: ${missing.head})")
-    val dirs = s"${norm(dir)}/schema" +: m.shards.toSeq.sortBy(_._1).map(_._2)
+    // shards carry the schema; the (current) anchor joins only when
+    // the version is empty — a pre-evolution version must read with
+    // ITS schema, not today's widened anchor
+    val dirs =
+      if (m.shards.isEmpty) Seq(schemaAnchorDir(spark, dir))
+      else m.shards.toSeq.sortBy(_._1).map(_._2)
     spark.read.parquet(dirs: _*)
   }
 
@@ -415,15 +436,15 @@ object SnapshotMerge {
     // does not evolve in place — untouched shards are carried by
     // reference with their old physical schema, so evolution is an
     // explicit rebuild (createSharded under the new schema)
-    val anchorCols = spark.read.parquet(s"${norm(dir)}/schema").columns
+    val anchorCols = spark.read.parquet(schemaAnchorDir(spark, dir)).columns
     require(
       anchorCols.sorted.toSeq ==
         inserts.columns.filterNot(_ == "__shard").sorted.toSeq,
       s"upsertSharded schema mismatch: snapshot has " +
         s"${anchorCols.sorted.mkString(",")}, updates bring " +
         s"${inserts.drop("__shard").columns.sorted.mkString(",")} — " +
-        "the sharded layout does not evolve in place; rebuild with " +
-        "createSharded under the new schema")
+        "the sharded layout does not evolve in place (untouched shards " +
+        "are carried by reference); run evolveSharded first")
     val currentTouchedDirs =
       m.shards.view.filterKeys(touched).values.toSeq
     val survivors =
@@ -515,6 +536,64 @@ object SnapshotMerge {
       s"manifest-v${m.version}")
   }
 
+  /** The sharded snapshot's SCHEMA MIGRATION — the maintenance op the
+    * [[upsertSharded]] mismatch error points at: rewrites EVERY shard
+    * under the union of the current schema and `template`'s (survivor
+    * rows null-fill columns only the template brings; a column the
+    * template drops is KEPT — evolution only widens, narrowing is a
+    * rebuild), refreshes the zero-row `schema/` anchor, and commits
+    * like an upsert (new version dir, manifest pointer swap, superseded
+    * dirs + old anchor retire-logged for [[vacuumSharded]]). After it,
+    * batches carrying the new columns merge normally. Full-rewrite
+    * cost by design — the same maintenance-window posture as
+    * [[optimizeSharded]]: the sharded layout's by-reference carry means
+    * there is no cheaper sound evolution (untouched shards would keep
+    * the old physical schema and every read would need file-level
+    * schema merging forever). Shard ASSIGNMENT is untouched (same
+    * nShards/salt — keys don't move), so `keyCols` are needed only to
+    * recompute each row's shard. Single writer. */
+  def evolveSharded(spark: SparkSession, dir: String,
+      keyCols: Seq[String], template: DataFrame): Unit = {
+    val m = readManifest(spark, dir)
+    val anchor = spark.read.parquet(schemaAnchorDir(spark, dir))
+    require(keyCols.nonEmpty && keyCols.forall(anchor.columns.contains),
+      s"bad key columns $keyCols for ${anchor.columns.mkString(",")}")
+    require(!template.columns.contains("__shard"),
+      "reserved internal column name in template: __shard")
+    val newCols = template.columns.filterNot(anchor.columns.contains)
+    require(newCols.nonEmpty,
+      s"nothing to evolve at $dir: template brings no new columns " +
+        s"(snapshot already has ${anchor.columns.sorted.mkString(",")})")
+    val widened = anchor.limit(0)
+      .unionByName(template.limit(0), allowMissingColumns = true)
+    val current =
+      if (m.shards.isEmpty) anchor.limit(0)
+      else spark.read.parquet(m.shards.toSeq.sortBy(_._1).map(_._2): _*)
+    val rewrittenRows = current
+      .unionByName(widened.limit(0), allowMissingColumns = true)
+      .withColumn("__shard", shardExpr(keyCols, m.nShards, m.salt))
+    val next = m.version + 1
+    val deltaDir = s"${norm(dir)}/shards-v$next"
+    rewrittenRows
+      .repartition(col("__shard"))
+      .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
+    val rewritten = IndexFs.listDirNames(spark, deltaDir)
+      .filter(_.startsWith("__shard="))
+      .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
+      .toMap
+    // the anchor must evolve WITH the data, atomically enough: it is
+    // republished before the pointer swap; a crash between leaves the
+    // old manifest live with a widened anchor — readers still see a
+    // consistent union (extra columns null), never a torn snapshot
+    IndexFs.publishRelation(widened, s"${norm(dir)}/schema")
+    val mergedShards = m.shards.filter { case (k, _) =>
+      !rewritten.contains(k) } ++ rewritten
+    writeManifest(spark, dir, Manifest(next, m.nShards, m.salt, mergedShards))
+    writeRetireLog(spark, dir, next,
+      m.shards.view.filterKeys(rewritten.contains).values.toSeq,
+      s"manifest-v${m.version}")
+  }
+
   /** Footer-stat pruned read over a sharded snapshot (after
     * [[optimizeSharded]]): file selection across every live shard dir
     * from each shard's stats sidecar / parquet footers — a SUPERSET of
@@ -526,7 +605,7 @@ object SnapshotMerge {
     val dirs = m.shards.toSeq.sortBy(_._1).map(_._2)
     val selected = dirs.flatMap(d => Layout.prunedFilesInDir(spark, d, bands)._1)
     if (selected.isEmpty)
-      spark.read.parquet(s"${norm(dir)}/schema").limit(0)
+      spark.read.parquet(schemaAnchorDir(spark, dir)).limit(0)
     else spark.read.parquet(selected: _*)
   }
 

@@ -218,7 +218,12 @@ object ParityQueries {
     val path = SnapshotPaths.dirFor("jsonl_docs", dir, s)
     docs.write.mode("overwrite").json(path)
     graft.sources.Scan.jsonl(s, path, docs.schema)
-      .filter(col("_corrupt_record").isNull) // clean by construction
+      // clean by construction; doc_id joins the predicate so a bare
+      // count() of this query still references a DATA column — Spark
+      // refuses raw-JSON plans whose referenced set is only the
+      // corrupt column, and count() prunes the projection to exactly
+      // that (doc_id is never null, so the semantics are unchanged)
+      .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
       .drop("_corrupt_record")
       .orderBy(col("doc_id"))
   }

@@ -324,7 +324,43 @@ class SnapshotMergeSpec extends SparkSpec {
       SnapshotMerge.upsertSharded(
         Seq((99L, "z", 1.0)).toDF("id", "name", "score"), Seq("id"), sDir)
     }
-    assert(sE.getMessage.contains("createSharded"))
+    assert(sE.getMessage.contains("evolveSharded"))
+  }
+
+  test("evolveSharded: full-rewrite migration unlocks wider batches; old versions keep their schema") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"),
+      Seq("id"), 4, dir) // v1, 2-column schema
+    val wide = Seq((2L, "b2", 21.0)).toDF("id", "name", "score")
+    // the decline names the migration op
+    val e = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertSharded(wide, Seq("id"), dir)
+    }
+    assert(e.getMessage.contains("evolveSharded"))
+    // migrate: every shard rewritten under the union schema (v2)
+    SnapshotMerge.evolveSharded(spark, dir, Seq("id"), wide)
+    val after = SnapshotMerge.readSharded(spark, dir)
+    assert(after.columns.sorted.toSeq == Seq("id", "name", "score"))
+    assert(after.count() == 3)
+    assert(after.filter(col("score").isNotNull).count() == 0)
+    // the wider batch now merges normally (v3)
+    SnapshotMerge.upsertSharded(wide, Seq("id"), dir)
+    val got = SnapshotMerge.readSharded(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq((1L, None), (2L, Some(21.0)), (3L, None)))
+    // evolving with nothing new is a loud no-op error
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.evolveSharded(spark, dir, Seq("id"), wide)
+    }
+    // time travel: the pre-evolution version reads with ITS schema
+    val v1 = SnapshotMerge.readShardedVersion(spark, dir, 1L)
+    assert(v1.columns.sorted.toSeq == Seq("id", "name"))
+    assert(v1.count() == 3)
+    // and the retirees reap through the same windowed vacuum
+    assert(SnapshotMerge.vacuumSharded(spark, dir) > 0)
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
   }
 
   test("time travel: VERSION AS OF reads retained versions; vacuum expiry fails loudly") {
