@@ -243,10 +243,14 @@ object BenchHarness {
     // 0.1 s below 100 s, whole seconds above — precision a reader
     // loses only at magnitudes where the ±15% cross-round noise band
     // already dwarfs it, bytes the budget keeps at 98+ queries
-    // (r14: the r13 rendering overflowed the tail window at 98)
+    // (r14: the r13 rendering overflowed the tail window at 98).
+    // Tier cutoffs sit at the FORMAT's own rounding boundaries
+    // (9.995, 99.95), not at 10/100: "%.2f" renders 9.996 as "10.00"
+    // (5 chars) — a value in the rounding band must take the next
+    // tier or the byte bound silently breaks exactly there
     def rAdaptive(v: Double): String =
-      if (v < 10) "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      else if (v < 100) "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      if (v < 9.995) "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      else if (v < 99.95) "%.1f".formatLocal(java.util.Locale.ROOT, v)
       else math.round(v).toString
     val vals = stats.sortBy(_._1).map { case (k, st) =>
       rAdaptive(normOf.getOrElse(k, None).getOrElse(st.headline))

@@ -344,19 +344,30 @@ private[graft] object IndexFs {
       atomicWriteSmallFile(spark, f, ptr, s"v$next") // the atomic commit
       if (publishRetention(spark).isEmpty)
         cur.foreach(k => deleteRecursively(spark, s"$dir.v$k"))
+      else cur.foreach { k =>
+        // tombstone mtime = the SUPERSESSION instant — what the
+        // retention window must measure from (the version dir's own
+        // mtime is its write time, arbitrarily older than the publish
+        // that superseded it: a version current for a day would be
+        // reapable seconds after supersession)
+        val t = f.create(new HPath(s"$dir.retired-v$k"), true)
+        try t.write(s"v$k".getBytes("UTF-8")) finally t.close()
+      }
       if (cur.isEmpty) deleteRecursively(spark, dir) // pre-marker plain dir
     }
   }
 
   /** Reaps superseded marker-protocol versions of relation `dir` older
     * than `minAgeMs` (defaults to [[PublishRetentionKey]], else 0 =
-    * everything superseded). Age is measured from each version dir's
-    * newest mtime — a version's last write necessarily PRECEDES the
-    * publish that superseded it, so the window a reader actually gets
-    * is at least `minAgeMs` minus the write duration; size the window
-    * accordingly (longest query + longest publish write). The CURRENT
-    * version is never touched. Returns dirs reaped. No-op under the
-    * rename protocol (no versioned dirs exist). */
+    * everything superseded). Age is measured from each version's
+    * `.retired-v<K>` tombstone — written at the SUPERSESSION instant by
+    * [[publishRelation]]'s deferred retire — so the window counts from
+    * when readers could last RESOLVE the version, not from when its
+    * bytes were written (a version current for a day must not become
+    * reapable seconds after supersession). Versions with no tombstone
+    * (crash debris, pre-tombstone leftovers) fall back to their newest
+    * mtime. The CURRENT version is never touched. Returns dirs reaped.
+    * No-op under the rename protocol (no versioned dirs exist). */
   def vacuumPublished(spark: SparkSession, dir: String,
       minAgeMs: Option[Long] = None): Int = {
     val f = fs(spark, dir)
@@ -378,8 +389,15 @@ private[graft] object IndexFs {
         && versioned.matcher(st.getPath.getName).matches()
         && st.getPath.toString != f.makeQualified(new HPath(curName)).toString)
       .foreach { st =>
-        if (newestMtime(spark, st.getPath.toString) <= cutoff) {
-          deleteRecursively(spark, st.getPath.toString); reaped += 1
+        val ver = st.getPath.getName.stripPrefix(p.getName + ".v")
+        val tomb = new HPath(parent, s"${p.getName}.retired-v$ver")
+        val retiredAt =
+          if (f.exists(tomb)) f.getFileStatus(tomb).getModificationTime
+          else newestMtime(spark, st.getPath.toString)
+        if (retiredAt <= cutoff) {
+          deleteRecursively(spark, st.getPath.toString)
+          if (f.exists(tomb)) f.delete(tomb, false)
+          reaped += 1
         }
       }
     reaped
@@ -424,7 +442,10 @@ private[graft] object IndexFs {
     deleteRecursively(spark, dir + ".current.tmp")
     if (parent != null && f.exists(parent)) {
       val prefix = p.getName + ".v"
-      f.listStatus(parent).filter(_.getPath.getName.startsWith(prefix))
+      val tombPrefix = p.getName + ".retired-v"
+      f.listStatus(parent).filter(s =>
+          s.getPath.getName.startsWith(prefix) ||
+            s.getPath.getName.startsWith(tombPrefix))
         .foreach(s => f.delete(s.getPath, true))
     }
   }

@@ -155,15 +155,22 @@ object Layout {
     * column; layout files are internal — always read back through
     * Spark — so the tag is free here and the stats are the win. */
   private[operators] def withMicrosTimestamps[T](
-      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    // serialized per session: two concurrent scoped writes interleaving
+    // their save/restore could leave the session pinned to MICROS for
+    // every later (external-facing) write. Cross-thread UNRELATED
+    // parquet writes during the body still see MICROS — acceptable for
+    // the single-writer maintenance ops that use this; a per-write
+    // option would need a DataFrameWriter knob Spark doesn't expose.
+    spark.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val saved = spark.conf.getOption(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try body finally saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** The clustered frame [[writeZOrdered]]/[[optimize]] materialize:
     * range-exchange on the z-key into `numFiles` slices, local sort
@@ -283,11 +290,11 @@ object Layout {
     }
 
   /** Footer-derived [[FileStats]] for one parquet file — integer-backed
-    * columns only (int/long/date/timestamp written as INT64 micros:
-    * [[graft.GraftSession]] pins
-    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`; a
-    * timestamp written as legacy INT96 carries Binary stats, which read
-    * as [[NoStats]] → kept, safe but unpruned). */
+    * columns only (int/long/date/timestamp written as INT64 micros —
+    * every layout and sharded-snapshot write goes through
+    * [[withMicrosTimestamps]] for exactly this; a timestamp written as
+    * legacy INT96 by an UNWRAPPED writer carries Binary stats, which
+    * read as [[NoStats]] → kept, safe but unpruned). */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
       p: org.apache.hadoop.fs.Path, cols: Seq[String]): FileStats = {
     import scala.jdk.CollectionConverters._
@@ -372,26 +379,34 @@ object Layout {
     val fs = IndexFs.fs(spark, resolvedDir)
     val p = new org.apache.hadoop.fs.Path(s"$resolvedDir/$SidecarName")
     if (!fs.exists(p)) return None
-    val lines = IndexFs.readSmallFile(fs, p).split("\n").toSeq
-    if (lines.length < 2 || lines.head != "graft-layout-stats\tv1") return None
-    val cols = lines(1).split("\t").toSeq.drop(1)
-    val byFile = lines.drop(2).filter(_.nonEmpty).map(_.split("\t", -1))
-      .groupBy(_(0))
-    val stats = byFile.map { case (name, rows) =>
-      val blocks = rows.filter(_(3) != "empty").groupBy(_(1).toInt).toSeq
-        .sortBy(_._1).map { case (_, cells) =>
-          cells.map { cell =>
-            cell(2) -> (cell(3) match {
-              case "range" => RangeStat(cell(4).toLong, cell(5).toLong)
-              case "allnull" => AllNullStat
-              case "absent" => AbsentCol
-              case _ => NoStats
-            })
-          }.toMap
-        }
-      name -> FileStats(s"$resolvedDir/$name", blocks)
+    // ANY parse failure (a torn write on a scheme without an atomic
+    // rename binding, external corruption) degrades to None → the
+    // footer fallback, per the contract — a cache must never be able
+    // to brick the read path it accelerates
+    try {
+      val lines = IndexFs.readSmallFile(fs, p).split("\n").toSeq
+      if (lines.length < 2 || lines.head != "graft-layout-stats\tv1") return None
+      val cols = lines(1).split("\t").toSeq.drop(1)
+      val byFile = lines.drop(2).filter(_.nonEmpty).map(_.split("\t", -1))
+        .groupBy(_(0))
+      val stats = byFile.map { case (name, rows) =>
+        val blocks = rows.filter(_(3) != "empty").groupBy(_(1).toInt).toSeq
+          .sortBy(_._1).map { case (_, cells) =>
+            cells.map { cell =>
+              cell(2) -> (cell(3) match {
+                case "range" => RangeStat(cell(4).toLong, cell(5).toLong)
+                case "allnull" => AllNullStat
+                case "absent" => AbsentCol
+                case _ => NoStats
+              })
+            }.toMap
+          }
+        name -> FileStats(s"$resolvedDir/$name", blocks)
+      }
+      Some((cols.toSet, stats))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
     }
-    Some((cols.toSet, stats))
   }
 
   /** The files under a single RESOLVED dir whose stats admit every
@@ -429,9 +444,11 @@ object Layout {
     * the chunk carries no usable stats, or the column is absent) —
     * pruning may only ever widen the result, never narrow it (the
     * caller re-applies the exact filter). Integer-backed columns only
-    * (int/long/date/timestamp-as-INT64-micros — [[graft.GraftSession]]
-    * pins the micros output type; legacy INT96 timestamps carry
-    * unusable Binary stats and simply never prune) — exactly the types
+    * (int/long/date/timestamp-as-INT64-micros — the layout and
+    * sharded-snapshot writers pin the micros output type via
+    * [[withMicrosTimestamps]]; legacy INT96 timestamps from unwrapped
+    * writers carry unusable Binary stats and simply never prune) —
+    * exactly the types
     * [[withZValue]] range-ranks; string dims are hash-ranked, so range
     * stats carry no signal for them.
     *

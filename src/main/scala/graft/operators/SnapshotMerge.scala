@@ -72,6 +72,11 @@ object SnapshotMerge {
   private[operators] def survivorAntiJoin(current: DataFrame,
       touchedKeys: DataFrame, keyCols: Seq[String],
       broadcastKeys: Boolean): DataFrame = {
+    // same reserved-name discipline as __shard: a snapshot column that
+    // collides with the renamed key frame would make the join condition
+    // ambiguous with an error that names neither cause
+    require(!current.columns.exists(_.startsWith("__mergekey_")),
+      "reserved internal column prefix in snapshot: __mergekey_")
     val keyed = touchedKeys.toDF(keyCols.map(c => s"__mergekey_$c"): _*)
     val rhs = if (broadcastKeys) broadcast(keyed) else keyed
     val cond = keyCols.map(c => col(c) <=> col(s"__mergekey_$c"))
@@ -293,11 +298,16 @@ object SnapshotMerge {
       "reserved internal column name in input: __shard")
     require(!existsSharded(spark, dir),
       s"sharded snapshot already exists at $dir — upsertSharded into it")
-    df.limit(0).write.mode("overwrite").parquet(s"${norm(dir)}/schema")
+    // micros timestamps (scoped, Layout.withMicrosTimestamps): shard
+    // files are internal — read back only through Spark — and INT64
+    // stats are what lets a timestamp Band prune in readShardedPruned
     val vDir = s"${norm(dir)}/shards-v1"
-    df.withColumn("__shard", shardExpr(keyCols, nShards, salt))
-      .repartition(col("__shard"))
-      .write.partitionBy("__shard").mode("overwrite").parquet(vDir)
+    Layout.withMicrosTimestamps(spark) {
+      df.limit(0).write.mode("overwrite").parquet(s"${norm(dir)}/schema")
+      df.withColumn("__shard", shardExpr(keyCols, nShards, salt))
+        .repartition(col("__shard"))
+        .write.partitionBy("__shard").mode("overwrite").parquet(vDir)
+    }
     val present = IndexFs.listDirNames(spark, vDir)
       .filter(_.startsWith("__shard="))
       .map(n => n.stripPrefix("__shard=").toLong -> s"$vDir/$n")
@@ -364,7 +374,15 @@ object SnapshotMerge {
     * Delta/Iceberg `VERSION AS OF` shape). Fails LOUDLY — never a
     * partial result — when the version's manifest or any of its shard
     * dirs has been vacuumed: a time-travel read outside the retention
-    * window is a caller error, not a silently-smaller snapshot. */
+    * window is a caller error, not a silently-smaller snapshot.
+    *
+    * Known limit: a version with ZERO shards (an all-deleted or
+    * just-created-empty snapshot) reads through the CURRENT schema
+    * anchor — if an [[evolveSharded]] ran since, that empty version
+    * reports today's widened schema, not the narrower one it had
+    * (shard files carry their schema; an empty version has none to
+    * carry, and the pre-evolution anchor retires with its window).
+    * Rows are correct either way — zero. */
   def readShardedVersion(spark: SparkSession, dir: String,
       version: Long): DataFrame = {
     val name = s"manifest-v$version"
@@ -458,9 +476,11 @@ object SnapshotMerge {
 
     val next = m.version + 1
     val deltaDir = s"${norm(dir)}/shards-v$next"
-    survivors.unionByName(inserts)
-      .repartition(col("__shard"))
-      .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
+    Layout.withMicrosTimestamps(spark) {
+      survivors.unionByName(inserts)
+        .repartition(col("__shard"))
+        .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
+    }
     val rewritten = IndexFs.listDirNames(spark, deltaDir)
       .filter(_.startsWith("__shard="))
       .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
@@ -574,9 +594,11 @@ object SnapshotMerge {
       .withColumn("__shard", shardExpr(keyCols, m.nShards, m.salt))
     val next = m.version + 1
     val deltaDir = s"${norm(dir)}/shards-v$next"
-    rewrittenRows
-      .repartition(col("__shard"))
-      .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
+    Layout.withMicrosTimestamps(spark) {
+      rewrittenRows
+        .repartition(col("__shard"))
+        .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
+    }
     val rewritten = IndexFs.listDirNames(spark, deltaDir)
       .filter(_.startsWith("__shard="))
       .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")

@@ -336,7 +336,15 @@ object StreamingOps {
     * previously committed one. Two streams feeding one snapshot MUST
     * use distinct names; re-creating a checkpoint from scratch for the
     * same logical stream means its already-committed prefix is
-    * deliberately skipped — pick a NEW name to replay from zero. */
+    * deliberately skipped — pick a NEW name to replay from zero.
+    *
+    * Upgrade note: tags were `batch_<id>` before the namespace
+    * existed. A checkpointed stream crossing that format change will
+    * NOT recognize a pre-upgrade commit, so a crash-window batch (tag
+    * landed, checkpoint didn't) re-merges once on restart — harmless
+    * (the merge is content-idempotent for the same batch), and the
+    * stale bare tags are inert; delete them from `<snapshot>/commits`
+    * if the clutter matters. */
   def mergeStream(updates: DataFrame, snapshotDir: String,
       keyCols: Seq[String], checkpointDir: String,
       deleteCol: Option[String] = None,

@@ -224,6 +224,13 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(queriesCompactLine(Seq("q" -> mid)).contains("[12.3]"))
     assert(queriesCompactLine(Seq("q" -> hund)).contains("[123]"))
     assert(queriesCompactLine(Seq("q" -> big)).contains("[12346]"))
+    // format-rounding boundaries: a value in [9.995,10) must NOT render
+    // "10.00" (5 chars — the silent byte-bound break), nor [99.95,100)
+    // "100.0"; tier cutoffs sit at the rounding edges
+    val edge1 = QueryStat(Vector(9.996), Vector.empty, Vector.empty)
+    val edge2 = QueryStat(Vector(99.96), Vector.empty, Vector.empty)
+    assert(queriesCompactLine(Seq("q" -> edge1)).contains("[10.0]"))
+    assert(queriesCompactLine(Seq("q" -> edge2)).contains("[100]"))
   }
 
   test("compact queries line + contract line fit the driver tail window together over the REAL key set") {

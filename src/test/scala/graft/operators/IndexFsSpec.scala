@@ -216,12 +216,23 @@ class IndexFsSpec extends SparkSpec {
         // a sibling relation whose name shares the `<name>.v` prefix is
         // never a vacuum candidate
         IndexFs.publishRelation(Seq((9L, "z")).toDF("id", "v"), s"$dir.vectors")
-        // inside the window: nothing reaped
-        assert(IndexFs.vacuumPublished(spark, dir) == 0)
+        // the supersession tombstone exists, and the window measures
+        // from ITS mtime, not the version dir's write time: age the
+        // DIR far past the window — a version that was current for
+        // days must not become reapable seconds after supersession
+        assert(IndexFs.exists(spark, s"$dir.retired-v1"))
+        val old = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 100L * 3600 * 1000)
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir.v1"))
+          .forEach(p => java.nio.file.Files.setLastModifiedTime(p, old))
+        assert(IndexFs.vacuumPublished(spark, dir) == 0,
+          "window must count from supersession (tombstone), not write mtime")
         assert(IndexFs.exists(spark, s"$dir.v1"))
-        // expired window: v1 reaped, current + sibling untouched
+        // expired window: v1 + its tombstone reaped, current + sibling
+        // untouched
         assert(IndexFs.vacuumPublished(spark, dir, Some(0L)) == 1)
         assert(!IndexFs.exists(spark, s"$dir.v1"))
+        assert(!IndexFs.exists(spark, s"$dir.retired-v1"))
         assert(spark.read.parquet(IndexFs.resolveDir(spark, dir))
           .collect().map(_.getLong(0)).toSeq == Seq(2L))
         assert(IndexFs.exists(spark, IndexFs.resolveDir(spark, s"$dir.vectors")))

@@ -293,6 +293,14 @@ class LayoutSpec extends SparkSpec {
     val (selUncovered, t3) = Layout.prunedFiles(spark, s"$dir/u",
       Seq(Layout.Band("event_id", 0L, 10L)))
     assert(selUncovered.length <= t3) // no crash; footer answer
+    // a TORN/corrupt sidecar degrades to the footer answer, never a
+    // crash — the cache can't brick the read path it accelerates
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/u/${Layout.SidecarName}"),
+      "graft-layout-stats\tv1\ncols\tuser_id\npart-0.parquet\t0\tuser_id\trange\t12")
+    val (selTorn, t4) = Layout.prunedFiles(spark, s"$dir/u",
+      Seq(Layout.Band("user_id", 3L, 5L)))
+    assert(t4 == 8 && selTorn.nonEmpty && selTorn.length < t4)
   }
 
   test("2-dim band: conjunction prunes harder than either dimension alone") {

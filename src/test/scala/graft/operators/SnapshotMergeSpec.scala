@@ -285,6 +285,17 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(SnapshotMerge.readSharded(spark, b).count() == 4)
   }
 
+  test("reserved __mergekey_ prefix in a snapshot fails loudly, not ambiguously") {
+    val dir = tmp()
+    SnapshotMerge.upsert(
+      Seq((1L, "x")).toDF("id", "__mergekey_id"), Seq("id"), dir)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsert(
+        Seq((1L, "y")).toDF("id", "__mergekey_id"), Seq("id"), dir)
+    }
+    assert(e.getMessage.contains("__mergekey_"))
+  }
+
   test("schema evolution: union schema with null fill; off by default; sharded declines") {
     val dir = tmp()
     SnapshotMerge.upsert(
