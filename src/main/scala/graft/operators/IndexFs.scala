@@ -391,12 +391,19 @@ private[graft] object IndexFs {
       .foreach { st =>
         val ver = st.getPath.getName.stripPrefix(p.getName + ".v")
         val tomb = new HPath(parent, s"${p.getName}.retired-v$ver")
+        // one RPC, not exists+getFileStatus: absent tombstone (crash
+        // debris, pre-tombstone leftovers) falls back to write mtime
         val retiredAt =
-          if (f.exists(tomb)) f.getFileStatus(tomb).getModificationTime
-          else newestMtime(spark, st.getPath.toString)
+          try f.getFileStatus(tomb).getModificationTime
+          catch { case _: java.io.FileNotFoundException =>
+            newestMtime(spark, st.getPath.toString) }
         if (retiredAt <= cutoff) {
+          // tombstone FIRST: a crash between the two deletes then
+          // leaves a dir with no tombstone, which the next vacuum
+          // self-heals via the mtime fallback (already past the
+          // window) — dir-first would orphan the tombstone forever
+          f.delete(tomb, false)
           deleteRecursively(spark, st.getPath.toString)
-          if (f.exists(tomb)) f.delete(tomb, false)
           reaped += 1
         }
       }
@@ -441,11 +448,13 @@ private[graft] object IndexFs {
     deleteRecursively(spark, dir + ".current")
     deleteRecursively(spark, dir + ".current.tmp")
     if (parent != null && f.exists(parent)) {
-      val prefix = p.getName + ".v"
-      val tombPrefix = p.getName + ".retired-v"
-      f.listStatus(parent).filter(s =>
-          s.getPath.getName.startsWith(prefix) ||
-            s.getPath.getName.startsWith(tombPrefix))
+      // digits-anchored, like vacuumPublished: a sibling relation named
+      // `<name>.vectors` (and ITS versions/pointer) must never match a
+      // rebuild of `<name>`
+      val versioned = java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(p.getName) + "\\.(retired-)?v\\d+")
+      f.listStatus(parent)
+        .filter(s => versioned.matcher(s.getPath.getName).matches())
         .foreach(s => f.delete(s.getPath, true))
     }
   }

@@ -61,6 +61,25 @@ object SnapshotMerge {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(IndexFs.resolveDir(spark, dataDir(dir)))
 
+  /** The EXACT column names [[survivorAntiJoin]] reserves for the
+    * given keys — the only spellings that can collide (a snapshot
+    * column named `__mergekey_notes` under key `id` is harmless). */
+  private def reservedKeyNames(keyCols: Seq[String]): Seq[String] =
+    keyCols.map(c => s"__mergekey_$c")
+
+  /** Rejects an input frame that carries one of this merge's reserved
+    * renamed-key columns — checked at EVERY entry point (including the
+    * snapshot-creating first upsert and createSharded), because a
+    * reserved column persisted at creation would brick every LATER
+    * incremental merge with an ambiguous-reference error. */
+  private def requireNoReservedKeyNames(df: DataFrame,
+      keyCols: Seq[String], what: String): Unit = {
+    val clash = reservedKeyNames(keyCols).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"reserved internal column name(s) ${clash.mkString(",")} in $what " +
+        s"(the merge renames key columns to __mergekey_<key> internally)")
+  }
+
   /** The survivor side of a merge: current rows whose key does NOT
     * appear in the batch's key set. NULL-SAFE equality (`<=>`) on every
     * key component — plain equality would let a null-keyed current row
@@ -72,11 +91,11 @@ object SnapshotMerge {
   private[operators] def survivorAntiJoin(current: DataFrame,
       touchedKeys: DataFrame, keyCols: Seq[String],
       broadcastKeys: Boolean): DataFrame = {
-    // same reserved-name discipline as __shard: a snapshot column that
-    // collides with the renamed key frame would make the join condition
-    // ambiguous with an error that names neither cause
-    require(!current.columns.exists(_.startsWith("__mergekey_")),
-      "reserved internal column prefix in snapshot: __mergekey_")
+    // same reserved-name discipline as __shard, scoped to the EXACT
+    // names this merge renames to — a snapshot column colliding with
+    // them would make the join condition ambiguous with an error that
+    // names neither cause
+    requireNoReservedKeyNames(current, keyCols, "snapshot")
     val keyed = touchedKeys.toDF(keyCols.map(c => s"__mergekey_$c"): _*)
     val rhs = if (broadcastKeys) broadcast(keyed) else keyed
     val cond = keyCols.map(c => col(c) <=> col(s"__mergekey_$c"))
@@ -126,6 +145,7 @@ object SnapshotMerge {
       s"key columns ${keyCols.filterNot(updates.columns.contains)} absent from updates")
     deleteCol.foreach(c => require(updates.columns.contains(c),
       s"deleteCol $c absent from updates"))
+    requireNoReservedKeyNames(updates, keyCols, "updates")
     commitTag.foreach(IndexFs.requireValidTag)
     if (commitTag.exists(t => IndexFs.isCommitted(spark, dir, t)))
       return false
@@ -296,6 +316,7 @@ object SnapshotMerge {
     require(nShards > 0, s"nShards=$nShards must be positive")
     require(!df.columns.contains("__shard"),
       "reserved internal column name in input: __shard")
+    requireNoReservedKeyNames(df, keyCols, "input")
     require(!existsSharded(spark, dir),
       s"sharded snapshot already exists at $dir — upsertSharded into it")
     // micros timestamps (scoped, Layout.withMicrosTimestamps): shard
@@ -426,6 +447,7 @@ object SnapshotMerge {
       s"bad key columns $keyCols for ${updates.columns.mkString(",")}")
     deleteCol.foreach(c => require(updates.columns.contains(c),
       s"deleteCol $c absent from updates"))
+    requireNoReservedKeyNames(updates, keyCols, "updates")
     commitTag.foreach(IndexFs.requireValidTag)
     if (commitTag.exists(t => IndexFs.isCommitted(spark, dir, t)))
       return false

@@ -285,11 +285,18 @@ class IndexFsSpec extends SparkSpec {
       assert(!IndexFs.exists(spark, dir))
     }
     // a save*-style rebuild clears pointer + versions so its fresh plain
-    // dir cannot be shadowed by the stale pointer
+    // dir cannot be shadowed by the stale pointer — and ONLY this
+    // relation's: a sibling sharing the name prefix must survive
+    withMarkerProtocol {
+      IndexFs.publishRelation(Seq((9L, "z")).toDF("id", "v"), s"$dir.vectors")
+    }
     IndexFs.clearPublished(spark, dir)
     assert(IndexFs.resolveDir(spark, dir) == dir)
     assert(!IndexFs.exists(spark, s"$dir.v1") &&
       !IndexFs.exists(spark, s"$dir.current"))
+    assert(IndexFs.exists(spark,
+      IndexFs.resolveDir(spark, s"$dir.vectors")),
+      "clearPublished must never touch a sibling relation")
   }
 
   test("newestMtime sees part-file recency two levels deep") {

@@ -285,15 +285,29 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(SnapshotMerge.readSharded(spark, b).count() == 4)
   }
 
-  test("reserved __mergekey_ prefix in a snapshot fails loudly, not ambiguously") {
+  test("reserved __mergekey_<key> names fail loudly AT CREATION, exact-match only") {
     val dir = tmp()
-    SnapshotMerge.upsert(
-      Seq((1L, "x")).toDF("id", "__mergekey_id"), Seq("id"), dir)
+    // the colliding spelling is rejected on the very first upsert —
+    // letting it persist would brick every later incremental merge
     val e = intercept[IllegalArgumentException] {
       SnapshotMerge.upsert(
-        Seq((1L, "y")).toDF("id", "__mergekey_id"), Seq("id"), dir)
+        Seq((1L, "x")).toDF("id", "__mergekey_id"), Seq("id"), dir)
     }
-    assert(e.getMessage.contains("__mergekey_"))
+    assert(e.getMessage.contains("__mergekey_id"))
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.createSharded(
+        Seq((1L, "x")).toDF("id", "__mergekey_id"), Seq("id"), 4, dir)
+    }
+    // but only the EXACT renamed-key spellings are reserved: a column
+    // merely sharing the prefix merges fine, forever
+    SnapshotMerge.upsert(
+      Seq((1L, "n1")).toDF("id", "__mergekey_notes"), Seq("id"), dir)
+    SnapshotMerge.upsert(
+      Seq((1L, "n2"), (2L, "n3")).toDF("id", "__mergekey_notes"),
+      Seq("id"), dir)
+    val got = SnapshotMerge.read(spark, dir).orderBy("id")
+      .select("__mergekey_notes").as[String].collect().toSeq
+    assert(got == Seq("n2", "n3"))
   }
 
   test("schema evolution: union schema with null fill; off by default; sharded declines") {
