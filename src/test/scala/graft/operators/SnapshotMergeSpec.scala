@@ -456,6 +456,12 @@ class SnapshotMergeSpec extends SparkSpec {
     // superseded pre-optimize dirs retire through the windowed vacuum
     assert(SnapshotMerge.vacuumSharded(spark, dir) > 0)
     assert(SnapshotMerge.readSharded(spark, dir).count() == 2000)
+    // the skew-robust rank mode threads through too, content intact
+    SnapshotMerge.optimizeSharded(spark, dir, Seq("id"), Seq("cat", "id"),
+      filesPerShard = 2, rankMode = "equidepth")
+    val backEq = SnapshotMerge.readSharded(spark, dir)
+    assert(backEq.exceptAll(big).count() == 0 &&
+      big.exceptAll(backEq).count() == 0)
   }
 
   test("marker protocol: the full sharded lifecycle composes (create→merge→evolve→optimize→vacuum→time-travel)") {

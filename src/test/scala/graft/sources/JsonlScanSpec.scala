@@ -54,6 +54,21 @@ class JsonlScanSpec extends SparkSpec {
       col("text").isNotNull).count() == 0)
   }
 
+  test("gzipped JSONL (the usual crawl-dump shape) reads transparently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_gz").toString
+    docs.write.mode("overwrite")
+      .option("compression", "gzip").json(s"$dir/d")
+    // sanity: the files really are .gz (whole-file codec — splittable
+    // parallelism comes from the many part files, not intra-file splits)
+    val parts = new java.io.File(s"$dir/d").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(parts.nonEmpty)
+    val back = Scan.jsonl(spark, s"$dir/d", docs.schema).drop("_corrupt_record")
+    val a = docs.select(docs.columns.sorted.map(col): _*)
+    val b = back.select(docs.columns.sorted.map(col): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("missing path yields a typed empty relation; reserved column guards") {
     val schema = docs.schema
     val empty = Scan.jsonl(spark, "/tmp/graft_no_such_jsonl_dir", schema)
