@@ -653,6 +653,26 @@ object SnapshotMerge {
     else spark.read.parquet(selected: _*)
   }
 
+  /** The operational DESCRIBE of a sharded snapshot — one row per live
+    * shard: (version, shard, path, files, bytes) — plus what an
+    * operator planning maintenance needs to see at a glance: which
+    * shards have accumulated small files (the OPTIMIZE signal), how the
+    * bytes skew across shards (the re-shard signal), and which version
+    * is live. Driver-side metadata listing, O(shards) — the same
+    * plane `vacuumSharded` walks; read-only. Retained older versions
+    * are visible through [[shardedVersions]], not here. */
+  def describeSharded(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(spark, dir)
+    val f = IndexFs.fs(spark, dir)
+    val rows = m.shards.toSeq.sortBy(_._1).map { case (k, pth) =>
+      val sts = f.listStatus(new org.apache.hadoop.fs.Path(pth))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      (m.version, k, pth, sts.length.toLong, sts.map(_.getLen).sum)
+    }
+    spark.createDataFrame(rows)
+      .toDF("version", "shard", "path", "files", "bytes")
+  }
+
   /** Reaps snapshot state nothing can reach anymore, behind a
     * retention window:
     *

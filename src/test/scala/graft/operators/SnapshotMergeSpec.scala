@@ -464,6 +464,28 @@ class SnapshotMergeSpec extends SparkSpec {
       big.exceptAll(backEq).count() == 0)
   }
 
+  test("describeSharded: one row per live shard with real file/byte counts") {
+    val dir = tmp()
+    val big = spark.range(0, 500)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    SnapshotMerge.createSharded(big, Seq("id"), 8, dir)
+    val d1 = SnapshotMerge.describeSharded(spark, dir).collect()
+    assert(d1.length == 8)
+    assert(d1.forall(_.getLong(0) == 1L)) // version
+    assert(d1.forall(r => r.getLong(3) >= 1L && r.getLong(4) > 0L))
+    // a one-key merge bumps the version everywhere but rewrites one
+    // shard's path; file counts stay real
+    SnapshotMerge.upsertSharded(
+      Seq((7L, "upd")).toDF("id", "name"), Seq("id"), dir)
+    val d2 = SnapshotMerge.describeSharded(spark, dir).collect()
+    assert(d2.length == 8)
+    assert(d2.forall(_.getLong(0) == 2L))
+    val moved = d2.map(r => r.getLong(1) -> r.getString(2)).toMap
+    val before = d1.map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(moved.count { case (k, p) => before(k) != p } == 1,
+      "exactly the touched shard should point at a new physical dir")
+  }
+
   test("marker protocol: the full sharded lifecycle composes (create→merge→evolve→optimize→vacuum→time-travel)") {
     val dir = tmp()
     spark.conf.set(IndexFs.CommitProtocolKey, "marker")
