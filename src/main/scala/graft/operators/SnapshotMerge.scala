@@ -233,9 +233,15 @@ object SnapshotMerge {
 
   /** A stored shard path, resolved against the snapshot root. Legacy
     * manifests (written before paths went relative) carried absolute
-    * paths — those pass through untouched. */
+    * paths — those pass through untouched. Absolute means a leading `/`
+    * OR any URI scheme, including the single-slash Hadoop
+    * `Path.toString` spelling (`file:/tmp/...`) — treating that form as
+    * relative would resolve a legacy entry to `<dir>/file:/tmp/...`
+    * and fail the shard read. */
+  private val SchemePrefix = "^[a-zA-Z][a-zA-Z0-9+.-]*:/".r
   private def resolveShardPath(dir: String, p: String): String =
-    if (p.startsWith("/") || p.contains("://")) p else s"${norm(dir)}/$p"
+    if (p.startsWith("/") || SchemePrefix.findPrefixOf(p).isDefined) p
+    else s"${norm(dir)}/$p"
 
   /** The on-disk (relative) spelling of a shard path under `dir`. */
   private def relativizeShardPath(dir: String, p: String): String = {
@@ -582,10 +588,14 @@ object SnapshotMerge {
     * [[upsertSharded]] mismatch error points at: rewrites EVERY shard
     * under the union of the current schema and `template`'s (survivor
     * rows null-fill columns only the template brings; a column the
-    * template drops is KEPT — evolution only widens, narrowing is a
-    * rebuild), refreshes the zero-row `schema/` anchor, and commits
-    * like an upsert (new version dir, manifest pointer swap, superseded
-    * dirs + old anchor retire-logged for [[vacuumSharded]]). After it,
+    * template drops is KEPT — evolution only widens, narrowing is
+    * [[migrateSharded]]), refreshes the zero-row `schema/` anchor, and
+    * commits like an upsert (new version dir, manifest pointer swap,
+    * superseded SHARD dirs retire-logged for [[vacuumSharded]]; the old
+    * anchor follows [[IndexFs.publishRelation]]'s own retention —
+    * inline delete by default, windowed under
+    * `spark.graft.publishRetention.ms` + [[IndexFs.vacuumPublished]] —
+    * it is never named in the retire log). After it,
     * batches carrying the new columns merge normally. Full-rewrite
     * cost by design — the same maintenance-window posture as
     * [[optimizeSharded]]: the sharded layout's by-reference carry means
@@ -602,6 +612,11 @@ object SnapshotMerge {
       s"bad key columns $keyCols for ${anchor.columns.mkString(",")}")
     require(!template.columns.contains("__shard"),
       "reserved internal column name in template: __shard")
+    // same guard as every other entry point: a __mergekey_<key> column
+    // persisted into the shards + anchor here would brick every later
+    // upsertSharded at survivorAntiJoin's snapshot check, and
+    // widening-only evolution offers no way back short of a rebuild
+    requireNoReservedKeyNames(template, keyCols, "template")
     val newCols = template.columns.filterNot(anchor.columns.contains)
     require(newCols.nonEmpty,
       s"nothing to evolve at $dir: template brings no new columns " +
@@ -683,9 +698,14 @@ object SnapshotMerge {
     *    least `minAgeMs` to finish a scan of the old version" holds
     *    regardless of when the data was originally written.
     *  - ORPHANS (delta dirs a crashed upsert half-wrote before its
-    *    pointer swap — reachable by no manifest, logged by no retire
-    *    entry): deleted once their newest mtime is older than
-    *    `minAgeMs`.
+    *    commit — reachable by no manifest, logged by no retire entry):
+    *    under a real window these are reaped CONSERVATIVELY — a
+    *    synthesized retire-log entry is written at first sight and the
+    *    dir falls to phase 1 a full window later, because an unlogged
+    *    dead dir can also be a just-superseded shard whose merge
+    *    crashed before its retire-log write (write-time mtime says
+    *    nothing about the supersession instant). `minAgeMs = 0` reaps
+    *    them immediately on newest-mtime.
     *
     * Liveness is decided on QUALIFIED paths (`fs.makeQualified`) — a
     * caller spelling `dir` differently than at write time (trailing
@@ -740,15 +760,42 @@ object SnapshotMerge {
       }
     }
 
-    // phase 2: orphans — unreachable, unlogged, past the window
+    // phase 2: orphans — unreachable and unlogged. With a real window
+    // these are NOT reaped on their write-time mtime: an unlogged dead
+    // dir can be a JUST-superseded shard whose upsert crashed between
+    // the pointer swap and its retire-log write, and its write mtime
+    // can be arbitrarily older than the supersession instant — reaping
+    // on it would break the "readers keep the old version for minAgeMs
+    // after supersession" guarantee across that crash. Instead a
+    // retire-log entry is SYNTHESIZED at first sight (mtime = now, the
+    // earliest provable supersession bound) and phase 1 reaps it one
+    // full window later. True orphans (crashed half-writes) pay the
+    // same extra window — slower hygiene, never data loss. minAgeMs=0
+    // (the spec/CI setting) keeps the immediate-reap behavior: a zero
+    // window waives the reader guarantee by definition.
     IndexFs.listDirNames(spark, dir).filter(_.startsWith("shards-v")).foreach { v =>
       val vDir = s"${norm(dir)}/$v"
       IndexFs.listDirNames(spark, vDir).filter(_.startsWith("__shard=")).foreach { s =>
         val p = s"$vDir/$s"
         val q = qual(p)
-        if (!live.contains(q) && !protectedPaths.contains(q) &&
-            IndexFs.newestMtime(spark, p) <= cutoff) {
-          IndexFs.deleteRecursively(spark, p); reaped += 1
+        if (!live.contains(q) && !protectedPaths.contains(q)) {
+          if (minAgeMs == 0L) {
+            if (IndexFs.newestMtime(spark, p) <= cutoff) {
+              IndexFs.deleteRecursively(spark, p); reaped += 1
+            }
+          } else {
+            // deterministic name per qualified path: re-sighting never
+            // refreshes the window (create only when absent)
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(q.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            val marker = new org.apache.hadoop.fs.Path(
+              s"${retiredDir(dir)}/orphan-$digest")
+            if (!f.exists(marker)) {
+              val rel = relativizeShardPath(dir, p)
+              val out = f.create(marker, false)
+              try out.write(rel.getBytes("UTF-8")) finally out.close()
+            }
+          }
         }
       }
       // a version dir with no shard children left is a husk (only write
@@ -760,15 +807,34 @@ object SnapshotMerge {
       }
     }
 
-    // phase 3: superseded manifest FILES past the window (pre-retire-log
-    // leftovers and crash debris); the current one and any named by an
-    // unexpired retire log stay
+    // phase 3: superseded manifest FILES (pre-retire-log leftovers and
+    // crash debris); the current one and any named by an unexpired
+    // retire log stay. Same conservative rule as phase 2: under a real
+    // window an UNLOGGED superseded manifest gets a synthesized retire
+    // entry (its file mtime is the version's COMMIT time, not its
+    // supersession time — reaping on it would shrink a time-travel
+    // reader's window across the crash); minAgeMs = 0 reaps inline.
     f.listStatus(new org.apache.hadoop.fs.Path(norm(dir)))
-      .filter(st => st.isFile && st.getPath.getName.startsWith("manifest-v")
+      .filter(st => st.isFile && st.getPath.getName.matches("manifest-v\\d+")
         && st.getPath.getName != curManifest
-        && !protectedManifests.contains(st.getPath.getName)
-        && st.getModificationTime <= cutoff)
-      .foreach { st => f.delete(st.getPath, false); reaped += 1 }
+        && !protectedManifests.contains(st.getPath.getName))
+      .foreach { st =>
+        val name = st.getPath.getName
+        if (minAgeMs == 0L) {
+          if (st.getModificationTime <= cutoff) {
+            f.delete(st.getPath, false); reaped += 1
+          }
+        } else {
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(name.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val marker = new org.apache.hadoop.fs.Path(
+            s"${retiredDir(dir)}/orphanm-$digest")
+          if (!f.exists(marker)) {
+            val out = f.create(marker, false)
+            try out.write(name.getBytes("UTF-8")) finally out.close()
+          }
+        }
+      }
     reaped
   }
 }

@@ -142,7 +142,13 @@ object Scan {
     val full = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(
         corruptCol, org.apache.spark.sql.types.StringType, nullable = true))
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // globStatus, not exists: exists() is false for a glob spelling
+    // (dir/*.jsonl.gz) even when files match, and falling back to the
+    // empty relation there would be silent row loss, not tolerance —
+    // null means the non-glob base path is absent, empty array means a
+    // glob matched nothing (both legitimately empty inputs)
+    val matched = fs.globStatus(new org.apache.hadoop.fs.Path(path))
+    if (matched == null || matched.isEmpty)
       emptyRelation(spark, full)
     else
       spark.read

@@ -523,6 +523,73 @@ class SnapshotMergeSpec extends SparkSpec {
     } finally spark.conf.unset(IndexFs.CommitProtocolKey)
   }
 
+  test("evolveSharded rejects a reserved __mergekey_<key> template column") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 4, dir)
+    // letting this through would persist the reserved column into every
+    // shard + the anchor and brick all later merges — with no recovery
+    // short of a rebuild, since evolution only widens
+    val e = intercept[IllegalArgumentException] {
+      SnapshotMerge.evolveSharded(spark, dir, Seq("id"),
+        Seq((1L, "x")).toDF("id", "__mergekey_id"))
+    }
+    assert(e.getMessage.contains("__mergekey_id"))
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+  }
+
+  test("legacy absolute manifest paths survive, including the single-slash file: spelling") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 2, dir)
+    // rewrite the manifest in the pre-relative legacy form, with the
+    // Hadoop Path.toString spelling (file:/…, ONE slash) — a reader
+    // treating it as relative would resolve <dir>/file:/… and fail
+    val f = IndexFs.fs(spark, dir)
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/manifest.current")
+    val name = IndexFs.readSmallFile(f, ptr)
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val lines = IndexFs.readSmallFile(f, mPath).split("\n").toSeq
+    val legacy = (lines.head +: lines.tail.map { l =>
+      val Array(k, p) = l.split("\t", 2)
+      s"$k\t${f.makeQualified(new org.apache.hadoop.fs.Path(s"$dir/$p"))}"
+    }).mkString("\n")
+    assert(legacy.contains("\tfile:/") && !legacy.contains("file:///"),
+      s"fixture must exercise the single-slash scheme spelling:\n$legacy")
+    val out = f.create(mPath, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+    // and maintenance keeps resolving them (vacuum liveness, upsert)
+    SnapshotMerge.upsertSharded(
+      Seq((2L, "b2", 21.0)).toDF("id", "name", "score"), Seq("id"), dir)
+    assert(SnapshotMerge.vacuumSharded(spark, dir, minAgeMs = 3600L * 1000) == 0)
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+  }
+
+  test("windowed vacuum never reaps an unlogged superseded dir on its write mtime") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 2, dir)
+    SnapshotMerge.upsertSharded(
+      Seq((2L, "b2", 21.0)).toDF("id", "name", "score"), Seq("id"), dir)
+    // simulate the crash window: the pointer swapped but the retire log
+    // never landed — the superseded v1 dirs are now unlogged dead dirs
+    // whose WRITE mtime is arbitrarily older than the supersession
+    val f = IndexFs.fs(spark, dir)
+    val rDir = new org.apache.hadoop.fs.Path(s"$dir/_retired")
+    f.listStatus(rDir).foreach(st => f.delete(st.getPath, false))
+    val oldReader = SnapshotMerge.readShardedVersion(spark, dir, 1L)
+    // a windowed vacuum must NOT reap them immediately (old behavior
+    // did, via the orphan write-mtime path) — it synthesizes a retire
+    // entry instead and the reader keeps its complete old version
+    assert(SnapshotMerge.vacuumSharded(spark, dir, minAgeMs = 150L) == 0)
+    assert(oldReader.count() == 3)
+    // one full window later the synthesized entry expires and phase 1
+    // reaps the dirs like any logged retiree
+    Thread.sleep(300)
+    assert(SnapshotMerge.vacuumSharded(spark, dir, minAgeMs = 150L) > 0)
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+    // minAgeMs = 0 (CI posture) keeps immediate reaping — covered by
+    // the orphan test above
+  }
+
   test("marker protocol: version swap leaves a resolvable snapshot at every step") {
     val dir = tmp()
     spark.conf.set(IndexFs.CommitProtocolKey, "marker")

@@ -69,6 +69,27 @@ class JsonlScanSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("a glob path reads its matches — never a silently empty relation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_glob").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "a.jsonl"), """{"doc_id":1}""" + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "b.jsonl"), """{"doc_id":2}""" + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "c.txt"), "not json\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    // fs.exists(glob) is false even with matches — the r14 bug read
+    // this spelling as an empty relation (silent row loss)
+    val got = Scan.jsonl(spark, s"$dir/*.jsonl", schema).cache()
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // a glob matching NOTHING is a legitimately empty input (the
+    // zero-file-dir tolerance contract), typed as usual
+    val none = Scan.jsonl(spark, s"$dir/*.jsonl.gz", schema)
+    assert(none.isEmpty && none.columns.toSeq == Seq("doc_id", "_corrupt_record"))
+  }
+
   test("missing path yields a typed empty relation; reserved column guards") {
     val schema = docs.schema
     val empty = Scan.jsonl(spark, "/tmp/graft_no_such_jsonl_dir", schema)
