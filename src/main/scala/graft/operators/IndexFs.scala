@@ -437,6 +437,51 @@ private[graft] object IndexFs {
     }
   }
 
+  /** No-clobber creation of a small control FILE — the compare-and-swap
+    * primitive under [[graft.operators.SnapshotMerge]]'s optimistic
+    * commit: at most ONE concurrent caller per target path ever returns
+    * true, and a reader never observes a partial body. The body is
+    * written to a dot-prefixed tmp sibling and moved in with
+    * `FileContext.rename` under `Rename.NONE`, whose contract
+    * atomically REJECTS an existing destination (the file-shaped twin
+    * of [[renameNoClobber]]). Schemes with no `AbstractFileSystem`
+    * binding fall back to a direct `create(overwrite = false)` — the
+    * existence check is still atomic at the store, but a concurrent
+    * reader can glimpse a partially-written body in the create-to-close
+    * window; those schemes are the true object stores, where a
+    * conditional small-object PUT is the native primitive a production
+    * binding would supply. Returns false when the destination already
+    * exists — the caller lost the race (or found a previous crash's
+    * committed file, which reads the same way by design). */
+  private[graft] def writeSmallFileNoClobber(spark: SparkSession,
+      f: FileSystem, p: HPath, content: String): Boolean = {
+    if (f.exists(p)) return false // cheap fast-path; the rename is the gate
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.cas-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      try { fc.rename(f.makeQualified(tmp), f.makeQualified(p)); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+          f.delete(tmp, false); false
+      }
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        try {
+          val out2 = f.create(p, false)
+          try out2.write(content.getBytes("UTF-8")) finally out2.close()
+          f.delete(tmp, false); true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            f.delete(tmp, false); false
+        }
+    }
+  }
+
   /** Remove a relation's marker-protocol state (pointer + every
     * versioned dir) — part of a `save*Index` full rebuild, which writes
     * the plain base dir fresh: a stale pointer from a previous

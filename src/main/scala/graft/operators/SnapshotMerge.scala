@@ -3,6 +3,18 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** A sharded-snapshot commit lost its compare-and-swap: another writer
+  * committed the same target version first. Thrown by the maintenance
+  * ops ([[SnapshotMerge.optimizeSharded]], [[SnapshotMerge.evolveSharded]],
+  * [[SnapshotMerge.migrateSharded]], [[SnapshotMerge.compactSharded]]),
+  * which must NOT silently redo their full-rewrite work against a moved
+  * snapshot — and by [[SnapshotMerge.upsertSharded]] only after its
+  * bounded re-read-and-retry loop is exhausted. The losing writer's
+  * delta dirs are already deleted (or left for the orphan vacuum path)
+  * when this surfaces; no committed state is ever touched. */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
 /** Keyed MERGE (upsert + delete) into a published parquet snapshot —
   * the CDC/crawl-loop generalization of the reference's keep-last
   * dedup (`utils/paths.py:75-96`, last write per key wins) from a JSONL
@@ -195,13 +207,31 @@ object SnapshotMerge {
   // table format's metadata layer does, in one small file.
   //
   // COMMIT vs RETIRE are separate phases (the Delta/Iceberg posture):
-  // the commit is ONLY the manifest pointer swap — superseded shard
+  // the commit is ONLY the manifest publication — superseded shard
   // dirs and manifests are never deleted inline. The upsert records
   // them in a retire log (`_retired/retired-v<N>`, mtime = the moment
   // of supersession) and [[vacuumSharded]] reaps them later, behind a
   // caller-chosen retention window — so a long-running reader that
   // resolved the OLD manifest keeps a complete, scannable old snapshot
   // for at least `minAgeMs` after the merge that superseded it.
+  //
+  // CONCURRENCY is optimistic (the Delta commit-file posture): the
+  // commit point is a no-clobber CREATE of `manifest-v<N>` — a writer
+  // that read version N-1 can publish N only if no one else has, so
+  // two concurrent writers (a mergeStream CDC batch racing an
+  // optimizeSharded maintenance window, say) can never silently
+  // discard each other's committed work. The loser's verdict is
+  // per-op: upsertSharded re-reads the moved snapshot and retries its
+  // (batch-sized) merge; the full-rewrite maintenance ops fail loudly
+  // with [[ConcurrentCommitException]]. Readers resolve the NEWEST
+  // committed manifest file (one root listing); `manifest.current` is
+  // kept as a best-effort cache/back-compat pointer, never the source
+  // of truth — a crash between the CAS and the pointer write therefore
+  // rolls FORWARD (the committed file wins) instead of wedging the
+  // version number against debris. Each attempt writes its delta under
+  // a writer-unique `shards-v<N>-<uid>` dir, so a loser's in-flight
+  // write can never clobber the winner's committed files; lost deltas
+  // are reaped by the orphan vacuum path.
   // ------------------------------------------------------------------
 
   private def manifestPtr(dir: String) = s"${norm(dir)}/manifest.current"
@@ -249,6 +279,15 @@ object SnapshotMerge {
     if (p.startsWith(root)) p.stripPrefix(root) else p
   }
 
+  /** Writer-unique suffix for a version's delta dir: two writers racing
+    * the same target version must never share a physical dir — the
+    * loser's `mode=overwrite` write would clobber the winner's
+    * already-committed files. The manifest stores whatever dir the
+    * winner wrote, so the spelling carries no meaning beyond the
+    * `shards-v` prefix the vacuum walks. */
+  private def writerUid(): String =
+    f"${java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL}%08x"
+
   private def shardExpr(keyCols: Seq[String], nShards: Int,
       salt: String): Column = {
     // \u0001-separated components with a \u0002 null sentinel:
@@ -259,30 +298,53 @@ object SnapshotMerge {
     pmod(Sharding.orderHash(key, salt), lit(nShards.toLong))
   }
 
-  private def writeManifest(spark: SparkSession, dir: String,
-      m: Manifest): Unit = {
+  /** The commit: CAS-create `manifest-v<version>` — no-clobber, so at
+    * most one writer per version number ever wins — then roll the
+    * `manifest.current` cache pointer forward. Returns false when the
+    * version was already committed (a concurrent writer, or a previous
+    * crash's committed-but-unpointed file — indistinguishable by
+    * design, and both read the same way: someone owns this version,
+    * re-read and go again). The pointer write is best-effort: readers
+    * resolve through the newest committed FILE ([[readManifest]]), so
+    * a crash between the two leaves a fully-committed version that the
+    * next reader/writer simply rolls forward to. */
+  private[operators] def tryCommitManifest(spark: SparkSession, dir: String,
+      m: Manifest): Boolean = {
     val f = IndexFs.fs(spark, dir)
     val body = (s"meta\t${m.nShards}\t${m.salt}\t$ShardHashVersion" +:
       m.shards.toSeq.sortBy(_._1)
         .map { case (k, p) => s"$k\t${relativizeShardPath(dir, p)}" })
       .mkString("\n")
     val name = s"manifest-v${m.version}"
-    val out = f.create(new org.apache.hadoop.fs.Path(s"${norm(dir)}/$name"), true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    // the atomic commit: readers resolve through this pointer only
-    IndexFs.atomicWriteSmallFile(spark, f,
-      new org.apache.hadoop.fs.Path(manifestPtr(dir)), name)
+    val won = IndexFs.writeSmallFileNoClobber(spark, f,
+      new org.apache.hadoop.fs.Path(s"${norm(dir)}/$name"), body)
+    if (won)
+      IndexFs.atomicWriteSmallFile(spark, f,
+        new org.apache.hadoop.fs.Path(manifestPtr(dir)), name)
+    won
   }
 
-  /** The LIVE manifest — resolved through the atomic pointer. Manifests
-    * written before the hash-version tag existed were built under the
-    * same (never-changed) h1 assignment — read as h1. */
+  /** The LIVE manifest — the NEWEST committed manifest file (one root
+    * listing; a manifest file exists iff its commit CAS won, so the
+    * listing can never surface a torn or in-flight version). The
+    * `manifest.current` pointer is only a fallback for snapshots
+    * written before the CAS protocol whose superseded files were all
+    * vacuumed — when manifest files exist they win, so a stale pointer
+    * (crash between CAS and pointer write, or a delayed pointer write
+    * racing a later commit) can never roll a reader backwards.
+    * Manifests written before the hash-version tag existed were built
+    * under the same (never-changed) h1 assignment — read as h1. */
   private[operators] def readManifest(spark: SparkSession,
       dir: String): Manifest = {
-    val f = IndexFs.fs(spark, dir)
-    val name = IndexFs.readSmallFile(f,
-      new org.apache.hadoop.fs.Path(manifestPtr(dir)))
-    readManifestFile(spark, dir, name)
+    val versions = shardedVersions(spark, dir)
+    if (versions.nonEmpty)
+      readManifestFile(spark, dir, s"manifest-v${versions.last}")
+    else {
+      val f = IndexFs.fs(spark, dir)
+      val name = IndexFs.readSmallFile(f,
+        new org.apache.hadoop.fs.Path(manifestPtr(dir)))
+      readManifestFile(spark, dir, name)
+    }
   }
 
   /** Appends a retire log entry: the shard dirs + manifest file that
@@ -306,7 +368,8 @@ object SnapshotMerge {
   }
 
   def existsSharded(spark: SparkSession, dir: String): Boolean =
-    IndexFs.exists(spark, manifestPtr(dir))
+    IndexFs.exists(spark, manifestPtr(dir)) ||
+      shardedVersions(spark, dir).nonEmpty // committed, pointer write lost
 
   /** Bootstraps a sharded snapshot: rows land in `nShards` key-hash
     * shard dirs (ONE partitioned write — a hash exchange on the shard
@@ -328,7 +391,7 @@ object SnapshotMerge {
     // micros timestamps (scoped, Layout.withMicrosTimestamps): shard
     // files are internal — read back only through Spark — and INT64
     // stats are what lets a timestamp Band prune in readShardedPruned
-    val vDir = s"${norm(dir)}/shards-v1"
+    val vDir = s"${norm(dir)}/shards-v1-${writerUid()}"
     Layout.withMicrosTimestamps(spark) {
       df.limit(0).write.mode("overwrite").parquet(s"${norm(dir)}/schema")
       df.withColumn("__shard", shardExpr(keyCols, nShards, salt))
@@ -338,7 +401,13 @@ object SnapshotMerge {
     val present = IndexFs.listDirNames(spark, vDir)
       .filter(_.startsWith("__shard="))
       .map(n => n.stripPrefix("__shard=").toLong -> s"$vDir/$n")
-    writeManifest(spark, dir, Manifest(1L, nShards, salt, present.toMap))
+    if (!tryCommitManifest(spark, dir,
+        Manifest(1L, nShards, salt, present.toMap))) {
+      IndexFs.deleteRecursively(spark, vDir)
+      throw new ConcurrentCommitException(
+        s"sharded snapshot at $dir was created concurrently (version 1 " +
+          "already committed) — upsertSharded into it instead")
+    }
   }
 
   /** The current sharded snapshot — a union scan of the manifest's
@@ -434,20 +503,38 @@ object SnapshotMerge {
 
   /** [[upsert]] against a sharded snapshot: reads and rewrites ONLY the
     * shards the batch's keys hash into; everything else is carried into
-    * the new manifest by REFERENCE. Commit = the manifest pointer swap
-    * (atomic); superseded dirs are NOT deleted here — they are logged
-    * to `_retired/` and reaped by [[vacuumSharded]] behind its
-    * retention window, so a reader that resolved the old manifest keeps
-    * a complete old snapshot. A crash before the swap leaves the old
-    * manifest resolving the complete old snapshot, and the half-written
-    * delta dirs are inert until [[vacuumSharded]] reaps them. Same
-    * merge/delete/precedence/replay/broadcast contract as [[upsert]].
-    * Single writer per snapshot. */
+    * the new manifest by REFERENCE. Commit = a CAS-create of the target
+    * version's manifest file (atomic, no-clobber); superseded dirs are
+    * NOT deleted here — they are logged to `_retired/` and reaped by
+    * [[vacuumSharded]] behind its retention window, so a reader that
+    * resolved the old manifest keeps a complete old snapshot. A crash
+    * before the commit leaves the old manifest resolving the complete
+    * old snapshot, and the half-written delta dirs are inert until
+    * [[vacuumSharded]] reaps them. Same merge/delete/precedence/replay/
+    * broadcast contract as [[upsert]].
+    *
+    * CONCURRENT writers are safe (optimistic concurrency): a writer
+    * that read version N can commit N+1 only if nobody else has — a
+    * lost CAS re-reads the moved snapshot and REDOES the merge against
+    * it, so no committed batch is ever silently discarded. The outcome
+    * for keys both writers touch is keep-last in commit order, exactly
+    * as if the batches had arrived sequentially. The retry is bounded;
+    * exhaustion throws [[ConcurrentCommitException]] rather than
+    * spinning against a sustained hotter writer (the batch stays
+    * replayable — nothing was committed and the tag was not marked).
+    *
+    * @param onCommitAttempt hook invoked on EVERY attempt, after the
+    *        delta write and immediately before the commit CAS — the
+    *        observability/test seam for the race window (count commit
+    *        retries, or interleave a competing writer deterministically
+    *        the way SnapshotMergeSpec does). Must not mutate this
+    *        writer's inputs. */
   def upsertSharded(updates: DataFrame, keyCols: Seq[String], dir: String,
       deleteCol: Option[String] = None,
       updateOrder: Option[Seq[Column]] = None,
       commitTag: Option[String] = None,
-      broadcastKeys: Boolean = true): Boolean = {
+      broadcastKeys: Boolean = true,
+      onCommitAttempt: () => Unit = () => ()): Boolean = {
     val spark = updates.sparkSession
     require(keyCols.nonEmpty && keyCols.forall(updates.columns.contains),
       s"bad key columns $keyCols for ${updates.columns.mkString(",")}")
@@ -459,70 +546,90 @@ object SnapshotMerge {
       return false
     require(existsSharded(spark, dir),
       s"no sharded snapshot at $dir — createSharded first")
-    val m = readManifest(spark, dir)
-    val shard = shardExpr(keyCols, m.nShards, m.salt)
 
     val ranked = updateOrder match {
       case Some(order) => graft.ops.Dedup.keepLast(updates, keyCols, order)
       case None => updates
     }
-    val inserts = (deleteCol match {
+    val insertRows = deleteCol match {
       case Some(c) => ranked.filter(!coalesce(col(c), lit(false))).drop(c)
       case None => ranked
-    }).withColumn("__shard", shard)
-    val touchedKeys = ranked.select(keyCols.map(col): _*).distinct()
-      .withColumn("__shard", shard)
-    // the batch's shard footprint — at most nShards rows
-    val touched = touchedKeys.select(col("__shard")).distinct()
-      .collect().map(_.getLong(0)).toSet
-
-    // schema gate against the zero-row anchor relation, NOT just the
-    // touched dirs (a batch landing only in empty shards must not
-    // smuggle a divergent schema past the check): the sharded layout
-    // does not evolve in place — untouched shards are carried by
-    // reference with their old physical schema, so evolution is an
-    // explicit rebuild (createSharded under the new schema)
-    val anchorCols = spark.read.parquet(schemaAnchorDir(spark, dir)).columns
-    require(
-      anchorCols.sorted.toSeq ==
-        inserts.columns.filterNot(_ == "__shard").sorted.toSeq,
-      s"upsertSharded schema mismatch: snapshot has " +
-        s"${anchorCols.sorted.mkString(",")}, updates bring " +
-        s"${inserts.drop("__shard").columns.sorted.mkString(",")} — " +
-        "the sharded layout does not evolve in place (untouched shards " +
-        "are carried by reference); run evolveSharded first")
-    val currentTouchedDirs =
-      m.shards.view.filterKeys(touched).values.toSeq
-    val survivors =
-      if (currentTouchedDirs.isEmpty) inserts.limit(0)
-      else {
-        val current = spark.read.parquet(currentTouchedDirs: _*)
-        survivorAntiJoin(current, touchedKeys.drop("__shard"), keyCols,
-          broadcastKeys)
-          .withColumn("__shard", shard)
-      }
-
-    val next = m.version + 1
-    val deltaDir = s"${norm(dir)}/shards-v$next"
-    Layout.withMicrosTimestamps(spark) {
-      survivors.unionByName(inserts)
-        .repartition(col("__shard"))
-        .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
     }
-    val rewritten = IndexFs.listDirNames(spark, deltaDir)
-      .filter(_.startsWith("__shard="))
-      .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
-      .toMap
-    // untouched shards ride along by reference; touched ones remap to
-    // the delta (a touched shard rewritten to zero rows drops out)
-    val merged = (m.shards -- touched) ++ rewritten
-    writeManifest(spark, dir, Manifest(next, m.nShards, m.salt, merged))
-    // the commit is complete at the pointer swap above; superseded
-    // dirs + manifest go to the retire log for a windowed vacuum
-    writeRetireLog(spark, dir, next, currentTouchedDirs,
-      s"manifest-v${m.version}")
-    commitTag.foreach(t => IndexFs.markCommitted(spark, dir, t))
-    true
+
+    // everything below depends on the manifest just read, so a lost CAS
+    // restarts from here against the moved snapshot (the shard PARAMS —
+    // nShards/salt — are fixed at create and never move, but the
+    // shard → dir map and the schema anchor can)
+    val maxCommitAttempts = 5
+    for (attempt <- 1 to maxCommitAttempts) {
+      val m = readManifest(spark, dir)
+      val shard = shardExpr(keyCols, m.nShards, m.salt)
+      val inserts = insertRows.withColumn("__shard", shard)
+      val touchedKeys = ranked.select(keyCols.map(col): _*).distinct()
+        .withColumn("__shard", shard)
+      // the batch's shard footprint — at most nShards rows
+      val touched = touchedKeys.select(col("__shard")).distinct()
+        .collect().map(_.getLong(0)).toSet
+
+      // schema gate against the zero-row anchor relation, NOT just the
+      // touched dirs (a batch landing only in empty shards must not
+      // smuggle a divergent schema past the check): the sharded layout
+      // does not evolve in place — untouched shards are carried by
+      // reference with their old physical schema, so evolution is the
+      // explicit evolveSharded/migrateSharded maintenance op
+      val anchorCols = spark.read.parquet(schemaAnchorDir(spark, dir)).columns
+      require(
+        anchorCols.sorted.toSeq ==
+          inserts.columns.filterNot(_ == "__shard").sorted.toSeq,
+        s"upsertSharded schema mismatch: snapshot has " +
+          s"${anchorCols.sorted.mkString(",")}, updates bring " +
+          s"${inserts.drop("__shard").columns.sorted.mkString(",")} — " +
+          "the sharded layout does not evolve in place (untouched shards " +
+          "are carried by reference); run evolveSharded first")
+      val currentTouchedDirs =
+        m.shards.view.filterKeys(touched).values.toSeq
+      val survivors =
+        if (currentTouchedDirs.isEmpty) inserts.limit(0)
+        else {
+          val current = spark.read.parquet(currentTouchedDirs: _*)
+          survivorAntiJoin(current, touchedKeys.drop("__shard"), keyCols,
+            broadcastKeys)
+            .withColumn("__shard", shard)
+        }
+
+      val next = m.version + 1
+      val deltaDir = s"${norm(dir)}/shards-v$next-${writerUid()}"
+      Layout.withMicrosTimestamps(spark) {
+        survivors.unionByName(inserts)
+          .repartition(col("__shard"))
+          .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
+      }
+      val rewritten = IndexFs.listDirNames(spark, deltaDir)
+        .filter(_.startsWith("__shard="))
+        .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
+        .toMap
+      // untouched shards ride along by reference; touched ones remap to
+      // the delta (a touched shard rewritten to zero rows drops out)
+      val merged = (m.shards -- touched) ++ rewritten
+      onCommitAttempt()
+      if (tryCommitManifest(spark, dir,
+          Manifest(next, m.nShards, m.salt, merged))) {
+        // the commit is complete at the CAS above; superseded dirs +
+        // manifest go to the retire log for a windowed vacuum
+        writeRetireLog(spark, dir, next, currentTouchedDirs,
+          s"manifest-v${m.version}")
+        commitTag.foreach(t => IndexFs.markCommitted(spark, dir, t))
+        return true
+      }
+      // lost the race: our delta references nothing committed — drop it
+      // and re-merge against whatever version beat us
+      IndexFs.deleteRecursively(spark, deltaDir)
+    }
+    throw new ConcurrentCommitException(
+      s"upsertSharded at $dir lost the commit CAS $maxCommitAttempts " +
+        "times in a row — a sustained concurrent writer owns this " +
+        "snapshot; back off and replay the batch (idempotent, and " +
+        "at-most-once under its commitTag)")
   }
 
   /** Re-clusters every shard of a sharded snapshot on `clusterCols`
@@ -536,12 +643,16 @@ object SnapshotMerge {
     * slices, and the partitioned write splits boundary slices per
     * shard — clustered files land under each `__shard=` dir, each with
     * a narrow stats window, plus a [[Layout]] stats sidecar per shard.
-    * Commits like an upsert: new version dir, manifest pointer swap,
-    * superseded dirs retire-logged for [[vacuumSharded]]. Content is
-    * preserved row-for-row (hash-gated in q_merge_optimize_sharded).
-    * Single writer, maintenance-window cost: one full snapshot read +
-    * clustered write — the same posture as [[Layout.optimize]] and the
-    * index refits. `keyCols` are the snapshot's merge keys (the
+    * Commits like an upsert: new version dir, manifest CAS, superseded
+    * dirs retire-logged for [[vacuumSharded]]. Content is preserved
+    * row-for-row (hash-gated in q_merge_optimize_sharded). A lost CAS
+    * (a concurrent CDC batch committed mid-rewrite) throws
+    * [[ConcurrentCommitException]] — retrying a FULL-rewrite against a
+    * moved snapshot is an operator decision, not something to spin on
+    * silently; the committed snapshot is untouched and the failed
+    * delta is deleted. Maintenance-window cost: one full snapshot
+    * read + clustered write — the same posture as [[Layout.optimize]]
+    * and the index refits. `keyCols` are the snapshot's merge keys (the
     * manifest persists the hash params but not the key column NAMES —
     * schema-level knowledge the caller owns, same as
     * [[upsertSharded]]); the shard assignment is recomputed from them,
@@ -559,7 +670,7 @@ object SnapshotMerge {
     require(clusterCols.nonEmpty && clusterCols.forall(current.columns.contains),
       s"bad cluster columns $clusterCols for ${current.columns.mkString(",")}")
     val next = m.version + 1
-    val deltaDir = s"${norm(dir)}/shards-v$next"
+    val deltaDir = s"${norm(dir)}/shards-v$next-${writerUid()}"
     val withShard = current.withColumn("__shard",
       shardExpr(keyCols, m.nShards, m.salt))
     Layout.withMicrosTimestamps(spark) {
@@ -578,10 +689,29 @@ object SnapshotMerge {
     rewritten.values.foreach(d => Layout.writeStatsSidecar(spark, d, clusterCols))
     val mergedShards = m.shards.filter { case (k, _) =>
       !rewritten.contains(k) } ++ rewritten
-    writeManifest(spark, dir, Manifest(next, m.nShards, m.salt, mergedShards))
+    commitMaintenanceOrThrow(spark, dir, deltaDir,
+      Manifest(next, m.nShards, m.salt, mergedShards), "optimizeSharded")
     writeRetireLog(spark, dir, next,
       m.shards.view.filterKeys(rewritten.contains).values.toSeq,
       s"manifest-v${m.version}")
+  }
+
+  /** Shared commit tail of the full-rewrite maintenance ops
+    * (optimize/evolve/migrate/compact): CAS the manifest; on a lost
+    * race delete the already-written delta and fail LOUDLY — a
+    * maintenance rewrite must never silently redo itself against a
+    * snapshot that moved underneath it (the operator re-decides;
+    * upserts are the ones that auto-retry). */
+  private[operators] def commitMaintenanceOrThrow(spark: SparkSession, dir: String,
+      deltaDir: String, m: Manifest, op: String): Unit = {
+    if (!tryCommitManifest(spark, dir, m)) {
+      IndexFs.deleteRecursively(spark, deltaDir)
+      throw new ConcurrentCommitException(
+        s"$op lost the commit race for version ${m.version} of $dir — a " +
+          "concurrent writer committed first; the snapshot is untouched " +
+          "and this rewrite was discarded. Re-run against the new " +
+          "current version if still wanted")
+    }
   }
 
   /** The sharded snapshot's SCHEMA MIGRATION — the maintenance op the
@@ -603,7 +733,8 @@ object SnapshotMerge {
     * the old physical schema and every read would need file-level
     * schema merging forever). Shard ASSIGNMENT is untouched (same
     * nShards/salt — keys don't move), so `keyCols` are needed only to
-    * recompute each row's shard. Single writer. */
+    * recompute each row's shard. A lost commit CAS throws
+    * [[ConcurrentCommitException]], like every maintenance op. */
   def evolveSharded(spark: SparkSession, dir: String,
       keyCols: Seq[String], template: DataFrame): Unit = {
     val m = readManifest(spark, dir)
@@ -630,7 +761,7 @@ object SnapshotMerge {
       .unionByName(widened.limit(0), allowMissingColumns = true)
       .withColumn("__shard", shardExpr(keyCols, m.nShards, m.salt))
     val next = m.version + 1
-    val deltaDir = s"${norm(dir)}/shards-v$next"
+    val deltaDir = s"${norm(dir)}/shards-v$next-${writerUid()}"
     Layout.withMicrosTimestamps(spark) {
       rewrittenRows
         .repartition(col("__shard"))
@@ -641,13 +772,16 @@ object SnapshotMerge {
       .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
       .toMap
     // the anchor must evolve WITH the data, atomically enough: it is
-    // republished before the pointer swap; a crash between leaves the
-    // old manifest live with a widened anchor — readers still see a
-    // consistent union (extra columns null), never a torn snapshot
+    // republished before the manifest CAS; a crash (or lost race)
+    // between leaves the old manifest live with a widened anchor —
+    // readers still see a consistent union (extra columns null), never
+    // a torn snapshot (the anchor only widens, and shards carry their
+    // own schema whenever any shard holds rows)
     IndexFs.publishRelation(widened, s"${norm(dir)}/schema")
     val mergedShards = m.shards.filter { case (k, _) =>
       !rewritten.contains(k) } ++ rewritten
-    writeManifest(spark, dir, Manifest(next, m.nShards, m.salt, mergedShards))
+    commitMaintenanceOrThrow(spark, dir, deltaDir,
+      Manifest(next, m.nShards, m.salt, mergedShards), "evolveSharded")
     writeRetireLog(spark, dir, next,
       m.shards.view.filterKeys(rewritten.contains).values.toSeq,
       s"manifest-v${m.version}")
@@ -835,6 +969,14 @@ object SnapshotMerge {
           }
         }
       }
+    // CAS tmp debris (a crashed writer's `.manifest-v<N>.cas-<uid>`
+    // body that never renamed in): never referenced by anything — reap
+    // past the window on write mtime
+    f.listStatus(new org.apache.hadoop.fs.Path(norm(dir)))
+      .filter(st => st.isFile
+        && st.getPath.getName.matches("\\.manifest-v\\d+\\.cas-.*")
+        && st.getModificationTime <= cutoff)
+      .foreach { st => f.delete(st.getPath, false); reaped += 1 }
     reaped
   }
 }

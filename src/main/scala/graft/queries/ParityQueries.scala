@@ -318,6 +318,45 @@ object ParityQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  // --- OPTIMISTIC CONCURRENCY under the hard gate: two writers race
+  // the SAME sharded snapshot inside the measured query. Writer A reads
+  // version N and, in its commit window (the onCommitAttempt seam —
+  // deterministic, where a thread race would be flaky), writer B runs a
+  // COMPLETE competing upsert. A's commit CAS loses, A re-reads the
+  // moved snapshot and retries onto it. The oracle applies the batches
+  // SEQUENTIALLY (B then A — the commit order the race resolves to):
+  // under the r14 last-pointer-swap-wins protocol A's commit silently
+  // DISCARDED B's committed batch and this hash fails; under the CAS
+  // the retry path must converge to the sequential fixed point exactly.
+  // Rerun-stable: both batches are idempotent re-applies. ---
+  val mergeConcurrent: Q = (s, dir) => {
+    import graft.operators.SnapshotMerge
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val path = SnapshotPaths.dirFor("merge_concurrent", dir, s)
+    if (!SnapshotMerge.existsSharded(s, path)) {
+      SnapshotMerge.createSharded(
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+        nShards = 8, path)
+    }
+    val batchA = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+    val batchB = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+    var interleaved = false
+    SnapshotMerge.upsertSharded(batchA, Seq("o_orderkey"), path,
+      deleteCol = Some("is_deleted"),
+      onCommitAttempt = () => {
+        if (!interleaved) {
+          interleaved = true
+          SnapshotMerge.upsertSharded(batchB, Seq("o_orderkey"), path)
+        }
+      })
+    SnapshotMerge.readSharded(s, path).orderBy(col("o_orderkey"))
+  }
+
   // --- A11/O2: top-k value counts with deterministic tie-break ---
   val topkOrderPriority: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -549,6 +588,7 @@ object ParityQueries {
     "q_merge_optimize_sharded" -> mergeOptimizeSharded,
     "q_merge_schema_evolution" -> mergeSchemaEvolution,
     "q_merge_time_travel" -> mergeTimeTravel,
+    "q_merge_concurrent" -> mergeConcurrent,
     "q_stream_merge_upsert" -> streamMergeUpsert,
     "q_stream_merge_upsert_sharded" -> streamMergeUpsertSharded,
     "q_topk_order_priority" -> topkOrderPriority,
@@ -703,6 +743,31 @@ object ParityQueries {
     "q_stream_merge_upsert" -> mergeUpsertSql,
     // …including through the sharded manifest layout
     "q_stream_merge_upsert_sharded" -> mergeUpsertSql,
+    // two RACING writers resolve to the sequential fixed point (B
+    // commits first, A retries onto it): a batch silently discarded by
+    // the losing commit — the r14 last-swap-wins failure — or a
+    // double-applied retry both fail the hash
+    "q_merge_concurrent" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 2 = 0),
+              b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                           o_totalprice + 500.0 AS o_totalprice
+                    FROM orders WHERE o_orderkey % 5 = 0),
+              a AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                           o_totalprice + 1000.0 AS o_totalprice,
+                           (o_orderkey % 9 = 0) AS del
+                    FROM orders WHERE o_orderkey % 3 = 0),
+              after_b AS (
+                SELECT * FROM snap
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+                UNION ALL
+                SELECT * FROM b)
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM after_b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM a WHERE NOT del
+         ORDER BY o_orderkey""",
     // schema evolution: survivors null-fill the batch's new column
     "q_merge_schema_evolution" ->
       """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus

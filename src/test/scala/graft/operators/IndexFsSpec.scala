@@ -299,6 +299,23 @@ class IndexFsSpec extends SparkSpec {
       "clearPublished must never touch a sibling relation")
   }
 
+  test("writeSmallFileNoClobber: exactly one writer per target wins; body is complete") {
+    val dir = tmp("idxfs_cas")
+    val f = IndexFs.fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/commit-v7")
+    assert(IndexFs.writeSmallFileNoClobber(spark, f, p, "winner-body"))
+    // the loser's attempt reports the loss and never corrupts the body
+    assert(!IndexFs.writeSmallFileNoClobber(spark, f, p, "loser-body"))
+    assert(IndexFs.readSmallFile(f, p) == "winner-body")
+    // no tmp debris left behind by either attempt
+    val leftovers = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.contains(".cas-"))
+    assert(leftovers.isEmpty, s"tmp debris: ${leftovers.mkString(",")}")
+    // a different target is independent
+    assert(IndexFs.writeSmallFileNoClobber(spark, f,
+      new org.apache.hadoop.fs.Path(s"$dir/commit-v8"), "next"))
+  }
+
   test("newestMtime sees part-file recency two levels deep") {
     val dir = tmp("idxfs_mtime")
     touch(s"$dir/staged/t1/bands/part-0")

@@ -523,6 +523,92 @@ class SnapshotMergeSpec extends SparkSpec {
     } finally spark.conf.unset(IndexFs.CommitProtocolKey)
   }
 
+  test("two interleaved writers: the CAS loser retries onto the winner's version — no lost rows") {
+    val dir = tmp()
+    val big = spark.range(0, 300)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    SnapshotMerge.createSharded(big, Seq("id"), 8, dir) // v1
+    // writer A reads v1, writes its delta … and in its commit window
+    // writer B runs a COMPLETE upsert (committing v2). Under the r14
+    // pointer swap A's later swap silently discarded B's batch; under
+    // the CAS, A's commit of v2 loses, A re-reads v2 and commits v3.
+    val batchA = spark.range(0, 300, 3)
+      .select(col("id"), lit("from_a").as("name"))
+    val batchB = spark.range(0, 300, 5)
+      .select(col("id"), lit("from_b").as("name"))
+    var attempts = 0
+    assert(SnapshotMerge.upsertSharded(batchA, Seq("id"), dir,
+      onCommitAttempt = () => {
+        attempts += 1
+        if (attempts == 1)
+          SnapshotMerge.upsertSharded(batchB, Seq("id"), dir)
+      }))
+    assert(attempts == 2, s"A must lose once then win, got $attempts attempts")
+    assert(SnapshotMerge.shardedVersions(spark, dir) == Seq(1L, 2L, 3L))
+    val got = SnapshotMerge.readSharded(spark, dir)
+    assert(got.count() == 300)
+    // A committed after B, so contested keys (%15) are A's — exactly
+    // the sequential B-then-A outcome
+    assert(got.filter(col("name") === "from_a").count() == 100)
+    assert(got.filter(col("name") === "from_b").count() ==
+      batchB.count() - 20) // %5 keys minus the 20 contested %15 keys
+    // and B's batch is fully present where uncontested — nothing lost
+    assert(got.filter(col("id") % 5 === 0 && col("id") % 3 =!= 0 &&
+      col("name") =!= "from_b").count() == 0)
+  }
+
+  test("a torn commit (manifest file without pointer) rolls forward, never backwards") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 4, dir) // v1
+    SnapshotMerge.upsertSharded(
+      Seq((2L, "b2", 21.0)).toDF("id", "name", "score"), Seq("id"), dir) // v2
+    // simulate the crash between the manifest CAS and the pointer
+    // write: wind the pointer back to v1 — the committed v2 FILE must
+    // still win for readers and writers (listing is the source of truth)
+    val f = IndexFs.fs(spark, dir)
+    IndexFs.atomicWriteSmallFile(spark, f,
+      new org.apache.hadoop.fs.Path(s"$dir/manifest.current"), "manifest-v1")
+    assert(SnapshotMerge.readSharded(spark, dir)
+      .filter(col("id") === 2L).select("name").as[String].head() == "b2")
+    // the next writer targets v3, not a re-fight over v2
+    SnapshotMerge.upsertSharded(
+      Seq((3L, "c2", 31.0)).toDF("id", "name", "score"), Seq("id"), dir)
+    assert(SnapshotMerge.shardedVersions(spark, dir) == Seq(1L, 2L, 3L))
+    val got = SnapshotMerge.readSharded(spark, dir).orderBy("id")
+      .select("name").as[String].collect().toSeq
+    assert(got == Seq("a", "b2", "c2"))
+    // a lost pointer ALTOGETHER still resolves (existsSharded + reads)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/manifest.current"), false)
+    assert(SnapshotMerge.existsSharded(spark, dir))
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+  }
+
+  test("maintenance ops fail loudly on a contested commit, leaving the snapshot untouched") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 4, dir)
+    val m = SnapshotMerge.readManifest(spark, dir)
+    // a competing writer owns the target version → the maintenance
+    // commit must throw AND discard its already-written delta
+    val deltaDir = s"$dir/shards-v${m.version + 1}-deadbeef"
+    base.limit(1).write.parquet(s"$deltaDir/__shard=0")
+    val e = intercept[ConcurrentCommitException] {
+      SnapshotMerge.commitMaintenanceOrThrow(spark, dir, deltaDir,
+        m.copy(version = m.version), "optimizeSharded") // v1 already committed
+    }
+    assert(e.getMessage.contains("optimizeSharded"))
+    assert(!IndexFs.exists(spark, deltaDir), "failed delta must be deleted")
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+    assert(SnapshotMerge.readManifest(spark, dir).version == m.version)
+    // an uncontested version commits fine through the same path
+    SnapshotMerge.tryCommitManifest(spark, dir,
+      m.copy(version = m.version + 1)) // simulate the competitor
+    assert(SnapshotMerge.readManifest(spark, dir).version == m.version + 1)
+    // concurrent CREATE: the second creator fails loudly too
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.createSharded(base, Seq("id"), 4, dir)
+    }
+  }
+
   test("evolveSharded rejects a reserved __mergekey_<key> template column") {
     val dir = tmp()
     SnapshotMerge.createSharded(base, Seq("id"), 4, dir)
