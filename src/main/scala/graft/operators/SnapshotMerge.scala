@@ -481,17 +481,7 @@ object SnapshotMerge {
     * Rows are correct either way — zero. */
   def readShardedVersion(spark: SparkSession, dir: String,
       version: Long): DataFrame = {
-    val name = s"manifest-v$version"
-    require(IndexFs.exists(spark, s"${norm(dir)}/$name"),
-      s"version $version of $dir is not readable — never committed, or " +
-        s"its manifest was vacuumed past the retention window " +
-        s"(readable versions: ${shardedVersions(spark, dir).mkString(",")})")
-    val m = readManifestFile(spark, dir, name)
-    val missing = m.shards.values.filterNot(IndexFs.exists(spark, _))
-    require(missing.isEmpty,
-      s"version $version of $dir lost ${missing.size} shard dir(s) to " +
-        s"vacuum — raise vacuumSharded's minAgeMs above the longest " +
-        s"time-travel horizon (first missing: ${missing.head})")
+    val m = requireReadableVersion(spark, dir, version)
     // shards carry the schema; the (current) anchor joins only when
     // the version is empty — a pre-evolution version must read with
     // ITS schema, not today's widened anchor
@@ -696,6 +686,78 @@ object SnapshotMerge {
       s"manifest-v${m.version}")
   }
 
+  /** Small-file COMPACTION without re-clustering — the maintenance op
+    * between CDC batches and a full [[optimizeSharded]] (Delta's
+    * OPTIMIZE minus ZORDER): after N batches a hot shard holds one
+    * small file per batch that touched it, and every read of that
+    * shard pays N opens. This bin-packs each QUALIFYING shard's files
+    * back into one and carries every other shard by reference, so the
+    * cost tracks the touched SMALL-FILE bytes, not the snapshot.
+    * Qualifying = at least `minFiles` parquet files AND total bytes
+    * ≤ `targetFileBytes`: a shard already past the target needs the
+    * full re-cluster (which decides row order for the split); plain
+    * bin-packing it would write multi-file output in arbitrary order
+    * and destroy any clustering it had. Row content is preserved
+    * exactly; existing stats sidecars do NOT carry over (the new file
+    * replaces the old boundaries — pruned reads fall back to parquet
+    * footers until the next OPTIMIZE refreshes the sidecar).
+    *
+    * ONE Spark job for all qualifying shards (each shard's rows tagged
+    * with its manifest shard id — no key re-hash, so no `keyCols`
+    * param and no reshard risk), then the standard maintenance commit:
+    * writer-unique version dir, manifest CAS (lost race throws
+    * [[ConcurrentCommitException]]), superseded dirs retire-logged.
+    * The per-shard listing fan-out is overlapped
+    * ([[IndexFs.parMapOrdered]]). Returns the number of shards
+    * compacted (0 = nothing qualified, no version committed). */
+  def compactSharded(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFiles: Int = 2): Int = {
+    require(targetFileBytes > 0 && minFiles >= 2,
+      s"need targetFileBytes > 0 and minFiles >= 2, got " +
+        s"($targetFileBytes, $minFiles)")
+    val m = readManifest(spark, dir)
+    val f = IndexFs.fs(spark, dir)
+    val stats = IndexFs.parMapOrdered(m.shards.toSeq.sortBy(_._1)) {
+      case (k, p) =>
+        val sts = f.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        (k, p, sts.length, sts.map(_.getLen).sum)
+    }
+    val qualifying = stats.filter { case (_, _, n, bytes) =>
+      n >= minFiles && bytes <= targetFileBytes }
+    if (qualifying.isEmpty) return 0
+    // ONE multi-dir scan (not a per-shard union — a 256-leaf union plan
+    // costs more to plan and schedule than the data); each row's shard
+    // id is recovered from its file's immediate PARENT dir (`__shard=K`
+    // — parent-only, so a user root path that happens to contain a
+    // `__shard=` segment can never hijack it), evaluated at the scan
+    // before the exchange — no key re-hash
+    val packed = spark.read.parquet(qualifying.map(_._2): _*)
+      .withColumn("__shard",
+        regexp_extract(element_at(split(input_file_name(), "/"), -2),
+          "^__shard=(\\d+)$", 1).cast("long"))
+    val next = m.version + 1
+    val deltaDir = s"${norm(dir)}/shards-v$next-${writerUid()}"
+    Layout.withMicrosTimestamps(spark) {
+      packed
+        .repartition(col("__shard")) // all of a shard's rows → one task → one file
+        .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
+    }
+    val rewritten = IndexFs.listDirNames(spark, deltaDir)
+      .filter(_.startsWith("__shard="))
+      .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
+      .toMap
+    val mergedShards = m.shards.filter { case (k, _) =>
+      !rewritten.contains(k) } ++ rewritten
+    commitMaintenanceOrThrow(spark, dir, deltaDir,
+      Manifest(next, m.nShards, m.salt, mergedShards), "compactSharded")
+    writeRetireLog(spark, dir, next,
+      m.shards.view.filterKeys(rewritten.contains).values.toSeq,
+      s"manifest-v${m.version}")
+    qualifying.size
+  }
+
   /** Shared commit tail of the full-rewrite maintenance ops
     * (optimize/evolve/migrate/compact): CAS the manifest; on a lost
     * race delete the already-written delta and fail LOUDLY — a
@@ -787,6 +849,212 @@ object SnapshotMerge {
       s"manifest-v${m.version}")
   }
 
+  /** COLUMN RENAME / DROP migration — the narrowing counterpart of
+    * [[evolveSharded]] (which only widens): rewrites EVERY shard under
+    * the target schema (`renames` applied, `drops` removed), refreshes
+    * the zero-row `schema/` anchor, and commits like every maintenance
+    * op (writer-unique version dir, manifest CAS — a lost race throws
+    * [[ConcurrentCommitException]] — superseded shard dirs
+    * retire-logged). Old versions keep their OLD schema: shard files
+    * are immutable and time travel reads them as written, so a
+    * `readShardedVersion` before the migration still shows the dropped
+    * column. After it, batches must arrive in the NEW spelling and
+    * callers address the snapshot with the NEW key names.
+    *
+    * Renaming a KEY column is legal — the shard assignment hashes key
+    * VALUES, which don't move (the assignment is recomputed under the
+    * old names before the rename is applied). Dropping a key column is
+    * refused: it would merge previously-distinct keys, which is a
+    * semantic rekey, not a migration — rebuild via [[createSharded]].
+    * Full-rewrite cost by design, same posture (and same reason) as
+    * [[evolveSharded]]. */
+  def migrateSharded(spark: SparkSession, dir: String, keyCols: Seq[String],
+      renames: Map[String, String] = Map.empty,
+      drops: Seq[String] = Nil): Unit = {
+    val m = readManifest(spark, dir)
+    val anchor = spark.read.parquet(schemaAnchorDir(spark, dir))
+    val cols = anchor.columns.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"bad key columns $keyCols for ${cols.mkString(",")}")
+    require(renames.nonEmpty || drops.nonEmpty,
+      s"nothing to migrate at $dir: no renames, no drops")
+    val absent = (renames.keys ++ drops).filterNot(cols.contains).toSeq
+    require(absent.isEmpty,
+      s"migrateSharded names absent column(s) ${absent.mkString(",")} " +
+        s"(snapshot has ${cols.sorted.mkString(",")})")
+    require(!drops.exists(keyCols.contains),
+      s"cannot drop key column(s) ${drops.filter(keyCols.contains).mkString(",")} " +
+        "— merging distinct keys is a rekey; rebuild with createSharded")
+    require(!renames.keys.exists(drops.contains),
+      "a column cannot be both renamed and dropped")
+    val newKeyCols = keyCols.map(c => renames.getOrElse(c, c))
+    // the target anchor carries every remaining validation: duplicate
+    // targets fail in withColumnsRenamed, reserved names in the guards
+    val newAnchor = renames.foldLeft(
+        drops.foldLeft(anchor.limit(0))(_.drop(_))) {
+      case (df, (from, to)) =>
+        require(!df.columns.contains(to) || from == to,
+          s"rename target $to collides with an existing column")
+        df.withColumnRenamed(from, to)
+    }
+    require(!newAnchor.columns.contains("__shard"),
+      "reserved internal column name in migrated schema: __shard")
+    requireNoReservedKeyNames(newAnchor, newKeyCols, "migrated schema")
+
+    val current =
+      if (m.shards.isEmpty) anchor.limit(0)
+      else spark.read.parquet(m.shards.toSeq.sortBy(_._1).map(_._2): _*)
+    // shard BEFORE renaming: assignment hashes the same key values
+    // every batch hashed, regardless of what the columns are called
+    val rewrittenRows = renames.foldLeft(
+        drops.foldLeft(
+          current.withColumn("__shard", shardExpr(keyCols, m.nShards, m.salt))
+        )(_.drop(_))) {
+      case (df, (from, to)) => df.withColumnRenamed(from, to)
+    }
+    val next = m.version + 1
+    val deltaDir = s"${norm(dir)}/shards-v$next-${writerUid()}"
+    Layout.withMicrosTimestamps(spark) {
+      rewrittenRows
+        .repartition(col("__shard"))
+        .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
+    }
+    val rewritten = IndexFs.listDirNames(spark, deltaDir)
+      .filter(_.startsWith("__shard="))
+      .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
+      .toMap
+    // anchor republished before the CAS, same crash posture as
+    // evolveSharded — except a narrowing anchor with the OLD manifest
+    // live could under-report columns, so here the anchor lands AFTER
+    // the commit: a crash between leaves the new manifest live with the
+    // old (wider) anchor, which only matters for an EMPTY snapshot and
+    // heals on the next successful maintenance op
+    val mergedShards = m.shards.filter { case (k, _) =>
+      !rewritten.contains(k) } ++ rewritten
+    commitMaintenanceOrThrow(spark, dir, deltaDir,
+      Manifest(next, m.nShards, m.salt, mergedShards), "migrateSharded")
+    IndexFs.publishRelation(newAnchor, s"${norm(dir)}/schema")
+    writeRetireLog(spark, dir, next,
+      m.shards.view.filterKeys(rewritten.contains).values.toSeq,
+      s"manifest-v${m.version}")
+  }
+
+  /** CHANGE DATA FEED between two retained versions — what turns the
+    * snapshot from a thing CDC flows INTO into a thing downstream
+    * incremental consumers flow OUT of (index maintenance, replication,
+    * cache invalidation — the Delta CDF shape): every row-level change
+    * that takes version `fromVersion` to `toVersion`, typed in
+    * `_change_type` as `insert` / `delete` / `update_preimage` /
+    * `update_postimage` (updates emit BOTH images, one row each).
+    *
+    * Computed from the two version manifests' DIFFERING shards only —
+    * shards carried by reference between the versions are provably
+    * unchanged and are not read, so the cost tracks the bytes the
+    * intervening merges touched, not the snapshot (a span containing an
+    * [[optimizeSharded]]/[[evolveSharded]] full rewrite honestly reads
+    * everything — and emits nothing for it, because both rewrites
+    * preserve content: rows are compared by VALUE, null-safe, never by
+    * file identity). Both sides are diffed with ONE null-safe full-outer
+    * join on `keyCols` over struct-packed payloads; schemas are widened
+    * to their union first, so a span crossing a schema evolution
+    * compares old and new rows on common ground (a column one side
+    * lacks reads as null there).
+    *
+    * Both versions must still be inside [[vacuumSharded]]'s retention
+    * window — a vacuumed endpoint fails loudly via
+    * [[readShardedVersion]]'s checks, never returns a partial feed.
+    * `keyCols` are the snapshot's merge keys, caller-owned as
+    * everywhere. Deterministic: one output row per (key, change side).
+    */
+  def readShardedChanges(spark: SparkSession, dir: String,
+      keyCols: Seq[String], fromVersion: Long, toVersion: Long,
+      changeTypeCol: String = "_change_type"): DataFrame = {
+    require(fromVersion < toVersion,
+      s"readShardedChanges needs fromVersion < toVersion, got " +
+        s"$fromVersion >= $toVersion")
+    val mFrom = requireReadableVersion(spark, dir, fromVersion)
+    val mTo = requireReadableVersion(spark, dir, toVersion)
+    // only shards whose PHYSICAL dir moved can differ; identical
+    // entries are byte-identical by the commit protocol (dirs are
+    // immutable once committed) and are skipped unread
+    val changedIds = (mFrom.shards.keySet ++ mTo.shards.keySet)
+      .filter(k => mFrom.shards.get(k) != mTo.shards.get(k))
+    def side(m: Manifest): DataFrame = {
+      val dirs = m.shards.view.filterKeys(changedIds).values.toSeq.sorted
+      if (dirs.isEmpty)
+        spark.read.parquet(schemaAnchorDir(spark, dir)).limit(0)
+      else spark.read.parquet(dirs: _*)
+    }
+    val oldSide = side(mFrom)
+    val newSide = side(mTo)
+    require(keyCols.nonEmpty &&
+      keyCols.forall(c => oldSide.columns.contains(c) &&
+        newSide.columns.contains(c)),
+      s"bad key columns $keyCols for CDF over $dir " +
+        s"(${oldSide.columns.mkString(",")} / ${newSide.columns.mkString(",")})")
+    require(!oldSide.columns.contains(changeTypeCol) &&
+      !newSide.columns.contains(changeTypeCol),
+      s"snapshot already carries a $changeTypeCol column — pass a " +
+        "different changeTypeCol")
+    // union schema so a cross-evolution span compares on common ground
+    val widen = oldSide.limit(0)
+      .unionByName(newSide.limit(0), allowMissingColumns = true)
+    val dataCols = widen.columns.filterNot(keyCols.contains).toSeq
+    def packed(df: DataFrame, payload: String): DataFrame = {
+      val w = df.unionByName(widen, allowMissingColumns = true)
+      w.select(keyCols.map(col) :+
+        struct(dataCols.map(col): _*).as(payload): _*)
+    }
+    val o = packed(oldSide, "__pre")
+    val n = packed(newSide, "__post")
+      .toDF(keyCols.map(c => s"__mergekey_$c") :+ "__post": _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"__mergekey_$c"))
+      .reduce(_ && _)
+    val joined = o.join(n, cond, "full_outer")
+    val keyOut = keyCols.map(c =>
+      coalesce(col(c), col(s"__mergekey_$c")).as(c))
+    // one pass over the join: deletes (old only), inserts (new only),
+    // and VALUE-changed keys as (pre, post) image pairs — null-safe
+    // struct equality makes an untouched row (or a pure
+    // re-cluster/evolution rewrite) fall through every branch to a null
+    // change array, which explode drops
+    val changes = joined.select(keyOut ++ Seq(
+      when(col("__post").isNull,
+          array(struct(lit("delete").as("t"), col("__pre").as("p"))))
+        .when(col("__pre").isNull,
+          array(struct(lit("insert").as("t"), col("__post").as("p"))))
+        .when(!(col("__pre") <=> col("__post")), array(
+          struct(lit("update_preimage").as("t"), col("__pre").as("p")),
+          struct(lit("update_postimage").as("t"), col("__post").as("p"))))
+        .as("__changes")): _*)
+    val exploded = changes
+      .select(keyCols.map(col) :+ explode(col("__changes")).as("__c"): _*)
+    exploded.select(
+      (keyCols.map(col) ++
+        dataCols.map(c => col(s"__c.p.$c").as(c))) :+
+        col("__c.t").as(changeTypeCol): _*)
+  }
+
+  /** Loud readable-version gate shared by [[readShardedVersion]] and
+    * [[readShardedChanges]]: the version's manifest AND every shard dir
+    * it references must have survived vacuum. */
+  private def requireReadableVersion(spark: SparkSession, dir: String,
+      version: Long): Manifest = {
+    val name = s"manifest-v$version"
+    require(IndexFs.exists(spark, s"${norm(dir)}/$name"),
+      s"version $version of $dir is not readable — never committed, or " +
+        s"its manifest was vacuumed past the retention window " +
+        s"(readable versions: ${shardedVersions(spark, dir).mkString(",")})")
+    val m = readManifestFile(spark, dir, name)
+    val missing = IndexFs.parMapOrdered(m.shards.values.toSeq)(p =>
+      p -> IndexFs.exists(spark, p)).collect { case (p, false) => p }
+    require(missing.isEmpty,
+      s"version $version of $dir lost ${missing.size} shard dir(s) to " +
+        s"vacuum — raise vacuumSharded's minAgeMs above the longest " +
+        s"time-travel horizon (first missing: ${missing.head})")
+    m
+  }
+
   /** Footer-stat pruned read over a sharded snapshot (after
     * [[optimizeSharded]]): file selection across every live shard dir
     * from each shard's stats sidecar / parquet footers — a SUPERSET of
@@ -796,7 +1064,11 @@ object SnapshotMerge {
       bands: Seq[Layout.Band]): DataFrame = {
     val m = readManifest(spark, dir)
     val dirs = m.shards.toSeq.sortBy(_._1).map(_._2)
-    val selected = dirs.flatMap(d => Layout.prunedFilesInDir(spark, d, bands)._1)
+    // one sidecar/footer fetch per shard, overlapped — serial
+    // round-trips would make the driver stall additive in shard count
+    // on an object store
+    val selected = IndexFs.parMapOrdered(dirs)(d =>
+      Layout.prunedFilesInDir(spark, d, bands)._1).flatten
     if (selected.isEmpty)
       spark.read.parquet(schemaAnchorDir(spark, dir)).limit(0)
     else spark.read.parquet(selected: _*)
@@ -813,10 +1085,13 @@ object SnapshotMerge {
   def describeSharded(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(spark, dir)
     val f = IndexFs.fs(spark, dir)
-    val rows = m.shards.toSeq.sortBy(_._1).map { case (k, pth) =>
-      val sts = f.listStatus(new org.apache.hadoop.fs.Path(pth))
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      (m.version, k, pth, sts.length.toLong, sts.map(_.getLen).sum)
+    // one listStatus per shard, overlapped (IndexFs.parMapOrdered) —
+    // a serial walk makes DESCRIBE latency additive in shard count
+    val rows = IndexFs.parMapOrdered(m.shards.toSeq.sortBy(_._1)) {
+      case (k, pth) =>
+        val sts = f.listStatus(new org.apache.hadoop.fs.Path(pth))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        (m.version, k, pth, sts.length.toLong, sts.map(_.getLen).sum)
     }
     spark.createDataFrame(rows)
       .toDF("version", "shard", "path", "files", "bytes")
@@ -907,14 +1182,23 @@ object SnapshotMerge {
     // same extra window — slower hygiene, never data loss. minAgeMs=0
     // (the spec/CI setting) keeps the immediate-reap behavior: a zero
     // window waives the reader guarantee by definition.
-    IndexFs.listDirNames(spark, dir).filter(_.startsWith("shards-v")).foreach { v =>
-      val vDir = s"${norm(dir)}/$v"
-      IndexFs.listDirNames(spark, vDir).filter(_.startsWith("__shard=")).foreach { s =>
-        val p = s"$vDir/$s"
+    val versionDirs = IndexFs.listDirNames(spark, dir)
+      .filter(_.startsWith("shards-v")).map(v => s"${norm(dir)}/$v")
+    val shardDirCandidates = versionDirs.flatMap { vDir =>
+      IndexFs.listDirNames(spark, vDir).filter(_.startsWith("__shard="))
+        .map(s => (vDir, s"$vDir/$s"))
+    }
+    // the slow per-dir decision input (a recursive mtime walk each) is
+    // gathered with overlapped round-trips; the mutations below stay
+    // serial and cheap
+    val candidateMtimes = IndexFs.parMapOrdered(shardDirCandidates) {
+      case (_, p) => p -> IndexFs.newestMtime(spark, p)
+    }.toMap
+    shardDirCandidates.foreach { case (_, p) =>
         val q = qual(p)
         if (!live.contains(q) && !protectedPaths.contains(q)) {
           if (minAgeMs == 0L) {
-            if (IndexFs.newestMtime(spark, p) <= cutoff) {
+            if (candidateMtimes(p) <= cutoff) {
               IndexFs.deleteRecursively(spark, p); reaped += 1
             }
           } else {
@@ -931,9 +1215,10 @@ object SnapshotMerge {
             }
           }
         }
-      }
-      // a version dir with no shard children left is a husk (only write
-      // markers like _SUCCESS remain) — drop it whole
+    }
+    // a version dir with no shard children left is a husk (only write
+    // markers like _SUCCESS remain) — drop it whole
+    versionDirs.foreach { vDir =>
       if (IndexFs.listDirNames(spark, vDir)
           .count(_.startsWith("__shard=")) == 0 &&
           IndexFs.newestMtime(spark, vDir) <= cutoff) {

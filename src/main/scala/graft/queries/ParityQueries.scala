@@ -286,6 +286,103 @@ object ParityQueries {
     SnapshotMerge.readShardedVersion(s, path, 1L).orderBy(col("o_orderkey"))
   }
 
+  // --- SMALL-FILE COMPACTION on the sharded snapshot: the same
+  // create+merge as q_merge_upsert_sharded (own path), then an
+  // OPTIMIZE spreads every shard across several clustered files and
+  // compactSharded bin-packs them back to one file per shard. Shares
+  // q_merge_upsert's oracle VERBATIM: compaction must be invisible to
+  // content — a row lost to the pack, a shard double-carried across
+  // the manifest CAS, or a file dropped from the union scan all fail
+  // the hash. Rerun-safe: on later runs the compact is a qualifying-0
+  // no-op and the batch is a fixed point. ---
+  val mergeCompactSharded: Q = (s, dir) => {
+    import graft.operators.SnapshotMerge
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val path = SnapshotPaths.dirFor("merge_compact_sharded", dir, s)
+    if (!SnapshotMerge.existsSharded(s, path)) {
+      SnapshotMerge.createSharded(
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+        nShards = 8, path)
+    } else SnapshotMerge.vacuumSharded(s, path)
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+    SnapshotMerge.upsertSharded(batch, Seq("o_orderkey"), path,
+      deleteCol = Some("is_deleted"))
+    SnapshotMerge.optimizeSharded(s, path, Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderkey"), filesPerShard = 3)
+    SnapshotMerge.compactSharded(s, path)
+    SnapshotMerge.readSharded(s, path).orderBy(col("o_orderkey"))
+  }
+
+  // --- COLUMN RENAME/DROP migration on the sharded snapshot — the
+  // narrowing counterpart of q_merge_schema_evolution: the snapshot is
+  // rebuilt per-shard under (order_id, o_custkey, total_price) —
+  // o_orderkey RENAMED (a key rename: the value-hash assignment keeps
+  // addressing the same shards), o_totalprice renamed, o_orderstatus
+  // DROPPED — then a CDC batch in the NEW spelling merges normally.
+  // The oracle spells the migration as SQL aliases over the base
+  // table: a key remapped to the wrong shard (dup/lost rows), a
+  // dropped column resurfacing, or a rename misapplied to data vs
+  // schema all fail the hash. Rerun-stable: the migrate is guarded by
+  // a schema probe, the batch is a fixed point. ---
+  val mergeSchemaMigrate: Q = (s, dir) => {
+    import graft.operators.SnapshotMerge
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val path = SnapshotPaths.dirFor("merge_schema_migrate", dir, s)
+    if (!SnapshotMerge.existsSharded(s, path)) {
+      SnapshotMerge.createSharded(
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+        nShards = 8, path)
+    }
+    if (SnapshotMerge.readSharded(s, path).columns.contains("o_totalprice")) {
+      SnapshotMerge.migrateSharded(s, path, Seq("o_orderkey"),
+        renames = Map("o_orderkey" -> "order_id",
+          "o_totalprice" -> "total_price"),
+        drops = Seq("o_orderstatus"))
+    }
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("order_id"), col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("total_price"),
+        (col("o_orderkey") % 9 === 0).as("is_deleted"))
+    SnapshotMerge.upsertSharded(batch, Seq("order_id"), path,
+      deleteCol = Some("is_deleted"))
+    SnapshotMerge.readSharded(s, path).orderBy(col("order_id"))
+  }
+
+  // --- CHANGE DATA FEED between retained versions: the same tagged
+  // create+batch as q_merge_time_travel (own path), then the query IS
+  // the typed row-level diff v1→v2 (insert / delete / update pre+post
+  // images), computed from the differing shards only. The oracle
+  // derives the identical change set relationally from the base table:
+  // a survivor misclassified as an update, a delete emitted as a
+  // missing key, a lost preimage, or a change leaked from a
+  // reference-carried shard all fail the hash. Rerun-stable via the
+  // commit tag (stable version numbering). ---
+  val mergeCdf: Q = (s, dir) => {
+    import graft.operators.SnapshotMerge
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val path = SnapshotPaths.dirFor("merge_cdf", dir, s)
+    if (!SnapshotMerge.existsSharded(s, path)) {
+      SnapshotMerge.createSharded(
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+        nShards = 8, path)
+    }
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+    SnapshotMerge.upsertSharded(batch, Seq("o_orderkey"), path,
+      deleteCol = Some("is_deleted"), commitTag = Some("cdf_batch_1"))
+    SnapshotMerge.readShardedChanges(s, path, Seq("o_orderkey"), 1L, 2L)
+      .orderBy(col("o_orderkey"), col("_change_type"))
+  }
+
   // --- STREAMING CDC through the SHARDED layout: the same micro-batch
   // feed as q_stream_merge_upsert applied via mergeStream(sharded =
   // true) — exactly-once per batch THROUGH the manifest pointer swaps,
@@ -588,6 +685,9 @@ object ParityQueries {
     "q_merge_optimize_sharded" -> mergeOptimizeSharded,
     "q_merge_schema_evolution" -> mergeSchemaEvolution,
     "q_merge_time_travel" -> mergeTimeTravel,
+    "q_merge_compact_sharded" -> mergeCompactSharded,
+    "q_merge_schema_migrate" -> mergeSchemaMigrate,
+    "q_merge_cdf" -> mergeCdf,
     "q_merge_concurrent" -> mergeConcurrent,
     "q_stream_merge_upsert" -> streamMergeUpsert,
     "q_stream_merge_upsert_sharded" -> streamMergeUpsertSharded,
@@ -743,6 +843,52 @@ object ParityQueries {
     "q_stream_merge_upsert" -> mergeUpsertSql,
     // …including through the sharded manifest layout
     "q_stream_merge_upsert_sharded" -> mergeUpsertSql,
+    // compaction is content-invisible: the compacted snapshot must
+    // hash-match the plain merged content (q_merge_upsert's SQL)
+    "q_merge_compact_sharded" -> mergeUpsertSql,
+    // the rename/drop migration spelled as SQL aliases, then the same
+    // merge algebra in the new column names
+    "q_merge_schema_migrate" ->
+      """WITH snap AS (SELECT o_orderkey AS order_id, o_custkey,
+                              o_totalprice AS total_price
+                       FROM orders WHERE o_orderkey % 2 = 0),
+              upd AS (SELECT o_orderkey AS order_id, o_custkey,
+                             o_totalprice + 1000.0 AS total_price,
+                             (o_orderkey % 9 = 0) AS del
+                      FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT order_id, o_custkey, total_price FROM snap
+         WHERE order_id NOT IN (SELECT order_id FROM upd)
+         UNION ALL
+         SELECT order_id, o_custkey, total_price FROM upd WHERE NOT del
+         ORDER BY order_id""",
+    // the typed row-level diff v1→v2, derived relationally: deletes are
+    // batch-flagged keys that existed, inserts are new non-deleted
+    // keys, every surviving overlap is an update (the +1000 reprice
+    // guarantees a value change) with both images
+    "q_merge_cdf" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 2 = 0),
+              upd AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                             o_totalprice + 1000.0 AS o_totalprice,
+                             (o_orderkey % 9 = 0) AS del
+                      FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+                'delete' AS _change_type
+         FROM snap s JOIN upd u ON s.o_orderkey = u.o_orderkey WHERE u.del
+         UNION ALL
+         SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus, u.o_totalprice,
+                'insert'
+         FROM upd u WHERE NOT u.del
+           AND u.o_orderkey NOT IN (SELECT o_orderkey FROM snap)
+         UNION ALL
+         SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+                'update_preimage'
+         FROM snap s JOIN upd u ON s.o_orderkey = u.o_orderkey WHERE NOT u.del
+         UNION ALL
+         SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus, u.o_totalprice,
+                'update_postimage'
+         FROM upd u JOIN snap s ON s.o_orderkey = u.o_orderkey WHERE NOT u.del
+         ORDER BY o_orderkey, _change_type""",
     // two RACING writers resolve to the sequential fixed point (B
     // commits first, A retries onto it): a batch silently discarded by
     // the losing commit — the r14 last-swap-wins failure — or a

@@ -388,6 +388,52 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
   }
 
+  test("migrateSharded: rename + drop rewrite; old versions keep the old schema; guards are loud") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 4, dir) // v1: id,name,score
+    SnapshotMerge.migrateSharded(spark, dir, Seq("id"),
+      renames = Map("id" -> "doc_id", "name" -> "title"),
+      drops = Seq("score")) // v2: doc_id,title
+    val after = SnapshotMerge.readSharded(spark, dir)
+    assert(after.columns.sorted.toSeq == Seq("doc_id", "title"))
+    assert(after.count() == 3)
+    // the renamed KEY keeps addressing the same rows (value-hash
+    // assignment): an upsert in the NEW spelling replaces, not dups
+    SnapshotMerge.upsertSharded(
+      Seq((2L, "b-migrated")).toDF("doc_id", "title"), Seq("doc_id"), dir) // v3
+    val got = SnapshotMerge.readSharded(spark, dir).orderBy("doc_id")
+      .select("title").as[String].collect().toSeq
+    assert(got == Seq("a", "b-migrated", "c"))
+    // a batch in the OLD spelling now declines loudly
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.upsertSharded(
+        Seq((2L, "x", 0.0)).toDF("id", "name", "score"), Seq("id"), dir)
+    }
+    // time travel BACK across the migration: v1 reads with ITS schema
+    val v1 = SnapshotMerge.readShardedVersion(spark, dir, 1L)
+    assert(v1.columns.sorted.toSeq == Seq("id", "name", "score"))
+    assert(v1.count() == 3)
+    // guards: dropping a key, absent columns, chained/colliding renames
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.migrateSharded(spark, dir, Seq("doc_id"),
+        drops = Seq("doc_id"))
+    }
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.migrateSharded(spark, dir, Seq("doc_id"),
+        renames = Map("absent_col" -> "x"))
+    }
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.migrateSharded(spark, dir, Seq("doc_id"),
+        renames = Map("doc_id" -> "title")) // target collides
+    }
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.migrateSharded(spark, dir, Seq("doc_id")) // no-op
+    }
+    // and the migration retires through the windowed vacuum like any op
+    assert(SnapshotMerge.vacuumSharded(spark, dir) > 0)
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+  }
+
   test("time travel: VERSION AS OF reads retained versions; vacuum expiry fails loudly") {
     val dir = tmp()
     val big = spark.range(0, 200)
@@ -462,6 +508,37 @@ class SnapshotMergeSpec extends SparkSpec {
     val backEq = SnapshotMerge.readSharded(spark, dir)
     assert(backEq.exceptAll(big).count() == 0 &&
       big.exceptAll(backEq).count() == 0)
+  }
+
+  test("compactSharded: bin-packs multi-file shards to one file, content intact, size-gated") {
+    val dir = tmp()
+    val big = spark.range(0, 2000)
+      .select(col("id"), (col("id") % 100).as("cat"),
+        concat(lit("n"), col("id")).as("name"))
+    SnapshotMerge.createSharded(big, Seq("id"), 4, dir) // v1
+    SnapshotMerge.optimizeSharded(spark, dir, Seq("id"), Seq("cat", "id"),
+      filesPerShard = 4) // v2 — every shard now holds several files
+    val beforeFiles = SnapshotMerge.describeSharded(spark, dir)
+      .agg(sum("files")).head.getLong(0)
+    assert(beforeFiles > 4, s"fixture must start multi-file, got $beforeFiles")
+    // a target below every shard's bytes qualifies nothing: no commit,
+    // no version bump — big shards are optimizeSharded's job
+    val v = SnapshotMerge.readManifest(spark, dir).version
+    assert(SnapshotMerge.compactSharded(spark, dir, targetFileBytes = 1L) == 0)
+    assert(SnapshotMerge.readManifest(spark, dir).version == v)
+    // a generous target packs every shard back to one file
+    assert(SnapshotMerge.compactSharded(spark, dir) == 4)
+    val d = SnapshotMerge.describeSharded(spark, dir).collect()
+    assert(d.length == 4 && d.forall(_.getLong(3) == 1L),
+      s"expected 1 file per shard, got ${d.map(_.getLong(3)).mkString(",")}")
+    // row content preserved exactly
+    val back = SnapshotMerge.readSharded(spark, dir)
+    assert(back.exceptAll(big).count() == 0 && big.exceptAll(back).count() == 0)
+    // idempotent: single-file shards never qualify again
+    assert(SnapshotMerge.compactSharded(spark, dir) == 0)
+    // the superseded multi-file dirs retire through the windowed vacuum
+    assert(SnapshotMerge.vacuumSharded(spark, dir) > 0)
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 2000)
   }
 
   test("describeSharded: one row per live shard with real file/byte counts") {
@@ -607,6 +684,95 @@ class SnapshotMergeSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       SnapshotMerge.createSharded(base, Seq("id"), 4, dir)
     }
+  }
+
+  test("CDF: typed change rows between versions; reference-carried shards unread; re-cluster emits nothing") {
+    val dir = tmp()
+    val big = spark.range(0, 400)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"),
+        (col("id") * 1.5).as("score"))
+    SnapshotMerge.createSharded(big, Seq("id"), 8, dir) // v1
+    val batch = Seq(
+      (7L, "updated", -1.0, false),  // update
+      (1000L, "fresh", 9.0, false),  // insert (new key)
+      (14L, "x", 0.0, true)          // delete
+    ).toDF("id", "name", "score", "del")
+    SnapshotMerge.upsertSharded(batch, Seq("id"), dir,
+      deleteCol = Some("del")) // v2
+    val cdf = SnapshotMerge.readShardedChanges(spark, dir, Seq("id"), 1L, 2L)
+      .cache()
+    assert(cdf.columns.toSeq == Seq("id", "name", "score", "_change_type"))
+    val byType = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 1L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), s"got $byType")
+    assert(cdf.filter(col("_change_type") === "insert")
+      .select("id").as[Long].head() == 1000L)
+    assert(cdf.filter(col("_change_type") === "delete")
+      .select("id").as[Long].head() == 14L)
+    assert(cdf.filter(col("_change_type") === "update_preimage")
+      .select("name").as[String].head() == "n7")
+    assert(cdf.filter(col("_change_type") === "update_postimage")
+      .select("name").as[String].head() == "updated")
+    // scale contract: only the DIFFERING shard dirs are scanned — a
+    // 3-key batch against 8 shards must not read the whole snapshot
+    // twice (reference-carried shards are provably unchanged)
+    val scannedDirs = cdf.inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(scannedDirs.length <= 6,
+      s"CDF scanned ${scannedDirs.length} shard dirs: ${scannedDirs.mkString(",")}")
+    // a multi-version span diffs endpoints directly: v1→v3 after a
+    // second batch reverts id 7 — the revert cancels out
+    SnapshotMerge.upsertSharded(
+      Seq((7L, "n7", 10.5)).toDF("id", "name", "score"), Seq("id"), dir) // v3
+    val span = SnapshotMerge.readShardedChanges(spark, dir, Seq("id"), 1L, 3L)
+    assert(span.filter(col("id") === 7L).count() == 0,
+      "a value reverted inside the span must not appear in the diff")
+    assert(span.count() == 2) // the insert + the delete survive
+    // a pure re-cluster changes every shard dir but no values → empty feed
+    SnapshotMerge.optimizeSharded(spark, dir, Seq("id"), Seq("score", "id")) // v4
+    assert(SnapshotMerge.readShardedChanges(spark, dir, Seq("id"), 3L, 4L)
+      .count() == 0)
+    // bad spans and vacuumed endpoints fail loudly
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.readShardedChanges(spark, dir, Seq("id"), 2L, 2L)
+    }
+    SnapshotMerge.vacuumSharded(spark, dir)
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.readShardedChanges(spark, dir, Seq("id"), 1L, 4L)
+    }
+  }
+
+  test("CDF drives a downstream incremental consumer to the full-rebuild state") {
+    val dir = tmp()
+    val big = spark.range(0, 300)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    SnapshotMerge.createSharded(big, Seq("id"), 8, dir) // v1
+    // a replica bootstrapped from v1…
+    val replica = tmp()
+    SnapshotMerge.upsert(SnapshotMerge.readShardedVersion(spark, dir, 1L),
+      Seq("id"), replica)
+    // …then the source moves on (updates + inserts + deletes)
+    SnapshotMerge.upsertSharded(
+      spark.range(0, 300, 7)
+        .select(col("id"), lit("upd").as("name"),
+          (col("id") % 3 === 0).as("del")),
+      Seq("id"), dir, deleteCol = Some("del")) // v2
+    SnapshotMerge.upsertSharded(
+      Seq((900L, "new"), (901L, "new")).toDF("id", "name"),
+      Seq("id"), dir) // v3
+    // the CDF span IS the incremental maintenance feed: postimages +
+    // inserts upsert, deletes delete — no source rescan
+    val feed = SnapshotMerge.readShardedChanges(spark, dir, Seq("id"), 1L, 3L)
+    SnapshotMerge.upsert(
+      feed.filter(col("_change_type").isin("insert", "update_postimage", "delete"))
+        .withColumn("__is_del", col("_change_type") === "delete")
+        .drop("_change_type"),
+      Seq("id"), replica, deleteCol = Some("__is_del"))
+    val want = SnapshotMerge.readSharded(spark, dir)
+    val got = SnapshotMerge.read(spark, replica)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "CDF-driven replica must equal the source's live state")
   }
 
   test("evolveSharded rejects a reserved __mergekey_<key> template column") {
