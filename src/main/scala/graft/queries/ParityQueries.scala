@@ -525,26 +525,21 @@ object ParityQueries {
   //     fixed parquet path and the oracle aggregates the SAME rows with
   //     ordinary SQL (the simhash-portable trick — recompute in DuckDB
   //     what the engine computed in Spark) ---
-  /** Fixed path the q_sim_source_pipeline oracle reads back. */
-  val simOrgSnapshotDir = "/tmp/graft_sim_org_snapshot"
-
-  val simSourcePipeline: Q = (s, _) => {
+  val simSourcePipeline: Q = (s, dir) => {
     val remote = s.read.format("graft.sources.v2.SalesforceSimSource")
       .option("object", "Opportunity").option("rows", "5000").load()
     // One extract through the connector → parquet raw zone (the
     // reference's extract step), then aggregate the read-back snapshot:
     // the connector runs ONCE, and Spark and DuckDB aggregate the
-    // IDENTICAL bytes. Path is fixed so the dumped oracle SQL can name
-    // it (single-session use, like the orchestrator's artifact dirs).
-    remote.coalesce(1).write.mode("overwrite").parquet(simOrgSnapshotDir)
+    // IDENTICAL bytes. Run-scoped path (SnapshotPaths) — concurrent
+    // sessions on one host can never clobber each other's snapshot.
+    val snap = SnapshotPaths.dirFor("sim_org_snapshot", dir, s)
+    remote.coalesce(1).write.mode("overwrite").parquet(snap)
     round4(SpecAggregate.run(s, graft.spec.SpecRegistry("Opportunity"),
-        s.read.parquet(simOrgSnapshotDir)),
+        s.read.parquet(snap)),
         Seq("sum_amount", "avg_amount"))
       .orderBy(col("StageName"))
   }
-
-  /** Fixed path the q_sim_source_agg_pushdown oracle reads back. */
-  val simAggSnapshotDir = "/tmp/graft_sim_agg_snapshot"
 
   /** DSv2 AGGREGATE pushdown under the hard gate: the connector dumps
     * its deterministic org once (the oracle's bytes), then the SAME
@@ -556,10 +551,11 @@ object ParityQueries {
     * the dumped snapshot independently: a null-handling divergence,
     * a partial-merge bug, or a filter applied on the wrong side of the
     * aggregation fails the hash. */
-  val simSourceAggPushdown: Q = (s, _) => {
+  val simSourceAggPushdown: Q = (s, dir) => {
     def remote = s.read.format("graft.sources.v2.SalesforceSimSource")
       .option("object", "Account").option("rows", "20000").load()
-    remote.coalesce(1).write.mode("overwrite").parquet(simAggSnapshotDir)
+    remote.coalesce(1).write.mode("overwrite")
+      .parquet(SnapshotPaths.dirFor("sim_agg_snapshot", dir, s))
     remote.filter(col("BillingState") === "alpha")
       .agg(count(lit(1)).as("records"),
         count(col("AnnualRevenue")).as("with_revenue"),
@@ -571,9 +567,6 @@ object ParityQueries {
           sum(col("AnnualRevenue")), 4).as("sum_revenue"))
   }
 
-  /** Fixed path the q_sim_source_agg_avg oracle reads back. */
-  val simAvgSnapshotDir = "/tmp/graft_sim_avg_snapshot"
-
   /** COMPLETE aggregate pushdown — AVG + multi-column GROUP BY — under
     * the hard gate: with `partitions=1` the scan's per-group rows are
     * FINAL (one reader runs ONE aggregate SOQL over the whole object —
@@ -584,11 +577,12 @@ object ParityQueries {
     * `AVG(field)`. DuckDB re-aggregates the dumped org bytes; plan
     * engagement (PushedAggregates carries AVG, no Spark-side final
     * aggregate) is spec-asserted in SalesforceSimSourceSpec. */
-  val simSourceAggAvg: Q = (s, _) => {
+  val simSourceAggAvg: Q = (s, dir) => {
     def remote = s.read.format("graft.sources.v2.SalesforceSimSource")
       .option("object", "Account").option("rows", "20000")
       .option("partitions", "1").load()
-    remote.coalesce(1).write.mode("overwrite").parquet(simAvgSnapshotDir)
+    remote.coalesce(1).write.mode("overwrite")
+      .parquet(SnapshotPaths.dirFor("sim_avg_snapshot", dir, s))
     remote.groupBy(col("BillingState"), col("Industry"))
       .agg(count(lit(1)).as("records"),
         graft.functions.GraftFunctions.roundPortable(
@@ -723,7 +717,7 @@ object ParityQueries {
          COUNT(*) AS records,
          ${r4("COALESCE(SUM(Amount), 0.0)")} AS sum_amount,
          ${r4("AVG(Amount)")} AS avg_amount
-         FROM read_parquet('$simOrgSnapshotDir/*.parquet')
+         FROM read_parquet('${SnapshotPaths.tokenDirFor("sim_org_snapshot")}/*.parquet')
          GROUP BY StageName ORDER BY StageName""",
     // aggregate pushdown: DuckDB re-aggregates the dumped org bytes;
     // the Spark side computed the same numbers INSIDE the connector
@@ -734,7 +728,7 @@ object ParityQueries {
           ${r4("MIN(AnnualRevenue)")} AS min_revenue,
           ${r4("MAX(AnnualRevenue)")} AS max_revenue,
           ${r4("SUM(AnnualRevenue)")} AS sum_revenue
-          FROM read_parquet('$simAggSnapshotDir/*.parquet')
+          FROM read_parquet('${SnapshotPaths.tokenDirFor("sim_agg_snapshot")}/*.parquet')
           WHERE BillingState = 'alpha'""",
     // COMPLETE pushdown (partitions=1): the connector's per-group rows
     // are the final answer — DuckDB re-aggregates the dumped bytes
@@ -742,7 +736,7 @@ object ParityQueries {
       s"""SELECT BillingState, Industry, COUNT(*) AS records,
           ${r4("AVG(AnnualRevenue)")} AS avg_revenue,
           ${r4("SUM(AnnualRevenue)")} AS sum_revenue
-          FROM read_parquet('$simAvgSnapshotDir/*.parquet')
+          FROM read_parquet('${SnapshotPaths.tokenDirFor("sim_avg_snapshot")}/*.parquet')
           GROUP BY BillingState, Industry
           ORDER BY BillingState, Industry""",
     // JSONL round-trip ≡ the source table, bit for bit
