@@ -849,6 +849,94 @@ object SnapshotMerge {
       s"manifest-v${m.version}")
   }
 
+  /** RESTORE — roll the LIVE snapshot back to a retained version (the
+    * Delta `RESTORE TABLE ... VERSION AS OF` shape): commits the target
+    * version's shard map as a NEW version, so the rollback is itself
+    * versioned, CAS-protected against concurrent writers, and
+    * time-travel-able (the rolled-back-over versions stay readable
+    * inside the retention window — a restore never destroys history).
+    * METADATA-ONLY: no shard data moves; the cost is two manifest
+    * reads + one commit, regardless of snapshot size. The target must
+    * still be inside [[vacuumSharded]]'s window (loud otherwise — same
+    * gate as time travel); restoring to the current version is a loud
+    * no-op error. Dirs only the superseded current version referenced
+    * are retire-logged; dirs the restore makes live again are protected
+    * from every pending retire entry by vacuum's liveness check (live
+    * paths are never reaped, whatever named them).
+    *
+    * Composes with the other maintenance ops: the restored manifest
+    * carries ITS OWN nShards/salt, so restoring across a
+    * [[reshardSharded]] boundary re-activates the old assignment
+    * correctly. One caveat is schema: the zero-row anchor is NOT rolled
+    * back (it follows the evolve/migrate lifecycle), so restoring
+    * across a schema migration leaves a diverged anchor — the next
+    * upsert fails its schema gate loudly until the migration is re-run
+    * or re-applied. Returns the new (restored) version number. */
+  def restoreSharded(spark: SparkSession, dir: String,
+      version: Long): Long = {
+    val m = readManifest(spark, dir)
+    require(version != m.version,
+      s"restoreSharded: version $version IS the live version of $dir")
+    val target = requireReadableVersion(spark, dir, version)
+    val next = m.version + 1
+    if (!tryCommitManifest(spark, dir,
+        Manifest(next, target.nShards, target.salt, target.shards)))
+      throw new ConcurrentCommitException(
+        s"restoreSharded lost the commit race for version $next of $dir — " +
+          "a concurrent writer committed first; re-read and re-decide " +
+          "the restore target")
+    val reactivated = target.shards.values.toSet
+    writeRetireLog(spark, dir, next,
+      m.shards.values.filterNot(reactivated.contains).toSeq,
+      s"manifest-v${m.version}")
+    next
+  }
+
+  /** RESHARD — change the snapshot's shard COUNT (the answer to
+    * [[describeSharded]]'s bytes-skew signal: shards sized for last
+    * year's corpus stop matching this year's): a full rewrite under
+    * the new assignment (`newNShards`, same salt), committed like
+    * every maintenance op (CAS; lost race throws
+    * [[ConcurrentCommitException]]; every old shard dir retire-logged).
+    * Key VALUES and rows are untouched — only which shard each key
+    * hashes into changes, and every later batch reads the new
+    * `nShards` from the manifest, so the assignment can never diverge
+    * between writers. Old versions time-travel with THEIR assignment
+    * (each manifest carries its own params), and a CDF span crossing
+    * the reshard compares by value and emits nothing for it. Returns
+    * false (committing nothing) when the snapshot is already at
+    * `newNShards` — so callers can invoke it idempotently from a
+    * maintenance loop. Full-rewrite cost by design. */
+  def reshardSharded(spark: SparkSession, dir: String,
+      keyCols: Seq[String], newNShards: Int): Boolean = {
+    require(newNShards > 0, s"newNShards=$newNShards must be positive")
+    val m = readManifest(spark, dir)
+    if (newNShards == m.nShards) return false
+    val anchor = spark.read.parquet(schemaAnchorDir(spark, dir))
+    require(keyCols.nonEmpty && keyCols.forall(anchor.columns.contains),
+      s"bad key columns $keyCols for ${anchor.columns.mkString(",")}")
+    val current =
+      if (m.shards.isEmpty) anchor.limit(0)
+      else spark.read.parquet(m.shards.toSeq.sortBy(_._1).map(_._2): _*)
+    val next = m.version + 1
+    val deltaDir = s"${norm(dir)}/shards-v$next-${writerUid()}"
+    Layout.withMicrosTimestamps(spark) {
+      current
+        .withColumn("__shard", shardExpr(keyCols, newNShards, m.salt))
+        .repartition(col("__shard"))
+        .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
+    }
+    val rewritten = IndexFs.listDirNames(spark, deltaDir)
+      .filter(_.startsWith("__shard="))
+      .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
+      .toMap
+    commitMaintenanceOrThrow(spark, dir, deltaDir,
+      Manifest(next, newNShards, m.salt, rewritten), "reshardSharded")
+    writeRetireLog(spark, dir, next, m.shards.values.toSeq,
+      s"manifest-v${m.version}")
+    true
+  }
+
   /** COLUMN RENAME / DROP migration — the narrowing counterpart of
     * [[evolveSharded]] (which only widens): rewrites EVERY shard under
     * the target schema (`renames` applied, `drops` removed), refreshes

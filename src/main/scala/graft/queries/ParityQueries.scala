@@ -317,6 +317,64 @@ object ParityQueries {
     SnapshotMerge.readSharded(s, path).orderBy(col("o_orderkey"))
   }
 
+  // --- RESTORE: the metadata-only rollback — after the same tagged
+  // create+batch as q_merge_time_travel (own path), restoreSharded
+  // rolls the LIVE snapshot back to version 1 by committing v1's shard
+  // map as a new version (no data moves, CAS-protected). The oracle is
+  // the pre-batch content, shared with q_merge_time_travel: a rollback
+  // that leaks batch rows, loses retained ones, or re-points a shard
+  // wrongly fails the hash. Rerun-safe: the tagged batch replays as a
+  // skip and each run's restore re-commits the same v1 map (a content
+  // fixed point; version numbers grow, content never moves). ---
+  val mergeRestore: Q = (s, dir) => {
+    import graft.operators.SnapshotMerge
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val path = SnapshotPaths.dirFor("merge_restore", dir, s)
+    if (!SnapshotMerge.existsSharded(s, path)) {
+      SnapshotMerge.createSharded(
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+        nShards = 8, path)
+    }
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+    SnapshotMerge.upsertSharded(batch, Seq("o_orderkey"), path,
+      deleteCol = Some("is_deleted"), commitTag = Some("restore_batch_1"))
+    SnapshotMerge.restoreSharded(s, path, 1L)
+    SnapshotMerge.readSharded(s, path).orderBy(col("o_orderkey"))
+  }
+
+  // --- RESHARD: the shard-count migration answering describeSharded's
+  // skew signal — the same create+merge as q_merge_upsert_sharded (own
+  // path, 8 shards), then reshardSharded rewrites the snapshot under a
+  // 32-shard assignment. Shares q_merge_upsert's oracle VERBATIM: the
+  // re-assignment must be invisible to content — a key double-placed
+  // under old+new assignment, a row lost in the rewrite, or a later
+  // batch merging under the stale shard count all fail the hash.
+  // Rerun-safe: already-at-32 returns false (no commit), the batch is
+  // a fixed point merging under the NEW assignment. ---
+  val mergeReshard: Q = (s, dir) => {
+    import graft.operators.SnapshotMerge
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val path = SnapshotPaths.dirFor("merge_reshard", dir, s)
+    if (!SnapshotMerge.existsSharded(s, path)) {
+      SnapshotMerge.createSharded(
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+        nShards = 8, path)
+    }
+    SnapshotMerge.reshardSharded(s, path, Seq("o_orderkey"), 32)
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("is_deleted", col("o_orderkey") % 9 === 0)
+    SnapshotMerge.upsertSharded(batch, Seq("o_orderkey"), path,
+      deleteCol = Some("is_deleted"))
+    SnapshotMerge.readSharded(s, path).orderBy(col("o_orderkey"))
+  }
+
   // --- COLUMN RENAME/DROP migration on the sharded snapshot — the
   // narrowing counterpart of q_merge_schema_evolution: the snapshot is
   // rebuilt per-shard under (order_id, o_custkey, total_price) —
@@ -680,6 +738,8 @@ object ParityQueries {
     "q_merge_schema_evolution" -> mergeSchemaEvolution,
     "q_merge_time_travel" -> mergeTimeTravel,
     "q_merge_compact_sharded" -> mergeCompactSharded,
+    "q_merge_restore" -> mergeRestore,
+    "q_merge_reshard" -> mergeReshard,
     "q_merge_schema_migrate" -> mergeSchemaMigrate,
     "q_merge_cdf" -> mergeCdf,
     "q_merge_concurrent" -> mergeConcurrent,
@@ -840,6 +900,15 @@ object ParityQueries {
     // compaction is content-invisible: the compacted snapshot must
     // hash-match the plain merged content (q_merge_upsert's SQL)
     "q_merge_compact_sharded" -> mergeUpsertSql,
+    // resharding is content-invisible too: the 32-shard rewrite + a
+    // batch merged under the NEW assignment must land on the same
+    // fixed point as the plain merge
+    "q_merge_reshard" -> mergeUpsertSql,
+    // the rollback re-surfaces the pre-batch content exactly — the
+    // time-travel oracle, now as the LIVE read
+    "q_merge_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""",
     // the rename/drop migration spelled as SQL aliases, then the same
     // merge algebra in the new column names
     "q_merge_schema_migrate" ->

@@ -510,6 +510,87 @@ class SnapshotMergeSpec extends SparkSpec {
       big.exceptAll(backEq).count() == 0)
   }
 
+  test("restoreSharded: metadata-only rollback to a retained version, itself versioned") {
+    val dir = tmp()
+    val big = spark.range(0, 300)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    SnapshotMerge.createSharded(big, Seq("id"), 8, dir) // v1
+    SnapshotMerge.upsertSharded(
+      spark.range(0, 300, 3).select(col("id"), lit("bad").as("name")),
+      Seq("id"), dir) // v2 — the batch we want undone
+    assert(SnapshotMerge.restoreSharded(spark, dir, 1L) == 3L) // v3 = v1's map
+    val live = SnapshotMerge.readSharded(spark, dir)
+    assert(live.count() == 300)
+    assert(live.filter(col("name") === "bad").count() == 0,
+      "restore must re-surface the pre-batch content")
+    // history survives the rollback: the rolled-back-over v2 is still a
+    // time-travel target, and the restore itself is a version
+    assert(SnapshotMerge.shardedVersions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(SnapshotMerge.readShardedVersion(spark, dir, 2L)
+      .filter(col("name") === "bad").count() == 100)
+    // the snapshot stays writable after the restore (replace, not dup)
+    SnapshotMerge.upsertSharded(
+      Seq((7L, "fixed")).toDF("id", "name"), Seq("id"), dir) // v4
+    val after = SnapshotMerge.readSharded(spark, dir)
+    assert(after.count() == 300)
+    assert(after.filter(col("id") === 7L)
+      .select("name").as[String].head() == "fixed")
+    // restoring to the live version is a loud no-op
+    assertThrows[IllegalArgumentException] {
+      SnapshotMerge.restoreSharded(spark, dir, 4L)
+    }
+    // vacuum after the restore keeps the LIVE (reactivated v1) dirs —
+    // liveness always wins over any retire entry that named them
+    SnapshotMerge.vacuumSharded(spark, dir)
+    val postVacuum = SnapshotMerge.readSharded(spark, dir)
+    assert(postVacuum.count() == 300)
+    assert(postVacuum.filter(col("name") === "bad").count() == 0)
+  }
+
+  test("reshardSharded: new shard count, same content; old versions keep their assignment") {
+    val dir = tmp()
+    val big = spark.range(0, 400)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    SnapshotMerge.createSharded(big, Seq("id"), 4, dir) // v1 @ 4 shards
+    SnapshotMerge.upsertSharded(
+      spark.range(0, 400, 5).select(col("id"), lit("u1").as("name")),
+      Seq("id"), dir) // v2
+    assert(SnapshotMerge.reshardSharded(spark, dir, Seq("id"), 16)) // v3 @ 16
+    // idempotent from a maintenance loop: already at 16 → no commit
+    assert(!SnapshotMerge.reshardSharded(spark, dir, Seq("id"), 16))
+    val m = SnapshotMerge.readManifest(spark, dir)
+    assert(m.nShards == 16 && m.version == 3L)
+    val back = SnapshotMerge.readSharded(spark, dir)
+    val want = SnapshotMerge.readShardedVersion(spark, dir, 2L)
+    assert(back.exceptAll(want).count() == 0 && want.exceptAll(back).count() == 0,
+      "reshard must preserve content exactly")
+    // later batches follow the NEW assignment from the manifest:
+    // replacement, never duplication
+    SnapshotMerge.upsertSharded(
+      Seq((10L, "u2")).toDF("id", "name"), Seq("id"), dir) // v4
+    val got = SnapshotMerge.readSharded(spark, dir)
+    assert(got.count() == 400)
+    assert(got.filter(col("id") === 10L)
+      .select("name").as[String].head() == "u2")
+    // a CDF span crossing the reshard compares by value: only the real
+    // change surfaces, not 400 rows of relocation noise
+    val span = SnapshotMerge.readShardedChanges(spark, dir, Seq("id"), 2L, 4L)
+      .collect()
+    assert(span.length == 2 &&
+      span.forall(_.getLong(0) == 10L), s"got ${span.mkString(";")}")
+    // time travel to the pre-reshard version still reads correctly
+    assert(SnapshotMerge.readShardedVersion(spark, dir, 1L).count() == 400)
+    // and a restore ACROSS the reshard re-activates the old assignment
+    SnapshotMerge.restoreSharded(spark, dir, 2L) // v5 @ 4 shards again
+    assert(SnapshotMerge.readManifest(spark, dir).nShards == 4)
+    SnapshotMerge.upsertSharded(
+      Seq((10L, "u3")).toDF("id", "name"), Seq("id"), dir) // v6 under 4 shards
+    val restored = SnapshotMerge.readSharded(spark, dir)
+    assert(restored.count() == 400)
+    assert(restored.filter(col("id") === 10L)
+      .select("name").as[String].head() == "u3")
+  }
+
   test("compactSharded: bin-packs multi-file shards to one file, content intact, size-gated") {
     val dir = tmp()
     val big = spark.range(0, 2000)
