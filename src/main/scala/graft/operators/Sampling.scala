@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Deterministic, engine-portable sampling and splitting — the
   * training-data mixture toolkit (extension surface; no reference
@@ -76,5 +77,135 @@ object Sampling {
       when(b < valEnd, lit("val"))
         .when(b < testEnd, lit("test"))
         .otherwise(lit("train")))
+  }
+
+  /** Deterministic QUALITY-WEIGHTED sample: the k rows with the
+    * smallest `hash(key) / weight` priority — selection probability
+    * grows with the weight (a doc with twice the quality score is ~2×
+    * as likely to make the sample in the small-k regime), the
+    * hash-priority variant of Efraimidis–Spirakis A-ES reservoir
+    * sampling with the RNG replaced by the portable key hash. Same
+    * contract as every op here: reproducible across runs, partitionings
+    * and ENGINES (the priority is one BIGINT→DOUBLE cast and one
+    * division, both IEEE correctly-rounded identically in Spark and
+    * DuckDB — no transcendental whose libm could differ in the last
+    * ulp), and STABLE: adding corpus can only displace a kept row by
+    * out-prioritizing it, never reassign hashes. Rows with NULL or ≤0
+    * weight are never sampled (the weight-zero limit).
+    *
+    * THE SCALE POINT: `orderBy(priority).limit(k)` compiles to
+    * TakeOrderedAndProject — a per-partition top-k heap and one k-sized
+    * merge, NO global sort and no full shuffle at any corpus size.
+    * k is merge-task-sized (fine up to ~millions); for constant-RATE
+    * sampling use [[sampleByHash]] instead. Ties (same priority) break
+    * deterministically on the key. */
+  def weightedSampleByHash(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = "weighted"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val priority = Sharding.orderHash(col(keyCol), salt).cast("double") /
+      col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .orderBy(priority, col(keyCol))
+      .limit(k)
+  }
+
+  /** TOKEN-BUDGET MIXTURE take — the data-mixing op: build a training
+    * mix by taking, per group (language/domain/source), documents in
+    * deterministic hash order until the group's token budget is
+    * reached. Output = the kept rows plus `group_start` (tokens before
+    * this row within its group's order); a row is kept iff its
+    * `group_start < budget(group)`, so the LAST kept row may straddle
+    * the budget (the packing-style rule — budgets are floors on kept
+    * token mass, and downstream truncation has the exact offsets).
+    * Unlisted groups get `defaultBudget`; a NULL group is its own
+    * bucket under `defaultBudget`. Null token counts take no budget
+    * but keep their slot. Deterministic and STABLE the way
+    * [[sampleByHash]] is: hash order never reorders existing keys, so
+    * regenerating the mix over a grown corpus keeps every previously
+    * chosen document whose budget slot survives.
+    *
+    * THE SCALE POINT: the naive spelling is `SUM(tokens) OVER
+    * (PARTITION BY group ORDER BY hash)` — one partition PER GROUP,
+    * and a training mix has few groups, so the biggest language
+    * becomes a single straggler task. This is [[Packing]]'s two-pass
+    * distributed prefix sum, per group, with exactly ONE shuffle:
+    * range-partition on (group, hash, key), per-(partition, group)
+    * subtotals prefix-summed on the driver (O(partitions + groups)
+    * rows — range partitioning keeps each group contiguous), then a
+    * narrow seeded per-partition running sum. The take filter runs
+    * inside the narrow pass — dropped rows never leave their task. */
+  def takeTokenBudget(df: DataFrame, keyCol: String, groupCol: String,
+      tokensCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L, salt: String = "budget",
+      numPartitions: Option[Int] = None): DataFrame = {
+    (budgets.values ++ Seq(defaultBudget)).foreach(b =>
+      require(b >= 0, s"budget $b must be non-negative"))
+    Seq(keyCol, groupCol, tokensCol).foreach(c =>
+      require(df.columns.contains(c),
+        s"column $c absent from ${df.columns.mkString(",")}"))
+    require(!df.columns.contains("__order_hash"),
+      "reserved internal column name in input: __order_hash")
+    require(df.schema(groupCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"group column $groupCol must be STRING (budget keys are strings)")
+    val spark = df.sparkSession
+    val p = numPartitions.getOrElse(
+      graft.GraftSession.partitionsFor(spark, df.count()))
+
+    // the ONE shuffle: contiguous (group, hash-order) ranges, locally
+    // sorted; materialized because both passes read the physical
+    // partition structure (see Packing — a parquet round-trip would
+    // re-bin partitions and scramble the stream layout)
+    val h = Sharding.orderHash(col(keyCol), salt)
+    val ranged = df
+      .withColumn("__order_hash", h)
+      .repartitionByRange(p, col(groupCol), col("__order_hash"), col(keyCol))
+      .sortWithinPartitions(col(groupCol), col("__order_hash"), col(keyCol))
+      .localCheckpoint(true)
+    val grpIdx = ranged.schema.fieldIndex(groupCol)
+    val tokIdx = ranged.schema.fieldIndex(tokensCol)
+    def grp(r: Row): Option[String] =
+      if (r.isNullAt(grpIdx)) None else Some(r.getString(grpIdx))
+    def tok(r: Row): Long =
+      if (r.isNullAt(tokIdx)) 0L else r.getAs[Number](tokIdx).longValue()
+
+    // pass 2: per-(partition, group) token subtotals → driver exclusive
+    // prefix per group in partition-index order. Range partitioning
+    // keeps groups contiguous, so the collected rows are
+    // O(partitions + groups) — driver-sized at any corpus scale.
+    val subtotals = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[Option[String], Long]
+      it.foreach(r => acc.update(grp(r), acc.getOrElse(grp(r), 0L) + tok(r)))
+      acc.iterator.map { case (g, t) => (i, g, t) }
+    }.collect()
+    val prefixes: Map[(Int, Option[String]), Long] = {
+      val running = scala.collection.mutable.Map.empty[Option[String], Long]
+      subtotals.sortBy(_._1).map { case (i, g, t) =>
+        val before = running.getOrElse(g, 0L)
+        running.update(g, before + t)
+        (i, g) -> before
+      }.toMap
+    }
+
+    // pass 3 (narrow): seeded running sum + the take filter in-task
+    val budgetOf: Option[String] => Long = {
+      case Some(g) => budgets.getOrElse(g, defaultBudget)
+      case None => defaultBudget
+    }
+    val out = ranged.rdd.mapPartitionsWithIndex { (i, rows) =>
+      val cum = scala.collection.mutable.Map.empty[Option[String], Long]
+      rows.flatMap { r =>
+        val g = grp(r)
+        val start = cum.getOrElse(g, prefixes.getOrElse((i, g), 0L))
+        cum.update(g, start + tok(r))
+        if (start < budgetOf(g)) Some(Row.fromSeq(r.toSeq :+ start))
+        else None
+      }
+    }
+    spark.createDataFrame(out,
+        StructType(ranged.schema.fields :+
+          StructField("group_start", LongType, nullable = false)))
+      .drop("__order_hash")
   }
 }

@@ -43,6 +43,40 @@ object MixtureQueries {
       .agg(count(lit(1)).as("records"), sum(col("doc_id")).as("sum_doc_ids"))
       .orderBy(col("split"))
 
+  /** Quality-weighted deterministic sample: the 200 documents with the
+    * smallest hash/weight priority, weighted by `n_chars` — a longer
+    * document is proportionally likelier to make the sample. The
+    * oracle recomputes the identical priority (one BIGINT→DOUBLE cast
+    * + one division, IEEE-identical on both engines), so one
+    * mis-ranked document anywhere fails the hash gate. */
+  val weightedSample: Q = (s, dir) =>
+    Sampling.weightedSampleByHash(Scan.table(s, dir, "documents"),
+        "doc_id", "n_chars", k = 200)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Token budgets for the mixture entry (by language, whitespace
+    * tokens): sized to BITE at sf0.01 (en carries ~12k tokens, the
+    * others ~4k each), so every budget truncates its group. */
+  private val tokenBudgets = Map("en" -> 6000L, "de" -> 2000L)
+  private val tokenBudgetDefault = 1500L
+
+  /** Token-budget mixture take: per-language documents in hash order
+    * until the language's token budget fills. Exact integer cumsum —
+    * the oracle's per-group window must match `group_start` on every
+    * kept row, so any reordered, dropped, or extra document (or a
+    * wrong running offset at any partition boundary) fails the hash
+    * gate. */
+  val tokenBudgetMixture: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+    Sampling.takeTokenBudget(docs, "doc_id", "lang", "n_tokens",
+        tokenBudgets, tokenBudgetDefault)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("group_start"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Packing stream for a 2048-token context: per-document bin and
     * offsets from the distributed prefix sum (exact integer arithmetic —
     * the oracle's global window cumsum must match every row). */
@@ -84,6 +118,8 @@ object MixtureQueries {
   val queries: ListMap[String, Q] = ListMap(
     "q_sample_by_hash" -> sampleByHash,
     "q_stratified_sample" -> stratifiedSample,
+    "q_weighted_sample" -> weightedSample,
+    "q_token_budget_mixture" -> tokenBudgetMixture,
     "q_split_counts" -> splitCounts,
     "q_shard_counts" -> shardCounts,
     "q_shuffle_order" -> shuffleOrder,
@@ -101,6 +137,17 @@ object MixtureQueries {
   private val hashSql =
     "(('0x' || substr(md5(doc_id::VARCHAR || '/shard'), 1, 15))::BIGINT)"
 
+  /** The same raw hash under the weighted-sample / token-budget salts. */
+  private val weightedHashSql =
+    "(('0x' || substr(md5(doc_id::VARCHAR || '/weighted'), 1, 15))::BIGINT)"
+  private val budgetHashSql =
+    "(('0x' || substr(md5(doc_id::VARCHAR || '/budget'), 1, 15))::BIGINT)"
+
+  private val tokenBudgetThresholdSql =
+    tokenBudgets.foldLeft(tokenBudgetDefault.toString) {
+      case (acc, (g, b)) => s"CASE WHEN lang = '$g' THEN $b ELSE $acc END"
+    }
+
   private[queries] def ppm(f: Double): Long = (f * Sampling.Buckets).toLong
 
   private val mixtureThresholdSql =
@@ -117,6 +164,34 @@ object MixtureQueries {
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
           WHERE ${bucketSql("strata")} < ($mixtureThresholdSql)
+          ORDER BY doc_id""",
+    // the weighted top-k, re-ranked by the identical hash/weight
+    // priority (BIGINT→DOUBLE cast + division — IEEE-identical on both
+    // engines), then re-sorted for the row-order-insensitive compare
+    "q_weighted_sample" ->
+      s"""SELECT * FROM (
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+            ORDER BY CAST($weightedHashSql AS DOUBLE) / n_chars, doc_id
+            LIMIT 200)
+          ORDER BY doc_id""",
+    // per-group window cumsum in DuckDB ≡ the engine's per-group
+    // two-pass distributed prefix sum — exact integer arithmetic
+    "q_token_budget_mixture" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(${TextQueries.wsToks} AS BIGINT) AS n_tokens,
+                   $budgetHashSql AS h
+            FROM documents),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) - n_tokens AS group_start
+            FROM t)
+          SELECT doc_id, lang, n_tokens, group_start FROM c
+          WHERE group_start < ($tokenBudgetThresholdSql)
           ORDER BY doc_id""",
     "q_split_counts" ->
       s"""SELECT CASE WHEN ${bucketSql("split")} < ${ppm(0.05)} THEN 'val'

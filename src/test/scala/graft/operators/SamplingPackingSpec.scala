@@ -93,4 +93,109 @@ class SamplingPackingSpec extends SparkSpec {
     // empty input: no rows, no crash
     assert(Packing.withPackingBins(toks.limit(0), "doc_id", "n_tokens", 100).count() == 0)
   }
+
+  test("weightedSampleByHash: exact hash-priority top-k, weight-scale-invariant, no global sort") {
+    val weighted = Seq.tabulate(300)(i => (i.toLong, (i % 13 + 1).toLong))
+      .toDF("doc_id", "weight")
+    val got = Sampling.weightedSampleByHash(weighted, "doc_id", "weight", k = 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 40)
+    // reference: the same priority computed row-by-row and folded on
+    // the driver — the operator must pick exactly the 40 smallest
+    val ref = weighted
+      .withColumn("h", Sharding.orderHash(col("doc_id"), "weighted"))
+      .collect()
+      .map(r => (r.getAs[Long]("h").toDouble / r.getAs[Long]("weight"),
+        r.getAs[Long]("doc_id")))
+      .sorted.take(40).map(_._2).toSet
+    assert(got == ref)
+    // scale-invariance: priorities are h/w, so scaling EVERY weight by
+    // a constant preserves the ranking — the sample only reacts to
+    // RELATIVE quality
+    val scaled = weighted.withColumn("weight", col("weight") * 1000L)
+    assert(Sampling.weightedSampleByHash(scaled, "doc_id", "weight", 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == got)
+    // weight bias: heavier keys overrepresented vs a uniform draw —
+    // the top weight class (13) must beat the bottom class (1)
+    val byW = Sampling.weightedSampleByHash(weighted, "doc_id", "weight", 100)
+      .groupBy("weight").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byW.getOrElse(13L, 0L) > byW.getOrElse(1L, 0L),
+      s"weight-13 docs must outnumber weight-1 docs in the sample: $byW")
+    // null and non-positive weights are never sampled
+    val edgy = Seq((1L, Some(0L)), (2L, Some(-5L)), (3L, None),
+      (4L, Some(2L))).toDF("doc_id", "weight")
+    assert(Sampling.weightedSampleByHash(edgy, "doc_id", "weight", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(4L))
+    // the scale claim: top-k compiles to TakeOrderedAndProject — a
+    // per-partition heap + k-sized merge, never a global Sort
+    val plan = Sampling.weightedSampleByHash(weighted, "doc_id", "weight", 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must be a distributed top-k:\n$plan")
+  }
+
+  test("takeTokenBudget ≡ per-group sequential take, straddle rule, null group/tokens") {
+    val mix = Seq.tabulate(300)(i => (i.toLong,
+      if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh",
+      (i % 29 + 2).toLong)).toDF("doc_id", "lang", "n_tokens")
+      .repartition(7) // scrambled input: the operator must impose the order
+    val budgets = Map("en" -> 400L, "de" -> 150L)
+    val got = Sampling.takeTokenBudget(mix, "doc_id", "lang", "n_tokens",
+        budgets, defaultBudget = 90L)
+      .select("doc_id", "lang", "n_tokens", "group_start").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // reference: per-group driver fold in (hash, key) order
+    val ordered = mix
+      .withColumn("h", Sharding.orderHash(col("doc_id"), "budget"))
+      .collect()
+      .map(r => (r.getString(1), r.getAs[Long]("h"), r.getLong(0), r.getLong(2)))
+      .sortBy(t => (t._2, t._3))
+    val ref = scala.collection.mutable.Map.empty[Long, (String, Long, Long)]
+    val cum = scala.collection.mutable.Map.empty[String, Long]
+    ordered.foreach { case (g, _, id, toks) =>
+      val start = cum.getOrElse(g, 0L)
+      cum.update(g, start + toks)
+      if (start < budgets.getOrElse(g, 90L)) ref.update(id, (g, toks, start))
+    }
+    assert(got == ref.toMap, "kept set + offsets must equal the sequential take")
+    // the straddle rule: each group's kept token mass reaches its
+    // budget (a floor), and removing the LAST kept doc drops it below
+    val massByGroup = got.values.groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sum }
+    Seq("en" -> 400L, "de" -> 150L, "zh" -> 90L).foreach { case (g, b) =>
+      val lastTok = got.values.filter(_._1 == g).maxBy(_._3)._2
+      assert(massByGroup(g) >= b, s"$g budget is a floor")
+      assert(massByGroup(g) - lastTok < b, s"$g must stop at the budget")
+    }
+    // zero budget takes nothing from that group
+    val zeroed = Sampling.takeTokenBudget(mix, "doc_id", "lang", "n_tokens",
+      Map("en" -> 0L), defaultBudget = 50L)
+    assert(zeroed.filter(col("lang") === "en").count() == 0)
+    assert(zeroed.filter(col("lang") =!= "en").count() > 0)
+    // null group rides the default budget; null tokens consume nothing
+    val edgy = Seq((1L, None, Some(5L)), (2L, None, None),
+      (3L, Some("en"), Some(4L))).toDF("doc_id", "lang", "n_tokens")
+    val e = Sampling.takeTokenBudget(edgy, "doc_id", "lang", "n_tokens",
+        Map("en" -> 10L), defaultBudget = 6L)
+      .select("doc_id", "group_start").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the null bucket holds 5 total tokens < its 6 budget and the one
+    // en doc starts at 0 — every row is kept whichever way the null
+    // bucket's hash order falls
+    assert(e.keySet == Set(1L, 2L, 3L))
+    // narrow second pass: the requested range width survives to output
+    val widthPinned = Sampling.takeTokenBudget(mix, "doc_id", "lang",
+      "n_tokens", budgets, defaultBudget = 90L, numPartitions = Some(5))
+    assert(widthPinned.rdd.getNumPartitions == 5,
+      "per-group prefix sum must keep the range width (no global window)")
+    assert(widthPinned.select("doc_id", "lang", "n_tokens", "group_start")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap == ref.toMap)
+    // empty input: no rows, no crash
+    assert(Sampling.takeTokenBudget(mix.limit(0), "doc_id", "lang",
+      "n_tokens", budgets).count() == 0)
+  }
 }
