@@ -237,14 +237,23 @@ object SnapshotMerge {
   private def manifestPtr(dir: String) = s"${norm(dir)}/manifest.current"
   private def retiredDir(dir: String) = s"${norm(dir)}/_retired"
 
-  /** The zero-row schema anchor's CURRENT physical dir —
-    * [[evolveSharded]] republishes the anchor via
-    * [[IndexFs.publishRelation]], which under the marker protocol
-    * versions it behind a pointer; every anchor read resolves through
-    * that pointer (plain dir when no pointer exists — the
-    * createSharded-only case). */
+  /** LEGACY anchor resolution — snapshots written before the anchor
+    * went into the manifest (r15) keep their zero-row schema relation
+    * at `schema/` behind the marker-protocol pointer; a manifest with
+    * no anchor field resolves here. New snapshots version the anchor
+    * THROUGH the manifest ([[Manifest.anchor]]): each schema change
+    * writes a fresh `schema-v<N>-<uid>` dir that is invisible until
+    * its manifest CAS lands, schema-neutral commits carry the anchor
+    * path forward by reference, and a restore across a schema change
+    * rolls the schema back with the data. */
   private def schemaAnchorDir(spark: SparkSession, dir: String): String =
     IndexFs.resolveDir(spark, s"${norm(dir)}/schema")
+
+  /** The anchor dir a given version reads with: the manifest's own
+    * (versioned, r15) or the legacy pointer. */
+  private def anchorDirOf(spark: SparkSession, dir: String,
+      m: Manifest): String =
+    m.anchor.getOrElse(schemaAnchorDir(spark, dir))
 
   /** Version tag of the shard-assignment function, persisted in the
     * manifest header: a snapshot built under a DIFFERENT assignment
@@ -253,13 +262,17 @@ object SnapshotMerge {
     * [[shardExpr]]'s encoding must bump this. */
   private val ShardHashVersion = "h1"
 
-  /** (version, nShards, salt, shard → physical dir). In-memory paths
-    * are always ABSOLUTE (resolved against the snapshot root at read);
-    * on disk they are stored RELATIVE to the root, so the snapshot
-    * survives being moved/mounted under a different spelling and no
-    * maintenance op ever compares paths across spellings. */
+  /** (version, nShards, salt, shard → physical dir, anchor dir).
+    * In-memory paths are always ABSOLUTE (resolved against the
+    * snapshot root at read); on disk they are stored RELATIVE to the
+    * root, so the snapshot survives being moved/mounted under a
+    * different spelling and no maintenance op ever compares paths
+    * across spellings. `anchor` is the zero-row schema relation THIS
+    * version reads with (r15) — None on legacy manifests, which
+    * resolve the pointer-managed `schema/` dir instead. */
   private[operators] final case class Manifest(
-      version: Long, nShards: Int, salt: String, shards: Map[Long, String])
+      version: Long, nShards: Int, salt: String, shards: Map[Long, String],
+      anchor: Option[String] = None)
 
   /** A stored shard path, resolved against the snapshot root. Legacy
     * manifests (written before paths went relative) carried absolute
@@ -311,7 +324,11 @@ object SnapshotMerge {
   private[operators] def tryCommitManifest(spark: SparkSession, dir: String,
       m: Manifest): Boolean = {
     val f = IndexFs.fs(spark, dir)
-    val body = (s"meta\t${m.nShards}\t${m.salt}\t$ShardHashVersion" +:
+    // the anchor rides as a 5th header field (absent on pre-r15
+    // manifests); relative like every stored path
+    val header = (Seq("meta", m.nShards.toString, m.salt, ShardHashVersion) ++
+      m.anchor.map(relativizeShardPath(dir, _))).mkString("\t")
+    val body = (header +:
       m.shards.toSeq.sortBy(_._1)
         .map { case (k, p) => s"$k\t${relativizeShardPath(dir, p)}" })
       .mkString("\n")
@@ -391,9 +408,11 @@ object SnapshotMerge {
     // micros timestamps (scoped, Layout.withMicrosTimestamps): shard
     // files are internal — read back only through Spark — and INT64
     // stats are what lets a timestamp Band prune in readShardedPruned
-    val vDir = s"${norm(dir)}/shards-v1-${writerUid()}"
+    val uid = writerUid()
+    val vDir = s"${norm(dir)}/shards-v1-$uid"
+    val anchorDir = s"${norm(dir)}/schema-v1-$uid"
     Layout.withMicrosTimestamps(spark) {
-      df.limit(0).write.mode("overwrite").parquet(s"${norm(dir)}/schema")
+      df.limit(0).write.mode("overwrite").parquet(anchorDir)
       df.withColumn("__shard", shardExpr(keyCols, nShards, salt))
         .repartition(col("__shard"))
         .write.partitionBy("__shard").mode("overwrite").parquet(vDir)
@@ -402,8 +421,9 @@ object SnapshotMerge {
       .filter(_.startsWith("__shard="))
       .map(n => n.stripPrefix("__shard=").toLong -> s"$vDir/$n")
     if (!tryCommitManifest(spark, dir,
-        Manifest(1L, nShards, salt, present.toMap))) {
+        Manifest(1L, nShards, salt, present.toMap, Some(anchorDir)))) {
       IndexFs.deleteRecursively(spark, vDir)
+      IndexFs.deleteRecursively(spark, anchorDir)
       throw new ConcurrentCommitException(
         s"sharded snapshot at $dir was created concurrently (version 1 " +
           "already committed) — upsertSharded into it instead")
@@ -411,17 +431,16 @@ object SnapshotMerge {
   }
 
   /** The current sharded snapshot — a union scan of the manifest's
-    * shard dirs (schema anchored by the zero-row `schema/` relation, so
-    * even an empty snapshot reads with full schema). */
+    * shard dirs (schema anchored by the manifest's zero-row anchor
+    * relation, so even an empty snapshot reads with full schema). */
   def readSharded(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(spark, dir)
     // the anchor joins the scan ONLY when no shard holds rows: when
-    // shards exist they carry the schema themselves, and mixing the
-    // anchor in would tear a read caught between evolveSharded's
-    // anchor republish and its pointer swap (two physical schemas in
-    // one un-merged union)
+    // shards exist they carry the schema themselves, and the anchor
+    // is pure schema metadata (both now version together through the
+    // manifest, so a read can never mix two physical schemas)
     val dirs =
-      if (m.shards.isEmpty) Seq(schemaAnchorDir(spark, dir))
+      if (m.shards.isEmpty) Seq(anchorDirOf(spark, dir, m))
       else m.shards.toSeq.sortBy(_._1).map(_._2)
     spark.read.parquet(dirs: _*)
   }
@@ -445,7 +464,9 @@ object SnapshotMerge {
       lines.tail.filter(_.nonEmpty).map { l =>
         val Array(k, p) = l.split("\t", 2)
         k.toLong -> resolveShardPath(dir, p)
-      }.toMap)
+      }.toMap,
+      anchor = if (meta.length >= 5 && meta(4).nonEmpty)
+        Some(resolveShardPath(dir, meta(4))) else None)
   }
 
   /** The snapshot versions currently READABLE — every manifest whose
@@ -472,21 +493,20 @@ object SnapshotMerge {
     * dirs has been vacuumed: a time-travel read outside the retention
     * window is a caller error, not a silently-smaller snapshot.
     *
-    * Known limit: a version with ZERO shards (an all-deleted or
-    * just-created-empty snapshot) reads through the CURRENT schema
-    * anchor — if an [[evolveSharded]] ran since, that empty version
-    * reports today's widened schema, not the narrower one it had
-    * (shard files carry their schema; an empty version has none to
-    * carry, and the pre-evolution anchor retires with its window).
-    * Rows are correct either way — zero. */
+    * The anchor is versioned through the manifest (r15), so an EMPTY
+    * version (all-deleted or just-created) reads with ITS OWN schema,
+    * even across a later [[evolveSharded]]/[[migrateSharded]]. Legacy
+    * manifests (no anchor field) fall back to the current pointer
+    * anchor — for those the pre-r15 limit stands: an empty legacy
+    * version reports today's schema (rows are correct either way —
+    * zero). */
   def readShardedVersion(spark: SparkSession, dir: String,
       version: Long): DataFrame = {
     val m = requireReadableVersion(spark, dir, version)
-    // shards carry the schema; the (current) anchor joins only when
-    // the version is empty — a pre-evolution version must read with
-    // ITS schema, not today's widened anchor
+    // shards carry the schema; the version's anchor joins only when
+    // the version is empty
     val dirs =
-      if (m.shards.isEmpty) Seq(schemaAnchorDir(spark, dir))
+      if (m.shards.isEmpty) Seq(anchorDirOf(spark, dir, m))
       else m.shards.toSeq.sortBy(_._1).map(_._2)
     spark.read.parquet(dirs: _*)
   }
@@ -567,7 +587,7 @@ object SnapshotMerge {
       // does not evolve in place — untouched shards are carried by
       // reference with their old physical schema, so evolution is the
       // explicit evolveSharded/migrateSharded maintenance op
-      val anchorCols = spark.read.parquet(schemaAnchorDir(spark, dir)).columns
+      val anchorCols = spark.read.parquet(anchorDirOf(spark, dir, m)).columns
       require(
         anchorCols.sorted.toSeq ==
           inserts.columns.filterNot(_ == "__shard").sorted.toSeq,
@@ -603,7 +623,7 @@ object SnapshotMerge {
       val merged = (m.shards -- touched) ++ rewritten
       onCommitAttempt()
       if (tryCommitManifest(spark, dir,
-          Manifest(next, m.nShards, m.salt, merged))) {
+          Manifest(next, m.nShards, m.salt, merged, m.anchor))) {
         // the commit is complete at the CAS above; superseded dirs +
         // manifest go to the retire log for a windowed vacuum
         writeRetireLog(spark, dir, next, currentTouchedDirs,
@@ -680,7 +700,8 @@ object SnapshotMerge {
     val mergedShards = m.shards.filter { case (k, _) =>
       !rewritten.contains(k) } ++ rewritten
     commitMaintenanceOrThrow(spark, dir, deltaDir,
-      Manifest(next, m.nShards, m.salt, mergedShards), "optimizeSharded")
+      Manifest(next, m.nShards, m.salt, mergedShards, m.anchor),
+      "optimizeSharded")
     writeRetireLog(spark, dir, next,
       m.shards.view.filterKeys(rewritten.contains).values.toSeq,
       s"manifest-v${m.version}")
@@ -751,7 +772,8 @@ object SnapshotMerge {
     val mergedShards = m.shards.filter { case (k, _) =>
       !rewritten.contains(k) } ++ rewritten
     commitMaintenanceOrThrow(spark, dir, deltaDir,
-      Manifest(next, m.nShards, m.salt, mergedShards), "compactSharded")
+      Manifest(next, m.nShards, m.salt, mergedShards, m.anchor),
+      "compactSharded")
     writeRetireLog(spark, dir, next,
       m.shards.view.filterKeys(rewritten.contains).values.toSeq,
       s"manifest-v${m.version}")
@@ -765,9 +787,11 @@ object SnapshotMerge {
     * snapshot that moved underneath it (the operator re-decides;
     * upserts are the ones that auto-retry). */
   private[operators] def commitMaintenanceOrThrow(spark: SparkSession, dir: String,
-      deltaDir: String, m: Manifest, op: String): Unit = {
+      deltaDir: String, m: Manifest, op: String,
+      alsoDelete: Seq[String] = Nil): Unit = {
     if (!tryCommitManifest(spark, dir, m)) {
       IndexFs.deleteRecursively(spark, deltaDir)
+      alsoDelete.foreach(IndexFs.deleteRecursively(spark, _))
       throw new ConcurrentCommitException(
         s"$op lost the commit race for version ${m.version} of $dir — a " +
           "concurrent writer committed first; the snapshot is untouched " +
@@ -781,13 +805,14 @@ object SnapshotMerge {
     * under the union of the current schema and `template`'s (survivor
     * rows null-fill columns only the template brings; a column the
     * template drops is KEPT — evolution only widens, narrowing is
-    * [[migrateSharded]]), refreshes the zero-row `schema/` anchor, and
-    * commits like an upsert (new version dir, manifest pointer swap,
-    * superseded SHARD dirs retire-logged for [[vacuumSharded]]; the old
-    * anchor follows [[IndexFs.publishRelation]]'s own retention —
-    * inline delete by default, windowed under
-    * `spark.graft.publishRetention.ms` + [[IndexFs.vacuumPublished]] —
-    * it is never named in the retire log). After it,
+    * [[migrateSharded]]), writes the widened zero-row anchor as a NEW
+    * versioned dir carried by the new manifest (r15 — invisible until
+    * the commit CAS lands, so there is no anchor-vs-manifest crash
+    * window), and commits like an upsert (new version dir, manifest
+    * pointer swap, superseded SHARD dirs AND the superseded anchor
+    * retire-logged for [[vacuumSharded]]'s retention window — a legacy
+    * pointer-managed anchor is left in place for the legacy manifests
+    * that still resolve it). After it,
     * batches carrying the new columns merge normally. Full-rewrite
     * cost by design — the same maintenance-window posture as
     * [[optimizeSharded]]: the sharded layout's by-reference carry means
@@ -800,7 +825,7 @@ object SnapshotMerge {
   def evolveSharded(spark: SparkSession, dir: String,
       keyCols: Seq[String], template: DataFrame): Unit = {
     val m = readManifest(spark, dir)
-    val anchor = spark.read.parquet(schemaAnchorDir(spark, dir))
+    val anchor = spark.read.parquet(anchorDirOf(spark, dir, m))
     require(keyCols.nonEmpty && keyCols.forall(anchor.columns.contains),
       s"bad key columns $keyCols for ${anchor.columns.mkString(",")}")
     require(!template.columns.contains("__shard"),
@@ -823,8 +848,16 @@ object SnapshotMerge {
       .unionByName(widened.limit(0), allowMissingColumns = true)
       .withColumn("__shard", shardExpr(keyCols, m.nShards, m.salt))
     val next = m.version + 1
-    val deltaDir = s"${norm(dir)}/shards-v$next-${writerUid()}"
+    val uid = writerUid()
+    val deltaDir = s"${norm(dir)}/shards-v$next-$uid"
+    val anchorDir = s"${norm(dir)}/schema-v$next-$uid"
     Layout.withMicrosTimestamps(spark) {
+      // the anchor evolves WITH the data, atomically: it lands in a
+      // NEW versioned dir that nothing resolves until the manifest CAS
+      // commits — a crash or lost race leaves the old manifest (and
+      // its old anchor) fully live, and the orphaned dirs are inert
+      // until vacuum
+      widened.write.mode("overwrite").parquet(anchorDir)
       rewrittenRows
         .repartition(col("__shard"))
         .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
@@ -833,19 +866,14 @@ object SnapshotMerge {
       .filter(_.startsWith("__shard="))
       .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
       .toMap
-    // the anchor must evolve WITH the data, atomically enough: it is
-    // republished before the manifest CAS; a crash (or lost race)
-    // between leaves the old manifest live with a widened anchor —
-    // readers still see a consistent union (extra columns null), never
-    // a torn snapshot (the anchor only widens, and shards carry their
-    // own schema whenever any shard holds rows)
-    IndexFs.publishRelation(widened, s"${norm(dir)}/schema")
     val mergedShards = m.shards.filter { case (k, _) =>
       !rewritten.contains(k) } ++ rewritten
     commitMaintenanceOrThrow(spark, dir, deltaDir,
-      Manifest(next, m.nShards, m.salt, mergedShards), "evolveSharded")
+      Manifest(next, m.nShards, m.salt, mergedShards, Some(anchorDir)),
+      "evolveSharded", alsoDelete = Seq(anchorDir))
     writeRetireLog(spark, dir, next,
-      m.shards.view.filterKeys(rewritten.contains).values.toSeq,
+      m.shards.view.filterKeys(rewritten.contains).values.toSeq ++
+        m.anchor, // the superseded anchor gets the same windowed retention
       s"manifest-v${m.version}")
   }
 
@@ -865,13 +893,14 @@ object SnapshotMerge {
     * paths are never reaped, whatever named them).
     *
     * Composes with the other maintenance ops: the restored manifest
-    * carries ITS OWN nShards/salt, so restoring across a
-    * [[reshardSharded]] boundary re-activates the old assignment
-    * correctly. One caveat is schema: the zero-row anchor is NOT rolled
-    * back (it follows the evolve/migrate lifecycle), so restoring
-    * across a schema migration leaves a diverged anchor — the next
-    * upsert fails its schema gate loudly until the migration is re-run
-    * or re-applied. Returns the new (restored) version number. */
+    * carries ITS OWN nShards/salt AND its own schema anchor, so
+    * restoring across a [[reshardSharded]] boundary re-activates the
+    * old assignment, and restoring across an
+    * [[evolveSharded]]/[[migrateSharded]] rolls the SCHEMA back with
+    * the data — the next upsert merges under the restored schema (a
+    * legacy no-anchor target keeps resolving the pointer anchor, whose
+    * schema the migrate lifecycle owns). Returns the new (restored)
+    * version number. */
   def restoreSharded(spark: SparkSession, dir: String,
       version: Long): Long = {
     val m = readManifest(spark, dir)
@@ -880,14 +909,15 @@ object SnapshotMerge {
     val target = requireReadableVersion(spark, dir, version)
     val next = m.version + 1
     if (!tryCommitManifest(spark, dir,
-        Manifest(next, target.nShards, target.salt, target.shards)))
+        Manifest(next, target.nShards, target.salt, target.shards,
+          target.anchor)))
       throw new ConcurrentCommitException(
         s"restoreSharded lost the commit race for version $next of $dir — " +
           "a concurrent writer committed first; re-read and re-decide " +
           "the restore target")
-    val reactivated = target.shards.values.toSet
+    val reactivated = target.shards.values.toSet ++ target.anchor
     writeRetireLog(spark, dir, next,
-      m.shards.values.filterNot(reactivated.contains).toSeq,
+      (m.shards.values ++ m.anchor).filterNot(reactivated.contains).toSeq,
       s"manifest-v${m.version}")
     next
   }
@@ -912,7 +942,7 @@ object SnapshotMerge {
     require(newNShards > 0, s"newNShards=$newNShards must be positive")
     val m = readManifest(spark, dir)
     if (newNShards == m.nShards) return false
-    val anchor = spark.read.parquet(schemaAnchorDir(spark, dir))
+    val anchor = spark.read.parquet(anchorDirOf(spark, dir, m))
     require(keyCols.nonEmpty && keyCols.forall(anchor.columns.contains),
       s"bad key columns $keyCols for ${anchor.columns.mkString(",")}")
     val current =
@@ -931,7 +961,8 @@ object SnapshotMerge {
       .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
       .toMap
     commitMaintenanceOrThrow(spark, dir, deltaDir,
-      Manifest(next, newNShards, m.salt, rewritten), "reshardSharded")
+      Manifest(next, newNShards, m.salt, rewritten, m.anchor),
+      "reshardSharded")
     writeRetireLog(spark, dir, next, m.shards.values.toSeq,
       s"manifest-v${m.version}")
     true
@@ -960,7 +991,7 @@ object SnapshotMerge {
       renames: Map[String, String] = Map.empty,
       drops: Seq[String] = Nil): Unit = {
     val m = readManifest(spark, dir)
-    val anchor = spark.read.parquet(schemaAnchorDir(spark, dir))
+    val anchor = spark.read.parquet(anchorDirOf(spark, dir, m))
     val cols = anchor.columns.toSeq
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
       s"bad key columns $keyCols for ${cols.mkString(",")}")
@@ -1001,8 +1032,16 @@ object SnapshotMerge {
       case (df, (from, to)) => df.withColumnRenamed(from, to)
     }
     val next = m.version + 1
-    val deltaDir = s"${norm(dir)}/shards-v$next-${writerUid()}"
+    val uid = writerUid()
+    val deltaDir = s"${norm(dir)}/shards-v$next-$uid"
+    val anchorDir = s"${norm(dir)}/schema-v$next-$uid"
     Layout.withMicrosTimestamps(spark) {
+      // versioned anchor (r15): the narrowed anchor lands in a new dir
+      // nothing resolves until the CAS commits — the pre-r15 ordering
+      // dilemma (publish before the CAS under-reports columns to the
+      // old manifest, publish after leaves a crash window where the
+      // new manifest sees the old wider anchor) is gone
+      newAnchor.write.mode("overwrite").parquet(anchorDir)
       rewrittenRows
         .repartition(col("__shard"))
         .write.partitionBy("__shard").mode("overwrite").parquet(deltaDir)
@@ -1011,19 +1050,14 @@ object SnapshotMerge {
       .filter(_.startsWith("__shard="))
       .map(n => n.stripPrefix("__shard=").toLong -> s"$deltaDir/$n")
       .toMap
-    // anchor republished before the CAS, same crash posture as
-    // evolveSharded — except a narrowing anchor with the OLD manifest
-    // live could under-report columns, so here the anchor lands AFTER
-    // the commit: a crash between leaves the new manifest live with the
-    // old (wider) anchor, which only matters for an EMPTY snapshot and
-    // heals on the next successful maintenance op
     val mergedShards = m.shards.filter { case (k, _) =>
       !rewritten.contains(k) } ++ rewritten
     commitMaintenanceOrThrow(spark, dir, deltaDir,
-      Manifest(next, m.nShards, m.salt, mergedShards), "migrateSharded")
-    IndexFs.publishRelation(newAnchor, s"${norm(dir)}/schema")
+      Manifest(next, m.nShards, m.salt, mergedShards, Some(anchorDir)),
+      "migrateSharded", alsoDelete = Seq(anchorDir))
     writeRetireLog(spark, dir, next,
-      m.shards.view.filterKeys(rewritten.contains).values.toSeq,
+      m.shards.view.filterKeys(rewritten.contains).values.toSeq ++
+        m.anchor,
       s"manifest-v${m.version}")
   }
 
@@ -1070,7 +1104,7 @@ object SnapshotMerge {
     def side(m: Manifest): DataFrame = {
       val dirs = m.shards.view.filterKeys(changedIds).values.toSeq.sorted
       if (dirs.isEmpty)
-        spark.read.parquet(schemaAnchorDir(spark, dir)).limit(0)
+        spark.read.parquet(anchorDirOf(spark, dir, m)).limit(0)
       else spark.read.parquet(dirs: _*)
     }
     val oldSide = side(mFrom)
@@ -1134,10 +1168,11 @@ object SnapshotMerge {
         s"its manifest was vacuumed past the retention window " +
         s"(readable versions: ${shardedVersions(spark, dir).mkString(",")})")
     val m = readManifestFile(spark, dir, name)
-    val missing = IndexFs.parMapOrdered(m.shards.values.toSeq)(p =>
+    val missing = IndexFs.parMapOrdered(
+        m.shards.values.toSeq ++ m.anchor)(p =>
       p -> IndexFs.exists(spark, p)).collect { case (p, false) => p }
     require(missing.isEmpty,
-      s"version $version of $dir lost ${missing.size} shard dir(s) to " +
+      s"version $version of $dir lost ${missing.size} dir(s) to " +
         s"vacuum — raise vacuumSharded's minAgeMs above the longest " +
         s"time-travel horizon (first missing: ${missing.head})")
     m
@@ -1158,7 +1193,7 @@ object SnapshotMerge {
     val selected = IndexFs.parMapOrdered(dirs)(d =>
       Layout.prunedFilesInDir(spark, d, bands)._1).flatten
     if (selected.isEmpty)
-      spark.read.parquet(schemaAnchorDir(spark, dir)).limit(0)
+      spark.read.parquet(anchorDirOf(spark, dir, m)).limit(0)
     else spark.read.parquet(selected: _*)
   }
 
@@ -1220,7 +1255,9 @@ object SnapshotMerge {
     def qual(p: String): String =
       f.makeQualified(new org.apache.hadoop.fs.Path(p)).toString
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val live = m.shards.values.map(qual).toSet
+    // liveness covers the anchor too (r15: the anchor is a versioned
+    // dir the manifest references like any shard dir)
+    val live = (m.shards.values ++ m.anchor).map(qual).toSet
     val curManifest = s"manifest-v${m.version}"
     var reaped = 0
 
@@ -1272,10 +1309,17 @@ object SnapshotMerge {
     // window waives the reader guarantee by definition.
     val versionDirs = IndexFs.listDirNames(spark, dir)
       .filter(_.startsWith("shards-v")).map(v => s"${norm(dir)}/$v")
+    // versioned anchor dirs (r15) are top-level candidates with the
+    // same orphan rule — an unreferenced one is a crashed writer's
+    // debris or a retire-log-crash leftover, never deletable while the
+    // live manifest (or an unexpired retire entry) names it
+    val anchorCandidates = IndexFs.listDirNames(spark, dir)
+      .filter(_.startsWith("schema-v"))
+      .map(s => (norm(dir), s"${norm(dir)}/$s"))
     val shardDirCandidates = versionDirs.flatMap { vDir =>
       IndexFs.listDirNames(spark, vDir).filter(_.startsWith("__shard="))
         .map(s => (vDir, s"$vDir/$s"))
-    }
+    } ++ anchorCandidates
     // the slow per-dir decision input (a recursive mtime walk each) is
     // gathered with overlapped round-trips; the mutations below stay
     // serial and cheap
