@@ -53,6 +53,20 @@ object GraftSession {
   def partitionsFor(spark: SparkSession, nRows: Long): Int =
     partitionsFor(nRows, spark.sparkContext.defaultParallelism)
 
+  /** Shuffle width from the PLAN, not the data: the input's physical
+    * partition count clamped to the same [cores, 6×cores] band as
+    * [[partitionsFor]]. Converting the plan to an RDD schedules NO job
+    * — the width is known from the scan's split planning (file count ×
+    * maxPartitionBytes) — so prefix-sum operators size their one range
+    * exchange without an extra `count()` action re-evaluating the
+    * upstream plan (which, fed a computed projection like a tokenized
+    * corpus, costs a full second scan). The scan's width already
+    * tracks input bytes, which is the same signal row count proxies. */
+  def partitionsForPlan(df: org.apache.spark.sql.DataFrame): Int = {
+    val cores = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    math.max(cores, math.min(6 * cores, df.rdd.getNumPartitions))
+  }
+
   /** Conf key selecting the scratch strategy for [[pin]]: unset (the
     * default) pins with `localCheckpoint(eager = true)` — executor
     * block storage, the fastest choice in local mode and on healthy

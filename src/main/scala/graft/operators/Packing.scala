@@ -44,11 +44,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Packing {
 
   /** @param budget tokens per bin (the training context length)
-    * @param numPartitions range-partition width; default sized to the
-    *        corpus via [[graft.GraftSession.partitionsFor]] — the
-    *        default pays one count() job (the optimizer prunes it to a
-    *        metadata-ish scan; computed columns are dropped), so hot
-    *        paths that already know their scale should pass a width
+    * @param numPartitions range-partition width; default sized from
+    *        the plan via [[graft.GraftSession.partitionsForPlan]] —
+    *        the scan's split width, no extra job — so callers only
+    *        pass a width to override the band
     * @return input columns + `start_offset`, `bin`, `bin_offset`
     *         (Long); row order is not materialized — add `.orderBy`
     *         for display */
@@ -57,8 +56,7 @@ object Packing {
       budget: Long, numPartitions: Option[Int] = None): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")
     val spark = docs.sparkSession
-    val p = numPartitions.getOrElse(
-      graft.GraftSession.partitionsFor(spark, docs.count()))
+    val p = numPartitions.getOrElse(graft.GraftSession.partitionsForPlan(docs))
 
     // (1) the ONE shuffle: range-partition on the packing order, sort
     // locally, materialize once — both later passes read these blocks.

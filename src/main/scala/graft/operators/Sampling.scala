@@ -149,8 +149,7 @@ object Sampling {
       org.apache.spark.sql.types.StringType,
       s"group column $groupCol must be STRING (budget keys are strings)")
     val spark = df.sparkSession
-    val p = numPartitions.getOrElse(
-      graft.GraftSession.partitionsFor(spark, df.count()))
+    val p = numPartitions.getOrElse(graft.GraftSession.partitionsForPlan(df))
 
     // the ONE shuffle: contiguous (group, hash-order) ranges, locally
     // sorted; materialized because both passes read the physical

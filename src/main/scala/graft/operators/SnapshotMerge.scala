@@ -328,9 +328,17 @@ object SnapshotMerge {
     // manifests); relative like every stored path
     val header = (Seq("meta", m.nShards.toString, m.salt, ShardHashVersion) ++
       m.anchor.map(relativizeShardPath(dir, _))).mkString("\t")
-    val body = (header +:
-      m.shards.toSeq.sortBy(_._1)
-        .map { case (k, p) => s"$k\t${relativizeShardPath(dir, p)}" })
+    // trailer = shard-line count: makes the body SELF-VALIDATING. On
+    // schemes where writeSmallFileNoClobber falls back to a direct
+    // create (no AbstractFileSystem binding), a concurrent reader can
+    // glimpse the create-to-close window; without the trailer a
+    // truncated shard list parses SUCCESSFULLY (header intact, tail
+    // lines missing) and that reader silently scans a smaller
+    // snapshot. readManifestFile requires the trailer, so a torn read
+    // fails loudly instead.
+    val shardLines = m.shards.toSeq.sortBy(_._1)
+      .map { case (k, p) => s"$k\t${relativizeShardPath(dir, p)}" }
+    val body = ((header +: shardLines) :+ s"end\t${shardLines.length}")
       .mkString("\n")
     val name = s"manifest-v${m.version}"
     val won = IndexFs.writeSmallFileNoClobber(spark, f,
@@ -459,9 +467,21 @@ object SnapshotMerge {
       s"snapshot at $dir was sharded under hash version $ver, this " +
         s"build uses $ShardHashVersion — rebuild it (createSharded) " +
         "before merging into it")
+    // the self-validation gate: a body without a correct `end\t<n>`
+    // trailer is a torn read (fallback-path create-to-close window) or
+    // corruption — fail loudly, never scan a partial shard map
+    val bodyLines = lines.tail.filter(_.nonEmpty)
+    require(bodyLines.nonEmpty && bodyLines.last.startsWith("end\t"),
+      s"corrupt or torn manifest $name at $dir: missing end trailer " +
+        "(concurrent read of an in-flight commit? retry the read)")
+    val shardLines = bodyLines.init
+    require(bodyLines.last == s"end\t${shardLines.length}",
+      s"corrupt or torn manifest $name at $dir: trailer " +
+        s"'${bodyLines.last}' does not match ${shardLines.length} " +
+        "shard lines (concurrent read of an in-flight commit? retry)")
     Manifest(name.stripPrefix("manifest-v").toLong,
       meta(1).toInt, meta(2),
-      lines.tail.filter(_.nonEmpty).map { l =>
+      shardLines.map { l =>
         val Array(k, p) = l.split("\t", 2)
         k.toLong -> resolveShardPath(dir, p)
       }.toMap,
@@ -567,9 +587,10 @@ object SnapshotMerge {
     }
 
     // everything below depends on the manifest just read, so a lost CAS
-    // restarts from here against the moved snapshot (the shard PARAMS —
-    // nShards/salt — are fixed at create and never move, but the
-    // shard → dir map and the schema anchor can)
+    // restarts from here against the moved snapshot: the shard → dir
+    // map and schema anchor can move, and since reshardSharded even
+    // nShards/salt can change between attempts — which is exactly why
+    // shardExpr below is re-derived from the re-read manifest each time
     val maxCommitAttempts = 5
     for (attempt <- 1 to maxCommitAttempts) {
       val m = readManifest(spark, dir)
@@ -1261,35 +1282,54 @@ object SnapshotMerge {
     val curManifest = s"manifest-v${m.version}"
     var reaped = 0
 
-    // phase 1: expired retire logs — delete what they name, then them
+    // phase 1: expired retire logs — delete what they name, then them.
+    // TWO passes over the log files: a path can appear in SEVERAL
+    // retire entries (retired at vN, reactivated by restoreSharded,
+    // superseded again at vM — a second retire log, or a crash-window
+    // orphan marker), so the protection set from ALL unexpired entries
+    // must be complete BEFORE any expired entry deletes — a single
+    // interleaved pass would reap a dir inside a later entry's
+    // retention window, breaking the "readers keep the old version for
+    // minAgeMs after supersession" guarantee. A protected path skipped
+    // here is reaped one window later, when its protecting entry
+    // expires and names it again.
     val rDir = new org.apache.hadoop.fs.Path(retiredDir(dir))
     val protectedPaths = scala.collection.mutable.Set.empty[String]
     val protectedManifests = scala.collection.mutable.Set.empty[String]
     if (f.exists(rDir)) {
-      f.listStatus(rDir).filter(_.isFile).sortBy(_.getPath.getName).foreach { st =>
-        val entries = IndexFs.readSmallFile(f, st.getPath)
-          .split("\n").map(_.trim).filter(_.nonEmpty)
+      val retireLogs = f.listStatus(rDir).filter(_.isFile)
+        .sortBy(_.getPath.getName)
+        .map(st => (st, IndexFs.readSmallFile(f, st.getPath)
+          .split("\n").map(_.trim).filter(_.nonEmpty)))
+      // pass A: everything any UNEXPIRED entry names stays
+      retireLogs.foreach { case (st, entries) =>
+        if (st.getModificationTime > cutoff) {
+          entries.foreach { e =>
+            if (e.startsWith("manifest-v")) protectedManifests += e
+            else protectedPaths += qual(resolveShardPath(dir, e))
+          }
+        }
+      }
+      // pass B: expired entries reap what they name, minus the
+      // protected sets, then delete themselves
+      retireLogs.foreach { case (st, entries) =>
         if (st.getModificationTime <= cutoff) {
           entries.foreach { e =>
             if (e.startsWith("manifest-v")) {
-              if (e != curManifest) {
+              if (e != curManifest && !protectedManifests.contains(e)) {
                 val mp = new org.apache.hadoop.fs.Path(s"${norm(dir)}/$e")
                 if (f.exists(mp)) { f.delete(mp, false); reaped += 1 }
               }
             } else {
               val p = resolveShardPath(dir, e)
-              if (!live.contains(qual(p)) && IndexFs.exists(spark, p)) {
+              if (!live.contains(qual(p)) &&
+                  !protectedPaths.contains(qual(p)) &&
+                  IndexFs.exists(spark, p)) {
                 IndexFs.deleteRecursively(spark, p); reaped += 1
               }
             }
           }
           f.delete(st.getPath, false)
-        } else {
-          // still inside the window: everything it names stays
-          entries.foreach { e =>
-            if (e.startsWith("manifest-v")) protectedManifests += e
-            else protectedPaths += qual(resolveShardPath(dir, e))
-          }
         }
       }
     }

@@ -184,11 +184,14 @@ object MixtureQueries {
                    $budgetHashSql AS h
             FROM documents),
           c AS (
+            -- COALESCE on both terms: the engine keeps a NULL-token row
+            -- (consumes 0 budget); an uncoalesced window term would go
+            -- NULL and WHERE NULL < budget would drop the row
             SELECT doc_id, lang, n_tokens,
-                   CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                   CAST(SUM(COALESCE(n_tokens, 0)) OVER (PARTITION BY lang
                      ORDER BY h, doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) - n_tokens AS group_start
+                     AS BIGINT) - COALESCE(n_tokens, 0) AS group_start
             FROM t)
           SELECT doc_id, lang, n_tokens, group_start FROM c
           WHERE group_start < ($tokenBudgetThresholdSql)

@@ -881,10 +881,11 @@ class SnapshotMergeSpec extends SparkSpec {
     val name = IndexFs.readSmallFile(f, ptr)
     val mPath = new org.apache.hadoop.fs.Path(s"$dir/$name")
     val lines = IndexFs.readSmallFile(f, mPath).split("\n").toSeq
-    val legacy = (lines.head +: lines.tail.map { l =>
+    val (shardLines, trailer) = lines.tail.partition(!_.startsWith("end\t"))
+    val legacy = ((lines.head +: shardLines.map { l =>
       val Array(k, p) = l.split("\t", 2)
       s"$k\t${f.makeQualified(new org.apache.hadoop.fs.Path(s"$dir/$p"))}"
-    }).mkString("\n")
+    }) ++ trailer).mkString("\n")
     assert(legacy.contains("\tfile:/") && !legacy.contains("file:///"),
       s"fixture must exercise the single-slash scheme spelling:\n$legacy")
     val out = f.create(mPath, true)
@@ -921,6 +922,69 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
     // minAgeMs = 0 (CI posture) keeps immediate reaping — covered by
     // the orphan test above
+  }
+
+  test("vacuum: a dir named by both an expired and an unexpired retire entry survives the window") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 2, dir)
+    SnapshotMerge.upsertSharded(
+      Seq((1L, "a2", 11.0), (2L, "b2", 21.0), (3L, "c2", 31.0))
+        .toDF("id", "name", "score"), Seq("id"), dir)
+    val f = IndexFs.fs(spark, dir)
+    val rDir = new org.apache.hadoop.fs.Path(s"$dir/_retired")
+    val logs = f.listStatus(rDir).filter(_.isFile)
+    assert(logs.nonEmpty)
+    // the restore-then-supersede shape: the SAME dirs (and manifest)
+    // named by a second, fresh retire entry
+    val src = logs.minBy(_.getPath.getName)
+    val content = IndexFs.readSmallFile(f, src.getPath)
+    val dup = new org.apache.hadoop.fs.Path(s"$dir/_retired/retired-v9")
+    val out = f.create(dup, true)
+    out.write(content.getBytes("UTF-8")); out.close()
+    // expire the FIRST entry only; the duplicate is inside the window
+    f.setTimes(src.getPath, System.currentTimeMillis() - 10000L, -1)
+    val oldReader = SnapshotMerge.readShardedVersion(spark, dir, 1L)
+    // the expired entry must NOT reap dirs the unexpired twin protects
+    // (pre-fix: a single interleaved pass deleted them when the expired
+    // file sorted first) — in-window readers and time travel survive
+    assert(SnapshotMerge.vacuumSharded(spark, dir, minAgeMs = 5000L) == 0)
+    assert(oldReader.count() == 3)
+    assert(SnapshotMerge.readShardedVersion(spark, dir, 1L).count() == 3)
+    // once the protecting entry expires too, the next pass reaps
+    f.setTimes(dup, System.currentTimeMillis() - 10000L, -1)
+    assert(SnapshotMerge.vacuumSharded(spark, dir, minAgeMs = 5000L) > 0)
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+  }
+
+  test("a torn manifest body fails loudly, never a silently smaller snapshot") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 4, dir)
+    val f = IndexFs.fs(spark, dir)
+    val full = IndexFs.readSmallFile(f,
+      new org.apache.hadoop.fs.Path(s"$dir/manifest-v1"))
+    assert(full.split("\n").last.startsWith("end\t"),
+      "every committed manifest carries the count trailer")
+    // the fallback-path create-to-close window: a reader glimpses a
+    // newer commit mid-write — header intact, tail lines missing
+    val torn = full.split("\n").dropRight(2).mkString("\n")
+    val o1 = f.create(new org.apache.hadoop.fs.Path(s"$dir/manifest-v2"), true)
+    o1.write(torn.getBytes("UTF-8")); o1.close()
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotMerge.readSharded(spark, dir)
+    }
+    assert(e1.getMessage.contains("trailer"))
+    // trailer present but a shard line lost: the count gate catches it
+    val lines = full.split("\n")
+    val dropMiddle = (lines.take(1) ++ lines.drop(2)).mkString("\n")
+    val o2 = f.create(new org.apache.hadoop.fs.Path(s"$dir/manifest-v2"), true)
+    o2.write(dropMiddle.getBytes("UTF-8")); o2.close()
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotMerge.readSharded(spark, dir)
+    }
+    assert(e2.getMessage.contains("does not match"))
+    // clearing the torn file restores the good version
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/manifest-v2"), false)
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
   }
 
   test("marker protocol: version swap leaves a resolvable snapshot at every step") {
