@@ -90,6 +90,11 @@ object GraftFunctions {
     * loop per row; see [[SimHash64]]). */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
 
+  /** EXACT BPE token count under the fixture merge table — native
+    * expression (see [[BpeTokenCount]]); the model-tokenizer currency
+    * for budgets/packing/chunking. */
+  def bpe_token_count(text: Column): Column = c(BpeTokenCount(e(text)))
+
   /** k-slot MinHash signature over a shingle array — native expression
     * (one tight loop per row; see [[MinHashSignature]]). */
   def minhash_signature(shingles: Column, k: Int): Column =

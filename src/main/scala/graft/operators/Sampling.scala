@@ -133,11 +133,36 @@ object Sampling {
     * subtotals prefix-summed on the driver (O(partitions + groups)
     * rows — range partitioning keeps each group contiguous), then a
     * narrow seeded per-partition running sum. The take filter runs
-    * inside the narrow pass — dropped rows never leave their task. */
+    * inside the narrow pass — dropped rows never leave their task.
+    *
+    * UPSAMPLING (`upsample = true`): a budget ABOVE the group's token
+    * mass repeats the group's documents — epoch 0 is the full group in
+    * hash order, epoch 1 repeats it in the same order, … until the
+    * budget fills (the multi-epoch mixture rule: scarce languages are
+    * upsampled by repetition, the standard practice for low-resource
+    * mixes). Output gains an `epoch` column (0-based) and
+    * `group_start` becomes the GLOBAL token offset `epoch · mass +
+    * within-epoch offset`; a row is kept in epoch k iff that offset is
+    * `< budget`, so the last epoch is partial under exactly the same
+    * straddle rule as the single-epoch take. With `upsample = false`
+    * (the default, the pre-r16 contract) an over-mass budget silently
+    * takes the group once and there is no `epoch` column. A zero-mass
+    * group (all-NULL token counts) contributes its rows once at epoch
+    * 0 when its budget is positive — repetition of zero mass fills
+    * nothing. The epoch fan-out costs NO extra shuffle: the narrow
+    * pass emits each kept row's epochs in-task from the same seeded
+    * running sum, and the driver already holds the per-group masses
+    * (the prefix-sum subtotals' final values). `maxEpochs` bounds the
+    * fan-out LOUDLY — a budget orders of magnitude above a tiny
+    * group's mass is almost always a unit mistake, and the guard
+    * turns a silent million-fold blow-up into an error naming the
+    * group. */
   def takeTokenBudget(df: DataFrame, keyCol: String, groupCol: String,
       tokensCol: String, budgets: Map[String, Long],
       defaultBudget: Long = 0L, salt: String = "budget",
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      upsample: Boolean = false, maxEpochs: Int = 100): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs=$maxEpochs must be >= 1")
     (budgets.values ++ Seq(defaultBudget)).foreach(b =>
       require(b >= 0, s"budget $b must be non-negative"))
     Seq(keyCol, groupCol, tokensCol).foreach(c =>
@@ -178,33 +203,61 @@ object Sampling {
       it.foreach(r => acc.update(grp(r), acc.getOrElse(grp(r), 0L) + tok(r)))
       acc.iterator.map { case (g, t) => (i, g, t) }
     }.collect()
-    val prefixes: Map[(Int, Option[String]), Long] = {
-      val running = scala.collection.mutable.Map.empty[Option[String], Long]
+    val running = scala.collection.mutable.Map.empty[Option[String], Long]
+    val prefixes: Map[(Int, Option[String]), Long] =
       subtotals.sortBy(_._1).map { case (i, g, t) =>
         val before = running.getOrElse(g, 0L)
         running.update(g, before + t)
         (i, g) -> before
       }.toMap
-    }
+    // per-group total token mass — the final running values (free:
+    // already computed building the exclusive prefixes)
+    val mass: Map[Option[String], Long] = running.toMap
 
-    // pass 3 (narrow): seeded running sum + the take filter in-task
     val budgetOf: Option[String] => Long = {
       case Some(g) => budgets.getOrElse(g, defaultBudget)
       case None => defaultBudget
     }
+    // epoch count per group: ceil(budget / mass), 1 for zero-mass or
+    // non-upsampled takes; guarded loudly against unit-mistake budgets
+    val epochsOf: Map[Option[String], Int] = mass.map { case (g, m) =>
+      val b = budgetOf(g)
+      val e =
+        if (!upsample || m <= 0L || b <= m) 1L
+        else (b + m - 1L) / m
+      require(e <= maxEpochs,
+        s"takeTokenBudget: group ${g.getOrElse("NULL")} needs $e epochs " +
+          s"(budget=$b over mass=$m) > maxEpochs=$maxEpochs — almost " +
+          "always a unit mistake; raise maxEpochs deliberately if not")
+      g -> e.toInt
+    }
+
+    // pass 3 (narrow): seeded running sum + the take filter in-task;
+    // upsampling fans each kept row into its epochs in the same task
     val out = ranged.rdd.mapPartitionsWithIndex { (i, rows) =>
       val cum = scala.collection.mutable.Map.empty[Option[String], Long]
       rows.flatMap { r =>
         val g = grp(r)
-        val start = cum.getOrElse(g, prefixes.getOrElse((i, g), 0L))
-        cum.update(g, start + tok(r))
-        if (start < budgetOf(g)) Some(Row.fromSeq(r.toSeq :+ start))
-        else None
+        val w = cum.getOrElse(g, prefixes.getOrElse((i, g), 0L))
+        cum.update(g, w + tok(r))
+        val b = budgetOf(g)
+        if (upsample) {
+          val m = mass.getOrElse(g, 0L)
+          (0 until epochsOf.getOrElse(g, 1)).iterator
+            .map(k => (k.toLong, k.toLong * m + w))
+            .takeWhile { case (_, start) => start < b }
+            .map { case (k, start) => Row.fromSeq(r.toSeq :+ k :+ start) }
+        } else if (w < b) Iterator.single(Row.fromSeq(r.toSeq :+ w))
+        else Iterator.empty
       }
     }
+    val extraFields =
+      if (upsample)
+        Seq(StructField("epoch", LongType, nullable = false),
+          StructField("group_start", LongType, nullable = false))
+      else Seq(StructField("group_start", LongType, nullable = false))
     spark.createDataFrame(out,
-        StructType(ranged.schema.fields :+
-          StructField("group_start", LongType, nullable = false)))
+        StructType(ranged.schema.fields ++ extraFields))
       .drop("__order_hash")
   }
 }

@@ -77,6 +77,54 @@ object MixtureQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Budgets for the EXACT-BPE mixture entry — the same take, spent in
+    * model-tokenizer tokens ([[graft.functions.BpeTokenCount]]) instead
+    * of the whitespace heuristic; sized under every language's BPE mass
+    * at both sf0.001 and sf0.01 so each budget truncates. */
+  private val bpeBudgets = Map("en" -> 20000L, "de" -> 6000L)
+  private val bpeBudgetDefault = 5000L
+
+  /** Token-budget mixture in EXACT BPE tokens: the identical per-group
+    * distributed prefix-sum take, with the token column swapped to the
+    * fixture-table BPE count — budgets and offsets are now in the
+    * model's own currency. The oracle re-derives every BPE count via
+    * the recursive-CTE twin AND re-runs the window cumsum, so both the
+    * tokenizer and the take machinery sit under one hash gate. */
+  val tokenBudgetBpe: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.GraftFunctions.bpe_token_count(col("text"))
+          .as("n_tokens"))
+    Sampling.takeTokenBudget(docs, "doc_id", "lang", "n_tokens",
+        bpeBudgets, bpeBudgetDefault)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("group_start"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Upsampling budgets: de is pushed ABOVE its token mass (~3 epochs
+    * at both sf0.001 and sf0.01), en and the default stay partial —
+    * one query exercises repeat-fill and straddle-fill together. */
+  private val upsampleBudgets = Map("en" -> 6000L, "de" -> 9000L)
+  private val upsampleDefault = 1500L
+
+  /** Multi-epoch mixture take: an over-mass budget repeats the group's
+    * documents in hash order with an `epoch` counter until the budget
+    * fills ([[Sampling.takeTokenBudget]] `upsample = true`). The
+    * oracle regenerates the epochs with a series cross-join over the
+    * same window cumsum — every duplicate row, its epoch label, and
+    * its global offset must match exactly, so one extra/missing
+    * repetition or a wrong epoch boundary anywhere fails the gate. */
+  val tokenBudgetUpsampled: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+    Sampling.takeTokenBudget(docs, "doc_id", "lang", "n_tokens",
+        upsampleBudgets, upsampleDefault, upsample = true)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("epoch"),
+        col("group_start"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   /** Packing stream for a 2048-token context: per-document bin and
     * offsets from the distributed prefix sum (exact integer arithmetic —
     * the oracle's global window cumsum must match every row). */
@@ -120,6 +168,8 @@ object MixtureQueries {
     "q_stratified_sample" -> stratifiedSample,
     "q_weighted_sample" -> weightedSample,
     "q_token_budget_mixture" -> tokenBudgetMixture,
+    "q_token_budget_bpe" -> tokenBudgetBpe,
+    "q_token_budget_upsampled" -> tokenBudgetUpsampled,
     "q_split_counts" -> splitCounts,
     "q_shard_counts" -> shardCounts,
     "q_shuffle_order" -> shuffleOrder,
@@ -145,6 +195,14 @@ object MixtureQueries {
 
   private val tokenBudgetThresholdSql =
     tokenBudgets.foldLeft(tokenBudgetDefault.toString) {
+      case (acc, (g, b)) => s"CASE WHEN lang = '$g' THEN $b ELSE $acc END"
+    }
+  private val bpeBudgetThresholdSql =
+    bpeBudgets.foldLeft(bpeBudgetDefault.toString) {
+      case (acc, (g, b)) => s"CASE WHEN lang = '$g' THEN $b ELSE $acc END"
+    }
+  private val upsampleThresholdSql =
+    upsampleBudgets.foldLeft(upsampleDefault.toString) {
       case (acc, (g, b)) => s"CASE WHEN lang = '$g' THEN $b ELSE $acc END"
     }
 
@@ -196,6 +254,53 @@ object MixtureQueries {
           SELECT doc_id, lang, n_tokens, group_start FROM c
           WHERE group_start < ($tokenBudgetThresholdSql)
           ORDER BY doc_id""",
+    // the same take in EXACT BPE tokens: counts re-derived by the
+    // recursive-CTE tokenizer twin (TextQueries.bpeCtes), then the
+    // identical per-group window cumsum
+    "q_token_budget_bpe" ->
+      s"""WITH RECURSIVE ${TextQueries.bpeCtes("documents")},
+          t AS (
+            SELECT doc_id, lang, bpe_tokens AS n_tokens,
+                   $budgetHashSql AS h
+            FROM documents JOIN bpe_counts USING (doc_id)),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(COALESCE(n_tokens, 0)) OVER (PARTITION BY lang
+                     ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) - COALESCE(n_tokens, 0) AS group_start
+            FROM t)
+          SELECT doc_id, lang, n_tokens, group_start FROM c
+          WHERE group_start < ($bpeBudgetThresholdSql)
+          ORDER BY doc_id""",
+    // multi-epoch regeneration: a series cross-join replays each row
+    // at epochs k while k*mass + w stays under the group budget — the
+    // exact contract of the engine's in-task epoch fan-out
+    "q_token_budget_upsampled" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(${TextQueries.wsToks} AS BIGINT) AS n_tokens,
+                   $budgetHashSql AS h
+            FROM documents),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(COALESCE(n_tokens, 0)) OVER (PARTITION BY lang
+                     ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) - COALESCE(n_tokens, 0) AS w
+            FROM t),
+          m AS (
+            SELECT lang, CAST(SUM(COALESCE(n_tokens, 0)) AS BIGINT) AS mass
+            FROM t GROUP BY lang),
+          x AS (
+            SELECT c.*, m.mass, ($upsampleThresholdSql) AS b
+            FROM c JOIN m USING (lang))
+          SELECT doc_id, lang, n_tokens,
+                 CAST(e.k AS BIGINT) AS epoch,
+                 CAST(e.k * mass + w AS BIGINT) AS group_start
+          FROM x CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k) e
+          WHERE (mass > 0 OR e.k = 0) AND e.k * mass + w < b
+          ORDER BY doc_id, epoch""",
     "q_split_counts" ->
       s"""SELECT CASE WHEN ${bucketSql("split")} < ${ppm(0.05)} THEN 'val'
                  WHEN ${bucketSql("split")} < ${2 * ppm(0.05)} THEN 'test'

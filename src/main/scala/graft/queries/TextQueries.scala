@@ -163,11 +163,28 @@ object TextQueries {
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** EXACT BPE token counts under the fixture merge table, next to the
+    * whitespace count they upgrade — one mis-ranked merge, wrong
+    * leftmost-fuse, or cache corruption anywhere changes a count and
+    * fails the hash gate (the oracle re-derives every count from the
+    * SAME ranks by recursive CTE, a genuinely independent second
+    * implementation of the apply loop). */
+  val bpeTokens: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      graft.functions.GraftFunctions.bpe_token_count(col("text"))
+        .as("bpe_tokens"),
+      wsTokenCount(col("text")).as("ws_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_curation_filter" -> curationFilter,
     "q_curation_full" -> curationFull,
     "q_curation_clusters" -> curationClusters,
     "q_text_token_counts" -> tokenCounts,
+    "q_text_bpe_tokens" -> bpeTokens,
     "q_text_quality" -> qualityProfile,
     "q_text_repetition" -> repetition,
     "q_text_langid" -> langIdRollup,
@@ -189,6 +206,53 @@ object TextQueries {
   import graft.functions.GraftFunctions.roundPortableSql
   private val distinctRatio = roundPortableSql(
     "LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE / LEN(STRING_SPLIT(text, ' '))", 4)
+
+  /** DuckDB re-implementation of the BPE APPLY loop as recursive CTEs —
+    * the oracle twin of [[graft.functions.BpeTokenCount]], sharing ONLY
+    * the merge-table constant. Each distinct word starts as its
+    * character sequence spelled `_c1__c2__…_` (every symbol wrapped in
+    * `_`, so `replace` of `_l__r_` → `_lr_` fuses exactly the
+    * leftmost-first non-overlapping occurrences — the wrap spends one
+    * boundary `_` per match, which is what makes adjacent matches
+    * non-overlapping); each recursion step applies the lowest-ranked
+    * pair present until none remains. Per-doc counts re-join the
+    * distinct-word table. The wrap trick assumes words are `_`-free —
+    * true of this corpus (alnum + spaces); the ENGINE side has no such
+    * constraint. Caller must open with `WITH RECURSIVE`. Produces
+    * `bpe_counts(doc_id, bpe_tokens)` over `src`, which must expose
+    * (doc_id, text). */
+  private[queries] def bpeCtes(src: String): String = {
+    val mergeValues = graft.functions.BpeTokenCount.merges.zipWithIndex
+      .map { case ((l, r), i) => s"($i,'$l','$r')" }.mkString(",")
+    s"""bpe_merges(rank, l, r) AS (VALUES $mergeValues),
+          bpe_words AS (
+            SELECT DISTINCT unnest(string_split(text,' ')) AS w FROM $src),
+          bpe_steps(w, seq) AS (
+            SELECT w, '_' || array_to_string(string_split(w,''),'__') || '_'
+            FROM bpe_words WHERE w <> ''
+            UNION ALL
+            SELECT w, (SELECT replace(seq, '_'||m.l||'__'||m.r||'_',
+                                           '_'||m.l||m.r||'_')
+                       FROM bpe_merges m
+                       WHERE position('_'||m.l||'__'||m.r||'_' IN seq) > 0
+                       ORDER BY m.rank LIMIT 1)
+            FROM bpe_steps
+            WHERE EXISTS (SELECT 1 FROM bpe_merges m
+                          WHERE position('_'||m.l||'__'||m.r||'_' IN seq) > 0)),
+          bpe_final AS (
+            SELECT w, CAST(len(string_split(trim(seq,'_'),'__')) AS BIGINT)
+                      AS n_toks
+            FROM bpe_steps s
+            WHERE NOT EXISTS (SELECT 1 FROM bpe_merges m
+                          WHERE position('_'||m.l||'__'||m.r||'_' IN seq) > 0)),
+          bpe_counts AS (
+            SELECT doc_id,
+                   CAST(SUM(COALESCE(f.n_toks, 0)) AS BIGINT) AS bpe_tokens
+            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                  FROM $src) t
+            LEFT JOIN bpe_final f USING (w)
+            GROUP BY doc_id)"""
+  }
 
   /** Curation FEATURE CTEs (`feat`, `kept` — stages 1-2 plus the
     * content hash) over an arbitrary `(doc_id, text)` source — THE
@@ -254,6 +318,11 @@ object TextQueries {
           ${DedupQueries.componentCtes}
           SELECT doc_id, pred_lang, quality, n_tokens FROM surv
           WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+          ORDER BY doc_id""",
+    "q_text_bpe_tokens" ->
+      s"""WITH RECURSIVE ${bpeCtes("documents")}
+          SELECT doc_id, bpe_tokens, CAST($wsToks AS BIGINT) AS ws_tokens
+          FROM bpe_counts JOIN documents USING (doc_id)
           ORDER BY doc_id""",
     "q_text_token_counts" ->
       s"""SELECT doc_id,

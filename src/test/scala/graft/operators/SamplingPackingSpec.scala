@@ -198,4 +198,71 @@ class SamplingPackingSpec extends SparkSpec {
     assert(Sampling.takeTokenBudget(mix.limit(0), "doc_id", "lang",
       "n_tokens", budgets).count() == 0)
   }
+
+  test("takeTokenBudget upsample ≡ epoch-replayed sequential take; guard and fallback behavior") {
+    val mix = Seq.tabulate(120)(i => (i.toLong,
+      if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh",
+      (i % 13 + 2).toLong)).toDF("doc_id", "lang", "n_tokens")
+      .repartition(5)
+    // de gets ~2.5 epochs, en a partial single epoch, zh the default
+    val masses = mix.groupBy("lang").agg(sum("n_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = Map("de" -> masses("de") * 5 / 2, "en" -> masses("en") / 2)
+    val default = masses("zh") / 3
+    val got = Sampling.takeTokenBudget(mix, "doc_id", "lang", "n_tokens",
+        budgets, default, upsample = true)
+      .select("doc_id", "lang", "n_tokens", "epoch", "group_start").collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getString(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    // reference: replay the per-group hash-ordered fold epoch by epoch
+    val ordered = mix
+      .withColumn("h", Sharding.orderHash(col("doc_id"), "budget"))
+      .collect()
+      .map(r => (r.getString(1), r.getAs[Long]("h"), r.getLong(0), r.getLong(2)))
+      .sortBy(t => (t._2, t._3))
+    val ref = scala.collection.mutable.Map
+      .empty[(Long, Long), (String, Long, Long)]
+    masses.keys.foreach { g =>
+      val b = budgets.getOrElse(g, default)
+      val rows = ordered.filter(_._1 == g)
+      var global = 0L
+      var epoch = 0L
+      while (global < b && rows.nonEmpty) {
+        rows.foreach { case (_, _, id, toks) =>
+          if (global < b) ref.update((id, epoch), (g, toks, global))
+          global += toks
+        }
+        epoch += 1
+      }
+    }
+    assert(got == ref.toMap,
+      "epochs, membership and global offsets must equal the replayed take")
+    // de really did repeat: epochs 0..2 present, epoch column dense
+    val deEpochs = got.keys.filter(k => got(k)._1 == "de").map(_._2).toSet
+    assert(deEpochs == Set(0L, 1L, 2L), s"de epochs were $deEpochs")
+    // en stayed single-epoch partial
+    assert(got.keys.filter(k => got(k)._1 == "en").map(_._2).toSet == Set(0L))
+    // upsample=false on the same over-mass budget: silent single take,
+    // no epoch column (the pre-r16 contract, unchanged)
+    val flat = Sampling.takeTokenBudget(mix, "doc_id", "lang", "n_tokens",
+      budgets, default, upsample = false)
+    assert(!flat.columns.contains("epoch"))
+    assert(flat.filter(col("lang") === "de").count() ==
+      mix.filter(col("lang") === "de").count())
+    // the unit-mistake guard fires loudly past maxEpochs
+    val e = intercept[IllegalArgumentException] {
+      Sampling.takeTokenBudget(mix, "doc_id", "lang", "n_tokens",
+        Map("de" -> masses("de") * 1000), default,
+        upsample = true, maxEpochs = 10)
+    }
+    assert(e.getMessage.contains("maxEpochs"))
+    // zero-mass group: rows ride once at epoch 0 under a positive budget
+    val zm = Seq((1L, "nul", None: Option[Long]), (2L, "nul", None))
+      .toDF("doc_id", "lang", "n_tokens")
+    val z = Sampling.takeTokenBudget(zm, "doc_id", "lang", "n_tokens",
+        Map("nul" -> 100L), upsample = true)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(z.toSet == Set((1L, 0L), (2L, 0L)))
+  }
 }
