@@ -473,6 +473,49 @@ object ParityQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  // --- CDF REPLICATION round trip under the hard gate: a three-version
+  // source snapshot (create → upsert-with-deletes → status rewrite) is
+  // mirrored into a REPLICA table purely through the change feed —
+  // consumeShardedChanges follows the manifest chain from a durable
+  // checkpoint (bootstrap inserts, then per-version diffs), and
+  // replicateSharded applies each span under a version-derived commit
+  // tag (exactly-once effects). The first replicate call runs MID-chain
+  // (after v1 only), the second drains v2..v3 — incremental pickup is
+  // inside the measured query, not just spec-proven. The oracle
+  // recomputes the source's final keep-last state from the orders
+  // fixture; any change row lost, duplicated, or misapplied (or a
+  // bootstrap/diff boundary error) diverges the replica and fails the
+  // hash. ---
+  val streamCdfReplica: Q = (s, dir) => {
+    import graft.operators.SnapshotMerge
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val srcSnap = SnapshotPaths.dirFor("cdf_src_snap", dir, s)
+    val replica = SnapshotPaths.dirFor("cdf_replica", dir, s)
+    val ckptDir = SnapshotPaths.dirFor("cdf_replica_ckpt", dir, s)
+    Seq(srcSnap, replica, ckptDir)
+      .foreach(graft.operators.IndexFs.deleteRecursively(s, _))
+    SnapshotMerge.createSharded(
+      orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+      nShards = 8, srcSnap) // v1
+    // replica bootstraps from v1 before the later versions exist
+    graft.streaming.StreamingOps.replicateSharded(
+      s, srcSnap, replica, Seq("o_orderkey"), ckptDir, nShards = 8)
+    SnapshotMerge.upsertSharded( // v2: price bump, %9 deletes
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("is_deleted", col("o_orderkey") % 9 === 0),
+      Seq("o_orderkey"), srcSnap, deleteCol = Some("is_deleted"))
+    SnapshotMerge.upsertSharded( // v3: status rewrite, reinserts %45s
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("R")),
+      Seq("o_orderkey"), srcSnap)
+    graft.streaming.StreamingOps.replicateSharded(
+      s, srcSnap, replica, Seq("o_orderkey"), ckptDir, nShards = 8)
+    SnapshotMerge.readSharded(s, replica).orderBy(col("o_orderkey"))
+  }
+
   // --- OPTIMISTIC CONCURRENCY under the hard gate: two writers race
   // the SAME sharded snapshot inside the measured query. Writer A reads
   // version N and, in its commit window (the onCommitAttempt seam —
@@ -745,6 +788,7 @@ object ParityQueries {
     "q_merge_concurrent" -> mergeConcurrent,
     "q_stream_merge_upsert" -> streamMergeUpsert,
     "q_stream_merge_upsert_sharded" -> streamMergeUpsertSharded,
+    "q_stream_cdf_replica" -> streamCdfReplica,
     "q_topk_order_priority" -> topkOrderPriority,
     "q_top_orders_by_price" -> topOrdersByPrice,
     "q_union_merge_recount" -> unionMergeRecount,
@@ -766,6 +810,29 @@ object ParityQueries {
        UNION ALL
        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
        FROM upd WHERE NOT del
+       ORDER BY o_orderkey"""
+
+  /** The CDF replica's final state = the source's three versions
+    * replayed keep-last in SQL (v1 evens, v2 price-bump + %9 deletes,
+    * v3 status rewrite of %5 keys — which reinserts %45 keys v2
+    * deleted; the replica must reproduce that resurrection too). */
+  private lazy val cdfReplicaSql: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                     FROM orders),
+            v1 AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+            s2 AS (SELECT * FROM v1
+                   WHERE o_orderkey NOT IN
+                     (SELECT o_orderkey FROM base WHERE o_orderkey % 3 = 0)
+                   UNION ALL
+                   SELECT o_orderkey, o_custkey, o_orderstatus,
+                          o_totalprice + 1000.0
+                   FROM base
+                   WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0),
+            s3 AS (SELECT * FROM s2 WHERE o_orderkey % 5 <> 0
+                   UNION ALL
+                   SELECT o_orderkey, o_custkey, 'R', o_totalprice
+                   FROM base WHERE o_orderkey % 5 = 0)
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM s3
        ORDER BY o_orderkey"""
 
   val oracles: ListMap[String, String] = ListMap(
@@ -892,6 +959,7 @@ object ParityQueries {
     // shard, a dropped manifest entry, or a double-carried dir all
     // fail the hash
     "q_merge_upsert_sharded" -> mergeUpsertSql,
+    "q_stream_cdf_replica" -> cdfReplicaSql,
     // and through the STREAMING loop: micro-batched arrival of the
     // same (key-disjoint) batch must reach the same fixed point
     "q_stream_merge_upsert" -> mergeUpsertSql,

@@ -380,6 +380,120 @@ object StreamingOps {
       ()
     }
 
+  /** STREAMING CDF CONSUMER — the read side of the loop [[mergeStream]]
+    * opened: follow a sharded snapshot's manifest version chain from a
+    * DURABLE checkpoint, handing each newly committed version's change
+    * rows ([[graft.operators.SnapshotMerge.readShardedChanges]] —
+    * insert / delete / update_preimage / update_postimage, plus one
+    * BOOTSTRAP batch of the oldest readable version's full content as
+    * inserts on first contact) to `process(changes, fromVersion,
+    * toVersion)` in version order. The checkpoint (one small file,
+    * atomically replaced) advances only AFTER `process` returns, so
+    * delivery is at-least-once across crashes; a `process` that
+    * commits under a toVersion-derived tag (the [[replicateSharded]]
+    * pattern) upgrades that to exactly-once EFFECTS — the crash-window
+    * redelivery finds its tag and skips. Downstream replicas must
+    * poll no slower than the source's vacuum retention: a reaped
+    * checkpoint version fails LOUDLY here (re-bootstrap deliberately
+    * by clearing the checkpoint), never silently skips a span.
+    *
+    * Scale shape: one O(1) root listing of the source per call, one
+    * manifest read + changed-shard diff join per consumed version
+    * (reference-carried shards stay unread — the [[graft.operators
+    * .SnapshotMerge.readShardedChanges]] contract), checkpoint IO is
+    * one small file. Versions between calls batch up and drain in
+    * order; `maxVersionsPerCall` bounds one call's work for paced
+    * consumers.
+    *
+    * @return the checkpointed version after this call (= the newest
+    *         readable source version once drained) */
+  def consumeShardedChanges(spark: SparkSession, srcDir: String,
+      keyCols: Seq[String], checkpointDir: String,
+      maxVersionsPerCall: Int = Int.MaxValue)(
+      process: (DataFrame, Long, Long) => Unit): Long = {
+    import graft.operators.{IndexFs, SnapshotMerge}
+    require(maxVersionsPerCall >= 1,
+      s"maxVersionsPerCall=$maxVersionsPerCall must be >= 1")
+    val f = IndexFs.fs(spark, checkpointDir)
+    val ckpt = new org.apache.hadoop.fs.Path(
+      checkpointDir.stripSuffix("/") + "/cdf.version")
+    val versions = SnapshotMerge.shardedVersions(spark, srcDir)
+    require(versions.nonEmpty,
+      s"no sharded snapshot at $srcDir — nothing to consume")
+    var budget = maxVersionsPerCall
+    var last: Long =
+      if (f.exists(ckpt)) IndexFs.readSmallFile(f, ckpt).trim.toLong
+      else {
+        // first contact: bootstrap with the oldest readable version's
+        // full content as inserts, then advance durably (the bootstrap
+        // spends one unit of the call's version budget)
+        val v0 = versions.min
+        val full = SnapshotMerge.readShardedVersion(spark, srcDir, v0)
+          .withColumn("_change_type", lit("insert"))
+        process(full, 0L, v0)
+        IndexFs.atomicWriteSmallFile(spark, f, ckpt, v0.toString)
+        budget -= 1
+        v0
+      }
+    val pending = versions.filter(_ > last).sorted.take(math.max(0, budget))
+    if (pending.nonEmpty)
+      require(versions.contains(last),
+        s"checkpointed version $last of $srcDir was vacuumed before this " +
+          s"consumer caught up (readable: ${versions.mkString(",")}) — " +
+          "raise vacuumSharded's minAgeMs above the consumer's poll lag, " +
+          "or clear the checkpoint to re-bootstrap deliberately")
+    pending.foreach { v =>
+      val changes =
+        SnapshotMerge.readShardedChanges(spark, srcDir, keyCols, last, v)
+      process(changes, last, v)
+      IndexFs.atomicWriteSmallFile(spark, f, ckpt, v.toString)
+      last = v
+    }
+    last
+  }
+
+  /** CDF REPLICATION — the produce-consume round trip, closed: apply a
+    * source snapshot's change feed to a REPLICA sharded snapshot,
+    * exactly once per source version ([[consumeShardedChanges]] with a
+    * `cdf_<name>_v<version>` commit tag per applied span — crash
+    * redelivery finds the tag and skips). The replica bootstraps from
+    * the oldest readable source version and then applies per-version
+    * diffs: post-images upsert, deletes delete; preimages are dropped
+    * (the replica needs effects, not history). The replica's shard
+    * layout is its OWN choice (`nShards` — a replica may legitimately
+    * shard differently than its source); only content is replicated.
+    * Incremental by construction: each call costs the NEW versions'
+    * changed shards, never a source rescan — the polling loop a
+    * downstream mirror runs between vacuum windows.
+    *
+    * @return the source version the replica now reflects */
+  def replicateSharded(spark: SparkSession, srcDir: String,
+      replicaDir: String, keyCols: Seq[String], checkpointDir: String,
+      nShards: Int = 16, streamName: String = "cdf",
+      maxVersionsPerCall: Int = Int.MaxValue): Long = {
+    import graft.operators.SnapshotMerge
+    consumeShardedChanges(spark, srcDir, keyCols, checkpointDir,
+        maxVersionsPerCall) { (changes, _, to) =>
+      graft.GraftSession.releasingScratch(spark) {
+        val tag = s"cdf_${streamName}_v$to"
+        val batch = changes
+          .filter(col("_change_type") =!= "update_preimage")
+          .withColumn("__cdf_delete", col("_change_type") === "delete")
+          .drop("_change_type")
+        if (!SnapshotMerge.existsSharded(spark, replicaDir)) {
+          // bootstrap: version-1 replica from the full-insert batch
+          SnapshotMerge.createSharded(
+            batch.filter(!col("__cdf_delete")).drop("__cdf_delete"),
+            keyCols, nShards, replicaDir)
+        } else {
+          SnapshotMerge.upsertSharded(batch, keyCols, replicaDir,
+            deleteCol = Some("__cdf_delete"), commitTag = Some(tag))
+        }
+        ()
+      }
+    }
+  }
+
   /** Drives a streaming DataFrame to completion over the currently
     * available input (Trigger.AvailableNow ≙ the reference's bounded
     * scheduled run) into an in-memory table; returns the result. */

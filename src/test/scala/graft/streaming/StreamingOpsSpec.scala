@@ -490,4 +490,95 @@ class StreamingOpsSpec extends SparkSpec {
     assert(graft.operators.SnapshotMerge.read(spark, snap)
       .filter(col("id") === 2L).select("name").as[String].head() == "fromA")
   }
+
+  test("consumeShardedChanges/replicateSharded: bootstrap, paced drain, replay, loud lag failure") {
+    import spark.implicits._
+    import graft.operators.{IndexFs, SnapshotMerge}
+    def tmp(n: String) =
+      java.nio.file.Files.createTempDirectory(n).toString + "/t"
+    val src = tmp("cdf_src")
+    val rep = tmp("cdf_rep")
+    val ck = tmp("cdf_ck")
+    def df(rows: (Long, String, Boolean)*) = rows.toDF("id", "name", "del")
+    SnapshotMerge.createSharded(
+      df((1L, "a", false), (2L, "b", false), (3L, "c", false)).drop("del"),
+      Seq("id"), 4, src) // v1
+    SnapshotMerge.upsertSharded(df((2L, "b2", false), (4L, "d", false),
+      (3L, "", true)), Seq("id"), src, deleteCol = Some("del")) // v2
+    SnapshotMerge.upsertSharded(
+      df((4L, "d2", false), (3L, "c-back", false)).drop("del"),
+      Seq("id"), src) // v3
+
+    def replicaState(): Map[Long, String] =
+      SnapshotMerge.readSharded(spark, rep)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ckptVersion(): Long = IndexFs.readSmallFile(IndexFs.fs(spark, ck),
+      new org.apache.hadoop.fs.Path(s"$ck/cdf.version")).trim.toLong
+
+    // paced drain: one source version per call — bootstrap first, then
+    // each diff; the checkpoint advances durably between calls (each
+    // call is a fresh "restarted consumer" reading only the checkpoint)
+    assert(StreamingOps.replicateSharded(spark, src, rep, Seq("id"), ck,
+      nShards = 4, maxVersionsPerCall = 1) == 1L)
+    assert(ckptVersion() == 1L)
+    assert(replicaState() == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(StreamingOps.replicateSharded(spark, src, rep, Seq("id"), ck,
+      nShards = 4, maxVersionsPerCall = 1) == 2L)
+    assert(replicaState() == Map(1L -> "a", 2L -> "b2", 4L -> "d"))
+    assert(StreamingOps.replicateSharded(spark, src, rep, Seq("id"), ck,
+      nShards = 4, maxVersionsPerCall = 1) == 3L)
+    val full = Map(1L -> "a", 2L -> "b2", 3L -> "c-back", 4L -> "d2")
+    assert(replicaState() == full)
+    // drained: a further call is a no-op at the head version
+    assert(StreamingOps.replicateSharded(spark, src, rep, Seq("id"), ck,
+      nShards = 4) == 3L)
+    assert(replicaState() == full)
+
+    // crash-window replay: roll the checkpoint back one version (the
+    // process-ran-checkpoint-didn't crash) — the version-derived commit
+    // tag short-circuits the re-applied span, replica unchanged
+    IndexFs.atomicWriteSmallFile(spark, IndexFs.fs(spark, ck),
+      new org.apache.hadoop.fs.Path(s"$ck/cdf.version"), "2")
+    assert(StreamingOps.replicateSharded(spark, src, rep, Seq("id"), ck,
+      nShards = 4) == 3L)
+    assert(replicaState() == full)
+    assert(SnapshotMerge.shardedVersions(spark, rep).max == 3L,
+      "replayed span must be tag-skipped, not re-committed")
+
+    // a process failure leaves the checkpoint unmoved → redelivery
+    SnapshotMerge.upsertSharded(df((5L, "e", false)).drop("del"),
+      Seq("id"), src) // v4
+    var calls = 0
+    intercept[RuntimeException] {
+      StreamingOps.consumeShardedChanges(spark, src, Seq("id"), ck) {
+        (_, _, _) => calls += 1; throw new RuntimeException("boom")
+      }
+    }
+    assert(ckptVersion() == 3L, "failed span must not advance the checkpoint")
+    StreamingOps.replicateSharded(spark, src, rep, Seq("id"), ck, nShards = 4)
+    assert(replicaState() == full + (5L -> "e"))
+
+    // consumer lag past vacuum: reaping the checkpointed version fails
+    // LOUDLY on the next pending span, never silently skips
+    SnapshotMerge.upsertSharded(df((6L, "f", false)).drop("del"),
+      Seq("id"), src) // v5
+    val f = IndexFs.fs(spark, src)
+    (1L to 4L).foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$src/manifest-v$v"), false)
+    }
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.replicateSharded(spark, src, rep, Seq("id"), ck,
+        nShards = 4)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // deliberate re-bootstrap: clearing the checkpoint resyncs from the
+    // oldest readable version into a fresh replica
+    val rep2 = tmp("cdf_rep2")
+    val ck2 = tmp("cdf_ck2")
+    StreamingOps.replicateSharded(spark, src, rep2, Seq("id"), ck2,
+      nShards = 4)
+    assert(SnapshotMerge.readSharded(spark, rep2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      full + (5L -> "e") + (6L -> "f"))
+  }
 }
