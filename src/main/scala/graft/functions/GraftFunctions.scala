@@ -95,6 +95,20 @@ object GraftFunctions {
     * for budgets/packing/chunking. */
   def bpe_token_count(text: Column): Column = c(BpeTokenCount(e(text)))
 
+  /** PQ residual codes of `vec` against its coarse centroid `cvec`
+    * under a constant codebook ([[PqEncode]]). */
+  def pq_encode(vec: Column, cvec: Column, cb: PqKernel.Codebook): Column =
+    c(PqEncode(e(vec), e(cvec), cb))
+
+  /** Per-query ADC lookup table (+ query norm tail) ([[PqLut]]). */
+  def pq_lut(qvec: Column, cb: PqKernel.Codebook): Column =
+    c(PqLut(e(qvec), cb))
+
+  /** Per-candidate ADC cosine estimate ([[PqAdcScore]]). */
+  def pq_adc_score(codes: Column, lut: Column, cdot: Column,
+      norm: Column): Column =
+    c(PqAdcScore(e(codes), e(lut), e(cdot), e(norm)))
+
   /** k-slot MinHash signature over a shingle array — native expression
     * (one tight loop per row; see [[MinHashSignature]]). */
   def minhash_signature(shingles: Column, k: Int): Column =

@@ -423,6 +423,174 @@ object Similarity {
     rankTopK(cand, queryId, corpusId, k)
   }
 
+  // ───────────────────────── IVF-PQ ─────────────────────────
+  // Product-quantized IVF (Jégou et al., TPAMI 2011): the cells
+  // relation stores nSub small codes + one norm per vector instead of
+  // dim floats — at 100 TB the embedding bytes dominate index storage
+  // and probe IO, and PQ shrinks both ~8-16× while ADC keeps probe
+  // scoring at nSub array reads per candidate. Quantization costs
+  // recall, not correctness: the ADC top-m is exactly re-ranked
+  // against the FULL vectors (fetched by id from the corpus relation,
+  // a broadcast semi-join — the index itself never stores them).
+
+  /** A persisted IVF-PQ index: coarse centroids, per-subspace
+    * codebooks, and the quantized cell relation
+    * (`id, cluster_id, codes: array<tinyint>, norm: float`). */
+  final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+    cells: DataFrame)
+
+  /** Collect the codebook relation to kernel form (m)(code)(d),
+    * validated dense and rectangular. */
+  private def codebookKernel(cbRel: DataFrame): graft.functions.PqKernel.Codebook = {
+    val rows = cbRel
+      .select(col("sub").cast("int"), col("code").cast("int"), col("subvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Any](2).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case null => 0.0
+      }.toArray))
+    require(rows.nonEmpty, "empty PQ codebook relation")
+    val nSub = rows.map(_._1).max + 1
+    val nCodes = rows.map(_._2).max + 1
+    require(rows.length == nSub * nCodes,
+      s"ragged PQ codebook: ${rows.length} entries for $nSub×$nCodes")
+    val cb = Array.ofDim[Array[Double]](nSub, nCodes)
+    rows.foreach { case (m, j, v) => cb(m)(j) = v }
+    cb.asInstanceOf[graft.functions.PqKernel.Codebook]
+  }
+
+  /** Fit and persist an IVF-PQ index: coarse centroids
+    * ([[kmeansCentroids]]) at `path/centroids`, per-subspace residual
+    * codebooks (k-means on a bounded residual sample, fixed seeds) at
+    * `path/codebooks`, and the quantized cells — `nSub` codes + a norm
+    * per vector, NO full vectors — at `path/pqcells`. Encoding is one
+    * codegen'd corpus pass ([[graft.functions.PqEncode]], codebook as a
+    * constant); both fit stages read bounded samples, so build cost is
+    * corpus-linear with driver-sized state at any scale. `nCodes` ≤ 128
+    * keeps codes in a tinyint (the byte-per-subspace PQ shape the
+    * 8-16× storage claim is measured on — see ScaleBench's
+    * `ivfpq_index_bytes`). */
+  def saveIvfPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      path: String, nCentroids: Int = 16, nSub: Int = 8, nCodes: Int = 16,
+      seed: Long = 42L, maxIter: Int = 20, sampleRows: Int = 100000): Unit = {
+    require(nSub >= 1 && nCodes >= 2 && nCodes <= 128,
+      s"nSub=$nSub must be >= 1, nCodes=$nCodes in [2, 128] (tinyint codes)")
+    val spark = corpus.sparkSession
+    saveIndex(
+      kmeansCentroids(corpus, corpusVec, nCentroids, seed, maxIter, sampleRows),
+      s"$path/centroids")
+    val centRel = loadIndex(spark, s"$path/centroids")
+    val (ids, vecs) = centroidKernel(centRel)
+    require(ids.nonEmpty, "saveIvfPqIndex: empty corpus yields no centroids")
+    val dim = vecs.head.size
+    require(dim % nSub == 0,
+      s"vector dim $dim is not divisible by nSub=$nSub")
+    val subDim = dim / nSub
+    val assigned = corpus
+      .select(col(corpusId).cast("long").as("id"),
+        col(corpusVec).cast("array<float>").as("vec"))
+      .withColumn("cluster_id",
+        element_at(nearest_centroids(col("vec"), ids, vecs, 1), 1)
+          .cast("long"))
+      .join(broadcast(centRel
+        .select(col("centroid_id").as("cluster_id"), col("cvec"))), "cluster_id")
+    // per-subspace codebooks: k-means over the residual subvectors of a
+    // bounded sample; seed offset per subspace so subspaces do not
+    // share degenerate initializations
+    import org.apache.spark.ml.clustering.KMeans
+    val resid = assigned
+      .withColumn("__resid", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+    val cbRows = (0 until nSub).flatMap { m =>
+      val sub = resid.select(
+        slice(col("__resid"), m * subDim + 1, subDim).as("sv"))
+      val model = new KMeans().setK(nCodes).setSeed(seed + 1 + m)
+        .setMaxIter(maxIter).setFeaturesCol("features")
+        .fit(fitInput(sub, "sv", sampleRows))
+      model.clusterCenters.zipWithIndex.map { case (v, j) =>
+        (m, j, v.toArray.map(_.toFloat).toSeq)
+      }
+    }
+    spark.createDataFrame(cbRows).toDF("sub", "code", "subvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // encode: one codegen pass — codes + the true norm (kept so ADC can
+    // return a cosine, and so re-rank-free consumers get magnitudes)
+    val cb = codebookKernel(spark.read.parquet(s"$path/codebooks"))
+    assigned.select(col("id"), col("cluster_id"),
+        pq_encode(col("vec"), col("cvec"), cb).cast("array<tinyint>")
+          .as("codes"),
+        sqrt(dot_product(col("vec"), col("vec"))).cast("float").as("norm"))
+      .write.mode("overwrite").parquet(s"$path/pqcells")
+  }
+
+  /** Reload a [[saveIvfPqIndex]]-written index. */
+  def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex =
+    IvfPqIndex(
+      loadIndex(spark, s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/pqcells"))
+
+  /** Serve a query batch from an IVF-PQ index: probe `nProbe` cells,
+    * ADC-score every candidate code ([[graft.functions.PqAdcScore]] —
+    * nSub array reads each, never a vector access), keep the ADC top
+    * `rerank·k` per query, then EXACT re-rank: fetch just those
+    * candidates' full vectors from `fullVecs` by id (broadcast
+    * semi-join — the big relation never shuffles) and rank true cosine.
+    * Output (queryId, id, cosine, rank) — `cosine` is exact, the ADC
+    * estimate only selects.
+    *
+    * Physical shape: LUT computed once per query BEFORE the probe
+    * explode; probed queries (+LUT, +per-cell `dot(q,c)`) broadcast
+    * into the cells relation; candidate scoring is inside whole-stage
+    * codegen; both rank stages are the bounded top-k aggregate. Probe
+    * IO is the quantized cells — the 8-16× shrink is exactly the
+    * bytes this stage no longer reads. `rerank·k ≥ |corpus|` makes
+    * the ADC cut vacuous (exhaustive re-rank ≡ brute force — the
+    * oracle trick); production uses small factors (4-16) and pays
+    * recall, bounded in SimilaritySpec. */
+  def ivfPqTopK(index: IvfPqIndex, fullVecs: DataFrame, fvId: String,
+      fvVec: String, queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nProbe: Int = 3, rerank: Int = 8): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && rerank >= 1,
+      s"k=$k, nProbe=$nProbe, rerank=$rerank must all be >= 1")
+    require(!Set("id", "cosine", "rank").contains(queryId),
+      s"queryId '$queryId' collides with the output schema " +
+        "(id, cosine, rank) — alias the query id column first")
+    val (ids, vecs) = centroidKernel(index.centroids)
+    val q = queries.select(
+      col(queryId).as("__query_id"), col(queryVec).as("__query_vec"))
+    if (ids.isEmpty)
+      return q.limit(0).select(col("__query_id").as(queryId),
+        lit(0L).as("id"), lit(0.0).as("cosine"), lit(1).as("rank"))
+    val cb = codebookKernel(index.codebooks)
+    val probed = q
+      .withColumn("__lut", pq_lut(col("__query_vec"), cb))
+      .withColumn("cluster_id",
+        explode(nearest_centroids(col("__query_vec"), ids, vecs, nProbe)))
+      .join(broadcast(index.centroids
+        .select(col("centroid_id").as("cluster_id"), col("cvec"))), "cluster_id")
+      .withColumn("__cdot", dot_product(col("__query_vec"), col("cvec")))
+      .drop("cvec")
+    val cand = index.cells
+      .withColumn("codes", col("codes").cast("array<int>"))
+      .join(broadcast(probed), Seq("cluster_id"))
+      .withColumn("cosine",
+        pq_adc_score(col("codes"), col("__lut"), col("__cdot"),
+          col("norm").cast("double")))
+    val adcTop = rankTopK(cand, "__query_id", "id", rerank * k)
+      .select(col("__query_id"), col("id"))
+    // exact re-rank: candidates (small) broadcast into the full-vector
+    // relation — one selective pass, no corpus shuffle
+    val fv = fullVecs.select(col(fvId).cast("long").as("id"),
+      col(fvVec).as("__fvec"))
+    val exact = fv
+      .join(broadcast(adcTop.join(q, "__query_id")), Seq("id"))
+      .withColumn("cosine",
+        roundPortable(cosine_similarity(col("__fvec"), col("__query_vec")), 6))
+    rankTopK(exact, "__query_id", "id", k)
+      .withColumnRenamed("__query_id", queryId)
+  }
+
   /** ANN top-k via hyperplane LSH: corpus and queries bucketed with the
     * same planes; candidates = same-bucket ∪ hamming-1 buckets
     * (multi-probe); exact cosine rank within candidates. */

@@ -466,6 +466,33 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ under the hard gate — the full product-quantization loop
+    * (fit coarse + per-subspace residual codebooks → encode the corpus
+    * to tinyint codes → ADC-probe → exact re-rank) runs inside the
+    * measured query, with BOTH approximation knobs opened to
+    * exhaustive: nProbe = nCentroids probes every cell and rerank·k ≥
+    * |corpus| makes the ADC cut vacuous, so the exact re-rank must
+    * reproduce brute force bit-for-bit (the q_ann_ivf_topk trick —
+    * same SQL oracle). What the gate pins: codebook fit/persist/reload,
+    * the codegen encode and ADC kernels preserving candidate identity,
+    * the LUT/probe joins, and the full-vector re-rank semi-join. The
+    * approximation regime (small nProbe/rerank) is covered by
+    * SimilaritySpec's recall bound; the 8-16× byte shrink by
+    * ScaleBench's ivfpq_index_bytes row. */
+  val annIvfPq: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val path = SnapshotPaths.dirFor("ivfpq_index", dir, s)
+    Similarity.saveIvfPqIndex(emb, "vec_id", "embedding", path,
+      nCentroids = 8, nSub = 8, nCodes = 16, maxIter = 5)
+    Similarity.ivfPqTopK(Similarity.loadIvfPqIndex(s, path),
+        emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 3, nProbe = 8, rerank = 200)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The index-PERSISTENCE path under the hard gate: fit → saveIndex →
     * loadIndex → probe, all inside the measured query. With exhaustive
     * probing the result must equal exact brute force (same SQL oracle as
@@ -572,6 +599,7 @@ object DedupQueries {
     "q_ann_ivf_loaded" -> annIvfLoaded,
     "q_ann_ivf_append" -> annIvfAppend,
     "q_ann_ivf_refit" -> annIvfRefit,
+    "q_ann_ivf_pq" -> annIvfPq,
     "q_recall_probe_ivf" -> recallProbeIvf,
     "q_recall_probe_embedding" -> recallProbeEmbedding)
 
@@ -797,6 +825,8 @@ object DedupQueries {
     // preserve the same vector set (identical oracle)
     "q_ann_ivf_append" -> ivfThirdsSql,
     "q_ann_ivf_refit" -> ivfThirdsSql,
+    // exhaustive probe + vacuous ADC cut + exact re-rank ≡ brute force
+    "q_ann_ivf_pq" -> annMultiTopKSql,
     // the probe's sampled query ids are reproduced by the SAME portable
     // md5 order; exhaustive probing pins every recall row at exactly
     // (k, k, 1.0) — any lost candidate anywhere in the probe machinery

@@ -346,4 +346,57 @@ class SimilaritySpec extends SparkSpec {
     // self-match must always survive bucketing (identical vector, same bucket)
     (0L until 5L).foreach(q => assert(ann.contains((q, q))))
   }
+
+  test("ivfPqTopK: exhaustive ≡ brute force; approximation regime recall; index bytes shrink") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Similarity.saveIvfPqIndex(emb, "vec_id", "embedding", path,
+      nCentroids = 8, nSub = 8, nCodes = 16, maxIter = 5)
+    val idx = Similarity.loadIvfPqIndex(spark, path)
+    // the cells relation must carry NO vectors — codes + norm only
+    assert(idx.cells.columns.sorted.toSeq ==
+      Seq("cluster_id", "codes", "id", "norm"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.topKForQueries(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // both knobs exhaustive: identical to brute force, scores included
+    val exhaustive = Similarity.ivfPqTopK(idx, emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, nProbe = 8, rerank = 200)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val exactFull = Similarity.topKForQueries(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    assert(exhaustive == exactFull)
+    // approximation regime: modest probe + rerank still recalls most of
+    // the true top-k on this near-uniform corpus (ADC selects, the
+    // exact re-rank orders — errors can only drop candidates, not
+    // misrank survivors)
+    val approx = Similarity.ivfPqTopK(idx, emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, nProbe = 4, rerank = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall")
+    info(f"IVF-PQ recall at nProbe=4/8, rerank=8: $recall%.2f")
+    // self-match survives any probe width (a query's own cell is probed
+    // first and the exact re-rank puts cosine 1.0 on top)
+    assert(approx.count { case (q, i) => q == i } == 10)
+    // the storage claim: quantized cells are an order of magnitude
+    // smaller than the same vectors as floats (64 dims × 4B vs 8
+    // tinyint codes + 1 float norm)
+    def dirBytes(d: String): Long = {
+      val f = IndexFs.fs(spark, d)
+      f.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+    }
+    val fullDir = java.nio.file.Files.createTempDirectory("ivffull").toString + "/v"
+    emb.select(col("vec_id"), col("embedding")).write.parquet(fullDir)
+    val shrink = dirBytes(fullDir).toDouble / dirBytes(s"$path/pqcells")
+    assert(shrink >= 4.0,
+      s"PQ cells must be several times smaller than full vectors, got ${shrink}x")
+    info(f"IVF-PQ cells shrink: $shrink%.1fx")
+  }
 }
