@@ -262,6 +262,10 @@ object SnapshotMerge {
     * [[shardExpr]]'s encoding must bump this. */
   private val ShardHashVersion = "h1"
 
+  /** Header flag announcing the body ends in a `end\t<n>` count
+    * trailer (manifest self-validation — see [[tryCommitManifest]]). */
+  private val TrailerFlag = "t1"
+
   /** (version, nShards, salt, shard → physical dir, anchor dir).
     * In-memory paths are always ABSOLUTE (resolved against the
     * snapshot root at read); on disk they are stored RELATIVE to the
@@ -325,9 +329,15 @@ object SnapshotMerge {
       m: Manifest): Boolean = {
     val f = IndexFs.fs(spark, dir)
     // the anchor rides as a 5th header field (absent on pre-r15
-    // manifests); relative like every stored path
-    val header = (Seq("meta", m.nShards.toString, m.salt, ShardHashVersion) ++
-      m.anchor.map(relativizeShardPath(dir, _))).mkString("\t")
+    // manifests); relative like every stored path. The 6th field is
+    // the trailer FORMAT FLAG: it announces, from the header line —
+    // which a torn tail can never lose — that this body ends in a
+    // count trailer, so readManifestFile can require the trailer for
+    // manifests that promised one while still reading pre-flag
+    // snapshots (which never wrote a trailer) untouched.
+    val header = Seq("meta", m.nShards.toString, m.salt, ShardHashVersion,
+      m.anchor.map(relativizeShardPath(dir, _)).getOrElse(""),
+      TrailerFlag).mkString("\t")
     // trailer = shard-line count: makes the body SELF-VALIDATING. On
     // schemes where writeSmallFileNoClobber falls back to a direct
     // create (no AbstractFileSystem binding), a concurrent reader can
@@ -467,18 +477,27 @@ object SnapshotMerge {
       s"snapshot at $dir was sharded under hash version $ver, this " +
         s"build uses $ShardHashVersion — rebuild it (createSharded) " +
         "before merging into it")
-    // the self-validation gate: a body without a correct `end\t<n>`
-    // trailer is a torn read (fallback-path create-to-close window) or
-    // corruption — fail loudly, never scan a partial shard map
+    // the self-validation gate, keyed on the header's format flag: a
+    // flagged manifest whose body lacks a correct `end\t<n>` trailer
+    // is a torn read (fallback-path create-to-close window) or
+    // corruption — fail loudly, never scan a partial shard map. The
+    // flag lives in the HEADER because a torn tail can lose the
+    // trailer but never the first line — so "flagged but trailerless"
+    // is unambiguously torn, while an UNflagged manifest is a
+    // pre-flag snapshot that never wrote a trailer and still reads
+    // (its end lines, if any interim build wrote them, are skipped).
     val bodyLines = lines.tail.filter(_.nonEmpty)
-    require(bodyLines.nonEmpty && bodyLines.last.startsWith("end\t"),
-      s"corrupt or torn manifest $name at $dir: missing end trailer " +
-        "(concurrent read of an in-flight commit? retry the read)")
-    val shardLines = bodyLines.init
-    require(bodyLines.last == s"end\t${shardLines.length}",
-      s"corrupt or torn manifest $name at $dir: trailer " +
-        s"'${bodyLines.last}' does not match ${shardLines.length} " +
-        "shard lines (concurrent read of an in-flight commit? retry)")
+    val shardLines =
+      if (meta.length >= 6 && meta(5) == TrailerFlag) {
+        require(bodyLines.nonEmpty && bodyLines.last.startsWith("end\t"),
+          s"corrupt or torn manifest $name at $dir: missing end trailer " +
+            "(concurrent read of an in-flight commit? retry the read)")
+        require(bodyLines.last == s"end\t${bodyLines.init.length}",
+          s"corrupt or torn manifest $name at $dir: trailer " +
+            s"'${bodyLines.last}' does not match ${bodyLines.init.length} " +
+            "shard lines (concurrent read of an in-flight commit? retry)")
+        bodyLines.init
+      } else bodyLines.filterNot(_.startsWith("end\t"))
     Manifest(name.stripPrefix("manifest-v").toLong,
       meta(1).toInt, meta(2),
       shardLines.map { l =>

@@ -101,4 +101,85 @@ object TfIdf {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Okapi BM25 top-k retrieval — the classic lexical ranking function
+    * (Robertson & Walker, SIGIR 1994; the Lucene "plus-one" idf
+    * spelling, which keeps every term's contribution positive):
+    *
+    *   idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *   score(q, d) = Σ_{t ∈ distinct(q)} idf(t) ·
+    *                   tf(t,d)·(k1 + 1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *
+    * Query terms contribute ONCE each (distinct-term convention,
+    * mirrored by the oracle); a document scores iff it shares ≥1 term
+    * with the query. Output: (qIdCol, idCol, score, rank), rank 1..k
+    * per query by (score desc, doc id).
+    *
+    * Scale shape: the corpus pays the SAME two hash aggregates as
+    * [[tfidfVectors]] — (doc, token) term counts and vocabulary DF —
+    * then the query terms (query-batch-sized) join the vocabulary and
+    * flow into the POSTING-LIST join: an equi-join on token whose left
+    * side is (doc, token) rows and whose right side is (query, token)
+    * rows, so the shuffle carries corpus tokens + matches, never a
+    * corpus×queries product. The final per-(query, doc) sum and the
+    * top-k use the bounded [[graft.functions.TopKByScore]] aggregate —
+    * k rows per query per partition cross the last exchange, the
+    * [[Similarity]] ranking spelling, never a corpus-wide window. N
+    * and avgdl ride a broadcast 1-row aggregate (no eager action). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, minDf: Long = 1L,
+      roundDecimals: Int = 4): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"k1=$k1 must be >= 0, b=$b in [0,1]")
+    val toks = docs.select(col(idCol),
+      explode(filter(split(col(textCol), graft.functions.GraftFunctions.WsRun),
+        t => t =!= "")).as("token"))
+    val termCounts = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("n_term"))
+    val docLens = termCounts.groupBy(col(idCol))
+      .agg(sum(col("n_term")).as("n_doc_tokens"))
+    // the same no-op n_term reference as tfidfVectors: keeps this
+    // branch's exchange canonically identical to termCounts' so
+    // ReuseExchange dedupes to ONE corpus scan+explode
+    val dfRel = termCounts.filter(col("n_term") > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    // N and avgdl from one 1-row aggregate over the reduced lengths
+    val stats = docLens.filter(col("n_doc_tokens") > 0)
+      .agg(count(lit(1)).cast("double").as("__n_docs"),
+        avg(col("n_doc_tokens")).as("__avgdl"))
+    val qTerms = queries
+      .select(col(qIdCol), explode(filter(
+        split(col(qTextCol), graft.functions.GraftFunctions.WsRun),
+        t => t =!= "")).as("token"))
+      .distinct()
+    val idf = qTerms.join(dfRel, "token")
+      .crossJoin(broadcast(stats))
+      .select(col(qIdCol), col("token"),
+        log(lit(1.0) + (col("__n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)).as("__idf"),
+        col("__avgdl"))
+    val scored = termCounts
+      .join(idf, "token")
+      .join(docLens, idCol)
+      .select(col(qIdCol), col(idCol),
+        (col("__idf") *
+          (col("n_term").cast("double") * (k1 + 1.0)) /
+          (col("n_term").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("n_doc_tokens").cast("double") /
+              col("__avgdl")))).as("__term_score"))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(roundPortable(sum(col("__term_score")), roundDecimals)
+        .as("score"))
+    scored
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.GraftFunctions.top_k_by_score(
+        col(idCol), col("score"), k).as("__topk"))
+      .select(col(qIdCol), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(qIdCol), col("__e.id").as(idCol),
+        col("__e.score").as("score"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -124,6 +124,27 @@ object TextQueries {
       .filter(col("doc_id") % 20 === 0)
       .orderBy(col("doc_id"), col("rank"))
 
+  /** The BM25 query battery for the retrieval gate: fixed literal
+    * strings over the corpus vocabulary (multi-term, one with a
+    * repeated term — the distinct-term convention must collapse it,
+    * and one with an out-of-vocabulary term that must contribute
+    * nothing). The SAME strings are spelled in the oracle's VALUES. */
+  private[queries] val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark hash join",
+    2L -> "fast scan filter scan",
+    3L -> "customer query zzznotaword")
+
+  /** Okapi BM25 top-k retrieval under the hash gate: every idf, length
+    * normalization and tie-break must match DuckDB's recomputation of
+    * the same formula from the same corpus statistics. */
+  val bm25TopDocs: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.TfIdf.bm25TopK(
+        Scan.table(s, dir, "documents"), "doc_id", "text",
+        bm25Queries.toDF("query_id", "qtext"), "query_id", "qtext", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Fixed-window chunking under the hash gate: 64-token windows at
     * stride 48 (25% overlap) — every chunk boundary, overlap region and
     * short tail must match the oracle's list-slicing recomputation
@@ -192,7 +213,8 @@ object TextQueries {
     "q_text_fingerprints" -> fingerprints,
     "q_pii_redaction" -> piiRedaction,
     "q_text_chunking" -> chunking,
-    "q_tfidf_top_terms" -> tfidfTopTerms)
+    "q_tfidf_top_terms" -> tfidfTopTerms,
+    "q_bm25_topk" -> bm25TopDocs)
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
   private[queries] val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
@@ -470,6 +492,52 @@ object TextQueries {
             CAST(df AS BIGINT) AS df, tfidf, CAST(rank AS INTEGER) AS rank
           FROM r WHERE rank <= 3 AND doc_id % 20 = 0
           ORDER BY doc_id, rank""",
+    // BM25 re-derived from scratch: same corpus stats CTEs as tfidf,
+    // the Lucene plus-one idf, the (k1=1.2, b=0.75) length-normalized
+    // tf term, per-(query, doc) sum rounded BEFORE ranking (both
+    // engines rank the rounded score, so ties break identically)
+    "q_bm25_topk" -> {
+      val qValues = bm25Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH toks AS (
+            SELECT doc_id,
+              UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text,
+                '${graft.functions.GraftFunctions.WsRun}'),
+                x -> x <> '')) AS token
+            FROM documents),
+          tc AS (SELECT doc_id, token, COUNT(*) AS n_term
+                 FROM toks GROUP BY 1, 2),
+          dl AS (SELECT doc_id, SUM(n_term) AS n_doc_tokens
+                 FROM tc GROUP BY 1),
+          dfr AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY 1),
+          st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                        AVG(n_doc_tokens) AS avgdl FROM dl),
+          q(query_id, qtext) AS (VALUES $qValues),
+          qt AS (
+            SELECT DISTINCT query_id,
+              UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(qtext,
+                '${graft.functions.GraftFunctions.WsRun}'),
+                x -> x <> '')) AS token
+            FROM q),
+          sc AS (
+            SELECT qt.query_id, tc.doc_id,
+              ${roundPortableSql(
+                // constants spelled from the SAME Scala arithmetic the
+                // engine's plan embeds (k1+1, 1-b) — Double.toString
+                // round-trips, so both engines compute on identical bits
+                "SUM(LN(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) * " +
+                  s"(tc.n_term::DOUBLE * ${1.2 + 1.0}) / (tc.n_term::DOUBLE + 1.2 * " +
+                  s"(${1.0 - 0.75} + 0.75 * dl.n_doc_tokens::DOUBLE / st.avgdl)))",
+                4)} AS score
+            FROM qt JOIN dfr USING (token) JOIN tc USING (token)
+            JOIN dl USING (doc_id) CROSS JOIN st
+            GROUP BY 1, 2),
+          r AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank FROM sc)
+          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+            CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
     // chunk boundaries re-derived by list slicing: 1-based inclusive
     // DuckDB slices ≡ Spark slice(toks, s+1, 64); range() excludes the
     // end, matching sequence(0, n-1, 48)'s last-start-below-n rule

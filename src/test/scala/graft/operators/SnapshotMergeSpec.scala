@@ -987,6 +987,39 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
   }
 
+  test("pre-flag manifests (no trailer, no header flag) still read") {
+    val dir = tmp()
+    SnapshotMerge.createSharded(base, Seq("id"), 4, dir)
+    val f = IndexFs.fs(spark, dir)
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/manifest-v1")
+    val lines = IndexFs.readSmallFile(f, mPath).split("\n")
+    // rewrite in the pre-r16 format: header without the t1 flag field,
+    // body without the end trailer — an existing snapshot written by an
+    // older build must stay readable after the library upgrade
+    val meta = lines.head.split("\t")
+    assert(meta.length >= 6 && meta(5) == "t1",
+      "fixture expects the current flagged header")
+    val legacyHeader = meta.take(if (meta(4).isEmpty) 4 else 5).mkString("\t")
+    val legacy = (legacyHeader +: lines.tail.filterNot(_.startsWith("end\t")))
+      .mkString("\n")
+    val o = f.create(mPath, true)
+    try o.write(legacy.getBytes("UTF-8")) finally o.close()
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+    // and the interim trailer-without-flag form (written between the
+    // trailer landing and the flag landing) reads too: the end line is
+    // skipped, never parsed as a shard entry
+    val interim = (legacyHeader +: lines.tail).mkString("\n")
+    val o2 = f.create(mPath, true)
+    try o2.write(interim.getBytes("UTF-8")) finally o2.close()
+    assert(SnapshotMerge.readSharded(spark, dir).count() == 3)
+    // a later commit re-stamps the current flagged format
+    SnapshotMerge.upsertSharded(
+      Seq((2L, "b2", 21.0)).toDF("id", "name", "score"), Seq("id"), dir)
+    val m2 = IndexFs.readSmallFile(f,
+      new org.apache.hadoop.fs.Path(s"$dir/manifest-v2")).split("\n")
+    assert(m2.head.split("\t")(5) == "t1" && m2.last.startsWith("end\t"))
+  }
+
   test("marker protocol: version swap leaves a resolvable snapshot at every step") {
     val dir = tmp()
     spark.conf.set(IndexFs.CommitProtocolKey, "marker")
