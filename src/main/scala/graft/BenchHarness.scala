@@ -31,7 +31,7 @@ object BenchHarness {
     * (error entries) is count- and length-clipped to make the bound hold
     * by construction; a unit test renders the worst case (every query in
     * the REAL SparkEntry key set failing) against this budget. */
-  val contractLineBudget: Int = 1200
+  val contractLineBudget: Int = 1160
 
   /** The usable driver tail window the LAST TWO stdout lines must fit
     * together (r13): ~2000 captured chars minus sbt's trailing
@@ -255,9 +255,11 @@ object BenchHarness {
     val vals = stats.sortBy(_._1).map { case (k, st) =>
       rAdaptive(normOf.getOrElse(k, None).getOrElse(st.headline))
     }.mkString("[", ",", "]")
+    // no "see" pointer here (r16): the full named maps living in
+    // bench_out.json is documented at the writer; the ~27 B buys ~5
+    // more queries under the joint tail-window budget
     s"""{"metric":"queries_compact","unit":"sec","order":"name-asc",""" +
-      s""""see":"bench_out.json","n_queries":${stats.size},""" +
-      s""""norm_else_raw":$vals}"""
+      s""""n_queries":${stats.size},"norm_else_raw":$vals}"""
   }
 
   /** The full per-query headline map — since r13 written to

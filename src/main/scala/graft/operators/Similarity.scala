@@ -152,7 +152,8 @@ object Similarity {
     * to dot/nb; cosine_similarity would also skip the position's na —
     * a documented, vanishingly-rare divergence only for null-holed
     * centroid vectors; k-means centroids are always dense). */
-  private def centroidKernel(centroidRel: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
+  private[operators] def centroidKernel(
+      centroidRel: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
     val rows = centroidRel
       .select(col("centroid_id").cast("long"), col("cvec"))
       .filter(col("cvec").isNotNull).collect()

@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontaminate, RecallProbe, Similarity, TextDedup}
+import graft.operators.{Decontaminate, RecallProbe, SemDedup, Similarity, TextDedup}
 import graft.sources.Scan
 
 /** Dedup + similarity-search extension queries over `documents` /
@@ -493,6 +493,42 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SemDeDup under the hard gate: cluster assignment (seeded k-means,
+    * engine-side) snapshotted to parquet — the [[simhashPairs]] trick —
+    * then the cluster-scoped one-pass drop rule re-derived by DuckDB's
+    * NOT EXISTS over the SAME assignments and the same rounded cosines.
+    * The clustering itself is pinned by construction (the oracle reads
+    * the snapshot, so ANY assignment works); what the gate pins is the
+    * drop rule: witness scoping, the id tie-break, the ≥ tau boundary
+    * on the 6-decimal rounding. */
+  val semDedupKept: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val snap = SnapshotPaths.dirFor("semdedup_assign", dir, s)
+    SemDedup.withClusters(emb, "vec_id", "embedding", nClusters = 8,
+        maxIter = 5)
+      .select(col("vec_id"), col("cluster_id"))
+      .coalesce(1).write.mode("overwrite").parquet(snap)
+    SemDedup.semDedup(emb, "vec_id", "embedding", tau = 0.3,
+        assignments = Some(s.read.parquet(snap)))
+      .select(col("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The audit half: every dropped row with its SMALLEST qualifying
+    * witness and the rounded cosine — the min-aggregate tie-break must
+    * match the oracle's window row-for-row. */
+  val semDedupDropped: Q = (s, dir) => {
+    val emb = Scan.table(s, dir, "embeddings")
+    val snap = SnapshotPaths.dirFor("semdedup_assign", dir, s)
+    SemDedup.withClusters(emb, "vec_id", "embedding", nClusters = 8,
+        maxIter = 5)
+      .select(col("vec_id"), col("cluster_id"))
+      .coalesce(1).write.mode("overwrite").parquet(snap)
+    SemDedup.droppedWithWitness(emb, "vec_id", "embedding", tau = 0.3,
+        assignments = Some(s.read.parquet(snap)))
+      .orderBy(col("vec_id"))
+  }
+
   /** The index-PERSISTENCE path under the hard gate: fit → saveIndex →
     * loadIndex → probe, all inside the measured query. With exhaustive
     * probing the result must equal exact brute force (same SQL oracle as
@@ -600,6 +636,8 @@ object DedupQueries {
     "q_ann_ivf_append" -> annIvfAppend,
     "q_ann_ivf_refit" -> annIvfRefit,
     "q_ann_ivf_pq" -> annIvfPq,
+    "q_semdedup_kept" -> semDedupKept,
+    "q_semdedup_dropped" -> semDedupDropped,
     "q_recall_probe_ivf" -> recallProbeIvf,
     "q_recall_probe_embedding" -> recallProbeEmbedding)
 
@@ -827,6 +865,45 @@ object DedupQueries {
     "q_ann_ivf_refit" -> ivfThirdsSql,
     // exhaustive probe + vacuous ADC cut + exact re-rank ≡ brute force
     "q_ann_ivf_pq" -> annMultiTopKSql,
+    // the cluster-scoped one-pass drop rule over the engine-written
+    // assignment snapshot: NOT EXISTS a smaller-id same-cluster
+    // neighbor at round6(cosine) >= 0.3
+    "q_semdedup_kept" ->
+      s"""WITH assign AS (
+            SELECT vec_id, cluster_id FROM read_parquet(
+              '${SnapshotPaths.tokenDirFor("semdedup_assign")}/*.parquet'))
+          SELECT a.vec_id, a.cluster_id FROM assign a
+          WHERE NOT EXISTS (
+            SELECT 1 FROM assign w
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = w.vec_id
+            WHERE w.cluster_id = a.cluster_id AND w.vec_id < a.vec_id
+              AND ${roundPortableSql(
+                "list_cosine_similarity(ea.embedding::DOUBLE[], " +
+                  "eb.embedding::DOUBLE[])", 6)} >= 0.3)
+          ORDER BY a.vec_id""",
+    // the dropped rows with the smallest qualifying witness — the
+    // engine's min-struct aggregate ≡ the window's (w_id, cosine) rank
+    "q_semdedup_dropped" ->
+      s"""WITH assign AS (
+            SELECT vec_id, cluster_id FROM read_parquet(
+              '${SnapshotPaths.tokenDirFor("semdedup_assign")}/*.parquet')),
+          p AS (
+            SELECT a.vec_id, a.cluster_id, w.vec_id AS w_id,
+              ${roundPortableSql(
+                "list_cosine_similarity(ea.embedding::DOUBLE[], " +
+                  "eb.embedding::DOUBLE[])", 6)} AS c
+            FROM assign a
+            JOIN assign w ON w.cluster_id = a.cluster_id
+              AND w.vec_id < a.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = w.vec_id),
+          q AS (SELECT * FROM p WHERE c >= 0.3),
+          r AS (SELECT vec_id, cluster_id, w_id, c,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY w_id, c) AS rk FROM q)
+          SELECT vec_id, cluster_id, w_id AS witness_id, c AS cosine
+          FROM r WHERE rk = 1 ORDER BY vec_id""",
     // the probe's sampled query ids are reproduced by the SAME portable
     // md5 order; exhaustive probing pins every recall row at exactly
     // (k, k, 1.0) — any lost candidate anywhere in the probe machinery

@@ -163,6 +163,33 @@ object MixtureQueries {
           .as("shuffle_order"))
       .limit(200)
 
+  /** DSIR importance weights under the hash gate: target LM = the
+    * English slice, raw LM = the whole corpus, 1024 hashed buckets —
+    * every bucket hash, smoothed count and mean log-ratio must match
+    * DuckDB's from-scratch recomputation per document. */
+  val dsirWeights: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    graft.operators.Dsir.importanceLogRatio(
+        d, "doc_id", "text",
+        d.filter(col("lang") === "en"), "text",
+        d, "text", buckets = 1024)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The resampling half: A-ES weighted sampling with weight
+    * `exp(log_ratio)` — the oracle replays the identical priority from
+    * its own recomputed ratios, so one mis-weighted document anywhere
+    * changes the kept set and fails the gate. */
+  val dsirResample: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    graft.operators.Dsir.resampleByImportance(
+        d.select(col("doc_id"), col("lang"), col("text")), "doc_id", "text",
+        d.filter(col("lang") === "en"), "text",
+        d, "text", k = 200, buckets = 1024)
+      .select(col("doc_id"), col("lang"), col("log_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_sample_by_hash" -> sampleByHash,
     "q_stratified_sample" -> stratifiedSample,
@@ -173,7 +200,9 @@ object MixtureQueries {
     "q_split_counts" -> splitCounts,
     "q_shard_counts" -> shardCounts,
     "q_shuffle_order" -> shuffleOrder,
-    "q_packing_bins" -> packingBins)
+    "q_packing_bins" -> packingBins,
+    "q_dsir_weights" -> dsirWeights,
+    "q_dsir_resample" -> dsirResample)
 
   /** DuckDB twin of [[Sampling.hashBucket]] (plain % — the 60-bit hash
     * value is non-negative, so % ≡ pmod on both engines). Shared with
@@ -332,5 +361,56 @@ object MixtureQueries {
           SELECT doc_id, n_tokens, start_offset,
                  start_offset // 2048 AS bin,
                  start_offset % 2048 AS bin_offset
-          FROM c ORDER BY doc_id""")
+          FROM c ORDER BY doc_id""",
+    "q_dsir_weights" ->
+      s"""$dsirScoreCtes
+          SELECT doc_id, n_features, log_ratio FROM sc ORDER BY doc_id""",
+    // the A-ES priority replayed from the oracle's own recomputed
+    // ratios: hash / exp(log_ratio) — EXP of the identical ROUNDED
+    // double, so both engines rank on the same bits
+    "q_dsir_resample" ->
+      s"""$dsirScoreCtes
+          SELECT * FROM (
+            SELECT d.doc_id, d.lang, sc.log_ratio
+            FROM documents d JOIN sc USING (doc_id)
+            ORDER BY CAST($weightedHashSql AS DOUBLE) / EXP(sc.log_ratio),
+              d.doc_id
+            LIMIT 200)
+          ORDER BY doc_id""")
+
+  /** DuckDB twin of [[graft.operators.Dsir.importanceLogRatio]] over
+    * `documents` (target = the `lang='en'` slice, raw = everything,
+    * 1024 buckets, alpha = 1): unigram+bigram features WITH
+    * multiplicity, the portable 60-bit md5 bucket hash under the
+    * "dsir" salt, Laplace-smoothed bucket models, per-doc MEAN
+    * log-ratio rounded to 4. */
+  private lazy val dsirScoreCtes: String = {
+    val bucketSql =
+      "(('0x' || substr(md5(f || '/dsir'), 1, 15))::BIGINT % 1024)"
+    s"""WITH tk AS (
+          SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents),
+        feats AS (
+          SELECT doc_id, lang, UNNEST(w) AS f FROM tk
+          UNION ALL
+          SELECT doc_id, lang,
+            UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 1),
+              i -> w[i] || ' ' || w[i + 1])) AS f
+          FROM tk WHERE LEN(w) >= 2),
+        fb AS (SELECT doc_id, lang, $bucketSql AS bucket FROM feats),
+        tc AS (SELECT bucket, COUNT(*) AS n FROM fb
+               WHERE lang = 'en' GROUP BY 1),
+        rc AS (SELECT bucket, COUNT(*) AS n FROM fb GROUP BY 1),
+        tt AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM tc),
+        rt AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM rc),
+        dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM fb GROUP BY 1, 2),
+        sc AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_features,
+            ${graft.functions.GraftFunctions.roundPortableSql(
+              "SUM(c * (LN((COALESCE(tc.n, 0) + 1.0) / (tt.t + 1024.0)) - " +
+                "LN((COALESCE(rc.n, 0) + 1.0) / (rt.t + 1024.0)))) / " +
+                "CAST(SUM(c) AS DOUBLE)", 4)} AS log_ratio
+          FROM dc LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+          CROSS JOIN tt CROSS JOIN rt
+          GROUP BY doc_id)"""
+  }
 }

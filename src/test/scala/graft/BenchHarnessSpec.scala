@@ -213,7 +213,6 @@ class BenchHarnessSpec extends AnyFunSuite {
     // falls back to its raw headline — the value_norm summation rule
     assert(line.contains(""""norm_else_raw":[1.00,2.50]"""))
     assert(line.contains(""""order":"name-asc""""))
-    assert(line.contains(""""see":"bench_out.json""""))
     assert(line.contains(""""n_queries":2"""))
     // adaptive precision: ≥10 s at 0.1 s, ≥100 s whole — ≤4 chars for
     // any sub-1000 value, which is what makes the window bound
@@ -259,6 +258,7 @@ class BenchHarnessSpec extends AnyFunSuite {
     val json = jsonLine("/root/testdata/sf0.1", 3, stats,
       Some(wideCal), Some(wideCal),
       normTotal = Some(9999.9999), calInterleaved = Seq(999.99, 999.99))
+    info(s"worst-case contract line: ${json.length}B (budget $contractLineBudget)")
     assert(json.length <= contractLineBudget,
       s"contract line ${json.length}B exceeds budget ${contractLineBudget}B " +
         s"for ${stats.size} queries — re-tighten the clipping")
