@@ -122,14 +122,18 @@ object Dsir {
       targetLm: Option[DataFrame] = None,
       rawLm: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val scored = docs.join(
+    // sample on the SKINNY (id, ratio) relation, then attach the full
+    // rows to the k winners by a broadcast join — the corpus never
+    // shuffles through the sample (joining text first would push the
+    // whole corpus through an id exchange just to discard all but k
+    // rows; measured 73 s → the skinny spelling at 100× ScaleBench)
+    val kept = Sampling.weightedSampleByHash(
       importanceLogRatio(docs, idCol, textCol, target, targetTextCol,
         raw, rawTextCol, buckets, alpha, salt,
         targetLm = targetLm, rawLm = rawLm)
-        .select(col(idCol), col("log_ratio")),
-      idCol)
-    Sampling.weightedSampleByHash(
-      scored.withColumn("__w", exp(col("log_ratio"))),
+        .select(col(idCol), col("log_ratio"))
+        .withColumn("__w", exp(col("log_ratio"))),
       idCol, "__w", k).drop("__w")
+    docs.join(broadcast(kept), idCol)
   }
 }
