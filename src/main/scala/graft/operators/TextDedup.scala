@@ -817,6 +817,62 @@ object TextDedup {
       .select(col("node"), coalesce(col("dst"), col("node")).as("component"))
   }
 
+  /** Quality-aware duplicate-cluster canonicalization: given the docs
+    * relation (with a per-doc quality score — [[graft.functions
+    * .TextAnalysis]]' quality, an LM perplexity, any caller metric) and
+    * the near-dup PAIRS, label clusters via [[connectedComponents]] and
+    * keep the BEST-scoring member of each cluster instead of the
+    * conventional smallest-id one — the representative-selection rule
+    * real curation pipelines want: when a page and its mirror differ
+    * only in extraction noise, keep the cleaner extraction, not the one
+    * that happened to crawl first.
+    *
+    * Scale posture: components cost what [[connectedComponents]] costs
+    * (pair-set-sized, never corpus-sized); the label relation is then
+    * LEFT-joined onto the corpus (docs outside every pair are their own
+    * singleton cluster — no explosion), and the per-cluster argmax is a
+    * bounded 1-row-per-cluster struct-max aggregate with map-side
+    * partials, shipped back by ONE equi-join on the cluster label.
+    * Nothing here is ever quadratic in the corpus.
+    *
+    * Determinism: the argmax orders by (rounded score desc, id asc) —
+    * `max(struct(score, -id))` with the rounding shared by both engines
+    * of the oracle — so equal-quality duplicates keep the smaller id,
+    * and the result is partitioning-independent.
+    *
+    * NULL scores sort below every real score (the struct-max skips to
+    * a scored member when one exists); an all-null cluster falls back
+    * to pure smallest-id. Output: one row per INPUT doc — (idCol,
+    * `component`, `rep_id`, `is_rep`, scoreCol) — so both the kept set
+    * (`is_rep`) and the drop audit (who replaced me) read off one
+    * relation. */
+  def clusterRepresentatives(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, d1Col: String = "d1", d2Col: String = "d2",
+      roundDecimals: Int = 6): DataFrame = {
+    Seq(idCol, scoreCol).foreach(c =>
+      require(docs.columns.contains(c),
+        s"column $c absent from ${docs.columns.mkString(",")}"))
+    val comps = connectedComponents(pairs, d1Col, d2Col)
+    val labeled = docs
+      .select(col(idCol), roundPortable(col(scoreCol).cast("double"),
+        roundDecimals).as(scoreCol))
+      .join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    // (score desc, id asc) argmax: struct comparison is lexicographic,
+    // null score sorts FIRST under asc — i.e. last under max — exactly
+    // the "prefer any scored member" rule documented above
+    val reps = labeled
+      .groupBy(col("component"))
+      .agg(max(struct(col(scoreCol).as("s"),
+        (-col(idCol)).as("ni"), col(idCol).as("rid"))).as("__r"))
+      .select(col("component"), col("__r.rid").as("rep_id"))
+    labeled
+      .join(reps, "component")
+      .select(col(idCol), col("component"), col("rep_id"),
+        (col(idCol) === col("rep_id")).as("is_rep"), col(scoreCol))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Exact pairwise —
     * the verify/oracle tool. At scale use [[embeddingNearDupPairsLsh]],
     * which generates candidates through bucket joins and applies this

@@ -72,6 +72,25 @@ object DedupQueries {
       .orderBy(col("node"))
   }
 
+  /** Quality-aware cluster canonicalization under the hash gate: the
+    * q_dedup_components pair/cluster machinery, but the representative
+    * is the BEST-[[graft.functions.TextAnalysis.qualityScore]] member
+    * (ties → smaller id) instead of the smallest id. The oracle walks
+    * the same edges recursively, re-derives quality from the shared SQL
+    * spelling, and picks the argmax per component — a drifted score,
+    * cluster label, or tie-break fails row-for-row across all 500
+    * docs. */
+  val clusterReps: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents").filter(col("doc_id") < 500)
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.7)
+    TextDedup.clusterRepresentatives(
+        docs.select(col("doc_id"),
+          graft.functions.TextAnalysis.qualityScore(col("text")).as("quality")),
+        "doc_id", "quality", pairs)
+      .orderBy(col("doc_id"))
+  }
+
   /** Path the q_simhash_pairs oracle reads back — derived from the data
     * dir AND the session (see [[SnapshotPaths]]): different scale
     * factors / dirs never clobber or silently reuse each other's
@@ -617,6 +636,7 @@ object DedupQueries {
     "q_stream_incremental_dedup" -> streamIncrementalDedup,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_components_star" -> dedupComponentsStar,
+    "q_cluster_reps" -> clusterReps,
     "q_simhash_pairs" -> simhashPairs,
     "q_simhash_portable_pairs" -> simhashPortablePairs,
     "q_decontaminate" -> decontaminate,
@@ -663,7 +683,7 @@ object DedupQueries {
 
   private val cosExpr =
     "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-  private val cosR6 = roundPortableSql(cosExpr, 6)
+  private[queries] val cosR6 = roundPortableSql(cosExpr, 6)
 
   /** THE single SQL spelling of the engine's distinct word-n-gram list
     * over a `text` column — every n-gram-consuming oracle (exact/LSH
@@ -776,6 +796,26 @@ object DedupQueries {
              "(SELECT doc_id, text FROM documents WHERE doc_id < 500)")},
          $componentCtes
          SELECT node, component FROM comp ORDER BY node""",
+    // same recursive component walk + the shared quality spelling
+    // (TextQueries.qualityScoreSql); the representative is the
+    // (quality desc, doc_id asc) first value per component — DuckDB's
+    // default NULLS LAST under DESC matches the engine's null-loses rule
+    "q_cluster_reps" ->
+      s"""WITH RECURSIVE ${jaccardPairCtes(
+             "(SELECT doc_id, text FROM documents WHERE doc_id < 500)")},
+         $componentCtes,
+         ql AS (SELECT doc_id, ${TextQueries.qualityScoreSql} AS quality
+                FROM documents WHERE doc_id < 500),
+         lab AS (SELECT ql.doc_id,
+                   COALESCE(c.component, ql.doc_id) AS component, ql.quality
+                 FROM ql LEFT JOIN comp c ON c.node = ql.doc_id),
+         rr AS (SELECT lab.*, FIRST_VALUE(doc_id) OVER (
+                  PARTITION BY component
+                  ORDER BY quality DESC, doc_id) AS rep_id
+                FROM lab)
+         SELECT doc_id, component, rep_id,
+           (doc_id = rep_id) AS is_rep, quality
+         FROM rr ORDER BY doc_id""",
     // Pairs by exact all-pairs hamming over the Spark-computed
     // fingerprint snapshot (≡ the engine's chunk join: maxHamming <
     // chunks ⇒ pigeonhole-exact). Gates the join machinery bit-for-bit.

@@ -200,6 +200,48 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Paragraph-level first-occurrence dedup under the hash gate. The
+    * synthetic corpus is a single-line word stream, so the "paragraph"
+    * separator is the literal ` table ` token — which segments every
+    * document into short word runs drawn from a tiny vocabulary, i.e.
+    * maximal cross-document repetition, exactly the boilerplate regime
+    * the operator exists for. The oracle re-derives the split, the
+    * normalized md5 keys, the corpus-order first-occurrence rule and
+    * the reassembly — one drifted position, winner or joiner fails the
+    * hash row-for-row. */
+  val paragraphDedup: Q = (s, dir) =>
+    graft.operators.ParagraphDedup.dedupParagraphs(
+        Scan.table(s, dir, "documents"), "doc_id", "text",
+        sepRegex = " table ", joiner = " | ")
+      .orderBy(col("doc_id"))
+
+  /** Reciprocal-rank fusion of the BM25 lexical list with a dense
+    * cosine list over the embedded slice (vec_id < 500 ≡ the doc-id
+    * space), query ids 1-3 shared. The oracle recomputes BOTH
+    * retrievers from corpus statistics (the bm25 CTE stack verbatim +
+    * the exact-cosine rank) and then the rounded-domain RRF sum and
+    * re-rank — so the gate covers the retrievers AND the fusion
+    * arithmetic end-to-end. */
+  val rrfFusion: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Scan.table(s, dir, "documents")
+    val lexical = graft.operators.TfIdf.bm25TopK(
+        docs, "doc_id", "text",
+        bm25Queries.toDF("query_id", "qtext"), "query_id", "qtext", k = 5)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = Scan.table(s, dir, "embeddings")
+    val dense = graft.operators.Similarity.topKForQueries(
+        emb.filter(col("vec_id") < 500), "vec_id", "embedding",
+        emb.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        "query_id", "qvec", k = 5)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    graft.operators.Fusion.rrfFuse(
+        Seq(lexical -> 1.0, dense -> 1.0),
+        "query_id", "doc_id", "rank", k = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_curation_filter" -> curationFilter,
     "q_curation_full" -> curationFull,
@@ -214,7 +256,9 @@ object TextQueries {
     "q_pii_redaction" -> piiRedaction,
     "q_text_chunking" -> chunking,
     "q_tfidf_top_terms" -> tfidfTopTerms,
-    "q_bm25_topk" -> bm25TopDocs)
+    "q_bm25_topk" -> bm25TopDocs,
+    "q_paragraph_dedup" -> paragraphDedup,
+    "q_rrf_fusion" -> rrfFusion)
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
   private[queries] val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
@@ -228,6 +272,60 @@ object TextQueries {
   import graft.functions.GraftFunctions.roundPortableSql
   private val distinctRatio = roundPortableSql(
     "LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE / LEN(STRING_SPLIT(text, ' '))", 4)
+
+  /** THE single SQL spelling of [[graft.functions.TextAnalysis
+    * .qualityScore]] over a `text` column — shared by q_text_quality,
+    * the curation oracles' `feat` CTE, and the cluster-representative
+    * oracle (DedupQueries), so the oracle-side quality arithmetic can
+    * never fork from itself. */
+  private[queries] lazy val qualityScoreSql: String = roundPortableSql(
+    s"""LEAST($wsToks / 100.0, 1.0) * 0.5
+                + (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE
+                   / GREATEST($wsToks::DOUBLE, 1.0)) * 0.3
+                + ($hitsEn / 5.0) * 0.2""", 4)
+
+  /** THE single CTE stack deriving the ranked BM25 relation
+    * `r(query_id, doc_id, score, rank)` from corpus statistics — shared
+    * by the q_bm25_topk oracle and the RRF-fusion oracle's lexical leg.
+    * Constants are spelled from the SAME Scala arithmetic the engine's
+    * plan embeds (k1+1, 1-b) — Double.toString round-trips, so both
+    * engines compute on identical bits. */
+  private lazy val bm25RankCtes: String = {
+    val qValues = bm25Queries
+      .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""toks AS (
+            SELECT doc_id,
+              UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text,
+                '${graft.functions.GraftFunctions.WsRun}'),
+                x -> x <> '')) AS token
+            FROM documents),
+          tc AS (SELECT doc_id, token, COUNT(*) AS n_term
+                 FROM toks GROUP BY 1, 2),
+          dl AS (SELECT doc_id, SUM(n_term) AS n_doc_tokens
+                 FROM tc GROUP BY 1),
+          dfr AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY 1),
+          st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                        AVG(n_doc_tokens) AS avgdl FROM dl),
+          q(query_id, qtext) AS (VALUES $qValues),
+          qt AS (
+            SELECT DISTINCT query_id,
+              UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(qtext,
+                '${graft.functions.GraftFunctions.WsRun}'),
+                x -> x <> '')) AS token
+            FROM q),
+          sc AS (
+            SELECT qt.query_id, tc.doc_id,
+              ${roundPortableSql(
+                "SUM(LN(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) * " +
+                  s"(tc.n_term::DOUBLE * ${1.2 + 1.0}) / (tc.n_term::DOUBLE + 1.2 * " +
+                  s"(${1.0 - 0.75} + 0.75 * dl.n_doc_tokens::DOUBLE / st.avgdl)))",
+                4)} AS score
+            FROM qt JOIN dfr USING (token) JOIN tc USING (token)
+            JOIN dl USING (doc_id) CROSS JOIN st
+            GROUP BY 1, 2),
+          r AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank FROM sc)"""
+  }
 
   /** DuckDB re-implementation of the BPE APPLY loop as recursive CTEs —
     * the oracle twin of [[graft.functions.BpeTokenCount]], sharing ONLY
@@ -290,11 +388,7 @@ object TextQueries {
                 WHEN $hitsFr > 0 AND $hitsFr >= GREATEST($hitsEn, $hitsEs, $hitsDe) THEN 'fr'
                 WHEN $hitsDe > 0 AND $hitsDe >= GREATEST($hitsEn, $hitsEs, $hitsFr) THEN 'de'
                 ELSE 'und' END AS pred_lang,
-              ${roundPortableSql(
-                s"""LEAST($wsToks / 100.0, 1.0) * 0.5
-                + (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE
-                   / GREATEST($wsToks::DOUBLE, 1.0)) * 0.3
-                + ($hitsEn / 5.0) * 0.2""", 4)} AS quality,
+              $qualityScoreSql AS quality,
               CAST($wsToks AS BIGINT) AS n_tokens,
               MD5(text) AS content_hash
             FROM $src),
@@ -359,11 +453,7 @@ object TextQueries {
           CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
           $distinctRatio AS distinct_ratio,
           CAST($hitsEn AS BIGINT) AS en_stopword_hits,
-          ${roundPortableSql(
-            s"""LEAST($wsToks / 100.0, 1.0) * 0.5
-            + (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE
-               / GREATEST($wsToks::DOUBLE, 1.0)) * 0.3
-            + ($hitsEn / 5.0) * 0.2""", 4)} AS quality_score
+          $qualityScoreSql AS quality_score
           FROM documents ORDER BY doc_id""",
     // duplicate-n-gram fractions at n = 2 and 3, derived from THE
     // shared n-gram spelling (DedupQueries.ngramListSql)
@@ -496,48 +586,71 @@ object TextQueries {
     // the Lucene plus-one idf, the (k1=1.2, b=0.75) length-normalized
     // tf term, per-(query, doc) sum rounded BEFORE ranking (both
     // engines rank the rounded score, so ties break identically)
-    "q_bm25_topk" -> {
-      val qValues = bm25Queries
-        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
-      s"""WITH toks AS (
-            SELECT doc_id,
-              UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text,
-                '${graft.functions.GraftFunctions.WsRun}'),
-                x -> x <> '')) AS token
-            FROM documents),
-          tc AS (SELECT doc_id, token, COUNT(*) AS n_term
-                 FROM toks GROUP BY 1, 2),
-          dl AS (SELECT doc_id, SUM(n_term) AS n_doc_tokens
-                 FROM tc GROUP BY 1),
-          dfr AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY 1),
-          st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                        AVG(n_doc_tokens) AS avgdl FROM dl),
-          q(query_id, qtext) AS (VALUES $qValues),
-          qt AS (
-            SELECT DISTINCT query_id,
-              UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(qtext,
-                '${graft.functions.GraftFunctions.WsRun}'),
-                x -> x <> '')) AS token
-            FROM q),
-          sc AS (
-            SELECT qt.query_id, tc.doc_id,
-              ${roundPortableSql(
-                // constants spelled from the SAME Scala arithmetic the
-                // engine's plan embeds (k1+1, 1-b) — Double.toString
-                // round-trips, so both engines compute on identical bits
-                "SUM(LN(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) * " +
-                  s"(tc.n_term::DOUBLE * ${1.2 + 1.0}) / (tc.n_term::DOUBLE + 1.2 * " +
-                  s"(${1.0 - 0.75} + 0.75 * dl.n_doc_tokens::DOUBLE / st.avgdl)))",
-                4)} AS score
-            FROM qt JOIN dfr USING (token) JOIN tc USING (token)
-            JOIN dl USING (doc_id) CROSS JOIN st
-            GROUP BY 1, 2),
-          r AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY score DESC, doc_id) AS rank FROM sc)
+    "q_bm25_topk" ->
+      s"""WITH $bm25RankCtes
           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
             CAST(rank AS INTEGER) AS rank
-          FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
-    },
+          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // BOTH retrievers re-derived from scratch (the bm25 CTE stack +
+    // the exact-cosine rank over the embedded slice), then the RRF
+    // arithmetic in the shared rounded domain: round6 per-entry
+    // contribution, round6 sum, rank on (rounded score desc, id) —
+    // per-(query, doc) sums have ≤2 addends here, so IEEE addition is
+    // order-independent and the rounded domain is engine-exact
+    "q_rrf_fusion" ->
+      s"""WITH $bm25RankCtes,
+          lex AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 5),
+          dn AS (
+            SELECT * FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${DedupQueries.cosR6} DESC, b.vec_id) AS rank
+              FROM embeddings a JOIN embeddings b ON b.vec_id < 500
+              WHERE a.vec_id IN (1, 2, 3))
+            WHERE rank <= 5),
+          contrib AS (
+            SELECT query_id, doc_id,
+              ${roundPortableSql("1.0 / (60.0 + rank)", 6)} AS c FROM lex
+            UNION ALL
+            SELECT query_id, doc_id,
+              ${roundPortableSql("1.0 / (60.0 + rank)", 6)} FROM dn),
+          fs AS (SELECT query_id, doc_id,
+                   ${roundPortableSql("SUM(c)", 6)} AS score
+                 FROM contrib GROUP BY 1, 2),
+          fr AS (SELECT fs.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rank FROM fs)
+          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+            CAST(rank AS INTEGER) AS rank
+          FROM fr WHERE rank <= 8 ORDER BY query_id, rank""",
+    // paragraph dedup re-derived: the same literal split, blank filter,
+    // whitespace-normalized md5 keys, corpus-order (doc, pos) first-
+    // occurrence rule, and in-order reassembly of the survivors
+    "q_paragraph_dedup" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT_REGEX(text, ' table '),
+                x -> TRIM(x) <> '') AS ps
+            FROM documents),
+          p AS (
+            SELECT doc_id, ps,
+              UNNEST(RANGE(1, LEN(ps) + 1)) AS i
+            FROM t),
+          k AS (
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ps[i] AS para,
+              MD5(TRIM(REGEXP_REPLACE(ps[i],
+                '${graft.functions.GraftFunctions.WsRun}', ' ', 'g'))) AS key
+            FROM p),
+          m AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+              ORDER BY doc_id, pos) AS rn
+            FROM k)
+          SELECT doc_id,
+            STRING_AGG(para, ' | ' ORDER BY pos) FILTER (WHERE rn = 1) AS text,
+            CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_paras_kept,
+            CAST(COUNT(*) FILTER (WHERE rn <> 1) AS BIGINT) AS n_paras_dropped
+          FROM m GROUP BY doc_id
+          HAVING COUNT(*) FILTER (WHERE rn = 1) > 0
+          ORDER BY doc_id""",
     // chunk boundaries re-derived by list slicing: 1-based inclusive
     // DuckDB slices ≡ Spark slice(toks, s+1, 64); range() excludes the
     // end, matching sequence(0, n-1, 48)'s last-start-below-n rule
