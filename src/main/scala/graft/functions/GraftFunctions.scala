@@ -166,6 +166,31 @@ object GraftFunctions {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Rolling window keys for substring-level dedup (Lee et al., ACL
+    * 2022): array of `n − minTokens + 1` 62-bit keys, key i identifying
+    * the exact token window `tokens(i until i + minTokens)`. Native
+    * expression ([[SubstringWindowKeys]] — one md5 pass + an O(n)
+    * rolling update); the HOF spelling below is the executable spec. */
+  def substring_window_keys(tokens: Column, minTokens: Int): Column =
+    c(SubstringWindowKeys(e(tokens), minTokens))
+
+  /** Reference HOF composition of [[substring_window_keys]] (built-ins
+    * only, O(n·minTokens) — re-folds the window per position exactly as
+    * the DuckDB oracle does; ≡ native bit-for-bit, asserted in
+    * SubstringDedupSpec). */
+  def substringWindowKeysHOF(tokens: Column, minTokens: Int): Column = {
+    import SubstringWindowKeys.{B1, B2, P1, P2}
+    val hashes = transform(tokens,
+      t => coalesce(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(0L)))
+    def chan(hs: Column, p: Long, b: Long): Column =
+      aggregate(hs, lit(0L), (acc, x) => (acc * b + x % p) % p)
+    when(size(tokens) < minTokens, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - minTokens),
+        i => chan(slice(hashes, i + 1, lit(minTokens)), P1, B1) * lit(P2)
+          + chan(slice(hashes, i + 1, lit(minTokens)), P2, B2)))
+  }
+
   /** Single-pass top-k-by-frequency aggregate (custom
     * `TypedImperativeAggregate`, Space-Saving-bounded buffer — see
     * [[TopKFreq]]). Returns `array<struct<value,cnt>>` ordered by

@@ -91,6 +91,20 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Substring-level exact dedup (Lee et al.) under the hash gate:
+    * 20-token windows over the full corpus — the testdata's planted
+    * near-dup documents share long verbatim spans, so the rule bites
+    * (~876 distinct duplicated 20-token windows at sf0.001). The oracle
+    * re-derives the portable tokenization, the per-token md5 hash, BOTH
+    * rolling-hash channels (fold spelling — ≡ the native expression's
+    * O(n) roll, spec-asserted), the corpus-order winner rule, the range
+    * marks and the cut+reassembly — one drifted key, winner, or kept
+    * token fails row-for-row. */
+  val substringDedup: Q = (s, dir) =>
+    graft.operators.SubstringDedup.dedupSubstrings(
+        Scan.table(s, dir, "documents"), "doc_id", "text", minTokens = 20)
+      .orderBy(col("doc_id"))
+
   /** Path the q_simhash_pairs oracle reads back — derived from the data
     * dir AND the session (see [[SnapshotPaths]]): different scale
     * factors / dirs never clobber or silently reuse each other's
@@ -637,6 +651,7 @@ object DedupQueries {
     "q_dedup_components" -> dedupComponents,
     "q_dedup_components_star" -> dedupComponentsStar,
     "q_cluster_reps" -> clusterReps,
+    "q_substring_dedup" -> substringDedup,
     "q_simhash_pairs" -> simhashPairs,
     "q_simhash_portable_pairs" -> simhashPortablePairs,
     "q_decontaminate" -> decontaminate,
@@ -757,6 +772,64 @@ object DedupQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
                 COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+    // Lee et al. substring dedup re-derived from scratch: the portable
+    // split, per-token md5 hash, both rolling-hash channels (constants
+    // interpolated from the SAME object the engine's native expression
+    // reads — they cannot fork), the corpus-order (doc, pos) winner
+    // rule, the L-token range marks and the cut+reassembly. Window
+    // starts are 1-based here, 0-based engine-side; the kept token SET
+    // is base-independent.
+    "q_substring_dedup" -> {
+      import graft.functions.SubstringWindowKeys.{B1, B2, P1, P2}
+      val L = 20
+      s"""WITH tok AS (
+            SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT_REGEX(text,
+                '${graft.functions.GraftFunctions.WsRun}'),
+                x -> x <> '') AS ts
+            FROM documents),
+          th AS (
+            SELECT doc_id, LEN(ts) AS n,
+              LIST_TRANSFORM(ts,
+                t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT) AS hs
+            FROM tok),
+          pos AS (
+            SELECT doc_id, hs,
+              UNNEST(RANGE(1, GREATEST(n - $L + 1, 0) + 1)) AS i
+            FROM th),
+          win AS (
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+              LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+                LIST_TRANSFORM(hs[i:i+$L-1], x -> x % $P1)),
+                (a, x) -> (a * $B1 + x) % $P1) * $P2
+            + LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+                LIST_TRANSFORM(hs[i:i+$L-1], x -> x % $P2)),
+                (a, x) -> (a * $B2 + x) % $P2) AS key
+            FROM pos),
+          losers AS (
+            SELECT doc_id, pos FROM (
+              SELECT doc_id, pos,
+                ROW_NUMBER() OVER (PARTITION BY key
+                  ORDER BY doc_id, pos) AS rn
+              FROM win) WHERE rn > 1),
+          st AS (SELECT doc_id, LIST(pos) AS starts
+                 FROM losers GROUP BY doc_id),
+          cut AS (
+            SELECT t.doc_id,
+              LIST_FILTER(
+                LIST_TRANSFORM(RANGE(1, LEN(t.ts) + 1),
+                  j -> CASE WHEN LEN(LIST_FILTER(COALESCE(s.starts, []),
+                         p -> p <= j - 1 AND j - 1 < p + $L)) = 0
+                       THEN t.ts[j] END),
+                x -> x IS NOT NULL) AS kept,
+              LEN(t.ts) AS n_all
+            FROM tok t LEFT JOIN st s USING (doc_id)
+            WHERE t.ts IS NOT NULL)
+          SELECT doc_id, ARRAY_TO_STRING(kept, ' ') AS text,
+            CAST(LEN(kept) AS BIGINT) AS n_tokens_kept,
+            CAST(n_all - LEN(kept) AS BIGINT) AS n_tokens_dropped
+          FROM cut WHERE LEN(kept) > 0 ORDER BY doc_id"""
+    },
     "q_ngram_jaccard_pairs" -> jaccardPairsSql(" AND doc_id < 500"),
     "q_minhash_lsh_pairs" -> jaccardPairsSql(""),
     // exact Jaccard over the full corpus, restricted to pairs that CROSS
