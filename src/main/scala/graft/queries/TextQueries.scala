@@ -242,6 +242,30 @@ object TextQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Learned quality classifier under the hash gate — the IVF/SemDeDup
+    * snapshot pattern: the fit (spark.ml L-BFGS, non-portable
+    * arithmetic) runs engine-side on a bounded labeled slice (doc_id <
+    * 300, labels from the rule-based en-stopword signal), the model is
+    * snapshotted at full double precision, and the oracle re-derives
+    * the ENTIRE corpus scoring pass — tokenization, md5 bucket hashing,
+    * the L1-normalized dot product and the sigmoid — from that
+    * snapshot. A drifted bucket, weight lookup, divisor, or sigmoid
+    * fails row-for-row across all 500 docs. */
+  val qualityClassifier: Q = (s, dir) => {
+    import graft.functions.GraftFunctions.roundPortable
+    val docs = Scan.table(s, dir, "documents")
+    val labeled = docs.filter(col("doc_id") < 300)
+      .withColumn("y", (stopwordHits(col("text"), "en") >= 2).cast("double"))
+    val model = graft.operators.QualityClassifier.fit(
+      labeled, "text", "y", buckets = 128)
+    graft.operators.QualityClassifier.modelRelation(s, model)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(SnapshotPaths.dirFor("qc_model", dir, s))
+    graft.operators.QualityClassifier.score(docs, "text", model)
+      .select(col("doc_id"), roundPortable(col("p_good"), 6).as("p_good"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_curation_filter" -> curationFilter,
     "q_curation_full" -> curationFull,
@@ -258,7 +282,8 @@ object TextQueries {
     "q_tfidf_top_terms" -> tfidfTopTerms,
     "q_bm25_topk" -> bm25TopDocs,
     "q_paragraph_dedup" -> paragraphDedup,
-    "q_rrf_fusion" -> rrfFusion)
+    "q_rrf_fusion" -> rrfFusion,
+    "q_quality_classifier" -> qualityClassifier)
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
   private[queries] val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
@@ -622,6 +647,42 @@ object TextQueries {
           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
             CAST(rank AS INTEGER) AS rank
           FROM fr WHERE rank <= 8 ORDER BY query_id, rank""",
+    // the corpus scoring pass re-derived from the engine's model
+    // snapshot (full-precision weights; bucket −1 = intercept): same
+    // portable split, same md5 bucket hash (salt '/qc' — the
+    // Sharding.orderHash spelling), L1-normalized dot, sigmoid, round6
+    "q_quality_classifier" ->
+      s"""WITH w AS (
+            SELECT bucket, weight FROM read_parquet(
+              '${SnapshotPaths.tokenDirFor("qc_model")}/*.parquet')
+            WHERE bucket >= 0),
+          b AS (
+            SELECT weight AS intercept FROM read_parquet(
+              '${SnapshotPaths.tokenDirFor("qc_model")}/*.parquet')
+            WHERE bucket = -1),
+          tok AS (
+            SELECT doc_id, text,
+              LIST_FILTER(STRING_SPLIT_REGEX(text,
+                '${graft.functions.GraftFunctions.WsRun}'),
+                x -> x <> '') AS ts
+            FROM documents),
+          occ AS (SELECT doc_id, UNNEST(ts) AS t FROM tok),
+          ob AS (
+            SELECT doc_id,
+              CAST(('0x' || SUBSTR(MD5(t || '/qc'), 1, 15))::BIGINT % 128
+                AS INTEGER) AS bucket
+            FROM occ),
+          dt AS (
+            SELECT ob.doc_id, SUM(w.weight) AS s
+            FROM ob JOIN w USING (bucket) GROUP BY ob.doc_id)
+          SELECT t.doc_id,
+            CASE WHEN t.text IS NULL THEN NULL
+                 ELSE ${roundPortableSql(
+                   """1.0 / (1.0 + EXP(-(COALESCE(dt.s, 0.0)
+                      / GREATEST(LEN(t.ts), 1) + b.intercept)))""", 6)}
+            END AS p_good
+          FROM tok t LEFT JOIN dt ON dt.doc_id = t.doc_id CROSS JOIN b
+          ORDER BY t.doc_id""",
     // paragraph dedup re-derived: the same literal split, blank filter,
     // whitespace-normalized md5 keys, corpus-order (doc, pos) first-
     // occurrence rule, and in-order reassembly of the survivors
