@@ -260,4 +260,57 @@ object Sampling {
         StructType(ranged.schema.fields ++ extraFields))
       .drop("__order_hash")
   }
+
+  /** TEMPERATURE-scaled mixture budgets — the multilingual practice
+    * (Arivazhagan et al. 2019; mT5): allocate a total token budget
+    * across groups ∝ `mass_g^alpha`, so `alpha = 1` is proportional
+    * sampling (big languages dominate), `alpha → 0` is uniform, and the
+    * standard `alpha ∈ [0.2, 0.7]` window upsamples the tail without
+    * drowning the head. Returns the `budgets` map [[takeTokenBudget]]
+    * consumes — compose the two for a one-line temperature mix.
+    *
+    * Exactness contract (what lets the composed query sit under the
+    * hash gate): shares are computed in a QUANTIZED integer domain —
+    * `S_g = floor(mass_g^alpha · 10⁶ + 0.5)` and `budget_g =
+    * total · S_g div Σ S` in exact BigInt arithmetic — so for
+    * `alpha = 0.5` (where `pow ≡ sqrt`, and IEEE-754 sqrt is CORRECTLY
+    * ROUNDED on every engine) the whole chain is bit-deterministic and
+    * a SQL twin reproduces every budget exactly. Other alphas are fully
+    * supported engine-side but ride `math.pow`, which IEEE does NOT
+    * require correctly rounded — a cross-engine oracle should pin 0.5.
+    * Budgets sum to ≤ total (floor division); the remainder (< groups
+    * tokens) is deliberately unassigned rather than redistributed
+    * nondeterministically.
+    *
+    * Driver cost: ONE group-by-sum collect of O(groups) rows — a
+    * training mix has few groups at any corpus size. NULL-group rows
+    * are excluded from the allocation (they fall to
+    * [[takeTokenBudget]]'s `defaultBudget`); zero-mass groups get
+    * budget 0. */
+  def temperatureBudgets(df: DataFrame, groupCol: String,
+      tokensCol: String, totalBudget: Long,
+      alpha: Double = 0.5): Map[String, Long] = {
+    require(totalBudget >= 0, s"totalBudget=$totalBudget must be >= 0")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha out of [0, 1]")
+    Seq(groupCol, tokensCol).foreach(c =>
+      require(df.columns.contains(c), s"column $c absent"))
+    val masses = df
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(coalesce(col(tokensCol).cast("long"), lit(0L))).as("__m"))
+      .collect()
+      .map(r => r.getString(0) -> math.max(0L, r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    def quantShare(m: Long): Long =
+      if (m <= 0L) 0L
+      else math.floor(
+        (if (alpha == 0.5) math.sqrt(m.toDouble)
+         else math.pow(m.toDouble, alpha)) * 1e6 + 0.5).toLong
+    val shares = masses.map { case (g, m) => g -> quantShare(m) }
+    val totalShare = shares.map(s => BigInt(s._2)).sum
+    if (totalShare == 0) shares.map { case (g, _) => g -> 0L }.toMap
+    else shares.map { case (g, s) =>
+      g -> (BigInt(totalBudget) * BigInt(s) / totalShare).toLong
+    }.toMap
+  }
 }

@@ -125,6 +125,34 @@ object MixtureQueries {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  /** Total budget for the temperature-mixture entry: allocated with
+    * `alpha = 0.5` (the exactness point — IEEE sqrt is correctly
+    * rounded, so both engines compute identical budget bits) and sized
+    * so every language's allocation truncates its group at sf0.001 AND
+    * sf0.01 (en mass ~10–12k, the others ~4k; √-shares put every
+    * budget under its mass). */
+  private val temperatureTotal = 15000L
+
+  /** Temperature-scaled mixture: budgets ∝ √mass ([[Sampling
+    * .temperatureBudgets]] — the mT5 practice, flattening the language
+    * head), then the exact per-group prefix-sum take. The oracle
+    * recomputes the ALLOCATION (masses → quantized √-shares → BigInt
+    * floor-division budgets) and the take window from scratch — a
+    * drifted share, budget, hash order, or offset anywhere fails the
+    * gate. */
+  val temperatureMixture: Q = (s, dir) => {
+    val docs = Scan.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+    val budgets = Sampling.temperatureBudgets(docs, "lang", "n_tokens",
+      totalBudget = temperatureTotal, alpha = 0.5)
+    Sampling.takeTokenBudget(docs, "doc_id", "lang", "n_tokens",
+        budgets, defaultBudget = 0L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("group_start"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Packing stream for a 2048-token context: per-document bin and
     * offsets from the distributed prefix sum (exact integer arithmetic —
     * the oracle's global window cumsum must match every row). */
@@ -197,6 +225,7 @@ object MixtureQueries {
     "q_token_budget_mixture" -> tokenBudgetMixture,
     "q_token_budget_bpe" -> tokenBudgetBpe,
     "q_token_budget_upsampled" -> tokenBudgetUpsampled,
+    "q_temperature_mixture" -> temperatureMixture,
     "q_split_counts" -> splitCounts,
     "q_shard_counts" -> shardCounts,
     "q_shuffle_order" -> shuffleOrder,
@@ -330,6 +359,44 @@ object MixtureQueries {
           FROM x CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k) e
           WHERE (mass > 0 OR e.k = 0) AND e.k * mass + w < b
           ORDER BY doc_id, epoch""",
+    // temperature allocation re-derived end-to-end: per-language token
+    // masses → quantized √-shares (floor(sqrt·10⁶ + 0.5) — IEEE sqrt is
+    // correctly rounded, so the share bits match the engine's) → exact
+    // integer floor-division budgets (HUGEINT ≡ the engine's BigInt) →
+    // the same per-group window cumsum take
+    "q_temperature_mixture" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(${TextQueries.wsToks} AS BIGINT) AS n_tokens,
+                   $budgetHashSql AS h
+            FROM documents),
+          m AS (
+            SELECT lang, CAST(SUM(COALESCE(n_tokens, 0)) AS BIGINT) AS mass
+            FROM t WHERE lang IS NOT NULL GROUP BY lang),
+          sh AS (
+            SELECT lang,
+              CASE WHEN mass <= 0 THEN 0
+                   ELSE CAST(FLOOR(SQRT(mass::DOUBLE) * 1000000.0 + 0.5)
+                     AS BIGINT) END AS sg
+            FROM m),
+          tot AS (SELECT SUM(sg::HUGEINT) AS st FROM sh),
+          bud AS (
+            SELECT lang,
+              CASE WHEN st = 0 THEN 0
+                   ELSE CAST(($temperatureTotal::HUGEINT * sg) // st
+                     AS BIGINT) END AS b
+            FROM sh CROSS JOIN tot),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(COALESCE(n_tokens, 0)) OVER (PARTITION BY lang
+                     ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) - COALESCE(n_tokens, 0) AS group_start
+            FROM t)
+          SELECT doc_id, lang, n_tokens, group_start
+          FROM c JOIN bud USING (lang)
+          WHERE group_start < b
+          ORDER BY doc_id""",
     "q_split_counts" ->
       s"""SELECT CASE WHEN ${bucketSql("split")} < ${ppm(0.05)} THEN 'val'
                  WHEN ${bucketSql("split")} < ${2 * ppm(0.05)} THEN 'test'

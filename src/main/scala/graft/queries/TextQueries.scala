@@ -266,6 +266,14 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The corpus datasheet under the hash gate: every volume counter,
+    * the exact vocabulary size, the rounded ratios and the per-language
+    * composition re-derived by DuckDB from scratch — one drifted count
+    * or ratio anywhere fails the (stat, value) hash. */
+  val corpusStats: Q = (s, dir) =>
+    graft.operators.CorpusStats.statsCard(
+      Scan.table(s, dir, "documents"), "text", Some("lang"))
+
   val queries: ListMap[String, Q] = ListMap(
     "q_curation_filter" -> curationFilter,
     "q_curation_full" -> curationFull,
@@ -283,7 +291,8 @@ object TextQueries {
     "q_bm25_topk" -> bm25TopDocs,
     "q_paragraph_dedup" -> paragraphDedup,
     "q_rrf_fusion" -> rrfFusion,
-    "q_quality_classifier" -> qualityClassifier)
+    "q_quality_classifier" -> qualityClassifier,
+    "q_corpus_stats" -> corpusStats)
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
   private[queries] val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
@@ -647,6 +656,52 @@ object TextQueries {
           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
             CAST(rank AS INTEGER) AS rank
           FROM fr WHERE rank <= 8 ORDER BY query_id, rank""",
+    // the datasheet re-derived from scratch: global counters, exact
+    // distinct-md5 dup count, the real-split vocabulary, round6 ratios
+    // and the per-language composition (null lang → 'lang_null')
+    "q_corpus_stats" ->
+      s"""WITH g AS (
+            SELECT COUNT(*) AS n_docs,
+              COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+                AS n_null,
+              COALESCE(SUM(COALESCE($wsToks, 0)), 0) AS n_tokens,
+              COALESCE(SUM(COALESCE(LENGTH(text), 0)), 0) AS n_chars,
+              COUNT(text) AS n_nonnull,
+              COUNT(DISTINCT MD5(text)) AS n_distinct
+            FROM documents),
+          v AS (
+            SELECT COUNT(DISTINCT t) AS vocab FROM (
+              SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text,
+                '${graft.functions.GraftFunctions.WsRun}'),
+                x -> x <> '')) AS t
+              FROM documents WHERE text IS NOT NULL)),
+          base(stat, value) AS (
+            SELECT 'n_docs', n_docs::DOUBLE FROM g UNION ALL
+            SELECT 'n_null_text', n_null::DOUBLE FROM g UNION ALL
+            SELECT 'n_tokens', n_tokens::DOUBLE FROM g UNION ALL
+            SELECT 'n_chars', n_chars::DOUBLE FROM g UNION ALL
+            SELECT 'avg_tokens_per_doc', ${roundPortableSql(
+              "g.n_tokens::DOUBLE / GREATEST(g.n_docs, 1)", 6)} FROM g
+            UNION ALL
+            SELECT 'vocab_size', vocab::DOUBLE FROM v UNION ALL
+            SELECT 'type_token_ratio', ${roundPortableSql(
+              "v.vocab::DOUBLE / GREATEST(g.n_tokens, 1)", 6)} FROM g, v
+            UNION ALL
+            SELECT 'exact_dup_docs',
+              (n_nonnull - n_distinct)::DOUBLE FROM g UNION ALL
+            SELECT 'exact_dup_fraction', ${roundPortableSql(
+              "(g.n_nonnull - g.n_distinct)::DOUBLE / GREATEST(g.n_nonnull, 1)",
+              6)} FROM g),
+          grp AS (
+            SELECT COALESCE(lang, 'null') AS gl,
+              COUNT(*)::DOUBLE AS d,
+              COALESCE(SUM(COALESCE($wsToks, 0)), 0)::DOUBLE AS t
+            FROM documents GROUP BY 1),
+          allrows AS (
+            SELECT * FROM base
+            UNION ALL SELECT 'docs_lang_' || gl, d FROM grp
+            UNION ALL SELECT 'tokens_lang_' || gl, t FROM grp)
+          SELECT stat, value FROM allrows ORDER BY stat""",
     // the corpus scoring pass re-derived from the engine's model
     // snapshot (full-precision weights; bucket −1 = intercept): same
     // portable split, same md5 bucket hash (salt '/qc' — the

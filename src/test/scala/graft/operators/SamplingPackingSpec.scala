@@ -265,4 +265,42 @@ class SamplingPackingSpec extends SparkSpec {
       .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(z.toSet == Set((1L, 0L), (2L, 0L)))
   }
+
+  test("temperatureBudgets: alpha=1 ∝ mass, alpha=0.5 flattens, alpha=0 uniform") {
+    // masses: en 90000, de 900, zh 100 (exact squares for clean sqrt)
+    val d = Seq(("en", 90000L), ("de", 900L), ("zh", 100L))
+      .toDF("lang", "n_tokens")
+    val b1 = Sampling.temperatureBudgets(d, "lang", "n_tokens", 10000L, 1.0)
+    // proportional: 10000·m/91000, floor
+    assert(b1("en") == 9890L && b1("de") == 98L && b1("zh") == 10L)
+    val b05 = Sampling.temperatureBudgets(d, "lang", "n_tokens", 10000L, 0.5)
+    // sqrt shares 300/30/10 of 340 — exact integer floor division
+    assert(b05("en") == 10000L * 300 / 340)
+    assert(b05("de") == 10000L * 30 / 340)
+    assert(b05("zh") == 10000L * 10 / 340)
+    // flattening: the tail's share grew, the head's shrank
+    assert(b05("zh") > b1("zh") && b05("en") < b1("en"))
+    val b0 = Sampling.temperatureBudgets(d, "lang", "n_tokens", 9000L, 0.0)
+    assert(b0.values.toSet == Set(3000L))
+  }
+
+  test("temperatureBudgets: null groups excluded, zero mass gets zero, sum ≤ total") {
+    val d = Seq(("en", Some(50L)), (null: String, Some(999L)),
+      ("de", None), ("fr", Some(30L)))
+      .toDF("lang", "n_tokens")
+    val b = Sampling.temperatureBudgets(d, "lang", "n_tokens", 1000L, 0.5)
+    assert(!b.contains(null))
+    assert(b("de") == 0L)
+    assert(b.values.sum <= 1000L)
+    // composes with takeTokenBudget: every group fills to ≤ its budget
+    // (straddle rule: the last kept row may cross it)
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "fr", 10L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val bb = Sampling.temperatureBudgets(rows, "lang", "n_tokens", 200L, 0.5)
+    val took = Sampling.takeTokenBudget(rows, "doc_id", "lang", "n_tokens", bb)
+      .groupBy("lang").agg(max(col("group_start")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    took.foreach { case (g, m) => assert(m < bb(g), s"$g start $m vs ${bb(g)}") }
+  }
 }
