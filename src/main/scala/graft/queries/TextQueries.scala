@@ -274,6 +274,19 @@ object TextQueries {
     graft.operators.CorpusStats.statsCard(
       Scan.table(s, dir, "documents"), "text", Some("lang"))
 
+  /** Blocklist annotation under the hash gate: three terms drawn from
+    * the corpus vocabulary so the rule bites in both directions, the
+    * matched-term SET emitted as a joined string (sorted — the
+    * deterministic spelling). The oracle re-derives the lower-cased
+    * split, the IN-list token filter, distinct, sort and join. */
+  val blocklistAnnotate: Q = (s, dir) =>
+    graft.operators.Blocklist.annotateBlocked(
+        Scan.table(s, dir, "documents"), "text",
+        Seq("merge", "window", "dup"))
+      .select(col("doc_id"), col("blocked"), col("n_blocked_terms"),
+        array_join(col("blocked_terms"), ",").as("blocked_terms"))
+      .orderBy(col("doc_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "q_curation_filter" -> curationFilter,
     "q_curation_full" -> curationFull,
@@ -292,7 +305,8 @@ object TextQueries {
     "q_paragraph_dedup" -> paragraphDedup,
     "q_rrf_fusion" -> rrfFusion,
     "q_quality_classifier" -> qualityClassifier,
-    "q_corpus_stats" -> corpusStats)
+    "q_corpus_stats" -> corpusStats,
+    "q_blocklist" -> blocklistAnnotate)
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
   private[queries] val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
@@ -656,6 +670,22 @@ object TextQueries {
           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
             CAST(rank AS INTEGER) AS rank
           FROM fr WHERE rank <= 8 ORDER BY query_id, rank""",
+    // the C4 blocklist rule re-derived: lower-cased portable split,
+    // token-equality IN-list filter (word boundaries — 'assassin'
+    // cannot trip 'ass'), distinct + sort + join
+    "q_blocklist" ->
+      s"""WITH b AS (
+            SELECT doc_id,
+              CASE WHEN text IS NULL THEN []::VARCHAR[]
+                   ELSE LIST_SORT(LIST_DISTINCT(LIST_FILTER(
+                     STRING_SPLIT_REGEX(LOWER(text),
+                       '${graft.functions.GraftFunctions.WsRun}'),
+                     x -> x IN ('dup', 'merge', 'window')))) END AS bt
+            FROM documents)
+          SELECT doc_id, LEN(bt) > 0 AS blocked,
+            CAST(LEN(bt) AS BIGINT) AS n_blocked_terms,
+            COALESCE(ARRAY_TO_STRING(bt, ','), '') AS blocked_terms
+          FROM b ORDER BY doc_id""",
     // the datasheet re-derived from scratch: global counters, exact
     // distinct-md5 dup count, the real-split vocabulary, round6 ratios
     // and the per-language composition (null lang → 'lang_null')
