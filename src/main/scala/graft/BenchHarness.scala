@@ -255,10 +255,11 @@ object BenchHarness {
     val vals = stats.sortBy(_._1).map { case (k, st) =>
       rAdaptive(normOf.getOrElse(k, None).getOrElse(st.headline))
     }.mkString("[", ",", "]")
-    // no "see" pointer here (r16): the full named maps living in
-    // bench_out.json is documented at the writer; the ~27 B buys ~5
-    // more queries under the joint tail-window budget
-    s"""{"metric":"queries_compact","unit":"sec","order":"name-asc",""" +
+    // no "see" pointer (r16) and no "unit" field (r16, the 130-query
+    // re-tightening): seconds and the bench_out.json pointer are
+    // documented at the writer; each trimmed field buys ~2-5 more
+    // queries under the joint tail-window budget
+    s"""{"metric":"queries_compact","order":"name-asc",""" +
       s""""n_queries":${stats.size},"norm_else_raw":$vals}"""
   }
 

@@ -99,4 +99,29 @@ object CorpusStats {
         base.unionByName(grouped).orderBy(col("stat"))
     }
   }
+
+  /** Diff two datasheets — the release-note view "what changed in the
+    * corpus between snapshot versions": full-outer join on `stat`, a
+    * stat absent on one side reads 0 (count semantics — a language that
+    * appeared has `value_before = 0`, one that vanished has
+    * `value_after = 0`). Composes with the sharded snapshot's time
+    * travel: `statsDiff(statsCard(readShardedVersion(dir, v1)),
+    * statsCard(readSharded(dir)))` is the growth report between any
+    * two retained versions, at two-cards cost. The join is
+    * O(stats) = O(groups) rows — broadcast-trivial at any corpus
+    * size. */
+  def statsDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    Seq(before, after).foreach(df =>
+      require(df.columns.toSeq.containsSlice(Seq("stat", "value")) ||
+        df.columns.toSet == Set("stat", "value"),
+        s"expected a (stat, value) card, got ${df.columns.mkString(",")}"))
+    val b = before.select(col("stat"), col("value").as("value_before"))
+    val a = after.select(col("stat"), col("value").as("value_after"))
+    b.join(a, Seq("stat"), "full_outer")
+      .select(col("stat"),
+        coalesce(col("value_before"), lit(0.0)).as("value_before"),
+        coalesce(col("value_after"), lit(0.0)).as("value_after"),
+        roundPortable(coalesce(col("value_after"), lit(0.0)) -
+          coalesce(col("value_before"), lit(0.0)), 6).as("delta"))
+  }
 }

@@ -287,6 +287,35 @@ object TextQueries {
         array_join(col("blocked_terms"), ",").as("blocked_terms"))
       .orderBy(col("doc_id"))
 
+  /** Datasheet diff across SNAPSHOT VERSIONS — the q_merge_time_travel
+    * fixture (create evens at v1, upsert a suffixed %3 batch → v2)
+    * with a full card computed over `readShardedVersion(1)` and the
+    * live read, then [[graft.operators.CorpusStats.statsDiff]]. Gates
+    * the card arithmetic on BOTH version reads AND the diff join —
+    * rerun-safe (tagged upsert replays as a no-op, versions stable). */
+  val corpusStatsDiff: Q = (s, dir) => {
+    import graft.operators.{CorpusStats, SnapshotMerge}
+    val docs = Scan.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val path = SnapshotPaths.dirFor("stats_diff", dir, s)
+    if (!SnapshotMerge.existsSharded(s, path)) {
+      SnapshotMerge.createSharded(
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"),
+        nShards = 8, path)
+    }
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("text", concat(col("text"), lit(" extra extra")))
+    SnapshotMerge.upsertSharded(batch, Seq("doc_id"), path,
+      commitTag = Some("sd_batch_1"))
+    CorpusStats.statsDiff(
+        CorpusStats.statsCard(
+          SnapshotMerge.readShardedVersion(s, path, 1L), "text",
+          Some("lang")),
+        CorpusStats.statsCard(
+          SnapshotMerge.readSharded(s, path), "text", Some("lang")))
+      .orderBy(col("stat"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_curation_filter" -> curationFilter,
     "q_curation_full" -> curationFull,
@@ -306,6 +335,7 @@ object TextQueries {
     "q_rrf_fusion" -> rrfFusion,
     "q_quality_classifier" -> qualityClassifier,
     "q_corpus_stats" -> corpusStats,
+    "q_corpus_stats_diff" -> corpusStatsDiff,
     "q_blocklist" -> blocklistAnnotate)
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
@@ -331,6 +361,54 @@ object TextQueries {
                 + (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))::DOUBLE
                    / GREATEST($wsToks::DOUBLE, 1.0)) * 0.3
                 + ($hitsEn / 5.0) * 0.2""", 4)
+
+  /** THE single SQL derivation of [[graft.operators.CorpusStats
+    * .statsCard]] over a source relation (lang-grouped) — shared by the
+    * q_corpus_stats oracle and BOTH sides of the q_corpus_stats_diff
+    * oracle, so the card arithmetic can never fork from itself. Emits
+    * an UNORDERED (stat, value) SELECT with its own nested WITH (legal
+    * as a CTE body; inner names shadow safely). */
+  private[queries] def corpusCardSql(src: String): String =
+    s"""WITH g AS (
+          SELECT COUNT(*) AS n_docs,
+            COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+              AS n_null,
+            COALESCE(SUM(COALESCE($wsToks, 0)), 0) AS n_tokens,
+            COALESCE(SUM(COALESCE(LENGTH(text), 0)), 0) AS n_chars,
+            COUNT(text) AS n_nonnull,
+            COUNT(DISTINCT MD5(text)) AS n_distinct
+          FROM $src),
+        vv AS (
+          SELECT COUNT(DISTINCT t) AS vocab FROM (
+            SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text,
+              '${graft.functions.GraftFunctions.WsRun}'),
+              x -> x <> '')) AS t
+            FROM $src WHERE text IS NOT NULL)),
+        base(stat, value) AS (
+          SELECT 'n_docs', n_docs::DOUBLE FROM g UNION ALL
+          SELECT 'n_null_text', n_null::DOUBLE FROM g UNION ALL
+          SELECT 'n_tokens', n_tokens::DOUBLE FROM g UNION ALL
+          SELECT 'n_chars', n_chars::DOUBLE FROM g UNION ALL
+          SELECT 'avg_tokens_per_doc', ${roundPortableSql(
+            "g.n_tokens::DOUBLE / GREATEST(g.n_docs, 1)", 6)} FROM g
+          UNION ALL
+          SELECT 'vocab_size', vocab::DOUBLE FROM vv UNION ALL
+          SELECT 'type_token_ratio', ${roundPortableSql(
+            "vv.vocab::DOUBLE / GREATEST(g.n_tokens, 1)", 6)} FROM g, vv
+          UNION ALL
+          SELECT 'exact_dup_docs',
+            (n_nonnull - n_distinct)::DOUBLE FROM g UNION ALL
+          SELECT 'exact_dup_fraction', ${roundPortableSql(
+            "(g.n_nonnull - g.n_distinct)::DOUBLE / GREATEST(g.n_nonnull, 1)",
+            6)} FROM g),
+        grp AS (
+          SELECT COALESCE(lang, 'null') AS gl,
+            COUNT(*)::DOUBLE AS d,
+            COALESCE(SUM(COALESCE($wsToks, 0)), 0)::DOUBLE AS t
+          FROM $src GROUP BY 1)
+        SELECT * FROM base
+        UNION ALL SELECT 'docs_lang_' || gl, d FROM grp
+        UNION ALL SELECT 'tokens_lang_' || gl, t FROM grp"""
 
   /** THE single CTE stack deriving the ranked BM25 relation
     * `r(query_id, doc_id, score, rank)` from corpus statistics — shared
@@ -690,48 +768,34 @@ object TextQueries {
     // distinct-md5 dup count, the real-split vocabulary, round6 ratios
     // and the per-language composition (null lang → 'lang_null')
     "q_corpus_stats" ->
-      s"""WITH g AS (
-            SELECT COUNT(*) AS n_docs,
-              COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
-                AS n_null,
-              COALESCE(SUM(COALESCE($wsToks, 0)), 0) AS n_tokens,
-              COALESCE(SUM(COALESCE(LENGTH(text), 0)), 0) AS n_chars,
-              COUNT(text) AS n_nonnull,
-              COUNT(DISTINCT MD5(text)) AS n_distinct
-            FROM documents),
-          v AS (
-            SELECT COUNT(DISTINCT t) AS vocab FROM (
-              SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text,
-                '${graft.functions.GraftFunctions.WsRun}'),
-                x -> x <> '')) AS t
-              FROM documents WHERE text IS NOT NULL)),
-          base(stat, value) AS (
-            SELECT 'n_docs', n_docs::DOUBLE FROM g UNION ALL
-            SELECT 'n_null_text', n_null::DOUBLE FROM g UNION ALL
-            SELECT 'n_tokens', n_tokens::DOUBLE FROM g UNION ALL
-            SELECT 'n_chars', n_chars::DOUBLE FROM g UNION ALL
-            SELECT 'avg_tokens_per_doc', ${roundPortableSql(
-              "g.n_tokens::DOUBLE / GREATEST(g.n_docs, 1)", 6)} FROM g
+      s"""SELECT stat, value FROM (${corpusCardSql("documents")})
+          ORDER BY stat""",
+    // the release-note view: BOTH versions' contents re-derived from
+    // the merge rule (v1 = the created evens; v2 = keep-last of v1 ∪
+    // the %3 batch with the appended suffix), a full card computed
+    // over each, then the same full-outer 0-defaulted diff — a drifted
+    // number in EITHER card or a wrong version read fails the hash
+    "q_corpus_stats_diff" -> {
+      val card1 = corpusCardSql("v1")
+      val card2 = corpusCardSql("v2")
+      s"""WITH v1 AS (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+          v2 AS (
+            SELECT doc_id, text || ' extra extra' AS text, lang
+            FROM documents WHERE doc_id % 3 = 0
             UNION ALL
-            SELECT 'vocab_size', vocab::DOUBLE FROM v UNION ALL
-            SELECT 'type_token_ratio', ${roundPortableSql(
-              "v.vocab::DOUBLE / GREATEST(g.n_tokens, 1)", 6)} FROM g, v
-            UNION ALL
-            SELECT 'exact_dup_docs',
-              (n_nonnull - n_distinct)::DOUBLE FROM g UNION ALL
-            SELECT 'exact_dup_fraction', ${roundPortableSql(
-              "(g.n_nonnull - g.n_distinct)::DOUBLE / GREATEST(g.n_nonnull, 1)",
-              6)} FROM g),
-          grp AS (
-            SELECT COALESCE(lang, 'null') AS gl,
-              COUNT(*)::DOUBLE AS d,
-              COALESCE(SUM(COALESCE($wsToks, 0)), 0)::DOUBLE AS t
-            FROM documents GROUP BY 1),
-          allrows AS (
-            SELECT * FROM base
-            UNION ALL SELECT 'docs_lang_' || gl, d FROM grp
-            UNION ALL SELECT 'tokens_lang_' || gl, t FROM grp)
-          SELECT stat, value FROM allrows ORDER BY stat""",
+            SELECT doc_id, text, lang FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0),
+          c1 AS ($card1), c2 AS ($card2)
+          SELECT stat,
+            COALESCE(c1.value, 0.0) AS value_before,
+            COALESCE(c2.value, 0.0) AS value_after,
+            ${roundPortableSql(
+              "COALESCE(c2.value, 0.0) - COALESCE(c1.value, 0.0)", 6)}
+              AS delta
+          FROM c1 FULL OUTER JOIN c2 USING (stat)
+          ORDER BY stat"""
+    },
     // the corpus scoring pass re-derived from the engine's model
     // snapshot (full-precision weights; bucket −1 = intercept): same
     // portable split, same md5 bucket hash (salt '/qc' — the

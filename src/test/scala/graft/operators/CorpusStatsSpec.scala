@@ -51,6 +51,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(m("type_token_ratio") == 0.0 && m("exact_dup_fraction") == 0.0)
   }
 
+  test("statsDiff: full-outer semantics, 0 defaults, rounded delta") {
+    val before = Seq(("n_docs", 10.0), ("docs_lang_en", 10.0))
+      .toDF("stat", "value")
+    val after = Seq(("n_docs", 12.0), ("docs_lang_de", 2.0))
+      .toDF("stat", "value")
+    val m = CorpusStats.statsDiff(before, after)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m("n_docs") == ((10.0, 12.0, 2.0)))
+    assert(m("docs_lang_en") == ((10.0, 0.0, -10.0))) // vanished group
+    assert(m("docs_lang_de") == ((0.0, 2.0, 2.0)))    // appeared group
+    intercept[IllegalArgumentException] {
+      CorpusStats.statsDiff(before, docs) // not a card
+    }
+  }
+
   test("plan: aggregate branches only — no corpus window, no nested-loop beyond the 1×1") {
     val out = CorpusStats.statsCard(docs, "text", Some("lang"))
     out.collect()
