@@ -56,8 +56,16 @@ object QualityClassifier {
     * per-document count array costs O(n_tokens · buckets) comparisons —
     * fit-sample work only, never paid corpus-side; [[score]] is the
     * corpus path and touches each token once. */
+  /** maxIter default: L-BFGS on a hashed-LR objective converges in a
+    * few dozen iterations, and each iteration schedules jobs over the
+    * (bounded, internally persisted) sample — on small fits the
+    * iteration count is mostly scheduler overhead (~0.15 s/iteration
+    * measured on the sf0.1 gate fixture; 35 ≈ 7 s fit, 10 ≈ 3.5 s —
+    * `tools/QcProbe`). The gate result is iteration-independent: the
+    * oracle rescores whatever weights come out, and the spec's
+    * separable-corpus accuracy bound holds at 35. */
   def fit(labeled: DataFrame, textCol: String, labelCol: String,
-      buckets: Int = 256, maxIter: Int = 100, regParam: Double = 1e-4,
+      buckets: Int = 256, maxIter: Int = 35, regParam: Double = 1e-4,
       salt: String = "qc", sampleRows: Int = 100000): Model = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
@@ -67,8 +75,16 @@ object QualityClassifier {
     val ts = toks(col(textCol))
     val bs = transform(ts, t => bucketOf(t, buckets, salt))
     val n = greatest(size(ts), lit(1)).cast("double")
-    val x = transform(sequence(lit(0), lit(buckets - 1)),
-      b => size(filter(bs, v => v === b)) / n)
+    // Single fold over the bucket array carrying a buckets-wide count
+    // vector — NOT a per-bucket outer loop, which would re-evaluate the
+    // md5 transform once per bucket (the simhash64PortableHOF lesson:
+    // HOF lambdas defeat subexpression reuse; the outer-loop spelling
+    // measured ~12 s of pure redundant hashing on the sf0.1 gate fit)
+    val bSeq = sequence(lit(0), lit(buckets - 1))
+    val counts = aggregate(bs, transform(bSeq, _ => lit(0)),
+      (acc, v) => zip_with(acc, bSeq,
+        (c, b) => c + when(v === b, 1).otherwise(0)))
+    val x = transform(counts, c => c / n)
     val feats = labeled
       .filter(col(textCol).isNotNull)
       .select(array_to_vector(x).as("features"),
