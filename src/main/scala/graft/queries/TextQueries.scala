@@ -316,6 +316,21 @@ object TextQueries {
       .orderBy(col("stat"))
   }
 
+  /** Curriculum ordering under the hash gate: every document's exact
+    * global rank in (rounded quality desc, doc_id) order — the oracle's
+    * global `ROW_NUMBER()` must match the distributed two-pass rank on
+    * EVERY row, so a drifted quality, a misplaced range boundary, or a
+    * wrong partition prefix anywhere fails the gate. */
+  val curriculumRank: Q = (s, dir) => {
+    import graft.functions.GraftFunctions.roundPortable
+    val docs = Scan.table(s, dir, "documents")
+      .select(col("doc_id"),
+        roundPortable(qualityScore(col("text")), 4).as("quality"))
+    graft.operators.Ranking.withGlobalRank(docs,
+        Seq(col("quality").desc, col("doc_id")), "rank")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_curation_filter" -> curationFilter,
     "q_curation_full" -> curationFull,
@@ -336,7 +351,8 @@ object TextQueries {
     "q_quality_classifier" -> qualityClassifier,
     "q_corpus_stats" -> corpusStats,
     "q_corpus_stats_diff" -> corpusStatsDiff,
-    "q_blocklist" -> blocklistAnnotate)
+    "q_blocklist" -> blocklistAnnotate,
+    "q_curriculum_rank" -> curriculumRank)
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
   private[queries] val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
@@ -748,6 +764,16 @@ object TextQueries {
           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
             CAST(rank AS INTEGER) AS rank
           FROM fr WHERE rank <= 8 ORDER BY query_id, rank""",
+    // the exact global rank re-derived by DuckDB's global ROW_NUMBER
+    // over the SAME rounded-quality total order (NULLS LAST spelled to
+    // pin Spark's desc default; doc_id makes the order total)
+    "q_curriculum_rank" ->
+      s"""WITH q AS (
+            SELECT doc_id, $qualityScoreSql AS quality FROM documents)
+          SELECT doc_id, quality,
+            CAST(ROW_NUMBER() OVER (ORDER BY quality DESC NULLS LAST,
+              doc_id) - 1 AS BIGINT) AS rank
+          FROM q ORDER BY doc_id""",
     // the C4 blocklist rule re-derived: lower-cased portable split,
     // token-equality IN-list filter (word boundaries — 'assassin'
     // cannot trip 'ass'), distinct + sort + join
