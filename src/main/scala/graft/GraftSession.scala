@@ -53,18 +53,28 @@ object GraftSession {
   def partitionsFor(spark: SparkSession, nRows: Long): Int =
     partitionsFor(nRows, spark.sparkContext.defaultParallelism)
 
-  /** Shuffle width from the PLAN, not the data: the input's physical
-    * partition count clamped to the same [cores, 6×cores] band as
-    * [[partitionsFor]]. Converting the plan to an RDD schedules NO job
-    * — the width is known from the scan's split planning (file count ×
-    * maxPartitionBytes) — so prefix-sum operators size their one range
-    * exchange without an extra `count()` action re-evaluating the
-    * upstream plan (which, fed a computed projection like a tokenized
-    * corpus, costs a full second scan). The scan's width already
-    * tracks input bytes, which is the same signal row count proxies. */
+  /** Shuffle width from the PLAN, not the data: the optimizer's size
+    * estimate divided by `spark.sql.files.maxPartitionBytes` (the same
+    * split arithmetic the file scan uses), clamped to the [cores,
+    * 6×cores] band of [[partitionsFor]]. Reads ONLY
+    * `optimizedPlan.stats` — logical statistics come from the file
+    * index (scan-shaped inputs) or size propagation (computed
+    * projections) and NEVER schedule a job. The earlier `.rdd
+    * .getNumPartitions` spelling was job-free only for scan-shaped
+    * plans: with AQE on (this session's default) `Dataset.rdd` forces
+    * `getFinalPhysicalPlan()`, EXECUTING every upstream exchange as a
+    * real job that the subsequent repartitionByRange pass then re-ran
+    * — double execution for join/aggregate-shaped inputs to Packing /
+    * Ranking / Sampling. The estimate is coarse for computed plans
+    * (propagated sizes over-count pruned columns), but the band clamp
+    * makes precision irrelevant: any estimate lands within 6× of
+    * cores, which is the whole decision space. */
   def partitionsForPlan(df: org.apache.spark.sql.DataFrame): Int = {
-    val cores = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-    math.max(cores, math.min(6 * cores, df.rdd.getNumPartitions))
+    val spark = df.sparkSession
+    val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    val maxPart = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val byBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart
+    byBytes.min(BigInt(6L * cores)).max(BigInt(cores)).toInt
   }
 
   /** Conf key selecting the scratch strategy for [[pin]]: unset (the

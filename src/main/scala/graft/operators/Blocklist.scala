@@ -32,9 +32,18 @@ object Blocklist {
     * matched case-insensitively; multi-word terms are rejected loudly
     * (token-boundary matching cannot see across spaces — phrase
     * blocking is [[Decontaminate]]'s shingle machinery). */
+  /** The three columns annotation adds; pre-existing columns with
+    * these names are rejected loudly (the [[Ranking.withGlobalRank]]
+    * posture) — `withColumn` would silently overwrite caller data and
+    * [[filterBlocked]] would then drop it. */
+  val OutputCols: Seq[String] = Seq("blocked", "n_blocked_terms",
+    "blocked_terms")
+
   def annotateBlocked(docs: DataFrame, textCol: String,
       terms: Seq[String]): DataFrame = {
     require(docs.columns.contains(textCol), s"column $textCol absent")
+    OutputCols.foreach(c => require(!docs.columns.contains(c),
+      s"output column $c already present in ${docs.columns.mkString(",")}"))
     require(terms.nonEmpty, "empty blocklist")
     terms.foreach(t => require(t.nonEmpty && !t.exists(_.isWhitespace),
       s"blocklist term '$t' is empty or multi-word — token-boundary " +

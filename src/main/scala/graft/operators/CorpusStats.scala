@@ -88,6 +88,12 @@ object CorpusStats {
     groupCol match {
       case None => base.orderBy(col("stat"))
       case Some(gc) =>
+        // A NULL group value and the literal string "null" share the
+        // stat key docs_<col>_null — COUNT SEMANTICS, mirrored by the
+        // oracle's COALESCE spelling. The final groupBy(stat) makes
+        // key-unique emission a construction guarantee (one row per
+        // stat, colliding source groups summed), so statsDiff's
+        // full-outer join can never fan out many-to-many.
         val grouped = docs
           .groupBy(coalesce(col(gc).cast("string"), lit("null")).as("__g"))
           .agg(count(lit(1)).cast("double").as("__docs"),
@@ -96,6 +102,7 @@ object CorpusStats {
             concat(lit(s"docs_${gc}_"), col("__g")), col("__docs"),
             concat(lit(s"tokens_${gc}_"), col("__g")), col("__toks")))
             .as(Seq("stat", "value")))
+          .groupBy(col("stat")).agg(sum(col("value")).as("value"))
         base.unionByName(grouped).orderBy(col("stat"))
     }
   }
@@ -115,8 +122,14 @@ object CorpusStats {
       require(df.columns.toSeq.containsSlice(Seq("stat", "value")) ||
         df.columns.toSet == Set("stat", "value"),
         s"expected a (stat, value) card, got ${df.columns.mkString(",")}"))
-    val b = before.select(col("stat"), col("value").as("value_before"))
-    val a = after.select(col("stat"), col("value").as("value_after"))
+    // Pre-aggregate each side by stat: a no-op for well-formed cards
+    // (statsCard emits key-unique rows by construction), and on a
+    // caller-supplied card with duplicate keys it sums them instead of
+    // letting the full-outer join fan out many-to-many.
+    val b = before.groupBy(col("stat"))
+      .agg(sum(col("value")).as("value_before"))
+    val a = after.groupBy(col("stat"))
+      .agg(sum(col("value")).as("value_after"))
     b.join(a, Seq("stat"), "full_outer")
       .select(col("stat"),
         coalesce(col("value_before"), lit(0.0)).as("value_before"),

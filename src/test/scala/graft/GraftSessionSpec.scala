@@ -66,4 +66,26 @@ class GraftSessionSpec extends SparkSpec {
     assert(viaLocal.nonEmpty)
     assert(viaParquet == viaLocal)
   }
+
+  test("partitionsForPlan schedules NO job, even for aggregate-shaped plans under AQE") {
+    import spark.implicits._
+    // an exchange-bearing plan: the old Dataset.rdd spelling would
+    // force AQE's getFinalPhysicalPlan() and EXECUTE the shuffle here
+    val agg = (1L to 10000L).toDF("id")
+      .groupBy(col("id") % 7).agg(count(lit(1)).as("n"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val p = GraftSession.partitionsForPlan(agg.toDF())
+      Thread.sleep(500) // listener bus is async; job-start events land fast
+      val cores = spark.sparkContext.defaultParallelism
+      assert(p >= cores && p <= 6 * cores)
+      assert(jobs.get() == 0, s"partitionsForPlan ran ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

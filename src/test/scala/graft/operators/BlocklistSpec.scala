@@ -53,4 +53,17 @@ class BlocklistSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"blocklist plan not map-only:\n$plan")
   }
+
+  test("pre-existing output columns are rejected loudly, not overwritten") {
+    Blocklist.OutputCols.foreach { c =>
+      val occupied = docs.withColumn(c, lit("caller data"))
+      val e = intercept[IllegalArgumentException] {
+        Blocklist.annotateBlocked(occupied, "text", terms)
+      }
+      assert(e.getMessage.contains(c))
+      intercept[IllegalArgumentException] {
+        Blocklist.filterBlocked(occupied, "text", terms)
+      }
+    }
+  }
 }

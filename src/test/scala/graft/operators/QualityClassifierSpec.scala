@@ -70,6 +70,25 @@ class QualityClassifierSpec extends SparkSpec {
     assert(back.intercept == m.intercept)
   }
 
+  test("non-dense or duplicated bucket snapshots are rejected loudly") {
+    import spark.implicits._
+    // missing bucket 1 of {0,1,2}: would silently shift weights + modulus
+    val gap = Seq((0, 0.5), (2, 1.5), (-1, 0.25)).toDF("bucket", "weight")
+    val e1 = intercept[IllegalArgumentException] {
+      QualityClassifier.fromRelation(gap)
+    }
+    assert(e1.getMessage.contains("bucket-dense"))
+    val dup = Seq((0, 0.5), (1, 1.0), (1, 2.0)).toDF("bucket", "weight")
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.fromRelation(dup)
+    }
+    assert(e2.getMessage.contains("duplicate bucket"))
+    intercept[IllegalArgumentException] {
+      QualityClassifier.fromRelation(
+        Seq((-1, 0.25)).toDF("bucket", "weight"))  // intercept only
+    }
+  }
+
   test("scoring plan is map-only: no exchange, no join, no aggregate node") {
     import spark.implicits._
     val m = Model(Array.fill(8)(0.1), intercept = 0.0, salt = "qc")
