@@ -25,18 +25,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * final symbol counts over words. Empty pre-tokens (from consecutive
   * spaces) count 0; NULL text is NULL.
   *
-  * The merge table is a FIXTURE — [[BpeTokenCount.merges]], learned
-  * offline by the public Sennrich TRAINING procedure (count adjacent
-  * pairs over the vocabulary, fuse the most frequent, repeat;
-  * deterministic lexicographic tie-break, stop below support 2) and
-  * committed as a constant, the way a production deployment ships its
-  * tokenizer's `merges.txt`. Swap in a real model's table by replacing
-  * the constant — the apply loop is table-agnostic. The fixture is
-  * deliberately rank-DEPENDENT (e.g. `m+er` can only fire after `e+r`)
-  * so the oracle exercises priority order, not just segmentation.
+  * The merge table is a [[BpeTable]] value carried BY the expression
+  * (default: [[BpeTokenCount.fixtureTable]], learned offline by the
+  * public Sennrich TRAINING procedure — count adjacent pairs over the
+  * vocabulary, fuse the most frequent, repeat; deterministic
+  * lexicographic tie-break, stop below support 2). Swap in a real
+  * model's tokenizer with [[BpeTable.fromTokenizerFiles]] — the
+  * standard GPT-2 `merges.txt`/`vocab.json` pair parses, validates
+  * (rank bijectivity, vocab closure) and rides the plan; the apply
+  * loop is table-agnostic. The fixture is deliberately rank-DEPENDENT
+  * (e.g. `m+er` can only fire after `e+r`) so the oracle exercises
+  * priority order, not just segmentation.
   *
   * Scale shape: per-row, allocation-light, no shuffle; the word →
-  * count memo ([[BpeTokenCount.cache]], bounded) makes the steady
+  * count memo ([[BpeTable]]'s bounded cache) makes the steady
   * state one hash probe per word — natural-language corpora repeat
   * their vocabulary, which is the same reason BPE exists. Codegen'd
   * via a static call like every native expression here; the DuckDB
@@ -44,7 +46,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (TextQueries `bpeCtes`), so the gate is cross-engine, not
   * self-referential.
   */
-case class BpeTokenCount(child: Expression) extends UnaryExpression {
+case class BpeTokenCount(child: Expression,
+    table: BpeTable = BpeTokenCount.fixtureTable) extends UnaryExpression {
 
   override def prettyName: String = "bpe_token_count"
   override def dataType: DataType = LongType
@@ -57,11 +60,17 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(v: Any): Any =
-    BpeTokenCount.compute(v.asInstanceOf[UTF8String])
+    table.compute(v.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeTokenCount.compute($c);")
+  // the table rides the plan as a codegen reference object (the
+  // standard non-literal-state pattern), so a LOADED tokenizer table
+  // (merges.txt/vocab.json via BpeTable) codegens exactly like the
+  // committed fixture — no static registry an executor could miss
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $tbl.compute($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -71,85 +80,24 @@ object BpeTokenCount {
 
   /** The fixture merge table, rank = position. Learned offline (see
     * class doc); constant so both engines read the SAME ranks — the
-    * oracle SQL interpolates these exact pairs. */
+    * oracle SQL interpolates these exact pairs, and the committed
+    * resource fixture `graft/bpe/merges.txt` parses to exactly this
+    * list ([[BpeTable.fromResources]], spec-asserted). */
   val merges: IndexedSeq[(String, String)] = Vector(
     "e" -> "r", "i" -> "n", "o" -> "r", "o" -> "w", "s" -> "t",
     "a" -> "l", "a" -> "r", "a" -> "t", "m" -> "er", "p" -> "ar",
     "u" -> "p")
 
-  /** pair → rank, keyed `l + NUL + r` (symbols never contain the
-    * NUL separator — they come from text split on spaces). */
-  private val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    merges.zipWithIndex.foreach { case ((l, r), i) =>
-      m.put(l + "\u0000" + r, Integer.valueOf(i))
-    }
-    m
-  }
+  /** The fixture as a [[BpeTable]] — the expression default. The
+    * apply loop, rank index and word memo all live on [[BpeTable]];
+    * swap tokenizers by passing a loaded table to the expression. */
+  val fixtureTable: BpeTable = BpeTable(merges)
 
-  /** Bounded word → token-count memo. Natural corpora repeat words, so
-    * the merge loop runs ~once per vocabulary entry, not per token.
-    * Insertion stops at the cap (no eviction churn on adversarial
-    * vocabularies); reads stay lock-free. */
-  private val CacheCap = 1 << 16
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Token count of ONE word under the fixture table (oracle-twin
+    * probe surface; production counting goes through the expression). */
+  def segmentLen(word: String): Long = fixtureTable.segmentLen(word)
 
-  /** Token count of ONE word (no spaces) by the apply loop. */
-  def segmentLen(word: String): Long = {
-    if (word.isEmpty) return 0L
-    if (word.length == 1) return 1L
-    val memo = cache.get(word)
-    if (memo != null) return memo.longValue()
-    var syms = new java.util.ArrayList[String](word.length)
-    var i = 0
-    while (i < word.length) {
-      syms.add(String.valueOf(word.charAt(i))); i += 1
-    }
-    var done = false
-    while (!done && syms.size > 1) {
-      // lowest-rank pair present
-      var bestRank = Int.MaxValue
-      var j = 0
-      while (j < syms.size - 1) {
-        val r = rank.get(syms.get(j) + "\u0000" + syms.get(j + 1))
-        if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
-        j += 1
-      }
-      if (bestRank == Int.MaxValue) done = true
-      else {
-        // fuse all leftmost-first non-overlapping occurrences
-        val (l, r) = merges(bestRank)
-        val next = new java.util.ArrayList[String](syms.size)
-        var k = 0
-        while (k < syms.size) {
-          if (k < syms.size - 1 && syms.get(k) == l && syms.get(k + 1) == r) {
-            next.add(l + r); k += 2
-          } else {
-            next.add(syms.get(k)); k += 1
-          }
-        }
-        syms = next
-      }
-    }
-    val n = syms.size.toLong
-    if (cache.size() < CacheCap) cache.put(word, java.lang.Long.valueOf(n))
-    n
-  }
-
-  /** Static so the generated Java can call it directly. */
-  def compute(text: UTF8String): Long = {
-    val s = text.toString
-    var total = 0L
-    var start = 0
-    var i = 0
-    while (i <= s.length) {
-      if (i == s.length || s.charAt(i) == ' ') {
-        if (i > start) total += segmentLen(s.substring(start, i))
-        start = i + 1
-      }
-      i += 1
-    }
-    total
-  }
+  /** Static fixture-table count — kept for generated code compiled
+    * before the table became a reference object. */
+  def compute(text: UTF8String): Long = fixtureTable.compute(text)
 }

@@ -95,6 +95,13 @@ object GraftFunctions {
     * for budgets/packing/chunking. */
   def bpe_token_count(text: Column): Column = c(BpeTokenCount(e(text)))
 
+  /** EXACT BPE token count under a LOADED merge table (a real model's
+    * `merges.txt`/`vocab.json` via [[BpeTable.fromTokenizerFiles]]) —
+    * drop-in for any [[TextAnalysis.approxBpeTokenCount]] site once
+    * budgets must be spent in the training model's own tokens. */
+  def bpe_token_count(text: Column, table: BpeTable): Column =
+    c(BpeTokenCount(e(text), table))
+
   /** PQ residual codes of `vec` against its coarse centroid `cvec`
     * under a constant codebook ([[PqEncode]]). */
   def pq_encode(vec: Column, cvec: Column, cb: PqKernel.Codebook): Column =

@@ -64,36 +64,76 @@ object SemDedup {
         .cast("long"))
   }
 
+  /** Hot-cluster guard — the [[TextDedup.capBuckets]] /
+    * IVF-refit posture for the one remaining unbounded quadratic in
+    * the dedup family: k-means under a skewed embedding distribution
+    * can hand one GIANT cluster to the witness self-join and
+    * re-introduce the all-pairs product [[clustersFor]] exists to
+    * prevent. Clusters above `maxClusterSize` are re-split into
+    * `ceil(size / cap)` sub-cells by a deterministic id hash, and the
+    * witness join keys on (cluster, sub-cell) — every cell's pair
+    * count is bounded by ~cap²/2 regardless of skew, so total work is
+    * ≤ n·cap. The trade, same as the LSH bucket cap: witnesses in a
+    * SIBLING sub-cell of the same hot cluster are not seen (fewer
+    * drops — the capped kept set is a superset of the uncapped one).
+    * No silent default: `Long.MaxValue` keeps exact behavior unless
+    * the caller opts in. Cost when opted in: one O(n) map-side count
+    * per cluster + an O(clusters) broadcast join. */
+  private def withSubCells(assigned: DataFrame, idCol: String,
+      maxClusterSize: Long): DataFrame = {
+    require(maxClusterSize >= 1,
+      s"maxClusterSize=$maxClusterSize must be >= 1")
+    if (maxClusterSize == Long.MaxValue) assigned
+    else {
+      val nSub = assigned.groupBy(col("cluster_id"))
+        .agg(greatest(lit(1L),
+          ceil(count(lit(1)) / lit(maxClusterSize.toDouble)).cast("long"))
+          .as("__n_sub"))
+      assigned.join(broadcast(nSub), "cluster_id")
+        .withColumn("__sub", pmod(xxhash64(col(idCol)), col("__n_sub")))
+        // the USING join fronts cluster_id — restore the caller's
+        // column order so capped and exact outputs share a schema
+        .select(assigned.columns.map(col).toSeq :+ col("__sub"): _*)
+    }
+  }
+
   /** The kept rows (all input columns + `cluster_id`) after the
     * cluster-scoped drop rule. Pass `assignments` (an
     * `(idCol, cluster_id)` relation, e.g. a persisted snapshot of a
     * prior [[withClusters]]) to pin the clustering externally — the
-    * seam the oracle uses, and the production fit-once path. */
+    * seam the oracle uses, and the production fit-once path.
+    * `maxClusterSize` opts into the hot-cluster guard
+    * ([[withSubCells]] — bounded pair count under cluster skew, at a
+    * documented recall trade). */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
       tau: Double, nClusters: Int = 16, seed: Long = 42L,
       maxIter: Int = 20, centroids: Option[DataFrame] = None,
-      assignments: Option[DataFrame] = None): DataFrame = {
+      assignments: Option[DataFrame] = None,
+      maxClusterSize: Long = Long.MaxValue): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau must be in (0, 1]")
-    val assigned = assignments match {
+    val capped = maxClusterSize != Long.MaxValue
+    val assigned = withSubCells(assignments match {
       case Some(a) => corpus.join(
         a.select(col(idCol), col("cluster_id")), idCol)
       case None =>
         withClusters(corpus, idCol, vecCol, nClusters, seed, maxIter,
           centroids)
-    }
+    }, idCol, maxClusterSize)
     // every witness-side column RENAMED before the self-join: reusing
     // the parent's attribute names would make both join sides resolve
     // to the same lineage (the classic Spark self-join ambiguity)
     val witness = assigned.select(
-      col("cluster_id").as("__w_cluster"),
-      col(idCol).as("__w_id"),
-      col(vecCol).as("__w_vec"))
-    assigned.join(witness,
-      col("cluster_id") === col("__w_cluster") &&
-        col("__w_id") < col(idCol) &&
-        roundPortable(
-          cosine_similarity(col(vecCol), col("__w_vec")), 6) >= tau,
-      "left_anti")
+      (Seq(col("cluster_id").as("__w_cluster"),
+        col(idCol).as("__w_id"),
+        col(vecCol).as("__w_vec")) ++
+        (if (capped) Seq(col("__sub").as("__w_sub")) else Nil)): _*)
+    val cond = col("cluster_id") === col("__w_cluster") &&
+      (if (capped) col("__sub") === col("__w_sub") else lit(true)) &&
+      col("__w_id") < col(idCol) &&
+      roundPortable(
+        cosine_similarity(col(vecCol), col("__w_vec")), 6) >= tau
+    val kept = assigned.join(witness, cond, "left_anti")
+    if (capped) kept.drop("__sub") else kept
   }
 
   /** The dropped relation with one witness each — `(idCol, cluster_id,
@@ -104,21 +144,25 @@ object SemDedup {
   def droppedWithWitness(corpus: DataFrame, idCol: String, vecCol: String,
       tau: Double, nClusters: Int = 16, seed: Long = 42L,
       maxIter: Int = 20, centroids: Option[DataFrame] = None,
-      assignments: Option[DataFrame] = None): DataFrame = {
+      assignments: Option[DataFrame] = None,
+      maxClusterSize: Long = Long.MaxValue): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau must be in (0, 1]")
-    val assigned = assignments match {
+    val capped = maxClusterSize != Long.MaxValue
+    val assigned = withSubCells(assignments match {
       case Some(a) => corpus.join(
         a.select(col(idCol), col("cluster_id")), idCol)
       case None =>
         withClusters(corpus, idCol, vecCol, nClusters, seed, maxIter,
           centroids)
-    }
+    }, idCol, maxClusterSize)
     val witness = assigned.select(
-      col("cluster_id").as("__w_cluster"),
-      col(idCol).as("__w_id"),
-      col(vecCol).as("__w_vec"))
+      (Seq(col("cluster_id").as("__w_cluster"),
+        col(idCol).as("__w_id"),
+        col(vecCol).as("__w_vec")) ++
+        (if (capped) Seq(col("__sub").as("__w_sub")) else Nil)): _*)
     assigned.join(witness,
       col("cluster_id") === col("__w_cluster") &&
+        (if (capped) col("__sub") === col("__w_sub") else lit(true)) &&
         col("__w_id") < col(idCol) &&
         roundPortable(
           cosine_similarity(col(vecCol), col("__w_vec")), 6) >= tau)

@@ -88,18 +88,29 @@ object TfIdf {
   }
 
   /** Top-k terms per document by (tfidf desc, token) — the keyword
-    * extraction spelling. Rank via row_number window over the
-    * vocabulary-joined vectors: the window partitions by document, so
-    * state is per-doc term counts, never corpus-wide. */
+    * extraction spelling. Rank via the bounded
+    * [[graft.functions.TopKByScore]] aggregate (the [[Similarity]] /
+    * [[bm25TopK]] ranking spelling): a k-entry heap per document per
+    * input partition with map-side partial merge, so only k rows per
+    * doc cross the one exchange — the `row_number` window this
+    * replaces shuffled EVERY (doc, term) vector row into the rank
+    * exchange. The heap id is `struct(token, n_term, df)` so the
+    * payload columns ride the heap entry (no join-back); struct
+    * ordering compares token first and (doc, token) is unique, so the
+    * tie-break is exactly the window's `(tfidf desc, token asc)`. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
       minDf: Long = 1L): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("tfidf").desc, col("token"))
     tfidfVectors(docs, idCol, textCol, minDf)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy(col(idCol))
+      .agg(graft.functions.GraftFunctions.top_k_by_score(
+        struct(col("token"), col("n_term"), col("df")),
+        col("tfidf"), k).as("__topk"))
+      .select(col(idCol), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(idCol), col("__e.id.token").as("token"),
+        col("__e.id.n_term").as("n_term"), col("__e.id.df").as("df"),
+        col("__e.score").as("tfidf"),
+        (col("__pos") + 1).cast("int").as("rank"))
   }
 
   /** Okapi BM25 top-k retrieval — the classic lexical ranking function

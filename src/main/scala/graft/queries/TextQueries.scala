@@ -192,9 +192,15 @@ object TextQueries {
     * implementation of the apply loop). */
   val bpeTokens: Q = (s, dir) => {
     val d = Scan.table(s, dir, "documents")
+    // the gate counts under the LOADED table — the committed
+    // real-format merges.txt/vocab.json fixture takes the full
+    // BpeTable parse+validate path and must still hash-match the
+    // oracle's recursive CTE over BpeTokenCount.merges (the loader
+    // round-trip IS part of what this gate now proves)
+    val loaded = graft.functions.BpeTable.fromResources()
     d.select(
       col("doc_id"),
-      graft.functions.GraftFunctions.bpe_token_count(col("text"))
+      graft.functions.GraftFunctions.bpe_token_count(col("text"), loaded)
         .as("bpe_tokens"),
       wsTokenCount(col("text")).as("ws_tokens"))
       .orderBy(col("doc_id"))

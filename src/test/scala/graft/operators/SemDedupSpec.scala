@@ -94,4 +94,67 @@ class SemDedupSpec extends SparkSpec {
       s"the witness join must key on cluster_id:\n$plan")
     assert(plan.contains("LeftAnti"), s"anti-join spelling expected:\n$plan")
   }
+
+  // ---- hot-cluster guard ----
+
+  private def degenerate(n: Int) = {
+    import spark.implicits._
+    // n distinct directions in one planted giant cluster — the skewed
+    // k-means outcome the guard exists for
+    Seq.tabulate(n) { i =>
+      val a = i * math.Pi / (2.0 * n)
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def allOne(n: Int) = {
+    import spark.implicits._
+    Seq.tabulate(n)(i => (i.toLong, 0L)).toDF("vec_id", "cluster_id")
+  }
+
+  test("hot-cluster guard: a planted degenerate clustering stays within a bounded candidate count") {
+    val n = 200
+    val cap = 20L
+    val docs = degenerate(n)
+    val capped = SemDedup.semDedup(docs, "vec_id", "embedding", tau = 0.999,
+        assignments = Some(allOne(n)), maxClusterSize = cap)
+      .collect().map(_.getLong(0)).toSet
+    val exact = SemDedup.semDedup(docs, "vec_id", "embedding", tau = 0.999,
+        assignments = Some(allOne(n)))
+      .collect().map(_.getLong(0)).toSet
+    // recall trade direction: sub-cell splitting can only LOSE
+    // witnesses, never invent them — capped keeps a superset
+    assert(exact.subsetOf(capped))
+    // the documented bound: sub-cell pair count ≤ ~n·cap, vs the
+    // uncapped n²/2 — recompute the deterministic sub assignment and
+    // count pairs the witness join can actually emit
+    val sizes = docs
+      .withColumn("__sub", pmod(xxhash64(col("vec_id")),
+        lit(math.ceil(n.toDouble / cap).toLong)))
+      .groupBy("__sub").count().collect().map(_.getLong(1))
+    val cells = math.ceil(n.toDouble / cap).toLong
+    assert(sizes.length.toLong <= cells)
+    val pairs = sizes.map(c => c * (c - 1) / 2).sum
+    assert(pairs <= 2L * n * cap,
+      s"candidate pairs $pairs exceed the n*cap bound")
+    assert(pairs < n.toLong * (n - 1) / 4,
+      s"guard did not reduce the quadratic: $pairs")
+    // determinism: the same capped call yields the same kept set
+    val again = SemDedup.semDedup(docs, "vec_id", "embedding", tau = 0.999,
+        assignments = Some(allOne(n)), maxClusterSize = cap)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == capped)
+  }
+
+  test("hot-cluster guard: small clusters are untouched (sub-split is a no-op below the cap)") {
+    val kept = SemDedup.semDedup(chain, "vec_id", "embedding", tau = 0.85,
+        assignments = Some(oneCluster), maxClusterSize = 100L)
+      .collect().map(_.getLong(0)).toSet
+    // 4 docs < cap → one sub-cell → identical to the exact result
+    assert(kept == Set(1L, 4L))
+    intercept[IllegalArgumentException] {
+      SemDedup.semDedup(chain, "vec_id", "embedding", tau = 0.85,
+        assignments = Some(oneCluster), maxClusterSize = 0L)
+    }
+  }
 }

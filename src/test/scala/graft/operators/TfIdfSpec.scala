@@ -45,6 +45,18 @@ class TfIdfSpec extends SparkSpec {
     assert(top == Map(1L -> "rare", 2L -> "word", 3L -> "common"))
   }
 
+  test("topTerms ranks via the bounded aggregate, never a per-doc window") {
+    val out = TfIdf.topTerms(corpus, "doc_id", "text", k = 2)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "token", "n_term", "df", "tfidf", "rank"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("top_k_by_score"),
+      s"expected the bounded top-k aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
+  }
+
   test("guards fail loudly") {
     intercept[IllegalArgumentException] {
       TfIdf.tfidfVectors(corpus, "doc_id", "text", minDf = 0L)
