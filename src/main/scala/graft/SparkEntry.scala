@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, DedupQueries, MixtureQueries, MultimodalQueries, ParityQueries, TemporalJoinQueries, TextQueries, TrainingDataQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, MixtureQueries, MultimodalQueries, ParityQueries, TemporalJoinQueries, TextQueries, TrainingDataQueries, UrlQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
     (ParityQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       WindowQueries.queries ++ AnalyticsQueries.queries ++
       MultimodalQueries.queries ++ MixtureQueries.queries ++
-      TemporalJoinQueries.queries ++ TrainingDataQueries.queries)
+      TemporalJoinQueries.queries ++ TrainingDataQueries.queries ++
+      UrlQueries.queries)
       .map { case (k, f) =>
         k -> { (s: SparkSession, dir: String) => f(GraftSession.configure(s), dir) }
       }
@@ -36,5 +37,6 @@ object SparkEntry {
     ParityQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
       WindowQueries.oracles ++ AnalyticsQueries.oracles ++
       MultimodalQueries.oracles ++ MixtureQueries.oracles ++
-      TemporalJoinQueries.oracles ++ TrainingDataQueries.oracles
+      TemporalJoinQueries.oracles ++ TrainingDataQueries.oracles ++
+      UrlQueries.oracles
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain/URL-level curation — the C4/RefinedWeb steps that run on the
+  * crawl's ADDRESSES rather than its text (Raffel et al. 2020 §2.2;
+  * Penedo et al. 2023 §3.1 dedup by URL and cap documents per
+  * registered domain so one template farm cannot dominate the corpus):
+  * canonicalize URLs to a stable dedup key, extract the domain, dedup
+  * exact canonical-URL repeats, and cap documents per domain.
+  *
+  * Canonicalization contract (each step mirrored by the DuckDB oracle
+  * as an independent second implementation):
+  *   1. trim; a value with no `scheme://` passes through trimmed
+  *      (not a URL — never invent structure);
+  *   2. scheme and host+port lower-cased (path/query case PRESERVED —
+  *      paths are case-significant on most servers);
+  *   3. fragment stripped (never sent to the server);
+  *   4. leading `www.` stripped from the host;
+  *   5. default ports stripped (`:80` for http, `:443` for https;
+  *      non-default ports kept);
+  *   6. tracking query parameters removed (`utm_*`, `gclid`,
+  *      `fbclid`, `msclkid`, `mc_eid`, `ref`), with the query
+  *      re-rooted (`&` → `?`) and an emptied query dropped;
+  *   7. trailing `/` runs stripped from the path.
+  *
+  * The domain unit is the canonical HOST (port included if
+  * non-default). True "registered domain" capping needs the public
+  * suffix list (no fixed label count distinguishes `bbc.co.uk` from
+  * `news.bbc.co.uk`) — a host-level cap is strictly finer, so it
+  * never under-caps a template farm on one host; a farm spread across
+  * subdomains needs the PSL upgrade, out of scope here.
+  *
+  * Scale shape: canonicalization and domain extraction are pure
+  * codegen projections (regexp chains — map-only, zero exchanges).
+  * [[dedupByUrl]] is ONE key exchange (min-id winner per canonical
+  * URL, the [[ParagraphDedup]] winner rule) + an id semi-join.
+  * [[domainCap]] ranks with the bounded
+  * [[graft.functions.TopKByScore]] aggregate — cap rows per domain
+  * per partition cross the exchange, never a per-domain window — and
+  * joins winners back by id. No step holds a domain's documents in
+  * one task's memory.
+  */
+object UrlCuration {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  /** Tracking parameters removed by step 6 — the common cross-site
+    * analytics/click ids (C4-era list; extend per deployment). */
+  val TrackingParamsRe: String =
+    "(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|ref)"
+
+  private def schemeOf(t: Column): Column =
+    lower(regexp_extract(t, SchemeRe, 1))
+
+  /** host[:port] after lower-casing, `www.` strip and default-port
+    * strip — needs the scheme for step 5. */
+  private def canonHost(t: Column): Column = {
+    val scheme = schemeOf(t)
+    val noFrag = regexp_replace(regexp_replace(t, SchemeRe, ""), "#.*$", "")
+    val hostport = regexp_replace(
+      lower(regexp_extract(noFrag, "^([^/?]*)", 1)), "^www\\.", "")
+    when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+  }
+
+  /** The canonical URL of `url` per the 7-step contract above; NULL
+    * in, NULL out. Pure projection — compose freely. */
+  def canonicalUrl(url: Column): Column = {
+    val t = trim(url)
+    val scheme = schemeOf(t)
+    val noFrag = regexp_replace(regexp_replace(t, SchemeRe, ""), "#.*$", "")
+    val rest = regexp_replace(noFrag, "^[^/?]*", "")
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query0 = regexp_replace(rest, "^[^?]*", "")
+    val query1 = regexp_replace(query0,
+      s"[?&]$TrackingParamsRe=[^&]*", "")
+    val query2 = regexp_replace(query1, "^&", "?")
+    val query = when(query2 === "?", lit("")).otherwise(query2)
+    when(scheme === "", t)
+      .otherwise(concat(scheme, lit("://"), canonHost(t), path, query))
+  }
+
+  /** The canonical host (the [[domainCap]] unit); `''` for non-URLs,
+    * NULL for NULL. */
+  def domainOf(url: Column): Column =
+    when(schemeOf(trim(url)) === "", lit("")).otherwise(canonHost(trim(url)))
+
+  /** Adds `outCol` = [[canonicalUrl]]; occupied output columns are
+    * rejected loudly (the house posture — see [[Blocklist]]). */
+  def withCanonicalUrl(docs: DataFrame, urlCol: String,
+      outCol: String = "canonical_url"): DataFrame = {
+    require(docs.columns.contains(urlCol), s"column $urlCol absent")
+    require(!docs.columns.contains(outCol),
+      s"output column $outCol already present in ${docs.columns.mkString(",")}")
+    docs.withColumn(outCol, canonicalUrl(col(urlCol)))
+  }
+
+  /** Adds `outCol` = [[domainOf]]. */
+  def withDomain(docs: DataFrame, urlCol: String,
+      outCol: String = "domain"): DataFrame = {
+    require(docs.columns.contains(urlCol), s"column $urlCol absent")
+    require(!docs.columns.contains(outCol),
+      s"output column $outCol already present in ${docs.columns.mkString(",")}")
+    docs.withColumn(outCol, domainOf(col(urlCol)))
+  }
+
+  /** Exact canonical-URL dedup, keep-smallest-id (the deterministic
+    * winner rule shared with [[ParagraphDedup]]): one aggregate on the
+    * canonical key, one id semi-join back — re-crawls and tracking-
+    * parameter variants of one page collapse to a single document.
+    * NULL/non-URL values are exempt (no canonical identity to
+    * collide on), like the empty-id exemption in keep-last dedup. */
+  def dedupByUrl(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    require(docs.columns.contains(idCol) && docs.columns.contains(urlCol),
+      s"need $idCol and $urlCol in ${docs.columns.mkString(",")}")
+    val curl = canonicalUrl(col(urlCol))
+    val urlish = curl.isNotNull && schemeOf(trim(col(urlCol))) =!= ""
+    val winners = docs
+      .filter(urlish)
+      .select(col(idCol), curl.as("__curl"))
+      .groupBy(col("__curl"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+      .unionByName(docs.filter(!coalesce(urlish, lit(false))))
+  }
+
+  /** Per-domain document cap: keep at most `cap` documents per
+    * [[domainOf]] domain, ranked by (`score` DESC, id ASC) — pass the
+    * quality score to keep the BEST `cap` docs (RefinedWeb practice),
+    * or leave the default constant to keep the smallest-id `cap`
+    * (deterministic crawl order). Output: input columns + `domain` +
+    * `domain_rank` (1-based). Non-URL rows (empty domain) share the
+    * `''` domain and are capped together under it — filter them first
+    * if they should be exempt. */
+  def domainCap(docs: DataFrame, idCol: String, urlCol: String, cap: Int,
+      score: Column = lit(0.0)): DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    require(docs.columns.contains(idCol) && docs.columns.contains(urlCol),
+      s"need $idCol and $urlCol in ${docs.columns.mkString(",")}")
+    Seq("domain", "domain_rank").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"output column $c already present in ${docs.columns.mkString(",")}"))
+    val winners = docs
+      .select(col(idCol), domainOf(col(urlCol)).as("domain"),
+        score.cast("double").as("__score"))
+      .groupBy(col("domain"))
+      .agg(graft.functions.GraftFunctions.top_k_by_score(
+        col(idCol), col("__score"), cap).as("__topk"))
+      .select(col("domain"), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col("__e.id").as(idCol), col("domain"),
+        (col("__pos") + 1).cast("int").as("domain_rank"))
+    docs.join(winners, Seq(idCol))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UrlCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(Tuple1(url)).toDF("url")
+      .select(UrlCuration.canonicalUrl(col("url")).as("c"))
+      .collect().head.getString(0)
+
+  test("canonicalization: the 7-step contract, step by step") {
+    // scheme+host lower, path case preserved
+    assert(canon("HTTP://Example.COM/Docs/A") == "http://example.com/Docs/A")
+    // www. strip, fragment strip
+    assert(canon("https://www.example.com/a#Section") ==
+      "https://example.com/a")
+    // default ports stripped, non-default kept
+    assert(canon("http://example.com:80/a") == "http://example.com/a")
+    assert(canon("https://example.com:443/a") == "https://example.com/a")
+    assert(canon("http://example.com:8080/a") == "http://example.com:8080/a")
+    // https :80 is NOT default — kept
+    assert(canon("https://example.com:80/a") == "https://example.com:80/a")
+    // tracking params: leading, middle, trailing, all-tracked
+    assert(canon("http://e.com/a?utm_source=x&page=2") ==
+      "http://e.com/a?page=2")
+    assert(canon("http://e.com/a?page=2&utm_campaign=y&id=3") ==
+      "http://e.com/a?page=2&id=3")
+    assert(canon("http://e.com/a?gclid=abc") == "http://e.com/a")
+    // trailing slash runs stripped; root URL collapses to bare host
+    assert(canon("http://e.com/a///") == "http://e.com/a")
+    assert(canon("http://e.com/") == "http://e.com")
+    // non-URL passes through trimmed
+    assert(canon("  not a url  ") == "not a url")
+    // trim + everything at once
+    assert(canon(" HTTPS://WWW.Site7.Example.COM:443/Articles/src1/7/?utm_medium=em#f ") ==
+      "https://site7.example.com/Articles/src1/7")
+  }
+
+  test("domainOf extracts the canonical host; non-URLs map to ''") {
+    val d = Seq(
+      (1L, "HTTP://WWW.A.com:80/x"),
+      (2L, "https://b.org:8443/y"),
+      (3L, "plain text"),
+      (4L, null: String)
+    ).toDF("id", "url")
+      .select(col("id"), UrlCuration.domainOf(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(d(1L).contains("a.com"))
+    assert(d(2L).contains("b.org:8443"))
+    assert(d(3L).contains(""))
+    assert(d(4L).isEmpty)
+  }
+
+  test("dedupByUrl keeps the smallest id per canonical URL; non-URLs and nulls are exempt") {
+    val docs = Seq(
+      (1L, "http://e.com/a?utm_source=x"),     // canonical http://e.com/a
+      (2L, "HTTP://E.COM/a#frag"),             // same canonical — dropped
+      (3L, "http://e.com/a/"),                 // same canonical — dropped
+      (4L, "http://e.com/b"),                  // distinct — kept
+      (5L, "not a url"),                       // exempt — kept
+      (6L, "not a url"),                       // exempt too (no identity)
+      (7L, null: String)                       // exempt — kept
+    ).toDF("id", "url")
+    val kept = UrlCuration.dedupByUrl(docs, "id", "url")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L))
+  }
+
+  test("domainCap keeps cap docs per domain by (score desc, id), ranks 1-based") {
+    val docs = Seq.tabulate(12) { i =>
+      (i.toLong, s"http://d${i % 2}.com/p$i", (i % 3).toDouble)
+    }.toDF("id", "url", "q")
+    val out = UrlCuration.domainCap(docs, "id", "url", cap = 2,
+        score = col("q"))
+      .select("id", "domain", "domain_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.length == 4)
+    // d0.com ids 0,2,4,6,8,10 with q = 0,2,1,0,2,1 → best (2.0, id 2), (2.0, id 8)
+    val d0 = out.filter(_._2 == "d0.com").sortBy(_._3).map(x => (x._1, x._3))
+    assert(d0.toSeq == Seq((2L, 1), (8L, 2)))
+    // d1.com ids 1,3,5,7,9,11 with q = 1,0,2,1,0,2 → (2.0, id 5), (2.0, id 11)
+    val d1 = out.filter(_._2 == "d1.com").sortBy(_._3).map(x => (x._1, x._3))
+    assert(d1.toSeq == Seq((5L, 1), (11L, 2)))
+  }
+
+  test("plan shapes: projections are map-only; domainCap ranks via the bounded aggregate") {
+    val docs = Seq((1L, "http://e.com/a")).toDF("id", "url")
+    val proj = UrlCuration.withCanonicalUrl(
+      UrlCuration.withDomain(docs, "url"), "url")
+    proj.collect()
+    val pplan = proj.queryExecution.executedPlan.toString
+    assert(!pplan.contains("Exchange") && !pplan.contains("Join"),
+      s"canonicalize/domain must be map-only:\n$pplan")
+    val capped = UrlCuration.domainCap(docs, "id", "url", cap = 3)
+    capped.collect()
+    val cplan = capped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(cplan.contains("top_k_by_score"), s"bounded rank expected:\n$cplan")
+    assert(!cplan.contains("Window"), s"no per-domain window:\n$cplan")
+  }
+
+  test("guards: occupied output columns and bad caps fail loudly") {
+    val docs = Seq((1L, "http://e.com/a", "x")).toDF("id", "url", "domain")
+    intercept[IllegalArgumentException] {
+      UrlCuration.withDomain(docs, "url")
+    }
+    intercept[IllegalArgumentException] {
+      UrlCuration.domainCap(docs, "id", "url", cap = 2)
+    }
+    intercept[IllegalArgumentException] {
+      UrlCuration.domainCap(docs.drop("domain"), "id", "url", cap = 0)
+    }
+    intercept[IllegalArgumentException] {
+      UrlCuration.withCanonicalUrl(docs, "nope")
+    }
+  }
+}
