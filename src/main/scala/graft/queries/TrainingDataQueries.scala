@@ -138,7 +138,16 @@ object TrainingDataQueries {
     * output feeds two consumers (assignment snapshot + witness join;
     * resample's score + join-back; take's chunk + enrich join). */
   def curationFlowV2(docs: DataFrame, embeddings: DataFrame,
-      qcModelDir: String, assignDir: String): DataFrame = {
+      qcModelDir: String, assignDir: String,
+      /** Cluster count for the SemDeDup stage — 8 fits the 500-doc
+        * gate corpus; at scale pass [[SemDedup.clustersFor]] of the
+        * embedded-corpus size (the paper's fixed-target-size posture —
+        * the ScaleBench `training_v2` row does). The gate is cluster-
+        * count-agnostic: the oracle reads the assignment snapshot. */
+      nClusters: Int = 8,
+      /** Hot-cluster guard for the SemDeDup stage (see
+        * [[SemDedup.semDedup]]); the gate keeps exact behavior. */
+      maxClusterSize: Long = Long.MaxValue): DataFrame = {
     val s = docs.sparkSession
     import graft.functions.GraftFunctions.roundPortable
 
@@ -183,12 +192,13 @@ object TrainingDataQueries {
         embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
         "doc_id")
       .pinScratch() // read by the cluster fit, the snapshot AND the witness join
-    SemDedup.withClusters(withVec, "doc_id", "embedding", nClusters = 8,
+    SemDedup.withClusters(withVec, "doc_id", "embedding", nClusters,
         maxIter = 5)
       .select(col("doc_id"), col("cluster_id"))
       .coalesce(1).write.mode("overwrite").parquet(assignDir)
     val sem = SemDedup.semDedup(withVec, "doc_id", "embedding",
-        tau = V2Tau, assignments = Some(s.read.parquet(assignDir)))
+        tau = V2Tau, assignments = Some(s.read.parquet(assignDir)),
+        maxClusterSize = maxClusterSize)
       .select(col("doc_id"), col("text"))
       .pinScratch() // scored AND joined back inside the resample
 

@@ -224,6 +224,24 @@ class PlanShapeSpec extends SparkSpec {
       s"capstone assembly shuffled $shuffles times:\n$plan")
   }
 
+  test("capstone v2: final assembly has no cartesian and bounded exchanges") {
+    // every stage's own plan is asserted by its operator spec; the v2
+    // composition's final assembly (chunks → uid → packing join →
+    // shard → enrich join → order) is what can newly degrade — a lost
+    // equi-key turning a join into a nested-loop product, or a stage
+    // re-shuffling rows the pin seams already placed
+    val out = graft.queries.TrainingDataQueries.trainingDataV2(
+      spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"v2 assembly degraded to a cross join:\n$plan")
+    val shuffles = "Exchange ".r.findAllIn(plan).length
+    assert(shuffles <= 8,
+      s"v2 assembly shuffled $shuffles times:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("partitionsFor tracks rows between the core floor and the 6x-cores cap") {
     import graft.GraftSession.partitionsFor
     assert(partitionsFor(0L, 32) == 32)            // tiny input → full parallelism
