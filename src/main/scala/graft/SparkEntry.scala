@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, DedupQueries, MixtureQueries, MultimodalQueries, ParityQueries, TemporalJoinQueries, TextQueries, TrainingDataQueries, UrlQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, HtmlQueries, MixtureQueries, MultimodalQueries, ParityQueries, TemporalJoinQueries, TextQueries, TrainingDataQueries, UrlQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
       WindowQueries.queries ++ AnalyticsQueries.queries ++
       MultimodalQueries.queries ++ MixtureQueries.queries ++
       TemporalJoinQueries.queries ++ TrainingDataQueries.queries ++
-      UrlQueries.queries)
+      UrlQueries.queries ++ HtmlQueries.queries)
       .map { case (k, f) =>
         k -> { (s: SparkSession, dir: String) => f(GraftSession.configure(s), dir) }
       }
@@ -38,5 +38,5 @@ object SparkEntry {
       WindowQueries.oracles ++ AnalyticsQueries.oracles ++
       MultimodalQueries.oracles ++ MixtureQueries.oracles ++
       TemporalJoinQueries.oracles ++ TrainingDataQueries.oracles ++
-      UrlQueries.oracles
+      UrlQueries.oracles ++ HtmlQueries.oracles
 }

@@ -90,6 +90,11 @@ object GraftFunctions {
     * loop per row; see [[SimHash64]]). */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
 
+  /** Unicode NFC normalization — native expression ([[NfcNormalize]]);
+    * the precondition every EXACT text operator (dedup keys, blocklist
+    * equality, paragraph hashes) silently assumes. */
+  def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
+
   /** EXACT BPE token count under the fixture merge table — native
     * expression (see [[BpeTokenCount]]); the model-tokenizer currency
     * for budgets/packing/chunking. */
@@ -274,6 +279,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash64",
       { exprs => arity("simhash64", exprs, 1, 1)
         SimHash64(exprs.head) }, "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      { exprs => arity("nfc_normalize", exprs, 1, 1)
+        NfcNormalize(exprs.head) }, "built-in")
     reg.createOrReplaceTempFunction("simhash64_portable",
       { exprs => arity("simhash64_portable", exprs, 1, 2)
         if (exprs.length == 2)

@@ -1,0 +1,156 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.HtmlExtract
+import graft.sources.Scan
+
+/** HTML extraction gates. The documents table carries clean text, so
+  * both engines SYNTHESIZE the same deliberately-messy HTML page
+  * around it — head/title, style and script blocks (with `<`/`>`/`&&`
+  * inside the script body), comments, an upper-cased link-farm
+  * `<NAV>`, attribute-bearing and case-varied block tags, entities
+  * including the double-encoded `&amp;lt;`, link-only list items, a
+  * mixed text+link div, and a short footer — and the oracle
+  * re-implements the full 4-step extraction contract
+  * ([[HtmlExtract]]) plus the jusText-lite paragraph classifier in
+  * DuckDB. A drift in ANY step (tag scope, entity order, whitespace
+  * rule, link-density arithmetic, winner rule) fails the hash gate
+  * row-for-row.
+  */
+object HtmlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The messy page, Spark spelling (shared with the ScaleBench
+    * html rows). */
+  private[graft] def messyHtml(id: Column, source: Column, text: Column): Column = concat(
+    lit("<!DOCTYPE html><html><head><title>Doc "), id, lit("</title>"),
+    when(id % 3 === 0, lit("<style>body { color: #333; }</style>")).otherwise(lit("")),
+    when(id % 4 === 0,
+      lit("<script type=\"text/javascript\">if (a<b && c>d) { nav(); }</script>"))
+      .otherwise(lit("")),
+    lit("</head><body><NAV class=\"menu\"><a href=\"/home\">Home</a> " +
+      "<a href=\"/about\">About us</a> <a href=\"/contact\">Contact</a></NAV>"),
+    lit("<h1>"), source, lit(" report "), id, lit("</h1>"),
+    when(id % 5 === 0, concat(lit("<!-- build "), id, lit(" -->"))).otherwise(lit("")),
+    lit("<p>Intro &amp; summary for <b>doc "), id, lit("</b>: "),
+    substring(text, 1, 80), lit("</p>"),
+    when(id % 2 === 0, lit("<P CLASS=\"Body\">")).otherwise(lit("<p>")),
+    text.substr(lit(81), length(text)),
+    lit(" tail &#39;quoted&#39; and &amp;lt;escaped&amp;gt;</p>"),
+    lit("<div>See <a href=\"/d/"), id, lit("\">doc "), id,
+    lit("</a> plus enough trailing words to pass</div>"),
+    lit("<ul><li><a href=\"/t/1\">One</a></li><li><a href=\"/t/2\">Two</a></li></ul>"),
+    lit("<footer>Copyright owner</footer></body></html>"))
+
+  /** The SAME page in DuckDB SQL — literal-for-literal. */
+  private val messyHtmlSql: String =
+    """'<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>' ||
+       CASE WHEN doc_id % 3 = 0 THEN '<style>body { color: #333; }</style>' ELSE '' END ||
+       CASE WHEN doc_id % 4 = 0
+            THEN '<script type="text/javascript">if (a<b && c>d) { nav(); }</script>'
+            ELSE '' END ||
+       '</head><body><NAV class="menu"><a href="/home">Home</a> ' ||
+       '<a href="/about">About us</a> <a href="/contact">Contact</a></NAV>' ||
+       '<h1>' || source || ' report ' || doc_id || '</h1>' ||
+       CASE WHEN doc_id % 5 = 0 THEN '<!-- build ' || doc_id || ' -->' ELSE '' END ||
+       '<p>Intro &amp; summary for <b>doc ' || doc_id || '</b>: ' ||
+       substr(text, 1, 80) || '</p>' ||
+       CASE WHEN doc_id % 2 = 0 THEN '<P CLASS="Body">' ELSE '<p>' END ||
+       substr(text, 81, length(text)) ||
+       ' tail &#39;quoted&#39; and &amp;lt;escaped&amp;gt;</p>' ||
+       '<div>See <a href="/d/' || doc_id || '">doc ' || doc_id ||
+       '</a> plus enough trailing words to pass</div>' ||
+       '<ul><li><a href="/t/1">One</a></li><li><a href="/t/2">Two</a></li></ul>' ||
+       '<footer>Copyright owner</footer></body></html>'"""
+
+  /** Steps 1+2 of the contract in DuckDB (block tags → `sepSql`,
+    * inline tags KEPT — the oracle's `blocked`). */
+  private def blockedSql(sepSql: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        '(?s)<!--.*?-->', '', 'g'),
+        '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        '(?is)<style[^>]*>.*?</style>', '', 'g'),
+        '(?i)</?(${HtmlExtract.BlockTags})[^>]*>', $sepSql, 'g')"""
+
+  /** Entity decode in DuckDB — the same six literal replaces, `&amp;`
+    * last. */
+  private def decodeSql(inner: String): String =
+    Seq("&lt;" -> "'<'", "&gt;" -> "'>'", "&quot;" -> "'\"'",
+      "&#39;" -> "chr(39)", "&nbsp;" -> "' '", "&amp;" -> "'&'")
+      .foldLeft(inner) { case (acc, (from, to)) =>
+        s"replace($acc, '$from', $to)"
+      }
+
+  /** Per-fragment clean in DuckDB: strip remaining tags, decode,
+    * collapse ALL whitespace, trim. */
+  private def cleanSql(x: String): String =
+    s"""trim(regexp_replace(${decodeSql(s"regexp_replace($x, '<[^>]*>', '', 'g')")},
+        '[ \\t\\n\\f\\r]+', ' ', 'g'))"""
+
+  /** Full-page strip under the hash gate. */
+  val htmlStrip: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+      .select(col("doc_id"),
+        messyHtml(col("doc_id"), col("source"), col("text")).as("html"))
+    HtmlExtract.withStrippedHtml(d, "html", "text")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** jusText-lite main-content extraction under the hash gate
+    * (minWords=5, maxLinkDensity=0.3 — the defaults). */
+  val htmlExtract: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+      .select(col("doc_id"),
+        messyHtml(col("doc_id"), col("source"), col("text")).as("html"))
+    HtmlExtract.extractMainContent(d, "doc_id", "html")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = ListMap(
+    "q_html_strip" -> htmlStrip,
+    "q_html_extract" -> htmlExtract)
+
+  val oracles: Map[String, String] = ListMap(
+    "q_html_strip" ->
+      s"""WITH h AS (SELECT doc_id, $messyHtmlSql AS html FROM documents),
+          s AS (SELECT doc_id,
+            regexp_replace(${blockedSql("chr(10)")}, '<[^>]*>', '', 'g') AS t1
+            FROM h),
+          d AS (SELECT doc_id, ${decodeSql("t1")} AS t2 FROM s)
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(t2,
+              '[ \\t\\n\\f\\r]*\\n[ \\t\\n\\f\\r]*', chr(10), 'g'),
+              '[ \\t\\f\\r]+', ' ', 'g'),
+              '^[\\n ]+|[\\n ]+$$', '', 'g') AS text
+          FROM d ORDER BY doc_id""",
+    "q_html_extract" ->
+      s"""WITH h AS (SELECT doc_id, $messyHtmlSql AS html FROM documents),
+          m AS (SELECT doc_id, string_split(${blockedSql("chr(1)")}, chr(1)) AS fs
+            FROM h),
+          p AS (SELECT doc_id, fs, unnest(range(1, len(fs) + 1)) AS i FROM m),
+          c AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+              ${cleanSql("fs[i]")} AS ctext,
+              COALESCE(list_sum(list_transform(
+                regexp_extract_all(fs[i], '(?is)<a[^>]*>(.*?)</a>', 1),
+                x -> length(${cleanSql("x")}))), 0) AS link_chars
+            FROM p),
+          k AS (SELECT * FROM c WHERE ctext <> ''),
+          g AS (SELECT *,
+              CASE WHEN (length(ctext) - length(replace(ctext, ' ', '')) + 1) >= 5
+                    AND CAST(link_chars AS DOUBLE) / GREATEST(length(ctext), 1) <= 0.3
+                   THEN 1 ELSE 0 END AS good
+            FROM k)
+          SELECT doc_id,
+            STRING_AGG(ctext, chr(10) ORDER BY pos) FILTER (WHERE good = 1) AS text,
+            CAST(COUNT(*) FILTER (WHERE good = 1) AS BIGINT) AS n_paras_kept,
+            CAST(COUNT(*) FILTER (WHERE good = 0) AS BIGINT) AS n_paras_dropped
+          FROM g GROUP BY doc_id
+          HAVING COUNT(*) FILTER (WHERE good = 1) > 0
+          ORDER BY doc_id""")
+}

@@ -337,7 +337,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** ftfy-style Unicode cleanup under the hash gate: both engines
+    * synthesize the SAME messy unicode around the corpus text —
+    * combining marks (e+U+0301, i+U+0308), singleton compatibility
+    * points (ANGSTROM U+212B, OHM U+2126), NBSP/em-space/ZWSP, CRLF
+    * and lone CR, C0 controls and DEL — and the oracle re-runs the
+    * five-step [[graft.functions.TextNormalize.cleanText]] contract
+    * on DuckDB's own `nfc_normalize` (utf8proc vs the JDK — two
+    * INDEPENDENT UAX #15 implementations must agree byte-for-byte). */
+  val textNormalize: Q = (s, dir) => {
+    val id = col("doc_id")
+    // every non-ASCII char as an explicit escape: DECOMPOSED
+    // Cafe+U+0301 / nai+U+0308+ve (NFC must compose them), the
+    // ANGSTROM/OHM singletons, NBSP/ZWSP/em-space, CR(LF), BEL, DEL
+    val messy = concat(
+      lit("Cafe\u0301 nai\u0308ve "),
+      when(id % 2 === 0, lit("\u212B unit ")).otherwise(lit("\u2126 ohm ")),
+      substring(col("text"), 1, 60),
+      lit("\u00A0tail\u200Bzw\u2003em"),
+      when(id % 3 === 0, lit("\r\nline2\rline3")).otherwise(lit("")),
+      when(id % 5 === 0, lit("\u0007bell\u007F")).otherwise(lit("")))
+    Scan.table(s, dir, "documents")
+      .select(id, messy.as("messy"))
+      .select(id,
+        graft.functions.TextNormalize.cleanText(col("messy")).as("clean"),
+        length(col("messy")).as("n_chars_in"))
+      .withColumn("n_chars_out", length(col("clean")))
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, Q] = ListMap(
+    "q_text_normalize" -> textNormalize,
     "q_curation_filter" -> curationFilter,
     "q_curation_full" -> curationFull,
     "q_curation_clusters" -> curationClusters,
@@ -492,7 +522,15 @@ object TextQueries {
   private[queries] def bpeCtes(src: String): String = {
     val mergeValues = graft.functions.BpeTokenCount.merges.zipWithIndex
       .map { case ((l, r), i) => s"($i,'$l','$r')" }.mkString(",")
-    s"""bpe_merges(rank, l, r) AS (VALUES $mergeValues),
+    bpeCtesFrom(src, s"(VALUES $mergeValues)")
+  }
+
+  /** [[bpeCtes]] with the merge table from an arbitrary SQL source
+    * (`(rank, l, r)` rows) — the q_bpe_train_apply oracle re-applies a
+    * CORPUS-LEARNED table read back from its snapshot through the
+    * same recursive machinery. */
+  private[queries] def bpeCtesFrom(src: String, mergesSql: String): String =
+    s"""bpe_merges(rank, l, r) AS ($mergesSql),
           bpe_words AS (
             SELECT DISTINCT unnest(string_split(text,' ')) AS w FROM $src),
           bpe_steps(w, seq) AS (
@@ -520,7 +558,6 @@ object TextQueries {
                   FROM $src) t
             LEFT JOIN bpe_final f USING (w)
             GROUP BY doc_id)"""
-  }
 
   /** Curation FEATURE CTEs (`feat`, `kept` — stages 1-2 plus the
     * content hash) over an arbitrary `(doc_id, text)` source — THE
@@ -780,6 +817,40 @@ object TextQueries {
             CAST(ROW_NUMBER() OVER (ORDER BY quality DESC NULLS LAST,
               doc_id) - 1 AS BIGINT) AS rank
           FROM q ORDER BY doc_id""",
+    // the five-step cleanup re-derived on DuckDB's OWN nfc_normalize
+    // (utf8proc) — an independent UAX #15 implementation — plus the
+    // same literal line-ending replaces and the SAME regex pattern
+    // text (TextNormalize constants); the messy synthesis spells
+    // every codepoint via chr()
+    "q_text_normalize" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              'Cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+              CASE WHEN doc_id % 2 = 0 THEN chr(8491) || ' unit '
+                   ELSE chr(8486) || ' ohm ' END ||
+              substr(text, 1, 60) ||
+              chr(160) || 'tail' || chr(8203) || 'zw' || chr(8195) || 'em' ||
+              CASE WHEN doc_id % 3 = 0
+                   THEN chr(13) || chr(10) || 'line2' || chr(13) || 'line3'
+                   ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0 THEN chr(7) || 'bell' || chr(127)
+                   ELSE '' END AS messy
+            FROM documents),
+          c AS (
+            SELECT doc_id, messy,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    replace(replace(nfc_normalize(messy),
+                      chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+                    '${graft.functions.TextNormalize.ZeroWidthRe}', '', 'g'),
+                  '${graft.functions.TextNormalize.UniSpaceRe}', ' ', 'g'),
+                '${graft.functions.TextNormalize.ControlRe}', '', 'g') AS clean
+            FROM t)
+          SELECT doc_id, clean,
+            CAST(length(messy) AS INTEGER) AS n_chars_in,
+            CAST(length(clean) AS INTEGER) AS n_chars_out
+          FROM c ORDER BY doc_id""",
     // the C4 blocklist rule re-derived: lower-cased portable split,
     // token-equality IN-list filter (word boundaries — 'assassin'
     // cannot trip 'ass'), distinct + sort + join
