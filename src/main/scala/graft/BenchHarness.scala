@@ -31,7 +31,7 @@ object BenchHarness {
     * (error entries) is count- and length-clipped to make the bound hold
     * by construction; a unit test renders the worst case (every query in
     * the REAL SparkEntry key set failing) against this budget. */
-  val contractLineBudget: Int = 1160
+  val contractLineBudget: Int = 990
 
   /** The usable driver tail window the LAST TWO stdout lines must fit
     * together (r13): ~2000 captured chars minus sbt's trailing
@@ -44,8 +44,12 @@ object BenchHarness {
   val tailWindowBudget: Int = 1900
 
   /** Max error entries carried on the contract line (the detail line
-    * keeps them all, untruncated). */
-  val contractMaxErrors: Int = 8
+    * keeps them all, untruncated). 8 → 6 in r17: two fewer named
+    * errors in an ALL-RED worst case buys ~230 B of tail headroom for
+    * the growing per-query compact line — and a round with 6+ failing
+    * queries is adjudicated from bench_out.json's full error map
+    * anyway. */
+  val contractMaxErrors: Int = 6
 
   /** The pinned idle-host reference time (seconds) for
     * [[Bench.microCalibrationBody]] under the bench's default config
@@ -260,9 +264,13 @@ object BenchHarness {
     // correctness key set (the reading convention since r13 — zip with
     // sorted CORRECTNESS keys) and the count is the array length; each
     // trimmed field buys ~2-5 more queries under the joint tail-window
-    // budget. Next lever when the suite outgrows this: shorten the
-    // "norm_else_raw" key (~12 B) before touching the budget constants.
-    s"""{"metric":"queries_compact","norm_else_raw":$vals}"""
+    // budget. "nr" (r17, the 140-query re-tightening) abbreviates the
+    // former "norm_else_raw": normalized seconds where normalization
+    // succeeded, raw headline seconds otherwise. Next lever when the
+    // suite outgrows this: value worst-case is pinned at 4 chars, so
+    // only fixed-cost fields remain — drop to a changed-vs-reference
+    // top-N line.
+    s"""{"metric":"queries_compact","nr":$vals}"""
   }
 
   /** The full per-query headline map — since r13 written to

@@ -366,8 +366,46 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenizer TRAINING under the hash gate: learn 8 merges from
+    * the corpus ([[graft.operators.BpeTrain]]), snapshot the learned
+    * `(rank, l, r, weight)` relation, and let the oracle re-derive the
+    * ENTIRE training trajectory — for every learned rank k it re-runs
+    * the first k snapshotted merges over the corpus vocabulary with
+    * the recursive wrap-and-replace machinery, recounts every
+    * adjacent-pair weight and recomputes the (weight DESC, l, r)
+    * argmax, which must equal the snapshotted merge k exactly. By
+    * induction that validates every iteration of the fit: word
+    * counts, adjacency counting (overlaps included), the leftmost-
+    * first fuse, the tie-break and the weights. */
+  val bpeTrain: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    val res = graft.operators.BpeTrain.fit(d, "text", nMerges = 8)
+    val path = SnapshotPaths.dirFor("bpe_train", dir, s)
+    res.toDF(s).coalesce(1).write.mode("overwrite").parquet(path)
+    s.read.parquet(path).orderBy("rank")
+  }
+
+  /** Train-then-tokenize: token counts of every 10th document under
+    * the CORPUS-LEARNED table (the [[graft.functions.BpeTable]] swap
+    * path carrying a learned tokenizer instead of a loaded one); the
+    * oracle re-applies the snapshotted merges through the same
+    * recursive CTE machinery as the fixture-table gate. */
+  val bpeTrainApply: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    val res = graft.operators.BpeTrain.fit(d, "text", nMerges = 8)
+    val path = SnapshotPaths.dirFor("bpe_train_apply", dir, s)
+    res.toDF(s).coalesce(1).write.mode("overwrite").parquet(path)
+    d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.bpe_token_count(col("text"), res.table)
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_text_normalize" -> textNormalize,
+    "q_bpe_train" -> bpeTrain,
+    "q_bpe_train_apply" -> bpeTrainApply,
     "q_curation_filter" -> curationFilter,
     "q_curation_full" -> curationFull,
     "q_curation_clusters" -> curationClusters,
@@ -851,6 +889,56 @@ object TextQueries {
             CAST(length(messy) AS INTEGER) AS n_chars_in,
             CAST(length(clean) AS INTEGER) AS n_chars_out
           FROM c ORDER BY doc_id""",
+    // the training TRAJECTORY re-derived: for every learned rank k,
+    // re-apply merges 0..k-1 (from the snapshot) over the corpus
+    // vocabulary, recount ALL adjacent-pair weights (word-frequency
+    // weighted, overlapping adjacencies included — the Sennrich
+    // get_stats convention) and recompute the (weight DESC, l, r)
+    // argmax — which must equal snapshotted merge k, weight included
+    "q_bpe_train" ->
+      s"""WITH RECURSIVE
+            m AS (SELECT rank, l, r FROM read_parquet(
+              '${SnapshotPaths.tokenDirFor("bpe_train")}/*.parquet')),
+            wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents)
+                   WHERE w <> '' AND w IS NOT NULL GROUP BY w),
+            ks AS (SELECT rank AS k FROM m),
+            steps(k, w, cnt, seq, nxt) AS (
+              SELECT k, w, cnt,
+                '_' || array_to_string(string_split(w, ''), '__') || '_', 0
+              FROM wc CROSS JOIN ks
+              UNION ALL
+              SELECT s.k, s.w, s.cnt,
+                replace(s.seq, '_' || m2.l || '__' || m2.r || '_',
+                               '_' || m2.l || m2.r || '_'),
+                s.nxt + 1
+              FROM steps s JOIN m m2 ON m2.rank = s.nxt
+              WHERE s.nxt < s.k),
+            segs AS (SELECT k, cnt,
+                       string_split(trim(seq, '_'), '__') AS syms
+                     FROM steps WHERE nxt = k),
+            pairs AS (SELECT k, syms[i] AS l, syms[i + 1] AS r, cnt
+                      FROM (SELECT k, cnt, syms,
+                              unnest(range(1, len(syms))) AS i
+                            FROM segs) z),
+            agg AS (SELECT k, l, r, CAST(SUM(cnt) AS BIGINT) AS weight
+                    FROM pairs GROUP BY k, l, r),
+            best AS (SELECT k, l, r, weight FROM agg
+                     QUALIFY ROW_NUMBER() OVER (
+                       PARTITION BY k ORDER BY weight DESC, l, r) = 1)
+          SELECT CAST(k AS INTEGER) AS rank, l, r, weight
+          FROM best ORDER BY rank""",
+    // the learned table re-APPLIED through the same recursive
+    // machinery as the fixture gate (bpeCtesFrom) — merges read back
+    // from the snapshot instead of a literal VALUES list
+    "q_bpe_train_apply" ->
+      s"""WITH RECURSIVE ${bpeCtesFrom("documents",
+            s"""SELECT rank, l, r FROM read_parquet(
+                '${SnapshotPaths.tokenDirFor("bpe_train_apply")}/*.parquet')""")}
+          SELECT doc_id, bpe_tokens
+          FROM bpe_counts WHERE doc_id % 10 = 0
+          ORDER BY doc_id""",
     // the C4 blocklist rule re-derived: lower-cased portable split,
     // token-equality IN-list filter (word boundaries — 'assassin'
     // cannot trip 'ass'), distinct + sort + join

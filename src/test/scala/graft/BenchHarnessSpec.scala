@@ -212,7 +212,7 @@ class BenchHarnessSpec extends AnyFunSuite {
     // name-ascending (the r13 reading convention — order and count ride
     // the array itself since the r17 tightening); q_a carries its
     // normalized value, q_b (no norm) falls back to its raw headline
-    assert(line.contains(""""norm_else_raw":[1.00,2.50]"""))
+    assert(line.contains(""""nr":[1.00,2.50]"""))
     // adaptive precision: ≥10 s at 0.1 s, ≥100 s whole — ≤4 chars for
     // any sub-1000 value, which is what makes the window bound
     // constructive at 98+ queries (r14 re-tightening)
