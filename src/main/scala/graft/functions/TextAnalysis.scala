@@ -93,6 +93,70 @@ object TextAnalysis {
     GraftFunctions.roundPortable(lengthTerm * 0.5 + diversity * 0.3 + stopTerm * 0.2, 4)
   }
 
+  /** Mean word length in characters (non-space chars ÷ ws tokens) —
+    * the Gopher document-shape signal (Rae et al. 2021 A1.1: keep
+    * 3 ≤ mean ≤ 10; far outside that band means boilerplate tables,
+    * minified blobs, or character soup). Rounded portably. */
+  def meanWordLength(text: Column): Column =
+    GraftFunctions.roundPortable(
+      (length(text) - (wsTokenCount(text) - 1)).cast("double") /
+        greatest(wsTokenCount(text), lit(1L)).cast("double"), 4)
+
+  /** Gopher symbol screen: `#` and ellipsis occurrences (both the
+    * three-dot spelling and U+2026) per ws token — high values flag
+    * markup remnants and truncated-snippet farms. */
+  def symbolWordRatio(text: Column): Column = {
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val dots3 = (length(text) -
+      length(replace(text, lit("..."), lit("")))) / 3
+    val uni = length(text) - length(replace(text, lit("\u2026"), lit("")))
+    GraftFunctions.roundPortable(
+      (hashes + dots3 + uni).cast("double") /
+        greatest(wsTokenCount(text), lit(1L)).cast("double"), 4)
+  }
+
+  /** Fraction of LINES starting with a bullet marker (`- `, `* `,
+    * `•`) — Gopher drops documents that are ≥ 90% bullets. 0.0
+    * for single-line docs without markers; NULL text is NULL. */
+  def bulletLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    val bullets = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("\u2022")))
+    GraftFunctions.roundPortable(
+      bullets.cast("double") / greatest(size(lines), lit(1)).cast("double"), 4)
+  }
+
+  /** Fraction of lines ending in an ellipsis (`...` or U+2026) —
+    * Gopher drops documents ≥ 30% ellipsis-terminated (snippet
+    * listings). */
+  def ellipsisLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    val trailing = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("\u2026")))
+    GraftFunctions.roundPortable(
+      trailing.cast("double") / greatest(size(lines), lit(1)).cast("double"), 4)
+  }
+
+  /** Fraction of ws tokens containing at least one alphabetic char —
+    * Gopher requires ≥ 80% (numeric/symbol soup screens out). */
+  def alphaWordFraction(text: Column): Column = {
+    val toks = split(text, " ")
+    val alpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    GraftFunctions.roundPortable(
+      alpha.cast("double") / greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
+  /** The composed Gopher document-shape rule (the A1.1 bands above,
+    * all of which must hold): the repetition rules
+    * ([[repetitionRatio]], [[distinctTokenRatio]]) and length/stopword
+    * screens live separately — this is the SHAPE half of the filter. */
+  def gopherShapeOk(text: Column): Column =
+    meanWordLength(text).between(3.0, 10.0) &&
+      symbolWordRatio(text) < 0.1 &&
+      bulletLineFraction(text) < 0.9 &&
+      ellipsisLineFraction(text) < 0.3 &&
+      alphaWordFraction(text) > 0.8
+
   /** 128-bit content fingerprint (md5 hex) — exact-dup key. */
   def md5Fingerprint(text: Column): Column = md5(text)
 

@@ -402,8 +402,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher document-SHAPE rules under the hash gate (Rae et al. 2021
+    * A1.1): both engines synthesize the same multi-line messy text —
+    * bullet lists, ellipsis-terminated snippet lines, `##` symbol runs,
+    * numeric soup — keyed on doc_id, and the oracle re-derives every
+    * band metric (mean word length, symbol ratio, bullet/ellipsis line
+    * fractions, alpha-word fraction) and the composed keep rule from
+    * its own string/list ops. */
+  val gopherQuality: Q = (s, dir) => {
+    val id = col("doc_id")
+    val messy = concat(
+      substring(col("text"), 1, 80), lit("\n"),
+      when(id % 2 === 0, lit("- bullet item one\n- bullet item two\n"))
+        .otherwise(lit("")),
+      when(id % 3 === 0, lit("read more...\nsnippet\u2026\n")).otherwise(lit("")),
+      when(id % 5 === 0, lit("## section ## 123 456 789\n")).otherwise(lit("")),
+      lit("* final "), substring(col("text"), 81, 40))
+    Scan.table(s, dir, "documents")
+      .select(id, messy.as("m"))
+      .select(id,
+        meanWordLength(col("m")).as("mean_word_len"),
+        symbolWordRatio(col("m")).as("symbol_ratio"),
+        bulletLineFraction(col("m")).as("bullet_frac"),
+        ellipsisLineFraction(col("m")).as("ellipsis_frac"),
+        alphaWordFraction(col("m")).as("alpha_frac"),
+        gopherShapeOk(col("m")).as("shape_ok"))
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_text_normalize" -> textNormalize,
+    "q_gopher_quality" -> gopherQuality,
     "q_bpe_train" -> bpeTrain,
     "q_bpe_train_apply" -> bpeTrainApply,
     "q_curation_filter" -> curationFilter,
@@ -889,6 +918,66 @@ object TextQueries {
             CAST(length(messy) AS INTEGER) AS n_chars_in,
             CAST(length(clean) AS INTEGER) AS n_chars_out
           FROM c ORDER BY doc_id""",
+    // every Gopher shape band re-derived from DuckDB's own string/list
+    // ops over the same synthesized multi-line text; the composed rule
+    // compares the SAME round4 values both engines emit
+    "q_gopher_quality" -> {
+      import graft.functions.GraftFunctions.roundPortableSql
+      val mean = roundPortableSql(
+        "(n - (wt - 1)) / GREATEST(wt, 1)", 4)
+      val sym = roundPortableSql("symn / GREATEST(wt, 1)", 4)
+      val bullet = roundPortableSql(
+        """LEN(LIST_FILTER(lines, l -> left(l, 2) = '- '
+             OR left(l, 2) = '* ' OR left(l, 1) = chr(8226)))::DOUBLE
+           / GREATEST(LEN(lines), 1)""", 4)
+      val ellip = roundPortableSql(
+        """LEN(LIST_FILTER(lines, l -> right(l, 3) = '...'
+             OR right(l, 1) = chr(8230)))::DOUBLE
+           / GREATEST(LEN(lines), 1)""", 4)
+      val alpha = roundPortableSql(
+        """LEN(LIST_FILTER(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / GREATEST(LEN(toks), 1)""", 4)
+      s"""WITH t AS (
+            SELECT doc_id,
+              substr(text, 1, 80) || chr(10) ||
+              CASE WHEN doc_id % 2 = 0
+                   THEN '- bullet item one' || chr(10) ||
+                        '- bullet item two' || chr(10)
+                   ELSE '' END ||
+              CASE WHEN doc_id % 3 = 0
+                   THEN 'read more...' || chr(10) ||
+                        'snippet' || chr(8230) || chr(10)
+                   ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0
+                   THEN '## section ## 123 456 789' || chr(10)
+                   ELSE '' END ||
+              '* final ' || substr(text, 81, 40) AS m
+            FROM documents),
+          f AS (
+            SELECT doc_id,
+              (LENGTH(m) - LENGTH(REPLACE(m, ' ', '')) + 1) AS wt,
+              LENGTH(m) AS n,
+              string_split(m, chr(10)) AS lines,
+              string_split(m, ' ') AS toks,
+              ((LENGTH(m) - LENGTH(REPLACE(m, '#', '')))
+               + (LENGTH(m) - LENGTH(REPLACE(m, '...', ''))) / 3
+               + (LENGTH(m) - LENGTH(REPLACE(m, chr(8230), '')))) AS symn
+            FROM t),
+          g AS (
+            SELECT doc_id,
+              $mean AS mean_word_len,
+              $sym AS symbol_ratio,
+              $bullet AS bullet_frac,
+              $ellip AS ellipsis_frac,
+              $alpha AS alpha_frac
+            FROM f)
+          SELECT doc_id, mean_word_len, symbol_ratio, bullet_frac,
+            ellipsis_frac, alpha_frac,
+            (mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1
+             AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+             AND alpha_frac > 0.8) AS shape_ok
+          FROM g ORDER BY doc_id"""
+    },
     // the training TRAJECTORY re-derived: for every learned rank k,
     // re-apply merges 0..k-1 (from the snapshot) over the corpus
     // vocabulary, recount ALL adjacent-pair weights (word-frequency
