@@ -95,11 +95,18 @@ object HtmlExtract {
     }
   }
 
+  /** Leading/trailing ASCII-space strip, as an explicit regex rather
+    * than `trim` — engine `trim`s disagree on UNICODE spaces (DuckDB
+    * strips NBSP, Spark does not), and a paragraph edge can carry one;
+    * non-ASCII spaces are deliberately preserved here (folding them is
+    * [[graft.functions.TextNormalize]]'s job, downstream). */
+  val OuterSpaceRe: String = "^ +| +$"
+
   /** Collapse ALL whitespace runs to one space and strip the ends —
     * the in-paragraph normal form (paragraphs carry no line
     * structure). */
   private def collapseFlat(text: Column): Column =
-    trim(regexp_replace(text, WsRun, " "))
+    regexp_replace(regexp_replace(text, WsRun, " "), OuterSpaceRe, "")
 
   /** [[stripHtml]]'s step 4 patterns, shared verbatim with the DuckDB
     * oracle (every escape at the REGEX level, never the host-string

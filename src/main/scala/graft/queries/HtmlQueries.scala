@@ -47,9 +47,11 @@ object HtmlQueries {
     lit("<ul><li><a href=\"/t/1\">One</a></li><li><a href=\"/t/2\">Two</a></li></ul>"),
     lit("<footer>Copyright owner</footer></body></html>"))
 
-  /** The SAME page in DuckDB SQL — literal-for-literal. */
-  private val messyHtmlSql: String =
-    """'<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>' ||
+  /** The SAME page in DuckDB SQL — literal-for-literal; `textExpr` is
+    * the inner-text SQL (the capstone wraps `text` plus a unicode-mess
+    * suffix). */
+  private def messyHtmlSqlOf(textExpr: String): String =
+    s"""'<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>' ||
        CASE WHEN doc_id % 3 = 0 THEN '<style>body { color: #333; }</style>' ELSE '' END ||
        CASE WHEN doc_id % 4 = 0
             THEN '<script type="text/javascript">if (a<b && c>d) { nav(); }</script>'
@@ -59,14 +61,16 @@ object HtmlQueries {
        '<h1>' || source || ' report ' || doc_id || '</h1>' ||
        CASE WHEN doc_id % 5 = 0 THEN '<!-- build ' || doc_id || ' -->' ELSE '' END ||
        '<p>Intro &amp; summary for <b>doc ' || doc_id || '</b>: ' ||
-       substr(text, 1, 80) || '</p>' ||
+       substr($textExpr, 1, 80) || '</p>' ||
        CASE WHEN doc_id % 2 = 0 THEN '<P CLASS="Body">' ELSE '<p>' END ||
-       substr(text, 81, length(text)) ||
+       substr($textExpr, 81, length($textExpr)) ||
        ' tail &#39;quoted&#39; and &amp;lt;escaped&amp;gt;</p>' ||
        '<div>See <a href="/d/' || doc_id || '">doc ' || doc_id ||
        '</a> plus enough trailing words to pass</div>' ||
        '<ul><li><a href="/t/1">One</a></li><li><a href="/t/2">Two</a></li></ul>' ||
        '<footer>Copyright owner</footer></body></html>'"""
+
+  private val messyHtmlSql: String = messyHtmlSqlOf("text")
 
   /** Steps 1+2 of the contract in DuckDB (block tags → `sepSql`,
     * inline tags KEPT — the oracle's `blocked`). */
@@ -87,10 +91,76 @@ object HtmlQueries {
       }
 
   /** Per-fragment clean in DuckDB: strip remaining tags, decode,
-    * collapse ALL whitespace, trim. */
+    * collapse ALL whitespace, strip outer ASCII spaces (explicit
+    * regex, never `trim` — DuckDB's trim also strips UNICODE spaces,
+    * Spark's does not; see [[HtmlExtract.OuterSpaceRe]]). */
   private def cleanSql(x: String): String =
-    s"""trim(regexp_replace(${decodeSql(s"regexp_replace($x, '<[^>]*>', '', 'g')")},
-        '[ \\t\\n\\f\\r]+', ' ', 'g'))"""
+    s"""regexp_replace(regexp_replace(${decodeSql(s"regexp_replace($x, '<[^>]*>', '', 'g')")},
+        '[ \\t\\n\\f\\r]+', ' ', 'g'), '${HtmlExtract.OuterSpaceRe}', '', 'g')"""
+
+  /** Unicode mess appended INSIDE the page text for the capstone —
+    * NBSP, ZWSP, a decomposed e+U+0301, the ANGSTROM singleton, and
+    * (every 5th doc) BEL/DEL — the [[graft.functions.TextNormalize]]
+    * surface, exercised AFTER html extraction. Spark and SQL spell
+    * the same codepoints. */
+  private def uniMessSuffix(id: Column): Column = concat(
+    lit(" x\u00A0y\u200B Cafe\u0301 \u212B"),
+    when(id % 5 === 0, lit("\u0007q\u007F")).otherwise(lit("")))
+
+  private val uniMessSuffixSql: String =
+    """' x' || chr(160) || 'y' || chr(8203) || ' Cafe' || chr(769) ||
+       ' ' || chr(8491) ||
+       CASE WHEN doc_id % 5 = 0 THEN chr(7) || 'q' || chr(127)
+            ELSE '' END"""
+
+  /** The crawl-to-corpus CAPSTONE: the full front-end chain composed
+    * in one gated flow — messy page (unicode mess inside the text) →
+    * [[HtmlExtract.extractMainContent]] → [[graft.functions
+    * .TextNormalize.cleanText]] → Gopher shape filter →
+    * [[graft.operators.Curation.filterAndExactDedup]] (lang/quality/
+    * token screens + exact dedup). What only the composition catches:
+    * stage ORDER (normalization must run on extracted text, the shape
+    * filter on normalized text, curation hashes on the final form)
+    * and schema/id drift between stages. */
+  /** The composed crawl front-end over a `(doc_id, html)` relation:
+    * extract → normalize → Gopher shape filter → curation screens +
+    * exact dedup. The extract+normalize regex chains are PINNED once
+    * (`GraftSession.pin` — the flow-seam posture of
+    * `TrainingDataQueries.curationFlowV2`): downstream stages
+    * reference `text` a dozen times, and without the seam Catalyst's
+    * alias substitution would re-run the whole markup chain at every
+    * reference — measured 3.5× the pinned cost at 100× corpus. At
+    * 100 TB this is also the operationally right shape: materialize
+    * the cleaned corpus once, then curate. */
+  private[graft] def crawlFlow(raw: DataFrame): DataFrame = {
+    import graft.functions.{TextAnalysis, TextNormalize}
+    val extracted = HtmlExtract.extractMainContent(raw, "doc_id", "html")
+    val cleaned = graft.GraftSession.pin(
+      extracted.select(col("doc_id"),
+        TextNormalize.cleanText(col("text")).as("text")))
+    val shaped = cleaned.filter(TextAnalysis.gopherShapeOk(col("text")))
+    graft.operators.Curation.filterAndExactDedup(shaped, "doc_id", "text")
+  }
+
+  val crawlToCorpus: Q = (s, dir) => {
+    val id = col("doc_id")
+    // every 7th page carries a symbol-soup paragraph: it SURVIVES
+    // extraction (5+ words, no links) but pushes the whole document
+    // over the Gopher symbol band — the capstone's drop rule must
+    // fire, not just its arithmetic
+    val soup = when(id % 7 === 0,
+      lit("<p>#### #### 11 22 33 #### #### 44 55 66 #### ####</p>"))
+      .otherwise(lit(""))
+    val raw = Scan.table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(
+          messyHtml(col("doc_id"), col("source"),
+            concat(col("text"), uniMessSuffix(col("doc_id")))),
+          soup).as("html"))
+    crawlFlow(raw)
+      .select("doc_id", "pred_lang", "quality", "n_tokens")
+      .orderBy("doc_id")
+  }
 
   /** Full-page strip under the hash gate. */
   val htmlStrip: Q = (s, dir) => {
@@ -114,7 +184,8 @@ object HtmlQueries {
 
   val queries: Map[String, Q] = ListMap(
     "q_html_strip" -> htmlStrip,
-    "q_html_extract" -> htmlExtract)
+    "q_html_extract" -> htmlExtract,
+    "q_crawl_to_corpus" -> crawlToCorpus)
 
   val oracles: Map[String, String] = ListMap(
     "q_html_strip" ->
@@ -131,26 +202,69 @@ object HtmlQueries {
           FROM d ORDER BY doc_id""",
     "q_html_extract" ->
       s"""WITH h AS (SELECT doc_id, $messyHtmlSql AS html FROM documents),
-          m AS (SELECT doc_id, string_split(${blockedSql("chr(1)")}, chr(1)) AS fs
-            FROM h),
-          p AS (SELECT doc_id, fs, unnest(range(1, len(fs) + 1)) AS i FROM m),
-          c AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
-              ${cleanSql("fs[i]")} AS ctext,
-              COALESCE(list_sum(list_transform(
-                regexp_extract_all(fs[i], '(?is)<a[^>]*>(.*?)</a>', 1),
-                x -> length(${cleanSql("x")}))), 0) AS link_chars
-            FROM p),
-          k AS (SELECT * FROM c WHERE ctext <> ''),
-          g AS (SELECT *,
-              CASE WHEN (length(ctext) - length(replace(ctext, ' ', '')) + 1) >= 5
-                    AND CAST(link_chars AS DOUBLE) / GREATEST(length(ctext), 1) <= 0.3
-                   THEN 1 ELSE 0 END AS good
-            FROM k)
-          SELECT doc_id,
+          $extractCtes
+          SELECT doc_id, text, n_paras_kept, n_paras_dropped
+          FROM extracted ORDER BY doc_id""",
+    "q_crawl_to_corpus" -> crawlToCorpusOracle)
+
+  /** The jusText-lite classifier + reassembly CTE chain over an
+    * `h(doc_id, html)` CTE — emits `extracted(doc_id, text,
+    * n_paras_kept, n_paras_dropped)`. Shared by the q_html_extract
+    * oracle and the crawl-to-corpus capstone, so the classifier SQL
+    * can never fork from itself. */
+  private def extractCtes: String =
+    s"""m AS (SELECT doc_id, string_split(${blockedSql("chr(1)")}, chr(1)) AS fs
+          FROM h),
+        p AS (SELECT doc_id, fs, unnest(range(1, len(fs) + 1)) AS i FROM m),
+        c AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+            ${cleanSql("fs[i]")} AS ctext,
+            COALESCE(list_sum(list_transform(
+              regexp_extract_all(fs[i], '(?is)<a[^>]*>(.*?)</a>', 1),
+              x -> length(${cleanSql("x")}))), 0) AS link_chars
+          FROM p),
+        k AS (SELECT * FROM c WHERE ctext <> ''),
+        g AS (SELECT *,
+            CASE WHEN (length(ctext) - length(replace(ctext, ' ', '')) + 1) >= 5
+                  AND CAST(link_chars AS DOUBLE) / GREATEST(length(ctext), 1) <= 0.3
+                 THEN 1 ELSE 0 END AS good
+          FROM k),
+        extracted AS (SELECT doc_id,
             STRING_AGG(ctext, chr(10) ORDER BY pos) FILTER (WHERE good = 1) AS text,
             CAST(COUNT(*) FILTER (WHERE good = 1) AS BIGINT) AS n_paras_kept,
             CAST(COUNT(*) FILTER (WHERE good = 0) AS BIGINT) AS n_paras_dropped
           FROM g GROUP BY doc_id
-          HAVING COUNT(*) FILTER (WHERE good = 1) > 0
-          ORDER BY doc_id""")
+          HAVING COUNT(*) FILTER (WHERE good = 1) > 0)"""
+
+  /** The capstone oracle: the PROVEN stage spellings composed — page
+    * synthesis (with the unicode-mess suffix inside the text), the
+    * shared [[extractCtes]] classifier, the shared five-step cleanup
+    * (`TextQueries.cleanTextSql`), the shared Gopher bands
+    * (`TextQueries.gopherRawCte`/`gopherOkSql`) and the curation
+    * feature/filter/dedup CTEs — one drifted value at ANY stage
+    * boundary fails the final hash. */
+  private def crawlToCorpusOracle: String =
+    s"""WITH h AS (SELECT doc_id,
+          ${messyHtmlSqlOf(s"(text || $uniMessSuffixSql)")} ||
+          CASE WHEN doc_id % 7 = 0
+               THEN '<p>#### #### 11 22 33 #### #### 44 55 66 #### ####</p>'
+               ELSE '' END AS html
+          FROM documents),
+        $extractCtes,
+        cleaned AS (SELECT doc_id,
+            ${TextQueries.cleanTextSql("text")} AS text
+          FROM extracted),
+        gop AS (${TextQueries.gopherRawCte("cleaned")}),
+        shaped AS (SELECT doc_id, text FROM gop
+          WHERE ${TextQueries.gopherOkSql}),
+        ${TextQueries.curationFeatureCtes("shaped")},
+        canon AS (
+          SELECT content_hash, MIN(doc_id) AS doc_id
+          FROM kept GROUP BY content_hash),
+        surv AS (
+          SELECT k.doc_id, k.pred_lang, k.quality, k.n_tokens
+          FROM kept k
+          JOIN canon c ON k.content_hash = c.content_hash
+            AND k.doc_id = c.doc_id)
+        SELECT doc_id, pred_lang, quality, n_tokens FROM surv
+        ORDER BY doc_id"""
 }

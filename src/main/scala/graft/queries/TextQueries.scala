@@ -459,6 +459,66 @@ object TextQueries {
 
   // DuckDB-side building blocks mirroring TextAnalysis exactly.
   private[queries] val wsToks = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+
+  /** THE single SQL spelling of [[graft.functions.TextNormalize
+    * .cleanText]] over an arbitrary expression — shared by the
+    * q_text_normalize oracle and the crawl-to-corpus capstone
+    * (HtmlQueries), so the five-step cleanup can never fork from
+    * itself. Pattern text comes from the TextNormalize constants. */
+  private[queries] def cleanTextSql(x: String): String =
+    s"""regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              replace(replace(nfc_normalize($x),
+                chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+              '${graft.functions.TextNormalize.ZeroWidthRe}', '', 'g'),
+            '${graft.functions.TextNormalize.UniSpaceRe}', ' ', 'g'),
+          '${graft.functions.TextNormalize.ControlRe}', '', 'g')"""
+
+  /** Gopher band CTE over a `(doc_id, text)` source (plus pass-through
+    * of `text`): emits `gop` with the raw feature columns and
+    * `shaped` with only the documents passing the composed A1.1 rule —
+    * THE single SQL spelling of [[graft.functions.TextAnalysis
+    * .gopherShapeOk]]'s bands, shared by the q_gopher_quality oracle
+    * and the crawl-to-corpus capstone. */
+  private[queries] def gopherFeatureSql: Map[String, String] = {
+    import graft.functions.GraftFunctions.roundPortableSql
+    Map(
+      "mean" -> roundPortableSql("(n - (wt - 1)) / GREATEST(wt, 1)", 4),
+      "sym" -> roundPortableSql("symn / GREATEST(wt, 1)", 4),
+      "bullet" -> roundPortableSql(
+        """LEN(LIST_FILTER(lines, l -> left(l, 2) = '- '
+             OR left(l, 2) = '* ' OR left(l, 1) = chr(8226)))::DOUBLE
+           / GREATEST(LEN(lines), 1)""", 4),
+      "ellip" -> roundPortableSql(
+        """LEN(LIST_FILTER(lines, l -> right(l, 3) = '...'
+             OR right(l, 1) = chr(8230)))::DOUBLE
+           / GREATEST(LEN(lines), 1)""", 4),
+      "alpha" -> roundPortableSql(
+        """LEN(LIST_FILTER(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / GREATEST(LEN(toks), 1)""", 4))
+  }
+
+  /** The raw-feature CTE body (`wt/n/lines/toks/symn`) over `$src`'s
+    * `(doc_id, text)` — pairs with [[gopherFeatureSql]]. */
+  private[queries] def gopherRawCte(src: String): String =
+    s"""SELECT doc_id, text,
+          (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS wt,
+          LENGTH(text) AS n,
+          string_split(text, chr(10)) AS lines,
+          string_split(text, ' ') AS toks,
+          ((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+           + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+           + (LENGTH(text) - LENGTH(REPLACE(text, chr(8230), '')))) AS symn
+        FROM $src"""
+
+  /** The composed A1.1 keep rule over [[gopherFeatureSql]] columns. */
+  private[queries] def gopherOkSql: String = {
+    val f = gopherFeatureSql
+    s"""(${f("mean")} BETWEEN 3.0 AND 10.0 AND ${f("sym")} < 0.1
+        AND ${f("bullet")} < 0.9 AND ${f("ellip")} < 0.3
+        AND ${f("alpha")} > 0.8)"""
+  }
   private def hits(words: Seq[String]): String =
     words.map(w => s"(CASE WHEN POSITION(' $w ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)")
       .mkString("(", " + ", ")")
@@ -904,39 +964,19 @@ object TextQueries {
                    ELSE '' END AS messy
             FROM documents),
           c AS (
-            SELECT doc_id, messy,
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(
-                    replace(replace(nfc_normalize(messy),
-                      chr(13) || chr(10), chr(10)), chr(13), chr(10)),
-                    '${graft.functions.TextNormalize.ZeroWidthRe}', '', 'g'),
-                  '${graft.functions.TextNormalize.UniSpaceRe}', ' ', 'g'),
-                '${graft.functions.TextNormalize.ControlRe}', '', 'g') AS clean
+            SELECT doc_id, messy, ${cleanTextSql("messy")} AS clean
             FROM t)
           SELECT doc_id, clean,
             CAST(length(messy) AS INTEGER) AS n_chars_in,
             CAST(length(clean) AS INTEGER) AS n_chars_out
           FROM c ORDER BY doc_id""",
     // every Gopher shape band re-derived from DuckDB's own string/list
-    // ops over the same synthesized multi-line text; the composed rule
-    // compares the SAME round4 values both engines emit
+    // ops over the same synthesized multi-line text (the SHARED band
+    // builders — gopherRawCte/gopherFeatureSql — also drive the
+    // crawl-to-corpus capstone); the composed rule compares the SAME
+    // round4 values both engines emit
     "q_gopher_quality" -> {
-      import graft.functions.GraftFunctions.roundPortableSql
-      val mean = roundPortableSql(
-        "(n - (wt - 1)) / GREATEST(wt, 1)", 4)
-      val sym = roundPortableSql("symn / GREATEST(wt, 1)", 4)
-      val bullet = roundPortableSql(
-        """LEN(LIST_FILTER(lines, l -> left(l, 2) = '- '
-             OR left(l, 2) = '* ' OR left(l, 1) = chr(8226)))::DOUBLE
-           / GREATEST(LEN(lines), 1)""", 4)
-      val ellip = roundPortableSql(
-        """LEN(LIST_FILTER(lines, l -> right(l, 3) = '...'
-             OR right(l, 1) = chr(8230)))::DOUBLE
-           / GREATEST(LEN(lines), 1)""", 4)
-      val alpha = roundPortableSql(
-        """LEN(LIST_FILTER(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
-           / GREATEST(LEN(toks), 1)""", 4)
+      val f = gopherFeatureSql
       s"""WITH t AS (
             SELECT doc_id,
               substr(text, 1, 80) || chr(10) ||
@@ -951,26 +991,17 @@ object TextQueries {
               CASE WHEN doc_id % 5 = 0
                    THEN '## section ## 123 456 789' || chr(10)
                    ELSE '' END ||
-              '* final ' || substr(text, 81, 40) AS m
+              '* final ' || substr(text, 81, 40) AS text
             FROM documents),
-          f AS (
-            SELECT doc_id,
-              (LENGTH(m) - LENGTH(REPLACE(m, ' ', '')) + 1) AS wt,
-              LENGTH(m) AS n,
-              string_split(m, chr(10)) AS lines,
-              string_split(m, ' ') AS toks,
-              ((LENGTH(m) - LENGTH(REPLACE(m, '#', '')))
-               + (LENGTH(m) - LENGTH(REPLACE(m, '...', ''))) / 3
-               + (LENGTH(m) - LENGTH(REPLACE(m, chr(8230), '')))) AS symn
-            FROM t),
+          fz AS (${gopherRawCte("t")}),
           g AS (
             SELECT doc_id,
-              $mean AS mean_word_len,
-              $sym AS symbol_ratio,
-              $bullet AS bullet_frac,
-              $ellip AS ellipsis_frac,
-              $alpha AS alpha_frac
-            FROM f)
+              ${f("mean")} AS mean_word_len,
+              ${f("sym")} AS symbol_ratio,
+              ${f("bullet")} AS bullet_frac,
+              ${f("ellip")} AS ellipsis_frac,
+              ${f("alpha")} AS alpha_frac
+            FROM fz)
           SELECT doc_id, mean_word_len, symbol_ratio, bullet_frac,
             ellipsis_frac, alpha_frac,
             (mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1

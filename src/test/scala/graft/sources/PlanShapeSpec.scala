@@ -242,6 +242,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("crawl-to-corpus capstone: front-end stages stay map-only, bounded exchanges") {
+    // extract + normalize + gopher are pure projections/filters — the
+    // only exchanges the composition may add are curation's exact-dedup
+    // aggregate + winner join (plus the final order)
+    val out = graft.queries.HtmlQueries.crawlToCorpus(
+      spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"crawl capstone degraded to a cross join:\n$plan")
+    val shuffles = "Exchange ".r.findAllIn(plan).length
+    assert(shuffles <= 4,
+      s"crawl capstone shuffled $shuffles times:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("partitionsFor tracks rows between the core floor and the 6x-cores cap") {
     import graft.GraftSession.partitionsFor
     assert(partitionsFor(0L, 32) == 32)            // tiny input → full parallelism
