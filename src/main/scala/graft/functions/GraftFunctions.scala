@@ -90,6 +90,16 @@ object GraftFunctions {
     * loop per row; see [[SimHash64]]). */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
 
+  /** Hashed char-bigram buckets — native kernel ([[CharBigramBuckets]];
+    * the NB language-ID fit input). */
+  def char_bigram_buckets(text: Column, buckets: Int): Column =
+    c(CharBigramBuckets(e(text), buckets))
+
+  /** Per-language NB log-posteriors under a fitted kernel
+    * ([[NbLangScores]]) — one tight loop per row. */
+  def nb_lang_scores(text: Column, kernel: NbKernel): Column =
+    c(NbLangScores(e(text), kernel))
+
   /** Unicode NFC normalization — native expression ([[NfcNormalize]]);
     * the precondition every EXACT text operator (dedup keys, blocklist
     * equality, paragraph hashes) silently assumes. */

@@ -430,8 +430,26 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Trainable NB language ID under the hash gate: fit on the even-id
+    * half's `(lang, text)` labels, score the odd half — and the oracle
+    * re-derives the ENTIRE fit from the corpus (bigram bucket counts,
+    * smoothing, priors) plus the scoring sums and the argmax, with no
+    * model snapshot at all (NB fit is pure counting — the strongest
+    * oracle shape available; see [[graft.operators.LangIdNb]]). */
+  val langIdNb: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+    val model = graft.operators.LangIdNb.fit(
+      d.filter(col("doc_id") % 2 === 0), "lang", "text", buckets = 1024)
+    graft.operators.LangIdNb.predict(
+        d.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
+        "text", model)
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_text_normalize" -> textNormalize,
+    "q_langid_nb" -> langIdNb,
     "q_gopher_quality" -> gopherQuality,
     "q_bpe_train" -> bpeTrain,
     "q_bpe_train_apply" -> bpeTrainApply,
@@ -1008,6 +1026,59 @@ object TextQueries {
              AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
              AND alpha_frac > 0.8) AS shape_ok
           FROM g ORDER BY doc_id"""
+    },
+    // the WHOLE NB pipeline re-derived with no snapshot: train-half
+    // bigram bucket counts (the orderHash spelling), add-one
+    // smoothing, doc-count priors, test-half scoring sums, round4,
+    // argmax with the lexicographic tie-break — langs pivoted to the
+    // same score_<lang> columns the engine emits (testdata's fixed
+    // 5-language set)
+    "q_langid_nb" -> {
+      def bkt(x: String) =
+        s"((unicode(substr($x, 1, 1)) * 997 + unicode(substr($x, 2, 1))) % 1024)"
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val pivot = langs.map(l =>
+        s"MAX(CASE WHEN f.lang = '$l' THEN f.score END) AS score_$l")
+        .mkString(",\n            ")
+      s"""WITH train AS (
+            SELECT lang, text FROM documents
+            WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
+          test AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+          tb AS (
+            SELECT lang, ${bkt("substr(text, i, 2)")} AS b
+            FROM (SELECT lang, text, unnest(range(1, length(text))) AS i
+                  FROM train) z),
+          cnt AS (SELECT lang, b, COUNT(*) AS c FROM tb GROUP BY lang, b),
+          tot AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS t
+                  FROM cnt GROUP BY lang),
+          dc AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS d
+                 FROM train GROUP BY lang),
+          pri AS (SELECT lang, LN(d / (SELECT SUM(d) FROM dc)) AS p FROM dc),
+          qb AS (
+            SELECT doc_id, ${bkt("substr(text, i, 2)")} AS b
+            FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+                  FROM test) z),
+          sums AS (
+            SELECT q.doc_id, t.lang,
+              SUM(LN((COALESCE(c.c, 0) + 1.0) / (t.t + 1024))) AS s
+            FROM qb q CROSS JOIN tot t
+            LEFT JOIN cnt c ON c.lang = t.lang AND c.b = q.b
+            GROUP BY q.doc_id, t.lang),
+          f AS (
+            SELECT te.doc_id, p.lang,
+              ${graft.functions.GraftFunctions.roundPortableSql(
+                "p.p + COALESCE(sm.s, 0.0)", 4)} AS score
+            FROM test te CROSS JOIN pri p
+            LEFT JOIN sums sm ON sm.doc_id = te.doc_id AND sm.lang = p.lang),
+          pred AS (
+            SELECT doc_id, lang AS pred_lang FROM f
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, lang) = 1)
+          SELECT f.doc_id, ANY_VALUE(pr.pred_lang) AS pred_lang,
+            $pivot
+          FROM f JOIN pred pr ON pr.doc_id = f.doc_id
+          GROUP BY f.doc_id ORDER BY f.doc_id"""
     },
     // the training TRAJECTORY re-derived: for every learned rank k,
     // re-apply merges 0..k-1 (from the snapshot) over the corpus
