@@ -447,9 +447,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY datasheet under the hash gate: tokens-per-
+    * word and chars-per-token per language under the corpus-LEARNED
+    * BPE table — the tokenizer-fairness numbers (a tokenizer trained
+    * on skewed data segments under-represented languages into more,
+    * shorter tokens; Rust et al. 2021) a mixture owner reads before
+    * spending per-language token budgets. Composes [[graft.operators
+    * .BpeTrain]] + the native count expression + one O(langs)
+    * aggregate; the oracle re-applies the snapshotted merges and
+    * re-derives every ratio. */
+  val tokenizerFertility: Q = (s, dir) => {
+    import graft.functions.GraftFunctions.roundPortable
+    val d = Scan.table(s, dir, "documents")
+    val res = graft.operators.BpeTrain.fit(d, "text", nMerges = 8)
+    val path = SnapshotPaths.dirFor("bpe_fertility", dir, s)
+    res.toDF(s).coalesce(1).write.mode("overwrite").parquet(path)
+    d.select(col("lang"),
+        graft.functions.GraftFunctions.bpe_token_count(col("text"), res.table)
+          .as("toks"),
+        wsTokenCount(col("text")).as("words"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("bpe_tokens"),
+        sum("words").as("ws_tokens"),
+        sum("chars").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("bpe_tokens"),
+        roundPortable(col("bpe_tokens").cast("double") /
+          greatest(col("ws_tokens"), lit(1L)).cast("double"), 4)
+          .as("fertility"),
+        roundPortable(col("n_chars").cast("double") /
+          greatest(col("bpe_tokens"), lit(1L)).cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_text_normalize" -> textNormalize,
     "q_langid_nb" -> langIdNb,
+    "q_tokenizer_fertility" -> tokenizerFertility,
     "q_gopher_quality" -> gopherQuality,
     "q_bpe_train" -> bpeTrain,
     "q_bpe_train_apply" -> bpeTrainApply,
@@ -1026,6 +1062,33 @@ object TextQueries {
              AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
              AND alpha_frac > 0.8) AS shape_ok
           FROM g ORDER BY doc_id"""
+    },
+    // fertility re-derived: the snapshotted LEARNED merges re-applied
+    // through the recursive machinery (bpeCtesFrom), then per-lang
+    // sums and round4 ratios — identical denominators clamped at 1
+    "q_tokenizer_fertility" -> {
+      import graft.functions.GraftFunctions.roundPortableSql
+      s"""WITH RECURSIVE ${bpeCtesFrom("documents",
+            s"""SELECT rank, l, r FROM read_parquet(
+                '${SnapshotPaths.tokenDirFor("bpe_fertility")}/*.parquet')""")},
+          per_doc AS (
+            SELECT d.lang, c.bpe_tokens,
+              $wsToks AS words, LENGTH(d.text) AS chars
+            FROM documents d JOIN bpe_counts c USING (doc_id)),
+          agg AS (
+            SELECT lang, COUNT(*) AS n_docs,
+              SUM(bpe_tokens) AS bpe_tokens,
+              SUM(words) AS ws_tokens, SUM(chars) AS n_chars
+            FROM per_doc GROUP BY lang)
+          SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+            CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+            ${roundPortableSql(
+              "bpe_tokens::DOUBLE / GREATEST(ws_tokens, 1)::DOUBLE", 4)}
+              AS fertility,
+            ${roundPortableSql(
+              "n_chars::DOUBLE / GREATEST(bpe_tokens, 1)::DOUBLE", 4)}
+              AS chars_per_token
+          FROM agg ORDER BY lang"""
     },
     // the WHOLE NB pipeline re-derived with no snapshot: train-half
     // bigram bucket counts (the orderHash spelling), add-one
