@@ -81,15 +81,20 @@ object LangIdNb {
     val base = labeled
       .filter(col(langCol).isNotNull && col(textCol).isNotNull)
       .select(col(langCol).as("__lang"), col(textCol).as("__text"))
-    // (lang, bucket) counts — partial aggregation bounds the exchange
-    val counts = base
+    // ONE corpus pass for BOTH count families: each doc emits a
+    // sentinel bucket −1 (its document count) ahead of its bigram
+    // buckets, so the (lang, bucket) aggregate carries doc counts and
+    // feature counts in the same partially-aggregated exchange —
+    // never a second scan just for priors
+    val all = base
       .select(col("__lang"),
-        explode(GraftFunctions.char_bigram_buckets(col("__text"), buckets))
+        explode(concat(array(lit(-1)),
+          GraftFunctions.char_bigram_buckets(col("__text"), buckets)))
           .as("__b"))
       .groupBy("__lang", "__b").agg(count(lit(1)).as("__c"))
       .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
-    val docCounts = base.groupBy("__lang").agg(count(lit(1)).as("__d"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val counts = all.filter(_._1._2 >= 0)
+    val docCounts = all.collect { case ((l, -1), c) => (l, c) }
     require(docCounts.nonEmpty, "fit relation has no labeled rows")
     val langs = docCounts.keys.toVector.sorted
     val totalDocs = docCounts.values.sum.toDouble
