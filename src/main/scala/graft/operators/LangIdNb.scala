@@ -74,13 +74,22 @@ object LangIdNb {
     * counting pass, no sample bound (see object doc). Rows with NULL
     * lang or text are excluded from the fit. */
   def fit(labeled: DataFrame, langCol: String, textCol: String,
-      buckets: Int = 1024): Model = {
+      buckets: Int = 1024, maxLangs: Int = 256): Model = {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    require(maxLangs >= 1, s"maxLangs=$maxLangs must be >= 1")
     Seq(langCol, textCol).foreach(c =>
       require(labeled.columns.contains(c), s"column $c absent"))
     val base = labeled
       .filter(col(langCol).isNotNull && col(textCol).isNotNull)
       .select(col(langCol).as("__lang"), col(textCol).as("__text"))
+    // the model pull below is langs × buckets — a high-cardinality
+    // label column (a domain, an id) would turn it into a corpus-sized
+    // driver collect. Fail loudly BEFORE collecting (one O(1)-result
+    // aggregate; fit is offline work)
+    val nLangs = base.select(countDistinct(col("__lang"))).collect()(0).getLong(0)
+    require(nLangs <= maxLangs,
+      s"$nLangs distinct labels in $langCol exceeds maxLangs=$maxLangs — " +
+        "is this really a language column? Raise maxLangs deliberately if so")
     // ONE corpus pass for BOTH count families: each doc emits a
     // sentinel bucket −1 (its document count) ahead of its bigram
     // buckets, so the (lang, bucket) aggregate carries doc counts and

@@ -182,10 +182,41 @@ object HtmlQueries {
       .orderBy("doc_id")
   }
 
+  /** The crawl front-end as a STRUCTURED STREAM: the extract +
+    * normalize stages are pure projections, so they run in Append
+    * mode with ZERO state — pages stream through the same
+    * [[HtmlExtract.extractMainContent]] / [[graft.functions
+    * .TextNormalize.cleanText]] plans batch uses, driven AvailableNow
+    * over the documents file source, and the memory-sink result must
+    * hash-equal the batch oracle. (The stateful downstream — dedup,
+    * budgets — is the existing incremental-index / mergeStream
+    * machinery; this gate proves the NEW front-end composes into it.) */
+  val streamCrawlExtract: Q = (s, dir) => {
+    import graft.streaming.StreamingOps
+    // the file source needs a DIRECTORY: stage the table into scratch
+    // (2 files ⇒ ≥2 micro-batches with maxFilesPerTrigger=1 — the
+    // stream path is exercised across batch boundaries, not one gulp)
+    val srcDir = SnapshotPaths.dirFor("crawl_stream_src", dir, s)
+    Scan.table(s, dir, "documents").repartition(2)
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val raw = stream.select(col("doc_id"),
+      messyHtml(col("doc_id"), col("source"),
+        concat(col("text"), uniMessSuffix(col("doc_id")))).as("html"))
+    val out = HtmlExtract.extractMainContent(raw, "doc_id", "html")
+      .select(col("doc_id"),
+        graft.functions.TextNormalize.cleanText(col("text")).as("text"),
+        col("n_paras_kept"))
+    StreamingOps.runAvailableNow(out, "graft_q_stream_crawl_extract")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = ListMap(
     "q_html_strip" -> htmlStrip,
     "q_html_extract" -> htmlExtract,
-    "q_crawl_to_corpus" -> crawlToCorpus)
+    "q_crawl_to_corpus" -> crawlToCorpus,
+    "q_stream_crawl_extract" -> streamCrawlExtract)
 
   val oracles: Map[String, String] = ListMap(
     "q_html_strip" ->
@@ -205,7 +236,19 @@ object HtmlQueries {
           $extractCtes
           SELECT doc_id, text, n_paras_kept, n_paras_dropped
           FROM extracted ORDER BY doc_id""",
-    "q_crawl_to_corpus" -> crawlToCorpusOracle)
+    "q_crawl_to_corpus" -> crawlToCorpusOracle,
+    // the streaming front-end result ≡ the batch derivation: same page
+    // synthesis (suffix, no soup), shared extract classifier CTEs,
+    // shared cleanup SQL — the stream adds execution machinery, never
+    // semantics
+    "q_stream_crawl_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+            ${messyHtmlSqlOf(s"(text || $uniMessSuffixSql)")} AS html
+            FROM documents),
+          $extractCtes
+          SELECT doc_id, ${TextQueries.cleanTextSql("text")} AS text,
+            n_paras_kept
+          FROM extracted ORDER BY doc_id""")
 
   /** The jusText-lite classifier + reassembly CTE chain over an
     * `h(doc_id, html)` CTE — emits `extracted(doc_id, text,

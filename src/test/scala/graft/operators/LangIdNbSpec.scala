@@ -102,6 +102,12 @@ class LangIdNbSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LangIdNb.fit(labeled.filter(lit(false)), "lang", "text")
     }
+    // a high-cardinality label column is refused before the big pull
+    val highCard = (1 to 10).map(i => (s"label$i", "some text"))
+      .toDF("lang", "text")
+    intercept[IllegalArgumentException] {
+      LangIdNb.fit(highCard, "lang", "text", maxLangs = 5)
+    }
     val m = LangIdNb.fit(labeled, "lang", "text", buckets = 64)
     intercept[IllegalArgumentException] {
       LangIdNb.predict(
