@@ -142,8 +142,47 @@ object HtmlQueries {
     graft.operators.Curation.filterAndExactDedup(shaped, "doc_id", "text")
   }
 
+  /** The capstone's page ADDRESS: scheme/host case, www, default
+    * ports, a tracking param and fragments over ~10 hosts, with the
+    * page key folded to `doc_id % 250` so canonical-URL re-crawl
+    * collisions actually occur (2 docs per page at sf0.01) and the
+    * per-domain cap actually bites. Spark and SQL literal-for-literal. */
+  private def pageUrl(id: Column): Column = concat(
+    when(id % 5 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+    when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    lit("Site"), id % 10, lit(".Example.COM"),
+    when(id % 2 === 0,
+      when(id % 5 === 0, lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit("")),
+    lit("/Page/"), id % 250,
+    when(id % 4 === 2, lit("?utm_medium=em")).otherwise(lit("")),
+    when(id % 8 === 0, lit("#S")).otherwise(lit("")))
+
+  private val pageUrlSql: String =
+    """CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+       CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+       'Site' || (doc_id % 10) || '.Example.COM' ||
+       CASE WHEN doc_id % 2 = 0
+            THEN CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE ':80' END
+            ELSE '' END ||
+       '/Page/' || (doc_id % 250) ||
+       CASE WHEN doc_id % 4 = 2 THEN '?utm_medium=em' ELSE '' END ||
+       CASE WHEN doc_id % 8 = 0 THEN '#S' ELSE '' END"""
+
+  /** Documents per domain kept by the capstone's address stage. */
+  private val DomainCapN = 20
+
   val crawlToCorpus: Q = (s, dir) => {
+    import graft.operators.UrlCuration
     val id = col("doc_id")
+    // the ADDRESS stage runs FIRST (C4/RefinedWeb order — cheapest
+    // screens before any text work): canonical-URL re-crawl dedup,
+    // then the per-domain cap
+    val withUrl = Scan.table(s, dir, "documents")
+      .select(id, col("source"), col("text"), pageUrl(id).as("url"))
+    val addressed = UrlCuration.domainCap(
+      UrlCuration.dedupByUrl(withUrl, "doc_id", "url"),
+      "doc_id", "url", cap = DomainCapN)
     // every 7th page carries a symbol-soup paragraph: it SURVIVES
     // extraction (5+ words, no links) but pushes the whole document
     // over the Gopher symbol band — the capstone's drop rule must
@@ -151,7 +190,7 @@ object HtmlQueries {
     val soup = when(id % 7 === 0,
       lit("<p>#### #### 11 22 33 #### #### 44 55 66 #### ####</p>"))
       .otherwise(lit(""))
-    val raw = Scan.table(s, dir, "documents")
+    val raw = addressed
       .select(col("doc_id"),
         concat(
           messyHtml(col("doc_id"), col("source"),
@@ -286,12 +325,25 @@ object HtmlQueries {
     * feature/filter/dedup CTEs — one drifted value at ANY stage
     * boundary fails the final hash. */
   private def crawlToCorpusOracle: String =
-    s"""WITH h AS (SELECT doc_id,
+    s"""WITH u AS (SELECT doc_id, $pageUrlSql AS url FROM documents),
+        ${UrlQueries.canonCtesSqlPrefixed("url_")},
+        urls AS (
+          SELECT doc_id, ${UrlQueries.canonicalSql} AS canonical, host
+          FROM url_hp),
+        urlwin AS (
+          SELECT doc_id, host FROM urls
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY canonical ORDER BY doc_id) = 1),
+        capped AS (
+          SELECT doc_id FROM urlwin
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY host ORDER BY doc_id) <= $DomainCapN),
+        h AS (SELECT d.doc_id,
           ${messyHtmlSqlOf(s"(text || $uniMessSuffixSql)")} ||
-          CASE WHEN doc_id % 7 = 0
+          CASE WHEN d.doc_id % 7 = 0
                THEN '<p>#### #### 11 22 33 #### #### 44 55 66 #### ####</p>'
                ELSE '' END AS html
-          FROM documents),
+          FROM documents d JOIN capped USING (doc_id)),
         $extractCtes,
         cleaned AS (SELECT doc_id,
             ${TextQueries.cleanTextSql("text")} AS text

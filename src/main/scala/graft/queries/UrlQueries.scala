@@ -60,21 +60,24 @@ object UrlQueries {
   /** The oracle's independent canonicalization: the 7 steps re-spelled
     * in DuckDB regex ops over a `u(doc_id, url)` CTE. Emits
     * `hp(doc_id, url, scheme, host, path, q0)`. */
-  private val canonCtesSql: String =
-    s"""c AS (
+  /** [[canonCtesSql]] with PREFIXED internal CTE names, so a composing
+    * oracle (the crawl-to-corpus capstone) can stack it next to CTE
+    * chains that already use `c`/`h`/`hp`. Emits `<p>hp`. */
+  private[queries] def canonCtesSqlPrefixed(p: String): String =
+    s"""${p}c AS (
           SELECT doc_id, url,
             LOWER(REGEXP_EXTRACT(TRIM(url),
               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
             REGEXP_REPLACE(REGEXP_REPLACE(TRIM(url),
               '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
           FROM u),
-        h AS (
+        ${p}h AS (
           SELECT *,
             REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(nofrag, '^([^/?]*)', 1)),
               '^www\\.', '') AS hostport,
             REGEXP_REPLACE(nofrag, '^[^/?]*', '') AS rest
-          FROM c),
-        hp AS (
+          FROM ${p}c),
+        ${p}hp AS (
           SELECT doc_id, url, scheme,
             CASE WHEN scheme = 'http'
                    THEN REGEXP_REPLACE(hostport, ':80$$', '')
@@ -87,9 +90,11 @@ object UrlQueries {
               REGEXP_REPLACE(rest, '^[^?]*', ''),
               '[?&]${UrlCuration.TrackingParamsRe}=[^&]*', '', 'g'),
               '^&', '?') AS q0
-          FROM h)"""
+          FROM ${p}h)"""
 
-  private val canonicalSql =
+  private[queries] val canonCtesSql: String = canonCtesSqlPrefixed("")
+
+  private[queries] val canonicalSql =
     "scheme || '://' || host || path || " +
       "(CASE WHEN q0 = '?' THEN '' ELSE q0 END)"
 
