@@ -93,14 +93,29 @@ object TextAnalysis {
     GraftFunctions.roundPortable(lengthTerm * 0.5 + diversity * 0.3 + stopTerm * 0.2, 4)
   }
 
-  /** Mean word length in characters (non-space chars ÷ ws tokens) —
-    * the Gopher document-shape signal (Rae et al. 2021 A1.1: keep
-    * 3 ≤ mean ≤ 10; far outside that band means boilerplate tables,
-    * minified blobs, or character soup). Rounded portably. */
+  /** Portable-whitespace word count for the Gopher band metrics:
+    * maximal non-whitespace runs (the A1.1 whitespace-split word
+    * definition). Unlike [[wsTokenCount]]'s single-space arithmetic,
+    * newline-joined multi-paragraph text (exactly what the crawl
+    * extractor emits) does not merge two words across a newline into
+    * one token. One codegen `regexp_count`, RE2-safe class. */
+  def portableWordCount(text: Column): Column =
+    regexp_count(text,
+      lit(s"[^${GraftFunctions.WsClass}]+")).cast("long")
+
+  /** Non-whitespace character count — [[meanWordLength]]'s numerator
+    * under the same portable whitespace class. */
+  private def nonWsCharCount(text: Column): Column =
+    length(regexp_replace(text, s"[${GraftFunctions.WsClass}]", ""))
+
+  /** Mean word length in characters (non-whitespace chars ÷ ws-split
+    * words) — the Gopher document-shape signal (Rae et al. 2021 A1.1:
+    * keep 3 ≤ mean ≤ 10; far outside that band means boilerplate
+    * tables, minified blobs, or character soup). Rounded portably. */
   def meanWordLength(text: Column): Column =
     GraftFunctions.roundPortable(
-      (length(text) - (wsTokenCount(text) - 1)).cast("double") /
-        greatest(wsTokenCount(text), lit(1L)).cast("double"), 4)
+      nonWsCharCount(text).cast("double") /
+        greatest(portableWordCount(text), lit(1L)).cast("double"), 4)
 
   /** Gopher symbol screen: `#` and ellipsis occurrences (both the
     * three-dot spelling and U+2026) per ws token — high values flag
@@ -112,7 +127,7 @@ object TextAnalysis {
     val uni = length(text) - length(replace(text, lit("\u2026"), lit("")))
     GraftFunctions.roundPortable(
       (hashes + dots3 + uni).cast("double") /
-        greatest(wsTokenCount(text), lit(1L)).cast("double"), 4)
+        greatest(portableWordCount(text), lit(1L)).cast("double"), 4)
   }
 
   /** Fraction of LINES starting with a bullet marker (`- `, `* `,
@@ -137,13 +152,17 @@ object TextAnalysis {
       trailing.cast("double") / greatest(size(lines), lit(1)).cast("double"), 4)
   }
 
-  /** Fraction of ws tokens containing at least one alphabetic char —
-    * Gopher requires ≥ 80% (numeric/symbol soup screens out). */
+  /** Fraction of ws-split words containing at least one alphabetic
+    * char — Gopher requires ≥ 80% (numeric/symbol soup screens out).
+    * The numerator counts non-whitespace runs carrying a letter with
+    * ONE codegen `regexp_count` (each maximal run yields exactly one
+    * match iff it contains a letter) — no array materialization. */
   def alphaWordFraction(text: Column): Column = {
-    val toks = split(text, " ")
-    val alpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val nw = s"[^${GraftFunctions.WsClass}]"
+    val alpha = regexp_count(text, lit(s"$nw*[A-Za-z]$nw*"))
     GraftFunctions.roundPortable(
-      alpha.cast("double") / greatest(size(toks), lit(1)).cast("double"), 4)
+      alpha.cast("double") /
+        greatest(portableWordCount(text), lit(1L)).cast("double"), 4)
   }
 
   /** The composed Gopher document-shape rule (the A1.1 bands above,

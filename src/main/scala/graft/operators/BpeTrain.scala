@@ -83,9 +83,23 @@ object BpeTrain {
     * separated for the spec's oracle-twin tests. */
   private[graft] def fitLocal(vocab: Array[(String, Long)], nMerges: Int,
       minSupport: Long): Result = {
-    // current segmentation of each vocab word (mutable across rounds)
-    val seqs: Array[Array[String]] =
-      vocab.map(_._1.map(_.toString).toArray)
+    // current segmentation of each vocab word (mutable across rounds).
+    // Seed symbols are CODEPOINTS, not UTF-16 code units: a per-Char
+    // map would split every non-BMP character (emoji are routine in
+    // crawled text) into two lone-surrogate "symbols" — invalid
+    // strings whose learned merges diverge from the oracle's
+    // codepoint split. Same stepping convention as NbLangExpressions.
+    val seqs: Array[Array[String]] = vocab.map { case (w, _) =>
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        b += w.substring(i, i + n)
+        i += n
+      }
+      b.result()
+    }
     val counts: Array[Long] = vocab.map(_._2)
     val out = Vector.newBuilder[LearnedMerge]
     var k = 0

@@ -133,17 +133,20 @@ object LangIdNb {
     // ~2.4× the operator's total at 100× corpus)
     val kernel = new graft.functions.NbKernel(
       model.logPrior.toArray, model.logProb.toArray, model.buckets)
-    val scoresArr = GraftFunctions.nb_lang_scores(col(textCol), kernel)
-    val scores = model.langs.indices.map { i =>
-      GraftFunctions.roundPortable(element_at(scoresArr, i + 1), 4)
-    }
-    val named = model.langs.zip(scores)
-    val best = scores.tail.foldLeft(scores.head)((m, s) => greatest(m, s))
-    val pred = named.foldRight[Column](lit(null).cast("string")) {
-      case ((lang, s), els) => when(s === best, lit(lang)).otherwise(els)
-    }
-    val withScores = named.foldLeft(docs) { case (d, (lang, s)) =>
-      d.withColumn("score_" + lang, s)
+    // round ONCE over the kernel's score array; the argmax rides the
+    // array (array_max + first-position lookup into the sorted lang
+    // list — first position IS the lexicographic tie-break), keeping
+    // the plan O(langs) in expression nodes. The earlier folded-when
+    // spelling re-referenced every score column per chain link —
+    // O(langs²) plan width (r17 verdict nit).
+    val rounded = transform(
+      GraftFunctions.nb_lang_scores(col(textCol), kernel),
+      s => GraftFunctions.roundPortable(s, 4))
+    val langsLit = array(model.langs.map(lit(_)): _*)
+    val pred = element_at(langsLit, array_position(rounded, array_max(rounded)).cast("int"))
+    val withScores = model.langs.zipWithIndex.foldLeft(docs) {
+      case (d, (lang, i)) =>
+        d.withColumn("score_" + lang, element_at(rounded, i + 1))
     }
     withScores.withColumn(outCol,
       when(col(textCol).isNull, lit(null).cast("string")).otherwise(pred))

@@ -538,7 +538,7 @@ object TextQueries {
   private[queries] def gopherFeatureSql: Map[String, String] = {
     import graft.functions.GraftFunctions.roundPortableSql
     Map(
-      "mean" -> roundPortableSql("(n - (wt - 1)) / GREATEST(wt, 1)", 4),
+      "mean" -> roundPortableSql("nw / GREATEST(wt, 1)", 4),
       "sym" -> roundPortableSql("symn / GREATEST(wt, 1)", 4),
       "bullet" -> roundPortableSql(
         """LEN(LIST_FILTER(lines, l -> left(l, 2) = '- '
@@ -553,18 +553,26 @@ object TextQueries {
            / GREATEST(LEN(toks), 1)""", 4))
   }
 
-  /** The raw-feature CTE body (`wt/n/lines/toks/symn`) over `$src`'s
-    * `(doc_id, text)` — pairs with [[gopherFeatureSql]]. */
-  private[queries] def gopherRawCte(src: String): String =
+  /** The raw-feature CTE body (`wt/nw/n/lines/toks/symn`) over `$src`'s
+    * `(doc_id, text)` — pairs with [[gopherFeatureSql]]. Words are
+    * PORTABLE-WHITESPACE splits (maximal non-ws runs, the A1.1 word
+    * definition TextAnalysis.portableWordCount uses), not single-space
+    * splits — newline-joined paragraphs must not merge words. */
+  private[queries] def gopherRawCte(src: String): String = {
+    val ws = graft.functions.GraftFunctions.WsClass
     s"""SELECT doc_id, text,
-          (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS wt,
+          CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^$ws]+')) AS BIGINT) AS wt,
+          LENGTH(REGEXP_REPLACE(text, '[$ws]', '', 'g')) AS nw,
           LENGTH(text) AS n,
           string_split(text, chr(10)) AS lines,
-          string_split(text, ' ') AS toks,
+          LIST_FILTER(STRING_SPLIT_REGEX(text,
+            '${graft.functions.GraftFunctions.WsRun}'),
+            x -> x <> '') AS toks,
           ((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
            + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
            + (LENGTH(text) - LENGTH(REPLACE(text, chr(8230), '')))) AS symn
         FROM $src"""
+  }
 
   /** The composed A1.1 keep rule over [[gopherFeatureSql]] columns. */
   private[queries] def gopherOkSql: String = {
@@ -1133,15 +1141,23 @@ object TextQueries {
               ${graft.functions.GraftFunctions.roundPortableSql(
                 "p.p + COALESCE(sm.s, 0.0)", 4)} AS score
             FROM test te CROSS JOIN pri p
-            LEFT JOIN sums sm ON sm.doc_id = te.doc_id AND sm.lang = p.lang),
+            LEFT JOIN sums sm ON sm.doc_id = te.doc_id AND sm.lang = p.lang
+            WHERE te.text IS NOT NULL),
           pred AS (
             SELECT doc_id, lang AS pred_lang FROM f
             QUALIFY ROW_NUMBER() OVER (
-              PARTITION BY doc_id ORDER BY score DESC, lang) = 1)
-          SELECT f.doc_id, ANY_VALUE(pr.pred_lang) AS pred_lang,
-            $pivot
-          FROM f JOIN pred pr ON pr.doc_id = f.doc_id
-          GROUP BY f.doc_id ORDER BY f.doc_id"""
+              PARTITION BY doc_id ORDER BY score DESC, lang) = 1),
+          scored AS (
+            SELECT f.doc_id, ANY_VALUE(pr.pred_lang) AS pred_lang,
+              $pivot
+            FROM f JOIN pred pr ON pr.doc_id = f.doc_id
+            GROUP BY f.doc_id)
+          -- NULL-text test docs mirror predict's NULL contract: NULL
+          -- pred_lang and NULL scores, never a prior-only argmax
+          SELECT te.doc_id, s.pred_lang,
+            ${langs.map(l => s"s.score_$l").mkString(", ")}
+          FROM test te LEFT JOIN scored s ON s.doc_id = te.doc_id
+          ORDER BY te.doc_id"""
     },
     // the training TRAJECTORY re-derived: for every learned rank k,
     // re-apply merges 0..k-1 (from the snapshot) over the corpus

@@ -34,6 +34,21 @@ class BpeTrainSpec extends SparkSpec {
       Seq((0, "a", "a", 3L)))
   }
 
+  test("non-BMP seed symbols are codepoints, never lone surrogates") {
+    // U+1F600 (😀) is two UTF-16 code units; a per-Char split would
+    // seed two invalid lone-surrogate symbols and merge them back as
+    // if they were characters. Codepoint seeding keeps the emoji as
+    // ONE symbol, so the winning pair is the emoji next to 'a'.
+    val res = local("😀a" -> 3L)(nMerges = 2, minSupport = 2L)
+    assert(res == Seq((0, "😀", "a", 3L)))
+    // and every learned symbol UTF-8 round-trips (lone surrogates don't)
+    res.foreach { case (_, l, r, _) =>
+      Seq(l, r).foreach { s =>
+        assert(new String(s.getBytes("UTF-8"), "UTF-8") == s, s"malformed symbol: $s")
+      }
+    }
+  }
+
   test("distributed fit == fitLocal over the explicit word counts") {
     val docs = Seq(
       (1L, "aaab ab aaab"),
