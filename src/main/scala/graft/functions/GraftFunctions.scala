@@ -105,6 +105,18 @@ object GraftFunctions {
     * equality, paragraph hashes) silently assumes. */
   def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
 
+  /** HTML character-reference decode (named 5 + decimal/hex numeric)
+    * in one left-to-right scan — native expression
+    * ([[HtmlEntityDecode]]); the [[graft.operators.HtmlExtract]]
+    * contract's step 3. */
+  def html_entity_decode(text: Column): Column = c(HtmlEntityDecode(e(text)))
+
+  /** Registered domain (eTLD+1) of a canonical host under a public-
+    * suffix-list table — native expression ([[RegisteredDomain]]);
+    * the per-domain cap unit ([[graft.operators.UrlCuration]]). */
+  def registered_domain(host: Column, table: PslTable): Column =
+    c(RegisteredDomain(e(host), table))
+
   /** EXACT BPE token count under the fixture merge table — native
     * expression (see [[BpeTokenCount]]); the model-tokenizer currency
     * for budgets/packing/chunking. */
@@ -292,6 +304,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("nfc_normalize",
       { exprs => arity("nfc_normalize", exprs, 1, 1)
         NfcNormalize(exprs.head) }, "built-in")
+    reg.createOrReplaceTempFunction("html_entity_decode",
+      { exprs => arity("html_entity_decode", exprs, 1, 1)
+        HtmlEntityDecode(exprs.head) }, "built-in")
     reg.createOrReplaceTempFunction("simhash64_portable",
       { exprs => arity("simhash64_portable", exprs, 1, 2)
         if (exprs.length == 2)

@@ -25,9 +25,17 @@ import graft.functions.GraftFunctions.{WsClass, WsRun}
   *      removed (case-insensitive, dot-matches-newline, non-greedy);
   *   2. block-level tags ([[BlockTags]]) → paragraph boundary; all
   *      remaining tags → `''`;
-  *   3. the six ubiquitous character entities decoded
-  *      (`&lt; &gt; &quot; &#39; &nbsp;` then `&amp;` LAST, so
-  *      double-encoded text single-decodes: `&amp;lt;` → `&lt;`);
+  *   3. character references decoded in ONE left-to-right scan
+  *      ([[graft.functions.HtmlEntityDecode]]): the five ubiquitous
+  *      named entities (`&lt; &gt; &quot; &nbsp; &amp;`) plus decimal
+  *      and hex numeric references (`&#39; &#233; &#xE9; &#x1F600;`);
+  *      single-pass semantics single-decodes double-encoded text from
+  *      EITHER side (`&amp;lt;` → `&lt;`, `&#38;lt;` → `&lt;`,
+  *      `&amp;#65;` → `&#65;`) — a replace chain cannot order numeric
+  *      and named decoding correctly (see the expression's scaladoc);
+  *      longer named entities (`&eacute;` …) and disallowed
+  *      codepoints (C0 controls, surrogates, > U+10FFFF) stay
+  *      literal;
   *   4. whitespace normalized (horizontal runs → one space, runs
   *      containing a newline → one `\n`, outer whitespace stripped).
   *
@@ -85,15 +93,12 @@ object HtmlExtract {
   private def deTag(html: Column, sep: String): Column =
     regexp_replace(blocked(html, sep), AnyTagRe, "")
 
-  /** Step 3: entity decode, `&amp;` last (literal `replace`, no regex —
-    * identical on any engine). */
-  def decodeEntities(text: Column): Column = {
-    val pairs = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    pairs.foldLeft(text) { case (c, (from, to)) =>
-      replace(c, lit(from), lit(to))
-    }
-  }
+  /** Step 3: character-reference decode — named + numeric in one
+    * native scan ([[graft.functions.HtmlEntityDecode]]; the DuckDB
+    * oracle mirrors the scan with split/interleave over the same
+    * reference pattern). */
+  def decodeEntities(text: Column): Column =
+    graft.functions.GraftFunctions.html_entity_decode(text)
 
   /** Leading/trailing ASCII-space strip, as an explicit regex rather
     * than `trim` — engine `trim`s disagree on UNICODE spaces (DuckDB

@@ -25,12 +25,15 @@ import org.apache.spark.sql.functions._
   *      re-rooted (`&` → `?`) and an emptied query dropped;
   *   7. trailing `/` runs stripped from the path.
   *
-  * The domain unit is the canonical HOST (port included if
-  * non-default). True "registered domain" capping needs the public
-  * suffix list (no fixed label count distinguishes `bbc.co.uk` from
-  * `news.bbc.co.uk`) — a host-level cap is strictly finer, so it
-  * never under-caps a template farm on one host; a farm spread across
-  * subdomains needs the PSL upgrade, out of scope here.
+  * Two cap units are available. [[domainCap]] caps on the canonical
+  * HOST (port included if non-default) — strictly finer than
+  * registered-domain, so it never under-caps a farm on one host, but
+  * a farm spread across subdomains (`a.spam.com`, `b.spam.com`, …)
+  * evades it. [[registeredDomainCap]] caps on the PSL eTLD+1
+  * ([[graft.functions.PslTable]] — C4/RefinedWeb granularity), which
+  * collapses the subdomain farm while keeping platform suffixes
+  * (`github.io` is in the list's private section, so each user site
+  * stays its own cap unit).
   *
   * Scale shape: canonicalization and domain extraction are pure
   * codegen projections (regexp chains — map-only, zero exchanges).
@@ -87,6 +90,14 @@ object UrlCuration {
   def domainOf(url: Column): Column =
     when(schemeOf(trim(url)) === "", lit("")).otherwise(canonHost(trim(url)))
 
+  /** The registered domain (PSL eTLD+1) of the canonical host — the
+    * [[registeredDomainCap]] unit; `''` for non-URLs, NULL for NULL.
+    * Map-only: one native label walk per row over the table's hash
+    * sets ([[graft.functions.RegisteredDomain]]), no rules join. */
+  def registeredDomainOf(url: Column,
+      table: graft.functions.PslTable = graft.functions.PslTable.fixture): Column =
+    graft.functions.GraftFunctions.registered_domain(domainOf(url), table)
+
   /** Adds `outCol` = [[canonicalUrl]]; occupied output columns are
     * rejected loudly (the house posture — see [[Blocklist]]). */
   def withCanonicalUrl(docs: DataFrame, urlCol: String,
@@ -137,14 +148,38 @@ object UrlCuration {
     * if they should be exempt. */
   def domainCap(docs: DataFrame, idCol: String, urlCol: String, cap: Int,
       score: Column = lit(0.0)): DataFrame = {
+    require(docs.columns.contains(urlCol), s"column $urlCol absent")
+    capByUnit(docs, idCol, domainOf(col(urlCol)), cap, score)
+  }
+
+  /** [[domainCap]] at REGISTERED-DOMAIN (PSL eTLD+1) granularity —
+    * the C4/RefinedWeb cap unit: a template farm spread across
+    * subdomains shares one cap; platform user sites (`github.io`
+    * private-section suffix) each keep their own. Same bounded
+    * per-unit heap, same output columns (`domain` = the registered
+    * domain here). */
+  def registeredDomainCap(docs: DataFrame, idCol: String, urlCol: String,
+      cap: Int, score: Column = lit(0.0),
+      table: graft.functions.PslTable = graft.functions.PslTable.fixture)
+      : DataFrame = {
+    require(docs.columns.contains(urlCol), s"column $urlCol absent")
+    capByUnit(docs, idCol, registeredDomainOf(col(urlCol), table), cap, score)
+  }
+
+  /** The shared cap machinery: keep at most `cap` ids per `unit`
+    * value, ranked (`score` DESC, id ASC) by the bounded
+    * [[graft.functions.TopKByScore]] heap — cap rows per unit per
+    * partition cross the exchange, never a per-unit window. */
+  private def capByUnit(docs: DataFrame, idCol: String, unit: Column,
+      cap: Int, score: Column): DataFrame = {
     require(cap >= 1, s"cap=$cap must be >= 1")
-    require(docs.columns.contains(idCol) && docs.columns.contains(urlCol),
-      s"need $idCol and $urlCol in ${docs.columns.mkString(",")}")
+    require(docs.columns.contains(idCol),
+      s"need $idCol in ${docs.columns.mkString(",")}")
     Seq("domain", "domain_rank").foreach(c =>
       require(!docs.columns.contains(c),
         s"output column $c already present in ${docs.columns.mkString(",")}"))
     val winners = docs
-      .select(col(idCol), domainOf(col(urlCol)).as("domain"),
+      .select(col(idCol), unit.as("domain"),
         score.cast("double").as("__score"))
       .groupBy(col("domain"))
       .agg(graft.functions.GraftFunctions.top_k_by_score(

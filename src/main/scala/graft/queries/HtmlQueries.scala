@@ -14,7 +14,10 @@ import graft.sources.Scan
   * inside the script body), comments, an upper-cased link-farm
   * `<NAV>`, attribute-bearing and case-varied block tags, entities
   * including the double-encoded `&amp;lt;`, link-only list items, a
-  * mixed text+link div, and a short footer — and the oracle
+  * mixed text+link div, and a short footer — plus decimal/hex numeric
+  * character references (accented letters, a non-BMP emoji, a
+  * double-encoded `&amp;#65;`, and disallowed control/surrogate/
+  * out-of-range references that must stay literal) — and the oracle
   * re-implements the full 4-step extraction contract
   * ([[HtmlExtract]]) plus the jusText-lite paragraph classifier in
   * DuckDB. A drift in ANY step (tag scope, entity order, whitespace
@@ -41,7 +44,8 @@ object HtmlQueries {
     substring(text, 1, 80), lit("</p>"),
     when(id % 2 === 0, lit("<P CLASS=\"Body\">")).otherwise(lit("<p>")),
     text.substr(lit(81), length(text)),
-    lit(" tail &#39;quoted&#39; and &amp;lt;escaped&amp;gt;</p>"),
+    lit(" tail &#39;quoted&#39; caf&#233; d&#xE9;j&#224; vu&#X1F600; " +
+      "A&amp;#65; bad&#2;ref &#xD800; &eacute; and &amp;lt;escaped&amp;gt;</p>"),
     lit("<div>See <a href=\"/d/"), id, lit("\">doc "), id,
     lit("</a> plus enough trailing words to pass</div>"),
     lit("<ul><li><a href=\"/t/1\">One</a></li><li><a href=\"/t/2\">Two</a></li></ul>"),
@@ -64,7 +68,8 @@ object HtmlQueries {
        substr($textExpr, 1, 80) || '</p>' ||
        CASE WHEN doc_id % 2 = 0 THEN '<P CLASS="Body">' ELSE '<p>' END ||
        substr($textExpr, 81, length($textExpr)) ||
-       ' tail &#39;quoted&#39; and &amp;lt;escaped&amp;gt;</p>' ||
+       ' tail &#39;quoted&#39; caf&#233; d&#xE9;j&#224; vu&#X1F600; ' ||
+       'A&amp;#65; bad&#2;ref &#xD800; &eacute; and &amp;lt;escaped&amp;gt;</p>' ||
        '<div>See <a href="/d/' || doc_id || '">doc ' || doc_id ||
        '</a> plus enough trailing words to pass</div>' ||
        '<ul><li><a href="/t/1">One</a></li><li><a href="/t/2">Two</a></li></ul>' ||
@@ -81,14 +86,53 @@ object HtmlQueries {
         '(?is)<style[^>]*>.*?</style>', '', 'g'),
         '(?i)</?(${HtmlExtract.BlockTags})[^>]*>', $sepSql, 'g')"""
 
-  /** Entity decode in DuckDB — the same six literal replaces, `&amp;`
-    * last. */
+  /** The character-reference pattern both engines consume: the five
+    * named entities plus decimal / bounded-hex numeric references —
+    * [[graft.functions.HtmlEntityDecode]]'s scan and this regex find
+    * the SAME non-overlapping matches over the original string. */
+  private val EntityRe = "&(lt|gt|quot|nbsp|amp|#[0-9]+|#[xX][0-9A-Fa-f]{1,7});"
+
+  /** The reference body's codepoint (`e` = group 1, e.g. `#233` /
+    * `#x1F600`): hex digits folded base-16, decimal TRY_CAST (NULL on
+    * overflow ⇒ literal, same as the scanner's clamp). */
+  private def entCpSql(e: String): String =
+    s"""CASE WHEN lower(substr($e, 2, 1)) = 'x'
+        THEN list_reduce(list_transform(string_split(lower(substr($e, 3)), ''),
+               __hd -> CAST(strpos('0123456789abcdef', __hd) - 1 AS BIGINT)),
+             (__ha, __hb) -> __ha * 16 + __hb)
+        ELSE TRY_CAST(substr($e, 2) AS BIGINT) END"""
+
+  /** Decode one matched reference body, mirroring the scanner's
+    * contract: named five, then numeric iff tab/LF/CR or ≥ U+0020,
+    * ≤ U+10FFFF, not a surrogate — anything else reconstructs itself
+    * literally. */
+  private def entDecodeSql(e: String): String = {
+    val c = entCpSql(e)
+    s"""CASE
+      WHEN $e = 'lt' THEN '<'
+      WHEN $e = 'gt' THEN '>'
+      WHEN $e = 'quot' THEN chr(34)
+      WHEN $e = 'nbsp' THEN ' '
+      WHEN $e = 'amp' THEN chr(38)
+      WHEN $c IS NOT NULL AND ($c IN (9, 10, 13) OR ($c >= 32
+        AND $c <= 1114111 AND NOT ($c BETWEEN 55296 AND 57343)))
+        THEN chr(CAST($c AS INTEGER))
+      ELSE chr(38) || $e || ';' END"""
+  }
+
+  /** Entity decode in DuckDB — split/interleave over [[EntityRe]]:
+    * pieces and matches are found over the ORIGINAL string exactly as
+    * the engine's single left-to-right scan consumes it, so decoded
+    * output can never re-decode (`&amp;#65;` → `&#65;`). Lambda
+    * parameters carry a `__` prefix — `decodeSql` is spliced into CTEs
+    * whose own column names (`i` in [[extractCtes]]) a bare parameter
+    * would silently shadow. */
   private def decodeSql(inner: String): String =
-    Seq("&lt;" -> "'<'", "&gt;" -> "'>'", "&quot;" -> "'\"'",
-      "&#39;" -> "chr(39)", "&nbsp;" -> "' '", "&amp;" -> "'&'")
-      .foldLeft(inner) { case (acc, (from, to)) =>
-        s"replace($acc, '$from', $to)"
-      }
+    s"""array_to_string(list_transform(
+        regexp_split_to_array($inner, '$EntityRe'),
+        (__pc, __pi) -> __pc || coalesce(
+          list_transform(regexp_extract_all($inner, '$EntityRe', 1),
+            __en -> ${entDecodeSql("__en")})[__pi], '')), '')"""
 
   /** Per-fragment clean in DuckDB: strip remaining tags, decode,
     * collapse ALL whitespace, strip outer ASCII spaces (explicit

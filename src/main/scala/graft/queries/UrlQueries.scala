@@ -160,10 +160,65 @@ object UrlQueries {
       .orderBy("doc_id")
   }
 
+  /** Hosts exercising every PSL rule kind the registered-domain cap
+    * must handle: a subdomain farm under a MULTI-LABEL public suffix
+    * (`sub*.farm.co.uk` — the case the host cap provably misses),
+    * ordinary eTLD+1s (`news.site*.co.uk`, `deep.a.site*.com.au`),
+    * private-section platform suffixes (`user*.github.io` — each user
+    * site its own unit), `www.` canonicalization feeding the match,
+    * a wildcard EXCEPTION farm (`foo*.www.ck` → all one `www.ck`
+    * unit), the kawasaki.jp exception, IPv4 hosts with ports, and
+    * non-URL rows sharing the `''` unit. */
+  private def pslUrl(id: Column): Column = {
+    val m = id % 9
+    when(m === 0, concat(lit("http://sub"), id % 7, lit(".farm.co.uk/a/"), id))
+      .when(m === 1, concat(lit("http://news.site"), id % 3, lit(".co.uk/a/"), id))
+      .when(m === 2, concat(lit("http://user"), id % 5, lit(".github.io/a/"), id))
+      .when(m === 3, concat(lit("http://deep.a.site"), id % 3, lit(".com.au/a/"), id))
+      .when(m === 4, concat(lit("http://WWW.example"), id % 2, lit(".de/a/"), id))
+      .when(m === 5, concat(lit("http://foo"), id % 4, lit(".www.ck/a/"), id))
+      .when(m === 6, concat(lit("http://s"), id % 5, lit(".city.kawasaki.jp/a/"), id))
+      .when(m === 7, concat(lit("http://10."), id % 3, lit(".0.42:8080/a/"), id))
+      .otherwise(concat(lit("doc:"), id))
+  }
+
+  private val pslUrlSql: String =
+    """CASE
+         WHEN doc_id % 9 = 0 THEN 'http://sub' || (doc_id % 7) || '.farm.co.uk/a/' || doc_id
+         WHEN doc_id % 9 = 1 THEN 'http://news.site' || (doc_id % 3) || '.co.uk/a/' || doc_id
+         WHEN doc_id % 9 = 2 THEN 'http://user' || (doc_id % 5) || '.github.io/a/' || doc_id
+         WHEN doc_id % 9 = 3 THEN 'http://deep.a.site' || (doc_id % 3) || '.com.au/a/' || doc_id
+         WHEN doc_id % 9 = 4 THEN 'http://WWW.example' || (doc_id % 2) || '.de/a/' || doc_id
+         WHEN doc_id % 9 = 5 THEN 'http://foo' || (doc_id % 4) || '.www.ck/a/' || doc_id
+         WHEN doc_id % 9 = 6 THEN 'http://s' || (doc_id % 5) || '.city.kawasaki.jp/a/' || doc_id
+         WHEN doc_id % 9 = 7 THEN 'http://10.' || (doc_id % 3) || '.0.42:8080/a/' || doc_id
+         ELSE 'doc:' || doc_id
+       END"""
+
+  /** Registered-domain (PSL eTLD+1) cap under the hash gate (cap=4,
+    * smallest-id order). The query snapshots the parsed rule table;
+    * the oracle RE-DERIVES the whole PSL match from it — label
+    * suffixes, wildcard/exception precedence, the implicit `*` rule,
+    * IPv4 and public-suffix-host fallbacks — then re-ranks and caps
+    * over ITS registered domain. */
+  val domainCapPsl: Q = (s, dir) => {
+    val d = Scan.table(s, dir, "documents")
+      .select(col("doc_id"),
+        pslUrl(col("doc_id")).as("url"))
+    val rules = graft.functions.PslTable.fixture.toRows
+    s.createDataFrame(rules).toDF("kind", "rule")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(SnapshotPaths.dirFor("psl_rules", dir, s))
+    UrlCuration.registeredDomainCap(d, "doc_id", "url", cap = 4)
+      .select("doc_id", "domain", "domain_rank")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = ListMap(
     "q_url_canonical" -> urlCanonical,
     "q_url_dedup" -> urlDedup,
-    "q_domain_cap" -> domainCap)
+    "q_domain_cap" -> domainCap,
+    "q_domain_cap_psl" -> domainCapPsl)
 
   val oracles: Map[String, String] = ListMap(
     "q_url_canonical" ->
@@ -194,5 +249,49 @@ object UrlQueries {
                 PARTITION BY host ORDER BY doc_id) AS domain_rank
             FROM hp)
           SELECT doc_id, domain, CAST(domain_rank AS INTEGER) AS domain_rank
-          FROM ranked WHERE domain_rank <= 3 ORDER BY doc_id""")
+          FROM ranked WHERE domain_rank <= 3 ORDER BY doc_id""",
+    // the full PSL algorithm re-derived in SQL from the snapshotted
+    // rules: every label suffix of the (port-stripped) host is joined
+    // against the rule table; exact rules score their own length,
+    // wildcard tails score length+1 (iff a label exists to match *),
+    // exceptions override everything at length-1; no match falls back
+    // to the implicit '*' rule; hosts that ARE a public suffix, empty
+    // hosts and IPv4-shaped hosts keep themselves. Registered domain
+    // = the last (ps+1) labels.
+    "q_domain_cap_psl" ->
+      s"""WITH u AS (SELECT doc_id, $pslUrlSql AS url FROM documents),
+          $canonCtesSql,
+          psl AS (SELECT kind, rule FROM read_parquet(
+            '${SnapshotPaths.tokenDirFor("psl_rules")}/*.parquet')),
+          hosts AS (SELECT doc_id,
+              CASE WHEN scheme = '' THEN ''
+                   ELSE REGEXP_REPLACE(host, ':[0-9]+$$', '') END AS h
+            FROM hp),
+          lab AS (SELECT doc_id, h, string_split(h, '.') AS ls FROM hosts),
+          lab2 AS (SELECT doc_id, h, ls, len(ls) AS n FROM lab),
+          cand AS (SELECT doc_id, n,
+              unnest(range(1, n + 1)) AS k, ls FROM lab2),
+          sfx AS (SELECT doc_id, n, k,
+              array_to_string(ls[CAST(n - k + 1 AS INTEGER):CAST(n AS INTEGER)], '.') AS s
+            FROM cand),
+          mt AS (SELECT f.doc_id,
+              MAX(CASE WHEN p.kind = 'exact' THEN f.k END) AS ex,
+              MAX(CASE WHEN p.kind = 'wild' AND f.k < f.n THEN f.k + 1 END) AS wi,
+              MAX(CASE WHEN p.kind = 'exc' THEN f.k - 1 END) AS xc
+            FROM sfx f JOIN psl p ON p.rule = f.s GROUP BY f.doc_id),
+          reg AS (SELECT l.doc_id,
+              CASE WHEN l.h = '' OR regexp_matches(l.h, '^[0-9.]+$$') THEN l.h
+                   WHEN COALESCE(m.xc, GREATEST(1, COALESCE(m.ex, 1),
+                       COALESCE(m.wi, 1))) < l.n
+                     THEN array_to_string(l.ls[CAST(l.n - COALESCE(m.xc,
+                       GREATEST(1, COALESCE(m.ex, 1), COALESCE(m.wi, 1)))
+                       AS INTEGER):CAST(l.n AS INTEGER)], '.')
+                   ELSE l.h END AS domain
+            FROM lab2 l LEFT JOIN mt m ON m.doc_id = l.doc_id),
+          ranked AS (SELECT doc_id, domain,
+              ROW_NUMBER() OVER (
+                PARTITION BY domain ORDER BY doc_id) AS domain_rank
+            FROM reg)
+          SELECT doc_id, domain, CAST(domain_rank AS INTEGER) AS domain_rank
+          FROM ranked WHERE domain_rank <= 4 ORDER BY doc_id""")
 }

@@ -32,6 +32,21 @@ class HtmlExtractSpec extends SparkSpec {
     assert(strip("a&nbsp;b") == "a b")
   }
 
+  test("strip: numeric and hex references decode in the same pass") {
+    assert(strip("caf&#233; d&#xE9;j&#224; vu&#X1F600;") == "café déjà vu😀")
+    // double-encoded NUMERIC single-decodes from either side
+    assert(strip("&amp;#65;") == "&#65;")
+    assert(strip("&#38;lt;") == "&lt;")
+    // disallowed codepoints stay literal: C0 control (the paragraph
+    // sentinel range), surrogate half, beyond U+10FFFF, >7 hex digits
+    assert(strip("a&#2;b &#xD800; &#x110000; &#x123456789;") ==
+      "a&#2;b &#xD800; &#x110000; &#x123456789;")
+    // decoded tab/newline participate in step-4 whitespace collapse
+    assert(strip("a&#9;b&#10;c") == "a b\nc")
+    // named cutoff: only the five ubiquitous entities, rest literal
+    assert(strip("&eacute; &unknown; &amp") == "&eacute; &unknown; &amp")
+  }
+
   test("strip: whitespace normal form") {
     assert(strip("a  \t b") == "a b")
     assert(strip("<p>  a  </p>  <p>  b  </p>") == "a\nb")

@@ -87,6 +87,25 @@ class UrlCurationSpec extends SparkSpec {
     assert(d1.toSeq == Seq((5L, 1), (11L, 2)))
   }
 
+  test("registeredDomainCap collapses a subdomain farm the host cap misses") {
+    // 6 farm docs across distinct subdomains of one registered domain
+    // (multi-label co.uk suffix), 2 platform user sites
+    val docs = ((0L to 5L).map(i => (i, s"http://sub$i.farm.co.uk/p/$i")) ++
+      Seq((10L, "http://alice.github.io/x"), (11L, "http://bob.github.io/x")))
+      .toDF("id", "url")
+    // host cap sees 8 distinct hosts → nothing capped
+    assert(UrlCuration.domainCap(docs, "id", "url", cap = 2).count() == 8L)
+    val out = UrlCuration.registeredDomainCap(docs, "id", "url", cap = 2)
+      .select("id", "domain", "domain_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // the farm shares ONE unit and keeps only the smallest 2 ids...
+    assert(out.filter(_._2 == "farm.co.uk").map(_._1).sorted.toSeq == Seq(0L, 1L))
+    // ...while each github.io user site is its own (private-section) unit
+    assert(out.filter(_._2 == "alice.github.io").map(_._1).toSeq == Seq(10L))
+    assert(out.filter(_._2 == "bob.github.io").map(_._1).toSeq == Seq(11L))
+    assert(out.length == 4)
+  }
+
   test("plan shapes: projections are map-only; domainCap ranks via the bounded aggregate") {
     val docs = Seq((1L, "http://e.com/a")).toDF("id", "url")
     val proj = UrlCuration.withCanonicalUrl(
