@@ -59,10 +59,17 @@ case class BpeTable(merges: IndexedSeq[(String, String)])
     if (word.length == 1) return 1L
     val memo = cache.get(word)
     if (memo != null) return memo.longValue()
+    // seed symbols are CODEPOINTS, not UTF-16 code units: a per-Char
+    // seed would count an emoji as two lone-surrogate symbols and
+    // diverge from the oracle's codepoint split (the BpeTrain.fitLocal
+    // convention, fixed the same round)
     var syms = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) {
-      syms.add(String.valueOf(word.charAt(i))); i += 1
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms.add(word.substring(i, i + n))
+      i += n
     }
     var done = false
     while (!done && syms.size > 1) {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession.Pinnable
@@ -49,10 +49,27 @@ object Curation {
     * curation features attached. */
   def filterAndExactDedup(
       docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame =
+    filterAndDedupCore(docs, idCol, textCol, langId(col(textCol)), cfg)
+
+  /** [[filterAndExactDedup]] with the language stage SUPPLIED by the
+    * caller — e.g. the trainable [[LangIdNb]] instead of the 4-list
+    * marker heuristic. `langCol` must already be on `docs` (the crawl
+    * capstones attach an NB prediction); everything else (quality and
+    * token screens, exact keep-smallest-id dedup) is identical. */
+  def filterAndExactDedupWithLang(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
       cfg: Config = Config()): DataFrame = {
+    require(docs.columns.contains(langCol), s"column $langCol absent")
+    filterAndDedupCore(docs, idCol, textCol, col(langCol), cfg)
+  }
+
+  private def filterAndDedupCore(
+      docs: DataFrame, idCol: String, textCol: String, lang: Column,
+      cfg: Config): DataFrame = {
     val featured = docs.select(
       col(idCol), col(textCol),
-      langId(col(textCol)).as("pred_lang"),
+      lang.as("pred_lang"),
       qualityScore(col(textCol)).as("quality"),
       wsTokenCount(col(textCol)).as("n_tokens"),
       md5(col(textCol)).as("content_hash"))

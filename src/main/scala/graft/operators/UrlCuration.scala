@@ -117,6 +117,12 @@ object UrlCuration {
     docs.withColumn(outCol, domainOf(col(urlCol)))
   }
 
+  /** True iff the value is a URL with canonical identity (a
+    * `scheme://` form) — the [[dedupByUrl]] exemption test, shared
+    * with the streaming crawl pipeline. */
+  def isUrlish(url: Column): Column =
+    canonicalUrl(url).isNotNull && schemeOf(trim(url)) =!= ""
+
   /** Exact canonical-URL dedup, keep-smallest-id (the deterministic
     * winner rule shared with [[ParagraphDedup]]): one aggregate on the
     * canonical key, one id semi-join back — re-crawls and tracking-
@@ -126,11 +132,10 @@ object UrlCuration {
   def dedupByUrl(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
     require(docs.columns.contains(idCol) && docs.columns.contains(urlCol),
       s"need $idCol and $urlCol in ${docs.columns.mkString(",")}")
-    val curl = canonicalUrl(col(urlCol))
-    val urlish = curl.isNotNull && schemeOf(trim(col(urlCol))) =!= ""
+    val urlish = isUrlish(col(urlCol))
     val winners = docs
       .filter(urlish)
-      .select(col(idCol), curl.as("__curl"))
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("__curl"))
       .groupBy(col("__curl"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))

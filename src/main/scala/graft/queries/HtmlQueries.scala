@@ -167,23 +167,37 @@ object HtmlQueries {
     * filter on normalized text, curation hashes on the final form)
     * and schema/id drift between stages. */
   /** The composed crawl front-end over a `(doc_id, html)` relation:
-    * extract → normalize → Gopher shape filter → curation screens +
-    * exact dedup. The extract+normalize regex chains are PINNED once
-    * (`GraftSession.pin` — the flow-seam posture of
-    * `TrainingDataQueries.curationFlowV2`): downstream stages
-    * reference `text` a dozen times, and without the seam Catalyst's
-    * alias substitution would re-run the whole markup chain at every
-    * reference — measured 3.5× the pinned cost at 100× corpus. At
-    * 100 TB this is also the operationally right shape: materialize
-    * the cleaned corpus once, then curate. */
-  private[graft] def crawlFlow(raw: DataFrame): DataFrame = {
+    * extract → normalize → Gopher shape filter → trainable-NB language
+    * ID → curation screens + exact dedup. The extract+normalize regex
+    * chains are PINNED once (`GraftSession.pin` — the flow-seam
+    * posture of `TrainingDataQueries.curationFlowV2`): downstream
+    * stages reference `text` a dozen times, and without the seam
+    * Catalyst's alias substitution would re-run the whole markup chain
+    * at every reference — measured 3.5× the pinned cost at 100×
+    * corpus. At 100 TB this is also the operationally right shape:
+    * materialize the cleaned corpus once, then curate.
+    *
+    * Language is classified by [[graft.operators.LangIdNb]] fit on
+    * `labeled` (`lang`, `text`) — the data-driven upgrade over the
+    * 4-list marker heuristic (r17 verdict item): the fit is one
+    * offline counting pass, predict stays map-only, and the oracle
+    * re-derives the ENTIRE fit inside the capstone
+    * (`TextQueries.nbCtes`). */
+  private[graft] def crawlFlow(raw: DataFrame, labeled: DataFrame,
+      cfg: graft.operators.Curation.Config =
+        graft.operators.Curation.Config()): DataFrame = {
     import graft.functions.{TextAnalysis, TextNormalize}
     val extracted = HtmlExtract.extractMainContent(raw, "doc_id", "html")
     val cleaned = graft.GraftSession.pin(
       extracted.select(col("doc_id"),
         TextNormalize.cleanText(col("text")).as("text")))
     val shaped = cleaned.filter(TextAnalysis.gopherShapeOk(col("text")))
-    graft.operators.Curation.filterAndExactDedup(shaped, "doc_id", "text")
+    val model = graft.operators.LangIdNb.fit(
+      labeled, "lang", "text", buckets = 1024)
+    val withLang = graft.operators.LangIdNb.predict(shaped, "text", model)
+      .select(col("doc_id"), col("text"), col("pred_lang"))
+    graft.operators.Curation.filterAndExactDedupWithLang(
+      withLang, "doc_id", "text", "pred_lang", cfg)
   }
 
   /** The capstone's page ADDRESS: scheme/host case, www, default
@@ -216,34 +230,56 @@ object HtmlQueries {
   /** Documents per domain kept by the capstone's address stage. */
   private val DomainCapN = 20
 
-  val crawlToCorpus: Q = (s, dir) => {
+  /** The symbol-soup paragraph every 7th page carries: it SURVIVES
+    * extraction (5+ words, no links) but pushes the whole document
+    * over the Gopher symbol band — the capstone's drop rule must
+    * fire, not just its arithmetic. Shared by the batch capstone and
+    * its streaming twin. */
+  private val SoupPara =
+    "<p>#### #### 11 22 33 #### #### 44 55 66 #### ####</p>"
+
+  /** The crawl capstones keep ALL the NB model's languages: the
+    * synthetic corpus's `lang` labels are not textually encoded (every
+    * lang shares one vocabulary), so NB predictions are legitimate
+    * model output but not label-faithful — an `en`-only screen would
+    * zero the corpus and make every downstream stage vacuous. The
+    * predictions themselves stay hash-gated per row (`pred_lang` is an
+    * output column), and the keep-screen RULE is gated separately
+    * (q_curation_filter). */
+  private[queries] val CrawlKeepLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** The capstone's survivor CORPUS — address screens first
+    * (C4/RefinedWeb order: canonical-URL re-crawl dedup, then the
+    * per-domain cap — the cheapest screens before any text work),
+    * then the crawl front-end ([[crawlFlow]], NB fit on the full
+    * labeled documents table). Shared by `q_crawl_to_corpus` and the
+    * v3 training capstone ([[TrainingDataQueries]]), which feeds the
+    * survivors into the modern-curation stack. */
+  private[queries] def crawlCorpus(s: SparkSession, dir: String,
+      cfg: graft.operators.Curation.Config =
+        graft.operators.Curation.Config()): DataFrame = {
     import graft.operators.UrlCuration
     val id = col("doc_id")
-    // the ADDRESS stage runs FIRST (C4/RefinedWeb order — cheapest
-    // screens before any text work): canonical-URL re-crawl dedup,
-    // then the per-domain cap
     val withUrl = Scan.table(s, dir, "documents")
       .select(id, col("source"), col("text"), pageUrl(id).as("url"))
     val addressed = UrlCuration.domainCap(
       UrlCuration.dedupByUrl(withUrl, "doc_id", "url"),
       "doc_id", "url", cap = DomainCapN)
-    // every 7th page carries a symbol-soup paragraph: it SURVIVES
-    // extraction (5+ words, no links) but pushes the whole document
-    // over the Gopher symbol band — the capstone's drop rule must
-    // fire, not just its arithmetic
-    val soup = when(id % 7 === 0,
-      lit("<p>#### #### 11 22 33 #### #### 44 55 66 #### ####</p>"))
-      .otherwise(lit(""))
+    val soup = when(id % 7 === 0, lit(SoupPara)).otherwise(lit(""))
     val raw = addressed
       .select(col("doc_id"),
         concat(
           messyHtml(col("doc_id"), col("source"),
             concat(col("text"), uniMessSuffix(col("doc_id")))),
           soup).as("html"))
-    crawlFlow(raw)
+    crawlFlow(raw, Scan.table(s, dir, "documents"), cfg)
+  }
+
+  val crawlToCorpus: Q = (s, dir) =>
+    crawlCorpus(s, dir, graft.operators.Curation.Config(
+        keepLangs = CrawlKeepLangs.toSet))
       .select("doc_id", "pred_lang", "quality", "n_tokens")
       .orderBy("doc_id")
-  }
 
   /** Full-page strip under the hash gate. */
   val htmlStrip: Q = (s, dir) => {
@@ -295,11 +331,62 @@ object HtmlQueries {
       .orderBy("doc_id")
   }
 
+  /** The WHOLE capstone as a STREAM under the hash gate — the r17
+    * verdict's "crawl arrives continuously" gap closed: the same page
+    * synthesis arrives as TWO ordered micro-batches (mod-time-staged
+    * files, `maxFilesPerTrigger=1`), and the stateful screens —
+    * canonical-URL dedup, the running domain cap, exact content dedup
+    * — must carry across the batch boundary. The id-midpoint split
+    * puts EVERY page-key re-crawl collision (doc_id % 250 pairs k
+    * with k+250) across the two batches: the case a single batch
+    * cannot see, so a state leak (or a state dir that isn't read
+    * back) double-admits a page and fails the hash against the
+    * one-shot batch oracle. */
+  val streamCrawlToCorpus: Q = (s, dir) => {
+    import graft.operators.IndexFs
+    import graft.streaming.StreamingOps
+    val id = col("doc_id")
+    val soup = when(id % 7 === 0, lit(SoupPara)).otherwise(lit(""))
+    val pages = Scan.table(s, dir, "documents")
+      .select(id, pageUrl(id).as("url"),
+        concat(messyHtml(id, col("source"),
+          concat(col("text"), uniMessSuffix(id))), soup).as("html"))
+    val srcDir = SnapshotPaths.dirFor("crawl_corpus_stream_src", dir, s)
+    val stateDir = SnapshotPaths.dirFor("crawl_corpus_stream_state", dir, s)
+    val outDir = SnapshotPaths.dirFor("crawl_corpus_stream_out", dir, s)
+    val ckptDir = SnapshotPaths.dirFor("crawl_corpus_stream_ckpt", dir, s)
+    // fresh run each time (the streamIncrementalDedup posture): stale
+    // state/outputs from a differently-batched previous run would
+    // otherwise leak into the read-back
+    Seq(stateDir, outDir, ckptDir).foreach(IndexFs.deleteRecursively(s, _))
+    val maxId = pages.agg(max("doc_id")).collect()(0).getLong(0)
+    val mid = maxId / 2 + 1
+    StreamingOps.stageOrderedFiles(s, srcDir,
+      Seq(pages.filter(id < mid), pages.filter(id >= mid)))
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    // the NB model is fit ONCE, offline, and rides every micro-batch —
+    // the operational shape (a stream cannot refit per trigger), and
+    // identical to the batch capstone's fit on the same labeled table
+    val model = graft.operators.LangIdNb.fit(
+      Scan.table(s, dir, "documents"), "lang", "text", buckets = 1024)
+    StreamingOps.crawlToCorpusStream(stream, "doc_id", "url", "html",
+        stateDir, outDir, ckptDir, domainCap = DomainCapN,
+        cfg = graft.operators.Curation.Config(
+          keepLangs = CrawlKeepLangs.toSet),
+        langModel = Some(model))
+      .awaitTermination()
+    s.read.parquet(s"$outDir/batch_*")
+      .select("doc_id", "pred_lang", "quality", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = ListMap(
     "q_html_strip" -> htmlStrip,
     "q_html_extract" -> htmlExtract,
     "q_crawl_to_corpus" -> crawlToCorpus,
-    "q_stream_crawl_extract" -> streamCrawlExtract)
+    "q_stream_crawl_extract" -> streamCrawlExtract,
+    "q_stream_crawl_to_corpus" -> streamCrawlToCorpus)
 
   val oracles: Map[String, String] = ListMap(
     "q_html_strip" ->
@@ -320,6 +407,10 @@ object HtmlQueries {
           SELECT doc_id, text, n_paras_kept, n_paras_dropped
           FROM extracted ORDER BY doc_id""",
     "q_crawl_to_corpus" -> crawlToCorpusOracle,
+    // the streaming capstone must equal the one-shot batch derivation
+    // EXACTLY (ordered arrival makes first-arrival ≡ keep-smallest-id)
+    // — same oracle, so any cross-batch state leak fails the hash
+    "q_stream_crawl_to_corpus" -> crawlToCorpusOracle,
     // the streaming front-end result ≡ the batch derivation: same page
     // synthesis (suffix, no soup), shared extract classifier CTEs,
     // shared cleanup SQL — the stream adds execution machinery, never
@@ -354,22 +445,26 @@ object HtmlQueries {
                   AND CAST(link_chars AS DOUBLE) / GREATEST(length(ctext), 1) <= 0.3
                  THEN 1 ELSE 0 END AS good
           FROM k),
-        extracted AS (SELECT doc_id,
+        extracted AS MATERIALIZED (SELECT doc_id,
             STRING_AGG(ctext, chr(10) ORDER BY pos) FILTER (WHERE good = 1) AS text,
             CAST(COUNT(*) FILTER (WHERE good = 1) AS BIGINT) AS n_paras_kept,
             CAST(COUNT(*) FILTER (WHERE good = 0) AS BIGINT) AS n_paras_dropped
           FROM g GROUP BY doc_id
           HAVING COUNT(*) FILTER (WHERE good = 1) > 0)"""
 
-  /** The capstone oracle: the PROVEN stage spellings composed — page
-    * synthesis (with the unicode-mess suffix inside the text), the
-    * shared [[extractCtes]] classifier, the shared five-step cleanup
+  /** The capstone's CTE stack — the PROVEN stage spellings composed:
+    * page synthesis (with the unicode-mess suffix inside the text),
+    * URL canonicalization screens, the shared [[extractCtes]]
+    * classifier, the shared five-step cleanup
     * (`TextQueries.cleanTextSql`), the shared Gopher bands
-    * (`TextQueries.gopherRawCte`/`gopherOkSql`) and the curation
-    * feature/filter/dedup CTEs — one drifted value at ANY stage
-    * boundary fails the final hash. */
-  private def crawlToCorpusOracle: String =
-    s"""WITH u AS (SELECT doc_id, $pageUrlSql AS url FROM documents),
+    * (`TextQueries.gopherRawCte`/`gopherOkSql`), the NB language fit
+    * re-derived from the labeled corpus (`TextQueries.nbCtes`) and
+    * the curation feature/filter/dedup CTEs — one drifted value at
+    * ANY stage boundary fails the final hash. Emits `surv(doc_id,
+    * text, pred_lang, quality, n_tokens)`; shared by the two crawl
+    * capstone gates and the v3 training capstone. */
+  private[queries] def crawlCorpusCtes(keepLangs: Seq[String]): String =
+    s"""u AS (SELECT doc_id, $pageUrlSql AS url FROM documents),
         ${UrlQueries.canonCtesSqlPrefixed("url_")},
         urls AS (
           SELECT doc_id, ${UrlQueries.canonicalSql} AS canonical, host
@@ -385,25 +480,31 @@ object HtmlQueries {
         h AS (SELECT d.doc_id,
           ${messyHtmlSqlOf(s"(text || $uniMessSuffixSql)")} ||
           CASE WHEN d.doc_id % 7 = 0
-               THEN '<p>#### #### 11 22 33 #### #### 44 55 66 #### ####</p>'
+               THEN '$SoupPara'
                ELSE '' END AS html
           FROM documents d JOIN capped USING (doc_id)),
         $extractCtes,
-        cleaned AS (SELECT doc_id,
+        cleaned AS MATERIALIZED (SELECT doc_id,
             ${TextQueries.cleanTextSql("text")} AS text
           FROM extracted),
         gop AS (${TextQueries.gopherRawCte("cleaned")}),
-        shaped AS (SELECT doc_id, text FROM gop
+        shaped AS MATERIALIZED (SELECT doc_id, text FROM gop
           WHERE ${TextQueries.gopherOkSql}),
-        ${TextQueries.curationFeatureCtes("shaped")},
+        ${TextQueries.nbCtes("documents",
+          "(SELECT doc_id, text FROM shaped)", "nb_")},
+        ${TextQueries.curationFeatureCtesWithLang(
+          "shaped", "nb_pred", keepLangs)},
         canon AS (
           SELECT content_hash, MIN(doc_id) AS doc_id
           FROM kept GROUP BY content_hash),
-        surv AS (
-          SELECT k.doc_id, k.pred_lang, k.quality, k.n_tokens
+        surv AS MATERIALIZED (
+          SELECT k.doc_id, k.text, k.pred_lang, k.quality, k.n_tokens
           FROM kept k
           JOIN canon c ON k.content_hash = c.content_hash
-            AND k.doc_id = c.doc_id)
+            AND k.doc_id = c.doc_id)"""
+
+  private def crawlToCorpusOracle: String =
+    s"""WITH ${crawlCorpusCtes(CrawlKeepLangs)}
         SELECT doc_id, pred_lang, quality, n_tokens FROM surv
         ORDER BY doc_id"""
 }

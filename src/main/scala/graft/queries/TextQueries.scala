@@ -740,13 +740,84 @@ object TextQueries {
             FROM bpe_steps s
             WHERE NOT EXISTS (SELECT 1 FROM bpe_merges m
                           WHERE position('_'||m.l||'__'||m.r||'_' IN seq) > 0)),
-          bpe_counts AS (
+          bpe_counts AS MATERIALIZED (
             SELECT doc_id,
                    CAST(SUM(COALESCE(f.n_toks, 0)) AS BIGINT) AS bpe_tokens
             FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
                   FROM $src) t
             LEFT JOIN bpe_final f USING (w)
             GROUP BY doc_id)"""
+
+  /** The NB language-ID fit + scoring re-derivation as a PREFIXED CTE
+    * chain — THE single SQL spelling of [[graft.operators.LangIdNb]]
+    * (bigram bucket counts via the codepoint hash, add-one smoothing,
+    * doc-count priors, round4 scoring sums, lexicographic-tie argmax),
+    * shared by the q_langid_nb gate and the crawl-to-corpus capstones.
+    * `trainSrc` must expose `(lang, text)`; `testSrc` `(doc_id,
+    * text)`. Emits `<p>f(doc_id, lang, score)` over non-NULL-text docs
+    * and `<p>pred(doc_id, pred_lang)`. */
+  private[queries] def nbCtes(trainSrc: String, testSrc: String,
+      p: String, buckets: Int = 1024): String = {
+    def bkt(x: String) =
+      s"((unicode(substr($x, 1, 1)) * 997 + unicode(substr($x, 2, 1))) % $buckets)"
+    s"""${p}train AS MATERIALIZED (
+          SELECT lang, text FROM $trainSrc
+          WHERE lang IS NOT NULL AND text IS NOT NULL),
+        ${p}test AS (SELECT doc_id, text FROM $testSrc),
+        ${p}tb AS (
+          SELECT lang, ${bkt("substr(text, i, 2)")} AS b
+          FROM (SELECT lang, text, unnest(range(1, length(text))) AS i
+                FROM ${p}train) z),
+        ${p}cnt AS MATERIALIZED (SELECT lang, b, COUNT(*) AS c
+            FROM ${p}tb GROUP BY lang, b),
+        ${p}tot AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS t
+            FROM ${p}cnt GROUP BY lang),
+        ${p}dc AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS d
+            FROM ${p}train GROUP BY lang),
+        ${p}pri AS (SELECT lang, LN(d / (SELECT SUM(d) FROM ${p}dc)) AS p
+            FROM ${p}dc),
+        ${p}qb AS (
+          SELECT doc_id, ${bkt("substr(text, i, 2)")} AS b
+          FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+                FROM ${p}test) z),
+        ${p}sums AS (
+          SELECT q.doc_id, t.lang,
+            SUM(LN((COALESCE(c.c, 0) + 1.0) / (t.t + $buckets))) AS s
+          FROM ${p}qb q CROSS JOIN ${p}tot t
+          LEFT JOIN ${p}cnt c ON c.lang = t.lang AND c.b = q.b
+          GROUP BY q.doc_id, t.lang),
+        ${p}f AS MATERIALIZED (
+          SELECT te.doc_id, p.lang,
+            ${roundPortableSql("p.p + COALESCE(sm.s, 0.0)", 4)} AS score
+          FROM ${p}test te CROSS JOIN ${p}pri p
+          LEFT JOIN ${p}sums sm
+            ON sm.doc_id = te.doc_id AND sm.lang = p.lang
+          WHERE te.text IS NOT NULL),
+        ${p}pred AS (
+          SELECT doc_id, lang AS pred_lang FROM ${p}f
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang) = 1)"""
+  }
+
+  /** [[curationFeatureCtes]] with the language stage SUPPLIED by a
+    * predictions CTE `(doc_id, pred_lang)` — the trainable-NB spelling
+    * the crawl capstones use — and a parameterized keep-language set.
+    * Docs with no prediction row (NULL text) get NULL pred_lang and
+    * fail the IN screen, mirroring the engine's NULL contract. */
+  private[queries] def curationFeatureCtesWithLang(src: String,
+      predCte: String, keepLangs: Seq[String]): String = {
+    val langsIn = keepLangs.map(l => s"'$l'").mkString(", ")
+    s"""feat AS (
+            SELECT s.doc_id, s.text, p.pred_lang,
+              $qualityScoreSql AS quality,
+              CAST($wsToks AS BIGINT) AS n_tokens,
+              MD5(text) AS content_hash
+            FROM $src s LEFT JOIN $predCte p USING (doc_id)),
+          kept AS MATERIALIZED (
+            SELECT * FROM feat
+            WHERE pred_lang IN ($langsIn)
+              AND quality >= 0.3 AND n_tokens >= 5)"""
+  }
 
   /** Curation FEATURE CTEs (`feat`, `kept` — stages 1-2 plus the
     * content hash) over an arbitrary `(doc_id, text)` source — THE
@@ -1105,58 +1176,24 @@ object TextQueries {
     // same score_<lang> columns the engine emits (testdata's fixed
     // 5-language set)
     "q_langid_nb" -> {
-      def bkt(x: String) =
-        s"((unicode(substr($x, 1, 1)) * 997 + unicode(substr($x, 2, 1))) % 1024)"
       val langs = Seq("de", "en", "es", "fr", "zh")
       val pivot = langs.map(l =>
         s"MAX(CASE WHEN f.lang = '$l' THEN f.score END) AS score_$l")
         .mkString(",\n            ")
-      s"""WITH train AS (
-            SELECT lang, text FROM documents
-            WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
-          test AS (
-            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
-          tb AS (
-            SELECT lang, ${bkt("substr(text, i, 2)")} AS b
-            FROM (SELECT lang, text, unnest(range(1, length(text))) AS i
-                  FROM train) z),
-          cnt AS (SELECT lang, b, COUNT(*) AS c FROM tb GROUP BY lang, b),
-          tot AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS t
-                  FROM cnt GROUP BY lang),
-          dc AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS d
-                 FROM train GROUP BY lang),
-          pri AS (SELECT lang, LN(d / (SELECT SUM(d) FROM dc)) AS p FROM dc),
-          qb AS (
-            SELECT doc_id, ${bkt("substr(text, i, 2)")} AS b
-            FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
-                  FROM test) z),
-          sums AS (
-            SELECT q.doc_id, t.lang,
-              SUM(LN((COALESCE(c.c, 0) + 1.0) / (t.t + 1024))) AS s
-            FROM qb q CROSS JOIN tot t
-            LEFT JOIN cnt c ON c.lang = t.lang AND c.b = q.b
-            GROUP BY q.doc_id, t.lang),
-          f AS (
-            SELECT te.doc_id, p.lang,
-              ${graft.functions.GraftFunctions.roundPortableSql(
-                "p.p + COALESCE(sm.s, 0.0)", 4)} AS score
-            FROM test te CROSS JOIN pri p
-            LEFT JOIN sums sm ON sm.doc_id = te.doc_id AND sm.lang = p.lang
-            WHERE te.text IS NOT NULL),
-          pred AS (
-            SELECT doc_id, lang AS pred_lang FROM f
-            QUALIFY ROW_NUMBER() OVER (
-              PARTITION BY doc_id ORDER BY score DESC, lang) = 1),
+      s"""WITH ${nbCtes(
+            "(SELECT lang, text FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",
+            "nb_")},
           scored AS (
             SELECT f.doc_id, ANY_VALUE(pr.pred_lang) AS pred_lang,
               $pivot
-            FROM f JOIN pred pr ON pr.doc_id = f.doc_id
+            FROM nb_f f JOIN nb_pred pr ON pr.doc_id = f.doc_id
             GROUP BY f.doc_id)
           -- NULL-text test docs mirror predict's NULL contract: NULL
           -- pred_lang and NULL scores, never a prior-only argmax
           SELECT te.doc_id, s.pred_lang,
             ${langs.map(l => s"s.score_$l").mkString(", ")}
-          FROM test te LEFT JOIN scored s ON s.doc_id = te.doc_id
+          FROM nb_test te LEFT JOIN scored s ON s.doc_id = te.doc_id
           ORDER BY te.doc_id"""
     },
     // the training TRAJECTORY re-derived: for every learned rank k,

@@ -147,8 +147,17 @@ object TrainingDataQueries {
       nClusters: Int = 8,
       /** Hot-cluster guard for the SemDeDup stage (see
         * [[SemDedup.semDedup]]); the gate keeps exact behavior. */
-      maxClusterSize: Long = Long.MaxValue): DataFrame = {
+      maxClusterSize: Long = Long.MaxValue,
+      /** Reference corpus for the DSIR stage's target/raw LMs —
+        * defaults to `docs` itself (the v2 shape). The v3 capstone
+        * passes the RAW labeled table instead: DSIR's target LM must
+        * come from a TRUSTED slice (`lang = 'en'` by true labels), and
+        * the crawl corpus's `lang` is an NB prediction — on the
+        * synthetic gate corpus a degenerate one, which would make the
+        * target slice empty and null every importance weight. */
+      dsirRef: DataFrame = null): DataFrame = {
     val s = docs.sparkSession
+    val dsRef = Option(dsirRef).getOrElse(docs)
     import graft.functions.GraftFunctions.roundPortable
 
     // stage 1: blocklist drop (C4 rule; null text has no hits → kept,
@@ -206,7 +215,7 @@ object TrainingDataQueries {
     // corpus (target = the en slice), documents scored on their
     // REBUILT text, A-ES priority with weight exp(log_ratio)
     val res = Dsir.resampleByImportance(sem, "doc_id", "text",
-        docs.filter(col("lang") === "en"), "text", docs, "text",
+        dsRef.filter(col("lang") === "en"), "text", dsRef, "text",
         k = V2ResampleK, buckets = 1024)
       .join(scored.select(col("doc_id"), col("lang"), col("p_good")),
         "doc_id")
@@ -255,9 +264,39 @@ object TrainingDataQueries {
         SnapshotPaths.dirFor("semdedup_assign_v2", dir, s))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** The v3 capstone keeps ALL the NB model's languages through the
+    * crawl screens (see [[HtmlQueries.CrawlKeepLangs]]), so the
+    * downstream temperature-budget stage stays genuinely multilingual. */
+  private val V3KeepLangs = HtmlQueries.CrawlKeepLangs
+
+  /** THE unifying capstone (`q_training_data_v3`, r18): raw HTML →
+    * training shards in ONE gated query — the crawl front-end
+    * ([[HtmlQueries.crawlCorpus]]: URL screens → extract → NFC clean →
+    * Gopher shape → trainable-NB language ID → curation screens +
+    * exact dedup) feeding the full 11-stage modern-curation stack
+    * ([[curationFlowV2]]). What only this composition catches: doc-id
+    * stability across the front-end's row-DROPPING stages (a dropped
+    * page whose id re-enters via any downstream join is a leak), the
+    * lang column handoff (downstream budgets spend per NB-predicted
+    * language), and text-form drift (the v2 stack must hash/tokenize
+    * the extractor's cleaned text, never the raw page). The oracle
+    * composes the crawl CTE stack and the v2 stack — both already
+    * proven alone — over the same seam. */
+  val trainingDataV3: Q = (s, dir) => {
+    val corpus = HtmlQueries.crawlCorpus(s, dir,
+        graft.operators.Curation.Config(keepLangs = V3KeepLangs.toSet))
+      .select(col("doc_id"), col("text"), col("pred_lang").as("lang"))
+    curationFlowV2(corpus, Scan.table(s, dir, "embeddings"),
+        SnapshotPaths.dirFor("qc_model_v3", dir, s),
+        SnapshotPaths.dirFor("semdedup_assign_v3", dir, s),
+        dsirRef = Scan.table(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q_training_data_e2e" -> trainingDataE2E,
-    "q_training_data_v2" -> trainingDataV2)
+    "q_training_data_v2" -> trainingDataV2,
+    "q_training_data_v3" -> trainingDataV3)
 
   import MixtureQueries.{bucketSql, ppm}
 
@@ -315,27 +354,46 @@ object TrainingDataQueries {
                  start_offset // 2048 AS bin,
                  start_offset % 2048 AS bin_offset
           FROM packed ORDER BY doc_id""",
-    "q_training_data_v2" -> trainingDataV2OracleSql)
+    "q_training_data_v2" -> trainingDataV2OracleSql,
+    // raw HTML → shards: the crawl CTE stack (multilingual keep set)
+    // produces the survivor corpus, the v2 stack consumes it — the
+    // same two proven spellings, composed at the v3corpus seam
+    "q_training_data_v3" ->
+      s"""WITH RECURSIVE
+          ${HtmlQueries.crawlCorpusCtes(V3KeepLangs)},
+          v3corpus AS MATERIALIZED (SELECT doc_id, text, pred_lang AS lang FROM surv),
+          ${v2StackOracle("v3corpus", "qc_model_v3", "semdedup_assign_v3",
+            dsirSrc = "documents")}""")
 
   /** The v2 oracle: each stage's existing SQL spelling composed over
     * the previous stage's CTE (see [[curationFlowV2]]'s scaladoc for
     * the stage map). Generated, not hand-unrolled, so the stage
     * constants come from the SAME vals the flow uses. */
-  private lazy val trainingDataV2OracleSql: String = {
+  private lazy val trainingDataV2OracleSql: String =
+    "WITH RECURSIVE " +
+      v2StackOracle("documents", "qc_model_v2", "semdedup_assign_v2")
+
+  /** The 11-stage v2 CTE stack + final SELECT over an arbitrary
+    * `(doc_id, text, lang)` corpus source — shared by the v2 gate
+    * (source = the raw documents table) and the v3 capstone (source =
+    * the crawl front-end's survivor corpus). Caller supplies the
+    * `WITH RECURSIVE` prefix and any upstream CTEs. */
+  private def v2StackOracle(src: String, qcSnapName: String,
+      asSnapName: String, dsirSrc: String = null): String = {
+    val dsSrc = Option(dsirSrc).getOrElse(src)
     import graft.functions.GraftFunctions.{WsRun, roundPortableSql}
     import graft.functions.SubstringWindowKeys.{B1, B2, P1, P2}
     val L = 20 // substring window, = the flow's minTokens
-    val qcSnap = SnapshotPaths.tokenDirFor("qc_model_v2")
-    val asSnap = SnapshotPaths.tokenDirFor("semdedup_assign_v2")
+    val qcSnap = SnapshotPaths.tokenDirFor(qcSnapName)
+    val asSnap = SnapshotPaths.tokenDirFor(asSnapName)
     val terms = V2BlockTerms.map(t => s"'$t'").mkString(", ")
     val sigma = roundPortableSql(
       """1.0 / (1.0 + EXP(-(COALESCE(dt.s, 0.0)
          / GREATEST(LEN(t.ts), 1) + b.intercept)))""", 6)
     val dsirBucket =
       "(('0x' || substr(md5(f || '/dsir'), 1, 15))::BIGINT % 1024)"
-    s"""WITH RECURSIVE
-        v2_blok AS (
-          SELECT doc_id, text, lang FROM documents
+    s"""v2_blok AS (
+          SELECT doc_id, text, lang FROM $src
           WHERE text IS NULL OR LEN(LIST_FILTER(
             STRING_SPLIT_REGEX(LOWER(text), '$WsRun'),
             x -> x IN ($terms))) = 0),
@@ -343,7 +401,7 @@ object TrainingDataQueries {
           '$qcSnap/*.parquet') WHERE bucket >= 0),
         v2_bi AS (SELECT weight AS intercept FROM read_parquet(
           '$qcSnap/*.parquet') WHERE bucket = -1),
-        v2_tok AS (
+        v2_tok AS MATERIALIZED (
           SELECT doc_id, text, lang,
             LIST_FILTER(STRING_SPLIT_REGEX(text, '$WsRun'),
               x -> x <> '') AS ts
@@ -357,7 +415,7 @@ object TrainingDataQueries {
         v2_dt AS (SELECT v2_ob.doc_id, SUM(w.weight) AS s
                   FROM v2_ob JOIN v2_w w USING (bucket)
                   GROUP BY v2_ob.doc_id),
-        v2_qc AS (
+        v2_qc AS MATERIALIZED (
           SELECT t.doc_id, t.text, t.lang, $sigma AS p_good
           FROM v2_tok t LEFT JOIN v2_dt dt ON dt.doc_id = t.doc_id
           CROSS JOIN v2_bi b
@@ -374,7 +432,7 @@ object TrainingDataQueries {
           FROM v2_pp),
         v2_pm AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
                     ORDER BY doc_id, pos) AS rn FROM v2_pk),
-        v2_para AS (
+        v2_para AS MATERIALIZED (
           SELECT doc_id,
             STRING_AGG(para, ' | ' ORDER BY pos) FILTER (WHERE rn = 1)
               AS text
@@ -417,13 +475,13 @@ object TrainingDataQueries {
                      THEN t.ts[j] END),
               x -> x IS NOT NULL) AS kept
           FROM v2_st t LEFT JOIN v2_ss s USING (doc_id)),
-        v2_sub AS (
+        v2_sub AS MATERIALIZED (
           SELECT doc_id, ARRAY_TO_STRING(kept, ' ') AS text
           FROM v2_cut WHERE LEN(kept) > 0),
         v2_assign AS (
           SELECT doc_id, cluster_id FROM read_parquet(
             '$asSnap/*.parquet')),
-        v2_sem AS (
+        v2_sem AS MATERIALIZED (
           SELECT s.doc_id, s.text FROM v2_sub s JOIN v2_assign a
             USING (doc_id)
           WHERE NOT EXISTS (
@@ -435,7 +493,7 @@ object TrainingDataQueries {
                 "list_cosine_similarity(ea.embedding::DOUBLE[], " +
                   "eb.embedding::DOUBLE[])", 6)} >= $V2Tau)),
         ds_tk AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w
-                  FROM documents),
+                  FROM $dsSrc),
         ds_feats AS (
           SELECT doc_id, lang, UNNEST(w) AS f FROM ds_tk
           UNION ALL
@@ -471,7 +529,7 @@ object TrainingDataQueries {
           LEFT JOIN ds_rc USING (bucket)
           CROSS JOIN ds_tt CROSS JOIN ds_rt
           GROUP BY doc_id),
-        v2_res AS (
+        v2_res AS MATERIALIZED (
           SELECT * FROM (
             SELECT s.doc_id, q.lang, q.p_good, sc.log_ratio, s.text
             FROM v2_sem s JOIN sv_sc sc USING (doc_id)
@@ -507,7 +565,7 @@ object TrainingDataQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               - COALESCE(n_tokens, 0) AS group_start
           FROM tb_t),
-        v2_take AS (
+        v2_take AS MATERIALIZED (
           SELECT doc_id, lang, p_good, log_ratio, n_tokens, group_start,
             text
           FROM tb_c JOIN tb_bud USING (lang)
@@ -521,7 +579,7 @@ object TrainingDataQueries {
           SELECT doc_id, lang, p_good, log_ratio, n_tokens, group_start,
             toks, UNNEST(RANGE(0, LEN(toks), $V2ChunkStride)) AS s
           FROM ck_t WHERE LEN(toks) > 0),
-        v2_chunks AS (
+        v2_chunks AS MATERIALIZED (
           SELECT doc_id, lang, p_good, log_ratio, n_tokens, group_start,
             CAST(s // $V2ChunkStride AS BIGINT) AS chunk_id,
             ARRAY_TO_STRING(toks[s + 1 : s + $V2ChunkTokens], ' ')

@@ -494,6 +494,204 @@ object StreamingOps {
     }
   }
 
+  // ──────────────────────────────────────────────────────────────────
+  // Streaming crawl-to-corpus (r18): the whole capstone pipeline with
+  // its three STATEFUL screens — canonical-URL dedup, the per-domain
+  // cap, and exact content dedup — carried across micro-batches.
+
+  /** Read back one cross-batch state relation: every `batch_*` dir
+    * under `stateDir/$kind` EXCEPT `ownTag` — a replayed batch must
+    * see exactly the pre-batch state its original execution saw (the
+    * [[incrementalDedupStream]] exclude-own-commit posture; replays
+    * only occur at restart, before any later batch runs). */
+  private def readState(spark: SparkSession, stateDir: String,
+      kind: String, ownTag: String, schema: StructType): DataFrame = {
+    val dir = s"$stateDir/$kind"
+    val fs = graft.operators.IndexFs.fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val dirs =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("batch_") && p.getName != ownTag)
+        .map(_.toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.toIndexedSeq: _*)
+  }
+
+  /** The crawl-to-corpus capstone as a STREAM: per micro-batch, the
+    * exact batch pipeline (`HtmlQueries.crawlFlow`'s stages) with the
+    * three screens that need memory ACROSS batches made stateful —
+    * canonical-URL re-crawl dedup, the running per-domain document
+    * cap, and exact content-hash dedup — each a persisted `batch_<id>`
+    * relation under `stateDir`, read back excluding the batch's own
+    * tag (replay-idempotent: a replayed batch recomputes from the
+    * pre-batch state and overwrites its own dirs byte-identically).
+    *
+    * Winner semantics is FIRST ARRIVAL (the operational meaning of a
+    * streaming crawl: the first fetch of a URL / first copy of a
+    * document wins). When batches arrive in non-decreasing id order,
+    * first-arrival ≡ the batch operators' keep-smallest-id, so the
+    * multi-batch output must equal the one-shot batch capstone
+    * row-for-row — the `q_stream_crawl_to_corpus` gate (use
+    * [[stageOrderedFiles]] to pin file→batch order).
+    *
+    * Per-batch cost: the map-only extract/normalize/shape stages on
+    * the batch, one canonical aggregate + anti-join against the URL
+    * state, one bounded per-domain heap + the running-count join, one
+    * hash aggregate + anti-join — state relations are keys only
+    * (canonicals, domains+counts, hashes), never documents.
+    * `checkpointDir` is REQUIRED for the same reason as
+    * [[incrementalDedupStream]]: batch identity lives in the
+    * checkpoint, and the state dirs are keyed by batch id. */
+  def crawlToCorpusStream(pages: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String, stateDir: String, outDir: String,
+      checkpointDir: String, domainCap: Int,
+      cfg: graft.operators.Curation.Config = graft.operators.Curation.Config(),
+      /** Pre-fitted NB language model ([[graft.operators.LangIdNb]]) —
+        * the operational shape: fit offline once, every micro-batch
+        * scores map-only. None = the 4-list marker heuristic. */
+      langModel: Option[graft.operators.LangIdNb.Model] = None,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(domainCap >= 1, s"domainCap=$domainCap must be >= 1")
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        crawlBatch(batch.toDF(), batchId, idCol, urlCol, htmlCol,
+          stateDir, outDir, domainCap, cfg, langModel)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One micro-batch of [[crawlToCorpusStream]], factored out so the
+    * cross-batch and replay contracts are directly testable (the
+    * [[dedupBatchAgainstIndex]] pattern). */
+  private[graft] def crawlBatch(batchDf: DataFrame, batchId: Long,
+      idCol: String, urlCol: String, htmlCol: String, stateDir: String,
+      outDir: String, domainCap: Int,
+      cfg: graft.operators.Curation.Config,
+      langModel: Option[graft.operators.LangIdNb.Model] = None): Unit =
+    graft.GraftSession.releasingScratch(batchDf.sparkSession) {
+      import graft.functions.{GraftFunctions, TextAnalysis, TextNormalize}
+      import graft.operators.{HtmlExtract, UrlCuration}
+      val spark = batchDf.sparkSession
+      val tag = s"batch_$batchId"
+      val urlsSchema = StructType(Seq(StructField("canonical", StringType)))
+      val domSchema = StructType(Seq(
+        StructField("domain", StringType), StructField("n", LongType)))
+      val hashSchema = StructType(Seq(StructField("content_hash", StringType)))
+      val prevUrls = readState(spark, stateDir, "urls", tag, urlsSchema)
+      val prevDomains = readState(spark, stateDir, "domains", tag, domSchema)
+        .groupBy("domain").agg(sum("n").as("prev_n"))
+      val prevHashes = readState(spark, stateDir, "hashes", tag, hashSchema)
+
+      val b = batchDf.pinScratch() // url keys + the post-screen text pass
+      // ── URL stage (the batch dedupByUrl + domainCap, made running)
+      val withKeys = b.select(col(idCol),
+          UrlCuration.canonicalUrl(col(urlCol)).as("__canon"),
+          UrlCuration.domainOf(col(urlCol)).as("__dom"),
+          UrlCuration.isUrlish(col(urlCol)).as("__urlish"))
+        .pinScratch()
+      val intra = withKeys.filter(col("__urlish"))
+        .groupBy("__canon").agg(min(col(idCol)).as(idCol))
+      val freshWinners = intra
+        .join(prevUrls, intra("__canon") === prevUrls("canonical"), "left_anti")
+        .pinScratch() // state append AND survivor semi-join
+      freshWinners.select(col("__canon").as("canonical"))
+        .write.mode("overwrite").parquet(s"$stateDir/urls/$tag")
+      val urlSurvivors = withKeys
+        .join(freshWinners.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col(idCol), col("__dom"))
+        .unionByName(withKeys
+          .filter(!coalesce(col("__urlish"), lit(false)))
+          .select(col(idCol), col("__dom")))
+      // running per-domain cap: global rank = survivors seen in prior
+      // batches + rank within this batch (bounded heap, never a window)
+      val ranked = urlSurvivors
+        .groupBy(col("__dom"))
+        .agg(GraftFunctions.top_k_by_score(
+            col(idCol), lit(0.0).cast("double"), domainCap).as("__topk"),
+          count(lit(1)).as("__n"))
+        .pinScratch() // cap join AND domain-count state append
+      ranked.select(col("__dom").as("domain"), col("__n").as("n"))
+        .write.mode("overwrite").parquet(s"$stateDir/domains/$tag")
+      val cappedIds = ranked
+        .select(col("__dom"), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+        .join(prevDomains, col("__dom") <=> col("domain"), "left")
+        .filter(col("__pos") + 1 + coalesce(col("prev_n"), lit(0L)) <= domainCap)
+        .select(col("__e.id").as(idCol))
+
+      // ── text stages (stateless, the crawlFlow spellings) on the
+      // address-stage survivors only
+      val extracted = HtmlExtract.extractMainContent(
+        b.join(cappedIds, Seq(idCol), "left_semi")
+          .select(col(idCol), col(htmlCol)), idCol, htmlCol)
+      val cleaned = extracted.select(col(idCol),
+          TextNormalize.cleanText(col("text")).as("text"))
+        .pinScratch() // the gopher + feature stages reference text often
+      val shaped = cleaned.filter(TextAnalysis.gopherShapeOk(col("text")))
+      // language stage: the pre-fitted NB model (map-only scoring) or
+      // the marker heuristic — mirroring the batch crawlFlow exactly
+      val withLang = langModel match {
+        case Some(m) => graft.operators.LangIdNb
+          .predict(shaped, "text", m)
+          .select(col(idCol), col("text"), col("pred_lang"))
+        case None => shaped.select(col(idCol), col("text"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+      }
+      val kept = withLang.select(col(idCol),
+          col("pred_lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens"),
+          md5(col("text")).as("content_hash"))
+        .filter(col("pred_lang").isin(cfg.keepLangs.toSeq: _*))
+        .filter(col("quality") >= cfg.minQuality &&
+          col("n_tokens") >= cfg.minTokens)
+        .pinScratch()
+      // exact content dedup, cross-batch: intra-batch winners first,
+      // then the hashes any prior batch already accepted
+      val canonical = kept.groupBy("content_hash").agg(min(col(idCol)).as(idCol))
+      val freshHash = canonical
+        .join(prevHashes, Seq("content_hash"), "left_anti")
+        .pinScratch()
+      freshHash.select("content_hash")
+        .write.mode("overwrite").parquet(s"$stateDir/hashes/$tag")
+      kept.join(freshHash.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col(idCol), col("pred_lang"), col("quality"), col("n_tokens"))
+        .write.mode("overwrite").parquet(s"$outDir/$tag")
+    }
+
+  /** Stage `parts` as SEPARATE single parquet files in `srcDir` with
+    * strictly increasing modification times, so the file source
+    * delivers them in this order (FileStreamSource processes files in
+    * mod-time order; `maxFilesPerTrigger=1` then maps one file → one
+    * micro-batch). The ordered-arrival contract the
+    * [[crawlToCorpusStream]] gate pins its oracle on. */
+  def stageOrderedFiles(spark: SparkSession, srcDir: String,
+      parts: Seq[DataFrame]): Unit = {
+    import graft.operators.IndexFs
+    IndexFs.deleteRecursively(spark, srcDir)
+    val fs = IndexFs.fs(spark, srcDir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    val t0 = System.currentTimeMillis() - 3600L * 1000 // all in the past
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val stage = s"${srcDir}_stage_$i"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = new org.apache.hadoop.fs.Path(srcDir, f"part_$i%04d.parquet")
+      require(fs.rename(part, dst), s"staging rename failed: $part -> $dst")
+      fs.setTimes(dst, t0 + i * 60000L, -1)
+      IndexFs.deleteRecursively(spark, stage)
+    }
+  }
+
   /** Drives a streaming DataFrame to completion over the currently
     * available input (Trigger.AvailableNow ≙ the reference's bounded
     * scheduled run) into an in-memory table; returns the result. */

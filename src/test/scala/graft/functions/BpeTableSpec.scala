@@ -90,6 +90,17 @@ class BpeTableSpec extends SparkSpec {
     assert(mer.getLong(1) == 1L) // m+er fires under the fixture
   }
 
+  test("non-BMP codepoints count as ONE seed symbol, never two surrogates") {
+    // 😀 is two UTF-16 units; the oracle's string_split(w,'') sees one
+    // codepoint, so the engine must too — 'vu😀' = v, u, 😀 = 3 tokens
+    // under a table with no matching merges
+    assert(BpeTokenCount.fixtureTable.segmentLen("vu😀") == 3L)
+    assert(BpeTokenCount.fixtureTable.segmentLen("😀") == 1L)
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(BpeTokenCount.fixtureTable.compute(
+      UTF8String.fromString("café vu😀")) == 4L + 3L)
+  }
+
   test("table symbols with spaces or empties are rejected at construction") {
     intercept[IllegalArgumentException](BpeTable(Vector("a b" -> "c")))
     intercept[IllegalArgumentException](BpeTable(Vector("" -> "c")))
