@@ -117,6 +117,13 @@ object GraftFunctions {
   def registered_domain(host: Column, table: PslTable): Column =
     c(RegisteredDomain(e(host), table))
 
+  /** May `agent` fetch `path` under `robotsTxt`? — native RFC 9309
+    * evaluation with the parse memoized per distinct text
+    * ([[RobotsAllowed]]); the crawl politeness screen
+    * ([[graft.operators.Robots]]). */
+  def robots_allowed(robotsTxt: Column, path: Column, agent: String): Column =
+    c(RobotsAllowed(e(robotsTxt), e(path), agent))
+
   /** EXACT BPE token count under the fixture merge table — native
     * expression (see [[BpeTokenCount]]); the model-tokenizer currency
     * for budgets/packing/chunking. */

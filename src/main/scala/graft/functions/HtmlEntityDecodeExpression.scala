@@ -25,9 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`graft.queries.HtmlQueries.decodeSql`).
   *
   * Decode contract (mirrored literally by the oracle):
-  *   - named: the five above (`&#39;` arrives via the numeric path);
-  *     anything else named (`&eacute;` …) passes through literally —
-  *     documented cutoff, the full named table is ~2k entries;
+  *   - named: the [[HtmlEntityDecode.Named]] table — the five
+  *     ubiquitous entities plus the common Latin-1 letter /
+  *     punctuation / symbol set real pages carry constantly (`&#39;`
+  *     arrives via the numeric path); anything else named passes
+  *     through literally — documented cutoff, the full HTML5 table is
+  *     ~2k entries and drops into the same table;
   *   - numeric: decoded iff the codepoint is tab/LF/CR or ≥ U+0020,
   *     ≤ U+10FFFF and not a surrogate — otherwise the reference stays
   *     LITERAL (C0 controls would collide with the extractor's U+0001
@@ -106,18 +109,24 @@ object HtmlEntityDecode {
     * both sides must treat it the same way). */
   private def tryReference(str: String, at: Int, out: java.lang.StringBuilder): Int = {
     val n = str.length
-    // named: lt gt quot nbsp amp (longest is 4 chars + & + ;)
-    var named = 0
-    while (named < Named.length) {
-      val (name, repl) = Named(named)
-      val end = at + 1 + name.length
-      if (end < n && str.charAt(end) == ';' && str.regionMatches(at + 1, name, 0, name.length)) {
-        out.append(repl)
-        return end + 1
+    if (at + 1 >= n) return at
+    if (str.charAt(at + 1) != '#') {
+      // named: read the maximal alphanumeric run, require ';', look
+      // up the table — equivalent to the oracle's longest-first
+      // alternation (a known name followed by anything but ';' fails
+      // both ways)
+      var j = at + 1
+      while (j < n && j - at <= MaxNameLen &&
+        Character.isLetterOrDigit(str.charAt(j))) j += 1
+      if (j > at + 1 && j < n && str.charAt(j) == ';') {
+        val cp = NamedMap.get(str.substring(at + 1, j))
+        if (cp != null) {
+          out.appendCodePoint(cp.intValue())
+          return j + 1
+        }
       }
-      named += 1
+      return at
     }
-    if (at + 1 >= n || str.charAt(at + 1) != '#') return at
     var j = at + 2
     val hex = j < n && (str.charAt(j) == 'x' || str.charAt(j) == 'X')
     if (hex) j += 1
@@ -154,6 +163,51 @@ object HtmlEntityDecode {
     else if (c >= 'A' && c <= 'F') c - 'A' + 10
     else -1
 
-  private val Named: Array[(String, String)] = Array(
-    "lt" -> "<", "gt" -> ">", "quot" -> "\"", "nbsp" -> " ", "amp" -> "&")
+  /** The named-entity table (name → codepoint): the five ubiquitous
+    * entities plus the common Latin-1 letters, typographic
+    * punctuation and symbols crawled pages carry constantly. ONE
+    * constant — the scanner's lookup map and the oracle's regex
+    * alternation + decode arms are both generated from it, so the two
+    * engines cannot drift. Case-sensitive, per the HTML named table. */
+  val Named: IndexedSeq[(String, Int)] = Vector(
+    // the ubiquitous five
+    "lt" -> '<'.toInt, "gt" -> '>'.toInt, "quot" -> '"'.toInt,
+    "nbsp" -> 0x00A0, "amp" -> '&'.toInt,
+    // XML apostrophe
+    "apos" -> '\''.toInt,
+    // Latin-1 letters (the accents European-language pages use most)
+    "aacute" -> 0x00E1, "agrave" -> 0x00E0, "acirc" -> 0x00E2,
+    "auml" -> 0x00E4, "ccedil" -> 0x00E7, "eacute" -> 0x00E9,
+    "egrave" -> 0x00E8, "ecirc" -> 0x00EA, "iacute" -> 0x00ED,
+    "ntilde" -> 0x00F1, "oacute" -> 0x00F3, "ocirc" -> 0x00F4,
+    "ouml" -> 0x00F6, "szlig" -> 0x00DF, "uacute" -> 0x00FA,
+    "uuml" -> 0x00FC,
+    "Aacute" -> 0x00C1, "Eacute" -> 0x00C9, "Ouml" -> 0x00D6,
+    "Uuml" -> 0x00DC,
+    // typographic punctuation
+    "hellip" -> 0x2026, "mdash" -> 0x2014, "ndash" -> 0x2013,
+    "lsquo" -> 0x2018, "rsquo" -> 0x2019, "ldquo" -> 0x201C,
+    "rdquo" -> 0x201D, "laquo" -> 0x00AB, "raquo" -> 0x00BB,
+    "middot" -> 0x00B7, "bull" -> 0x2022,
+    // symbols
+    "copy" -> 0x00A9, "reg" -> 0x00AE, "trade" -> 0x2122,
+    "deg" -> 0x00B0, "sect" -> 0x00A7, "para" -> 0x00B6,
+    "euro" -> 0x20AC, "pound" -> 0x00A3, "yen" -> 0x00A5,
+    "cent" -> 0x00A2, "times" -> 0x00D7, "divide" -> 0x00F7,
+    "plusmn" -> 0x00B1, "frac12" -> 0x00BD, "frac14" -> 0x00BC)
+
+  private val MaxNameLen: Int =
+    Named.map(_._1.length).max + 1 // +1: the loop bound is inclusive
+
+  private val NamedMap: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    Named.foreach { case (n, cp) => m.put(n, Integer.valueOf(cp)) }
+    m
+  }
+
+  /** The names as a regex alternation, LONGEST FIRST — under
+    * leftmost-first alternation semantics a shorter name that
+    * prefixes a longer one can never steal its match. */
+  def namedAlternation: String =
+    Named.map(_._1).sortBy(n => (-n.length, n)).mkString("|")
 }

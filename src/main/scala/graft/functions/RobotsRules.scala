@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Robots Exclusion Protocol core (RFC 9309 — the published standard
+  * of the de-facto robots.txt format): group selection, wildcard
+  * path rules, longest-match precedence. The DataFrame-level
+  * politeness screen is [[graft.operators.Robots.filterAllowed]];
+  * this file holds the parser, the matcher, and the native
+  * [[RobotsAllowed]] expression that evaluates them per row.
+  *
+  * Matching semantics (RFC 9309 §2.2):
+  *   - `Allow`/`Disallow` values are PATH PREFIXES with `*` matching
+  *     any char sequence and `$` anchoring the end; an empty
+  *     `Disallow:` matches nothing;
+  *   - the MOST SPECIFIC matching rule wins — longest value by
+  *     length; on an Allow/Disallow tie, Allow wins;
+  *   - no matching rule, no group for the agent (falling back to the
+  *     `*` groups), or no robots.txt ⇒ allowed.
+  */
+object RobotsRules {
+
+  /** One compiled rule: raw value (for specificity), its wildcard
+    * segments, end-anchored or not, allow or disallow. */
+  final case class Rule(value: String, allow: Boolean) {
+    val anchored: Boolean = value.endsWith("$")
+    val segments: Array[String] =
+      (if (anchored) value.dropRight(1) else value).split("\\*", -1)
+
+    /** Wildcard prefix match. Middles match leftmost (minimizing the
+      * consumed prefix — the easiest-to-satisfy arrangement, so no
+      * backtracking is ever needed); an anchored final segment must
+      * end the path. */
+    def matches(path: String): Boolean = {
+      if (value.isEmpty) return false // empty Disallow: matches nothing
+      var pos = 0
+      var i = 0
+      while (i < segments.length) {
+        val seg = segments(i)
+        if (i == 0) {
+          if (!path.startsWith(seg)) return false
+          pos = seg.length
+        } else if (i == segments.length - 1 && anchored) {
+          if (path.length - pos < seg.length || !path.endsWith(seg))
+            return false
+          pos = path.length
+        } else {
+          val at = path.indexOf(seg, pos)
+          if (at < 0) return false
+          pos = at + seg.length
+        }
+        i += 1
+      }
+      !anchored || pos == path.length
+    }
+  }
+
+  /** The compiled rule group one agent sees over one robots text. */
+  final case class Group(rules: IndexedSeq[Rule]) {
+    /** Longest-value matching rule wins; Allow wins ties; no match ⇒
+      * allowed. */
+    def isAllowed(path: String): Boolean = {
+      var bestLen = -1
+      var bestAllow = true
+      var i = 0
+      while (i < rules.length) {
+        val r = rules(i)
+        if (r.matches(path)) {
+          val len = r.value.length
+          if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+            bestLen = len; bestAllow = r.allow
+          }
+        }
+        i += 1
+      }
+      bestLen < 0 || bestAllow
+    }
+  }
+
+  /** Parse a robots.txt for `agent` (case-insensitive product token):
+    * groups are runs of `User-agent` lines followed by rule lines;
+    * all groups naming the agent (or, if none do, all `*` groups)
+    * merge. Unknown directives (Crawl-delay, Sitemap, …) and `#`
+    * comments are ignored per the RFC; a missing group ⇒ empty rule
+    * set ⇒ allow-all. */
+  def parse(text: String, agent: String): Group = {
+    val want = agent.toLowerCase(java.util.Locale.ROOT)
+    val exact = Vector.newBuilder[Rule]
+    val star = Vector.newBuilder[Rule]
+    var exactHit = false
+    var groupExact = false
+    var groupStar = false
+    var inAgentRun = false
+    text.linesIterator.foreach { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw.trim
+        case i => raw.substring(0, i).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            // a User-agent line after rule lines starts a NEW group
+            if (!inAgentRun) { groupExact = false; groupStar = false }
+            inAgentRun = true
+            val v = value.toLowerCase(java.util.Locale.ROOT)
+            if (v == want) { groupExact = true; exactHit = true }
+            else if (v == "*") groupStar = true
+          case "allow" | "disallow" =>
+            inAgentRun = false
+            val rule = Rule(value, allow = key == "allow")
+            if (groupExact) exact += rule
+            if (groupStar) star += rule
+          case _ => inAgentRun = false // Crawl-delay, Sitemap, …
+        }
+      }
+    }
+    if (exactHit) Group(exact.result()) else Group(star.result())
+  }
+
+  /** Bounded per-JVM parse memo (the [[BpeTable]] cache posture): a
+    * crawl partition evaluates the same few domains' texts over and
+    * over, so the steady state is one hash probe per row. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Group]()
+  private val CacheCap = 1 << 12
+
+  def isAllowed(robotsTxt: UTF8String, path: UTF8String,
+      agent: String): Boolean = {
+    val txt = robotsTxt.toString
+    val key = (agent, txt)
+    var g = cache.get(key)
+    if (g == null) {
+      g = parse(txt, agent)
+      if (cache.size() < CacheCap) cache.put(key, g)
+    }
+    g.isAllowed(path.toString)
+  }
+}
+
+/** `robots_allowed(robots_txt, path)` — may `agent` fetch `path`
+  * under this robots.txt? Per-row native evaluation with the parse
+  * memoized per distinct text ([[RobotsRules.isAllowed]]). */
+case class RobotsAllowed(left: Expression, right: Expression,
+    agent: String) extends BinaryExpression {
+
+  require(agent.nonEmpty && !agent.contains("*"),
+    s"agent='$agent' must be a concrete product token")
+
+  override def prettyName: String = "robots_allowed"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"robots_allowed expects (string, string) columns, got $other")
+    }
+
+  override def nullSafeEval(t: Any, p: Any): Any =
+    RobotsRules.isAllowed(
+      t.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String], agent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ag = ctx.addReferenceObj("robotsAgent", agent, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = graft.functions.RobotsRules.isAllowed($t, $p, $ag);")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}

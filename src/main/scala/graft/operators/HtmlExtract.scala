@@ -26,16 +26,17 @@ import graft.functions.GraftFunctions.{WsClass, WsRun}
   *   2. block-level tags ([[BlockTags]]) → paragraph boundary; all
   *      remaining tags → `''`;
   *   3. character references decoded in ONE left-to-right scan
-  *      ([[graft.functions.HtmlEntityDecode]]): the five ubiquitous
-  *      named entities (`&lt; &gt; &quot; &nbsp; &amp;`) plus decimal
-  *      and hex numeric references (`&#39; &#233; &#xE9; &#x1F600;`);
+  *      ([[graft.functions.HtmlEntityDecode]]): the shared named
+  *      table (the ubiquitous five plus the common Latin-1 letter /
+  *      typographic-punctuation / symbol set —
+  *      [[graft.functions.HtmlEntityDecode.Named]]) plus decimal and
+  *      hex numeric references (`&#39; &#233; &#xE9; &#x1F600;`);
   *      single-pass semantics single-decodes double-encoded text from
   *      EITHER side (`&amp;lt;` → `&lt;`, `&#38;lt;` → `&lt;`,
   *      `&amp;#65;` → `&#65;`) — a replace chain cannot order numeric
   *      and named decoding correctly (see the expression's scaladoc);
-  *      longer named entities (`&eacute;` …) and disallowed
-  *      codepoints (C0 controls, surrogates, > U+10FFFF) stay
-  *      literal;
+  *      names outside the table and disallowed codepoints (C0
+  *      controls, surrogates, > U+10FFFF) stay literal;
   *   4. whitespace normalized (horizontal runs → one space, runs
   *      containing a newline → one `\n`, outer whitespace stripped).
   *
@@ -161,6 +162,25 @@ object HtmlExtract {
         struct(cleaned(f).as("text"), linkChars(f).as("link_chars"))),
       p => p("text") =!= "")
   }
+
+  /** `href` patterns for [[extractLinks]] — double- and single-quoted
+    * attribute values, any attribute position, case-insensitive;
+    * whitespace as the explicit portable class (the [[WsClass]]
+    * convention). */
+  val HrefDqRe: String =
+    s"""(?i)<a[^>]*href[$WsClass]*=[$WsClass]*"([^"]*)""""
+  val HrefSqRe: String =
+    s"(?i)<a[^>]*href[$WsClass]*=[$WsClass]*'([^']*)'"
+
+  /** All `<a href>` targets of a page (double-quoted matches first,
+    * then single-quoted — consumers treat the result as a SET), raw
+    * and unresolved: the crawl-frontier input
+    * ([[UrlCuration.crawlFrontier]] canonicalizes and screens them).
+    * Pure codegen projection; NULL in, NULL out. */
+  def extractLinks(html: Column): Column =
+    concat(
+      regexp_extract_all(html, lit(HrefDqRe), lit(1)),
+      regexp_extract_all(html, lit(HrefSqRe), lit(1)))
 
   /** jusText-lite main-content extraction. Output: `idCol`,
     * `text` (kept paragraphs joined with `\n`, in document order),

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt politeness — the Robots Exclusion Protocol screen a
+  * real crawler applies to the FRONTIER before fetching: a URL the
+  * site disallows must never be requested, so this sits between
+  * [[UrlCuration.crawlFrontier]]'s output and the next wave's fetch.
+  * REP parsing/matching semantics live in
+  * [[graft.functions.RobotsRules]] (RFC 9309 §2.2 — wildcard path
+  * rules, longest-match precedence, Allow wins ties, agent-group
+  * selection with `*` fallback); this file is the DataFrame operator.
+  *
+  * Scale shape: robots files are PER-DOMAIN state, so
+  * [[filterAllowed]] pays ONE keyed join of pages against the robots
+  * relation (millions of domains at crawl scale — a normal shuffle
+  * join; a small domain set broadcasts) and evaluates the match
+  * per row with the native [[graft.functions.RobotsAllowed]]
+  * expression, which parses each DISTINCT robots text once into a
+  * compiled rule group (bounded per-executor memo — a crawl
+  * partition sees the same few domains' texts over and over); the
+  * match itself is a linear wildcard walk per rule, no per-row regex
+  * compilation.
+  *
+  * The PARSER is spec-tested (hand-verified RFC cases,
+  * RobotsRulesSpec); the MATCHING algorithm is oracle-gated
+  * (`q_robots_filter` re-derives wildcard matching and longest-match
+  * precedence in DuckDB over the same rule relation).
+  */
+object Robots {
+
+  /** Keep only the pages `agent` MAY fetch: one keyed join of pages
+    * against `robots(domainCol, robotsCol)` (domains with no robots
+    * row are allowed — the no-robots.txt default), then the per-row
+    * native match on the URL's PATH-AND-QUERY (the REP match
+    * subject; fragments are already gone from canonical URLs). */
+  def filterAllowed(pages: DataFrame, urlCol: String, robots: DataFrame,
+      domainCol: String, robotsCol: String,
+      agent: String = "graftbot"): DataFrame = {
+    require(pages.columns.contains(urlCol), s"column $urlCol absent")
+    Seq(domainCol, robotsCol).foreach(c =>
+      require(robots.columns.contains(c), s"column $c absent in robots"))
+    require(agent.nonEmpty && !agent.contains("*"),
+      s"agent='$agent' must be a concrete product token")
+    Seq("__rb_domain", "__rb_txt").foreach(c =>
+      require(!pages.columns.contains(c), s"column $c reserved"))
+    val joined = pages.join(
+      robots.select(col(domainCol).as("__rb_domain"),
+        col(robotsCol).as("__rb_txt")),
+      UrlCuration.domainOf(col(urlCol)) === col("__rb_domain"), "left")
+    joined
+      .filter(col("__rb_txt").isNull ||
+        graft.functions.GraftFunctions.robots_allowed(
+          col("__rb_txt"), pathAndQueryOf(col(urlCol)), agent))
+      .drop("__rb_domain", "__rb_txt")
+  }
+
+  /** The path-and-query of a URL (the REP match subject): everything
+    * after the authority; empty path ⇒ `/`. */
+  def pathAndQueryOf(url: Column): Column = {
+    val noScheme = regexp_replace(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val rest = regexp_replace(regexp_replace(noScheme, "#.*$", ""),
+      "^[^/?]*", "")
+    when(rest === "", lit("/")).otherwise(rest)
+  }
+}

@@ -171,6 +171,45 @@ object UrlCuration {
     capByUnit(docs, idCol, registeredDomainOf(col(urlCol), table), cap, score)
   }
 
+  /** The crawl FRONTIER — the outlinks of the fetched pages,
+    * canonicalized and screened down to what the next crawl wave
+    * should fetch: absolute `scheme://` links only (relative links
+    * are a documented cutoff — resolving them needs the page URL's
+    * directory semantics), canonical-URL form, minus every page
+    * already fetched, with the referring-page IN-DEGREE as the
+    * standard frontier priority signal. This is the operator that
+    * CLOSES the crawl loop: fetched pages → [[graft.operators
+    * .HtmlExtract.extractLinks]] → this → the next wave's input
+    * (batch here; the streaming loop keeps `seen` as the
+    * [[graft.streaming.StreamingOps.crawlToCorpusStream]] URL state).
+    *
+    * Output: `(url, domain, n_refs)` — canonical target, its host,
+    * distinct referring pages.
+    *
+    * Scale shape: link explosion is IN-ROW; then ONE anti-join on the
+    * canonical key against the seen set and ONE partial-aggregated
+    * (url) count exchange — both keyed, no window, no driver pull.
+    * At 100 TB the seen side is the crawl's own URL index — a keyed
+    * shuffle join, exactly the dedup posture. */
+  def crawlFrontier(pages: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    Seq(idCol, urlCol, htmlCol).foreach(c =>
+      require(pages.columns.contains(c), s"column $c absent"))
+    val seen = pages
+      .select(canonicalUrl(col(urlCol)).as("__seen"))
+      .filter(col("__seen").isNotNull).distinct()
+    val links = pages
+      .select(col(idCol),
+        explode(HtmlExtract.extractLinks(col(htmlCol))).as("__link"))
+      .filter(isUrlish(col("__link")))
+      .select(col(idCol), canonicalUrl(col("__link")).as("url"))
+    links
+      .join(seen, links("url") === seen("__seen"), "left_anti")
+      .groupBy(col("url"))
+      .agg(countDistinct(col(idCol)).as("n_refs"))
+      .select(col("url"), domainOf(col("url")).as("domain"), col("n_refs"))
+  }
+
   /** The shared cap machinery: keep at most `cap` ids per `unit`
     * value, ranked (`score` DESC, id ASC) by the bounded
     * [[graft.functions.TopKByScore]] heap — cap rows per unit per

@@ -86,11 +86,15 @@ object HtmlQueries {
         '(?is)<style[^>]*>.*?</style>', '', 'g'),
         '(?i)</?(${HtmlExtract.BlockTags})[^>]*>', $sepSql, 'g')"""
 
-  /** The character-reference pattern both engines consume: the five
-    * named entities plus decimal / bounded-hex numeric references —
-    * [[graft.functions.HtmlEntityDecode]]'s scan and this regex find
-    * the SAME non-overlapping matches over the original string. */
-  private val EntityRe = "&(lt|gt|quot|nbsp|amp|#[0-9]+|#[xX][0-9A-Fa-f]{1,7});"
+  /** The character-reference pattern both engines consume: the SHARED
+    * named table (longest-first alternation, generated from
+    * [[graft.functions.HtmlEntityDecode.Named]] — one constant, two
+    * engines) plus decimal / bounded-hex numeric references — the
+    * native scan and this regex find the SAME non-overlapping matches
+    * over the original string. */
+  private val EntityRe =
+    s"&(${graft.functions.HtmlEntityDecode.namedAlternation}" +
+      "|#[0-9]+|#[xX][0-9A-Fa-f]{1,7});"
 
   /** The reference body's codepoint (`e` = group 1, e.g. `#233` /
     * `#x1F600`): hex digits folded base-16, decimal TRY_CAST (NULL on
@@ -103,17 +107,18 @@ object HtmlQueries {
         ELSE TRY_CAST(substr($e, 2) AS BIGINT) END"""
 
   /** Decode one matched reference body, mirroring the scanner's
-    * contract: named five, then numeric iff tab/LF/CR or ≥ U+0020,
-    * ≤ U+10FFFF, not a surrogate — anything else reconstructs itself
-    * literally. */
+    * contract: the generated named arms (one per [[graft.functions
+    * .HtmlEntityDecode.Named]] entry — `chr(cp)`, never a quoted
+    * literal, so the generator is quoting-proof), then numeric iff
+    * tab/LF/CR or ≥ U+0020, ≤ U+10FFFF, not a surrogate — anything
+    * else reconstructs itself literally. */
   private def entDecodeSql(e: String): String = {
     val c = entCpSql(e)
+    val namedArms = graft.functions.HtmlEntityDecode.Named
+      .map { case (n, cp) => s"WHEN $e = '$n' THEN chr($cp)" }
+      .mkString("\n      ")
     s"""CASE
-      WHEN $e = 'lt' THEN '<'
-      WHEN $e = 'gt' THEN '>'
-      WHEN $e = 'quot' THEN chr(34)
-      WHEN $e = 'nbsp' THEN ' '
-      WHEN $e = 'amp' THEN chr(38)
+      $namedArms
       WHEN $c IS NOT NULL AND ($c IN (9, 10, 13) OR ($c >= 32
         AND $c <= 1114111 AND NOT ($c BETWEEN 55296 AND 57343)))
         THEN chr(CAST($c AS INTEGER))

@@ -430,6 +430,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** C4 LINE-level cleanup under the hash gate (Raffel et al. 2020
+    * §2.2 — the complement to the document-level Gopher bands): both
+    * engines synthesize the same line-structured messy page — a
+    * terminal-punctuated prose line, a 2-word stub ("Click here"), an
+    * enable-javascript banner, a line whose terminal punctuation
+    * exists only on even ids (so the minLines=3 page rule FIRES on
+    * odd ids), plus lorem-ipsum (`%7`) and code-brace (`%11`) page
+    * poisons — and the oracle re-derives every line rule (terminal
+    * punctuation incl. the typographic close-quote, portable-ws word
+    * count, token-equality javascript screen) and both page rules. */
+  val c4LineFilter: Q = (s, dir) => {
+    val id = col("doc_id")
+    val messy = concat_ws("\n",
+      concat(substring(col("text"), 1, 60), lit(" ends here.")),
+      lit("Click here"),
+      lit("Please enable JavaScript to view the comments powered here."),
+      concat(substring(col("text"), 61, 40),
+        when(id % 2 === 0, lit(" and so it ends?")).otherwise(lit(" unterminated line"))),
+      when(id % 7 === 0, lit("Lorem Ipsum dolor sit amet consectetur."))
+        .otherwise(lit("")),
+      when(id % 11 === 0, lit("function f() { return 1; }"))
+        .otherwise(lit("")),
+      concat(lit("Closing words for doc "), id, lit(" arrive at the very end!")))
+    graft.operators.LineFilters.c4Clean(
+        Scan.table(s, dir, "documents").select(id, messy.as("text")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Trainable NB language ID under the hash gate: fit on the even-id
     * half's `(lang, text)` labels, score the odd half — and the oracle
     * re-derives the ENTIRE fit from the corpus (bigram bucket counts,
@@ -484,6 +513,7 @@ object TextQueries {
 
   val queries: ListMap[String, Q] = ListMap(
     "q_text_normalize" -> textNormalize,
+    "q_c4_line_filter" -> c4LineFilter,
     "q_langid_nb" -> langIdNb,
     "q_tokenizer_fertility" -> tokenizerFertility,
     "q_gopher_quality" -> gopherQuality,
@@ -1077,6 +1107,45 @@ object TextQueries {
             CAST(ROW_NUMBER() OVER (ORDER BY quality DESC NULLS LAST,
               doc_id) - 1 AS BIGINT) AS rank
           FROM q ORDER BY doc_id""",
+    // every C4 line rule re-derived from DuckDB's own list ops:
+    // terminal punctuation (incl. the typographic close-quote),
+    // portable-whitespace word counts, the token-equality javascript
+    // screen, both page poisons, and the minLines page rule
+    "q_c4_line_filter" ->
+      s"""WITH m AS (SELECT doc_id,
+            substr(text, 1, 60) || ' ends here.' || chr(10) ||
+            'Click here' || chr(10) ||
+            'Please enable JavaScript to view the comments powered here.' || chr(10) ||
+            substr(text, 61, 40) ||
+              CASE WHEN doc_id % 2 = 0 THEN ' and so it ends?'
+                   ELSE ' unterminated line' END || chr(10) ||
+            CASE WHEN doc_id % 7 = 0
+                 THEN 'Lorem Ipsum dolor sit amet consectetur.' ELSE '' END
+              || chr(10) ||
+            CASE WHEN doc_id % 11 = 0
+                 THEN 'function f() { return 1; }' ELSE '' END || chr(10) ||
+            'Closing words for doc ' || doc_id ||
+              ' arrive at the very end!' AS text
+          FROM documents),
+          pg AS (SELECT * FROM m
+            WHERE POSITION('{' IN text) = 0
+              AND POSITION('lorem ipsum' IN LOWER(text)) = 0),
+          ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pg),
+          kl AS (SELECT doc_id, ls,
+              LIST_FILTER(ls, l ->
+                (right(l, 1) IN ('.', '!', '?', '"')
+                 OR right(l, 1) = chr(8221))
+                AND LEN(LIST_FILTER(STRING_SPLIT_REGEX(l,
+                  '${graft.functions.GraftFunctions.WsRun}'),
+                  x -> x <> '')) >= 5
+                AND NOT LIST_CONTAINS(STRING_SPLIT_REGEX(LOWER(l),
+                  '${graft.functions.GraftFunctions.WsRun}'),
+                  'javascript')) AS kept
+            FROM ln)
+          SELECT doc_id, ARRAY_TO_STRING(kept, chr(10)) AS text,
+            CAST(LEN(kept) AS BIGINT) AS n_lines_kept,
+            CAST(LEN(ls) - LEN(kept) AS BIGINT) AS n_lines_dropped
+          FROM kl WHERE LEN(kept) >= 3 ORDER BY doc_id""",
     // the five-step cleanup re-derived on DuckDB's OWN nfc_normalize
     // (utf8proc) — an independent UAX #15 implementation — plus the
     // same literal line-ending replaces and the SAME regex pattern

@@ -61,16 +61,18 @@ object UrlQueries {
     * in DuckDB regex ops over a `u(doc_id, url)` CTE. Emits
     * `hp(doc_id, url, scheme, host, path, q0)`. */
   /** [[canonCtesSql]] with PREFIXED internal CTE names, so a composing
-    * oracle (the crawl-to-corpus capstone) can stack it next to CTE
-    * chains that already use `c`/`h`/`hp`. Emits `<p>hp`. */
-  private[queries] def canonCtesSqlPrefixed(p: String): String =
+    * oracle (the crawl capstones, the frontier gate) can stack it next
+    * to CTE chains that already use `c`/`h`/`hp` — or instantiate it
+    * TWICE over different `(doc_id, url)` sources. Emits `<p>hp`. */
+  private[queries] def canonCtesSqlPrefixed(p: String,
+      src: String = "u"): String =
     s"""${p}c AS (
           SELECT doc_id, url,
             LOWER(REGEXP_EXTRACT(TRIM(url),
               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
             REGEXP_REPLACE(REGEXP_REPLACE(TRIM(url),
               '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
-          FROM u),
+          FROM $src),
         ${p}h AS (
           SELECT *,
             REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(nofrag, '^([^/?]*)', 1)),
@@ -214,11 +216,107 @@ object UrlQueries {
       .orderBy("doc_id")
   }
 
+  /** The frontier gate's page: its own fetch URL plus an outlink
+    * block — a tracking-parameter/default-port/case-messy absolute
+    * link (double-quoted), a scheme/www/trailing-slash variant link
+    * (single-quoted), and relative / non-URL links that must be
+    * screened out. Some targets coincide with fetched pages (the
+    * seen screen fires), some repeat across pages (in-degree > 1). */
+  private def frontierPageUrl(id: Column): Column = concat(
+    lit("http://Site"), id % 10, lit(".Example.COM/Page/"), id)
+
+  private val frontierPageUrlSql: String =
+    "'http://Site' || (doc_id % 10) || '.Example.COM/Page/' || doc_id"
+
+  private def frontierHtml(id: Column): Column = concat(
+    lit("<html><body><p>Doc "), id, lit("</p><ul>"),
+    lit("<li><a href=\"http://Site"), (id + 1) % 10,
+    lit(".Example.COM:80/Page/"), (id * 3) % 400,
+    lit("?utm_source=x\">next</a></li>"),
+    lit("<li><a href='https://WWW.site"), id % 7,
+    lit(".example.com/Page/"), (id * 7) % 400, lit("/'>alt</a></li>"),
+    when(id % 3 === 0,
+      concat(lit("<li><a href=\"/rel/"), id, lit("\">rel</a></li>")))
+      .otherwise(lit("")),
+    when(id % 5 === 0, lit("<li><a href=\"doc:raw\">nonurl</a></li>"))
+      .otherwise(lit("")),
+    lit("</ul></body></html>"))
+
+  private val frontierHtmlSql: String =
+    """'<html><body><p>Doc ' || doc_id || '</p><ul>' ||
+       '<li><a href="http://Site' || ((doc_id + 1) % 10) ||
+       '.Example.COM:80/Page/' || ((doc_id * 3) % 400) ||
+       '?utm_source=x">next</a></li>' ||
+       '<li><a href=' || chr(39) || 'https://WWW.site' || (doc_id % 7) ||
+       '.example.com/Page/' || ((doc_id * 7) % 400) || '/' || chr(39) ||
+       '>alt</a></li>' ||
+       CASE WHEN doc_id % 3 = 0
+            THEN '<li><a href="/rel/' || doc_id || '">rel</a></li>'
+            ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0
+            THEN '<li><a href="doc:raw">nonurl</a></li>' ELSE '' END ||
+       '</ul></body></html>'"""
+
+  /** Crawl FRONTIER under the hash gate: outlinks extracted from both
+    * quote styles, canonicalized, relative/non-URL links screened,
+    * already-fetched pages removed, in-degree counted — the oracle
+    * re-derives extraction with its own regexes and runs the full
+    * 7-step canonicalization TWICE (links and seen set)
+    * independently. */
+  val crawlFrontier: Q = (s, dir) => {
+    val id = col("doc_id")
+    val pages = Scan.table(s, dir, "documents")
+      .select(id, frontierPageUrl(id).as("url"),
+        frontierHtml(id).as("html"))
+    UrlCuration.crawlFrontier(pages, "doc_id", "url", "html")
+      .orderBy("url")
+  }
+
+  /** robots.txt politeness under the hash gate. Ten domains: the
+    * `%3 == 0` ones carry a graftbot-specific group (same path rules)
+    * ABOVE a `*` group that disallows EVERYTHING — if agent-group
+    * selection breaks, every page of those domains vanishes and the
+    * hash fails; domain 4 adds an empty `Disallow:` (matches
+    * nothing); domain 8 has NO robots row (the no-robots default
+    * allows all, including its `/blocked/` paths). Paths exercise the
+    * plain-prefix disallow, the LONGER Allow overriding it, the
+    * `*`/`$` anchored rule firing at the end and NOT firing one char
+    * later, and a query-string page nothing matches. */
+  val robotsFilter: Q = (s, dir) => {
+    import graft.operators.Robots
+    val id = col("doc_id")
+    val path = when(id % 5 === 0, concat(lit("/blocked/doc"), id))
+      .when(id % 5 === 1, concat(lit("/blocked/except"), id))
+      .when(id % 5 === 2, concat(lit("/deep/a"), id % 3, lit("/x")))
+      .when(id % 5 === 3, concat(lit("/deep/a"), id % 3, lit("/xy")))
+      .otherwise(concat(lit("/open/doc"), id, lit("?q=1")))
+    val pages = Scan.table(s, dir, "documents")
+      .select(id, concat(lit("http://site"), id % 10,
+        lit(".example.com"), path).as("url"))
+    val rules =
+      "Disallow: /blocked/\nAllow: /blocked/except*\nDisallow: /deep/*/x$"
+    val botGroup =
+      s"User-agent: graftbot\n$rules\n\nUser-agent: *\nDisallow: /"
+    val starGroup =
+      s"# robots\nUser-agent: *\nCrawl-delay: 10\n$rules"
+    val robots = s.range(0, 10).select(col("id").as("k"))
+      .filter(col("k") =!= 8)
+      .select(
+        concat(lit("site"), col("k"), lit(".example.com")).as("domain"),
+        when(col("k") % 3 === 0, lit(botGroup))
+          .when(col("k") === 4, lit(starGroup + "\nDisallow:"))
+          .otherwise(lit(starGroup)).as("robots_txt"))
+    Robots.filterAllowed(pages, "url", robots, "domain", "robots_txt")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = ListMap(
     "q_url_canonical" -> urlCanonical,
     "q_url_dedup" -> urlDedup,
     "q_domain_cap" -> domainCap,
-    "q_domain_cap_psl" -> domainCapPsl)
+    "q_domain_cap_psl" -> domainCapPsl,
+    "q_crawl_frontier" -> crawlFrontier,
+    "q_robots_filter" -> robotsFilter)
 
   val oracles: Map[String, String] = ListMap(
     "q_url_canonical" ->
@@ -293,5 +391,73 @@ object UrlQueries {
                 PARTITION BY domain ORDER BY doc_id) AS domain_rank
             FROM reg)
           SELECT doc_id, domain, CAST(domain_rank AS INTEGER) AS domain_rank
-          FROM ranked WHERE domain_rank <= 4 ORDER BY doc_id""")
+          FROM ranked WHERE domain_rank <= 4 ORDER BY doc_id""",
+    // link extraction re-derived with DuckDB's own regexes (both
+    // quote styles), then the 7-step canonicalization instantiated
+    // TWICE — once over the outlinks, once over the fetched pages'
+    // own URLs — the seen anti-screen, and the distinct-referrer
+    // in-degree count
+    "q_crawl_frontier" -> {
+      import graft.operators.HtmlExtract
+      val sq = HtmlExtract.HrefSqRe.replace("'", "''")
+      s"""WITH pages AS (SELECT doc_id, $frontierPageUrlSql AS page_url,
+            $frontierHtmlSql AS html FROM documents),
+          lk0 AS (SELECT doc_id,
+              unnest(regexp_extract_all(html, '${HtmlExtract.HrefDqRe}', 1)
+                || regexp_extract_all(html, '$sq', 1)) AS url
+            FROM pages),
+          ${canonCtesSqlPrefixed("lk_", "lk0")},
+          ${canonCtesSqlPrefixed("sn_",
+            "(SELECT doc_id, page_url AS url FROM pages)")},
+          cl AS (SELECT doc_id, $canonicalSql AS url, host
+            FROM lk_hp WHERE scheme <> ''),
+          sn AS (SELECT DISTINCT $canonicalSql AS url FROM sn_hp),
+          fr AS (SELECT cl.url, ANY_VALUE(cl.host) AS domain,
+              CAST(COUNT(DISTINCT cl.doc_id) AS BIGINT) AS n_refs
+            FROM cl LEFT JOIN sn ON sn.url = cl.url
+            WHERE sn.url IS NULL GROUP BY cl.url)
+          SELECT url, domain, n_refs FROM fr ORDER BY url"""
+    },
+    // the REP MATCHER re-derived: the same three path rules as a
+    // relation, each value translated to a regex ('*' → '.*', '$' →
+    // end anchor — the gate's rule alphabet is regex-metachar-free by
+    // construction), longest-match precedence with Allow winning
+    // ties, the no-match and no-robots (domain 8) defaults. Group
+    // SELECTION is checked structurally: the %3 domains' '*' group
+    // disallows '/', so a selection bug empties them and fails the
+    // hash
+    "q_robots_filter" ->
+      s"""WITH pages AS (SELECT doc_id,
+            'http://site' || (doc_id % 10) || '.example.com' ||
+            CASE
+              WHEN doc_id % 5 = 0 THEN '/blocked/doc' || doc_id
+              WHEN doc_id % 5 = 1 THEN '/blocked/except' || doc_id
+              WHEN doc_id % 5 = 2 THEN '/deep/a' || (doc_id % 3) || '/x'
+              WHEN doc_id % 5 = 3 THEN '/deep/a' || (doc_id % 3) || '/xy'
+              ELSE '/open/doc' || doc_id || '?q=1' END AS url
+          FROM documents),
+          pp AS (SELECT doc_id, url, (doc_id % 10) AS k,
+              REGEXP_REPLACE(REGEXP_REPLACE(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*', '') AS path
+            FROM pages),
+          rules(kind, val) AS (VALUES
+            ('d', '/blocked/'), ('a', '/blocked/except*'),
+            ('d', '/deep/*/x$$')),
+          rx AS (SELECT kind, val, LENGTH(val) AS len,
+              '^' || replace(CASE WHEN val LIKE '%$$'
+                THEN substr(val, 1, LENGTH(val) - 1) ELSE val END,
+                '*', '.*')
+              || CASE WHEN val LIKE '%$$' THEN '$$' ELSE '' END AS pat
+            FROM rules),
+          m AS (SELECT pp.doc_id, rx.kind, rx.len
+            FROM pp JOIN rx ON regexp_matches(pp.path, rx.pat)
+            WHERE pp.k <> 8),
+          win AS (SELECT doc_id, kind FROM m
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY len DESC,
+                CASE WHEN kind = 'a' THEN 0 ELSE 1 END) = 1)
+          SELECT pp.doc_id, pp.url
+          FROM pp LEFT JOIN win USING (doc_id)
+          WHERE pp.k = 8 OR win.kind IS NULL OR win.kind = 'a'
+          ORDER BY pp.doc_id""")
 }

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RobotsRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def allowed(txt: String, path: String, agent: String = "graftbot") =
+    RobotsRules.parse(txt, agent).isAllowed(path)
+
+  test("rule matching: prefixes, wildcards, end anchors") {
+    val txt = "User-agent: *\nDisallow: /private/\nDisallow: /tmp*\n" +
+      "Disallow: /deep/*/x$\nAllow: /private/pub*"
+    assert(!allowed(txt, "/private/a"))
+    assert(allowed(txt, "/privateer")) // prefix is PATH prefix, not word
+    assert(!allowed(txt, "/tmpfile"))
+    assert(!allowed(txt, "/deep/a/b/x"))  // '*' spans '/'
+    assert(allowed(txt, "/deep/a/x1"))    // anchored: not at the end
+    assert(allowed(txt, "/private/pub/1")) // longer Allow wins
+    assert(allowed(txt, "/other"))
+  }
+
+  test("precedence: longest rule wins, Allow wins exact ties") {
+    val txt = "User-agent: *\nDisallow: /a/b\nAllow: /a/\n"
+    assert(allowed(txt, "/a/c") && !allowed(txt, "/a/b1"))
+    val tie = "User-agent: *\nDisallow: /dir/\nAllow: /dir*\n" // len 5 both
+    assert(allowed(tie, "/dir/x"))
+  }
+
+  test("group selection: exact agent beats *, multiple groups merge") {
+    val txt = "User-agent: graftbot\nDisallow: /bot/\n\n" +
+      "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: GRAFTBOT\nDisallow: /bot2/"
+    assert(!allowed(txt, "/bot/x") && !allowed(txt, "/bot2/x"))
+    assert(allowed(txt, "/anything")) // the '*' group is NOT merged in
+    // another agent falls back to '*'
+    assert(!allowed(txt, "/anything", agent = "otherbot"))
+    // shared agent run: one rule block serves two agents
+    val shared = "User-agent: a\nUser-agent: graftbot\nDisallow: /x/"
+    assert(!allowed(shared, "/x/1") && allowed(shared, "/y"))
+  }
+
+  test("defaults and noise: empty Disallow, comments, unknown keys, no group") {
+    val txt = "# hello\nUser-agent: *\nCrawl-delay: 10\n" +
+      "Sitemap: http://e.com/s.xml\nDisallow:\nDisallow: /q/ # trailing"
+    assert(allowed(txt, "/anything"))
+    assert(!allowed(txt, "/q/1")) // inline comment stripped
+    assert(allowed("User-agent: other\nDisallow: /", "/x")) // no group
+    assert(allowed("", "/x"))
+  }
+
+  test("native expression: per-row evaluation, NULL-safe, path extraction") {
+    val robots = "User-agent: *\nDisallow: /no/"
+    val rows = Seq(
+      (1L, robots, "http://a.com/no/x"),
+      (2L, robots, "http://a.com/yes"),
+      (3L, null.asInstanceOf[String], "http://a.com/no/x"))
+      .toDF("id", "txt", "url")
+    val out = rows.select(col("id"),
+        GraftFunctions.robots_allowed(col("txt"),
+          graft.operators.Robots.pathAndQueryOf(col("url")), "bot").as("ok"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else Boolean.box(r.getBoolean(1)))).toMap
+    assert(out(1L) == false && out(2L) == true && out(3L) == null)
+    // path-and-query extraction: query included, bare host → '/'
+    val p = Seq(("http://a.com", "http://a.com/d?x=1#f"))
+      .toDF("u1", "u2")
+      .select(graft.operators.Robots.pathAndQueryOf(col("u1")),
+        graft.operators.Robots.pathAndQueryOf(col("u2")))
+      .collect()(0)
+    assert(p.getString(0) == "/" && p.getString(1) == "/d?x=1")
+  }
+}

@@ -29,7 +29,9 @@ class HtmlExtractSpec extends SparkSpec {
     assert(strip("&lt;tag&gt; &quot;q&quot; &#39;s&#39;") == "<tag> \"q\" 's'")
     // &amp;lt; is the TEXT '&lt;' — must NOT double-decode to '<'
     assert(strip("&amp;lt;x&amp;gt;") == "&lt;x&gt;")
-    assert(strip("a&nbsp;b") == "a b")
+    // &nbsp; decodes to the FAITHFUL U+00A0 (folding it to an ASCII
+    // space is TextNormalize.cleanText's job, downstream)
+    assert(strip("a&nbsp;b") == "a b")
   }
 
   test("strip: numeric and hex references decode in the same pass") {
@@ -43,8 +45,12 @@ class HtmlExtractSpec extends SparkSpec {
       "a&#2;b &#xD800; &#x110000; &#x123456789;")
     // decoded tab/newline participate in step-4 whitespace collapse
     assert(strip("a&#9;b&#10;c") == "a b\nc")
-    // named cutoff: only the five ubiquitous entities, rest literal
-    assert(strip("&eacute; &unknown; &amp") == "&eacute; &unknown; &amp")
+    // the common named table decodes; unknown names and unterminated
+    // references stay literal (the documented cutoff)
+    assert(strip("&eacute;t&eacute; &mdash; &copy; &euro;5 &rsquo;") ==
+      "été — © €5 ’")
+    assert(strip("&unknown; &amp &ampx; &Frac12;") ==
+      "&unknown; &amp &ampx; &Frac12;")
   }
 
   test("strip: whitespace normal form") {

@@ -106,6 +106,25 @@ class UrlCurationSpec extends SparkSpec {
     assert(out.length == 4)
   }
 
+  test("crawlFrontier: both quote styles, screens, seen removal, in-degree") {
+    val pages = Seq(
+      (1L, "http://a.com/p/1",
+        """<a href="http://B.com/x#frag">1</a> <a href='http://c.com/y/'>2</a>
+           <a href="/rel">3</a> <a href="doc:5">4</a>"""),
+      (2L, "http://b.com/x", // fetched: b.com/x is SEEN
+        """<a href="http://b.com/x?utm_source=z">self</a>
+           <a href="http://c.com/y">again</a>"""),
+      (3L, "http://d.com/q", "<p>no links</p>"))
+      .toDF("doc_id", "url", "html")
+    val out = UrlCuration.crawlFrontier(pages, "doc_id", "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    // b.com/x canonicalizes into the seen set (page 2's own URL);
+    // relative + non-URL links screened; c.com/y referenced by BOTH
+    // pages (trailing-slash variant collapses) → in-degree 2
+    assert(out.toSeq == Seq(("http://c.com/y", "c.com", 2L)))
+  }
+
   test("plan shapes: projections are map-only; domainCap ranks via the bounded aggregate") {
     val docs = Seq((1L, "http://e.com/a")).toDF("id", "url")
     val proj = UrlCuration.withCanonicalUrl(
