@@ -554,6 +554,19 @@ object StreamingOps {
         * the operational shape: fit offline once, every micro-batch
         * scores map-only. None = the 4-list marker heuristic. */
       langModel: Option[graft.operators.LangIdNb.Model] = None,
+      /** When set, each micro-batch ALSO writes its crawl FRONTIER to
+        * `<frontierDir>/batch_<id>`: the batch's outlinks
+        * ([[graft.operators.HtmlExtract.extractLinks]] →
+        * canonicalize), minus everything fetched up to and including
+        * this batch (the URL state + the batch's own fresh
+        * canonicals), with the in-degree — the next wave's fetch
+        * proposals, produced by the wave that discovered them (the
+        * operational crawl loop; the fetcher dedups proposals across
+        * batches). Extraction + canonicalization are gated by
+        * `q_crawl_frontier`; the state machinery by
+        * `q_stream_crawl_to_corpus`; the composition is spec-proven
+        * (StreamingCrawlSpec). */
+      frontierDir: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(domainCap >= 1, s"domainCap=$domainCap must be >= 1")
@@ -561,7 +574,7 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         crawlBatch(batch.toDF(), batchId, idCol, urlCol, htmlCol,
-          stateDir, outDir, domainCap, cfg, langModel)
+          stateDir, outDir, domainCap, cfg, langModel, frontierDir)
         ()
       }
       .trigger(trigger)
@@ -575,7 +588,8 @@ object StreamingOps {
       idCol: String, urlCol: String, htmlCol: String, stateDir: String,
       outDir: String, domainCap: Int,
       cfg: graft.operators.Curation.Config,
-      langModel: Option[graft.operators.LangIdNb.Model] = None): Unit =
+      langModel: Option[graft.operators.LangIdNb.Model] = None,
+      frontierDir: Option[String] = None): Unit =
     graft.GraftSession.releasingScratch(batchDf.sparkSession) {
       import graft.functions.{GraftFunctions, TextAnalysis, TextNormalize}
       import graft.operators.{HtmlExtract, UrlCuration}
@@ -625,6 +639,25 @@ object StreamingOps {
         .join(prevDomains, col("__dom") <=> col("domain"), "left")
         .filter(col("__pos") + 1 + coalesce(col("prev_n"), lit(0L)) <= domainCap)
         .select(col("__e.id").as(idCol))
+
+      // ── frontier (optional): this batch's outlink proposals, minus
+      // everything fetched up to AND INCLUDING this batch — cap-dropped
+      // pages were still fetched, so their canonicals (recorded in the
+      // URL state above) screen correctly
+      frontierDir.foreach { fd =>
+        val links = b.select(col(idCol),
+            explode(graft.operators.HtmlExtract
+              .extractLinks(col(htmlCol))).as("__link"))
+          .filter(UrlCuration.isUrlish(col("__link")))
+          .select(col(idCol),
+            UrlCuration.canonicalUrl(col("__link")).as("url"))
+        val seenAll = prevUrls.select(col("canonical"))
+          .unionByName(freshWinners.select(col("__canon").as("canonical")))
+        links.join(seenAll, links("url") === seenAll("canonical"), "left_anti")
+          .groupBy("url")
+          .agg(countDistinct(col(idCol)).as("n_refs"))
+          .write.mode("overwrite").parquet(s"$fd/$tag")
+      }
 
       // ── text stages (stateless, the crawlFlow spellings) on the
       // address-stage survivors only

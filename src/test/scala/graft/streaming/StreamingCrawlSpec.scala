@@ -53,6 +53,37 @@ class StreamingCrawlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$stateDir/hashes/batch_*").count() == 4L)
   }
 
+  test("per-batch frontier: proposals minus everything fetched so far") {
+    val root = java.nio.file.Files.createTempDirectory("graft_crawl_frontier").toString
+    val (stateDir, outDir, fd) = (s"$root/state", s"$root/out", s"$root/frontier")
+    def runF(batch: Seq[(Long, String, String)], batchId: Long): Unit =
+      StreamingOps.crawlBatch(
+        batch.toDF("doc_id", "url", "html"), batchId,
+        "doc_id", "url", "html", stateDir, outDir, domainCap = 10,
+        graft.operators.Curation.Config(), None, Some(fd))
+    // batch 0 fetches a.com/1 and proposes a.com/2 (unfetched) and
+    // a.com/1 (its own page — already fetched, screened)
+    runF(Seq((1L,
+      "http://a.com/1",
+      page("note") + """<a href="http://a.com/2">n</a>""" +
+        """<a href="http://a.com/1#top">self</a>""")), 0L)
+    val f0 = spark.read.parquet(s"$fd/batch_0")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(f0 == Seq(("http://a.com/2", 1L)))
+    // batch 1 fetches a.com/2 (the proposal) and proposes a.com/2
+    // (now fetched → screened) and b.com/9 (fresh, linked twice from
+    // two pages → in-degree 2)
+    runF(Seq(
+      (2L, "http://a.com/2",
+        page("mark") + """<a href="http://b.com/9">x</a>"""),
+      (3L, "http://a.com/3",
+        page("zeal") + """<a href='http://b.com/9'>y</a>""" +
+          """<a href="http://a.com/2?utm_source=z">seen</a>""")), 1L)
+    val f1 = spark.read.parquet(s"$fd/batch_1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(f1 == Seq(("http://b.com/9", 2L)))
+  }
+
   test("replayed batch is idempotent: same output, same state") {
     val root = java.nio.file.Files.createTempDirectory("graft_crawl_replay").toString
     val (stateDir, outDir) = (s"$root/state", s"$root/out")
