@@ -257,6 +257,33 @@ object UrlQueries {
             THEN '<li><a href="doc:raw">nonurl</a></li>' ELSE '' END ||
        '</ul></body></html>'"""
 
+  /** The frontier derivation as a CTE stack emitting `fr(url, domain,
+    * n_refs)` — link extraction with DuckDB's own regexes (both quote
+    * styles), the 7-step canonicalization instantiated TWICE
+    * (outlinks and the seen set), the seen anti-screen and the
+    * distinct-referrer in-degree. Shared by `q_crawl_frontier` and
+    * the composed polite-fetch gate. */
+  private def frontierCtes: String = {
+    import graft.operators.HtmlExtract
+    val sq = HtmlExtract.HrefSqRe.replace("'", "''")
+    s"""pages AS (SELECT doc_id, $frontierPageUrlSql AS page_url,
+          $frontierHtmlSql AS html FROM documents),
+        lk0 AS (SELECT doc_id,
+            unnest(regexp_extract_all(html, '${HtmlExtract.HrefDqRe}', 1)
+              || regexp_extract_all(html, '$sq', 1)) AS url
+          FROM pages),
+        ${canonCtesSqlPrefixed("lk_", "lk0")},
+        ${canonCtesSqlPrefixed("sn_",
+          "(SELECT doc_id, page_url AS url FROM pages)")},
+        cl AS (SELECT doc_id, $canonicalSql AS url, host
+          FROM lk_hp WHERE scheme <> ''),
+        sn AS (SELECT DISTINCT $canonicalSql AS url FROM sn_hp),
+        fr AS MATERIALIZED (SELECT cl.url, ANY_VALUE(cl.host) AS domain,
+            CAST(COUNT(DISTINCT cl.doc_id) AS BIGINT) AS n_refs
+          FROM cl LEFT JOIN sn ON sn.url = cl.url
+          WHERE sn.url IS NULL GROUP BY cl.url)"""
+  }
+
   /** Crawl FRONTIER under the hash gate: outlinks extracted from both
     * quote styles, canonicalized, relative/non-URL links screened,
     * already-fetched pages removed, in-degree counted — the oracle
@@ -310,12 +337,34 @@ object UrlQueries {
       .orderBy("doc_id")
   }
 
+  /** The fetch cycle COMPOSED under one hash gate: the frontier's
+    * proposals screened by robots politeness before any fetch —
+    * even-numbered hosts disallow the `/Page/1*` prefix, odd hosts
+    * have no robots row (the allow default). What only the
+    * composition catches: the frontier's output schema feeding
+    * [[graft.operators.Robots.filterAllowed]]'s domain join and
+    * path extraction unchanged. */
+  val frontierPolite: Q = (s, dir) => {
+    val id = col("doc_id")
+    val pages = Scan.table(s, dir, "documents")
+      .select(id, frontierPageUrl(id).as("url"), frontierHtml(id).as("html"))
+    val fr = UrlCuration.crawlFrontier(pages, "doc_id", "url", "html")
+    val robots = s.range(0, 10).filter(col("id") % 2 === 0)
+      .select(
+        concat(lit("site"), col("id"), lit(".example.com")).as("rb_domain"),
+        lit("User-agent: *\nDisallow: /Page/1").as("robots_txt"))
+    graft.operators.Robots.filterAllowed(
+        fr, "url", robots, "rb_domain", "robots_txt")
+      .orderBy("url")
+  }
+
   val queries: Map[String, Q] = ListMap(
     "q_url_canonical" -> urlCanonical,
     "q_url_dedup" -> urlDedup,
     "q_domain_cap" -> domainCap,
     "q_domain_cap_psl" -> domainCapPsl,
     "q_crawl_frontier" -> crawlFrontier,
+    "q_frontier_polite" -> frontierPolite,
     "q_robots_filter" -> robotsFilter)
 
   val oracles: Map[String, String] = ListMap(
@@ -397,27 +446,25 @@ object UrlQueries {
     // TWICE — once over the outlinks, once over the fetched pages'
     // own URLs — the seen anti-screen, and the distinct-referrer
     // in-degree count
-    "q_crawl_frontier" -> {
-      import graft.operators.HtmlExtract
-      val sq = HtmlExtract.HrefSqRe.replace("'", "''")
-      s"""WITH pages AS (SELECT doc_id, $frontierPageUrlSql AS page_url,
-            $frontierHtmlSql AS html FROM documents),
-          lk0 AS (SELECT doc_id,
-              unnest(regexp_extract_all(html, '${HtmlExtract.HrefDqRe}', 1)
-                || regexp_extract_all(html, '$sq', 1)) AS url
-            FROM pages),
-          ${canonCtesSqlPrefixed("lk_", "lk0")},
-          ${canonCtesSqlPrefixed("sn_",
-            "(SELECT doc_id, page_url AS url FROM pages)")},
-          cl AS (SELECT doc_id, $canonicalSql AS url, host
-            FROM lk_hp WHERE scheme <> ''),
-          sn AS (SELECT DISTINCT $canonicalSql AS url FROM sn_hp),
-          fr AS (SELECT cl.url, ANY_VALUE(cl.host) AS domain,
-              CAST(COUNT(DISTINCT cl.doc_id) AS BIGINT) AS n_refs
-            FROM cl LEFT JOIN sn ON sn.url = cl.url
-            WHERE sn.url IS NULL GROUP BY cl.url)
-          SELECT url, domain, n_refs FROM fr ORDER BY url"""
-    },
+    "q_crawl_frontier" ->
+      s"""WITH $frontierCtes
+          SELECT url, domain, n_refs FROM fr ORDER BY url""",
+    // the fetch cycle COMPOSED: the frontier derivation above feeding
+    // the REP screen — even-numbered hosts disallow the /Page/1*
+    // prefix (a no-wildcard rule ≡ LIKE prefix), odd hosts have no
+    // robots row (the allow default); one drifted value at the
+    // frontier→robots seam fails the hash
+    "q_frontier_polite" ->
+      s"""WITH $frontierCtes,
+          pq AS (SELECT url, domain, n_refs,
+              REGEXP_REPLACE(REGEXP_REPLACE(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*', '') AS path
+            FROM fr)
+          SELECT url, domain, n_refs FROM pq
+          WHERE NOT (CAST(regexp_extract(domain, 'site([0-9]+)', 1)
+                       AS INTEGER) % 2 = 0
+                     AND path LIKE '/Page/1%')
+          ORDER BY url""",
     // the REP MATCHER re-derived: the same three path rules as a
     // relation, each value translated to a regex ('*' → '.*', '$' →
     // end anchor — the gate's rule alphabet is regex-metachar-free by
