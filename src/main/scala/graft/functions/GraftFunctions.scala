@@ -117,6 +117,20 @@ object GraftFunctions {
   def registered_domain(host: Column, table: PslTable): Column =
     c(RegisteredDomain(e(host), table))
 
+  /** RFC 3986 §5 reference resolution: the target URL a raw outlink
+    * denotes against its page's address — native expression
+    * ([[UrlResolve]]); the step between link extraction and
+    * canonicalization in [[graft.operators.UrlCuration.crawlFrontier]]. */
+  def url_resolve(base: Column, ref: Column): Column =
+    c(UrlResolve(e(base), e(ref)))
+
+  /** The selected agent group's `Crawl-delay` seconds (NULL when the
+    * robots text declares none) — native expression
+    * ([[RobotsCrawlDelay]]); the per-host budget input of
+    * [[graft.operators.UrlCuration.fetchWaves]]. */
+  def robots_crawl_delay(robotsTxt: Column, agent: String): Column =
+    c(RobotsCrawlDelay(e(robotsTxt), agent))
+
   /** May `agent` fetch `path` under `robotsTxt`? — native RFC 9309
     * evaluation with the parse memoized per distinct text
     * ([[RobotsAllowed]]); the crawl politeness screen

@@ -59,8 +59,16 @@ object RobotsRules {
     }
   }
 
-  /** The compiled rule group one agent sees over one robots text. */
-  final case class Group(rules: IndexedSeq[Rule]) {
+  /** The compiled rule group one agent sees over one robots text.
+    * `crawlDelay` is the group's `Crawl-delay` in seconds (the widely
+    * honored extension directive; RFC 9309 leaves it undefined) —
+    * `None` when the selected groups carry none; multiple values
+    * merge to the MAX (the most polite reading). Parsed here so the
+    * fetch-wave scheduler ([[graft.operators.UrlCuration.fetchWaves]])
+    * reads it through the same memoized parse the allow/deny match
+    * uses. */
+  final case class Group(rules: IndexedSeq[Rule],
+      crawlDelay: Option[Double] = None) {
     /** Longest-value matching rule wins; Allow wins ties; no match ⇒
       * allowed. */
     def isAllowed(path: String): Boolean = {
@@ -91,6 +99,8 @@ object RobotsRules {
     val want = agent.toLowerCase(java.util.Locale.ROOT)
     val exact = Vector.newBuilder[Rule]
     val star = Vector.newBuilder[Rule]
+    var delayExact: Option[Double] = None
+    var delayStar: Option[Double] = None
     var exactHit = false
     var groupExact = false
     var groupStar = false
@@ -118,31 +128,65 @@ object RobotsRules {
             val rule = Rule(value, allow = key == "allow")
             if (groupExact) exact += rule
             if (groupStar) star += rule
-          case _ => inAgentRun = false // Crawl-delay, Sitemap, …
+          case "crawl-delay" =>
+            // group-scoped like the path rules; an unparsable value is
+            // ignored per the RFC's unknown-line tolerance; repeated
+            // values merge to the MAX (most polite)
+            inAgentRun = false
+            value.toDoubleOption.filter(d => d >= 0 && d.isFinite).foreach { d =>
+              if (groupExact) delayExact = Some(delayExact.fold(d)(math.max(_, d)))
+              if (groupStar) delayStar = Some(delayStar.fold(d)(math.max(_, d)))
+            }
+          case _ => inAgentRun = false // Sitemap, Host, …
         }
       }
     }
-    if (exactHit) Group(exact.result()) else Group(star.result())
+    if (exactHit) Group(exact.result(), delayExact)
+    else Group(star.result(), delayStar)
   }
 
   /** Bounded per-JVM parse memo (the [[BpeTable]] cache posture): a
     * crawl partition evaluates the same few domains' texts over and
-    * over, so the steady state is one hash probe per row. */
+    * over, so the steady state is one digest + hash probe per row.
+    * Keys are SHA-256 digests of (agent, text) — the map never pins
+    * the robots TEXTS themselves (hundreds of KB each are common in
+    * the wild; 4096 of those would be real executor memory), only the
+    * compiled groups. On overflow the map is CLEARED, not frozen —
+    * a stop-inserting-at-cap policy would re-parse every new distinct
+    * text on every row forever (the r18 ADVICE fix). */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Group]()
+    new java.util.concurrent.ConcurrentHashMap[String, Group]()
   private val CacheCap = 1 << 12
 
-  def isAllowed(robotsTxt: UTF8String, path: UTF8String,
-      agent: String): Boolean = {
-    val txt = robotsTxt.toString
-    val key = (agent, txt)
+  private val sha = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-256"))
+
+  /** The memoized compiled group for (robots text, agent). */
+  private[graft] def groupFor(robotsTxt: UTF8String, agent: String): Group = {
+    val md = sha.get()
+    md.reset()
+    md.update(agent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte) // unambiguous (agent, text) framing
+    md.update(robotsTxt.getBytes)
+    val key = java.util.Base64.getEncoder.encodeToString(md.digest())
     var g = cache.get(key)
     if (g == null) {
-      g = parse(txt, agent)
-      if (cache.size() < CacheCap) cache.put(key, g)
+      g = parse(robotsTxt.toString, agent)
+      if (cache.size() >= CacheCap) cache.clear()
+      cache.put(key, g)
     }
-    g.isAllowed(path.toString)
+    g
   }
+
+  def isAllowed(robotsTxt: UTF8String, path: UTF8String,
+      agent: String): Boolean =
+    groupFor(robotsTxt, agent).isAllowed(path.toString)
+
+  /** The selected group's `Crawl-delay` in seconds, or NaN when none
+    * (the codegen seam can't carry an Option — NaN maps to NULL in
+    * [[RobotsCrawlDelay]]). */
+  def crawlDelayOf(robotsTxt: UTF8String, agent: String): Double =
+    groupFor(robotsTxt, agent).crawlDelay.getOrElse(Double.NaN)
 }
 
 /** `robots_allowed(robots_txt, path)` — may `agent` fetch `path`
@@ -176,4 +220,55 @@ case class RobotsAllowed(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** `robots_crawl_delay(robots_txt)` — the `Crawl-delay` (seconds) the
+  * selected agent group declares, NULL when none. Same memoized parse
+  * as [[RobotsAllowed]] ([[RobotsRules.groupFor]]), so a frontier
+  * evaluating both pays ONE parse per distinct text. */
+case class RobotsCrawlDelay(child: Expression, agent: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(agent.nonEmpty && !agent.contains("*"),
+    s"agent='$agent' must be a concrete product token")
+
+  override def prettyName: String = "robots_crawl_delay"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"robots_crawl_delay expects a string column, got $other")
+  }
+
+  override def nullSafeEval(t: Any): Any = {
+    val d = RobotsRules.crawlDelayOf(t.asInstanceOf[UTF8String], agent)
+    if (d.isNaN) null else d
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ag = ctx.addReferenceObj("robotsAgent", agent, "java.lang.String")
+    val childGen = child.genCode(ctx)
+    val d = ctx.freshName("delay")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${childGen.isNull}) {
+          double $d = graft.functions.RobotsRules.crawlDelayOf(${childGen.value}, $ag);
+          if (!Double.isNaN($d)) { ${ev.isNull} = false; ${ev.value} = $d; }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

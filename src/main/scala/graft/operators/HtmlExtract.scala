@@ -166,11 +166,16 @@ object HtmlExtract {
   /** `href` patterns for [[extractLinks]] — double- and single-quoted
     * attribute values, any attribute position, case-insensitive;
     * whitespace as the explicit portable class (the [[WsClass]]
-    * convention). */
+    * convention). Two boundaries are REQUIRED (the r18 ADVICE
+    * over-match fix): whitespace right after the tag name (so
+    * `<area`/`<abbr`/`<audio` never match as `<a`) and whitespace
+    * right before the attribute name (so `data-href=` never matches
+    * as `href=`) — the optional `(?:[^>]*[ws])?` middle absorbs any
+    * attributes in between while keeping both boundaries hard. */
   val HrefDqRe: String =
-    s"""(?i)<a[^>]*href[$WsClass]*=[$WsClass]*"([^"]*)""""
+    s"""(?i)<a[$WsClass](?:[^>]*[$WsClass])?href[$WsClass]*=[$WsClass]*"([^"]*)""""
   val HrefSqRe: String =
-    s"(?i)<a[^>]*href[$WsClass]*=[$WsClass]*'([^']*)'"
+    s"(?i)<a[$WsClass](?:[^>]*[$WsClass])?href[$WsClass]*=[$WsClass]*'([^']*)'"
 
   /** All `<a href>` targets of a page (double-quoted matches first,
     * then single-quoted — consumers treat the result as a SET), raw

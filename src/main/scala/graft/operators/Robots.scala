@@ -30,30 +30,59 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
+  /** The robots relation KEYED for joining: one row per domain,
+    * enforced LOUDLY at execution — a re-fetched robots.txt that left
+    * two rows for one domain would otherwise silently DUPLICATE every
+    * matching page in [[filterAllowed]]'s output (the r18 ADVICE
+    * guard). One per-domain aggregate; at crawl scale the robots
+    * relation is per-domain state, orders of magnitude smaller than
+    * the pages side, so the exchange is proportionate — and callers
+    * that maintain a unique keyed robots table anyway pay it once at
+    * build time, not per screen. */
+  def keyedRobots(robots: DataFrame, domainCol: String,
+      robotsCol: String): DataFrame = {
+    Seq(domainCol, robotsCol).foreach(c =>
+      require(robots.columns.contains(c), s"column $c absent in robots"))
+    robots
+      .select(col(domainCol).as("__rb_domain"), col(robotsCol).as("__rb_txt0"))
+      .groupBy("__rb_domain")
+      .agg(count(lit(1)).as("__rb_n"), max(col("__rb_txt0")).as("__rb_txt1"))
+      .select(col("__rb_domain"),
+        when(col("__rb_n") > 1,
+          raise_error(concat(
+            lit("Robots: duplicate robots rows for domain "),
+            col("__rb_domain"),
+            lit(" — the robots relation must be keyed one row per domain")))
+            .cast("string"))
+          .otherwise(col("__rb_txt1")).as("__rb_txt"))
+  }
+
   /** Keep only the pages `agent` MAY fetch: one keyed join of pages
     * against `robots(domainCol, robotsCol)` (domains with no robots
     * row are allowed — the no-robots.txt default), then the per-row
     * native match on the URL's PATH-AND-QUERY (the REP match
-    * subject; fragments are already gone from canonical URLs). */
+    * subject; fragments are already gone from canonical URLs).
+    *
+    * Join shape (the cluster-path contract): the page-side domain is
+    * projected ONCE map-side and the robots side arrives through
+    * [[keyedRobots]] (unique per domain, loud otherwise), so the join
+    * itself is a plain column equi-join — plan-asserted in RobotsSpec. */
   def filterAllowed(pages: DataFrame, urlCol: String, robots: DataFrame,
       domainCol: String, robotsCol: String,
       agent: String = "graftbot"): DataFrame = {
     require(pages.columns.contains(urlCol), s"column $urlCol absent")
-    Seq(domainCol, robotsCol).foreach(c =>
-      require(robots.columns.contains(c), s"column $c absent in robots"))
     require(agent.nonEmpty && !agent.contains("*"),
       s"agent='$agent' must be a concrete product token")
-    Seq("__rb_domain", "__rb_txt").foreach(c =>
+    Seq("__rb_domain", "__rb_txt", "__pg_domain").foreach(c =>
       require(!pages.columns.contains(c), s"column $c reserved"))
-    val joined = pages.join(
-      robots.select(col(domainCol).as("__rb_domain"),
-        col(robotsCol).as("__rb_txt")),
-      UrlCuration.domainOf(col(urlCol)) === col("__rb_domain"), "left")
-    joined
+    val keyed = pages.withColumn("__pg_domain",
+      UrlCuration.domainOf(col(urlCol)))
+    keyed.join(keyedRobots(robots, domainCol, robotsCol),
+        col("__pg_domain") === col("__rb_domain"), "left")
       .filter(col("__rb_txt").isNull ||
         graft.functions.GraftFunctions.robots_allowed(
           col("__rb_txt"), pathAndQueryOf(col(urlCol)), agent))
-      .drop("__rb_domain", "__rb_txt")
+      .drop("__pg_domain", "__rb_domain", "__rb_txt")
   }
 
   /** The path-and-query of a URL (the REP match subject): everything

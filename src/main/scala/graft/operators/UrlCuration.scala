@@ -93,9 +93,18 @@ object UrlCuration {
   /** The registered domain (PSL eTLD+1) of the canonical host — the
     * [[registeredDomainCap]] unit; `''` for non-URLs, NULL for NULL.
     * Map-only: one native label walk per row over the table's hash
-    * sets ([[graft.functions.RegisteredDomain]]), no rules join. */
+    * sets ([[graft.functions.RegisteredDomain]]), no rules join.
+    *
+    * The table is a REQUIRED argument (no fixture default — the r18
+    * ADVICE fix): the committed snapshot is a representative SUBSET
+    * for the gates, and a production run that silently used it would
+    * send every host under an unlisted multi-label suffix (`com.br`,
+    * most of `co.jp`, …) through the implicit `*` rule, collapsing
+    * unrelated sites into one cap unit. Callers choose the table
+    * deliberately — the full published list loads through
+    * [[graft.functions.PslTable.fromText]]. */
   def registeredDomainOf(url: Column,
-      table: graft.functions.PslTable = graft.functions.PslTable.fixture): Column =
+      table: graft.functions.PslTable): Column =
     graft.functions.GraftFunctions.registered_domain(domainOf(url), table)
 
   /** Adds `outCol` = [[canonicalUrl]]; occupied output columns are
@@ -171,35 +180,41 @@ object UrlCuration {
     * subdomains shares one cap; platform user sites (`github.io`
     * private-section suffix) each keep their own. Same bounded
     * per-unit heap, same output columns (`domain` = the registered
-    * domain here). */
+    * domain here). The PSL table is required — see
+    * [[registeredDomainOf]] for why there is deliberately no fixture
+    * default. */
   def registeredDomainCap(docs: DataFrame, idCol: String, urlCol: String,
-      cap: Int, score: Column = lit(0.0),
-      table: graft.functions.PslTable = graft.functions.PslTable.fixture)
-      : DataFrame = {
+      cap: Int, table: graft.functions.PslTable,
+      score: Column = lit(0.0)): DataFrame = {
     require(docs.columns.contains(urlCol), s"column $urlCol absent")
     capByUnit(docs, idCol, registeredDomainOf(col(urlCol), table), cap, score)
   }
 
-  /** The crawl FRONTIER — the outlinks of the fetched pages,
-    * canonicalized and screened down to what the next crawl wave
-    * should fetch: absolute `scheme://` links only (relative links
-    * are a documented cutoff — resolving them needs the page URL's
-    * directory semantics), canonical-URL form, minus every page
-    * already fetched, with the referring-page IN-DEGREE as the
-    * standard frontier priority signal. This is the operator that
-    * CLOSES the crawl loop: fetched pages → [[graft.operators
-    * .HtmlExtract.extractLinks]] → this → the next wave's input
-    * (batch here; the streaming loop keeps `seen` as the
-    * [[graft.streaming.StreamingOps.crawlToCorpusStream]] URL state).
+  /** The crawl FRONTIER — the outlinks of the fetched pages, RESOLVED
+    * against the page URL (RFC 3986 §5 — [[graft.functions
+    * .UrlResolve]]; relative, root-relative, dot-segment,
+    * protocol-relative, query-only and fragment refs all land on
+    * their real targets — most outlinks on real pages are relative,
+    * so without resolution the frontier misses most of the link
+    * graph), canonicalized and screened down to what the next crawl
+    * wave should fetch: `scheme://` targets only (mailto:/doc:/
+    * javascript: forms have no fetchable identity), canonical-URL
+    * form, minus every page already fetched, with the referring-page
+    * IN-DEGREE as the standard frontier priority signal. This is the
+    * operator that CLOSES the crawl loop: fetched pages →
+    * [[graft.operators.HtmlExtract.extractLinks]] → resolve → this →
+    * the next wave's input (batch here; the streaming loop keeps
+    * `seen` as the [[graft.streaming.StreamingOps
+    * .crawlToCorpusStream]] URL state).
     *
     * Output: `(url, domain, n_refs)` — canonical target, its host,
     * distinct referring pages.
     *
-    * Scale shape: link explosion is IN-ROW; then ONE anti-join on the
-    * canonical key against the seen set and ONE partial-aggregated
-    * (url) count exchange — both keyed, no window, no driver pull.
-    * At 100 TB the seen side is the crawl's own URL index — a keyed
-    * shuffle join, exactly the dedup posture. */
+    * Scale shape: link explosion AND resolution are IN-ROW; then ONE
+    * anti-join on the canonical key against the seen set and ONE
+    * partial-aggregated (url) count exchange — both keyed, no window,
+    * no driver pull. At 100 TB the seen side is the crawl's own URL
+    * index — a keyed shuffle join, exactly the dedup posture. */
   def crawlFrontier(pages: DataFrame, idCol: String, urlCol: String,
       htmlCol: String): DataFrame = {
     Seq(idCol, urlCol, htmlCol).foreach(c =>
@@ -208,10 +223,12 @@ object UrlCuration {
       .select(canonicalUrl(col(urlCol)).as("__seen"))
       .filter(col("__seen").isNotNull).distinct()
     val links = pages
-      .select(col(idCol),
+      .select(col(idCol), col(urlCol).as("__base"),
         explode(HtmlExtract.extractLinks(col(htmlCol))).as("__link"))
-      .filter(isUrlish(col("__link")))
-      .select(col(idCol), canonicalUrl(col("__link")).as("url"))
+      .select(col(idCol), graft.functions.GraftFunctions
+        .url_resolve(col("__base"), col("__link")).as("__res"))
+      .filter(isUrlish(col("__res")))
+      .select(col(idCol), canonicalUrl(col("__res")).as("url"))
     links
       .join(seen, links("url") === seen("__seen"), "left_anti")
       .groupBy(col("url"))

@@ -211,17 +211,22 @@ object UrlQueries {
     s.createDataFrame(rules).toDF("kind", "rule")
       .coalesce(1).write.mode("overwrite")
       .parquet(SnapshotPaths.dirFor("psl_rules", dir, s))
-    UrlCuration.registeredDomainCap(d, "doc_id", "url", cap = 4)
+    UrlCuration.registeredDomainCap(d, "doc_id", "url", cap = 4,
+        table = graft.functions.PslTable.fixture)
       .select("doc_id", "domain", "domain_rank")
       .orderBy("doc_id")
   }
 
   /** The frontier gate's page: its own fetch URL plus an outlink
-    * block — a tracking-parameter/default-port/case-messy absolute
+    * block exercising every RFC 3986 reference class the resolver
+    * handles — a tracking-parameter/default-port/case-messy absolute
     * link (double-quoted), a scheme/www/trailing-slash variant link
-    * (single-quoted), and relative / non-URL links that must be
-    * screened out. Some targets coincide with fetched pages (the
-    * seen screen fires), some repeat across pages (in-degree > 1). */
+    * (single-quoted), root-relative, dot-segment (`../`, `../../`
+    * over the root, `./`), plain-relative, query-only,
+    * protocol-relative, fragment-only (must collapse into the page
+    * itself and be seen-screened) and non-URL (`doc:`) links. Some
+    * targets coincide with fetched pages (the seen screen fires),
+    * some repeat across pages (in-degree > 1). */
   private def frontierPageUrl(id: Column): Column = concat(
     lit("http://Site"), id % 10, lit(".Example.COM/Page/"), id)
 
@@ -238,6 +243,23 @@ object UrlQueries {
     when(id % 3 === 0,
       concat(lit("<li><a href=\"/rel/"), id, lit("\">rel</a></li>")))
       .otherwise(lit("")),
+    when(id % 4 === 1,
+      concat(lit("<li><a href=\"../Up/"), id % 60, lit("\">up</a></li>")))
+      .otherwise(lit("")),
+    when(id % 4 === 2,
+      concat(lit("<li><a href=\"sub/"), id % 45, lit(".html\">sub</a></li>")))
+      .otherwise(lit("")),
+    when(id % 4 === 3,
+      concat(lit("<li><a href=\"?p="), id % 5, lit("\">page</a></li>")))
+      .otherwise(lit("")),
+    when(id % 6 === 1,
+      concat(lit("<li><a href=\"//CDN.Example.COM/a/"), id % 50,
+        lit("\">cdn</a></li>"))).otherwise(lit("")),
+    when(id % 6 === 2, lit("<li><a href=\"#sec\">self</a></li>"))
+      .otherwise(lit("")),
+    when(id % 7 === 0,
+      concat(lit("<li><a href=\"./here/../../../Deep/"), id % 30,
+        lit("\">deep</a></li>"))).otherwise(lit("")),
     when(id % 5 === 0, lit("<li><a href=\"doc:raw\">nonurl</a></li>"))
       .otherwise(lit("")),
     lit("</ul></body></html>"))
@@ -253,26 +275,145 @@ object UrlQueries {
        CASE WHEN doc_id % 3 = 0
             THEN '<li><a href="/rel/' || doc_id || '">rel</a></li>'
             ELSE '' END ||
+       CASE WHEN doc_id % 4 = 1
+            THEN '<li><a href="../Up/' || (doc_id % 60) || '">up</a></li>'
+            ELSE '' END ||
+       CASE WHEN doc_id % 4 = 2
+            THEN '<li><a href="sub/' || (doc_id % 45) || '.html">sub</a></li>'
+            ELSE '' END ||
+       CASE WHEN doc_id % 4 = 3
+            THEN '<li><a href="?p=' || (doc_id % 5) || '">page</a></li>'
+            ELSE '' END ||
+       CASE WHEN doc_id % 6 = 1
+            THEN '<li><a href="//CDN.Example.COM/a/' || (doc_id % 50) ||
+                 '">cdn</a></li>'
+            ELSE '' END ||
+       CASE WHEN doc_id % 6 = 2
+            THEN '<li><a href="#sec">self</a></li>' ELSE '' END ||
+       CASE WHEN doc_id % 7 = 0
+            THEN '<li><a href="./here/../../../Deep/' || (doc_id % 30) ||
+                 '">deep</a></li>'
+            ELSE '' END ||
        CASE WHEN doc_id % 5 = 0
             THEN '<li><a href="doc:raw">nonurl</a></li>' ELSE '' END ||
        '</ul></body></html>'"""
 
+  /** One textual dot-removal step over a path column `p` — the
+    * PRIORITIZED leftmost rewrite (apply exactly ONE rule per step):
+    * single-dot segments first (so `..` can never consume a `.`
+    * segment), then a root-level `..` (drops — RFC: extra `..` above
+    * the root are removed), then the leftmost `seg/..` pop. With
+    * single-dots cleared first and the root rule ahead of the pop
+    * rule, the leftmost `/X/../` always has X = the segment the stack
+    * algorithm would pop (X can be empty — RFC preserves empty
+    * segments and `..` pops them like any other). Each step consumes
+    * exactly one dot segment, so [[DotSteps]] iterations suffice for
+    * any path with that many — the final poison arm makes an
+    * under-iterated path fail the hash LOUDLY instead of passing with
+    * residue. */
+  private def dotStepSql(p: String): String =
+    s"""CASE
+        WHEN regexp_matches($p, '/\\.(/|$$)')
+          THEN regexp_replace($p, '/\\.(/|$$)', '/')
+        WHEN regexp_matches($p, '^/\\.\\.(/|$$)')
+          THEN regexp_replace($p, '^/\\.\\.(/|$$)', '/')
+        WHEN regexp_matches($p, '/[^/]*/\\.\\.(/|$$)')
+          THEN regexp_replace($p, '/[^/]*/\\.\\.(/|$$)', '/')
+        ELSE $p END"""
+
+  private val DotRuleRe = """/\.(/|$)|^/\.\.(/|$)|/[^/]*/\.\.(/|$)"""
+  private val DotSteps = 8
+
+  /** RFC 3986 §5 reference resolution re-derived in SQL over a
+    * `(doc_id, base, ref)` source: the branch table of §5.2.2 (own
+    * scheme / protocol-relative / root-relative / query-only /
+    * fragment-or-empty / merged relative) and §5.2.4 dot-segment
+    * removal as [[DotSteps]] unrolled single-rule rewrites with a
+    * loud poison arm. Emits `<p>rs(doc_id, url)` (NULL url = a
+    * relative ref with no resolvable base, mirroring
+    * [[graft.functions.UrlResolve]]). Opaque `scheme:` refs (no
+    * `://`) pass through without dot removal — the gates keep those
+    * refs dotless, and the downstream urlish screen drops them
+    * anyway. */
+  private[queries] def resolveCtesSqlPrefixed(p: String, src: String): String = {
+    // each step references `pth` 7 times; DuckDB inlines CTEs by
+    // default, so an unmaterialized chain re-inlines 7^steps copies of
+    // the base expression (the crawl-capstone re-inlining pathology) —
+    // MATERIALIZED pins each step to one evaluation
+    val steps = (1 to DotSteps).map { i =>
+      s"""${p}rf$i AS MATERIALIZED (SELECT doc_id, resolved, pre, tail,
+            ${dotStepSql("pth")} AS pth FROM ${p}rf${i - 1})"""
+    }.mkString(",\n        ")
+    s"""${p}r0 AS (SELECT doc_id, TRIM(base) AS base, TRIM(ref) AS ref
+          FROM $src),
+        ${p}r1 AS (SELECT doc_id, ref,
+            regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
+            regexp_extract(regexp_replace(base,
+              '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1) AS bauth,
+            regexp_replace(regexp_replace(regexp_replace(base,
+              '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*', ''),
+              '#.*$$', '') AS bpq
+          FROM ${p}r0),
+        ${p}r2 AS (SELECT doc_id, ref, bscheme, bauth,
+            regexp_extract(bpq, '^([^?]*)', 1) AS bpath,
+            regexp_replace(bpq, '^[^?]*', '') AS bquery,
+            regexp_extract(ref, '^([^?#]*)', 1) AS rpath,
+            regexp_replace(ref, '^[^?#]*', '') AS rtail
+          FROM ${p}r1),
+        ${p}r3 AS (SELECT doc_id,
+            CASE
+              WHEN regexp_matches(ref, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN ref
+              WHEN bscheme = '' THEN NULL
+              WHEN ref = '' THEN bscheme || '://' || bauth || bpath || bquery
+              WHEN ref LIKE '//%' THEN bscheme || ':' || ref
+              WHEN ref LIKE '#%'
+                THEN bscheme || '://' || bauth || bpath || bquery || ref
+              WHEN ref LIKE '?%' THEN bscheme || '://' || bauth || bpath || ref
+              WHEN ref LIKE '/%' THEN bscheme || '://' || bauth || ref
+              ELSE bscheme || '://' || bauth ||
+                CASE WHEN bpath = '' THEN '/'
+                     ELSE regexp_replace(bpath, '[^/]*$$', '') END ||
+                rpath || rtail
+            END AS resolved
+          FROM ${p}r2),
+        ${p}rf0 AS MATERIALIZED (SELECT doc_id, resolved,
+            regexp_extract(resolved,
+              '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pre,
+            regexp_extract(regexp_replace(resolved,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+              '^([^?#]*)', 1) AS pth,
+            regexp_replace(regexp_replace(resolved,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+              '^[^?#]*', '') AS tail
+          FROM ${p}r3 WHERE resolved IS NOT NULL),
+        $steps,
+        ${p}rs AS (SELECT doc_id,
+            CASE WHEN pre = '' THEN resolved
+                 WHEN regexp_matches(pth, '$DotRuleRe')
+                   THEN pre || '/DOT-RESIDUE-UNDER-ITERATED' || tail
+                 ELSE pre || pth || tail END AS url
+          FROM ${p}rf$DotSteps)"""
+  }
+
   /** The frontier derivation as a CTE stack emitting `fr(url, domain,
     * n_refs)` — link extraction with DuckDB's own regexes (both quote
-    * styles), the 7-step canonicalization instantiated TWICE
-    * (outlinks and the seen set), the seen anti-screen and the
-    * distinct-referrer in-degree. Shared by `q_crawl_frontier` and
-    * the composed polite-fetch gate. */
+    * styles), RFC 3986 reference resolution against the page URL
+    * ([[resolveCtesSqlPrefixed]]), the 7-step canonicalization
+    * instantiated TWICE (resolved outlinks and the seen set), the
+    * seen anti-screen and the distinct-referrer in-degree. Shared by
+    * `q_crawl_frontier` and the composed polite-fetch gate. */
   private def frontierCtes: String = {
     import graft.operators.HtmlExtract
     val sq = HtmlExtract.HrefSqRe.replace("'", "''")
     s"""pages AS (SELECT doc_id, $frontierPageUrlSql AS page_url,
           $frontierHtmlSql AS html FROM documents),
-        lk0 AS (SELECT doc_id,
+        lk0 AS (SELECT doc_id, page_url AS base,
             unnest(regexp_extract_all(html, '${HtmlExtract.HrefDqRe}', 1)
-              || regexp_extract_all(html, '$sq', 1)) AS url
+              || regexp_extract_all(html, '$sq', 1)) AS ref
           FROM pages),
-        ${canonCtesSqlPrefixed("lk_", "lk0")},
+        ${resolveCtesSqlPrefixed("lk_", "lk0")},
+        ${canonCtesSqlPrefixed("lk_",
+          "(SELECT doc_id, url FROM lk_rs WHERE url IS NOT NULL)")},
         ${canonCtesSqlPrefixed("sn_",
           "(SELECT doc_id, page_url AS url FROM pages)")},
         cl AS (SELECT doc_id, $canonicalSql AS url, host
@@ -461,8 +602,8 @@ object UrlQueries {
                 '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*', '') AS path
             FROM fr)
           SELECT url, domain, n_refs FROM pq
-          WHERE NOT (CAST(regexp_extract(domain, 'site([0-9]+)', 1)
-                       AS INTEGER) % 2 = 0
+          WHERE NOT (COALESCE(TRY_CAST(regexp_extract(domain,
+                       'site([0-9]+)', 1) AS INTEGER) % 2 = 0, FALSE)
                      AND path LIKE '/Page/1%')
           ORDER BY url""",
     // the REP MATCHER re-derived: the same three path rules as a

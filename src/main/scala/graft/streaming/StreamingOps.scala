@@ -645,12 +645,14 @@ object StreamingOps {
       // pages were still fetched, so their canonicals (recorded in the
       // URL state above) screen correctly
       frontierDir.foreach { fd =>
-        val links = b.select(col(idCol),
+        val links = b.select(col(idCol), col(urlCol).as("__base"),
             explode(graft.operators.HtmlExtract
               .extractLinks(col(htmlCol))).as("__link"))
-          .filter(UrlCuration.isUrlish(col("__link")))
+          .select(col(idCol), GraftFunctions
+            .url_resolve(col("__base"), col("__link")).as("__res"))
+          .filter(UrlCuration.isUrlish(col("__res")))
           .select(col(idCol),
-            UrlCuration.canonicalUrl(col("__link")).as("url"))
+            UrlCuration.canonicalUrl(col("__res")).as("url"))
         val seenAll = prevUrls.select(col("canonical"))
           .unionByName(freshWinners.select(col("__canon").as("canonical")))
         links.join(seenAll, links("url") === seenAll("canonical"), "left_anti")

@@ -72,4 +72,59 @@ class RobotsRulesSpec extends SparkSpec {
       .collect()(0)
     assert(p.getString(0) == "/" && p.getString(1) == "/d?x=1")
   }
+
+  test("crawl-delay: group-scoped, exact beats *, max merge, noise ignored") {
+    // the selected group's delay only — an exact group WITHOUT a delay
+    // must not inherit the star group's
+    val txt = "User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /x/\n\n" +
+      "User-agent: *\nCrawl-delay: 30\nDisallow: /"
+    assert(RobotsRules.parse(txt, "graftbot").crawlDelay.contains(2.5))
+    assert(RobotsRules.parse(txt, "otherbot").crawlDelay.contains(30.0))
+    val noDelay = "User-agent: graftbot\nDisallow: /x/\n\n" +
+      "User-agent: *\nCrawl-delay: 30\nDisallow: /"
+    assert(RobotsRules.parse(noDelay, "graftbot").crawlDelay.isEmpty)
+    // repeated values merge to the MAX (most polite); junk ignored
+    val multi = "User-agent: *\nCrawl-delay: 5\nCrawl-delay: 9\n" +
+      "Crawl-delay: soon\nCrawl-delay: -1"
+    assert(RobotsRules.parse(multi, "graftbot").crawlDelay.contains(9.0))
+    // native expression: value, none → NULL, NULL text → NULL
+    val rows = Seq((1L, txt), (2L, noDelay), (3L, null.asInstanceOf[String]))
+      .toDF("id", "txt")
+      .select(col("id"), org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        RobotsCrawlDelay(org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(col("txt")), "graftbot")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else Double.box(r.getDouble(1)))).toMap
+    assert(rows(1L) == 2.5 && rows(2L) == null && rows(3L) == null)
+  }
+
+  test("filterAllowed: duplicate robots rows fail LOUDLY; join is a plain equi-join") {
+    import graft.operators.Robots
+    val pages = Seq((1L, "http://a.com/x"), (2L, "http://b.com/y"))
+      .toDF("id", "url")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /no/"))
+      .toDF("domain", "txt")
+    val out = Robots.filterAllowed(pages, "url", robots, "domain", "txt")
+    assert(out.count() == 2L)
+    // plan contract: page domain projected map-side, then a plain
+    // column equi-join — the join condition carries no regex chain
+    val plan = out.queryExecution.optimizedPlan.toString
+    val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("__pg_domain") && joinLine.contains("__rb_domain")
+      && !joinLine.toLowerCase.contains("regexp"),
+      s"expected a pre-keyed equi-join, got:\n$plan")
+    // two rows for one domain would silently duplicate every matching
+    // page — the keyed build must fail instead
+    val dup = Seq(("a.com", "User-agent: *\nDisallow: /no/"),
+      ("a.com", "User-agent: *\nDisallow: /"))
+      .toDF("domain", "txt")
+    val e = intercept[Exception] {
+      Robots.filterAllowed(pages, "url", dup, "domain", "txt").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate robots rows")),
+      s"unexpected error: $e")
+  }
 }

@@ -118,4 +118,22 @@ class HtmlExtractSpec extends SparkSpec {
         pages.withColumn("text", lit("x")), "html", "text")
     }
   }
+
+  test("extractLinks: tag and attribute boundaries (no <area>/data-href over-match)") {
+    import spark.implicits._
+    val html =
+      """<a href="http://ok1.com/">1</a>
+        |<a class="x" href='http://ok2.com/'>2</a>
+        |<a
+        |href="http://ok3.com/">newline ws</a>
+        |<area href="http://bad-area.com/">
+        |<abbr href="http://bad-abbr.com/">x</abbr>
+        |<a data-href="http://bad-data.com/">no real href</a>
+        |<audio href="http://bad-audio.com/"></audio>""".stripMargin
+    val out = Seq(html).toDF("html")
+      .select(explode(HtmlExtract.extractLinks(col("html"))).as("l"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("http://ok1.com/", "http://ok2.com/", "http://ok3.com/"),
+      s"got $out")
+  }
 }

@@ -95,7 +95,8 @@ class UrlCurationSpec extends SparkSpec {
       .toDF("id", "url")
     // host cap sees 8 distinct hosts → nothing capped
     assert(UrlCuration.domainCap(docs, "id", "url", cap = 2).count() == 8L)
-    val out = UrlCuration.registeredDomainCap(docs, "id", "url", cap = 2)
+    val out = UrlCuration.registeredDomainCap(docs, "id", "url", cap = 2,
+        table = graft.functions.PslTable.fixture)
       .select("id", "domain", "domain_rank")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     // the farm shares ONE unit and keeps only the smallest 2 ids...
@@ -106,11 +107,12 @@ class UrlCurationSpec extends SparkSpec {
     assert(out.length == 4)
   }
 
-  test("crawlFrontier: both quote styles, screens, seen removal, in-degree") {
+  test("crawlFrontier: both quote styles, resolution, screens, seen removal, in-degree") {
     val pages = Seq(
       (1L, "http://a.com/p/1",
         """<a href="http://B.com/x#frag">1</a> <a href='http://c.com/y/'>2</a>
-           <a href="/rel">3</a> <a href="doc:5">4</a>"""),
+           <a href="/rel">3</a> <a href="doc:5">4</a>
+           <a href="../up">5</a> <a href="#frag">6</a>"""),
       (2L, "http://b.com/x", // fetched: b.com/x is SEEN
         """<a href="http://b.com/x?utm_source=z">self</a>
            <a href="http://c.com/y">again</a>"""),
@@ -119,10 +121,48 @@ class UrlCurationSpec extends SparkSpec {
     val out = UrlCuration.crawlFrontier(pages, "doc_id", "url", "html")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sortBy(_._1)
-    // b.com/x canonicalizes into the seen set (page 2's own URL);
-    // relative + non-URL links screened; c.com/y referenced by BOTH
-    // pages (trailing-slash variant collapses) → in-degree 2
-    assert(out.toSeq == Seq(("http://c.com/y", "c.com", 2L)))
+    // b.com/x canonicalizes into the seen set (page 2's own URL); the
+    // fragment-only link resolves to page 1 itself → also seen; the
+    // root-relative and dot-segment links RESOLVE against the page
+    // URL; doc: links screened; c.com/y referenced by BOTH pages
+    // (trailing-slash variant collapses) → in-degree 2
+    assert(out.toSeq == Seq(
+      ("http://a.com/rel", "a.com", 1L),
+      ("http://a.com/up", "a.com", 1L),
+      ("http://c.com/y", "c.com", 2L)))
+  }
+
+  test("url_resolve: the RFC 3986 branch table and dot-segment removal") {
+    import graft.functions.UrlResolve.resolve
+    val base = "http://a.com/dir/sub/page.html?q=1#frag"
+    assert(resolve(base, "x.html") == "http://a.com/dir/sub/x.html")
+    assert(resolve(base, "../x") == "http://a.com/dir/x")
+    assert(resolve(base, "../../x") == "http://a.com/x")
+    assert(resolve(base, "../../../../x") == "http://a.com/x") // over the root
+    assert(resolve(base, "./x") == "http://a.com/dir/sub/x")
+    assert(resolve(base, "/abs?p=2") == "http://a.com/abs?p=2")
+    assert(resolve(base, "//cdn.com/a") == "http://cdn.com/a")
+    assert(resolve(base, "?p=2") == "http://a.com/dir/sub/page.html?p=2")
+    // fragment-only and empty: the page itself (base query kept, base
+    // fragment dropped)
+    assert(resolve(base, "#s") == "http://a.com/dir/sub/page.html?q=1#s")
+    assert(resolve(base, "") == "http://a.com/dir/sub/page.html?q=1")
+    // ref with its own scheme wins outright; opaque forms pass through
+    assert(resolve(base, "https://o.com/a/../b") == "https://o.com/b")
+    assert(resolve(base, "doc:raw") == "doc:raw")
+    assert(resolve(base, "mailto:x@y.z") == "mailto:x@y.z")
+    // trailing dot segments keep the directory slash (RFC §5.2.4)
+    assert(resolve(base, "..") == "http://a.com/dir/")
+    assert(resolve(base, ".") == "http://a.com/dir/sub/")
+    // empty base path ⇒ '/' + ref path; empty segments are preserved
+    // and popped like any segment
+    assert(resolve("http://a.com", "x") == "http://a.com/x")
+    assert(resolve("http://a.com/a//b/", "../x") == "http://a.com/a//x")
+    assert(resolve("http://a.com/a//../x", "") == "http://a.com/a//../x")
+    // a relative ref against a non-URL base has no target
+    assert(resolve("doc:17", "x.html") == null)
+    // whitespace-trimmed inputs (href values legally carry it)
+    assert(resolve(base, " x.html ") == "http://a.com/dir/sub/x.html")
   }
 
   test("plan shapes: projections are map-only; domainCap ranks via the bounded aggregate") {
