@@ -117,6 +117,12 @@ object GraftFunctions {
   def registered_domain(host: Column, table: PslTable): Column =
     c(RegisteredDomain(e(host), table))
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization: unreserved
+    * escapes decoded, other escapes uppercased, malformed `%` literal
+    * — native expression ([[PctNormalize]]); step 2 of
+    * [[graft.operators.UrlCuration.canonicalUrl]]. */
+  def pct_normalize(url: Column): Column = c(PctNormalize(e(url)))
+
   /** RFC 3986 §5 reference resolution: the target URL a raw outlink
     * denotes against its page's address — native expression
     * ([[UrlResolve]]); the step between link extraction and
@@ -130,6 +136,13 @@ object GraftFunctions {
     * [[graft.operators.UrlCuration.fetchWaves]]. */
   def robots_crawl_delay(robotsTxt: Column, agent: String): Column =
     c(RobotsCrawlDelay(e(robotsTxt), agent))
+
+  /** The text's global `Sitemap:` URLs (sitemaps.org protocol),
+    * first-occurrence order, deduped — native expression
+    * ([[RobotsSitemaps]]); the crawl-seed source of
+    * [[graft.operators.Robots.sitemapSeeds]]. */
+  def robots_sitemaps(robotsTxt: Column, agent: String): Column =
+    c(RobotsSitemaps(e(robotsTxt), agent))
 
   /** May `agent` fetch `path` under `robotsTxt`? — native RFC 9309
     * evaluation with the parse memoized per distinct text

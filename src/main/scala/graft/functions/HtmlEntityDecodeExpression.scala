@@ -7,8 +7,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `html_entity_decode(text)` — HTML character-reference decoding in
-  * ONE left-to-right scan: the five ubiquitous named entities
-  * (`&lt; &gt; &quot; &nbsp; &amp;`) plus decimal (`&#233;`) and hex
+  * ONE left-to-right scan: the FULL HTML5 named table (~2.1k
+  * semicolon-terminated names, committed fixture — see
+  * [[HtmlEntityDecode.Named]]) plus decimal (`&#233;`) and hex
   * (`&#xE9;`, `&#x1F600;`) numeric references, which real crawl HTML
   * carries constantly (r17 verdict gap #3) — undecoded they pollute
   * every downstream text operator (Gopher symbol bands, BPE counts,
@@ -25,12 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`graft.queries.HtmlQueries.decodeSql`).
   *
   * Decode contract (mirrored literally by the oracle):
-  *   - named: the [[HtmlEntityDecode.Named]] table — the five
-  *     ubiquitous entities plus the common Latin-1 letter /
-  *     punctuation / symbol set real pages carry constantly (`&#39;`
-  *     arrives via the numeric path); anything else named passes
-  *     through literally — documented cutoff, the full HTML5 table is
-  *     ~2k entries and drops into the same table;
+  *   - named: the [[HtmlEntityDecode.Named]] table — the complete
+  *     HTML5 semicolon-terminated set (2 125 names incl. the 93
+  *     multi-codepoint references like `&NotEqualTilde;`), loaded
+  *     from a committed fixture with LOUD validation (malformed line,
+  *     duplicate name, or a suspiciously small table all throw — the
+  *     PSL subset-guard posture). The spec's legacy SEMICOLON-FREE
+  *     forms (`&amp` without `;`) are a documented cutoff: they are
+  *     compat-mode-only in HTML5, and our unterminated-reference rule
+  *     (stay literal) already covers them conservatively;
   *   - numeric: decoded iff the codepoint is tab/LF/CR or ≥ U+0020,
   *     ≤ U+10FFFF and not a surrogate — otherwise the reference stays
   *     LITERAL (C0 controls would collide with the extractor's U+0001
@@ -119,9 +123,9 @@ object HtmlEntityDecode {
       while (j < n && j - at <= MaxNameLen &&
         Character.isLetterOrDigit(str.charAt(j))) j += 1
       if (j > at + 1 && j < n && str.charAt(j) == ';') {
-        val cp = NamedMap.get(str.substring(at + 1, j))
-        if (cp != null) {
-          out.appendCodePoint(cp.intValue())
+        val s = NamedMap.get(str.substring(at + 1, j))
+        if (s != null) {
+          out.append(s)
           return j + 1
         }
       }
@@ -163,45 +167,68 @@ object HtmlEntityDecode {
     else if (c >= 'A' && c <= 'F') c - 'A' + 10
     else -1
 
-  /** The named-entity table (name → codepoint): the five ubiquitous
-    * entities plus the common Latin-1 letters, typographic
-    * punctuation and symbols crawled pages carry constantly. ONE
-    * constant — the scanner's lookup map and the oracle's regex
-    * alternation + decode arms are both generated from it, so the two
-    * engines cannot drift. Case-sensitive, per the HTML named table. */
-  val Named: IndexedSeq[(String, Int)] = Vector(
-    // the ubiquitous five
-    "lt" -> '<'.toInt, "gt" -> '>'.toInt, "quot" -> '"'.toInt,
-    "nbsp" -> 0x00A0, "amp" -> '&'.toInt,
-    // XML apostrophe
-    "apos" -> '\''.toInt,
-    // Latin-1 letters (the accents European-language pages use most)
-    "aacute" -> 0x00E1, "agrave" -> 0x00E0, "acirc" -> 0x00E2,
-    "auml" -> 0x00E4, "ccedil" -> 0x00E7, "eacute" -> 0x00E9,
-    "egrave" -> 0x00E8, "ecirc" -> 0x00EA, "iacute" -> 0x00ED,
-    "ntilde" -> 0x00F1, "oacute" -> 0x00F3, "ocirc" -> 0x00F4,
-    "ouml" -> 0x00F6, "szlig" -> 0x00DF, "uacute" -> 0x00FA,
-    "uuml" -> 0x00FC,
-    "Aacute" -> 0x00C1, "Eacute" -> 0x00C9, "Ouml" -> 0x00D6,
-    "Uuml" -> 0x00DC,
-    // typographic punctuation
-    "hellip" -> 0x2026, "mdash" -> 0x2014, "ndash" -> 0x2013,
-    "lsquo" -> 0x2018, "rsquo" -> 0x2019, "ldquo" -> 0x201C,
-    "rdquo" -> 0x201D, "laquo" -> 0x00AB, "raquo" -> 0x00BB,
-    "middot" -> 0x00B7, "bull" -> 0x2022,
-    // symbols
-    "copy" -> 0x00A9, "reg" -> 0x00AE, "trade" -> 0x2122,
-    "deg" -> 0x00B0, "sect" -> 0x00A7, "para" -> 0x00B6,
-    "euro" -> 0x20AC, "pound" -> 0x00A3, "yen" -> 0x00A5,
-    "cent" -> 0x00A2, "times" -> 0x00D7, "divide" -> 0x00F7,
-    "plusmn" -> 0x00B1, "frac12" -> 0x00BD, "frac14" -> 0x00BC)
+  /** The named-entity table (name → decoded string): the COMPLETE
+    * HTML5 semicolon-terminated set, loaded from the committed
+    * fixture `graft/html/html5_entities.tsv` (format: `name<TAB>
+    * hex[-hex]*` — 93 references decode to TWO codepoints, e.g.
+    * `&NotEqualTilde;` → U+2242 U+0338). ONE table — the scanner's
+    * lookup map and the oracle's regex alternation + decode arms are
+    * both generated from it, so the two engines cannot drift.
+    * Case-sensitive, per the HTML named table (`&AMP;` and `&amp;`
+    * are distinct entries; `&Amp;` is not a reference). Validation is
+    * LOUD ([[parseTable]]): malformed lines, duplicate names, invalid
+    * codepoints, or a suspiciously small table (a truncated fixture)
+    * all throw at load — the PSL subset-guard posture. */
+  val Named: IndexedSeq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/html/html5_entities.tsv")
+    require(in != null, "HTML5 entity table resource missing")
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    parseTable(text)
+  }
+
+  /** Parse + validate the fixture format; exposed for the
+    * malformed-table specs. */
+  private[graft] def parseTable(text: String): IndexedSeq[(String, String)] = {
+    val rows = text.linesIterator.zipWithIndex
+      .filterNot { case (l, _) => l.isEmpty || l.startsWith("#") }
+      .map { case (line, i) =>
+        val at = line.indexOf('\t')
+        require(at > 0 && at < line.length - 1,
+          s"entity table line ${i + 1}: expected name<TAB>codepoints, got '$line'")
+        val name = line.substring(0, at)
+        require(name.forall(c => Character.isLetterOrDigit(c) && c < 128),
+          s"entity table line ${i + 1}: non-alphanumeric name '$name'")
+        val cps = line.substring(at + 1).split("-")
+        require(cps.nonEmpty && cps.forall(_.nonEmpty),
+          s"entity table line ${i + 1}: empty codepoint list")
+        val sb = new java.lang.StringBuilder(4)
+        cps.foreach { h =>
+          val cp = try Integer.parseInt(h, 16) catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"entity table line ${i + 1}: bad hex codepoint '$h'")
+          }
+          require(cp > 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF),
+            s"entity table line ${i + 1}: codepoint U+$h out of range")
+          sb.appendCodePoint(cp)
+        }
+        name -> sb.toString
+      }.toVector
+    val dups = rows.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"entity table: duplicate names ${dups.take(5).mkString(",")}")
+    require(rows.size >= 2000,
+      s"entity table: only ${rows.size} entries — a truncated fixture would " +
+        "silently pass references through literally at scale; expected the " +
+        "full HTML5 set (~2125)")
+    rows
+  }
 
   private val MaxNameLen: Int =
     Named.map(_._1.length).max + 1 // +1: the loop bound is inclusive
 
-  private val NamedMap: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    Named.foreach { case (n, cp) => m.put(n, Integer.valueOf(cp)) }
+  private val NamedMap: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    Named.foreach { case (n, s) => m.put(n, s) }
     m
   }
 

@@ -68,7 +68,8 @@ object RobotsRules {
     * reads it through the same memoized parse the allow/deny match
     * uses. */
   final case class Group(rules: IndexedSeq[Rule],
-      crawlDelay: Option[Double] = None) {
+      crawlDelay: Option[Double] = None,
+      sitemaps: IndexedSeq[String] = Vector.empty) {
     /** Longest-value matching rule wins; Allow wins ties; no match ⇒
       * allowed. */
     def isAllowed(path: String): Boolean = {
@@ -92,13 +93,19 @@ object RobotsRules {
   /** Parse a robots.txt for `agent` (case-insensitive product token):
     * groups are runs of `User-agent` lines followed by rule lines;
     * all groups naming the agent (or, if none do, all `*` groups)
-    * merge. Unknown directives (Crawl-delay, Sitemap, …) and `#`
-    * comments are ignored per the RFC; a missing group ⇒ empty rule
-    * set ⇒ allow-all. */
+    * merge. Unknown directives and `#` comments are ignored per the
+    * RFC; a missing group ⇒ empty rule set ⇒ allow-all. `Sitemap:`
+    * lines are GLOBAL per the sitemaps.org protocol (they belong to
+    * no group), so they are collected position-independently for
+    * every agent: the value's first whitespace-delimited token (a
+    * sitemap value is a URL — it carries no spaces; the oracle's
+    * `\S+` extraction mirrors the same cut), deduped preserving
+    * first-occurrence order. */
   def parse(text: String, agent: String): Group = {
     val want = agent.toLowerCase(java.util.Locale.ROOT)
     val exact = Vector.newBuilder[Rule]
     val star = Vector.newBuilder[Rule]
+    val maps = Vector.newBuilder[String]
     var delayExact: Option[Double] = None
     var delayStar: Option[Double] = None
     var exactHit = false
@@ -137,12 +144,18 @@ object RobotsRules {
               if (groupExact) delayExact = Some(delayExact.fold(d)(math.max(_, d)))
               if (groupStar) delayStar = Some(delayStar.fold(d)(math.max(_, d)))
             }
-          case _ => inAgentRun = false // Sitemap, Host, …
+          case "sitemap" =>
+            // global, group-independent (sitemaps.org): collected for
+            // every agent; the value's first token is the URL
+            inAgentRun = false
+            if (value.nonEmpty) maps += value.split("\\s+")(0)
+          case _ => inAgentRun = false // Host, …
         }
       }
     }
-    if (exactHit) Group(exact.result(), delayExact)
-    else Group(star.result(), delayStar)
+    val sitemaps = maps.result().distinct
+    if (exactHit) Group(exact.result(), delayExact, sitemaps)
+    else Group(star.result(), delayStar, sitemaps)
   }
 
   /** Bounded per-JVM parse memo (the [[BpeTable]] cache posture): a
@@ -187,6 +200,16 @@ object RobotsRules {
     * [[RobotsCrawlDelay]]). */
   def crawlDelayOf(robotsTxt: UTF8String, agent: String): Double =
     groupFor(robotsTxt, agent).crawlDelay.getOrElse(Double.NaN)
+
+  /** The text's global `Sitemap:` URLs as Catalyst array data — the
+    * codegen seam for [[RobotsSitemaps]]; same memoized parse as the
+    * allow/deny match, so a pipeline evaluating both pays one parse
+    * per distinct text. */
+  def sitemapArrayOf(robotsTxt: UTF8String, agent: String):
+      org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      groupFor(robotsTxt, agent).sitemaps
+        .map(UTF8String.fromString).toArray[Any])
 }
 
 /** `robots_allowed(robots_txt, path)` — may `agent` fetch `path`
@@ -220,6 +243,41 @@ case class RobotsAllowed(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** `robots_sitemaps(robots_txt)` — the `Sitemap:` URLs the text
+  * declares (sitemaps.org protocol; GLOBAL, group-independent —
+  * collected from anywhere in the file), first-occurrence order,
+  * deduped; empty array when none. Same memoized parse as
+  * [[RobotsAllowed]], keyed by the supplied agent so the pipeline's
+  * screens share one memo entry. Seeds the crawl frontier
+  * ([[graft.operators.Robots.sitemapSeeds]]). */
+case class RobotsSitemaps(child: Expression, agent: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(agent.nonEmpty && !agent.contains("*"),
+    s"agent='$agent' must be a concrete product token")
+
+  override def prettyName: String = "robots_sitemaps"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"robots_sitemaps expects a string column, got $other")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    RobotsRules.sitemapArrayOf(t.asInstanceOf[UTF8String], agent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ag = ctx.addReferenceObj("robotsAgent", agent, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.RobotsRules.sitemapArrayOf($t, $ag);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `robots_crawl_delay(robots_txt)` — the `Crawl-delay` (seconds) the

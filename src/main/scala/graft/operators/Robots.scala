@@ -85,6 +85,39 @@ object Robots {
       .drop("__pg_domain", "__rb_domain", "__rb_txt")
   }
 
+  /** SITEMAP SEEDS: the `Sitemap:` URLs the robots relation declares
+    * (sitemaps.org protocol — global lines, independent of any agent
+    * group), canonicalized and aggregated to one row per distinct
+    * seed with the number of declaring domains as `n_refs` (a sitemap
+    * cross-listed by many hosts is a stronger seed, the frontier's
+    * in-degree convention). These are sitemap FILES to fetch and
+    * expand, not pages — union them into the frontier under a
+    * distinguishing provenance column
+    * ([[UrlCuration.crawlFrontierWithSitemaps]]) so the fetcher
+    * routes them to the sitemap parser.
+    *
+    * Scale shape: the robots relation is per-domain state (small next
+    * to pages); one [[keyedRobots]] uniqueness aggregate, an in-row
+    * explode of the native [[graft.functions.RobotsSitemaps]] parse
+    * (memoized per distinct text), one (url) count exchange. */
+  def sitemapSeeds(robots: DataFrame, domainCol: String, robotsCol: String,
+      agent: String = "graftbot"): DataFrame = {
+    require(agent.nonEmpty && !agent.contains("*"),
+      s"agent='$agent' must be a concrete product token")
+    keyedRobots(robots, domainCol, robotsCol)
+      .select(col("__rb_domain"),
+        explode(graft.functions.GraftFunctions.robots_sitemaps(
+          col("__rb_txt"), agent)).as("__sm"))
+      .filter(UrlCuration.isUrlish(col("__sm")))
+      .select(col("__rb_domain"), UrlCuration.canonicalUrl(col("__sm")).as("url"))
+      // distinct DECLARING domains — two raw spellings from one host
+      // that canonicalize together still count once
+      .groupBy(col("url"))
+      .agg(countDistinct(col("__rb_domain")).as("n_refs"))
+      .select(col("url"), UrlCuration.domainOf(col("url")).as("domain"),
+        col("n_refs"))
+  }
+
   /** The path-and-query of a URL (the REP match subject): everything
     * after the authority; empty path ⇒ `/`. */
   def pathAndQueryOf(url: Column): Column = {

@@ -14,16 +14,25 @@ import org.apache.spark.sql.functions._
   * as an independent second implementation):
   *   1. trim; a value with no `scheme://` passes through trimmed
   *      (not a URL — never invent structure);
-  *   2. scheme and host+port lower-cased (path/query case PRESERVED —
+  *   2. percent-encoding normalized (RFC 3986 §6.2.2 — [[graft
+  *      .functions.PctNormalize]]): escapes of UNRESERVED characters
+  *      decoded (`%7E`/`%7e` → `~`), every other well-formed escape
+  *      uppercased (`%2f` → `%2F` — decoding a reserved octet would
+  *      change the URL's delimiter structure), a `%` not followed by
+  *      two hex digits kept literal; applied to the whole URL before
+  *      splitting (unreserved decode can never produce a delimiter).
+  *      IDN/punycode host equivalence is a documented cutoff (see the
+  *      expression's Scaladoc);
+  *   3. scheme and host+port lower-cased (path/query case PRESERVED —
   *      paths are case-significant on most servers);
-  *   3. fragment stripped (never sent to the server);
-  *   4. leading `www.` stripped from the host;
-  *   5. default ports stripped (`:80` for http, `:443` for https;
+  *   4. fragment stripped (never sent to the server);
+  *   5. leading `www.` stripped from the host;
+  *   6. default ports stripped (`:80` for http, `:443` for https;
   *      non-default ports kept);
-  *   6. tracking query parameters removed (`utm_*`, `gclid`,
+  *   7. tracking query parameters removed (`utm_*`, `gclid`,
   *      `fbclid`, `msclkid`, `mc_eid`, `ref`), with the query
   *      re-rooted (`&` → `?`) and an emptied query dropped;
-  *   7. trailing `/` runs stripped from the path.
+  *   8. trailing `/` runs stripped from the path.
   *
   * Two cap units are available. [[domainCap]] caps on the canonical
   * HOST (port included if non-default) — strictly finer than
@@ -56,11 +65,17 @@ object UrlCuration {
   private def schemeOf(t: Column): Column =
     lower(regexp_extract(t, SchemeRe, 1))
 
+  /** Step 2: the trimmed URL with its percent-encoding normalized —
+    * everything downstream of the scheme test works on this form. */
+  private def pctNorm(t: Column): Column =
+    graft.functions.GraftFunctions.pct_normalize(t)
+
   /** host[:port] after lower-casing, `www.` strip and default-port
-    * strip — needs the scheme for step 5. */
-  private def canonHost(t: Column): Column = {
-    val scheme = schemeOf(t)
-    val noFrag = regexp_replace(regexp_replace(t, SchemeRe, ""), "#.*$", "")
+    * strip over the pct-normalized text `p` — needs the scheme for
+    * step 6. */
+  private def canonHost(p: Column): Column = {
+    val scheme = schemeOf(p)
+    val noFrag = regexp_replace(regexp_replace(p, SchemeRe, ""), "#.*$", "")
     val hostport = regexp_replace(
       lower(regexp_extract(noFrag, "^([^/?]*)", 1)), "^www\\.", "")
     when(scheme === "http", regexp_replace(hostport, ":80$", ""))
@@ -68,12 +83,13 @@ object UrlCuration {
       .otherwise(hostport)
   }
 
-  /** The canonical URL of `url` per the 7-step contract above; NULL
+  /** The canonical URL of `url` per the 8-step contract above; NULL
     * in, NULL out. Pure projection — compose freely. */
   def canonicalUrl(url: Column): Column = {
     val t = trim(url)
-    val scheme = schemeOf(t)
-    val noFrag = regexp_replace(regexp_replace(t, SchemeRe, ""), "#.*$", "")
+    val p = pctNorm(t)
+    val scheme = schemeOf(p)
+    val noFrag = regexp_replace(regexp_replace(p, SchemeRe, ""), "#.*$", "")
     val rest = regexp_replace(noFrag, "^[^/?]*", "")
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
     val query0 = regexp_replace(rest, "^[^?]*", "")
@@ -82,13 +98,15 @@ object UrlCuration {
     val query2 = regexp_replace(query1, "^&", "?")
     val query = when(query2 === "?", lit("")).otherwise(query2)
     when(scheme === "", t)
-      .otherwise(concat(scheme, lit("://"), canonHost(t), path, query))
+      .otherwise(concat(scheme, lit("://"), canonHost(p), path, query))
   }
 
   /** The canonical host (the [[domainCap]] unit); `''` for non-URLs,
     * NULL for NULL. */
-  def domainOf(url: Column): Column =
-    when(schemeOf(trim(url)) === "", lit("")).otherwise(canonHost(trim(url)))
+  def domainOf(url: Column): Column = {
+    val p = pctNorm(trim(url))
+    when(schemeOf(p) === "", lit("")).otherwise(canonHost(p))
+  }
 
   /** The registered domain (PSL eTLD+1) of the canonical host — the
     * [[registeredDomainCap]] unit; `''` for non-URLs, NULL for NULL.
@@ -219,9 +237,21 @@ object UrlCuration {
       htmlCol: String): DataFrame = {
     Seq(idCol, urlCol, htmlCol).foreach(c =>
       require(pages.columns.contains(c), s"column $c absent"))
-    val seen = pages
+    frontierLinks(pages, idCol, urlCol, htmlCol,
+      seenUrls(pages, urlCol))
+  }
+
+  /** The SEEN set: the distinct canonical URLs of the already-fetched
+    * pages — the anti-join side of every frontier screen. At 100 TB
+    * this is the crawl's own URL index, maintained incrementally
+    * (the streaming loop's URL state relation), not recomputed. */
+  def seenUrls(pages: DataFrame, urlCol: String): DataFrame =
+    pages
       .select(canonicalUrl(col(urlCol)).as("__seen"))
       .filter(col("__seen").isNotNull).distinct()
+
+  private def frontierLinks(pages: DataFrame, idCol: String,
+      urlCol: String, htmlCol: String, seen: DataFrame): DataFrame = {
     val links = pages
       .select(col(idCol), col(urlCol).as("__base"),
         explode(HtmlExtract.extractLinks(col(htmlCol))).as("__link"))
@@ -234,6 +264,115 @@ object UrlCuration {
       .groupBy(col("url"))
       .agg(countDistinct(col(idCol)).as("n_refs"))
       .select(col("url"), domainOf(col("url")).as("domain"), col("n_refs"))
+  }
+
+  /** [[crawlFrontier]] UNIONED with the robots relation's sitemap
+    * seeds ([[Robots.sitemapSeeds]]) under a distinguishing
+    * `provenance` column (`'link'` | `'sitemap'`): link proposals are
+    * PAGES to fetch, sitemap seeds are sitemap FILES to fetch and
+    * expand, so the fetcher must route them differently — the column
+    * is the routing key, and a URL proposed both ways keeps both rows
+    * (different fetch actions). Both branches are screened against
+    * ONE shared seen set (built once — the two consumers share the
+    * subtree, not a rescan).
+    *
+    * Output: `(url, domain, n_refs, provenance)`. */
+  def crawlFrontierWithSitemaps(pages: DataFrame, idCol: String,
+      urlCol: String, htmlCol: String, robots: DataFrame,
+      domainCol: String, robotsCol: String,
+      agent: String = "graftbot"): DataFrame = {
+    Seq(idCol, urlCol, htmlCol).foreach(c =>
+      require(pages.columns.contains(c), s"column $c absent"))
+    val seen = seenUrls(pages, urlCol)
+    val links = frontierLinks(pages, idCol, urlCol, htmlCol, seen)
+      .withColumn("provenance", lit("link"))
+    val seeds0 = Robots.sitemapSeeds(robots, domainCol, robotsCol, agent)
+    val seeds = seeds0
+      .join(seen, seeds0("url") === seen("__seen"), "left_anti")
+      .withColumn("provenance", lit("sitemap"))
+    links.unionByName(seeds)
+  }
+
+  /** Per-host FETCH-WAVE scheduling — the operator between the
+    * politeness screen ([[Robots.filterAllowed]]) and actually
+    * running the next fetch: partition an approved frontier into
+    * rate-bounded waves per host, honoring each host's `Crawl-delay`
+    * (the widely-honored robots.txt extension —
+    * [[graft.functions.RobotsCrawlDelay]] reads it through the SAME
+    * memoized parse the allow/deny match uses, so a frontier
+    * evaluating both pays one parse per distinct robots text).
+    *
+    * Semantics: a host whose effective delay is `d` seconds may be
+    * hit at most `perWave = max(1, min(maxPerWave, floor(waveSeconds
+    * / d)))` times per wave, where `d = max(declared-or-default
+    * delay, minDelaySeconds)` (the politeness floor — a declared
+    * `Crawl-delay: 0` never means "hammer freely") and `maxPerWave =
+    * max(1, floor(waveSeconds / minDelaySeconds))`. URLs are ranked
+    * per host by (`priority` DESC, url ASC — pass the frontier's
+    * in-degree for best-first crawling) and assigned `wave` 1..
+    * `maxWaves` and `wave_slot` 1..perWave in that order. URLs beyond
+    * the `maxWaves` horizon are DROPPED — they simply stay in the
+    * frontier and re-enter the next planning cycle, exactly like the
+    * beyond-cap rows of [[domainCap]]; scheduling an unbounded future
+    * would mean an unbounded per-host state instead.
+    *
+    * Output: `(urlCol, domain, wave, wave_slot, delay_s)` — the
+    * effective per-host spacing in `delay_s` lets the fetcher turn
+    * (wave, slot) into a concrete timestamp. Non-URL rows share the
+    * `''` host and are scheduled under it — screen them first if they
+    * should be exempt (the [[domainCap]] contract).
+    *
+    * Scale shape: ONE keyed join against the (unique — loud
+    * otherwise) per-domain robots relation to pick up the delay, then
+    * ONE bounded-heap aggregate per host ([[graft.functions
+    * .TopKByScore]] with k = maxWaves × maxPerWave — cap rows per
+    * host per partition cross the exchange, never a per-host window).
+    * The horizon bound is what keeps the heap constant-size no matter
+    * how hot the host. */
+  def fetchWaves(frontier: DataFrame, urlCol: String, robots: DataFrame,
+      domainCol: String, robotsCol: String, agent: String = "graftbot",
+      waveSeconds: Double = 30.0, defaultDelaySeconds: Double = 5.0,
+      minDelaySeconds: Double = 1.0, maxWaves: Int = 10,
+      priority: Column = lit(0.0)): DataFrame = {
+    require(frontier.columns.contains(urlCol), s"column $urlCol absent")
+    require(waveSeconds > 0 && defaultDelaySeconds > 0 &&
+      minDelaySeconds > 0, "wave/delay seconds must be positive")
+    require(maxWaves >= 1, s"maxWaves=$maxWaves must be >= 1")
+    require(agent.nonEmpty && !agent.contains("*"),
+      s"agent='$agent' must be a concrete product token")
+    // output is a FRESH projection (urlCol, domain, wave, wave_slot,
+    // delay_s) — input payload columns are not carried, so no occupied-
+    // column guard is needed; join winners back by urlCol for payload
+    val maxPerWave = math.max(1, math.floor(waveSeconds / minDelaySeconds).toInt)
+    val withDelay = frontier
+      .select(col(urlCol), domainOf(col(urlCol)).as("__host"),
+        priority.cast("double").as("__score"))
+      .join(Robots.keyedRobots(robots, domainCol, robotsCol),
+        col("__host") === col("__rb_domain"), "left")
+      .select(col(urlCol), col("__host"), col("__score"),
+        greatest(
+          coalesce(
+            graft.functions.GraftFunctions.robots_crawl_delay(
+              col("__rb_txt"), agent),
+            lit(defaultDelaySeconds)),
+          lit(minDelaySeconds)).as("__delay"))
+      .withColumn("__per", greatest(lit(1),
+        least(lit(maxPerWave),
+          floor(lit(waveSeconds) / col("__delay")))).cast("int"))
+    withDelay
+      // __per/__delay are functions of the host (keyedRobots is unique
+      // per domain), so grouping by all three keeps them available
+      // without widening the groups
+      .groupBy(col("__host").as("domain"), col("__per"), col("__delay"))
+      .agg(graft.functions.GraftFunctions.top_k_by_score(
+        col(urlCol), col("__score"), maxWaves * maxPerWave).as("__topk"))
+      .select(col("domain"), col("__per"), col("__delay"),
+        posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col("__e.id").as(urlCol), col("domain"),
+        ((col("__pos") / col("__per")).cast("int") + 1).as("wave"),
+        ((col("__pos") % col("__per")) + 1).cast("int").as("wave_slot"),
+        col("__delay").as("delay_s"))
+      .filter(col("wave") <= maxWaves)
   }
 
   /** The shared cap machinery: keep at most `cap` ids per `unit`

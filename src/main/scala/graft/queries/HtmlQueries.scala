@@ -45,7 +45,9 @@ object HtmlQueries {
     when(id % 2 === 0, lit("<P CLASS=\"Body\">")).otherwise(lit("<p>")),
     text.substr(lit(81), length(text)),
     lit(" tail &#39;quoted&#39; caf&#233; d&#xE9;j&#224; vu&#X1F600; " +
-      "A&amp;#65; bad&#2;ref &#xD800; &eacute; and &amp;lt;escaped&amp;gt;</p>"),
+      "A&amp;#65; bad&#2;ref &#xD800; &eacute; and &amp;lt;escaped&amp;gt; " +
+      "long-tail &alpha;&hellip;&mdash;&NotEqualTilde;&fjlig; " +
+      "not-a-ref &Amp; &nosuch; &CounterClockwiseContourIntegral;</p>"),
     lit("<div>See <a href=\"/d/"), id, lit("\">doc "), id,
     lit("</a> plus enough trailing words to pass</div>"),
     lit("<ul><li><a href=\"/t/1\">One</a></li><li><a href=\"/t/2\">Two</a></li></ul>"),
@@ -69,7 +71,9 @@ object HtmlQueries {
        CASE WHEN doc_id % 2 = 0 THEN '<P CLASS="Body">' ELSE '<p>' END ||
        substr($textExpr, 81, length($textExpr)) ||
        ' tail &#39;quoted&#39; caf&#233; d&#xE9;j&#224; vu&#X1F600; ' ||
-       'A&amp;#65; bad&#2;ref &#xD800; &eacute; and &amp;lt;escaped&amp;gt;</p>' ||
+       'A&amp;#65; bad&#2;ref &#xD800; &eacute; and &amp;lt;escaped&amp;gt; ' ||
+       'long-tail &alpha;&hellip;&mdash;&NotEqualTilde;&fjlig; ' ||
+       'not-a-ref &Amp; &nosuch; &CounterClockwiseContourIntegral;</p>' ||
        '<div>See <a href="/d/' || doc_id || '">doc ' || doc_id ||
        '</a> plus enough trailing words to pass</div>' ||
        '<ul><li><a href="/t/1">One</a></li><li><a href="/t/2">Two</a></li></ul>' ||
@@ -108,14 +112,21 @@ object HtmlQueries {
 
   /** Decode one matched reference body, mirroring the scanner's
     * contract: the generated named arms (one per [[graft.functions
-    * .HtmlEntityDecode.Named]] entry — `chr(cp)`, never a quoted
-    * literal, so the generator is quoting-proof), then numeric iff
-    * tab/LF/CR or ≥ U+0020, ≤ U+10FFFF, not a surrogate — anything
-    * else reconstructs itself literally. */
+    * .HtmlEntityDecode.Named]] entry — `chr(cp)` chains for the
+    * multi-codepoint references, never a quoted literal, so the
+    * generator is quoting-proof), then numeric iff tab/LF/CR or
+    * ≥ U+0020, ≤ U+10FFFF, not a surrogate — anything else
+    * reconstructs itself literally. With the full 2.1k-name table the
+    * generated CASE is ~90 KB of SQL per decode instance — linear
+    * text, parsed once per gate; the alternation compiles to one RE2
+    * automaton per query, not per row. */
   private def entDecodeSql(e: String): String = {
     val c = entCpSql(e)
     val namedArms = graft.functions.HtmlEntityDecode.Named
-      .map { case (n, cp) => s"WHEN $e = '$n' THEN chr($cp)" }
+      .map { case (n, s) =>
+        val chrs = s.codePoints().toArray
+          .map(cp => s"chr($cp)").mkString(" || ")
+        s"WHEN $e = '$n' THEN $chrs" }
       .mkString("\n      ")
     s"""CASE
       $namedArms

@@ -13,7 +13,7 @@ import graft.sources.Scan
   * from (doc_id, source) — upper-cased schemes and hosts, `www.`
   * prefixes, default and non-default ports, trailing slashes,
   * tracking parameters in every position, fragments — and the oracle
-  * then re-implements the full 7-step canonicalization contract
+  * then re-implements the full 8-step canonicalization contract
   * ([[UrlCuration]]) in DuckDB string ops. A drift in ANY step (port
   * rule, query re-rooting, case scope, winner rule) fails the hash
   * gate row-for-row.
@@ -24,8 +24,10 @@ object UrlQueries {
 
   /** The messy URL, Spark spelling. Exercises every canonicalization
     * step: scheme case (%5), www (%3), default/non-default ports
-    * (%2/%11), path case (always), trailing slash (%6), tracking
-    * params leading/trailing/alone (%4), fragment (%8). */
+    * (%2/%11), percent escapes — unreserved both hex cases, reserved
+    * lowercase hex, malformed, letter decode (%7) — path case
+    * (always), trailing slash (%6), tracking params
+    * leading/trailing/alone (%4), fragment (%8). */
   private def messyUrl(id: Column, source: Column): Column = concat(
     when(id % 5 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
     when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
@@ -33,7 +35,14 @@ object UrlQueries {
     when(id % 2 === 0,
       when(id % 5 === 0, lit(":443")).otherwise(lit(":80")))
       .otherwise(when(id % 11 === 0, lit(":8080")).otherwise(lit(""))),
-    lit("/Articles/"), source, lit("/"), id,
+    lit("/Articles/"),
+    when(id % 7 === 0, lit("%7EUser/"))
+      .when(id % 7 === 1, lit("%7euser/"))
+      .when(id % 7 === 2, lit("a%2fb/"))
+      .when(id % 7 === 3, lit("a%zzb%/"))
+      .when(id % 7 === 4, lit("%41bc/"))
+      .otherwise(lit("")),
+    source, lit("/"), id,
     when(id % 6 === 0, lit("/")).otherwise(lit("")),
     when(id % 4 === 0, concat(lit("?utm_source=feed&page="), id % 7))
       .when(id % 4 === 1, concat(lit("?page="), id % 7, lit("&utm_campaign=x")))
@@ -49,7 +58,14 @@ object UrlQueries {
        CASE WHEN doc_id % 2 = 0
             THEN CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE ':80' END
             ELSE CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END END ||
-       '/Articles/' || source || '/' || doc_id ||
+       '/Articles/' ||
+       CASE WHEN doc_id % 7 = 0 THEN '%7EUser/'
+            WHEN doc_id % 7 = 1 THEN '%7euser/'
+            WHEN doc_id % 7 = 2 THEN 'a%2fb/'
+            WHEN doc_id % 7 = 3 THEN 'a%zzb%/'
+            WHEN doc_id % 7 = 4 THEN '%41bc/'
+            ELSE '' END ||
+       source || '/' || doc_id ||
        CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END ||
        CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&page=' || (doc_id % 7)
             WHEN doc_id % 4 = 1 THEN '?page=' || (doc_id % 7) || '&utm_campaign=x'
@@ -57,8 +73,34 @@ object UrlQueries {
             ELSE '' END ||
        CASE WHEN doc_id % 8 = 0 THEN '#Section2' ELSE '' END"""
 
-  /** The oracle's independent canonicalization: the 7 steps re-spelled
-    * in DuckDB regex ops over a `u(doc_id, url)` CTE. Emits
+  /** RFC 3986 §6.2.2 percent-encoding normalization re-spelled in
+    * DuckDB list ops over `$x`: split on `%`, re-walk each piece —
+    * a two-hex-digit head is decoded if the octet is UNRESERVED
+    * (the hex-pair alternation is GENERATED from the Scala constant,
+    * [[graft.functions.PctNormalize.unreservedHexAlternation]], so
+    * the two engines share one set) or re-emitted uppercased, a
+    * malformed head keeps its literal `%`. The decoded char is
+    * re-derived ARITHMETICALLY (strpos into the hex alphabet → chr),
+    * an independent spelling of the scanner's table-free decode. */
+  private[queries] def pctNormSql(x: String): String = {
+    val alt = graft.functions.PctNormalize.unreservedHexAlternation
+    s"""CASE WHEN strpos($x, '%') = 0 THEN $x ELSE
+          string_split($x, '%')[1] ||
+          list_aggregate(list_transform(string_split($x, '%')[2:],
+            t -> CASE WHEN regexp_matches(t, '^[0-9A-Fa-f]{2}')
+              THEN CASE WHEN regexp_matches(UPPER(substr(t, 1, 2)),
+                     '^($alt)$$')
+                THEN chr(CAST((strpos('0123456789ABCDEF',
+                       substr(UPPER(t), 1, 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                       substr(UPPER(t), 2, 1)) - 1 AS INTEGER)) || substr(t, 3)
+                ELSE '%' || UPPER(substr(t, 1, 2)) || substr(t, 3) END
+              ELSE '%' || t END), 'string_agg', '')
+        END"""
+  }
+
+  /** The oracle's independent canonicalization: the 8 steps re-spelled
+    * in DuckDB regex/list ops over a `u(doc_id, url)` CTE. Emits
     * `hp(doc_id, url, scheme, host, path, q0)`. */
   /** [[canonCtesSql]] with PREFIXED internal CTE names, so a composing
     * oracle (the crawl capstones, the frontier gate) can stack it next
@@ -66,13 +108,16 @@ object UrlQueries {
     * TWICE over different `(doc_id, url)` sources. Emits `<p>hp`. */
   private[queries] def canonCtesSqlPrefixed(p: String,
       src: String = "u"): String =
-    s"""${p}c AS (
-          SELECT doc_id, url,
-            LOWER(REGEXP_EXTRACT(TRIM(url),
-              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-            REGEXP_REPLACE(REGEXP_REPLACE(TRIM(url),
-              '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
+    s"""${p}pn AS (
+          SELECT doc_id, url, ${pctNormSql("TRIM(url)")} AS pu
           FROM $src),
+        ${p}c AS (
+          SELECT doc_id, url,
+            LOWER(REGEXP_EXTRACT(pu,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            REGEXP_REPLACE(REGEXP_REPLACE(pu,
+              '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
+          FROM ${p}pn),
         ${p}h AS (
           SELECT *,
             REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(nofrag, '^([^/?]*)', 1)),
@@ -114,8 +159,13 @@ object UrlQueries {
   /** Canonical-URL keep-smallest-id dedup under the hash gate. The
     * page path collapses to doc_id % 20 (no source component), so
     * scheme/www/port/tracking/fragment VARIANTS of the same 20 pages
-    * collide exactly when canonicalization is correct; `doc:` rows
-    * (%13) are non-URLs and must be exempt. */
+    * collide exactly when canonicalization is correct — including the
+    * PERCENT-SPELLING axis (`%7E`/`%7e`/`~` by doc_id % 3 spell the
+    * same path, so the three spellings of one page must merge), while
+    * the reserved-escape query axis must merge the two HEX CASES
+    * (`?a=%2f` ≡ `?a=%2F`) but NOT the decoded form (`?a=/` stays a
+    * distinct key — decoding a reserved octet is not equivalence);
+    * `doc:` rows (%13) are non-URLs and must be exempt. */
   val urlDedup: Q = (s, dir) => {
     val id = col("doc_id")
     val url = when(id % 13 === 0, concat(lit("doc:"), id)).otherwise(concat(
@@ -125,9 +175,16 @@ object UrlQueries {
       when(id % 2 === 0,
         when(id % 5 === 0, lit(":443")).otherwise(lit(":80")))
         .otherwise(lit("")),
-      lit("/Page/"), id % 20,
+      lit("/Page/"),
+      when(id % 3 === 0, lit("%7E")).when(id % 3 === 1, lit("%7e"))
+        .otherwise(lit("~")),
+      id % 20,
       when(id % 6 === 0, lit("/")).otherwise(lit("")),
-      when(id % 4 === 2, lit("?utm_medium=em")).otherwise(lit("")),
+      when(id % 4 === 2, lit("?utm_medium=em"))
+        .when(id % 11 === 0, lit("?a=%2f"))
+        .when(id % 11 === 1, lit("?a=%2F"))
+        .when(id % 11 === 2, lit("?a=/"))
+        .otherwise(lit("")),
       when(id % 8 === 0, lit("#Section2")).otherwise(lit(""))))
     val d = Scan.table(s, dir, "documents")
       .select(col("doc_id"), url.as("url"))
@@ -143,9 +200,16 @@ object UrlQueries {
          CASE WHEN doc_id % 2 = 0
               THEN CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE ':80' END
               ELSE '' END ||
-         '/Page/' || (doc_id % 20) ||
+         '/Page/' ||
+         CASE WHEN doc_id % 3 = 0 THEN '%7E'
+              WHEN doc_id % 3 = 1 THEN '%7e' ELSE '~' END ||
+         (doc_id % 20) ||
          CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END ||
-         CASE WHEN doc_id % 4 = 2 THEN '?utm_medium=em' ELSE '' END ||
+         CASE WHEN doc_id % 4 = 2 THEN '?utm_medium=em'
+              WHEN doc_id % 11 = 0 THEN '?a=%2f'
+              WHEN doc_id % 11 = 1 THEN '?a=%2F'
+              WHEN doc_id % 11 = 2 THEN '?a=/'
+              ELSE '' END ||
          CASE WHEN doc_id % 8 = 0 THEN '#Section2' ELSE '' END
        END"""
 
@@ -398,7 +462,7 @@ object UrlQueries {
   /** The frontier derivation as a CTE stack emitting `fr(url, domain,
     * n_refs)` — link extraction with DuckDB's own regexes (both quote
     * styles), RFC 3986 reference resolution against the page URL
-    * ([[resolveCtesSqlPrefixed]]), the 7-step canonicalization
+    * ([[resolveCtesSqlPrefixed]]), the 8-step canonicalization
     * instantiated TWICE (resolved outlinks and the seen set), the
     * seen anti-screen and the distinct-referrer in-degree. Shared by
     * `q_crawl_frontier` and the composed polite-fetch gate. */
@@ -429,7 +493,7 @@ object UrlQueries {
     * quote styles, canonicalized, relative/non-URL links screened,
     * already-fetched pages removed, in-degree counted — the oracle
     * re-derives extraction with its own regexes and runs the full
-    * 7-step canonicalization TWICE (links and seen set)
+    * 8-step canonicalization TWICE (links and seen set)
     * independently. */
   val crawlFrontier: Q = (s, dir) => {
     val id = col("doc_id")
@@ -499,6 +563,80 @@ object UrlQueries {
       .orderBy("url")
   }
 
+  /** Fetch-wave scheduling under the hash gate: the frontier's
+    * proposals partitioned into per-host rate-bounded waves
+    * (waveSeconds=30, maxWaves=3), best-first by in-degree. The
+    * Crawl-delay axis is adversarially wired like the robots gate:
+    * `%3 == 0` hosts declare delay 2 in a graftbot-specific group
+    * ABOVE a `*` group declaring delay 30 — a group-selection bug
+    * flips those hosts from 15 slots/wave to 1 and fails the hash;
+    * `%3 == 1` hosts declare 10 in a `*` group (3 slots), `%3 == 2`
+    * hosts have NO robots row (the 5 s default → 6 slots), and the
+    * cdn host declares 0.5 — below the 1 s politeness floor, so it
+    * clamps (30 slots). Rows beyond the 3-wave horizon are dropped
+    * (they stay in the frontier for the next cycle) — the oracle
+    * re-derives rank/wave/slot with its own window arithmetic. */
+  val frontierWaves: Q = (s, dir) => {
+    val id = col("doc_id")
+    val pages = Scan.table(s, dir, "documents")
+      .select(id, frontierPageUrl(id).as("url"), frontierHtml(id).as("html"))
+    val fr = UrlCuration.crawlFrontier(pages, "doc_id", "url", "html")
+    val botGroup =
+      "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /private/\n\n" +
+        "User-agent: *\nCrawl-delay: 30\nDisallow: /"
+    val starGroup = "User-agent: *\nCrawl-delay: 10"
+    val robots = s.range(0, 10).select(col("id").as("k"))
+      .filter(col("k") % 3 =!= 2)
+      .select(
+        concat(lit("site"), col("k"), lit(".example.com")).as("rb_domain"),
+        when(col("k") % 3 === 0, lit(botGroup))
+          .otherwise(lit(starGroup)).as("robots_txt"))
+      .union(s.range(0, 1).select(
+        lit("cdn.example.com").as("rb_domain"),
+        lit("User-agent: *\nCrawl-delay: 0.5").as("robots_txt")))
+    UrlCuration.fetchWaves(fr, "url", robots, "rb_domain", "robots_txt",
+        agent = "graftbot", waveSeconds = 30.0, defaultDelaySeconds = 5.0,
+        minDelaySeconds = 1.0, maxWaves = 3, priority = col("n_refs"))
+      .orderBy("url")
+  }
+
+  /** Sitemap-seeded frontier under the hash gate: the link frontier
+    * unioned with the robots relation's `Sitemap:` seeds under a
+    * provenance column. The sitemap axis exercises: a per-host own
+    * sitemap (even hosts), a CROSS-LISTED hub sitemap (hosts 0/4/8 →
+    * n_refs 3), an in-text DUPLICATE line (host 0 — deduped), a
+    * canonicalizing variant (host 6's `?utm_source=rss` collapses to
+    * the clean form), an ALREADY-FETCHED target (host 7 lists a page
+    * URL — seen-screened), a lowercase key with a non-URL value
+    * (host 3 — screened), and an empty value (host 9 — skipped). */
+  val frontierSitemap: Q = (s, dir) => {
+    val id = col("doc_id")
+    val pages = Scan.table(s, dir, "documents")
+      .select(id, frontierPageUrl(id).as("url"), frontierHtml(id).as("html"))
+    val k = col("k")
+    val smOwn = concat(lit("\nSitemap: http://site"), k,
+      lit(".example.com/Sitemap.xml"))
+    val txt = concat(
+      lit("User-agent: *\nDisallow: /private/"),
+      when(k % 2 === 0,
+        when(k === 6, lit(
+          "\nSitemap: http://site6.example.com/Sitemap.xml?utm_source=rss"))
+          .otherwise(smOwn)).otherwise(lit("")),
+      when(k % 4 === 0, lit("\nSitemap: http://hub.example.com/all.xml"))
+        .otherwise(lit("")),
+      when(k === 0, smOwn).otherwise(lit("")),
+      when(k === 7, lit("\nSitemap: http://site7.example.com/Page/7"))
+        .otherwise(lit("")),
+      when(k === 3, lit("\nsitemap: doc:ignored")).otherwise(lit("")),
+      when(k === 9, lit("\nSitemap:")).otherwise(lit("")))
+    val robots = s.range(0, 10).select(col("id").as("k"))
+      .select(concat(lit("site"), k, lit(".example.com")).as("rb_domain"),
+        txt.as("robots_txt"))
+    UrlCuration.crawlFrontierWithSitemaps(pages, "doc_id", "url", "html",
+        robots, "rb_domain", "robots_txt")
+      .orderBy("provenance", "url")
+  }
+
   val queries: Map[String, Q] = ListMap(
     "q_url_canonical" -> urlCanonical,
     "q_url_dedup" -> urlDedup,
@@ -506,6 +644,8 @@ object UrlQueries {
     "q_domain_cap_psl" -> domainCapPsl,
     "q_crawl_frontier" -> crawlFrontier,
     "q_frontier_polite" -> frontierPolite,
+    "q_frontier_waves" -> frontierWaves,
+    "q_frontier_sitemap" -> frontierSitemap,
     "q_robots_filter" -> robotsFilter)
 
   val oracles: Map[String, String] = ListMap(
@@ -583,7 +723,7 @@ object UrlQueries {
           SELECT doc_id, domain, CAST(domain_rank AS INTEGER) AS domain_rank
           FROM ranked WHERE domain_rank <= 4 ORDER BY doc_id""",
     // link extraction re-derived with DuckDB's own regexes (both
-    // quote styles), then the 7-step canonicalization instantiated
+    // quote styles), then the 8-step canonicalization instantiated
     // TWICE — once over the outlinks, once over the fetched pages'
     // own URLs — the seen anti-screen, and the distinct-referrer
     // in-degree count
@@ -605,6 +745,81 @@ object UrlQueries {
           WHERE NOT (COALESCE(TRY_CAST(regexp_extract(domain,
                        'site([0-9]+)', 1) AS INTEGER) % 2 = 0, FALSE)
                      AND path LIKE '/Page/1%')
+          ORDER BY url""",
+    // the sitemap seeds re-derived: the same robots texts constructed
+    // in SQL, `Sitemap:` lines pulled with the oracle's own multiline
+    // case-insensitive regex (the \S+ cut mirrors the parser's
+    // first-token contract), per-text dedup, the canonicalization
+    // stack instantiated a THIRD time over the seed URLs, the shared
+    // seen anti-screen, distinct-declaring-domain counts, unioned
+    // with the link frontier under the provenance column
+    "q_frontier_sitemap" ->
+      s"""WITH $frontierCtes,
+          rb AS (SELECT unnest(range(10)) AS k),
+          rbt AS (SELECT k,
+              'User-agent: *' || chr(10) || 'Disallow: /private/' ||
+              CASE WHEN k % 2 = 0 THEN
+                CASE WHEN k = 6 THEN chr(10) ||
+                    'Sitemap: http://site6.example.com/Sitemap.xml?utm_source=rss'
+                  ELSE chr(10) || 'Sitemap: http://site' || k ||
+                    '.example.com/Sitemap.xml' END
+                ELSE '' END ||
+              CASE WHEN k % 4 = 0
+                THEN chr(10) || 'Sitemap: http://hub.example.com/all.xml'
+                ELSE '' END ||
+              CASE WHEN k = 0
+                THEN chr(10) || 'Sitemap: http://site0.example.com/Sitemap.xml'
+                ELSE '' END ||
+              CASE WHEN k = 7
+                THEN chr(10) || 'Sitemap: http://site7.example.com/Page/7'
+                ELSE '' END ||
+              CASE WHEN k = 3
+                THEN chr(10) || 'sitemap: doc:ignored' ELSE '' END ||
+              CASE WHEN k = 9 THEN chr(10) || 'Sitemap:' ELSE '' END
+              AS robots_txt
+            FROM rb),
+          smx AS (SELECT DISTINCT k, unnest(regexp_extract_all(robots_txt,
+              '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)) AS sm
+            FROM rbt),
+          ${canonCtesSqlPrefixed("sm_",
+            "(SELECT k AS doc_id, sm AS url FROM smx)")},
+          smc AS (SELECT doc_id AS k, $canonicalSql AS url, host
+            FROM sm_hp WHERE scheme <> ''),
+          seeds AS (SELECT smc.url, ANY_VALUE(smc.host) AS domain,
+              CAST(COUNT(DISTINCT smc.k) AS BIGINT) AS n_refs
+            FROM smc LEFT JOIN sn ON sn.url = smc.url
+            WHERE sn.url IS NULL GROUP BY smc.url)
+          SELECT url, domain, n_refs, 'link' AS provenance FROM fr
+          UNION ALL
+          SELECT url, domain, n_refs, 'sitemap' AS provenance FROM seeds
+          ORDER BY provenance, url""",
+    // the wave scheduler re-derived: the frontier derivation feeding
+    // per-host delay lookup (CASE mirroring the gate's robots
+    // construction — the graftbot group's 2, the * group's 10, the
+    // no-robots 5 s default, the clamped cdn 0.5), slots/wave =
+    // floor(30/delay), rank by (n_refs DESC, url) re-ranked with the
+    // oracle's own window, wave/slot arithmetic, 3-wave horizon
+    "q_frontier_waves" ->
+      s"""WITH $frontierCtes,
+          dl AS (SELECT url, domain, n_refs,
+              CASE WHEN domain = 'cdn.example.com' THEN 1.0
+                   WHEN TRY_CAST(regexp_extract(domain, 'site([0-9]+)', 1)
+                       AS INTEGER) % 3 = 0 THEN 2.0
+                   WHEN TRY_CAST(regexp_extract(domain, 'site([0-9]+)', 1)
+                       AS INTEGER) % 3 = 1 THEN 10.0
+                   ELSE 5.0 END AS delay_s
+            FROM fr),
+          pw AS (SELECT *, GREATEST(1, LEAST(30,
+              CAST(FLOOR(30.0 / delay_s) AS BIGINT))) AS per_wave
+            FROM dl),
+          rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+              ORDER BY n_refs DESC, url) - 1 AS rk0
+            FROM pw)
+          SELECT url, domain,
+            CAST(rk0 // per_wave AS INTEGER) + 1 AS wave,
+            CAST(rk0 % per_wave AS INTEGER) + 1 AS wave_slot,
+            CAST(delay_s AS DOUBLE) AS delay_s
+          FROM rk WHERE rk0 // per_wave < 3
           ORDER BY url""",
     // the REP MATCHER re-derived: the same three path rules as a
     // relation, each value translated to a regex ('*' → '.*', '$' →

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class HtmlEntityTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dec(s: String): String =
+    Seq(Tuple1(s)).toDF("t")
+      .select(GraftFunctions.html_entity_decode(col("t")).as("d"))
+      .collect().head.getString(0)
+
+  test("the committed fixture is the full HTML5 semicolon table") {
+    val m = HtmlEntityDecode.Named.toMap
+    // the HTML5 spec's named-reference table is frozen — 2125
+    // semicolon-terminated names, 93 of them multi-codepoint
+    assert(HtmlEntityDecode.Named.size == 2125)
+    assert(m.values.count(v => v.codePointCount(0, v.length) > 1) == 93)
+    assert(m("amp") == "&" && m("AMP") == "&" && m("lt") == "<")
+    assert(m("hellip") == "…" && m("mdash") == "—")
+    assert(m("alpha") == "α")
+    assert(m("CounterClockwiseContourIntegral") == "∳")
+    assert(m("NotEqualTilde") == "≂̸") // multi-codepoint
+    assert(m("fjlig") == "fj")
+    // case-sensitive per the spec; no legacy semicolon-free forms
+    assert(!m.contains("Amp"))
+  }
+
+  test("scanner decodes the long tail in one pass") {
+    assert(dec("a&hellip;b &alpha;&Beta; &NotEqualTilde; x") ==
+      "a…b αΒ ≂̸ x")
+    assert(dec("&CounterClockwiseContourIntegral;") == "∳")
+    // unknown names and unterminated references stay literal
+    assert(dec("&nosuchentity; &amp") == "&nosuchentity; &amp")
+    // single-pass ordering: &amp;#65; must NOT double-decode
+    assert(dec("&amp;#65;") == "&#65;")
+    // &Tab; is a real reference to an allowed control character
+    assert(dec("x&Tab;y") == "x\ty")
+  }
+
+  test("malformed or truncated tables fail LOUDLY") {
+    def bigTable(extra: String = ""): String =
+      (1 to 2100).map(i => f"n$i%04d\t41").mkString("\n") +
+        (if (extra.isEmpty) "" else "\n" + extra)
+    assert(HtmlEntityDecode.parseTable(bigTable()).size == 2100)
+    def failsWith(table: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        HtmlEntityDecode.parseTable(table)
+      }
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    failsWith(bigTable("no-tab-line"), "name<TAB>codepoints")
+    failsWith(bigTable("bad name\t41"), "non-alphanumeric name")
+    failsWith(bigTable("x\tZZ"), "bad hex codepoint")
+    failsWith(bigTable("x\tD800"), "out of range")
+    failsWith(bigTable("n0001\t42"), "duplicate names")
+    // a truncated fixture must never load silently
+    failsWith("a\t41\nb\t42", "truncated fixture")
+  }
+}

@@ -98,6 +98,76 @@ class RobotsRulesSpec extends SparkSpec {
     assert(rows(1L) == 2.5 && rows(2L) == null && rows(3L) == null)
   }
 
+  test("sitemaps: global across groups, first-token cut, dedup, order, NULL-safe expression") {
+    // Sitemap lines are GLOBAL (sitemaps.org): collected wherever they
+    // sit — before any group, inside a group, after — for EVERY agent
+    val txt = "Sitemap: http://e.com/a.xml\n" +
+      "User-agent: graftbot\nDisallow: /x/\n" +
+      "Sitemap: http://e.com/b.xml extra-token\n" +
+      "User-agent: *\nDisallow: /\n" +
+      "sitemap:http://e.com/c.xml\n" +
+      "Sitemap: http://e.com/a.xml\n" + // duplicate → once
+      "Sitemap:\n" // empty value → skipped
+    assert(RobotsRules.parse(txt, "graftbot").sitemaps ==
+      Vector("http://e.com/a.xml", "http://e.com/b.xml", "http://e.com/c.xml"))
+    assert(RobotsRules.parse(txt, "otherbot").sitemaps ==
+      RobotsRules.parse(txt, "graftbot").sitemaps)
+    // a Sitemap line must NOT leak into the rule groups around it
+    assert(RobotsRules.parse(txt, "graftbot").isAllowed("/x/p") == false)
+    assert(RobotsRules.parse(txt, "graftbot").isAllowed("/y") == true)
+    // native expression: array value, empty text → empty array, NULL → NULL
+    val rows = Seq((1L, txt), (2L, "User-agent: *\nDisallow: /"),
+      (3L, null.asInstanceOf[String])).toDF("id", "txt")
+      .select(col("id"), org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        RobotsSitemaps(org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(col("txt")), "graftbot")).as("sm"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1).toVector)).toMap
+    assert(rows(1L) == Vector("http://e.com/a.xml", "http://e.com/b.xml",
+      "http://e.com/c.xml"))
+    assert(rows(2L) == Vector.empty)
+    assert(rows(3L) == null)
+  }
+
+  test("sitemapSeeds: canonicalized, urlish-screened, distinct declaring domains") {
+    import graft.operators.Robots
+    val robots = Seq(
+      ("a.com", "User-agent: *\nSitemap: http://a.com/S.xml\n" +
+        "Sitemap: http://hub.com/all.xml"),
+      ("b.com", "Sitemap: http://hub.com/all.xml?utm_source=rss\n" +
+        "Sitemap: doc:ignored"),
+      ("c.com", "User-agent: *\nDisallow: /"))
+      .toDF("domain", "txt")
+    val out = Robots.sitemapSeeds(robots, "domain", "txt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    // hub.com/all.xml declared by BOTH hosts (b's utm variant
+    // canonicalizes into it) → n_refs 2; doc: value screened
+    assert(out.toSeq == Seq(
+      ("http://a.com/S.xml", "a.com", 1L),
+      ("http://hub.com/all.xml", "hub.com", 2L)))
+  }
+
+  test("crawlFrontierWithSitemaps: provenance union, shared seen screen") {
+    import graft.operators.{Robots, UrlCuration}
+    val pages = Seq(
+      (1L, "http://a.com/p", """<a href="/next">n</a>"""),
+      (2L, "http://a.com/sm.xml", "<p>already fetched</p>"))
+      .toDF("doc_id", "url", "html")
+    val robots = Seq(
+      // first sitemap already fetched → screened; second is fresh
+      ("a.com", "User-agent: *\nSitemap: http://a.com/sm.xml\n" +
+        "Sitemap: http://a.com/sm2.xml")).toDF("domain", "txt")
+    val out = UrlCuration.crawlFrontierWithSitemaps(pages,
+        "doc_id", "url", "html", robots, "domain", "txt")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("http://a.com/next", "a.com", 1L, "link"),
+      ("http://a.com/sm2.xml", "a.com", 1L, "sitemap")))
+  }
+
   test("filterAllowed: duplicate robots rows fail LOUDLY; join is a plain equi-join") {
     import graft.operators.Robots
     val pages = Seq((1L, "http://a.com/x"), (2L, "http://b.com/y"))

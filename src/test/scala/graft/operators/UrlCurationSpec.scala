@@ -12,7 +12,7 @@ class UrlCurationSpec extends SparkSpec {
       .select(UrlCuration.canonicalUrl(col("url")).as("c"))
       .collect().head.getString(0)
 
-  test("canonicalization: the 7-step contract, step by step") {
+  test("canonicalization: the 8-step contract, step by step") {
     // scheme+host lower, path case preserved
     assert(canon("HTTP://Example.COM/Docs/A") == "http://example.com/Docs/A")
     // www. strip, fragment strip
@@ -33,6 +33,16 @@ class UrlCurationSpec extends SparkSpec {
     // trailing slash runs stripped; root URL collapses to bare host
     assert(canon("http://e.com/a///") == "http://e.com/a")
     assert(canon("http://e.com/") == "http://e.com")
+    // percent-encoding normalization (step 2): unreserved escapes
+    // decode in either hex case, reserved escapes uppercase but stay
+    // encoded, malformed % stays literal — and it reaches the HOST too
+    assert(canon("http://e.com/%7eu/%7EV") == "http://e.com/~u/~V")
+    assert(canon("http://e.com/a%2fb") == "http://e.com/a%2Fb")
+    assert(canon("http://e.com/a%zzb%") == "http://e.com/a%zzb%")
+    assert(canon("http://e%2Ecom/x") == "http://e.com/x")
+    // an escaped '?' (%3F) is reserved: normalized but NOT decoded, so
+    // it never becomes a real query delimiter
+    assert(canon("http://e.com/a%3fb") == "http://e.com/a%3Fb")
     // non-URL passes through trimmed
     assert(canon("  not a url  ") == "not a url")
     // trim + everything at once
@@ -163,6 +173,88 @@ class UrlCurationSpec extends SparkSpec {
     assert(resolve("doc:17", "x.html") == null)
     // whitespace-trimmed inputs (href values legally carry it)
     assert(resolve(base, " x.html ") == "http://a.com/dir/sub/x.html")
+  }
+
+  test("fetchWaves: delay budgets, defaults, clamping, and the horizon") {
+    // a.com declares Crawl-delay 10 → 3 slots per 30 s wave; b.com has
+    // no robots row → the 5 s default → 6 slots; c.com declares 0.2 →
+    // clamped to the 1 s floor → 30 slots
+    val frontier = ((1 to 8).map(i => (s"http://a.com/p$i", i.toLong)) ++
+      Seq(("http://b.com/x", 5L), ("http://b.com/y", 9L),
+        ("http://c.com/z", 1L))).toDF("url", "n_refs")
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 10"),
+      ("c.com", "User-agent: *\nCrawl-delay: 0.2")).toDF("d", "r")
+    val out = UrlCuration.fetchWaves(frontier, "url", robots, "d", "r",
+        waveSeconds = 30.0, defaultDelaySeconds = 5.0,
+        minDelaySeconds = 1.0, maxWaves = 2, priority = col("n_refs"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    // a.com ranked p8..p1 best-first: wave 1 = p8 p7 p6, wave 2 =
+    // p5 p4 p3, p2/p1 beyond the horizon → dropped
+    assert(out("http://a.com/p8") == (("a.com", 1, 1, 10.0)))
+    assert(out("http://a.com/p6") == (("a.com", 1, 3, 10.0)))
+    assert(out("http://a.com/p5") == (("a.com", 2, 1, 10.0)))
+    assert(out("http://a.com/p3") == (("a.com", 2, 3, 10.0)))
+    assert(!out.contains("http://a.com/p2") && !out.contains("http://a.com/p1"))
+    // b.com: both fit in wave 1, higher in-degree first
+    assert(out("http://b.com/y") == (("b.com", 1, 1, 5.0)))
+    assert(out("http://b.com/x") == (("b.com", 1, 2, 5.0)))
+    // c.com: the declared 0.2 clamps to the politeness floor
+    assert(out("http://c.com/z") == (("c.com", 1, 1, 1.0)))
+  }
+
+  test("fetchWaves: agent-group selection drives the delay; plan uses the bounded heap") {
+    val frontier = (1 to 4).map(i => (s"http://a.com/p$i", 1L))
+      .toDF("url", "n_refs")
+    val robots = Seq(("a.com",
+      "User-agent: graftbot\nCrawl-delay: 15\n\nUser-agent: *\nCrawl-delay: 1"))
+      .toDF("d", "r")
+    val out = UrlCuration.fetchWaves(frontier, "url", robots, "d", "r",
+      agent = "graftbot", waveSeconds = 30.0, maxWaves = 2,
+      priority = col("n_refs"))
+    val rows = out.collect()
+    // graftbot's own group (delay 15 → 2 slots/wave) must win over the
+    // star group's 1 s; with 2 waves only 4 urls fit, 2 per wave
+    assert(rows.map(r => (r.getInt(2), r.getInt(3))).sorted.toSeq ==
+      Seq((1, 1), (1, 2), (2, 1), (2, 2)))
+    assert(rows.forall(_.getDouble(4) == 15.0))
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("top_k_by_score"), s"bounded rank expected:\n$plan")
+    assert(!plan.contains("Window"), s"no per-host window:\n$plan")
+  }
+
+  test("fetchWaves closes the loop: wave N's fetches feed wave N+1's frontier") {
+    def pageHtml(links: Seq[String]): String =
+      links.map(l => s"""<a href="$l">x</a>""").mkString(" ")
+    // wave 0: one seed page linking to three targets on one host
+    val wave0 = Seq((1L, "http://s.com/seed",
+      pageHtml(Seq("/a", "/b", "/c")))).toDF("doc_id", "url", "html")
+    val robots = Seq(("s.com", "User-agent: *\nCrawl-delay: 15"))
+      .toDF("d", "r")
+    val fr1 = UrlCuration.crawlFrontier(wave0, "doc_id", "url", "html")
+    // 15 s delay, 30 s wave → 2 slots: only /a and /b make wave 1
+    val w1 = UrlCuration.fetchWaves(fr1, "url", robots, "d", "r",
+        waveSeconds = 30.0, maxWaves = 1, priority = col("n_refs"))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(w1 == Set("http://s.com/a", "http://s.com/b"))
+    // "fetch" wave 1: those pages link onward (/d) and back (/a, /seed)
+    val fetched1 = Seq(
+      (2L, "http://s.com/a", pageHtml(Seq("/d", "/seed"))),
+      (3L, "http://s.com/b", pageHtml(Seq("/a", "/d"))))
+      .toDF("doc_id", "url", "html")
+    // wave 2's frontier: seen = everything fetched so far (wave 0 + 1)
+    val fr2 = UrlCuration.crawlFrontier(wave0.union(fetched1),
+      "doc_id", "url", "html")
+    val w2 = UrlCuration.fetchWaves(fr2, "url", robots, "d", "r",
+        waveSeconds = 30.0, maxWaves = 1, priority = col("n_refs"))
+      .collect().map(r => (r.getString(0), r.getInt(3)))
+    // /c (still pending from wave 0's links) and /d (new, in-degree 2
+    // → ranked first); /a and /seed are SEEN and never re-proposed
+    assert(w2.toSet == Set(("http://s.com/d", 1), ("http://s.com/c", 2)))
   }
 
   test("plan shapes: projections are map-only; domainCap ranks via the bounded aggregate") {
