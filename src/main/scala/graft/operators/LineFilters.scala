@@ -70,17 +70,25 @@ object LineFilters {
     require(minLines >= 1, s"minLines=$minLines must be >= 1")
     require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
       s"need $idCol and $textCol in ${docs.columns.mkString(",")}")
-    Seq("text", "n_lines_kept", "n_lines_dropped").foreach(c =>
-      require(idCol != c, s"idCol=$idCol collides with output column $c"))
-    val lines = split(col(textCol), "\n")
-    val kept = filter(lines, l => lineOk(l, minWordsPerLine))
+    Seq("text", "n_lines_kept", "n_lines_dropped", "__lines", "__kept")
+      .foreach(c =>
+        require(idCol != c, s"idCol=$idCol collides with output column $c"))
+    // materialize the split and the HOF filter ONCE in their own
+    // projection: higher-order functions are CodegenFallback, so
+    // subexpression reuse across the three downstream references
+    // (join, kept count, dropped count) is not guaranteed when they
+    // sit in one select (r18 verdict nit — free insurance)
     docs
       .filter(pageOk(col(textCol)))
+      .select(col(idCol), split(col(textCol), "\n").as("__lines"))
+      .withColumn("__kept",
+        filter(col("__lines"), l => lineOk(l, minWordsPerLine)))
       .select(
         col(idCol),
-        array_join(kept, "\n").as("text"),
-        size(kept).cast("long").as("n_lines_kept"),
-        (size(lines) - size(kept)).cast("long").as("n_lines_dropped"))
+        array_join(col("__kept"), "\n").as("text"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_lines_dropped"))
       .filter(col("n_lines_kept") >= minLines)
   }
 }

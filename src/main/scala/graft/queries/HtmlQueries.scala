@@ -273,7 +273,14 @@ object HtmlQueries {
     * survivors into the modern-curation stack. */
   private[queries] def crawlCorpus(s: SparkSession, dir: String,
       cfg: graft.operators.Curation.Config =
-        graft.operators.Curation.Config()): DataFrame = {
+        graft.operators.Curation.Config()): DataFrame =
+    crawlFlow(crawlPages(s, dir).select("doc_id", "html"),
+      Scan.table(s, dir, "documents"), cfg)
+
+  /** The capstone's address-screened PAGE relation `(doc_id, url,
+    * html)` — shared by [[crawlCorpus]] and its WARC-transported twin
+    * ([[warcToCorpus]]), which must see byte-identical pages. */
+  private[queries] def crawlPages(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.UrlCuration
     val id = col("doc_id")
     val withUrl = Scan.table(s, dir, "documents")
@@ -282,13 +289,12 @@ object HtmlQueries {
       UrlCuration.dedupByUrl(withUrl, "doc_id", "url"),
       "doc_id", "url", cap = DomainCapN)
     val soup = when(id % 7 === 0, lit(SoupPara)).otherwise(lit(""))
-    val raw = addressed
-      .select(col("doc_id"),
+    addressed
+      .select(col("doc_id"), col("url"),
         concat(
           messyHtml(col("doc_id"), col("source"),
             concat(col("text"), uniMessSuffix(col("doc_id")))),
           soup).as("html"))
-    crawlFlow(raw, Scan.table(s, dir, "documents"), cfg)
   }
 
   val crawlToCorpus: Q = (s, dir) =>
@@ -296,6 +302,33 @@ object HtmlQueries {
         keepLangs = CrawlKeepLangs.toSet))
       .select("doc_id", "pred_lang", "quality", "n_tokens")
       .orderBy("doc_id")
+
+  /** The crawl capstone fed through a WARC TRANSPORT seam: the same
+    * address-screened pages are written as WARC response records
+    * ([[graft.sources.WarcScan.write]] — the format real crawls
+    * arrive in), read back through the schema-first scan, and only
+    * THEN enter the extract → clean → Gopher → NB-lang → curation
+    * flow. The oracle is the batch capstone's oracle VERBATIM: WARC
+    * transport must be byte-lossless on page bodies (CRLF handling,
+    * Content-Length byte slicing, UTF-8 and the unicode-mess control
+    * chars all ride through the record grammar), so one mangled byte
+    * anywhere shifts a hash/band/token count and fails the gate. */
+  val warcToCorpus: Q = (s, dir) => {
+    val pages = crawlPages(s, dir)
+      .select(col("doc_id"), col("url"),
+        timestamp_seconds(lit(1767225600L) + col("doc_id")).as("ts"),
+        col("html"), lit(200).as("status"), lit("").as("flag"))
+    val path = SnapshotPaths.dirFor("warc_corpus", dir, s)
+    graft.sources.WarcScan.write(pages, "doc_id", "url", "ts", "html",
+      "status", "flag", path)
+    val fetched = graft.sources.WarcScan.read(s, path + "/*.warc")
+      .select(regexp_extract(col("record_id"), "graft:([0-9]+)", 1)
+        .cast("long").as("doc_id"), col("body").as("html"))
+    crawlFlow(fetched, Scan.table(s, dir, "documents"),
+        graft.operators.Curation.Config(keepLangs = CrawlKeepLangs.toSet))
+      .select("doc_id", "pred_lang", "quality", "n_tokens")
+      .orderBy("doc_id")
+  }
 
   /** Full-page strip under the hash gate. */
   val htmlStrip: Q = (s, dir) => {
@@ -401,6 +434,7 @@ object HtmlQueries {
     "q_html_strip" -> htmlStrip,
     "q_html_extract" -> htmlExtract,
     "q_crawl_to_corpus" -> crawlToCorpus,
+    "q_warc_to_corpus" -> warcToCorpus,
     "q_stream_crawl_extract" -> streamCrawlExtract,
     "q_stream_crawl_to_corpus" -> streamCrawlToCorpus)
 
@@ -423,6 +457,9 @@ object HtmlQueries {
           SELECT doc_id, text, n_paras_kept, n_paras_dropped
           FROM extracted ORDER BY doc_id""",
     "q_crawl_to_corpus" -> crawlToCorpusOracle,
+    // the batch capstone's oracle VERBATIM: the WARC transport seam
+    // must be byte-lossless, so the expected rows are identical
+    "q_warc_to_corpus" -> crawlToCorpusOracle,
     // the streaming capstone must equal the one-shot batch derivation
     // EXACTLY (ordered arrival makes first-arrival ≡ keep-smallest-id)
     // — same oracle, so any cross-batch state leak fails the hash

@@ -228,6 +228,37 @@ object ParityQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** WARC (ISO 28500) round-trip under the hash gate: documents
+    * written as WARC response records (one `.warc` file per
+    * partition — [[graft.sources.WarcScan.write]]), read back through
+    * the schema-first scan. Planted corruptions: `%97` (non-zero)
+    * rows get a broken version line, `%89` (non-zero) rows omit
+    * `Content-Length` — both must QUARANTINE (data columns null, a
+    * bounded snippet of the bad bytes in `corrupt`) and the reader
+    * must RESYNC on the next record's magic; `%17` rows are 404
+    * responses. The oracle re-derives every row — quarantine
+    * snippets included, by reconstructing the exact record bytes —
+    * from the same construction. */
+  val warcScan: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(lit("http://w.example.com/d/"), col("doc_id")).as("url"),
+      timestamp_seconds(lit(1767225600L) + col("doc_id")).as("ts"),
+      concat(lit("Doc "), col("doc_id"), lit(": "), col("text")).as("html"),
+      when(col("doc_id") % 17 === 0, lit(404)).otherwise(lit(200))
+        .as("status"),
+      when(col("doc_id") % 97 === 0 && col("doc_id") > 0, lit("magic"))
+        .when(col("doc_id") % 89 === 0 && col("doc_id") > 0, lit("nolen"))
+        .otherwise(lit("")).as("flag"))
+    val path = SnapshotPaths.dirFor("warc_fixture", dir, s)
+    graft.sources.WarcScan.write(docs, "doc_id", "url", "ts", "html",
+      "status", "flag", path)
+    graft.sources.WarcScan.read(s, path + "/*.warc")
+      .select("record_id", "warc_type", "url", "fetch_ts", "http_status",
+        "content_type", "body", "corrupt")
+      .orderBy("record_id", "corrupt")
+  }
+
   // --- SCHEMA EVOLUTION on the flat MERGE (the Delta mergeSchema
   // posture): the snapshot starts WITHOUT o_totalprice; the batch
   // brings it with allowSchemaEvolution = true, so the published
@@ -763,6 +794,7 @@ object ParityQueries {
     "q_sim_source_agg_avg" -> simSourceAggAvg,
     "q_orchestrator_e2e" -> orchestratorE2E,
     "q_jsonl_scan" -> jsonlScan,
+    "q_warc_scan" -> warcScan,
     "q_tolerant_cast" -> tolerantCast,
     "q_schema_gate_report" -> schemaGateReport,
     "q_opportunity_by_stage" -> opportunityByStage,
@@ -870,6 +902,59 @@ object ParityQueries {
     "q_jsonl_scan" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+    // the WARC round-trip re-derived: every record's BYTES are
+    // reconstructed from the same construction (CRLF-exact, HTTP
+    // payload included), good rows project the typed columns, planted
+    // corruptions project the reader's quarantine contract — NULL data
+    // columns plus the first 100 characters of the quarantined block
+    "q_warc_scan" ->
+      s"""WITH w AS (SELECT doc_id,
+            'http://w.example.com/d/' || doc_id AS url,
+            TIMESTAMP '2026-01-01 00:00:00'
+              + doc_id * INTERVAL 1 SECOND AS ts,
+            'Doc ' || doc_id || ': ' || text AS body,
+            CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+            CASE WHEN doc_id % 97 = 0 AND doc_id > 0 THEN 'magic'
+                 WHEN doc_id % 89 = 0 AND doc_id > 0 THEN 'nolen'
+                 ELSE '' END AS flag
+          FROM documents),
+          h AS (SELECT *,
+            'HTTP/1.1 ' || status ||
+            CASE WHEN status = 404 THEN ' Not Found' ELSE ' OK' END ||
+            chr(13) || chr(10) ||
+            'Content-Type: text/html; charset=utf-8' ||
+            chr(13) || chr(10) || chr(13) || chr(10) || body AS http
+          FROM w),
+          rec AS (SELECT *,
+            CASE WHEN flag = 'magic' THEN 'GARB/1.0' ELSE 'WARC/1.0' END
+            || chr(13) || chr(10) || 'WARC-Type: response'
+            || chr(13) || chr(10) || 'WARC-Record-ID: <urn:graft:'
+              || doc_id || '>'
+            || chr(13) || chr(10) || 'WARC-Date: '
+              || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+            || chr(13) || chr(10) || 'WARC-Target-URI: ' || url
+            || chr(13) || chr(10)
+              || 'Content-Type: application/http;msgtype=response'
+            || chr(13) || chr(10) ||
+            CASE WHEN flag = 'nolen' THEN ''
+                 ELSE 'Content-Length: ' || strlen(http)
+                   || chr(13) || chr(10) END
+            || chr(13) || chr(10) || http
+            || chr(13) || chr(10) || chr(13) || chr(10) AS record_text
+          FROM h)
+          SELECT
+            CASE WHEN flag = '' THEN '<urn:graft:' || doc_id || '>' END
+              AS record_id,
+            CASE WHEN flag = '' THEN 'response' END AS warc_type,
+            CASE WHEN flag = '' THEN url END AS url,
+            CASE WHEN flag = '' THEN ts END AS fetch_ts,
+            CASE WHEN flag = '' THEN status END AS http_status,
+            CASE WHEN flag = '' THEN 'text/html; charset=utf-8' END
+              AS content_type,
+            CASE WHEN flag = '' THEN body END AS body,
+            CASE WHEN flag <> '' THEN substr(record_text, 1, 100) END
+              AS corrupt
+          FROM rec ORDER BY record_id, corrupt""",
     "q_tolerant_cast" ->
       s"""SELECT o_orderpriority,
           COUNT(*) AS records,

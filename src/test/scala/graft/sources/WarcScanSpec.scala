@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WarcScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1767225600L + s))
+
+  test("write → read round-trip: typed rows, 404s, UTF-8 bodies") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_rt").toString
+    val docs = Seq(
+      (1L, "http://a.com/1", ts(1), "hello <b>world</b>", 200, ""),
+      (2L, "http://a.com/2", ts(2), "café ≠ cafe\nline2", 200, ""),
+      (3L, "http://a.com/3", ts(3), "gone", 404, ""))
+      .toDF("id", "url", "t", "html", "status", "flag")
+    WarcScan.write(docs, "id", "url", "t", "html", "status", "flag", dir)
+    val back = WarcScan.read(spark, dir + "/*.warc")
+      .orderBy("record_id").collect()
+    assert(back.length == 3)
+    val r1 = back.head
+    assert(r1.getAs[String]("record_id") == "<urn:graft:1>")
+    assert(r1.getAs[String]("warc_type") == "response")
+    assert(r1.getAs[String]("url") == "http://a.com/1")
+    assert(r1.getAs[java.sql.Timestamp]("fetch_ts") == ts(1))
+    assert(r1.getAs[Int]("http_status") == 200)
+    assert(r1.getAs[String]("content_type") == "text/html; charset=utf-8")
+    assert(r1.getAs[String]("body") == "hello <b>world</b>")
+    assert(r1.getAs[String]("corrupt") == null)
+    // multi-byte body survives the byte-exact Content-Length slice
+    assert(back(1).getAs[String]("body") == "café ≠ cafe\nline2")
+    assert(back(2).getAs[Int]("http_status") == 404)
+  }
+
+  test("planted corruptions quarantine with a bounded snippet and RESYNC") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_q").toString
+    val docs = Seq(
+      (1L, "http://a.com/1", ts(1), "ok one", 200, ""),
+      (2L, "http://a.com/2", ts(2), "broken magic", 200, "magic"),
+      (3L, "http://a.com/3", ts(3), "no length", 200, "nolen"),
+      (4L, "http://a.com/4", ts(4), "ok two", 200, ""))
+      .toDF("id", "url", "t", "html", "status", "flag")
+      .coalesce(1) // one file: corrupt records sit BETWEEN good ones
+    WarcScan.write(docs, "id", "url", "t", "html", "status", "flag", dir)
+    val back = WarcScan.read(spark, dir + "/*.warc").collect()
+    val good = back.filter(_.getAs[String]("corrupt") == null)
+    val bad = back.filter(_.getAs[String]("corrupt") != null)
+    // the reader resynced past BOTH corrupt records
+    assert(good.map(_.getAs[String]("record_id")).sorted.toSeq ==
+      Seq("<urn:graft:1>", "<urn:graft:4>"))
+    assert(bad.length == 2)
+    val snippets = bad.map(_.getAs[String]("corrupt")).sorted
+    assert(snippets.forall(_.length == WarcScan.CorruptSnippetChars))
+    assert(snippets.exists(_.startsWith("GARB/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:graft:2>")))
+    assert(snippets.exists(_.startsWith("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:graft:3>")))
+    // quarantined rows carry NO data columns
+    assert(bad.forall(r => r.isNullAt(r.fieldIndex("record_id")) &&
+      r.isNullAt(r.fieldIndex("body"))))
+  }
+
+  test("non-HTTP records, truncated files, bad dates — tolerant typed rows") {
+    val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "WARC-Record-ID: <urn:graft:info>\r\nWARC-Date: not-a-date\r\n" +
+      "Content-Type: application/warc-fields\r\nContent-Length: 9\r\n\r\n" +
+      "robots: x\r\n\r\n"
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99999\r\n\r\nshort"
+    val rows = WarcScan.parseFile("f",
+      (info + truncated).getBytes(UTF_8)).toSeq
+    assert(rows.length == 2)
+    val r0 = rows.head
+    assert(r0.getString(2) == "warcinfo") // warc_type
+    assert(r0.get(4) == null) // unparsable date → null ts, not a failure
+    assert(r0.get(5) == null) // no http status for non-http payload
+    assert(r0.getString(6) == "application/warc-fields")
+    assert(r0.getString(7) == "robots: x") // raw content as body
+    // the overrunning Content-Length quarantines the tail
+    assert(rows(1).getString(8) != null &&
+      rows(1).getString(8).startsWith("WARC/1.0"))
+  }
+
+  test("empty or missing path yields the typed empty relation") {
+    val df = WarcScan.read(spark, "/tmp/definitely_missing_dir_x/*.warc")
+    assert(df.schema == WarcScan.schema)
+    assert(df.count() == 0L)
+  }
+
+  test("scan parallelism: one task per WARC file") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_p").toString
+    val docs = (1L to 8L).map(i =>
+        (i, s"http://a.com/$i", ts(i), s"doc $i", 200, ""))
+      .toDF("id", "url", "t", "html", "status", "flag")
+      .repartition(4)
+    WarcScan.write(docs, "id", "url", "t", "html", "status", "flag", dir)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".warc"))
+    assert(files >= 2, s"expected multiple part files, got $files")
+    assert(WarcScan.read(spark, dir + "/*.warc").count() == 8L)
+  }
+}
