@@ -85,6 +85,35 @@ object Robots {
       .drop("__pg_domain", "__rb_domain", "__rb_txt")
   }
 
+  /** BOOTSTRAP the per-domain robots relation from the crawl ITSELF:
+    * a real crawler fetches `robots.txt` through the same fetch loop
+    * as everything else, so the pages whose canonical URL path is
+    * exactly `/robots.txt` ARE the robots corpus. Keep-smallest-id
+    * per domain (the deterministic house winner rule — a re-fetched
+    * robots.txt collapses to the first fetch; swap in a fetch-time
+    * priority upstream if freshest-wins is wanted), emitting
+    * `(domain, robots_txt)` — unique per domain by construction,
+    * ready for [[filterAllowed]] / [[sitemapSeeds]] / the wave
+    * scheduler. This closes the last crawl-loop seam: the politeness
+    * screen's input no longer arrives out-of-band.
+    *
+    * Scale shape: one map-only path/domain projection + ONE per-domain
+    * `min_by` aggregate over the tiny robots slice of the corpus
+    * (the filter prunes everything else before the exchange). */
+  def robotsFromPages(pages: DataFrame, idCol: String, urlCol: String,
+      textCol: String): DataFrame = {
+    Seq(idCol, urlCol, textCol).foreach(c =>
+      require(pages.columns.contains(c), s"column $c absent"))
+    val canon = UrlCuration.canonicalUrl(col(urlCol))
+    pages
+      .select(col(idCol), UrlCuration.domainOf(col(urlCol)).as("domain"),
+        col(textCol).as("__txt"), pathAndQueryOf(canon).as("__pq"))
+      .filter(col("__pq") === "/robots.txt" && col("domain") =!= "" &&
+        col("__txt").isNotNull)
+      .groupBy(col("domain"))
+      .agg(min_by(col("__txt"), col(idCol)).as("robots_txt"))
+  }
+
   /** SITEMAP SEEDS: the `Sitemap:` URLs the robots relation declares
     * (sitemaps.org protocol — global lines, independent of any agent
     * group), canonicalized and aggregated to one row per distinct

@@ -239,8 +239,9 @@ object ParityQueries {
     * responses. The oracle re-derives every row — quarantine
     * snippets included, by reconstructing the exact record bytes —
     * from the same construction. */
-  val warcScan: Q = (s, dir) => {
-    val docs = t(s, dir, "documents").select(
+  /** The WARC fixture relation shared by the three WARC gates. */
+  private def warcFixtureDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
       col("doc_id"),
       concat(lit("http://w.example.com/d/"), col("doc_id")).as("url"),
       timestamp_seconds(lit(1767225600L) + col("doc_id")).as("ts"),
@@ -250,10 +251,117 @@ object ParityQueries {
       when(col("doc_id") % 97 === 0 && col("doc_id") > 0, lit("magic"))
         .when(col("doc_id") % 89 === 0 && col("doc_id") > 0, lit("nolen"))
         .otherwise(lit("")).as("flag"))
-    val path = SnapshotPaths.dirFor("warc_fixture", dir, s)
-    graft.sources.WarcScan.write(docs, "doc_id", "url", "ts", "html",
-      "status", "flag", path)
-    graft.sources.WarcScan.read(s, path + "/*.warc")
+
+  private def warcScanQ(gzip: Boolean): Q = (s, dir) => {
+    val path = SnapshotPaths.dirFor(
+      if (gzip) "warc_gz_fixture" else "warc_fixture", dir, s)
+    graft.sources.WarcScan.write(warcFixtureDocs(s, dir), "doc_id", "url",
+      "ts", "html", "status", "flag", path, gzip = gzip)
+    graft.sources.WarcScan.read(s,
+        path + (if (gzip) "/*.warc.gz" else "/*.warc"))
+      .select("record_id", "warc_type", "url", "fetch_ts", "http_status",
+        "content_type", "body", "corrupt")
+      .orderBy("record_id", "corrupt")
+  }
+
+  val warcScan: Q = warcScanQ(gzip = false)
+
+  /** The WARC round-trip oracle, shared by the plain and `.warc.gz`
+    * gates (gzip must be a byte-identical transport): every record's
+    * bytes reconstructed from the construction — CRLF-exact, HTTP
+    * payload included — good rows projecting the typed columns,
+    * planted corruptions projecting the quarantine contract (NULL
+    * data columns + the first 100 characters of the bad block). */
+  private val warcScanOracleSql: String =
+    """WITH w AS (SELECT doc_id,
+            'http://w.example.com/d/' || doc_id AS url,
+            TIMESTAMP '2026-01-01 00:00:00'
+              + doc_id * INTERVAL 1 SECOND AS ts,
+            'Doc ' || doc_id || ': ' || text AS body,
+            CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+            CASE WHEN doc_id % 97 = 0 AND doc_id > 0 THEN 'magic'
+                 WHEN doc_id % 89 = 0 AND doc_id > 0 THEN 'nolen'
+                 ELSE '' END AS flag
+          FROM documents),
+          h AS (SELECT *,
+            'HTTP/1.1 ' || status ||
+            CASE WHEN status = 404 THEN ' Not Found' ELSE ' OK' END ||
+            chr(13) || chr(10) ||
+            'Content-Type: text/html; charset=utf-8' ||
+            chr(13) || chr(10) || chr(13) || chr(10) || body AS http
+          FROM w),
+          rec AS (SELECT *,
+            CASE WHEN flag = 'magic' THEN 'GARB/1.0' ELSE 'WARC/1.0' END
+            || chr(13) || chr(10) || 'WARC-Type: response'
+            || chr(13) || chr(10) || 'WARC-Record-ID: <urn:graft:'
+              || doc_id || '>'
+            || chr(13) || chr(10) || 'WARC-Date: '
+              || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+            || chr(13) || chr(10) || 'WARC-Target-URI: ' || url
+            || chr(13) || chr(10)
+              || 'Content-Type: application/http;msgtype=response'
+            || chr(13) || chr(10) ||
+            CASE WHEN flag = 'nolen' THEN ''
+                 ELSE 'Content-Length: ' || strlen(http)
+                   || chr(13) || chr(10) END
+            || chr(13) || chr(10) || http
+            || chr(13) || chr(10) || chr(13) || chr(10) AS record_text
+          FROM h)
+          SELECT
+            CASE WHEN flag = '' THEN '<urn:graft:' || doc_id || '>' END
+              AS record_id,
+            CASE WHEN flag = '' THEN 'response' END AS warc_type,
+            CASE WHEN flag = '' THEN url END AS url,
+            CASE WHEN flag = '' THEN ts END AS fetch_ts,
+            CASE WHEN flag = '' THEN status END AS http_status,
+            CASE WHEN flag = '' THEN 'text/html; charset=utf-8' END
+              AS content_type,
+            CASE WHEN flag = '' THEN body END AS body,
+            CASE WHEN flag <> '' THEN substr(record_text, 1, 100) END
+              AS corrupt
+          FROM rec ORDER BY record_id, corrupt"""
+
+  /** The same fixture through the Common Crawl `.warc.gz` convention —
+    * one gzip member per record, members concatenated. The oracle is
+    * the plain gate's VERBATIM: compression must be a byte-identical
+    * transport, WARC-level corruptions included (they sit INSIDE
+    * well-formed gzip members, so the quarantine+resync path runs on
+    * the decompressed stream exactly as on plain files). */
+  val warcGzScan: Q = warcScanQ(gzip = true)
+
+  /** The WARC scan as a STREAM under the hash gate: the gz fixture
+    * staged as TWO `.warc.gz` files arriving through the real
+    * streaming path (`binaryFile` source, `maxFilesPerTrigger = 1` →
+    * two micro-batch executions), each batch's parse landing as
+    * `batch_<id>` parquet. Parsing is stateless per file, so the
+    * union of the batches must equal the one-shot batch read — the
+    * plain gate's oracle VERBATIM a third time; quarantine rows
+    * (the planted WARC-level corruptions ride inside well-formed gz
+    * members) must survive the micro-batch boundary identically. */
+  val warcStreamScan: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = SnapshotPaths.dirFor("warc_stream_fixture", dir, s)
+    val outDir = SnapshotPaths.dirFor("warc_stream_out", dir, s)
+    val ckptDir = SnapshotPaths.dirFor("warc_stream_ckpt", dir, s)
+    // fresh run each time: stale batch outputs from a differently-
+    // batched previous run would union in (the streamIncrementalDedup
+    // posture; restart semantics are spec territory)
+    graft.operators.IndexFs.deleteRecursively(s, outDir)
+    graft.operators.IndexFs.deleteRecursively(s, ckptDir)
+    graft.sources.WarcScan.write(warcFixtureDocs(s, dir).repartition(2),
+      "doc_id", "url", "ts", "html", "status", "flag", path, gzip = true)
+    graft.sources.WarcScan.readStream(s, path)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.read.parquet(s"$outDir/batch_*")
       .select("record_id", "warc_type", "url", "fetch_ts", "http_status",
         "content_type", "body", "corrupt")
       .orderBy("record_id", "corrupt")
@@ -795,6 +903,8 @@ object ParityQueries {
     "q_orchestrator_e2e" -> orchestratorE2E,
     "q_jsonl_scan" -> jsonlScan,
     "q_warc_scan" -> warcScan,
+    "q_warc_gz_scan" -> warcGzScan,
+    "q_stream_warc_scan" -> warcStreamScan,
     "q_tolerant_cast" -> tolerantCast,
     "q_schema_gate_report" -> schemaGateReport,
     "q_opportunity_by_stage" -> opportunityByStage,
@@ -907,54 +1017,12 @@ object ParityQueries {
     // payload included), good rows project the typed columns, planted
     // corruptions project the reader's quarantine contract — NULL data
     // columns plus the first 100 characters of the quarantined block
-    "q_warc_scan" ->
-      s"""WITH w AS (SELECT doc_id,
-            'http://w.example.com/d/' || doc_id AS url,
-            TIMESTAMP '2026-01-01 00:00:00'
-              + doc_id * INTERVAL 1 SECOND AS ts,
-            'Doc ' || doc_id || ': ' || text AS body,
-            CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
-            CASE WHEN doc_id % 97 = 0 AND doc_id > 0 THEN 'magic'
-                 WHEN doc_id % 89 = 0 AND doc_id > 0 THEN 'nolen'
-                 ELSE '' END AS flag
-          FROM documents),
-          h AS (SELECT *,
-            'HTTP/1.1 ' || status ||
-            CASE WHEN status = 404 THEN ' Not Found' ELSE ' OK' END ||
-            chr(13) || chr(10) ||
-            'Content-Type: text/html; charset=utf-8' ||
-            chr(13) || chr(10) || chr(13) || chr(10) || body AS http
-          FROM w),
-          rec AS (SELECT *,
-            CASE WHEN flag = 'magic' THEN 'GARB/1.0' ELSE 'WARC/1.0' END
-            || chr(13) || chr(10) || 'WARC-Type: response'
-            || chr(13) || chr(10) || 'WARC-Record-ID: <urn:graft:'
-              || doc_id || '>'
-            || chr(13) || chr(10) || 'WARC-Date: '
-              || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
-            || chr(13) || chr(10) || 'WARC-Target-URI: ' || url
-            || chr(13) || chr(10)
-              || 'Content-Type: application/http;msgtype=response'
-            || chr(13) || chr(10) ||
-            CASE WHEN flag = 'nolen' THEN ''
-                 ELSE 'Content-Length: ' || strlen(http)
-                   || chr(13) || chr(10) END
-            || chr(13) || chr(10) || http
-            || chr(13) || chr(10) || chr(13) || chr(10) AS record_text
-          FROM h)
-          SELECT
-            CASE WHEN flag = '' THEN '<urn:graft:' || doc_id || '>' END
-              AS record_id,
-            CASE WHEN flag = '' THEN 'response' END AS warc_type,
-            CASE WHEN flag = '' THEN url END AS url,
-            CASE WHEN flag = '' THEN ts END AS fetch_ts,
-            CASE WHEN flag = '' THEN status END AS http_status,
-            CASE WHEN flag = '' THEN 'text/html; charset=utf-8' END
-              AS content_type,
-            CASE WHEN flag = '' THEN body END AS body,
-            CASE WHEN flag <> '' THEN substr(record_text, 1, 100) END
-              AS corrupt
-          FROM rec ORDER BY record_id, corrupt""",
+    "q_warc_scan" -> warcScanOracleSql,
+    // gzip is a byte-identical transport — the gz gate's expectation
+    // IS the plain gate's, verbatim
+    "q_warc_gz_scan" -> warcScanOracleSql,
+    // stateless per-file parsing: streaming ≡ batch, same oracle
+    "q_stream_warc_scan" -> warcScanOracleSql,
     "q_tolerant_cast" ->
       s"""SELECT o_orderpriority,
           COUNT(*) AS records,

@@ -5,6 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.GraftSession.Pinnable
 import graft.operators.UrlCuration
 import graft.sources.Scan
 
@@ -466,11 +467,18 @@ object UrlQueries {
     * instantiated TWICE (resolved outlinks and the seen set), the
     * seen anti-screen and the distinct-referrer in-degree. Shared by
     * `q_crawl_frontier` and the composed polite-fetch gate. */
-  private def frontierCtes: String = {
+  private def frontierCtes: String =
+    frontierCtesWithPages(
+      s"""pages AS (SELECT doc_id, $frontierPageUrlSql AS page_url,
+          $frontierHtmlSql AS html FROM documents)""")
+
+  /** The frontier stack over a caller-supplied `pages(doc_id,
+    * page_url, html)` CTE — the crawl-cycle gate feeds a page set
+    * that also carries the fetched `/robots.txt` pages. */
+  private def frontierCtesWithPages(pagesCte: String): String = {
     import graft.operators.HtmlExtract
     val sq = HtmlExtract.HrefSqRe.replace("'", "''")
-    s"""pages AS (SELECT doc_id, $frontierPageUrlSql AS page_url,
-          $frontierHtmlSql AS html FROM documents),
+    s"""$pagesCte,
         lk0 AS (SELECT doc_id, page_url AS base,
             unnest(regexp_extract_all(html, '${HtmlExtract.HrefDqRe}', 1)
               || regexp_extract_all(html, '$sq', 1)) AS ref
@@ -637,6 +645,113 @@ object UrlQueries {
       .orderBy("provenance", "url")
   }
 
+  /** The robots relation BOOTSTRAPPED from the crawl itself under the
+    * hash gate: the same ten domains' robots TEXTS arrive as fetched
+    * `/robots.txt` PAGES (ids far above the content ids), including a
+    * RE-FETCH of domain 0 whose second text disallows everything —
+    * keep-smallest-id must pick the first fetch, so a winner-rule bug
+    * (or a max-instead-of-min) zeroes domain 0 and fails the hash;
+    * domain 8 never fetched a robots.txt (the allow default). The
+    * content screen's expectation is `q_robots_filter`'s oracle
+    * VERBATIM — the bootstrapped relation must reproduce the
+    * out-of-band one exactly. */
+  val robotsBootstrap: Q = (s, dir) => {
+    import graft.operators.Robots
+    val id = col("doc_id")
+    val path = when(id % 5 === 0, concat(lit("/blocked/doc"), id))
+      .when(id % 5 === 1, concat(lit("/blocked/except"), id))
+      .when(id % 5 === 2, concat(lit("/deep/a"), id % 3, lit("/x")))
+      .when(id % 5 === 3, concat(lit("/deep/a"), id % 3, lit("/xy")))
+      .otherwise(concat(lit("/open/doc"), id, lit("?q=1")))
+    val content = Scan.table(s, dir, "documents")
+      .select(id, concat(lit("http://site"), id % 10,
+        lit(".example.com"), path).as("url"))
+    val rules =
+      "Disallow: /blocked/\nAllow: /blocked/except*\nDisallow: /deep/*/x$"
+    val botGroup =
+      s"User-agent: graftbot\n$rules\n\nUser-agent: *\nDisallow: /"
+    val starGroup =
+      s"# robots\nUser-agent: *\nCrawl-delay: 10\n$rules"
+    val robotsPages = s.range(0, 10).select(col("id").as("k"))
+      .filter(col("k") =!= 8)
+      .select((col("k") + 10000000L).as("doc_id"),
+        concat(lit("http://site"), col("k"),
+          lit(".example.com/robots.txt")).as("url"),
+        when(col("k") % 3 === 0, lit(botGroup))
+          .when(col("k") === 4, lit(starGroup + "\nDisallow:"))
+          .otherwise(lit(starGroup)).as("body"))
+      .union(s.range(0, 1).select(
+        lit(10000100L).as("doc_id"),
+        lit("http://site0.example.com/robots.txt").as("url"),
+        lit("User-agent: *\nDisallow: /").as("body")))
+    val fetched = content
+      .select(col("doc_id"), col("url"),
+        lit("<html>content</html>").as("body"))
+      .unionByName(robotsPages)
+    val robots = Robots.robotsFromPages(fetched, "doc_id", "url", "body")
+    Robots.filterAllowed(content, "url", robots, "domain", "robots_txt")
+      .orderBy("doc_id")
+  }
+
+  /** The ENTIRE crawl PLANNING stage composed under ONE hash gate —
+    * every r19 operator in a single query: the fetched pages (content
+    * pages PLUS their `/robots.txt` fetches, including a poisoned
+    * re-fetch of domain 0 that disallows everything) → robots
+    * BOOTSTRAP (first fetch must win or domain 0 zeroes) →
+    * sitemap-seeded FRONTIER over one shared seen set (the robots
+    * pages themselves are fetched pages, so they join the seen side)
+    * → the POLITENESS screen (graftbot groups above a `Disallow: /`
+    * star group — selection drives both the rules AND the
+    * Crawl-delay) → per-host FETCH WAVES. What only the composition
+    * catches: each stage's output schema feeding the next unchanged,
+    * the bootstrapped texts driving group selection, delay and
+    * sitemaps read from ONE parse, and the provenance union surviving
+    * the screen into the scheduler. */
+  val crawlCycle: Q = (s, dir) => {
+    import graft.operators.Robots
+    val id = col("doc_id")
+    val content = Scan.table(s, dir, "documents")
+      .select(id, frontierPageUrl(id).as("url"), frontierHtml(id).as("html"))
+    val k = col("k")
+    val rules = "Disallow: /Page/1\nAllow: /Page/12"
+    val botGroup = "User-agent: graftbot\nCrawl-delay: 2\n" + rules +
+      "\n\nUser-agent: *\nCrawl-delay: 30\nDisallow: /"
+    val starDelay = "User-agent: *\nCrawl-delay: 10\n" + rules
+    val starPlain = "User-agent: *\n" + rules
+    val txt = concat(
+      when(k % 3 === 0, lit(botGroup))
+        .when(k % 3 === 1, lit(starDelay))
+        .otherwise(lit(starPlain)),
+      when(k % 2 === 0, concat(lit("\nSitemap: http://site"), k,
+        lit(".example.com/Map.xml"))).otherwise(lit("")),
+      when(k % 4 === 0, lit("\nSitemap: http://hub.example.com/all.xml"))
+        .otherwise(lit("")))
+    val robotsPages = s.range(0, 10).select(col("id").as("k"))
+      .filter(k =!= 8)
+      .select((k + 10000000L).as("doc_id"),
+        concat(lit("http://site"), k,
+          lit(".example.com/robots.txt")).as("url"),
+        txt.as("html"))
+      .union(s.range(0, 1).select(
+        lit(10000100L).as("doc_id"),
+        lit("http://site0.example.com/robots.txt").as("url"),
+        lit("User-agent: *\nDisallow: /").as("html")))
+    val fetched = content.unionByName(robotsPages)
+    // pinned: the bootstrapped relation feeds THREE consumers (seed
+    // extraction, the REP screen, the wave delays) — without the pin
+    // each would re-run the bootstrap aggregate subtree
+    val robots = Robots.robotsFromPages(fetched, "doc_id", "url", "html")
+      .pinScratch()
+    val fr = UrlCuration.crawlFrontierWithSitemaps(fetched, "doc_id",
+      "url", "html", robots, "domain", "robots_txt")
+    val polite = Robots.filterAllowed(fr, "url", robots,
+      "domain", "robots_txt")
+    UrlCuration.fetchWaves(polite, "url", robots, "domain", "robots_txt",
+        waveSeconds = 30.0, defaultDelaySeconds = 5.0,
+        minDelaySeconds = 1.0, maxWaves = 3, priority = col("n_refs"))
+      .orderBy("url")
+  }
+
   val queries: Map[String, Q] = ListMap(
     "q_url_canonical" -> urlCanonical,
     "q_url_dedup" -> urlDedup,
@@ -646,7 +761,9 @@ object UrlQueries {
     "q_frontier_polite" -> frontierPolite,
     "q_frontier_waves" -> frontierWaves,
     "q_frontier_sitemap" -> frontierSitemap,
-    "q_robots_filter" -> robotsFilter)
+    "q_robots_filter" -> robotsFilter,
+    "q_robots_bootstrap" -> robotsBootstrap,
+    "q_crawl_cycle" -> crawlCycle)
 
   val oracles: Map[String, String] = ListMap(
     "q_url_canonical" ->
@@ -821,6 +938,95 @@ object UrlQueries {
             CAST(delay_s AS DOUBLE) AS delay_s
           FROM rk WHERE rk0 // per_wave < 3
           ORDER BY url""",
+    // the WHOLE planning cycle re-derived in one statement: the
+    // winner robots texts from construction (the re-fetch loses by id
+    // — Spark's winner rule breaking makes site0 vanish and fails the
+    // hash), the frontier stack instantiated over content PLUS robots
+    // pages (the robots fetches join the seen set), sitemap seeds
+    // from the same texts, the REP screen as prefix/longer-Allow
+    // arithmetic keyed by the domain's group kind, the delay CASE
+    // mirroring group selection, and the wave arithmetic re-ranked
+    // with the oracle's own window
+    "q_crawl_cycle" -> {
+      val rulesTxt =
+        "'Disallow: /Page/1' || chr(10) || 'Allow: /Page/12'"
+      val botGroupSql =
+        "'User-agent: graftbot' || chr(10) || 'Crawl-delay: 2' || chr(10) || " +
+          rulesTxt + " || chr(10) || chr(10) || " +
+          "'User-agent: *' || chr(10) || 'Crawl-delay: 30' || chr(10) || 'Disallow: /'"
+      val starDelaySql =
+        "'User-agent: *' || chr(10) || 'Crawl-delay: 10' || chr(10) || " + rulesTxt
+      val starPlainSql =
+        "'User-agent: *' || chr(10) || " + rulesTxt
+      val cyclePages =
+        s"""pages AS (
+            SELECT doc_id, $frontierPageUrlSql AS page_url,
+              $frontierHtmlSql AS html FROM documents
+            UNION ALL
+            SELECT doc_id, page_url, html FROM rpages)"""
+      s"""WITH cyc_rbt AS (SELECT k,
+              CASE WHEN k % 3 = 0 THEN $botGroupSql
+                   WHEN k % 3 = 1 THEN $starDelaySql
+                   ELSE $starPlainSql END ||
+              CASE WHEN k % 2 = 0
+                THEN chr(10) || 'Sitemap: http://site' || k ||
+                  '.example.com/Map.xml' ELSE '' END ||
+              CASE WHEN k % 4 = 0
+                THEN chr(10) || 'Sitemap: http://hub.example.com/all.xml'
+                ELSE '' END AS robots_txt
+            FROM (SELECT unnest(range(10)) AS k) ks WHERE k <> 8),
+          rpages AS (
+            SELECT k + 10000000 AS doc_id,
+              'http://site' || k || '.example.com/robots.txt' AS page_url,
+              robots_txt AS html
+            FROM cyc_rbt
+            UNION ALL
+            SELECT 10000100,
+              'http://site0.example.com/robots.txt',
+              'User-agent: *' || chr(10) || 'Disallow: /'),
+          ${frontierCtesWithPages(cyclePages)},
+          cyc_smx AS (SELECT DISTINCT k, unnest(regexp_extract_all(
+              robots_txt,
+              '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)) AS sm
+            FROM cyc_rbt),
+          ${canonCtesSqlPrefixed("cysm_",
+            "(SELECT k AS doc_id, sm AS url FROM cyc_smx)")},
+          cysm AS (SELECT doc_id AS k, $canonicalSql AS url, host
+            FROM cysm_hp WHERE scheme <> ''),
+          cyc_seeds AS (SELECT cysm.url, ANY_VALUE(cysm.host) AS domain,
+              CAST(COUNT(DISTINCT cysm.k) AS BIGINT) AS n_refs
+            FROM cysm LEFT JOIN sn ON sn.url = cysm.url
+            WHERE sn.url IS NULL GROUP BY cysm.url),
+          cyc_uni AS (SELECT url, domain, n_refs FROM fr
+            UNION ALL SELECT url, domain, n_refs FROM cyc_seeds),
+          cyc_scr AS (SELECT *,
+              REGEXP_REPLACE(REGEXP_REPLACE(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*', '') AS pq,
+              TRY_CAST(regexp_extract(domain,
+                '^site([0-9]+)\\.example', 1) AS INTEGER) AS kk
+            FROM cyc_uni),
+          cyc_pol AS (SELECT url, domain, n_refs, kk FROM cyc_scr
+            WHERE kk IS NULL OR kk = 8
+              OR NOT (pq LIKE '/Page/1%' AND NOT pq LIKE '/Page/12%')),
+          cyc_dl AS (SELECT url, domain, n_refs,
+              CASE WHEN kk IS NULL OR kk = 8 THEN 5.0
+                   WHEN kk % 3 = 0 THEN 2.0
+                   WHEN kk % 3 = 1 THEN 10.0
+                   ELSE 5.0 END AS delay_s
+            FROM cyc_pol),
+          cyc_pw AS (SELECT *, GREATEST(1, LEAST(30,
+              CAST(FLOOR(30.0 / delay_s) AS BIGINT))) AS per_wave
+            FROM cyc_dl),
+          cyc_rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+              ORDER BY n_refs DESC, url) - 1 AS rk0
+            FROM cyc_pw)
+          SELECT url, domain,
+            CAST(rk0 // per_wave AS INTEGER) + 1 AS wave,
+            CAST(rk0 % per_wave AS INTEGER) + 1 AS wave_slot,
+            CAST(delay_s AS DOUBLE) AS delay_s
+          FROM cyc_rk WHERE rk0 // per_wave < 3
+          ORDER BY url"""
+    },
     // the REP MATCHER re-derived: the same three path rules as a
     // relation, each value translated to a regex ('*' → '.*', '$' →
     // end anchor — the gate's rule alphabet is regex-metachar-free by
@@ -829,7 +1035,16 @@ object UrlQueries {
     // SELECTION is checked structurally: the %3 domains' '*' group
     // disallows '/', so a selection bug empties them and fails the
     // hash
-    "q_robots_filter" ->
+    "q_robots_filter" -> robotsFilterOracleSql,
+    // the bootstrapped robots relation must reproduce the out-of-band
+    // one exactly — same oracle verbatim (the re-fetch winner rule
+    // and the /robots.txt page screen are what the gate adds)
+    "q_robots_bootstrap" -> robotsFilterOracleSql)
+
+  /** The REP-matcher re-derivation shared by `q_robots_filter` and
+    * `q_robots_bootstrap`. Lazy: referenced by the `oracles` map
+    * above, which initializes first in declaration order. */
+  private lazy val robotsFilterOracleSql: String =
       s"""WITH pages AS (SELECT doc_id,
             'http://site' || (doc_id % 10) || '.example.com' ||
             CASE
@@ -862,5 +1077,5 @@ object UrlQueries {
           SELECT pp.doc_id, pp.url
           FROM pp LEFT JOIN win USING (doc_id)
           WHERE pp.k = 8 OR win.kind IS NULL OR win.kind = 'a'
-          ORDER BY pp.doc_id""")
+          ORDER BY pp.doc_id"""
 }

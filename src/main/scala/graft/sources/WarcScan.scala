@@ -64,22 +64,92 @@ object WarcScan {
     * cannot balloon the row. */
   val CorruptSnippetChars = 100
 
-  /** Read `.warc` files under `pathGlob` into the typed relation.
-    * Empty/missing glob → typed empty relation (the [[Scan.csv]]
-    * tolerance contract). */
+  /** Read `.warc` / `.warc.gz` files under `pathGlob` into the typed
+    * relation. Gzipped files (detected by magic, not extension) are
+    * the Common Crawl convention — each record its own gzip MEMBER,
+    * members concatenated — which `GZIPInputStream` consumes
+    * transparently (it reads concatenated members as one stream); a
+    * truncated/garbled member quarantines the rest of the file with a
+    * `GZIP-CORRUPT` snippet while everything decompressed before it
+    * still parses. Empty/missing glob → typed empty relation (the
+    * [[Scan.csv]] tolerance contract). */
   def read(spark: SparkSession, pathGlob: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(pathGlob)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matched = fs.globStatus(new org.apache.hadoop.fs.Path(pathGlob))
     if (matched == null || matched.isEmpty)
       return Scan.emptyRelation(spark, schema)
-    val bin = spark.read.format("binaryFile").load(pathGlob)
-      .select("path", "content")
+    parsed(spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content"))
+  }
+
+  /** `(path, content)` rows → the typed relation: gunzip when the
+    * magic says so, parse, append the `GZIP-CORRUPT` quarantine row
+    * when a member died mid-file. Shared by [[read]] and
+    * [[readStream]]. */
+  private def parsed(bin: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     bin.flatMap { row =>
-      parseFile(row.getString(0), row.getAs[Array[Byte]](1))
+      val (bytes, gzErr) = gunzipIfNeeded(row.getAs[Array[Byte]](1))
+      val rows = parseFile(row.getString(0), bytes)
+      gzErr match {
+        case None => rows
+        case Some(msg) => rows ++ Iterator.single(Row(row.getString(0),
+          null, null, null, null, null, null, null,
+          s"GZIP-CORRUPT: $msg".take(CorruptSnippetChars)))
+      }
     }(enc)
+  }
+
+  /** WARC files as a STREAM — the crawl loop's real input shape under
+    * the streaming runner: each micro-batch parses the batch's
+    * newly-arrived `.warc`/`.warc.gz` files into the same typed
+    * relation as [[read]] (quarantine contract included). File-based
+    * `binaryFile` source, so batch sizing is `maxFilesPerTrigger` and
+    * a batch's parallelism is its file count — exactly the batch
+    * scan's per-file task model, micro-batched. Parsing is stateless
+    * per file, so the union of the stream's batches must equal the
+    * one-shot batch read row-for-row (the `q_stream_warc_scan`
+    * gate). */
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    parsed(spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select("path", "content"))
+  }
+
+  /** Decompress when the gzip magic is present (per-record members
+    * concatenate into one stream); returns the usable bytes plus an
+    * error note when the stream dies mid-file — the bytes decoded
+    * before the bad member still parse, the remainder quarantines. */
+  private[graft] def gunzipIfNeeded(
+      bytes: Array[Byte]): (Array[Byte], Option[String]) = {
+    if (bytes.length < 2 ||
+      (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B)
+      return (bytes, None)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      (out.toByteArray, None)
+    } catch {
+      case e: java.io.IOException =>
+        (out.toByteArray, Some(String.valueOf(e.getMessage)))
+    }
   }
 
   /** Parse one WARC file's bytes into rows — exposed for specs. */
@@ -146,8 +216,12 @@ object WarcScan {
         else Some(l.substring(0, at).trim
           .toLowerCase(java.util.Locale.ROOT) -> l.substring(at + 1).trim)
       }.toMap
+      // the upper bound also guards the Int conversion below — a
+      // corrupt multi-GB Content-Length must quarantine, not wrap
+      // negative and walk the cursor backwards
       val lenOpt = headers.get("content-length")
-        .flatMap(v => v.toLongOption).filter(_ >= 0)
+        .flatMap(v => v.toLongOption)
+        .filter(l => l >= 0 && l <= bytes.length.toLong)
       if (lenOpt.isEmpty) return quarantine(start)
       val len = lenOpt.get.toInt
       val contentStart = hdrEnd + 4
@@ -192,10 +266,14 @@ object WarcScan {
     * in-file order are free). `flagCol` plants CORRUPTIONS for the
     * quarantine gate: `'magic'` breaks the version line (`GARB/1.0`),
     * `'nolen'` omits `Content-Length`; `''` writes a well-formed
-    * record. Content-Length counts UTF-8 BYTES per the spec. */
+    * record. Content-Length counts UTF-8 BYTES per the spec.
+    * `gzip = true` writes the Common Crawl `.warc.gz` convention —
+    * each record its OWN gzip member, members concatenated — which is
+    * what makes per-record random access and streaming decompression
+    * possible on real archives. */
   def write(docs: DataFrame, idCol: String, urlCol: String, tsCol: String,
       htmlCol: String, statusCol: String, flagCol: String,
-      path: String): Unit = {
+      path: String, gzip: Boolean = false): Unit = {
     Seq(idCol, urlCol, tsCol, htmlCol, statusCol, flagCol).foreach(c =>
       require(docs.columns.contains(c), s"column $c absent"))
     val dir = new org.apache.hadoop.fs.Path(path)
@@ -211,16 +289,31 @@ object WarcScan {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           // executor-side FS from the default Hadoop config — on a real
           // cluster core-site.xml rides the executor classpath
-          val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.warc")
+          val p = new org.apache.hadoop.fs.Path(path,
+            f"part-$pid%05d.warc" + (if (gzip) ".gz" else ""))
           val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
           val out = efs.create(p, true)
           try it.foreach { r =>
-            out.write(recordBytes(r.getLong(0), r.getString(1),
+            val rec = recordBytes(r.getLong(0), r.getString(1),
               r.getTimestamp(2), r.getString(3), r.getInt(4),
-              r.getString(5)))
+              r.getString(5))
+            out.write(if (gzip) gzipMember(rec) else rec)
           } finally out.close()
         }
       }
+  }
+
+  /** One record as one complete gzip MEMBER (members concatenate into
+    * the `.warc.gz` file). Compressed to bytes so each member's
+    * Deflater is closed deterministically — a per-record
+    * `GZIPOutputStream` over the file handle would leak native
+    * Deflater memory until GC (`finish()` does not `end()` it). */
+  private[graft] def gzipMember(rec: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec)
+    gz.close() // ends the member AND its deflater; bos is unaffected
+    bos.toByteArray
   }
 
   private def statusText(code: Int): String = code match {

@@ -168,6 +168,35 @@ class RobotsRulesSpec extends SparkSpec {
       ("http://a.com/sm2.xml", "a.com", 1L, "sitemap")))
   }
 
+  test("robotsFromPages: the /robots.txt pages become the keyed relation, first fetch wins") {
+    import graft.operators.Robots
+    val pages = Seq(
+      (1L, "http://a.com/page", "<html>content</html>"),
+      (2L, "http://A.com/robots.txt", "User-agent: *\nDisallow: /x/"),
+      (5L, "http://a.com/robots.txt#frag", "User-agent: *\nDisallow: /"),
+      (3L, "http://b.com:80/robots.txt", "User-agent: *\nDisallow: /y/"),
+      (4L, "not a url", "junk"),
+      (6L, "http://c.com/robots.txt/extra", "not the robots path"))
+      .toDF("id", "url", "body")
+    val out = Robots.robotsFromPages(pages, "id", "url", "body")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // host case + default port + fragment all canonicalize; the
+    // re-fetch (id 5) loses to the first fetch (id 2); /robots.txt/extra
+    // is NOT the robots path; non-URLs screen out
+    assert(out == Map(
+      "a.com" -> "User-agent: *\nDisallow: /x/",
+      "b.com" -> "User-agent: *\nDisallow: /y/"))
+    // the output is keyed one-row-per-domain — filterAllowed accepts it
+    val content = Seq((1L, "http://a.com/x/p"), (2L, "http://a.com/ok"),
+      (3L, "http://b.com/y/p"), (4L, "http://c.com/anything"))
+      .toDF("id", "url")
+    val kept = Robots.filterAllowed(content, "url",
+        Robots.robotsFromPages(pages, "id", "url", "body"),
+        "domain", "robots_txt")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("filterAllowed: duplicate robots rows fail LOUDLY; join is a plain equi-join") {
     import graft.operators.Robots
     val pages = Seq((1L, "http://a.com/x"), (2L, "http://b.com/y"))

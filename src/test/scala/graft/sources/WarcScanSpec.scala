@@ -86,6 +86,54 @@ class WarcScanSpec extends SparkSpec {
       rows(1).getString(8).startsWith("WARC/1.0"))
   }
 
+  test("warc.gz: per-record gzip members round-trip byte-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_gz").toString
+    val docs = Seq(
+      (1L, "http://a.com/1", ts(1), "hello café ≠", 200, ""),
+      (2L, "http://a.com/2", ts(2), "broken", 200, "magic"),
+      (3L, "http://a.com/3", ts(3), "three", 404, ""))
+      .toDF("id", "url", "t", "html", "status", "flag").coalesce(1)
+    WarcScan.write(docs, "id", "url", "t", "html", "status", "flag",
+      dir, gzip = true)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 1)
+    // raw bytes start with the gzip magic, not WARC text
+    val head = java.nio.file.Files.readAllBytes(files.head.toPath).take(2)
+    assert((head(0) & 0xFF) == 0x1F && (head(1) & 0xFF) == 0x8B)
+    val back = WarcScan.read(spark, dir + "/*.warc.gz").collect()
+    assert(back.length == 3)
+    val good = back.filter(_.getAs[String]("corrupt") == null)
+      .sortBy(_.getAs[String]("record_id"))
+    assert(good.map(_.getAs[String]("body")).toSeq ==
+      Seq("hello café ≠", "three"))
+    // the WARC-level corruption still quarantines through the gz layer
+    assert(back.count(_.getAs[String]("corrupt") != null) == 1)
+  }
+
+  test("warc.gz: a garbled member quarantines the remainder, earlier records survive") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_gzc").toString
+    val rec1 = WarcScan.gzipMember(WarcScan.recordBytes(
+      1L, "http://a.com/1", ts(1), "ok", 200, ""))
+    val rec2 = WarcScan.gzipMember(WarcScan.recordBytes(
+      2L, "http://a.com/2", ts(2), "gone", 200, ""))
+    // truncate the second member mid-stream
+    val bytes = rec1 ++ rec2.take(rec2.length / 2)
+    val f = java.nio.file.Paths.get(dir, "x.warc.gz")
+    java.nio.file.Files.write(f, bytes)
+    val back = WarcScan.read(spark, dir + "/*.warc.gz").collect()
+    val good = back.filter(_.getAs[String]("corrupt") == null)
+    assert(good.map(_.getAs[String]("record_id")).toSeq ==
+      Seq("<urn:graft:1>"))
+    // the inflater may surface a partial rec2 prefix before failing —
+    // that prefix then quarantines at the WARC level too; the
+    // contract is: a GZIP-CORRUPT row is present and NO partial
+    // record ever parses as good
+    val bad = back.filter(_.getAs[String]("corrupt") != null)
+    assert(bad.nonEmpty &&
+      bad.exists(_.getAs[String]("corrupt").startsWith("GZIP-CORRUPT:")))
+  }
+
   test("empty or missing path yields the typed empty relation") {
     val df = WarcScan.read(spark, "/tmp/definitely_missing_dir_x/*.warc")
     assert(df.schema == WarcScan.schema)
