@@ -305,11 +305,6 @@ case class RobotsCrawlDelay(child: Expression, agent: String)
     if (d.isNaN) null else d
   }
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
-
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val ag = ctx.addReferenceObj("robotsAgent", agent, "java.lang.String")

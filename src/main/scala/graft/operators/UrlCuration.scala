@@ -146,9 +146,16 @@ object UrlCuration {
 
   /** True iff the value is a URL with canonical identity (a
     * `scheme://` form) — the [[dedupByUrl]] exemption test, shared
-    * with the streaming crawl pipeline. */
-  def isUrlish(url: Column): Column =
-    canonicalUrl(url).isNotNull && schemeOf(trim(url)) =!= ""
+    * with the streaming crawl pipeline. The scheme is tested on the
+    * PCT-NORMALIZED text, the same form [[canonicalUrl]] parses —
+    * testing the raw text would classify an escaped-scheme spelling
+    * (`%68ttp://…`) as a non-URL while its canonical form collides
+    * with the plain spelling (and the oracle, whose scheme comes from
+    * the normalized `pu`, would disagree). */
+  def isUrlish(url: Column): Column = {
+    val p = pctNorm(trim(url))
+    canonicalUrl(url).isNotNull && schemeOf(p) =!= ""
+  }
 
   /** Exact canonical-URL dedup, keep-smallest-id (the deterministic
     * winner rule shared with [[ParagraphDedup]]): one aggregate on the

@@ -255,8 +255,14 @@ object ParityQueries {
   private def warcScanQ(gzip: Boolean): Q = (s, dir) => {
     val path = SnapshotPaths.dirFor(
       if (gzip) "warc_gz_fixture" else "warc_fixture", dir, s)
-    graft.sources.WarcScan.write(warcFixtureDocs(s, dir), "doc_id", "url",
-      "ts", "html", "status", "flag", path, gzip = gzip)
+    // in-partition doc_id order makes corrupt-record ADJACENCY
+    // impossible by construction (magic rows are 97 apart): two
+    // consecutive magic-less records would collapse into ONE
+    // quarantine block under the standard resync heuristic, which the
+    // per-record oracle could not mirror
+    graft.sources.WarcScan.write(
+      warcFixtureDocs(s, dir).sortWithinPartitions("doc_id"),
+      "doc_id", "url", "ts", "html", "status", "flag", path, gzip = gzip)
     graft.sources.WarcScan.read(s,
         path + (if (gzip) "/*.warc.gz" else "/*.warc"))
       .select("record_id", "warc_type", "url", "fetch_ts", "http_status",
@@ -348,7 +354,9 @@ object ParityQueries {
     // posture; restart semantics are spec territory)
     graft.operators.IndexFs.deleteRecursively(s, outDir)
     graft.operators.IndexFs.deleteRecursively(s, ckptDir)
-    graft.sources.WarcScan.write(warcFixtureDocs(s, dir).repartition(2),
+    graft.sources.WarcScan.write(
+      warcFixtureDocs(s, dir).repartition(2)
+        .sortWithinPartitions("doc_id"), // see warcScanQ: no adjacency
       "doc_id", "url", "ts", "html", "status", "flag", path, gzip = true)
     graft.sources.WarcScan.readStream(s, path)
       .writeStream

@@ -166,11 +166,15 @@ object UrlQueries {
     * the reserved-escape query axis must merge the two HEX CASES
     * (`?a=%2f` ≡ `?a=%2F`) but NOT the decoded form (`?a=/` stays a
     * distinct key — decoding a reserved octet is not equivalence);
-    * `doc:` rows (%13) are non-URLs and must be exempt. */
+    * `doc:` rows (%13 == 0) are non-URLs and must be exempt, while
+    * the ESCAPED-SCHEME rows (%13 == 1, `%68ttp://…`) ARE URLs whose
+    * canonical collides with the plain spelling — an isUrlish vs
+    * canonicalizer normalization split mis-classifies them. */
   val urlDedup: Q = (s, dir) => {
     val id = col("doc_id")
     val url = when(id % 13 === 0, concat(lit("doc:"), id)).otherwise(concat(
-      when(id % 5 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+      when(id % 13 === 1, lit("%68ttp")) // escaped scheme: IS a URL
+        .when(id % 5 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
       when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
       lit("Site"), id % 10, lit(".Example.COM"),
       when(id % 2 === 0,
@@ -195,7 +199,8 @@ object UrlQueries {
 
   private val urlDedupMessySql: String =
     """CASE WHEN doc_id % 13 = 0 THEN 'doc:' || doc_id ELSE
-         CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+         CASE WHEN doc_id % 13 = 1 THEN '%68ttp'
+              WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
          CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
          'Site' || (doc_id % 10) || '.Example.COM' ||
          CASE WHEN doc_id % 2 = 0
@@ -327,6 +332,12 @@ object UrlQueries {
         lit("\">deep</a></li>"))).otherwise(lit("")),
     when(id % 5 === 0, lit("<li><a href=\"doc:raw\">nonurl</a></li>"))
       .otherwise(lit("")),
+    // whitespace-padded href (legal per HTML): the resolver must trim
+    // ALL ASCII whitespace — tab and newline, not just spaces — and
+    // the oracle mirrors the same class
+    when(id % 9 === 4,
+      concat(lit("<li><a href=\"\t\n/tab/"), id % 25,
+        lit(" \">tab</a></li>"))).otherwise(lit("")),
     lit("</ul></body></html>"))
 
   private val frontierHtmlSql: String =
@@ -361,6 +372,10 @@ object UrlQueries {
             ELSE '' END ||
        CASE WHEN doc_id % 5 = 0
             THEN '<li><a href="doc:raw">nonurl</a></li>' ELSE '' END ||
+       CASE WHEN doc_id % 9 = 4
+            THEN '<li><a href="' || chr(9) || chr(10) || '/tab/' ||
+                 (doc_id % 25) || ' ">tab</a></li>'
+            ELSE '' END ||
        '</ul></body></html>'"""
 
   /** One textual dot-removal step over a path column `p` — the
@@ -409,7 +424,11 @@ object UrlQueries {
       s"""${p}rf$i AS MATERIALIZED (SELECT doc_id, resolved, pre, tail,
             ${dotStepSql("pth")} AS pth FROM ${p}rf${i - 1})"""
     }.mkString(",\n        ")
-    s"""${p}r0 AS (SELECT doc_id, TRIM(base) AS base, TRIM(ref) AS ref
+    s"""${p}r0 AS (SELECT doc_id,
+          regexp_replace(regexp_replace(base,
+            '^[\\x00-\\x20]+', ''), '[\\x00-\\x20]+$$', '') AS base,
+          regexp_replace(regexp_replace(ref,
+            '^[\\x00-\\x20]+', ''), '[\\x00-\\x20]+$$', '') AS ref
           FROM $src),
         ${p}r1 AS (SELECT doc_id, ref,
             regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,

@@ -33,7 +33,12 @@ import org.apache.spark.sql.types._
   * standard WARC recovery heuristic; a body carrying a line-initial
   * `WARC/` would resync early — documented, and real WARC writers
   * length-prefix exactly so this never matters on well-formed files)
-  * into one quarantine row and continues there. Parsing is strictly
+  * into one quarantine row and continues there. Corollary: two
+  * CONSECUTIVE magic-less records collapse into one quarantine block
+  * (there is no boundary to resync on between them) — honest reader
+  * behavior; the hash gates keep their planted corruptions
+  * non-adjacent by in-partition id order so the per-record oracle
+  * stays exact. Parsing is strictly
   * deterministic — the `q_warc_scan` gate writes a fixture with
   * PLANTED corruptions and the DuckDB oracle re-derives every row,
   * quarantine snippets included, from the construction.
@@ -135,7 +140,11 @@ object WarcScan {
     if (bytes.length < 2 ||
       (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B)
       return (bytes, None)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    // start at the compressed size and let the stream grow — a
+    // multiplied preallocation overflows Int for ~0.5 GB files (the
+    // normal Common Crawl rotation size) and eagerly burns memory
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64 * 1024, bytes.length))
     val buf = new Array[Byte](64 * 1024)
     try {
       val in = new java.util.zip.GZIPInputStream(
@@ -225,7 +234,10 @@ object WarcScan {
       if (lenOpt.isEmpty) return quarantine(start)
       val len = lenOpt.get.toInt
       val contentStart = hdrEnd + 4
-      if (contentStart + len > bytes.length) return quarantine(start)
+      // Long arithmetic: the Int sum wraps for GB-scale files with a
+      // corrupt near-file-size length, which would pass this check and
+      // crash the slice instead of quarantining
+      if (contentStart.toLong + len > bytes.length) return quarantine(start)
       i = contentStart + len
       val warcType = headers.get("warc-type").orNull
       val ts = headers.get("warc-date").flatMap { d =>

@@ -73,11 +73,24 @@ class UrlCurationSpec extends SparkSpec {
       (4L, "http://e.com/b"),                  // distinct — kept
       (5L, "not a url"),                       // exempt — kept
       (6L, "not a url"),                       // exempt too (no identity)
-      (7L, null: String)                       // exempt — kept
+      (7L, null: String),                      // exempt — kept
+      (8L, "%68ttp://e.com/b")                 // escaped scheme: SAME canonical as 4 — dropped
     ).toDF("id", "url")
     val kept = UrlCuration.dedupByUrl(docs, "id", "url")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 5L, 6L, 7L))
+  }
+
+  test("isUrlish classifies on the pct-normalized form, like the canonicalizer") {
+    val rows = Seq(
+      (1L, "%68ttp://e.com/x"), // escaped scheme — IS a URL after decode
+      (2L, "http://e.com/x"),
+      (3L, "doc:17"),
+      (4L, "plain text"))
+      .toDF("id", "url")
+      .select(col("id"), UrlCuration.isUrlish(col("url")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
   }
 
   test("domainCap keeps cap docs per domain by (score desc, id), ranks 1-based") {

@@ -134,6 +134,22 @@ class WarcScanSpec extends SparkSpec {
       bad.exists(_.getAs[String]("corrupt").startsWith("GZIP-CORRUPT:")))
   }
 
+  test("resync collapse: consecutive magic-less records are ONE quarantine block") {
+    // there is no boundary to resync on between two broken-magic
+    // records — the standard heuristic honestly yields a single
+    // quarantine row covering both (the gates keep planted
+    // corruptions non-adjacent so their per-record oracles stay exact)
+    val bytes = WarcScan.recordBytes(1L, "http://a.com/1", ts(1), "ok", 200, "") ++
+      WarcScan.recordBytes(2L, "http://a.com/2", ts(2), "bad1", 200, "magic") ++
+      WarcScan.recordBytes(3L, "http://a.com/3", ts(3), "bad2", 200, "magic") ++
+      WarcScan.recordBytes(4L, "http://a.com/4", ts(4), "ok2", 200, "")
+    val rows = WarcScan.parseFile("f", bytes).toSeq
+    assert(rows.count(_.getString(8) == null) == 2) // records 1 and 4
+    val bad = rows.filter(_.getString(8) != null)
+    assert(bad.length == 1 &&
+      bad.head.getString(8).startsWith("GARB/1.0"))
+  }
+
   test("empty or missing path yields the typed empty relation") {
     val df = WarcScan.read(spark, "/tmp/definitely_missing_dir_x/*.warc")
     assert(df.schema == WarcScan.schema)
