@@ -157,10 +157,27 @@ object GraftSession {
     * cannot be recomputed" WARN per localCheckpoint block — noise when
     * the release is by design (every consumer is done). Silences exactly
     * that logger; call once per CLI main. */
-  def silenceCheckpointReleaseWarns(): Unit =
+  def silenceCheckpointReleaseWarns(): Unit = {
     org.apache.logging.log4j.core.config.Configurator
       .setLevel("org.apache.spark.rdd.MapPartitionsRDD",
         org.apache.logging.log4j.Level.ERROR)
+    // FileStreamSink.hasMetadata probes every batch-read GLOB path as a
+    // literal file and logs the FileNotFoundException it catches — a
+    // WARN whose message is byte-identical to a REAL empty-glob read
+    // failure ("File <dir>/batch_* does not exist"). That red herring
+    // is the r20 adjudication of the r19 "stream produced zero batches"
+    // flake: the message appears deterministically on EVERY healthy
+    // run's log (3× per bench query), while 318 instrumented
+    // same-session reruns produced zero actual failures. Silence the
+    // probe's logger so a log-tail reader can never again mistake the
+    // benign analysis-time probe for a query failure — a REAL zero-
+    // batch stream now fails loudly in
+    // [[graft.streaming.StreamingOps.readBatchOutputs]] instead.
+    org.apache.logging.log4j.core.config.Configurator
+      .setLevel(
+        "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+        org.apache.logging.log4j.Level.ERROR)
+  }
 
   /** Applies the engine-required SQL confs to an externally-built session
     * (used by Verify/Bench whose session shape is driver-imposed). */

@@ -123,6 +123,11 @@ object GraftFunctions {
     * [[graft.operators.UrlCuration.canonicalUrl]]. */
   def pct_normalize(url: Column): Column = c(PctNormalize(e(url)))
 
+  /** IDN → punycode A-label host mapping (`bücher.de` ≡
+    * `xn--bcher-kva.de`) — native expression ([[IdnHost]]); the final
+    * host step of [[graft.operators.UrlCuration.canonicalUrl]]. */
+  def idn_host(hostport: Column): Column = c(IdnHost(e(hostport)))
+
   /** RFC 3986 §5 reference resolution: the target URL a raw outlink
     * denotes against its page's address — native expression
     * ([[UrlResolve]]); the step between link extraction and

@@ -31,10 +31,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     multi-codepoint references like `&NotEqualTilde;`), loaded
   *     from a committed fixture with LOUD validation (malformed line,
   *     duplicate name, or a suspiciously small table all throw — the
-  *     PSL subset-guard posture). The spec's legacy SEMICOLON-FREE
-  *     forms (`&amp` without `;`) are a documented cutoff: they are
-  *     compat-mode-only in HTML5, and our unterminated-reference rule
-  *     (stay literal) already covers them conservatively;
+  *     PSL subset-guard posture);
+  *   - legacy SEMICOLON-FREE forms: the HTML5 spec's 106-name
+  *     compat subset ([[HtmlEntityDecode.LegacyNames]] — `&amp`,
+  *     `&copy`, `&nbsp`, the Latin-1 accents …) decodes WITHOUT the
+  *     `;` in text context, longest-prefix-first, exactly like the
+  *     spec tokenizer (`&notit;` → `¬it;` — the famous example; a
+  *     full `name;` match always wins over a legacy prefix). This is
+  *     TEXT-context semantics; the attribute-context alnum/`=`
+  *     lookahead exception does not apply to extracted page text.
+  *     Every legacy name is validated to exist in the full table at
+  *     load;
   *   - numeric: decoded iff the codepoint is tab/LF/CR or ≥ U+0020,
   *     ≤ U+10FFFF and not a surrogate — otherwise the reference stays
   *     LITERAL (C0 controls would collide with the extractor's U+0001
@@ -115,10 +122,10 @@ object HtmlEntityDecode {
     val n = str.length
     if (at + 1 >= n) return at
     if (str.charAt(at + 1) != '#') {
-      // named: read the maximal alphanumeric run, require ';', look
-      // up the table — equivalent to the oracle's longest-first
-      // alternation (a known name followed by anything but ';' fails
-      // both ways)
+      // named: read the maximal alphanumeric run; a `name;` table hit
+      // wins, else the longest LEGACY name that prefixes the run
+      // decodes semicolon-free — equivalent to the oracle's
+      // longest-first alternation over (name; | legacy) arms
       var j = at + 1
       while (j < n && j - at <= MaxNameLen &&
         Character.isLetterOrDigit(str.charAt(j))) j += 1
@@ -128,6 +135,15 @@ object HtmlEntityDecode {
           out.append(s)
           return j + 1
         }
+      }
+      var k = math.min(j - at - 1, LegacyMaxLen)
+      while (k >= LegacyMinLen) {
+        val s = LegacyMap.get(str.substring(at + 1, at + 1 + k))
+        if (s != null) {
+          out.append(s)
+          return at + 1 + k
+        }
+        k -= 1
       }
       return at
     }
@@ -237,4 +253,57 @@ object HtmlEntityDecode {
     * prefixes a longer one can never steal its match. */
   def namedAlternation: String =
     Named.map(_._1).sortBy(n => (-n.length, n)).mkString("|")
+
+  /** The HTML5 legacy compat subset — the 106 named references the
+    * spec's table marks as usable WITHOUT a trailing semicolon (the
+    * HTML 4.01 Latin-1/markup set; `&Yuml` is NOT here — Ÿ was never
+    * in Latin-1 — while both `&amp`/`&AMP` spellings are, exactly as
+    * the spec lists them). Stated once; the scanner's prefix map and
+    * the oracle's alternation arms are both generated from it, and
+    * every name is validated to exist in [[Named]]. */
+  val LegacyNames: IndexedSeq[String] = IndexedSeq(
+    "AElig", "AMP", "Aacute", "Acirc", "Agrave", "Aring", "Atilde",
+    "Auml", "COPY", "Ccedil", "ETH", "Eacute", "Ecirc", "Egrave",
+    "Euml", "GT", "Iacute", "Icirc", "Igrave", "Iuml", "LT", "Ntilde",
+    "Oacute", "Ocirc", "Ograve", "Oslash", "Otilde", "Ouml", "QUOT",
+    "REG", "THORN", "Uacute", "Ucirc", "Ugrave", "Uuml", "Yacute",
+    "aacute", "acirc", "acute", "aelig", "agrave", "amp", "aring",
+    "atilde", "auml", "brvbar", "ccedil", "cedil", "cent", "copy",
+    "curren", "deg", "divide", "eacute", "ecirc", "egrave", "eth",
+    "euml", "frac12", "frac14", "frac34", "gt", "iacute", "icirc",
+    "iexcl", "igrave", "iquest", "iuml", "laquo", "lt", "macr",
+    "micro", "middot", "nbsp", "not", "ntilde", "oacute", "ocirc",
+    "ograve", "ordf", "ordm", "oslash", "otilde", "ouml", "para",
+    "plusmn", "pound", "quot", "raquo", "reg", "sect", "shy", "sup1",
+    "sup2", "sup3", "szlig", "thorn", "times", "uacute", "ucirc",
+    "ugrave", "uml", "uuml", "yacute", "yen", "yuml")
+
+  /** name → decoded text for the legacy subset, validated against the
+    * full table at load (a legacy name missing from the fixture would
+    * mean the fixture and the spec subset drifted — throw loudly). */
+  private val LegacyMap: java.util.HashMap[String, String] = {
+    require(LegacyNames.size == 106,
+      s"legacy entity subset: ${LegacyNames.size} names, expected 106")
+    val m = new java.util.HashMap[String, String]()
+    LegacyNames.foreach { n =>
+      val s = NamedMap.get(n)
+      require(s != null, s"legacy entity '$n' absent from the full table")
+      m.put(n, s)
+    }
+    m
+  }
+
+  private val LegacyMaxLen: Int = LegacyNames.map(_.length).max
+  private val LegacyMinLen: Int = LegacyNames.map(_.length).min
+
+  /** The COMPLETE reference-body alternation for the oracle — every
+    * full name WITH its `;`, the numeric arms WITH theirs, and the
+    * legacy names bare, longest-first so the full form always
+    * outranks its own legacy prefix (`amp;` before `amp`); the
+    * matched group therefore carries the `;` exactly when the
+    * reference did. */
+  def referenceAlternation: String =
+    (Named.map(_._1 + ";") ++ LegacyNames)
+      .sortBy(n => (-n.length, n)).mkString("|") +
+      "|#[0-9]+;|#[xX][0-9A-Fa-f]{1,7};"
 }

@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *      uppercased (`%2f` → `%2F` — decoding a reserved octet would
   *      change the URL's delimiter structure), a `%` not followed by
   *      two hex digits kept literal; applied to the whole URL before
-  *      splitting (unreserved decode can never produce a delimiter).
-  *      IDN/punycode host equivalence is a documented cutoff (see the
-  *      expression's Scaladoc);
+  *      splitting (unreserved decode can never produce a delimiter);
   *   3. scheme and host+port lower-cased (path/query case PRESERVED —
-  *      paths are case-significant on most servers);
+  *      paths are case-significant on most servers), and the host
+  *      IDN-mapped to its punycode A-label form ([[graft.functions
+  *      .IdnHost]] — `bücher.de` ≡ `xn--bcher-kva.de`; ASCII hosts,
+  *      `xn--` spellings included, are an untouched fast path);
   *   4. fragment stripped (never sent to the server);
   *   5. leading `www.` stripped from the host;
   *   6. default ports stripped (`:80` for http, `:443` for https;
@@ -70,17 +71,20 @@ object UrlCuration {
   private def pctNorm(t: Column): Column =
     graft.functions.GraftFunctions.pct_normalize(t)
 
-  /** host[:port] after lower-casing, `www.` strip and default-port
-    * strip over the pct-normalized text `p` — needs the scheme for
+  /** host[:port] after lower-casing, `www.` strip, default-port strip
+    * and IDN→punycode mapping ([[graft.functions.IdnHost]] — the
+    * Unicode and `xn--` spellings of one registry name must share one
+    * key) over the pct-normalized text `p` — needs the scheme for
     * step 6. */
   private def canonHost(p: Column): Column = {
     val scheme = schemeOf(p)
     val noFrag = regexp_replace(regexp_replace(p, SchemeRe, ""), "#.*$", "")
     val hostport = regexp_replace(
       lower(regexp_extract(noFrag, "^([^/?]*)", 1)), "^www\\.", "")
-    when(scheme === "http", regexp_replace(hostport, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
-      .otherwise(hostport)
+    graft.functions.GraftFunctions.idn_host(
+      when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport))
   }
 
   /** The canonical URL of `url` per the 8-step contract above; NULL
@@ -380,6 +384,52 @@ object UrlCuration {
         ((col("__pos") % col("__per")) + 1).cast("int").as("wave_slot"),
         col("__delay").as("delay_s"))
       .filter(col("wave") <= maxWaves)
+  }
+
+  /** RECRAWL priority — the staleness probability of a page under the
+    * standard Poisson change model (Cho & Garcia-Molina 2003, "
+    * Effective page refresh policies for Web crawlers"): a page whose
+    * content changes `changeRatePerDay` times a day, last fetched
+    * `age` days ago, is stale with probability `1 − exp(−rate·age)`.
+    * Monotone in both age and rate, bounded in [0, 1) — directly
+    * usable as [[fetchWaves]]' best-first `priority`, so hot pages
+    * revisit early and cold pages drift to later waves/cycles. NULL
+    * rate or ts → NULL (screen or coalesce upstream; inventing a
+    * default rate is policy, not arithmetic). Pure codegen projection
+    * (one exp per row). */
+  def recrawlPriority(lastFetchTs: Column, changeRatePerDay: Column,
+      asOf: Column): Column = {
+    val ageDays =
+      (asOf.cast("double") - lastFetchTs.cast("double")) / lit(86400.0)
+    lit(1.0) - exp(-changeRatePerDay.cast("double") *
+      greatest(ageDays, lit(0.0)))
+  }
+
+  /** The RECRAWL planner — [[fetchWaves]] fed by the freshness
+    * relation `(urlCol, tsCol = last fetch time, rateCol = observed
+    * change rate/day)` with [[recrawlPriority]] as the wave priority:
+    * the missing piece of the crawl loop after discovery → screen →
+    * fetch ([[crawlFrontierWithSitemaps]] → [[Robots.filterAllowed]]
+    * → [[fetchWaves]]) — REVISITING what was already fetched, most-
+    * likely-stale first, under the same per-host politeness budget.
+    * URLs beyond the wave horizon simply stay in the freshness
+    * relation for the next planning cycle (the [[fetchWaves]] drop
+    * contract). Conditional-fetch semantics ride the output: the
+    * fetcher sends If-Modified-Since `last_fetch_ts` per row — the
+    * relation already carries it.
+    *
+    * Scale shape: exactly [[fetchWaves]]' — one keyed robots join,
+    * one bounded per-host heap; the priority is map-side arithmetic. */
+  def recrawlWaves(freshness: DataFrame, urlCol: String, tsCol: String,
+      rateCol: String, asOf: Column, robots: DataFrame, domainCol: String,
+      robotsCol: String, agent: String = "graftbot",
+      waveSeconds: Double = 30.0, defaultDelaySeconds: Double = 5.0,
+      minDelaySeconds: Double = 1.0, maxWaves: Int = 10): DataFrame = {
+    Seq(urlCol, tsCol, rateCol).foreach(c =>
+      require(freshness.columns.contains(c), s"column $c absent"))
+    fetchWaves(freshness, urlCol, robots, domainCol, robotsCol, agent,
+      waveSeconds, defaultDelaySeconds, minDelaySeconds, maxWaves,
+      priority = recrawlPriority(col(tsCol), col(rateCol), asOf))
   }
 
   /** The shared cap machinery: keep at most `cap` ids per `unit`

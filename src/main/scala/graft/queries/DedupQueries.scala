@@ -310,7 +310,8 @@ object DedupQueries {
         StreamingOps.readDocumentsStreamFrom(s, srcDir),
         idxPath, outDir, ckptDir, threshold = 0.7)
       .awaitTermination()
-    s.read.parquet(s"$outDir/batch_*").orderBy(col("new_id"), col("index_id"))
+    StreamingOps.readBatchOutputs(s, outDir, srcDir)
+      .orderBy(col("new_id"), col("index_id"))
   }
 
   /** INDEX MAINTENANCE under the hard gate: thirds of the corpus play

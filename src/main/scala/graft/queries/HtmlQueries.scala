@@ -47,7 +47,12 @@ object HtmlQueries {
     lit(" tail &#39;quoted&#39; caf&#233; d&#xE9;j&#224; vu&#X1F600; " +
       "A&amp;#65; bad&#2;ref &#xD800; &eacute; and &amp;lt;escaped&amp;gt; " +
       "long-tail &alpha;&hellip;&mdash;&NotEqualTilde;&fjlig; " +
-      "not-a-ref &Amp; &nosuch; &CounterClockwiseContourIntegral;</p>"),
+      "not-a-ref &Amp; &nosuch; &CounterClockwiseContourIntegral; " +
+      // legacy semicolon-free axis: bare legacy names decode (&amp,
+      // &copy), a legacy prefix wins inside a longer non-name run
+      // (&ampx → &x, &timesbar → ×bar, &notit; → ¬it;), non-legacy
+      // spellings stay literal (&Yuml — Ÿ was never Latin-1)
+      "legacy &amp x &copy&ampx &GT&LT2 &timesbar &Yuml &notit; end</p>"),
     lit("<div>See <a href=\"/d/"), id, lit("\">doc "), id,
     lit("</a> plus enough trailing words to pass</div>"),
     lit("<ul><li><a href=\"/t/1\">One</a></li><li><a href=\"/t/2\">Two</a></li></ul>"),
@@ -73,7 +78,8 @@ object HtmlQueries {
        ' tail &#39;quoted&#39; caf&#233; d&#xE9;j&#224; vu&#X1F600; ' ||
        'A&amp;#65; bad&#2;ref &#xD800; &eacute; and &amp;lt;escaped&amp;gt; ' ||
        'long-tail &alpha;&hellip;&mdash;&NotEqualTilde;&fjlig; ' ||
-       'not-a-ref &Amp; &nosuch; &CounterClockwiseContourIntegral;</p>' ||
+       'not-a-ref &Amp; &nosuch; &CounterClockwiseContourIntegral; ' ||
+       'legacy &amp x &copy&ampx &GT&LT2 &timesbar &Yuml &notit; end</p>' ||
        '<div>See <a href="/d/' || doc_id || '">doc ' || doc_id ||
        '</a> plus enough trailing words to pass</div>' ||
        '<ul><li><a href="/t/1">One</a></li><li><a href="/t/2">Two</a></li></ul>' ||
@@ -91,49 +97,56 @@ object HtmlQueries {
         '(?i)</?(${HtmlExtract.BlockTags})[^>]*>', $sepSql, 'g')"""
 
   /** The character-reference pattern both engines consume: the SHARED
-    * named table (longest-first alternation, generated from
-    * [[graft.functions.HtmlEntityDecode.Named]] — one constant, two
-    * engines) plus decimal / bounded-hex numeric references — the
-    * native scan and this regex find the SAME non-overlapping matches
-    * over the original string. */
+    * combined alternation (generated from [[graft.functions
+    * .HtmlEntityDecode.referenceAlternation]] — one constant, two
+    * engines): every full name WITH its `;`, the numeric arms with
+    * theirs, and the 106 legacy semicolon-free names bare,
+    * longest-first — the native scan and this regex find the SAME
+    * non-overlapping matches over the original string, and the
+    * captured group carries the `;` exactly when the reference did. */
   private val EntityRe =
-    s"&(${graft.functions.HtmlEntityDecode.namedAlternation}" +
-      "|#[0-9]+|#[xX][0-9A-Fa-f]{1,7});"
+    s"&(${graft.functions.HtmlEntityDecode.referenceAlternation})"
 
-  /** The reference body's codepoint (`e` = group 1, e.g. `#233` /
-    * `#x1F600`): hex digits folded base-16, decimal TRY_CAST (NULL on
-    * overflow ⇒ literal, same as the scanner's clamp). */
+  /** The reference body's codepoint (`e` = group 1, e.g. `#233;` /
+    * `#x1F600;` — the trailing `;` rides in the group now): hex
+    * digits folded base-16, decimal TRY_CAST (NULL on overflow ⇒
+    * literal, same as the scanner's clamp). */
   private def entCpSql(e: String): String =
     s"""CASE WHEN lower(substr($e, 2, 1)) = 'x'
-        THEN list_reduce(list_transform(string_split(lower(substr($e, 3)), ''),
+        THEN list_reduce(list_transform(
+               string_split(lower(rtrim(substr($e, 3), ';')), ''),
                __hd -> CAST(strpos('0123456789abcdef', __hd) - 1 AS BIGINT)),
              (__ha, __hb) -> __ha * 16 + __hb)
-        ELSE TRY_CAST(substr($e, 2) AS BIGINT) END"""
+        ELSE TRY_CAST(rtrim(substr($e, 2), ';') AS BIGINT) END"""
 
   /** Decode one matched reference body, mirroring the scanner's
     * contract: the generated named arms (one per [[graft.functions
-    * .HtmlEntityDecode.Named]] entry — `chr(cp)` chains for the
-    * multi-codepoint references, never a quoted literal, so the
-    * generator is quoting-proof), then numeric iff tab/LF/CR or
+    * .HtmlEntityDecode.Named]] entry keyed `name;`, one per legacy
+    * name keyed bare — `chr(cp)` chains, never a quoted literal, so
+    * the generator is quoting-proof), then numeric iff tab/LF/CR or
     * ≥ U+0020, ≤ U+10FFFF, not a surrogate — anything else
-    * reconstructs itself literally. With the full 2.1k-name table the
-    * generated CASE is ~90 KB of SQL per decode instance — linear
-    * text, parsed once per gate; the alternation compiles to one RE2
-    * automaton per query, not per row. */
+    * reconstructs itself literally (the body carries its own `;`
+    * when it had one). With the full 2.1k-name table the generated
+    * CASE is ~90 KB of SQL per decode instance — linear text, parsed
+    * once per gate; the alternation compiles to one RE2 automaton per
+    * query, not per row. */
   private def entDecodeSql(e: String): String = {
     val c = entCpSql(e)
-    val namedArms = graft.functions.HtmlEntityDecode.Named
-      .map { case (n, s) =>
+    val byName = graft.functions.HtmlEntityDecode.Named.toMap
+    val namedArms = (graft.functions.HtmlEntityDecode.Named
+      .map { case (n, s) => (n + ";") -> s } ++
+      graft.functions.HtmlEntityDecode.LegacyNames.map(n => n -> byName(n)))
+      .map { case (key, s) =>
         val chrs = s.codePoints().toArray
           .map(cp => s"chr($cp)").mkString(" || ")
-        s"WHEN $e = '$n' THEN $chrs" }
+        s"WHEN $e = '$key' THEN $chrs" }
       .mkString("\n      ")
     s"""CASE
       $namedArms
       WHEN $c IS NOT NULL AND ($c IN (9, 10, 13) OR ($c >= 32
         AND $c <= 1114111 AND NOT ($c BETWEEN 55296 AND 57343)))
         THEN chr(CAST($c AS INTEGER))
-      ELSE chr(38) || $e || ';' END"""
+      ELSE chr(38) || $e END"""
   }
 
   /** Entity decode in DuckDB — split/interleave over [[EntityRe]]:
@@ -425,7 +438,7 @@ object HtmlQueries {
           keepLangs = CrawlKeepLangs.toSet),
         langModel = Some(model))
       .awaitTermination()
-    s.read.parquet(s"$outDir/batch_*")
+    StreamingOps.readBatchOutputs(s, outDir, srcDir)
       .select("doc_id", "pred_lang", "quality", "n_tokens")
       .orderBy("doc_id")
   }

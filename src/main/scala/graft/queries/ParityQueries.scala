@@ -239,18 +239,41 @@ object ParityQueries {
     * responses. The oracle re-derives every row — quarantine
     * snippets included, by reconstructing the exact record bytes —
     * from the same construction. */
-  /** The WARC fixture relation shared by the three WARC gates. */
-  private def warcFixtureDocs(s: SparkSession, dir: String): DataFrame =
+  /** The WARC fixture relation shared by the three WARC gates.
+    * Besides the corruption axes (`magic`/`nolen`), two CHARSET axes
+    * (r20) exercise the scan's encoding sniff: `%83` rows are
+    * ISO-8859-1 pages declared in the HTTP Content-Type (`latin1`),
+    * `%79` rows are ISO-8859-1 pages declared ONLY by an in-body
+    * `<meta charset>` (`meta8859` — the sniff-fallback path); both
+    * carry a FIXED all-Latin-1 body (document text could hold
+    * codepoints past U+00FF, which ISO-8859-1 cannot encode), so the
+    * DuckDB oracle states the decoded text directly and a blind-UTF-8
+    * decode of the legacy bytes hash-fails. */
+  private def warcFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val flag = when(id % 97 === 0 && id > 0, lit("magic"))
+      .when(id % 89 === 0 && id > 0, lit("nolen"))
+      .when(id % 83 === 0 && id > 0, lit("latin1"))
+      .when(id % 79 === 0 && id > 0, lit("meta8859"))
+      .otherwise(lit(""))
     t(s, dir, "documents").select(
-      col("doc_id"),
-      concat(lit("http://w.example.com/d/"), col("doc_id")).as("url"),
-      timestamp_seconds(lit(1767225600L) + col("doc_id")).as("ts"),
-      concat(lit("Doc "), col("doc_id"), lit(": "), col("text")).as("html"),
-      when(col("doc_id") % 17 === 0, lit(404)).otherwise(lit(200))
-        .as("status"),
-      when(col("doc_id") % 97 === 0 && col("doc_id") > 0, lit("magic"))
-        .when(col("doc_id") % 89 === 0 && col("doc_id") > 0, lit("nolen"))
-        .otherwise(lit("")).as("flag"))
+      id,
+      concat(lit("http://w.example.com/d/"), id).as("url"),
+      timestamp_seconds(lit(1767225600L) + id).as("ts"),
+      when(flag === "latin1", concat(lit(WarcLatin1Body), id))
+        .when(flag === "meta8859", concat(lit(WarcMetaBody), id))
+        .otherwise(concat(lit("Doc "), id, lit(": "), col("text")))
+        .as("html"),
+      when(id % 17 === 0, lit(404)).otherwise(lit(200)).as("status"),
+      flag.as("flag"))
+  }
+
+  /** The charset-axis bodies — every char ≤ U+00FF so ISO-8859-1 can
+    * encode them; stated ONCE and interpolated into BOTH the Spark
+    * fixture and the oracle SQL so they cannot drift. */
+  private val WarcLatin1Body = "Résumé café Ñº "
+  private val WarcMetaBody =
+    "<meta charset=\"iso-8859-1\">Füße größer "
 
   private def warcScanQ(gzip: Boolean): Q = (s, dir) => {
     val path = SnapshotPaths.dirFor(
@@ -279,21 +302,31 @@ object ParityQueries {
     * planted corruptions projecting the quarantine contract (NULL
     * data columns + the first 100 characters of the bad block). */
   private val warcScanOracleSql: String =
-    """WITH w AS (SELECT doc_id,
+    s"""WITH f AS (SELECT doc_id, text,
+            CASE WHEN doc_id % 97 = 0 AND doc_id > 0 THEN 'magic'
+                 WHEN doc_id % 89 = 0 AND doc_id > 0 THEN 'nolen'
+                 WHEN doc_id % 83 = 0 AND doc_id > 0 THEN 'latin1'
+                 WHEN doc_id % 79 = 0 AND doc_id > 0 THEN 'meta8859'
+                 ELSE '' END AS flag
+          FROM documents),
+          w AS (SELECT doc_id,
             'http://w.example.com/d/' || doc_id AS url,
             TIMESTAMP '2026-01-01 00:00:00'
               + doc_id * INTERVAL 1 SECOND AS ts,
-            'Doc ' || doc_id || ': ' || text AS body,
+            CASE WHEN flag = 'latin1' THEN '$WarcLatin1Body' || doc_id
+                 WHEN flag = 'meta8859' THEN '$WarcMetaBody' || doc_id
+                 ELSE 'Doc ' || doc_id || ': ' || text END AS body,
             CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
-            CASE WHEN doc_id % 97 = 0 AND doc_id > 0 THEN 'magic'
-                 WHEN doc_id % 89 = 0 AND doc_id > 0 THEN 'nolen'
-                 ELSE '' END AS flag
-          FROM documents),
+            flag
+          FROM f),
           h AS (SELECT *,
             'HTTP/1.1 ' || status ||
             CASE WHEN status = 404 THEN ' Not Found' ELSE ' OK' END ||
             chr(13) || chr(10) ||
-            'Content-Type: text/html; charset=utf-8' ||
+            CASE WHEN flag = 'latin1'
+                   THEN 'Content-Type: text/html; charset=iso-8859-1'
+                 WHEN flag = 'meta8859' THEN 'Content-Type: text/html'
+                 ELSE 'Content-Type: text/html; charset=utf-8' END ||
             chr(13) || chr(10) || chr(13) || chr(10) || body AS http
           FROM w),
           rec AS (SELECT *,
@@ -308,23 +341,32 @@ object ParityQueries {
               || 'Content-Type: application/http;msgtype=response'
             || chr(13) || chr(10) ||
             CASE WHEN flag = 'nolen' THEN ''
-                 ELSE 'Content-Length: ' || strlen(http)
+                 ELSE 'Content-Length: ' ||
+                   -- latin1-axis wire bytes are ISO-8859-1: one byte
+                   -- per char, so the byte count is the CHAR count
+                   CASE WHEN flag IN ('latin1', 'meta8859')
+                        THEN length(http) ELSE strlen(http) END
                    || chr(13) || chr(10) END
             || chr(13) || chr(10) || http
             || chr(13) || chr(10) || chr(13) || chr(10) AS record_text
           FROM h)
           SELECT
-            CASE WHEN flag = '' THEN '<urn:graft:' || doc_id || '>' END
-              AS record_id,
-            CASE WHEN flag = '' THEN 'response' END AS warc_type,
-            CASE WHEN flag = '' THEN url END AS url,
-            CASE WHEN flag = '' THEN ts END AS fetch_ts,
-            CASE WHEN flag = '' THEN status END AS http_status,
-            CASE WHEN flag = '' THEN 'text/html; charset=utf-8' END
-              AS content_type,
-            CASE WHEN flag = '' THEN body END AS body,
-            CASE WHEN flag <> '' THEN substr(record_text, 1, 100) END
-              AS corrupt
+            CASE WHEN flag NOT IN ('magic', 'nolen')
+              THEN '<urn:graft:' || doc_id || '>' END AS record_id,
+            CASE WHEN flag NOT IN ('magic', 'nolen') THEN 'response' END
+              AS warc_type,
+            CASE WHEN flag NOT IN ('magic', 'nolen') THEN url END AS url,
+            CASE WHEN flag NOT IN ('magic', 'nolen') THEN ts END
+              AS fetch_ts,
+            CASE WHEN flag NOT IN ('magic', 'nolen') THEN status END
+              AS http_status,
+            CASE WHEN flag = 'latin1' THEN 'text/html; charset=iso-8859-1'
+                 WHEN flag = 'meta8859' THEN 'text/html'
+                 WHEN flag IN ('magic', 'nolen') THEN NULL
+                 ELSE 'text/html; charset=utf-8' END AS content_type,
+            CASE WHEN flag NOT IN ('magic', 'nolen') THEN body END AS body,
+            CASE WHEN flag IN ('magic', 'nolen')
+              THEN substr(record_text, 1, 100) END AS corrupt
           FROM rec ORDER BY record_id, corrupt"""
 
   /** The same fixture through the Common Crawl `.warc.gz` convention —
@@ -369,7 +411,7 @@ object ParityQueries {
       }
       .trigger(Trigger.AvailableNow())
       .start().awaitTermination()
-    s.read.parquet(s"$outDir/batch_*")
+    graft.streaming.StreamingOps.readBatchOutputs(s, outDir, path)
       .select("record_id", "warc_type", "url", "fetch_ts", "http_status",
         "content_type", "body", "corrupt")
       .orderBy("record_id", "corrupt")

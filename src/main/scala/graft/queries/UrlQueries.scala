@@ -100,6 +100,23 @@ object UrlQueries {
         END"""
   }
 
+  /** The IDN gate axes' planted Unicode hosts, paired with their
+    * punycode A-labels through the SAME `java.net.IDN.toASCII` call
+    * the engine expression uses ([[graft.functions.IdnHost]]) — the
+    * oracle-side constants are GENERATED here, so the two engines
+    * cannot drift on the planted set (DuckDB has no punycode; the
+    * general mapping is gate-pinned through these axes). */
+  private[queries] val IdnAxisHosts: Seq[(String, String)] =
+    Seq("bücher.example.com", "müller.de").map(h =>
+      h -> java.net.IDN.toASCII(h).toLowerCase(java.util.Locale.ROOT))
+
+  /** The oracle's IDN host step: exact-match CASE over the planted
+    * axis hosts (everything else — the all-ASCII world — is the
+    * engine expression's untouched fast path, identity here too). */
+  private def idnHostMapSql(h: String): String =
+    "CASE " + IdnAxisHosts.map { case (u, a) =>
+      s"WHEN ($h) = '$u' THEN '$a'" }.mkString(" ") + s" ELSE ($h) END"
+
   /** The oracle's independent canonicalization: the 8 steps re-spelled
     * in DuckDB regex/list ops over a `u(doc_id, url)` CTE. Emits
     * `hp(doc_id, url, scheme, host, path, q0)`. */
@@ -127,11 +144,12 @@ object UrlQueries {
           FROM ${p}c),
         ${p}hp AS (
           SELECT doc_id, url, scheme,
-            CASE WHEN scheme = 'http'
-                   THEN REGEXP_REPLACE(hostport, ':80$$', '')
+            ${idnHostMapSql(
+      """CASE WHEN scheme = 'http'
+                   THEN REGEXP_REPLACE(hostport, ':80$', '')
                  WHEN scheme = 'https'
-                   THEN REGEXP_REPLACE(hostport, ':443$$', '')
-                 ELSE hostport END AS host,
+                   THEN REGEXP_REPLACE(hostport, ':443$', '')
+                 ELSE hostport END""")} AS host,
             REGEXP_REPLACE(REGEXP_EXTRACT(rest, '^([^?]*)', 1),
               '/+$$', '') AS path,
             REGEXP_REPLACE(REGEXP_REPLACE(
@@ -169,14 +187,20 @@ object UrlQueries {
     * `doc:` rows (%13 == 0) are non-URLs and must be exempt, while
     * the ESCAPED-SCHEME rows (%13 == 1, `%68ttp://…`) ARE URLs whose
     * canonical collides with the plain spelling — an isUrlish vs
-    * canonicalizer normalization split mis-classifies them. */
+    * canonicalizer normalization split mis-classifies them; the IDN
+    * axis (%13 == 2 spells the host `xn--bcher-kva…`, %13 == 3 spells
+    * it `BÜCHER…`) collides exactly when the punycode mapping
+    * ([[graft.functions.IdnHost]]) is correct — the oracle's A-label
+    * constant is generated from the same `java.net.IDN` call. */
   val urlDedup: Q = (s, dir) => {
     val id = col("doc_id")
     val url = when(id % 13 === 0, concat(lit("doc:"), id)).otherwise(concat(
       when(id % 13 === 1, lit("%68ttp")) // escaped scheme: IS a URL
         .when(id % 5 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
       when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
-      lit("Site"), id % 10, lit(".Example.COM"),
+      when(id % 13 === 2, lit("xn--bcher-kva.Example.COM"))
+        .when(id % 13 === 3, lit("BÜCHER.Example.COM"))
+        .otherwise(concat(lit("Site"), id % 10, lit(".Example.COM"))),
       when(id % 2 === 0,
         when(id % 5 === 0, lit(":443")).otherwise(lit(":80")))
         .otherwise(lit("")),
@@ -202,7 +226,9 @@ object UrlQueries {
          CASE WHEN doc_id % 13 = 1 THEN '%68ttp'
               WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
          CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
-         'Site' || (doc_id % 10) || '.Example.COM' ||
+         CASE WHEN doc_id % 13 = 2 THEN 'xn--bcher-kva.Example.COM'
+              WHEN doc_id % 13 = 3 THEN 'BÜCHER.Example.COM'
+              ELSE 'Site' || (doc_id % 10) || '.Example.COM' END ||
          CASE WHEN doc_id % 2 = 0
               THEN CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE ':80' END
               ELSE '' END ||
@@ -237,7 +263,9 @@ object UrlQueries {
     * (`sub*.farm.co.uk` — the case the host cap provably misses),
     * ordinary eTLD+1s (`news.site*.co.uk`, `deep.a.site*.com.au`),
     * private-section platform suffixes (`user*.github.io` — each user
-    * site its own unit), `www.` canonicalization feeding the match,
+    * site its own unit), `www.` + IDN canonicalization feeding the
+    * match (`WWW.Müller.de` and `xn--mller-kva.de` must land in ONE
+    * cap unit — the punycode mapping runs BEFORE the PSL walk),
     * a wildcard EXCEPTION farm (`foo*.www.ck` → all one `www.ck`
     * unit), the kawasaki.jp exception, IPv4 hosts with ports, and
     * non-URL rows sharing the `''` unit. */
@@ -247,7 +275,11 @@ object UrlQueries {
       .when(m === 1, concat(lit("http://news.site"), id % 3, lit(".co.uk/a/"), id))
       .when(m === 2, concat(lit("http://user"), id % 5, lit(".github.io/a/"), id))
       .when(m === 3, concat(lit("http://deep.a.site"), id % 3, lit(".com.au/a/"), id))
-      .when(m === 4, concat(lit("http://WWW.example"), id % 2, lit(".de/a/"), id))
+      // IDN axis: the Unicode and punycode spellings of ONE German
+      // registry name must share ONE eTLD+1 cap unit
+      .when(m === 4,
+        when(id % 2 === 0, concat(lit("http://WWW.Müller.de/a/"), id))
+          .otherwise(concat(lit("http://xn--mller-kva.de/a/"), id)))
       .when(m === 5, concat(lit("http://foo"), id % 4, lit(".www.ck/a/"), id))
       .when(m === 6, concat(lit("http://s"), id % 5, lit(".city.kawasaki.jp/a/"), id))
       .when(m === 7, concat(lit("http://10."), id % 3, lit(".0.42:8080/a/"), id))
@@ -260,7 +292,9 @@ object UrlQueries {
          WHEN doc_id % 9 = 1 THEN 'http://news.site' || (doc_id % 3) || '.co.uk/a/' || doc_id
          WHEN doc_id % 9 = 2 THEN 'http://user' || (doc_id % 5) || '.github.io/a/' || doc_id
          WHEN doc_id % 9 = 3 THEN 'http://deep.a.site' || (doc_id % 3) || '.com.au/a/' || doc_id
-         WHEN doc_id % 9 = 4 THEN 'http://WWW.example' || (doc_id % 2) || '.de/a/' || doc_id
+         WHEN doc_id % 9 = 4 THEN
+           CASE WHEN doc_id % 2 = 0 THEN 'http://WWW.Müller.de/a/' || doc_id
+                ELSE 'http://xn--mller-kva.de/a/' || doc_id END
          WHEN doc_id % 9 = 5 THEN 'http://foo' || (doc_id % 4) || '.www.ck/a/' || doc_id
          WHEN doc_id % 9 = 6 THEN 'http://s' || (doc_id % 5) || '.city.kawasaki.jp/a/' || doc_id
          WHEN doc_id % 9 = 7 THEN 'http://10.' || (doc_id % 3) || '.0.42:8080/a/' || doc_id
@@ -771,6 +805,51 @@ object UrlQueries {
       .orderBy("url")
   }
 
+  /** RECRAWL scheduling under the hash gate — the freshness relation
+    * `(url, last_fetch_ts, change_rate)` fed through
+    * [[UrlCuration.recrawlWaves]]: priority = the Poisson staleness
+    * probability `1 − exp(−rate·age)`, so the hottest-and-oldest pages
+    * land in wave 1 and the cold tail drops past the 3-wave horizon
+    * into the next planning cycle. Axes: ages step in 6-hour
+    * increments over 24 days (`doc_id % 97` quarter-days — EXACT
+    * dyadic doubles, so both engines' products are bit-identical and
+    * every true tie is a true tie in both), change rates span
+    * 0.25…24/day by `k % 4` (the 24/day class saturates to priority
+    * 1.0 — exact in both engines — exercising the tie→url ordering),
+    * site0 declares its delay in a graftbot group ABOVE a throttling
+    * `*` group (group selection), other even hosts declare 3 s in a
+    * `*` group, odd hosts have no robots row (the 5 s default). The
+    * oracle re-derives the staleness arithmetic, the per-host
+    * re-rank, and the wave/slot/horizon arithmetic with its own
+    * window. */
+  val crawlRecrawl: Q = (s, dir) => {
+    val id = col("doc_id")
+    val k = id % 97
+    val freshness = Scan.table(s, dir, "documents")
+      .select(
+        concat(lit("http://site"), id % 7, lit(".example.com/p/"), id)
+          .as("url"),
+        timestamp_seconds(lit(1767225600L) - k * 21600L)
+          .as("last_fetch_ts"),
+        when(k % 4 === 0, lit(0.25)).when(k % 4 === 1, lit(0.5))
+          .when(k % 4 === 2, lit(2.0)).otherwise(lit(24.0))
+          .as("change_rate"))
+    val botGroup = "User-agent: graftbot\nCrawl-delay: 2\n\n" +
+      "User-agent: *\nCrawl-delay: 30\nDisallow: /"
+    val robots = s.range(0, 7).select(col("id").as("h"))
+      .filter(col("h") % 2 === 0)
+      .select(
+        concat(lit("site"), col("h"), lit(".example.com")).as("rb_domain"),
+        when(col("h") === 0, lit(botGroup))
+          .otherwise(lit("User-agent: *\nCrawl-delay: 3")).as("robots_txt"))
+    UrlCuration.recrawlWaves(freshness, "url", "last_fetch_ts",
+        "change_rate", asOf = timestamp_seconds(lit(1767225600L)),
+        robots = robots, domainCol = "rb_domain", robotsCol = "robots_txt",
+        agent = "graftbot", waveSeconds = 30.0, defaultDelaySeconds = 5.0,
+        minDelaySeconds = 1.0, maxWaves = 3)
+      .orderBy("url")
+  }
+
   val queries: Map[String, Q] = ListMap(
     "q_url_canonical" -> urlCanonical,
     "q_url_dedup" -> urlDedup,
@@ -782,7 +861,8 @@ object UrlQueries {
     "q_frontier_sitemap" -> frontierSitemap,
     "q_robots_filter" -> robotsFilter,
     "q_robots_bootstrap" -> robotsBootstrap,
-    "q_crawl_cycle" -> crawlCycle)
+    "q_crawl_cycle" -> crawlCycle,
+    "q_crawl_recrawl" -> crawlRecrawl)
 
   val oracles: Map[String, String] = ListMap(
     "q_url_canonical" ->
@@ -1058,7 +1138,44 @@ object UrlQueries {
     // the bootstrapped robots relation must reproduce the out-of-band
     // one exactly — same oracle verbatim (the re-fetch winner rule
     // and the /robots.txt page screen are what the gate adds)
-    "q_robots_bootstrap" -> robotsFilterOracleSql)
+    "q_robots_bootstrap" -> robotsFilterOracleSql,
+    // the RECRAWL planner re-derived: the Poisson staleness priority
+    // 1 − exp(−rate·age) from the same exact-dyadic (age, rate)
+    // construction (quarter-day ages, power-of-two-ish rates — both
+    // engines' products are bit-identical, so ties are ties in both),
+    // the delay CASE mirroring the gate's robots construction
+    // (graftbot group 2 s on site0, the * group's 3 s on even hosts,
+    // the 5 s no-robots default), per-host re-rank with the oracle's
+    // own window (priority DESC, url), wave/slot arithmetic, 3-wave
+    // horizon
+    "q_crawl_recrawl" ->
+      s"""WITH f AS (SELECT
+              'http://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+                AS url,
+              'site' || (doc_id % 7) || '.example.com' AS domain,
+              (doc_id % 7) AS h, (doc_id % 97) AS k
+            FROM documents),
+          pr AS (SELECT url, domain,
+              1.0 - exp(-(CASE WHEN k % 4 = 0 THEN 0.25
+                               WHEN k % 4 = 1 THEN 0.5
+                               WHEN k % 4 = 2 THEN 2.0
+                               ELSE 24.0 END) * (k * 0.25)) AS p,
+              CASE WHEN h = 0 THEN 2.0
+                   WHEN h % 2 = 0 THEN 3.0
+                   ELSE 5.0 END AS delay_s
+            FROM f),
+          pw AS (SELECT *, GREATEST(1, LEAST(30,
+              CAST(FLOOR(30.0 / delay_s) AS BIGINT))) AS per_wave
+            FROM pr),
+          rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+              ORDER BY p DESC, url) - 1 AS rk0
+            FROM pw)
+          SELECT url, domain,
+            CAST(rk0 // per_wave AS INTEGER) + 1 AS wave,
+            CAST(rk0 % per_wave AS INTEGER) + 1 AS wave_slot,
+            CAST(delay_s AS DOUBLE) AS delay_s
+          FROM rk WHERE rk0 // per_wave < 3
+          ORDER BY url""")
 
   /** The REP-matcher re-derivation shared by `q_robots_filter` and
     * `q_robots_bootstrap`. Lazy: referenced by the `oracles` map

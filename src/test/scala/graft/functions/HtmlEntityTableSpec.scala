@@ -32,12 +32,38 @@ class HtmlEntityTableSpec extends SparkSpec {
     assert(dec("a&hellip;b &alpha;&Beta; &NotEqualTilde; x") ==
       "a…b αΒ ≂̸ x")
     assert(dec("&CounterClockwiseContourIntegral;") == "∳")
-    // unknown names and unterminated references stay literal
-    assert(dec("&nosuchentity; &amp") == "&nosuchentity; &amp")
+    // unknown names stay literal; legacy prefixes don't fire inside
+    // runs that no legacy name prefixes ("nosuchentity" has none)
+    assert(dec("&nosuchentity; &xyz") == "&nosuchentity; &xyz")
     // single-pass ordering: &amp;#65; must NOT double-decode
     assert(dec("&amp;#65;") == "&#65;")
     // &Tab; is a real reference to an allowed control character
     assert(dec("x&Tab;y") == "x\ty")
+  }
+
+  test("legacy semicolon-free subset decodes, text-context longest-match") {
+    // bare legacy names decode (106-name HTML5 compat set)
+    assert(dec("&amp x &copy y &GT&LT") == "& x © y ><")
+    assert(dec("fish &amp chips") == "fish & chips")
+    // end-of-string, no lookahead needed
+    assert(dec("&amp") == "&")
+    // the famous spec example: the longest legacy PREFIX fires inside
+    // a longer non-name run, semicolon or not
+    assert(dec("I'm &notit; I tell you") == "I'm ¬it; I tell you")
+    assert(dec("&ampx") == "&x")
+    // a full name; always outranks its own legacy prefix
+    assert(dec("&times;bar") == "×bar")
+    assert(dec("&timesbar;") == "⨱") // the real HTML5 name
+    assert(dec("&timesbar") == "×bar") // no ';' → legacy prefix wins
+    // non-legacy spellings stay literal (Ÿ was never Latin-1; mixed
+    // case is not in the table)
+    assert(dec("&Yuml &Amp &nbsP") == "&Yuml &Amp &nbsP")
+    // every legacy name round-trips bare AND with its semicolon form
+    val byName = HtmlEntityDecode.Named.toMap
+    HtmlEntityDecode.LegacyNames.foreach { n =>
+      assert(dec(s"x&$n|") == "x" + byName(n) + "|", n)
+      assert(dec(s"x&$n;|") == "x" + byName(n) + "|", n)
+    }
   }
 
   test("malformed or truncated tables fail LOUDLY") {

@@ -270,6 +270,46 @@ class UrlCurationSpec extends SparkSpec {
     assert(w2.toSet == Set(("http://s.com/d", 1), ("http://s.com/c", 2)))
   }
 
+  test("recrawlWaves: staleness priority orders waves, politeness budget holds") {
+    val asOf = 1767225600L
+    def ts(hoursAgo: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(asOf - hoursAgo * 3600))
+    // one host, delay 10 s → 3 slots/wave at waveSeconds=30; four pages
+    // whose staleness strictly orders them: rate·age products 24·2=48
+    // (saturated), 2·1=2, 0.5·1=0.5, 0.5·0.04≈0.02
+    val fresh = Seq(
+      ("http://a.example.com/cold", ts(1), 0.5),
+      ("http://a.example.com/hot", ts(48), 24.0),
+      ("http://a.example.com/warm", ts(24), 2.0),
+      ("http://a.example.com/fresh", ts(1), 0.02))
+      .toDF("url", "last_fetch_ts", "change_rate")
+    val robots = Seq(("a.example.com", "User-agent: *\nCrawl-delay: 10"))
+      .toDF("domain", "robots_txt")
+    val out = UrlCuration.recrawlWaves(fresh, "url", "last_fetch_ts",
+        "change_rate",
+        asOf = timestamp_seconds(lit(asOf)),
+        robots = robots, domainCol = "domain", robotsCol = "robots_txt",
+        waveSeconds = 30.0, maxWaves = 2)
+      .collect().map(r => r.getAs[String]("url") ->
+        (r.getAs[Int]("wave"), r.getAs[Int]("wave_slot"))).toMap
+    // most-likely-stale first: hot(1,1) warm(1,2) cold(1,3) fresh(2,1)
+    assert(out("http://a.example.com/hot") == (1, 1))
+    assert(out("http://a.example.com/warm") == (1, 2))
+    assert(out("http://a.example.com/cold") == (1, 3))
+    assert(out("http://a.example.com/fresh") == (2, 1))
+    // priority arithmetic: monotone in age and rate, 0 at age 0
+    def pri(ageH: Long, rate: Double): Double =
+      Seq((ts(ageH), rate)).toDF("t", "r")
+        .select(UrlCuration.recrawlPriority(col("t"), col("r"),
+          timestamp_seconds(lit(asOf))).as("p"))
+        .head().getDouble(0)
+    assert(pri(0, 5.0) == 0.0)
+    assert(pri(24, 1.0) > pri(12, 1.0))
+    assert(pri(12, 2.0) > pri(12, 1.0))
+    assert(math.abs(pri(24, 1.0) - (1.0 - math.exp(-1.0))) < 1e-12)
+  }
+
   test("plan shapes: projections are map-only; domainCap ranks via the bounded aggregate") {
     val docs = Seq((1L, "http://e.com/a")).toDF("id", "url")
     val proj = UrlCuration.withCanonicalUrl(

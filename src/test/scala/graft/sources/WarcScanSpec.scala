@@ -111,7 +111,7 @@ class WarcScanSpec extends SparkSpec {
     assert(back.count(_.getAs[String]("corrupt") != null) == 1)
   }
 
-  test("warc.gz: a garbled member quarantines the remainder, earlier records survive") {
+  test("warc.gz: a truncated member quarantines, earlier records survive") {
     val dir = java.nio.file.Files.createTempDirectory("warc_gzc").toString
     val rec1 = WarcScan.gzipMember(WarcScan.recordBytes(
       1L, "http://a.com/1", ts(1), "ok", 200, ""))
@@ -132,6 +132,162 @@ class WarcScanSpec extends SparkSpec {
     val bad = back.filter(_.getAs[String]("corrupt") != null)
     assert(bad.nonEmpty &&
       bad.exists(_.getAs[String]("corrupt").startsWith("GZIP-CORRUPT:")))
+  }
+
+  test("warc.gz: a garbled member RESYNCS — later members' records survive") {
+    // the JDK's concatenated-GZIPInputStream reader treats a garbled
+    // next-member header as clean EOF (a SILENT drop of the rest of
+    // the file); the member walk must instead quarantine the garbage
+    // and resync on the next member's magic
+    val dir = java.nio.file.Files.createTempDirectory("warc_gzr").toString
+    val rec1 = WarcScan.gzipMember(WarcScan.recordBytes(
+      1L, "http://a.com/1", ts(1), "ok one", 200, ""))
+    val rec3 = WarcScan.gzipMember(WarcScan.recordBytes(
+      3L, "http://a.com/3", ts(3), "ok three", 200, ""))
+    val garbage = "THIS IS NOT A GZIP MEMBER AT ALL".getBytes(UTF_8)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "x.warc.gz"), rec1 ++ garbage ++ rec3)
+    val back = WarcScan.read(spark, dir + "/*.warc.gz").collect()
+    val good = back.filter(_.getAs[String]("corrupt") == null)
+    assert(good.map(_.getAs[String]("record_id")).sorted.toSeq ==
+      Seq("<urn:graft:1>", "<urn:graft:3>"))
+    val bad = back.filter(_.getAs[String]("corrupt") != null)
+    assert(bad.length == 1 &&
+      bad.head.getAs[String]("corrupt").startsWith("GZIP-CORRUPT:"))
+  }
+
+  test("warc.gz: a CRC-mismatched member yields NO records, only the break") {
+    // data that inflates cleanly but fails its trailer CRC is the one
+    // corruption shape the WARC layer cannot catch (it could parse as
+    // a wrong-but-well-formed record) — the member's bytes must be
+    // withheld, not emitted
+    val dir = java.nio.file.Files.createTempDirectory("warc_gzcrc").toString
+    val rec1 = WarcScan.gzipMember(WarcScan.recordBytes(
+      1L, "http://a.com/1", ts(1), "ok one", 200, ""))
+    val rec2 = WarcScan.gzipMember(WarcScan.recordBytes(
+      2L, "http://a.com/2", ts(2), "poisoned", 200, ""))
+    rec2(rec2.length - 6) = (rec2(rec2.length - 6) ^ 0x55).toByte // CRC32 byte
+    val rec3 = WarcScan.gzipMember(WarcScan.recordBytes(
+      3L, "http://a.com/3", ts(3), "ok three", 200, ""))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "x.warc.gz"), rec1 ++ rec2 ++ rec3)
+    val back = WarcScan.read(spark, dir + "/*.warc.gz").collect()
+    val good = back.filter(_.getAs[String]("corrupt") == null)
+    assert(good.map(_.getAs[String]("record_id")).sorted.toSeq ==
+      Seq("<urn:graft:1>", "<urn:graft:3>"))
+    assert(!back.exists(r => Option(r.getAs[String]("body"))
+      .exists(_.contains("poisoned"))))
+    assert(back.count(r => Option(r.getAs[String]("corrupt"))
+      .exists(_.contains("CRC32 mismatch"))) == 1)
+  }
+
+  test("warc.gz: a record SPANNING two members parses whole (demand path)") {
+    // general .warc.gz need not be one-record-per-member — the
+    // decompressed stream is the concatenation, and a record may
+    // straddle a member boundary
+    val rec = WarcScan.recordBytes(7L, "http://a.com/7", ts(7),
+      "split across members", 200, "")
+    val half = rec.length / 2
+    val bytes = WarcScan.gzipMember(rec.take(half)) ++
+      WarcScan.gzipMember(rec.drop(half))
+    val rows = new WarcScan.WarcRecordIterator("f",
+      WarcScan.gzipMemberChunks(bytes)).toSeq
+    assert(rows.length == 1)
+    assert(rows.head.getString(1) == "<urn:graft:7>")
+    assert(rows.head.getString(7) == "split across members")
+  }
+
+  test("warc.gz streams member-by-member: pending stays O(member), not O(file)") {
+    // a ~256 MB-inflated archive must never hold more than ~one
+    // member in the parse buffer — the whole-file inflate this
+    // replaced held all of it
+    val body = "a" * (1024 * 1024)
+    val one = WarcScan.recordBytes(1L, "http://a.com/big", ts(1),
+      body, 200, "")
+    val member = WarcScan.gzipMember(one) // 'a'*1M compresses ~1 KB
+    val n = 256
+    val bytes = new java.io.ByteArrayOutputStream(member.length * n)
+    (1 to n).foreach(_ => bytes.write(member))
+    val it = new WarcScan.WarcRecordIterator("f",
+      WarcScan.gzipMemberChunks(bytes.toByteArray))
+    var rows = 0
+    it.foreach { r => assert(r.getString(8) == null); rows += 1 }
+    assert(rows == n)
+    val totalInflated = one.length.toLong * n
+    assert(totalInflated > 250L * 1024 * 1024)
+    assert(it.maxPendingBytes < 8 * 1024 * 1024,
+      s"pending high-water ${it.maxPendingBytes} — not streaming")
+  }
+
+  test("charset: HTTP-declared ISO-8859-1 and <meta charset> fallback decode") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_cs").toString
+    val docs = Seq(
+      (1L, "http://a.com/1", ts(1), "Résumé café Ñº", 200, "latin1"),
+      (2L, "http://a.com/2", ts(2),
+        "<meta charset=\"iso-8859-1\">Füße größer", 200, "meta8859"),
+      (3L, "http://a.com/3", ts(3), "plain utf-8 café", 200, ""))
+      .toDF("id", "url", "t", "html", "status", "flag").coalesce(1)
+    WarcScan.write(docs, "id", "url", "t", "html", "status", "flag", dir)
+    // the wire bytes for row 1 are genuinely ISO-8859-1 (é = 0xE9,
+    // not the UTF-8 0xC3 0xA9) — a blind-UTF-8 reader would mojibake
+    val raw = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".warc")).head.toPath)
+    val rawStr = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(rawStr.contains("Résumé")) // é as ONE byte in the wire
+    val back = WarcScan.read(spark, dir + "/*.warc")
+      .orderBy("record_id").collect()
+    assert(back(0).getAs[String]("body") == "Résumé café Ñº")
+    assert(back(0).getAs[String]("content_type") ==
+      "text/html; charset=iso-8859-1")
+    assert(back(1).getAs[String]("body") ==
+      "<meta charset=\"iso-8859-1\">Füße größer")
+    assert(back(1).getAs[String]("content_type") == "text/html")
+    assert(back(2).getAs[String]("body") == "plain utf-8 café")
+  }
+
+  test("charset: a BOM outranks a lying Content-Type charset") {
+    val body = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "café ≠".getBytes(UTF_8)
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=iso-8859-1\r\n\r\n").getBytes(UTF_8)
+    val http = head ++ body
+    val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:x:1>\r\n" +
+      "WARC-Target-URI: http://a.com/x\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8)
+    val rows = WarcScan.parseFile("f",
+      hdr ++ http ++ "\r\n\r\n".getBytes(UTF_8)).toSeq
+    assert(rows.length == 1)
+    // decoded as UTF-8 (BOM wins); the BOM itself survives as U+FEFF
+    assert(rows.head.getString(7) == "﻿café ≠")
+  }
+
+  test("charset: unknown or unsupported labels fall back to UTF-8") {
+    val body = "plain café".getBytes(UTF_8)
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=x-no-such-charset-9\r\n\r\n")
+      .getBytes(UTF_8)
+    val http = head ++ body
+    val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:x:2>\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8)
+    val rows = WarcScan.parseFile("f",
+      hdr ++ http ++ "\r\n\r\n".getBytes(UTF_8)).toSeq
+    assert(rows.length == 1 && rows.head.getString(7) == "plain café")
+  }
+
+  test("write commits via attempt-unique temp paths — no .tmp residue") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_tmp").toString
+    val docs = (1L to 4L).map(i =>
+        (i, s"http://a.com/$i", ts(i), s"doc $i", 200, ""))
+      .toDF("id", "url", "t", "html", "status", "flag").repartition(2)
+    WarcScan.write(docs, "id", "url", "t", "html", "status", "flag", dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".tmp")), names.mkString(","))
+    assert(WarcScan.read(spark, dir + "/*.warc").count() == 4L)
   }
 
   test("resync collapse: consecutive magic-less records are ONE quarantine block") {

@@ -99,6 +99,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(snapshotRows == Scan.table(spark, sfDir, "events").count())
   }
 
+  test("readBatchOutputs: reads batch dirs; a zero-batch run fails LOUDLY with the source listing") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("rbo_out").toString
+    val src = java.nio.file.Files.createTempDirectory("rbo_src").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$src/part0.parquet")
+    // no batch dirs yet → the guard must throw, naming the source's
+    // actual listing (the forensic datum for the listing hypothesis)
+    val e = intercept[IllegalStateException] {
+      StreamingOps.readBatchOutputs(spark, out, src)
+    }
+    assert(e.getMessage.contains("ZERO micro-batches"))
+    assert(e.getMessage.contains("part0.parquet"))
+    // with a batch dir present it reads normally
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$out/batch_0")
+    assert(StreamingOps.readBatchOutputs(spark, out, src).count() == 1L)
+  }
+
   test("incrementalDedupStream: per-batch dedup against the index; fold-in lets batch 2 match batch 1") {
     import spark.implicits._
     def sent(i: Int) = (0 until 12).map(j => s"w${i * 31 + j * 7}").mkString(" ")
