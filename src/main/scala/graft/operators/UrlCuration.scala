@@ -432,6 +432,85 @@ object UrlCuration {
       priority = recrawlPriority(col(tsCol), col(rateCol), asOf))
   }
 
+  /** REDIRECT chain resolution — the alias structure 3xx responses
+    * put on the URL space: without it every hop of a redirect chain
+    * is its own dedup key / cap unit / frontier entry, and the
+    * page that actually served content is attributed to the wrong
+    * address. Input: fetched pages with `statusCol` (HTTP status) and
+    * `locationCol` (the Location header — [[graft.sources.WarcScan]]
+    * surfaces it). Semantics:
+    *
+    *   - an ALIAS EDGE is a 3xx row with a resolvable Location:
+    *     canonical(url) → canonical(url_resolve(url, location)) —
+    *     relative Locations land on their real targets (RFC 9110
+    *     §10.2.2 allows them); an unresolvable/non-URL Location
+    *     contributes NO edge (the page keeps itself as final —
+    *     documented, never an invented target). Duplicate fetches of
+    *     one canonical keep the smallest target (deterministic house
+    *     winner rule);
+    *   - every page's `final_url` = the canonical reached by
+    *     following edges up to `maxHops` (non-redirect pages map to
+    *     themselves, `hops` 0); `hops` = edges actually followed;
+    *   - `resolved` = the final address is NOT itself a redirect
+    *     source — false exactly for cycles and chains the horizon
+    *     cut (browsers cap at ~20 hops for the same reason; those
+    *     pages should be dropped or re-planned, not crawled as
+    *     content).
+    *
+    * Scale shape: POINTER DOUBLING — log2(maxHops) keyed self-joins
+    * of the ALIAS MAP (redirect rows only, a small fraction of any
+    * real crawl; broadcast-able when small) instead of maxHops
+    * sequential joins or any per-chain iteration; one final keyed
+    * join back to the pages. `maxHops` must be a power of two so the
+    * doubled span equals the documented horizon exactly (the oracle
+    * re-derives the walk stepwise). */
+  def resolveRedirects(pages: DataFrame, urlCol: String, statusCol: String,
+      locationCol: String, maxHops: Int = 8): DataFrame = {
+    import graft.GraftSession.Pinnable
+    Seq(urlCol, statusCol, locationCol).foreach(c =>
+      require(pages.columns.contains(c), s"column $c absent"))
+    require(maxHops >= 1 && Integer.bitCount(maxHops) == 1,
+      s"maxHops=$maxHops must be a positive power of two (the doubled " +
+        "span must equal the horizon)")
+    Seq("canonical", "final_url", "hops", "resolved").foreach(c =>
+      require(!pages.columns.contains(c) || c == urlCol,
+        s"output column $c already present"))
+    val edges0 = pages
+      .filter(col(statusCol).isNotNull &&
+        col(statusCol) >= 300 && col(statusCol) <= 399 &&
+        col(locationCol).isNotNull)
+      .select(canonicalUrl(col(urlCol)).as("__src"),
+        canonicalUrl(graft.functions.GraftFunctions
+          .url_resolve(col(urlCol), col(locationCol))).as("__dst"))
+      .filter(col("__dst").isNotNull && col("__src") =!= col("__dst"))
+      .groupBy(col("__src")).agg(min(col("__dst")).as("__dst"))
+    var f = edges0.select(col("__src"), col("__dst"),
+      lit(1L).as("__hops")).pinScratch()
+    var span = 1
+    while (span < maxHops) {
+      val a = f.select(col("__src"), col("__dst"), col("__hops"))
+      val b = f.select(col("__src").as("__bsrc"),
+        col("__dst").as("__bdst"), col("__hops").as("__bhops"))
+      f = a.join(b, a("__dst") === b("__bsrc"), "left")
+        .select(col("__src"),
+          coalesce(col("__bdst"), col("__dst")).as("__dst"),
+          (col("__hops") + coalesce(col("__bhops"), lit(0L))).as("__hops"))
+        .pinScratch() // both sides of the NEXT round read it
+      span *= 2
+    }
+    val srcs = edges0.select(col("__src").as("__is_src")).distinct()
+    val withCanon = pages.select(col(urlCol),
+      canonicalUrl(col(urlCol)).as("canonical"))
+    withCanon
+      .join(f, withCanon("canonical") === f("__src"), "left")
+      .select(col(urlCol), col("canonical"),
+        coalesce(col("__dst"), col("canonical")).as("final_url"),
+        coalesce(col("__hops"), lit(0L)).as("hops"))
+      .join(srcs, col("final_url") === col("__is_src"), "left")
+      .select(col(urlCol), col("canonical"), col("final_url"), col("hops"),
+        col("__is_src").isNull.as("resolved"))
+  }
+
   /** The shared cap machinery: keep at most `cap` ids per `unit`
     * value, ranked (`score` DESC, id ASC) by the bounded
     * [[graft.functions.TopKByScore]] heap — cap rows per unit per

@@ -255,6 +255,7 @@ object ParityQueries {
       .when(id % 89 === 0 && id > 0, lit("nolen"))
       .when(id % 83 === 0 && id > 0, lit("latin1"))
       .when(id % 79 === 0 && id > 0, lit("meta8859"))
+      .when(id % 73 === 0 && id > 0, lit("redir"))
       .otherwise(lit(""))
     t(s, dir, "documents").select(
       id,
@@ -264,7 +265,8 @@ object ParityQueries {
         .when(flag === "meta8859", concat(lit(WarcMetaBody), id))
         .otherwise(concat(lit("Doc "), id, lit(": "), col("text")))
         .as("html"),
-      when(id % 17 === 0, lit(404)).otherwise(lit(200)).as("status"),
+      when(flag === "redir", lit(301))
+        .when(id % 17 === 0, lit(404)).otherwise(lit(200)).as("status"),
       flag.as("flag"))
   }
 
@@ -289,7 +291,7 @@ object ParityQueries {
     graft.sources.WarcScan.read(s,
         path + (if (gzip) "/*.warc.gz" else "/*.warc"))
       .select("record_id", "warc_type", "url", "fetch_ts", "http_status",
-        "content_type", "body", "corrupt")
+        "content_type", "body", "location", "corrupt")
       .orderBy("record_id", "corrupt")
   }
 
@@ -307,6 +309,7 @@ object ParityQueries {
                  WHEN doc_id % 89 = 0 AND doc_id > 0 THEN 'nolen'
                  WHEN doc_id % 83 = 0 AND doc_id > 0 THEN 'latin1'
                  WHEN doc_id % 79 = 0 AND doc_id > 0 THEN 'meta8859'
+                 WHEN doc_id % 73 = 0 AND doc_id > 0 THEN 'redir'
                  ELSE '' END AS flag
           FROM documents),
           w AS (SELECT doc_id,
@@ -316,13 +319,18 @@ object ParityQueries {
             CASE WHEN flag = 'latin1' THEN '$WarcLatin1Body' || doc_id
                  WHEN flag = 'meta8859' THEN '$WarcMetaBody' || doc_id
                  ELSE 'Doc ' || doc_id || ': ' || text END AS body,
-            CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+            CASE WHEN flag = 'redir' THEN 301
+                 WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
             flag
           FROM f),
           h AS (SELECT *,
             'HTTP/1.1 ' || status ||
-            CASE WHEN status = 404 THEN ' Not Found' ELSE ' OK' END ||
+            CASE WHEN status = 404 THEN ' Not Found'
+                 WHEN status = 301 THEN ' Status 301' ELSE ' OK' END ||
             chr(13) || chr(10) ||
+            CASE WHEN flag = 'redir'
+              THEN 'Location: ' || url || '/next' || chr(13) || chr(10)
+              ELSE '' END ||
             CASE WHEN flag = 'latin1'
                    THEN 'Content-Type: text/html; charset=iso-8859-1'
                  WHEN flag = 'meta8859' THEN 'Content-Type: text/html'
@@ -365,6 +373,7 @@ object ParityQueries {
                  WHEN flag IN ('magic', 'nolen') THEN NULL
                  ELSE 'text/html; charset=utf-8' END AS content_type,
             CASE WHEN flag NOT IN ('magic', 'nolen') THEN body END AS body,
+            CASE WHEN flag = 'redir' THEN url || '/next' END AS location,
             CASE WHEN flag IN ('magic', 'nolen')
               THEN substr(record_text, 1, 100) END AS corrupt
           FROM rec ORDER BY record_id, corrupt"""
@@ -413,7 +422,7 @@ object ParityQueries {
       .start().awaitTermination()
     graft.streaming.StreamingOps.readBatchOutputs(s, outDir, path)
       .select("record_id", "warc_type", "url", "fetch_ts", "http_status",
-        "content_type", "body", "corrupt")
+        "content_type", "body", "location", "corrupt")
       .orderBy("record_id", "corrupt")
   }
 

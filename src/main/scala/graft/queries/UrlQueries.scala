@@ -850,7 +850,37 @@ object UrlQueries {
       .orderBy("url")
   }
 
+  /** REDIRECT chain resolution under the hash gate
+    * ([[UrlCuration.resolveRedirects]], maxHops = 4). Axes by
+    * `doc_id % 7`: m=1 is a 301 with a ROOT-RELATIVE Location (RFC
+    * 9110 allows them — resolution must run) whose target is itself a
+    * 302 (m=2), so m=1 resolves in TWO hops to the m=3 content page;
+    * m=5/m=6 are a 2-CYCLE (301 ↔ 308) that must walk exactly
+    * maxHops and come back unresolved; everything else is a 200
+    * mapping to itself at 0 hops. The oracle re-derives the walk
+    * STEPWISE with a recursive CTE — pointer doubling must equal the
+    * sequential walk at the horizon, for chains and cycles both. */
+  val redirectResolve: Q = (s, dir) => {
+    val id = col("doc_id")
+    val m = id % 7
+    val url = concat(lit("http://r.example.com/u/"), id)
+    val pages = Scan.table(s, dir, "documents").select(
+      url.as("url"),
+      when(m === 1, lit(301)).when(m === 2, lit(302))
+        .when(m === 5, lit(301)).when(m === 6, lit(308))
+        .otherwise(lit(200)).as("http_status"),
+      when(m === 1, concat(lit("/u/"), id + 1))
+        .when(m === 2, concat(lit("http://r.example.com/u/"), id + 1))
+        .when(m === 5, concat(lit("http://r.example.com/u/"), id + 1))
+        .when(m === 6, concat(lit("http://r.example.com/u/"), id - 1))
+        .otherwise(lit(null).cast("string")).as("location"))
+    UrlCuration.resolveRedirects(pages, "url", "http_status", "location",
+        maxHops = 4)
+      .orderBy("url")
+  }
+
   val queries: Map[String, Q] = ListMap(
+    "q_redirect_resolve" -> redirectResolve,
     "q_url_canonical" -> urlCanonical,
     "q_url_dedup" -> urlDedup,
     "q_domain_cap" -> domainCap,
@@ -865,6 +895,40 @@ object UrlQueries {
     "q_crawl_recrawl" -> crawlRecrawl)
 
   val oracles: Map[String, String] = ListMap(
+    // the redirect walk re-derived STEPWISE: the same edge relation
+    // (3xx + non-self Location, root-relative resolution spelled as
+    // its target), a recursive CTE stepping one hop at a time bounded
+    // by the horizon, the max-hop row per source, and the
+    // resolved-iff-final-is-no-source rule — pointer doubling must
+    // equal the sequential walk for chains AND cycles (the fixture's
+    // URLs are canonical by construction, so canonicalization is
+    // identity on both sides)
+    "q_redirect_resolve" ->
+      s"""WITH RECURSIVE p AS (SELECT
+              'http://r.example.com/u/' || doc_id AS url,
+              (doc_id % 7) AS m, doc_id
+            FROM documents),
+          edges AS (SELECT url AS src,
+              'http://r.example.com/u/' ||
+                (CASE WHEN m = 6 THEN doc_id - 1 ELSE doc_id + 1 END)
+                AS dst
+            FROM p WHERE m IN (1, 2, 5, 6)),
+          walk AS (
+            SELECT src, dst AS cur, 1 AS hops FROM edges
+            UNION ALL
+            SELECT w.src, e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON e.src = w.cur
+            WHERE w.hops < 4),
+          fin AS (SELECT src, cur, hops FROM walk
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY hops DESC) = 1)
+          SELECT p.url, p.url AS canonical,
+            COALESCE(fin.cur, p.url) AS final_url,
+            CAST(COALESCE(fin.hops, 0) AS BIGINT) AS hops,
+            (COALESCE(fin.cur, p.url) NOT IN (SELECT src FROM edges))
+              AS resolved
+          FROM p LEFT JOIN fin ON fin.src = p.url
+          ORDER BY p.url""",
     "q_url_canonical" ->
       s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
           $canonCtesSql

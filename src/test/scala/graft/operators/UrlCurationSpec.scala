@@ -310,6 +310,43 @@ class UrlCurationSpec extends SparkSpec {
     assert(math.abs(pri(24, 1.0) - (1.0 - math.exp(-1.0))) < 1e-12)
   }
 
+  test("resolveRedirects: chains fold, cycles cap at the horizon, relatives resolve") {
+    val pages = Seq(
+      // a → b → c (terminal); a's Location is ROOT-RELATIVE
+      ("http://x.com/a", 301, "/b"),
+      ("http://x.com/b", 302, "http://x.com/c"),
+      ("http://x.com/c", 200, null),
+      // 2-cycle p ↔ q
+      ("http://x.com/p", 301, "http://x.com/q"),
+      ("http://x.com/q", 308, "http://x.com/p"),
+      // a free-text Location resolves as a RELATIVE reference —
+      // exactly what browsers do with it
+      ("http://x.com/j", 301, "weird target"),
+      // a redirect out of the fetched set: terminal at the stranger
+      ("http://x.com/o", 301, "http://elsewhere.com/z"))
+      .toDF("url", "http_status", "location")
+    val out = UrlCuration.resolveRedirects(
+        pages, "url", "http_status", "location", maxHops = 4)
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("final_url"), r.getAs[Long]("hops"),
+          r.getAs[Boolean]("resolved")))).toMap
+    assert(out("http://x.com/a") == (("http://x.com/c", 2L, true)))
+    assert(out("http://x.com/b") == (("http://x.com/c", 1L, true)))
+    assert(out("http://x.com/c") == (("http://x.com/c", 0L, true)))
+    // the cycle walks exactly maxHops and lands back unresolved
+    assert(out("http://x.com/p") == (("http://x.com/p", 4L, false)))
+    assert(out("http://x.com/q") == (("http://x.com/q", 4L, false)))
+    assert(out("http://x.com/j") ==
+      (("http://x.com/weird target", 1L, true)))
+    assert(out("http://x.com/o") ==
+      (("http://elsewhere.com/z", 1L, true)))
+    // maxHops must be a power of two (doubling span = horizon)
+    intercept[IllegalArgumentException] {
+      UrlCuration.resolveRedirects(pages, "url", "http_status",
+        "location", maxHops = 3)
+    }
+  }
+
   test("plan shapes: projections are map-only; domainCap ranks via the bounded aggregate") {
     val docs = Seq((1L, "http://e.com/a")).toDF("id", "url")
     val proj = UrlCuration.withCanonicalUrl(

@@ -82,8 +82,8 @@ class WarcScanSpec extends SparkSpec {
     assert(r0.getString(6) == "application/warc-fields")
     assert(r0.getString(7) == "robots: x") // raw content as body
     // the overrunning Content-Length quarantines the tail
-    assert(rows(1).getString(8) != null &&
-      rows(1).getString(8).startsWith("WARC/1.0"))
+    assert(rows(1).getString(9) != null &&
+      rows(1).getString(9).startsWith("WARC/1.0"))
   }
 
   test("warc.gz: per-record gzip members round-trip byte-identically") {
@@ -211,7 +211,7 @@ class WarcScanSpec extends SparkSpec {
     val it = new WarcScan.WarcRecordIterator("f",
       WarcScan.gzipMemberChunks(bytes.toByteArray))
     var rows = 0
-    it.foreach { r => assert(r.getString(8) == null); rows += 1 }
+    it.foreach { r => assert(r.getString(9) == null); rows += 1 }
     assert(rows == n)
     val totalInflated = one.length.toLong * n
     assert(totalInflated > 250L * 1024 * 1024)
@@ -279,6 +279,20 @@ class WarcScanSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getString(7) == "plain café")
   }
 
+  test("redirects: a 3xx record surfaces its Location header") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_rd").toString
+    val docs = Seq(
+      (1L, "http://a.com/old", ts(1), "moved", 301, "redir"),
+      (2L, "http://a.com/two", ts(2), "fine", 200, ""))
+      .toDF("id", "url", "t", "html", "status", "flag").coalesce(1)
+    WarcScan.write(docs, "id", "url", "t", "html", "status", "flag", dir)
+    val back = WarcScan.read(spark, dir + "/*.warc")
+      .orderBy("record_id").collect()
+    assert(back(0).getAs[Int]("http_status") == 301)
+    assert(back(0).getAs[String]("location") == "http://a.com/old/next")
+    assert(back(1).getAs[String]("location") == null)
+  }
+
   test("write commits via attempt-unique temp paths — no .tmp residue") {
     val dir = java.nio.file.Files.createTempDirectory("warc_tmp").toString
     val docs = (1L to 4L).map(i =>
@@ -300,10 +314,10 @@ class WarcScanSpec extends SparkSpec {
       WarcScan.recordBytes(3L, "http://a.com/3", ts(3), "bad2", 200, "magic") ++
       WarcScan.recordBytes(4L, "http://a.com/4", ts(4), "ok2", 200, "")
     val rows = WarcScan.parseFile("f", bytes).toSeq
-    assert(rows.count(_.getString(8) == null) == 2) // records 1 and 4
-    val bad = rows.filter(_.getString(8) != null)
+    assert(rows.count(_.getString(9) == null) == 2) // records 1 and 4
+    val bad = rows.filter(_.getString(9) != null)
     assert(bad.length == 1 &&
-      bad.head.getString(8).startsWith("GARB/1.0"))
+      bad.head.getString(9).startsWith("GARB/1.0"))
   }
 
   test("empty or missing path yields the typed empty relation") {
