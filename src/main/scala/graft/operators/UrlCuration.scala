@@ -432,6 +432,60 @@ object UrlCuration {
       priority = recrawlPriority(col(tsCol), col(rateCol), asOf))
   }
 
+  /** CHANGE-RATE estimation from revisit history — the OBSERVE half
+    * of the freshness loop ([[recrawlWaves]] is the PLAN half): given
+    * the crawl's fetch history `(urlCol, tsCol, hashCol = content
+    * hash)`, estimate each page's Poisson change rate λ from how
+    * often consecutive fetches saw different content. The estimator
+    * is Cho & Garcia-Molina 2003's bias-reduced form
+    * `λ̂ = −ln((n − X + 0.5) / (n + 0.5)) / Ī` — n = revisit
+    * observations (consecutive fetch pairs), X = pairs whose hashes
+    * differ, Ī = mean revisit interval — which stays finite even when
+    * EVERY revisit saw a change (the naive `−ln(1 − X/n)` blows up at
+    * X = n, exactly the hot pages the planner most needs). Pages with
+    * fewer than `minObservations` pairs emit NULL rate (no evidence —
+    * feed [[graft.operators.Sitemaps.changefreqRate]]'s prior or a
+    * default instead of a one-sample guess).
+    *
+    * Output: `(urlCol, n_obs, n_changed, mean_interval_s,
+    * change_rate_per_day)` — one row per distinct url, ready to join
+    * the freshness relation [[recrawlWaves]] consumes.
+    *
+    * Scale shape: one keyed window (lag over ts per url — a page's
+    * OWN history is dozens of rows, so the per-key partition is tiny
+    * by construction; this is the legitimate window case, unlike
+    * per-domain ranking) + one per-url aggregate. */
+  def estimateChangeRate(fetches: DataFrame, urlCol: String,
+      tsCol: String, hashCol: String,
+      minObservations: Int = 2): DataFrame = {
+    Seq(urlCol, tsCol, hashCol).foreach(c =>
+      require(fetches.columns.contains(c), s"column $c absent"))
+    require(minObservations >= 1,
+      s"minObservations=$minObservations must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(urlCol)).orderBy(col(tsCol))
+    val paired = fetches
+      .select(col(urlCol), col(tsCol), col(hashCol))
+      .withColumn("__prev_hash", lag(col(hashCol), 1).over(w))
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev_ts").isNotNull)
+    paired
+      .groupBy(col(urlCol))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(when(col(hashCol) =!= col("__prev_hash"), 1L).otherwise(0L))
+          .as("n_changed"),
+        avg(col(tsCol).cast("double") - col("__prev_ts").cast("double"))
+          .as("mean_interval_s"))
+      .select(col(urlCol), col("n_obs"), col("n_changed"),
+        col("mean_interval_s"),
+        when(col("n_obs") >= minObservations && col("mean_interval_s") > 0,
+          -log((col("n_obs") - col("n_changed") + lit(0.5)) /
+            (col("n_obs") + lit(0.5))) /
+            col("mean_interval_s") * lit(86400.0))
+          .as("change_rate_per_day"))
+  }
+
   /** REDIRECT chain resolution — the alias structure 3xx responses
     * put on the URL space: without it every hop of a redirect chain
     * is its own dedup key / cap unit / frontier entry, and the

@@ -879,7 +879,134 @@ object UrlQueries {
       .orderBy("url")
   }
 
+  /** SITEMAP XML parsing under the hash gate
+    * ([[graft.operators.Sitemaps.parseSitemapPages]]): every doc is
+    * one fetched sitemap FILE whose XML both engines synthesize
+    * literally. Axes: a RELATIVE `<loc>` that must resolve against
+    * the sitemap's own URL, a CDATA-wrapped absolute loc (%7), a
+    * nested `<sitemap>` index entry (%2), an in-text DUPLICATE loc
+    * whose first-occurrence metadata must win (%6), an empty loc that
+    * must drop (%8), a `mailto:` loc that must screen as non-URL
+    * (%9 == 1), lastmod in both W3C shapes plus an unparsable value
+    * (%4), changefreq tokens incl. a case-fold and a bogus token
+    * (%5), and a tolerant priority cast (%3). The `rate_prior` column
+    * pins [[graft.operators.Sitemaps.ChangefreqRatePerDay]] — the
+    * oracle CASE is generated from the same Scala map. */
+  val sitemapParse: Q = (s, dir) => {
+    import graft.operators.Sitemaps
+    val id = col("doc_id")
+    val smUrl = concat(lit("http://s"), id % 10, lit(".example.com/maps/m"),
+      id, lit(".xml"))
+    val lastmod = when(id % 4 === 0, lit("<lastmod>2026-01-15</lastmod>"))
+      .when(id % 4 === 1, lit("<lastmod>2026-01-15T10:30:00Z</lastmod>"))
+      .when(id % 4 === 2, lit("<lastmod>sometime</lastmod>"))
+      .otherwise(lit(""))
+    val changefreq = when(id % 5 === 0, lit("<changefreq>daily</changefreq>"))
+      .when(id % 5 === 1, lit("<changefreq>WEEKLY</changefreq>"))
+      .when(id % 5 === 2, lit("<changefreq>bogus</changefreq>"))
+      .when(id % 5 === 3, lit("<changefreq>never</changefreq>"))
+      .otherwise(lit(""))
+    val priority = when(id % 3 === 0, lit("<priority>0.8</priority>"))
+      .when(id % 3 === 1, lit("<priority>x</priority>"))
+      .otherwise(lit(""))
+    val loc = when(id % 8 === 0, lit("<loc></loc>"))
+      .when(id % 9 === 1, lit("<loc>mailto:x@example.com</loc>"))
+      .otherwise(concat(lit("<loc>/p/"), id, lit("</loc>")))
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?>\n<urlset>\n <url> "), loc, lit("\n  "),
+      lastmod, changefreq, priority, lit(" </url>\n"),
+      // the in-text DUPLICATE: same loc (whitespace-padded), NO
+      // metadata — the all-null struct always wins the min (nulls
+      // order first), so %6 rows land with null metadata on both sides
+      when(id % 6 === 0, concat(
+        lit(" <url><loc> /p/"), id, lit(" </loc></url>\n")))
+        .otherwise(lit("")),
+      when(id % 7 === 0, concat(
+        lit(" <url><loc><![CDATA[http://cdn.example.com/abs/"), id,
+        lit("]]></loc></url>\n"))).otherwise(lit("")),
+      when(id % 2 === 0, concat(
+        lit(" <sitemap><loc>/maps/sub"), id,
+        lit(".xml</loc><lastmod>2026-02-01</lastmod></sitemap>\n")))
+        .otherwise(lit("")),
+      lit("</urlset>"))
+    val pages = Scan.table(s, dir, "documents")
+      .select(id, smUrl.as("url"), xml.as("xml"))
+    Sitemaps.parseSitemapPages(pages, "doc_id", "url", "xml")
+      .withColumn("rate_prior", Sitemaps.changefreqRate(col("changefreq")))
+      .orderBy("sitemap_url", "kind", "loc")
+  }
+
+  /** The synthetic fetch HISTORY shared by the change-rate gates:
+    * each url (doc_id % 53) is fetched once per 53 ids, hourly-spaced
+    * ids ⇒ uniform 53 h revisit intervals; content (the hash) changes
+    * every `1 + (url 53-residue) % 5` visits, so the estimated rate
+    * varies by url class. */
+  private def fetchHistory(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    Scan.table(s, dir, "documents").select(
+      concat(lit("http://f.example.com/p/"), id % 53).as("url"),
+      timestamp_seconds(lit(1767225600L) + id * 3600L).as("fetch_ts"),
+      concat(lit("h"),
+        floor(floor(id / 53) / (lit(1) + (id % 53) % 5)).cast("long"))
+        .as("content_hash"))
+  }
+
+  private val fetchHistorySql: String =
+    """SELECT 'http://f.example.com/p/' || (doc_id % 53) AS url,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + (doc_id * 3600) * INTERVAL 1 SECOND AS fetch_ts,
+         'h' || ((doc_id // 53) // (1 + (doc_id % 53) % 5)) AS content_hash
+       FROM documents"""
+
+  /** Poisson change-rate estimation from revisit history under the
+    * hash gate ([[UrlCuration.estimateChangeRate]] — the Cho &
+    * Garcia-Molina bias-reduced estimator): the oracle re-derives the
+    * consecutive-pair comparison with its own window lag and the
+    * estimator arithmetic; the all-changed class (53-residue % 5 == 0,
+    * a hash change EVERY visit) pins the `+0.5` bias terms — the
+    * naive estimator is infinite there. Rate rounded to 4 on both
+    * sides (ln is transcendental; the convention). */
+  val changeRate: Q = (s, dir) => {
+    UrlCuration.estimateChangeRate(fetchHistory(s, dir), "url",
+        "fetch_ts", "content_hash")
+      .select(col("url"), col("n_obs"), col("n_changed"),
+        col("mean_interval_s"),
+        round(col("change_rate_per_day"), 4).as("change_rate_per_day"))
+      .orderBy("url")
+  }
+
+  /** The freshness loop CLOSED under one hash gate: revisit history →
+    * [[UrlCuration.estimateChangeRate]] → per-url freshness relation
+    * (last fetch time + estimated rate, sparse-history urls falling
+    * back to a fixed prior) → [[UrlCuration.recrawlWaves]] — the
+    * observe→estimate→plan cycle a production crawler runs. The
+    * oracle re-derives ALL THREE stages in one statement; a drift at
+    * either seam (the estimate feeding the priority, the max-ts
+    * feeding the age) reorders a wave and fails the hash. */
+  val recrawlEstimated: Q = (s, dir) => {
+    val hist = fetchHistory(s, dir).pinScratch()
+    val rates = UrlCuration.estimateChangeRate(hist, "url", "fetch_ts",
+      "content_hash")
+    val fresh = hist.groupBy(col("url"))
+      .agg(max(col("fetch_ts")).as("last_fetch_ts"))
+      .join(rates.select(col("url"), col("change_rate_per_day")),
+        Seq("url"), "left")
+      .select(col("url"), col("last_fetch_ts"),
+        coalesce(col("change_rate_per_day"), lit(0.25)).as("change_rate"))
+    val robots = s.range(0, 1).select(
+      lit("f.example.com").as("rb_domain"),
+      lit("User-agent: *\nCrawl-delay: 3").as("robots_txt"))
+    UrlCuration.recrawlWaves(fresh, "url", "last_fetch_ts", "change_rate",
+        asOf = timestamp_seconds(lit(1767225600L + 3600L * 24 * 30)),
+        robots = robots, domainCol = "rb_domain", robotsCol = "robots_txt",
+        waveSeconds = 30.0, maxWaves = 3)
+      .orderBy("url")
+  }
+
   val queries: Map[String, Q] = ListMap(
+    "q_sitemap_parse" -> sitemapParse,
+    "q_change_rate" -> changeRate,
+    "q_recrawl_estimated" -> recrawlEstimated,
     "q_redirect_resolve" -> redirectResolve,
     "q_url_canonical" -> urlCanonical,
     "q_url_dedup" -> urlDedup,
@@ -894,7 +1021,110 @@ object UrlQueries {
     "q_crawl_cycle" -> crawlCycle,
     "q_crawl_recrawl" -> crawlRecrawl)
 
+  /** The window-lag + estimator CTE chain shared by the change-rate
+    * gates (over a CTE named `f(url, fetch_ts, content_hash)`). */
+  private def changeRateCtes: String =
+    """cr_p AS (SELECT url, fetch_ts, content_hash,
+          LAG(content_hash) OVER (PARTITION BY url ORDER BY fetch_ts)
+            AS ph,
+          LAG(fetch_ts) OVER (PARTITION BY url ORDER BY fetch_ts) AS pt
+        FROM f),
+       cr_a AS (SELECT url,
+          COUNT(*) AS n_obs,
+          CAST(SUM(CASE WHEN content_hash <> ph THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+          AVG(EPOCH(fetch_ts) - EPOCH(pt)) AS mean_interval_s
+        FROM cr_p WHERE pt IS NOT NULL GROUP BY url),
+       cr_r AS (SELECT *,
+          CASE WHEN n_obs >= 2 AND mean_interval_s > 0 THEN
+            -LN((n_obs - n_changed + 0.5) / (n_obs + 0.5))
+              / mean_interval_s * 86400.0 END AS est
+        FROM cr_a)"""
+
   val oracles: Map[String, String] = ListMap(
+    // the sitemap parse re-derived from CONSTRUCTION (the redirect
+    // oracle's posture — the fixture locs are canonical and the
+    // resolution targets are spelled directly; Spark must PARSE its
+    // way to the same values): entry presence mirrors the loc axes'
+    // precedence, the %6 dup collapses metadata to NULL (the all-null
+    // struct wins the min — nulls order first on both sides), and the
+    // rate_prior CASE is GENERATED from the one Scala map
+    "q_sitemap_parse" -> {
+      val rateCase = graft.operators.Sitemaps.ChangefreqRatePerDay.toSeq
+        .sortBy(_._1)
+        .map { case (t, r) => s"WHEN changefreq = '$t' THEN $r" }
+        .mkString(" ")
+      s"""WITH e AS (
+            SELECT 'http://s' || (doc_id % 10) || '.example.com/maps/m'
+                || doc_id || '.xml' AS sitemap_url,
+              'url' AS kind,
+              'http://s' || (doc_id % 10) || '.example.com/p/' || doc_id
+                AS loc,
+              CASE WHEN doc_id % 6 = 0 THEN NULL
+                   WHEN doc_id % 4 = 0 THEN TIMESTAMP '2026-01-15'
+                   WHEN doc_id % 4 = 1
+                     THEN TIMESTAMP '2026-01-15 10:30:00'
+                   ELSE NULL END AS lastmod,
+              CASE WHEN doc_id % 6 = 0 THEN NULL
+                   WHEN doc_id % 5 = 0 THEN 'daily'
+                   WHEN doc_id % 5 = 1 THEN 'weekly'
+                   WHEN doc_id % 5 = 3 THEN 'never'
+                   ELSE NULL END AS changefreq,
+              CASE WHEN doc_id % 6 = 0 THEN NULL
+                   WHEN doc_id % 3 = 0 THEN 0.8 ELSE NULL END AS priority
+            FROM documents
+            WHERE (doc_id % 8 <> 0 AND doc_id % 9 <> 1) OR doc_id % 6 = 0
+            UNION ALL
+            SELECT 'http://s' || (doc_id % 10) || '.example.com/maps/m'
+                || doc_id || '.xml',
+              'url', 'http://cdn.example.com/abs/' || doc_id,
+              NULL, NULL, NULL
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'http://s' || (doc_id % 10) || '.example.com/maps/m'
+                || doc_id || '.xml',
+              'sitemap', 'http://s' || (doc_id % 10)
+                || '.example.com/maps/sub' || doc_id || '.xml',
+              TIMESTAMP '2026-02-01', NULL, NULL
+            FROM documents WHERE doc_id % 2 = 0)
+          SELECT sitemap_url, kind, loc, lastmod, changefreq,
+            CAST(priority AS DOUBLE) AS priority,
+            CAST(CASE $rateCase END AS DOUBLE) AS rate_prior
+          FROM e ORDER BY sitemap_url, kind, loc"""
+    },
+    // the estimator re-derived: the oracle's own window lag pairs
+    // consecutive fetches, the bias-reduced arithmetic is re-spelled,
+    // the rate rounds to 4 on both sides (LN is transcendental)
+    "q_change_rate" ->
+      s"""WITH f AS ($fetchHistorySql),
+          $changeRateCtes
+          SELECT url, n_obs, n_changed, mean_interval_s,
+            ROUND(est, 4) AS change_rate_per_day
+          FROM cr_r ORDER BY url""",
+    // the freshness loop re-derived in ONE statement: history →
+    // estimator → (last fetch, rate-with-prior) → staleness priority
+    // → the wave arithmetic (delay 3 declared → 10 slots/wave,
+    // 3-wave horizon, single host)
+    "q_recrawl_estimated" ->
+      s"""WITH f AS ($fetchHistorySql),
+          $changeRateCtes,
+          fresh AS (SELECT url, MAX(EPOCH(fetch_ts)) AS last_s
+            FROM f GROUP BY url),
+          fr AS (SELECT fresh.url,
+              COALESCE(cr_r.est, 0.25) AS rate, fresh.last_s
+            FROM fresh LEFT JOIN cr_r ON cr_r.url = fresh.url),
+          pri AS (SELECT url,
+              1.0 - exp(-rate * ((1769817600 - last_s) / 86400.0)) AS p
+            FROM fr),
+          rk AS (SELECT url,
+              ROW_NUMBER() OVER (ORDER BY p DESC, url) - 1 AS rk0
+            FROM pri)
+          SELECT url, 'f.example.com' AS domain,
+            CAST(rk0 // 10 AS INTEGER) + 1 AS wave,
+            CAST(rk0 % 10 AS INTEGER) + 1 AS wave_slot,
+            CAST(3.0 AS DOUBLE) AS delay_s
+          FROM rk WHERE rk0 // 10 < 3
+          ORDER BY url""",
     // the redirect walk re-derived STEPWISE: the same edge relation
     // (3xx + non-self Location, root-relative resolution spelled as
     // its target), a recursive CTE stepping one hop at a time bounded

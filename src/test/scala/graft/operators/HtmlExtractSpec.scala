@@ -45,12 +45,13 @@ class HtmlExtractSpec extends SparkSpec {
       "a&#2;b &#xD800; &#x110000; &#x123456789;")
     // decoded tab/newline participate in step-4 whitespace collapse
     assert(strip("a&#9;b&#10;c") == "a b\nc")
-    // the common named table decodes; unknown names and unterminated
-    // references stay literal (the documented cutoff)
+    // the common named table decodes; unknown names stay literal;
+    // the legacy semicolon-free subset decodes in text context (r20 —
+    // `&amp` → `&`, and the legacy prefix fires inside `&ampx`)
     assert(strip("&eacute;t&eacute; &mdash; &copy; &euro;5 &rsquo;") ==
       "été — © €5 ’")
     assert(strip("&unknown; &amp &ampx; &Frac12;") ==
-      "&unknown; &amp &ampx; &Frac12;")
+      "&unknown; & &x; &Frac12;")
   }
 
   test("strip: whitespace normal form") {
