@@ -1003,8 +1003,92 @@ object UrlQueries {
       .orderBy("url")
   }
 
+  /** Redirect-AWARE page dedup under the hash gate — the reason
+    * [[UrlCuration.resolveRedirects]] exists: a page whose address
+    * MOVED between crawl rounds leaves content rows at BOTH addresses
+    * (round 1 fetched `/old/k`; round 2 found `/old/k` 301-ing and
+    * fetched the content at `/new/k`), and plain canonical-URL dedup
+    * can never merge them. The fixture interleaves round-1 content at
+    * `/old/<id%40>` (%3 == 0), this round's 301 re-fetches of those
+    * addresses (%3 == 1, root-relative Locations into `/new/<id%40>`)
+    * and the moved content at `/new/<id%40>` (%3 == 2); dedup keys on
+    * `final_url` keep-smallest-id, so the old-address and new-address
+    * copies collapse to one winner per target. The oracle re-derives
+    * the alias fold and the re-rank from construction. */
+  val redirectDedup: Q = (s, dir) => {
+    val id = col("doc_id")
+    val m = id % 3
+    val url = when(m === 2, concat(lit("http://rd.example.com/new/"), id % 40))
+      .otherwise(concat(lit("http://rd.example.com/old/"), id % 40))
+    val pages = Scan.table(s, dir, "documents").select(
+      id, url.as("url"),
+      when(m === 1, lit(301)).otherwise(lit(200)).as("http_status"),
+      when(m === 1, concat(lit("/new/"), id % 40))
+        .otherwise(lit(null).cast("string")).as("location"))
+    val resolved = UrlCuration.resolveRedirects(pages, "url",
+        "http_status", "location", maxHops = 4)
+      // the map is per-ADDRESS (final_url is functional in url);
+      // re-fetched addresses duplicate rows, so key it down first
+      .select(col("url"), col("final_url")).distinct()
+    val winners = pages.filter(col("http_status") === 200)
+      .join(resolved, Seq("url"))
+      .groupBy(col("final_url"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    winners.select(col("doc_id"), col("final_url")).orderBy("doc_id")
+  }
+
+  /** Revisit-outcome folding under the hash gate
+    * ([[graft.operators.Revisit.applyRevisitOutcomes]]): a page
+    * snapshot seeded from the corpus, then ONE wave of revisit
+    * outcomes folded in — `%5` axes cover every class (200 replaces
+    * body+ts, 304 carries content forward and advances ts ONLY, 301
+    * and 404 delete, 503 is transient and leaves the row untouched),
+    * plus a 200 INSERT for a never-held URL (%7) and a 304 for a
+    * ghost URL that must DROP (%11 — nothing to carry). Rerun-stable:
+    * the folded snapshot re-accepts the same wave as a fixed point
+    * (and the commit tag short-circuits replays outright). The oracle
+    * re-derives the final snapshot state per class. */
+  val revisitMerge: Q = (s, dir) => {
+    import graft.operators.{Revisit, SnapshotMerge}
+    val id = col("doc_id")
+    val path = SnapshotPaths.dirFor("revisit_snapshot", dir, s)
+    val docs = Scan.table(s, dir, "documents")
+    if (!SnapshotMerge.exists(s, path))
+      SnapshotMerge.upsert(
+        docs.select(
+          concat(lit("http://v.example.com/p/"), id).as("url"),
+          col("text").as("body"),
+          timestamp_seconds(lit(1767225600L) + id).as("last_fetch_ts")),
+        Seq("url"), path)
+    val revisits = docs.select(
+        concat(lit("http://v.example.com/p/"), id).as("url"),
+        timestamp_seconds(lit(1767325600L) + id).as("fetch_ts"),
+        when(id % 5 === 0, lit(200)).when(id % 5 === 1, lit(304))
+          .when(id % 5 === 2, lit(301)).when(id % 5 === 3, lit(404))
+          .otherwise(lit(503)).as("http_status"),
+        when(id % 5 === 0, concat(lit("v2: "), col("text")))
+          .otherwise(lit(null).cast("string")).as("body"))
+      .unionByName(docs.filter(id % 7 === 0).select(
+        concat(lit("http://v.example.com/extra/"), id).as("url"),
+        timestamp_seconds(lit(1767325600L) + id).as("fetch_ts"),
+        lit(200).as("http_status"),
+        concat(lit("extra "), id).as("body")))
+      .unionByName(docs.filter(id % 11 === 0).select(
+        concat(lit("http://v.example.com/ghost/"), id).as("url"),
+        timestamp_seconds(lit(1767325600L) + id).as("fetch_ts"),
+        lit(304).as("http_status"),
+        lit(null).cast("string").as("body")))
+    Revisit.applyRevisitOutcomes(s, path, revisits, "url", "fetch_ts",
+      "http_status", "body", commitTag = Some("revisit_wave_1"))
+    SnapshotMerge.read(s, path)
+      .select("url", "body", "last_fetch_ts")
+      .orderBy("url")
+  }
+
   val queries: Map[String, Q] = ListMap(
     "q_sitemap_parse" -> sitemapParse,
+    "q_redirect_dedup" -> redirectDedup,
+    "q_revisit_merge" -> revisitMerge,
     "q_change_rate" -> changeRate,
     "q_recrawl_estimated" -> recrawlEstimated,
     "q_redirect_resolve" -> redirectResolve,
@@ -1092,6 +1176,46 @@ object UrlQueries {
             CAST(CASE $rateCase END AS DOUBLE) AS rate_prior
           FROM e ORDER BY sitemap_url, kind, loc"""
     },
+    // the folded snapshot re-derived per outcome class: 200 replaces
+    // body and ts, 304 keeps the body and advances ts, 301/404 rows
+    // vanish, 503 rows keep their pre-wave state, the %7 inserts
+    // appear, the ghost 304s never materialize
+    "q_revisit_merge" ->
+      s"""WITH p AS (SELECT doc_id, text, (doc_id % 5) AS m
+            FROM documents),
+          kept AS (
+            SELECT 'http://v.example.com/p/' || doc_id AS url,
+              CASE WHEN m = 0 THEN 'v2: ' || text ELSE text END AS body,
+              CASE WHEN m IN (0, 1)
+                THEN TIMESTAMP '2026-01-01 00:00:00'
+                  + (100000 + doc_id) * INTERVAL 1 SECOND
+                ELSE TIMESTAMP '2026-01-01 00:00:00'
+                  + doc_id * INTERVAL 1 SECOND END AS last_fetch_ts
+            FROM p WHERE m NOT IN (2, 3)
+            UNION ALL
+            SELECT 'http://v.example.com/extra/' || doc_id,
+              'extra ' || doc_id,
+              TIMESTAMP '2026-01-01 00:00:00'
+                + (100000 + doc_id) * INTERVAL 1 SECOND
+            FROM p WHERE doc_id % 7 = 0)
+          SELECT url, body, last_fetch_ts FROM kept ORDER BY url""",
+    // the moved-page collapse re-derived from construction: the edge
+    // set is the %3==1 re-fetches' (old → new) pairs; old-address
+    // content rows map through it when their k has an edge, new-
+    // address rows map to themselves; keep-smallest-id per final
+    "q_redirect_dedup" ->
+      s"""WITH e AS (SELECT DISTINCT (doc_id % 40) AS k
+            FROM documents WHERE doc_id % 3 = 1),
+          c AS (SELECT doc_id, (doc_id % 40) AS k, (doc_id % 3) AS m
+            FROM documents WHERE doc_id % 3 <> 1),
+          f AS (SELECT doc_id,
+              CASE WHEN m = 0 AND k IN (SELECT k FROM e)
+                     THEN 'http://rd.example.com/new/' || k
+                   WHEN m = 0 THEN 'http://rd.example.com/old/' || k
+                   ELSE 'http://rd.example.com/new/' || k END AS final_url
+            FROM c)
+          SELECT MIN(doc_id) AS doc_id, final_url
+          FROM f GROUP BY final_url ORDER BY doc_id""",
     // the estimator re-derived: the oracle's own window lag pairs
     // consecutive fetches, the bias-reduced arithmetic is re-spelled,
     // the rate rounds to 4 on both sides (LN is transcendental)
