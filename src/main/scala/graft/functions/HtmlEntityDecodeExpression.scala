@@ -45,10 +45,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - numeric: decoded iff the codepoint is tab/LF/CR or ≥ U+0020,
   *     ≤ U+10FFFF and not a surrogate — otherwise the reference stays
   *     LITERAL (C0 controls would collide with the extractor's U+0001
-  *     paragraph sentinel and DuckDB's `chr` rejects them);
-  *   - hex references longer than 7 digits and decimal references
-  *     that overflow stay literal (both out of Unicode range anyway);
-  *   - unterminated references (`&amp` without `;`) stay literal.
+  *     paragraph sentinel and DuckDB's `chr` rejects them); the `;`
+  *     is OPTIONAL in text context (r20 — HTML5 decodes `&#65` with a
+  *     missing-semicolon parse error), consumed when present;
+  *   - hex runs cap at 7 digits and overflowing decimals stay literal
+  *     (both out of Unicode range anyway);
+  *   - unterminated NON-legacy named references stay literal.
   *
   * Scale shape: per-row, no shuffle, codegen'd via a static call; the
   * common no-`&` row is a single byte scan returning the input
@@ -152,13 +154,13 @@ object HtmlEntityDecode {
     if (hex) j += 1
     val digits0 = j
     var cp = 0L
-    var overflow = false
     if (hex) {
-      while (j < n && hexVal(str.charAt(j)) >= 0) {
-        // >7 hex digits: out of Unicode range by construction — the
-        // oracle's {1,7} pattern stops matching, so must we
-        if (j - digits0 >= 7) overflow = true
-        else cp = cp * 16 + hexVal(str.charAt(j))
+      // the consumed run caps at 7 hex digits, mirroring the oracle's
+      // {1,7} pattern — an 8th digit stays OUTSIDE the reference (the
+      // 7-digit head is out of Unicode range anyway, so both sides
+      // reconstruct it literally and the tail rides as plain text)
+      while (j < n && j - digits0 < 7 && hexVal(str.charAt(j)) >= 0) {
+        cp = cp * 16 + hexVal(str.charAt(j))
         j += 1
       }
     } else {
@@ -168,13 +170,16 @@ object HtmlEntityDecode {
         j += 1
       }
     }
-    if (j == digits0 || j >= n || str.charAt(j) != ';') return at
-    if (overflow) return at // no regex match oracle-side → fully literal
+    if (j == digits0) return at // `&#` / `&#x` with no digits: literal
+    // HTML5 text context: a numeric reference decodes with OR without
+    // its `;` (missing-semicolon parse error, but it decodes — r20;
+    // the `;` is consumed when present)
+    val end = if (j < n && str.charAt(j) == ';') j + 1 else j
     val ok = cp == 9 || cp == 10 || cp == 13 ||
       (cp >= 0x20 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
     if (ok) out.appendCodePoint(cp.toInt)
-    else out.append(str, at, j + 1) // well-formed but disallowed: literal
-    j + 1
+    else out.append(str, at, end) // well-formed but disallowed: literal
+    end
   }
 
   private def hexVal(c: Char): Int =
@@ -297,13 +302,15 @@ object HtmlEntityDecode {
   private val LegacyMinLen: Int = LegacyNames.map(_.length).min
 
   /** The COMPLETE reference-body alternation for the oracle — every
-    * full name WITH its `;`, the numeric arms WITH theirs, and the
-    * legacy names bare, longest-first so the full form always
-    * outranks its own legacy prefix (`amp;` before `amp`); the
-    * matched group therefore carries the `;` exactly when the
-    * reference did. */
+    * full name WITH its `;`, the legacy names bare, and the numeric
+    * arms in BOTH forms (HTML5 text context decodes numerics without
+    * the `;` too — r20; the `;`-terminated arms come first so the
+    * semicolon is consumed when present), longest-first so the full
+    * form always outranks its own legacy prefix (`amp;` before
+    * `amp`); the matched group therefore carries the `;` exactly
+    * when the reference did. */
   def referenceAlternation: String =
     (Named.map(_._1 + ";") ++ LegacyNames)
       .sortBy(n => (-n.length, n)).mkString("|") +
-      "|#[0-9]+;|#[xX][0-9A-Fa-f]{1,7};"
+      "|#[0-9]+;|#[xX][0-9A-Fa-f]{1,7};|#[0-9]+|#[xX][0-9A-Fa-f]{1,7}"
 }

@@ -51,8 +51,11 @@ object HtmlQueries {
       // legacy semicolon-free axis: bare legacy names decode (&amp,
       // &copy), a legacy prefix wins inside a longer non-name run
       // (&ampx → &x, &timesbar → ×bar, &notit; → ¬it;), non-legacy
-      // spellings stay literal (&Yuml — Ÿ was never Latin-1)
-      "legacy &amp x &copy&ampx &GT&LT2 &timesbar &Yuml &notit; end</p>"),
+      // spellings stay literal (&Yuml — Ÿ was never Latin-1); numeric
+      // references decode without their ; too (&#65y → Ay,
+      // &#xE9z → éz), while digit-less and disallowed ones stay put
+      "legacy &amp x &copy&ampx &GT&LT2 &timesbar &Yuml &notit; " +
+      "num &#65y &#xE9z &#x6a &#2x &# &#x end</p>"),
     lit("<div>See <a href=\"/d/"), id, lit("\">doc "), id,
     lit("</a> plus enough trailing words to pass</div>"),
     lit("<ul><li><a href=\"/t/1\">One</a></li><li><a href=\"/t/2\">Two</a></li></ul>"),
@@ -79,7 +82,8 @@ object HtmlQueries {
        'A&amp;#65; bad&#2;ref &#xD800; &eacute; and &amp;lt;escaped&amp;gt; ' ||
        'long-tail &alpha;&hellip;&mdash;&NotEqualTilde;&fjlig; ' ||
        'not-a-ref &Amp; &nosuch; &CounterClockwiseContourIntegral; ' ||
-       'legacy &amp x &copy&ampx &GT&LT2 &timesbar &Yuml &notit; end</p>' ||
+       'legacy &amp x &copy&ampx &GT&LT2 &timesbar &Yuml &notit; ' ||
+       'num &#65y &#xE9z &#x6a &#2x &# &#x end</p>' ||
        '<div>See <a href="/d/' || doc_id || '">doc ' || doc_id ||
        '</a> plus enough trailing words to pass</div>' ||
        '<ul><li><a href="/t/1">One</a></li><li><a href="/t/2">Two</a></li></ul>' ||

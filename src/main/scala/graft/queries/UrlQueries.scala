@@ -1085,10 +1085,66 @@ object UrlQueries {
       .orderBy("url")
   }
 
+  /** The STEADY-STATE crawl maintenance cycle COMPOSED under one hash
+    * gate — the r20 pieces chained the way a resident crawler runs
+    * them: the fetch HISTORY feeds the change-rate estimator; the
+    * page SNAPSHOT (seeded from the history's last state) absorbs one
+    * revisit wave through [[graft.operators.Revisit]] (`%5` outcome
+    * classes — 200/304 advance fetch times, 301/404 delete, 503
+    * leaves the pre-wave state); and the NEXT plan
+    * ([[UrlCuration.recrawlWaves]]) is drawn from the FOLDED
+    * snapshot — so deleted pages must vanish from the plan, refreshed
+    * pages must plan with their post-wave ages, and untouched pages
+    * with their pre-wave ones. What only the composition catches:
+    * the fold's timestamps feeding the staleness ages, and the
+    * survivor set feeding the wave ranks — a drift at either seam
+    * reorders a wave and fails the hash. */
+  val crawlMaintain: Q = (s, dir) => {
+    import graft.operators.{Revisit, SnapshotMerge}
+    val hist = fetchHistory(s, dir).pinScratch()
+    val path = SnapshotPaths.dirFor("crawl_maintain_snapshot", dir, s)
+    if (!SnapshotMerge.exists(s, path))
+      SnapshotMerge.upsert(
+        hist.groupBy(col("url"))
+          .agg(max(col("fetch_ts")).as("last_fetch_ts"))
+          .select(col("url"),
+            concat(lit("page "), col("url")).as("body"),
+            col("last_fetch_ts")),
+        Seq("url"), path)
+    val k = regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long")
+    val wave = hist.select(col("url")).distinct().select(
+      col("url"),
+      timestamp_seconds(lit(1768225600L) + k).as("fetch_ts"),
+      when(k % 5 === 0, lit(200)).when(k % 5 === 1, lit(304))
+        .when(k % 5 === 2, lit(301)).when(k % 5 === 3, lit(404))
+        .otherwise(lit(503)).as("http_status"),
+      when(k % 5 === 0, concat(lit("vnew "), k))
+        .otherwise(lit(null).cast("string")).as("body"))
+    Revisit.applyRevisitOutcomes(s, path, wave, "url", "fetch_ts",
+      "http_status", "body", commitTag = Some("maintain_wave_1"))
+    val rates = UrlCuration.estimateChangeRate(hist, "url", "fetch_ts",
+      "content_hash")
+    val fresh = SnapshotMerge.read(s, path)
+      .select(col("url"), col("last_fetch_ts"))
+      .join(rates.select(col("url"), col("change_rate_per_day")),
+        Seq("url"), "left")
+      .select(col("url"), col("last_fetch_ts"),
+        coalesce(col("change_rate_per_day"), lit(0.25)).as("change_rate"))
+    val robots = s.range(0, 1).select(
+      lit("f.example.com").as("rb_domain"),
+      lit("User-agent: *\nCrawl-delay: 3").as("robots_txt"))
+    UrlCuration.recrawlWaves(fresh, "url", "last_fetch_ts", "change_rate",
+        asOf = timestamp_seconds(lit(1769225600L)),
+        robots = robots, domainCol = "rb_domain", robotsCol = "robots_txt",
+        waveSeconds = 30.0, maxWaves = 3)
+      .orderBy("url")
+  }
+
   val queries: Map[String, Q] = ListMap(
     "q_sitemap_parse" -> sitemapParse,
     "q_redirect_dedup" -> redirectDedup,
     "q_revisit_merge" -> revisitMerge,
+    "q_crawl_maintain" -> crawlMaintain,
     "q_change_rate" -> changeRate,
     "q_recrawl_estimated" -> recrawlEstimated,
     "q_redirect_resolve" -> redirectResolve,
@@ -1199,6 +1255,37 @@ object UrlQueries {
                 + (100000 + doc_id) * INTERVAL 1 SECOND
             FROM p WHERE doc_id % 7 = 0)
           SELECT url, body, last_fetch_ts FROM kept ORDER BY url""",
+    // the maintenance cycle re-derived in ONE statement: the history's
+    // estimator chain, the folded snapshot's per-class fetch times
+    // (200/304 advance to the wave's clock, 503 keeps the history's
+    // last fetch, 301/404 rows leave the plan), the staleness
+    // priorities over the POST-fold ages, and the wave arithmetic
+    "q_crawl_maintain" ->
+      s"""WITH f AS ($fetchHistorySql),
+          $changeRateCtes,
+          last AS (SELECT url, MAX(EPOCH(fetch_ts)) AS last0,
+              TRY_CAST(regexp_extract(url, '/p/([0-9]+)$$', 1) AS BIGINT)
+                AS k
+            FROM f GROUP BY url),
+          folded AS (SELECT url, k,
+              CASE WHEN k % 5 IN (0, 1) THEN 1768225600 + k
+                   ELSE last0 END AS last_s
+            FROM last WHERE k % 5 NOT IN (2, 3)),
+          fr AS (SELECT folded.url,
+              COALESCE(cr_r.est, 0.25) AS rate, folded.last_s
+            FROM folded LEFT JOIN cr_r ON cr_r.url = folded.url),
+          pri AS (SELECT url,
+              1.0 - exp(-rate * ((1769225600 - last_s) / 86400.0)) AS p
+            FROM fr),
+          rk AS (SELECT url,
+              ROW_NUMBER() OVER (ORDER BY p DESC, url) - 1 AS rk0
+            FROM pri)
+          SELECT url, 'f.example.com' AS domain,
+            CAST(rk0 // 10 AS INTEGER) + 1 AS wave,
+            CAST(rk0 % 10 AS INTEGER) + 1 AS wave_slot,
+            CAST(3.0 AS DOUBLE) AS delay_s
+          FROM rk WHERE rk0 // 10 < 3
+          ORDER BY url""",
     // the moved-page collapse re-derived from construction: the edge
     // set is the %3==1 re-fetches' (old → new) pairs; old-address
     // content rows map through it when their k has an edge, new-

@@ -66,6 +66,21 @@ class HtmlEntityTableSpec extends SparkSpec {
     }
   }
 
+  test("numeric references decode without their semicolon in text context") {
+    assert(dec("&#65y") == "Ay")
+    assert(dec("&#xE9z") == "éz")
+    assert(dec("&#x6a") == "j")
+    assert(dec("A&#66") == "AB") // end of string
+    // digit-less and disallowed forms stay literal (text-identical)
+    assert(dec("&# &#x &#2x &#xD800y") == "&# &#x &#2x &#xD800y")
+    // the 7-hex-digit cap: the head reconstructs literally, the tail
+    // rides as plain text — same final string as full-literal
+    assert(dec("&#x123456789;") == "&#x123456789;")
+    assert(dec("&#x123456789") == "&#x123456789")
+    // single pass still holds: the decoded '&' never re-scans
+    assert(dec("&#38lt;") == "&lt;")
+  }
+
   test("malformed or truncated tables fail LOUDLY") {
     def bigTable(extra: String = ""): String =
       (1 to 2100).map(i => f"n$i%04d\t41").mkString("\n") +
