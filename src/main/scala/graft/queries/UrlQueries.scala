@@ -937,15 +937,20 @@ object UrlQueries {
   }
 
   /** The synthetic fetch HISTORY shared by the change-rate gates:
-    * each url (doc_id % 53) is fetched once per 53 ids, hourly-spaced
-    * ids ⇒ uniform 53 h revisit intervals; content (the hash) changes
-    * every `1 + (url 53-residue) % 5` visits, so the estimated rate
-    * varies by url class. */
+    * each url (doc_id % 53) is fetched once per 53 ids, MINUTE-spaced
+    * ids ⇒ uniform 53 min revisit intervals; content (the hash)
+    * changes every `1 + (url 53-residue) % 5` visits, so the
+    * estimated rate varies by url class. Minute spacing (not hours)
+    * keeps the WHOLE history strictly before every downstream `asOf`
+    * at any tested scale factor (up to ~43k docs) — an hourly history
+    * at sf0.1's 5 000 docs ran PAST the asOf, and the operator's
+    * `greatest(age, 0)` clamp diverged from the unclamped oracle
+    * (caught by the sf0.1 spot-validation). */
   private def fetchHistory(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     Scan.table(s, dir, "documents").select(
       concat(lit("http://f.example.com/p/"), id % 53).as("url"),
-      timestamp_seconds(lit(1767225600L) + id * 3600L).as("fetch_ts"),
+      timestamp_seconds(lit(1767225600L) + id * 60L).as("fetch_ts"),
       concat(lit("h"),
         floor(floor(id / 53) / (lit(1) + (id % 53) % 5)).cast("long"))
         .as("content_hash"))
@@ -954,7 +959,7 @@ object UrlQueries {
   private val fetchHistorySql: String =
     """SELECT 'http://f.example.com/p/' || (doc_id % 53) AS url,
          TIMESTAMP '2026-01-01 00:00:00'
-           + (doc_id * 3600) * INTERVAL 1 SECOND AS fetch_ts,
+           + (doc_id * 60) * INTERVAL 1 SECOND AS fetch_ts,
          'h' || ((doc_id // 53) // (1 + (doc_id % 53) % 5)) AS content_hash
        FROM documents"""
 
