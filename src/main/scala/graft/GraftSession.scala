@@ -77,6 +77,34 @@ object GraftSession {
     byBytes.min(BigInt(6L * cores)).max(BigInt(cores)).toInt
   }
 
+  /** Round-robin-spread a SMALL input before an expensive map stage
+    * (explode + per-feature hashing, heavyweight regex/BPE projections)
+    * — guide §2.5's "input skew: one unsplittable file → repartition
+    * immediately after the read". A scan of a file smaller than
+    * `cores × maxPartitionBytes` yields fewer splits than cores, so an
+    * explode- or regex-amplified map stage runs on a handful of tasks
+    * (measured: the DSIR LM fit and the QC scoring pass each ran as ONE
+    * task over the single-split documents scan — seconds of serial
+    * compute with 31 idle cores). Spreading costs one exchange of the
+    * SMALL input, bounded by the same threshold that triggers it.
+    *
+    * No-op when the plan's estimated size already fills every core's
+    * scan split (at scale the scan is parallel by itself; round-robin
+    * repartitioning a 100 TB corpus would be the bug, not the fix).
+    * Decision reads ONLY `optimizedPlan.stats` — never schedules a job
+    * (the [[partitionsForPlan]] posture). Result-safe for the keyed
+    * aggregates/joins downstream of every call site: round-robin
+    * placement changes which task holds a row, never the row set. */
+  def spreadSmallInput(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    val maxPart = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(maxPart) * cores)
+      df.repartition(cores)
+    else df
+  }
+
   /** Conf key selecting the scratch strategy for [[pin]]: unset (the
     * default) pins with `localCheckpoint(eager = true)` — executor
     * block storage, the fastest choice in local mode and on healthy

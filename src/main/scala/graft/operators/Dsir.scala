@@ -40,7 +40,12 @@ object Dsir {
     * text relation: one `(…, bucket)` row per feature occurrence. */
   private def featureRows(df: DataFrame, textCol: String, buckets: Int,
       salt: String, keep: Seq[String]): DataFrame =
-    df.select(keep.map(col) :+
+    // spread-small seam (guide §2.5): the explode + per-feature md5 is
+    // the expensive map stage of every DSIR pass; over a sub-split-size
+    // input it would otherwise run as ONE task (measured: the sf0.1 LM
+    // fit = one 5-6 s task, 31 cores idle). No-op at scale.
+    graft.GraftSession.spreadSmallInput(df)
+      .select(keep.map(col) :+
         explode(concat(word_ngrams(col(textCol), 1),
           word_ngrams(col(textCol), 2))).as("__f"): _*)
       .select(keep.map(col) :+
@@ -56,6 +61,35 @@ object Dsir {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
     featureRows(docs, textCol, buckets, salt, Seq.empty)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  /** BOTH hashed-LM fits in ONE corpus pass, for the standard DSIR
+    * shape where the target slice IS a predicate over the raw corpus
+    * (Xie et al.'s trusted-slice setup: target = `raw WHERE pred`).
+    * Two independent [[fitHashedLm]] calls tokenize + md5-hash the
+    * same corpus twice; this computes one conditional aggregate —
+    * `n` over all rows, `n` over pred-true rows — so the counts are
+    * bit-identical to the two-pass spelling (integer counts, and
+    * `count(when(pred, 1))` matches `filter(pred)` null semantics)
+    * at half the corpus work. The fused relation is pinned
+    * (bucket-bounded, ≤ `buckets` rows) so its four consumers in
+    * [[importanceLogRatio]] — two broadcast joins, two totals — read
+    * materialized rows instead of re-running the corpus pass.
+    * @return (targetLm, rawLm) for the `targetLm`/`rawLm` seams. */
+  def fitHashedLmPair(raw: DataFrame, rawTextCol: String,
+      targetPred: org.apache.spark.sql.Column, buckets: Int = 4096,
+      salt: String = "dsir"): (DataFrame, DataFrame) = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    import graft.GraftSession.Pinnable
+    val fused = featureRows(raw.withColumn("__is_target", targetPred),
+        rawTextCol, buckets, salt, Seq("__is_target"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__is_target"), lit(1))).as("__tn"))
+      .pinScratch()
+    (fused.filter(col("__tn") > 0)
+       .select(col("bucket"), col("__tn").as("n")),
+     fused.select(col("bucket"), col("n")))
   }
 
   /** Per-document importance: the MEAN per-feature log-likelihood
@@ -79,13 +113,32 @@ object Dsir {
       rawLm: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
     require(alpha > 0, s"alpha=$alpha must be positive (Laplace floor)")
+    // fit-once: an internally-fit LM is pinned (≤ buckets rows) so its
+    // TWO consumers — the broadcast join and the totals aggregate —
+    // read the materialized relation instead of each re-running the
+    // whole corpus tokenize+hash pass (measured: 2× the corpus work
+    // per LM without the pin). Caller-supplied LMs are left alone —
+    // the fit-once/score-many seam owns their materialization.
+    import graft.GraftSession.Pinnable
     val tCounts = targetLm.getOrElse(
-      fitHashedLm(target, targetTextCol, buckets, salt))
-    val rCounts = rawLm.getOrElse(fitHashedLm(raw, rawTextCol, buckets, salt))
-    val tTot = tCounts.agg(sum(col("n")).cast("double").as("__t_total"))
-    val rTot = rCounts.agg(sum(col("n")).cast("double").as("__r_total"))
+      fitHashedLm(target, targetTextCol, buckets, salt).pinScratch())
+    val rCounts = rawLm.getOrElse(
+      fitHashedLm(raw, rawTextCol, buckets, salt).pinScratch())
     val docF = featureRows(docs, textCol, buckets, salt, Seq(idCol))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__c"))
+    scoreAgainstLms(docF, idCol, tCounts, rCounts, buckets, alpha,
+      roundDecimals)
+  }
+
+  /** The scoring tail shared by [[importanceLogRatio]] and
+    * [[importanceLogRatioSelf]]: per-(doc, bucket) counts joined
+    * against the two broadcast LM relations + their broadcast totals,
+    * folded to the per-doc mean log-ratio. */
+  private def scoreAgainstLms(docF: DataFrame, idCol: String,
+      tCounts: DataFrame, rCounts: DataFrame, buckets: Int, alpha: Double,
+      roundDecimals: Int): DataFrame = {
+    val tTot = tCounts.agg(sum(col("n")).cast("double").as("__t_total"))
+    val rTot = rCounts.agg(sum(col("n")).cast("double").as("__r_total"))
     val denom = lit(alpha * buckets)
     docF
       .join(broadcast(tCounts.select(col("bucket"), col("n").as("__tn"))),
@@ -104,6 +157,39 @@ object Dsir {
       .agg(sum(col("__c")).as("n_features"),
         roundPortable(sum(col("__term")) / sum(col("__c")).cast("double"),
           roundDecimals).as("log_ratio"))
+  }
+
+  /** [[importanceLogRatio]] for the SELF-CORPUS shape — `raw` IS
+    * `docs` and the target slice is a predicate over it (the
+    * `q_dsir_*` gate shape: target = `lang = 'en'`). ONE corpus
+    * tokenize+hash pass feeds everything: the per-(doc, pred, bucket)
+    * count aggregate is pinned, and from it come the per-doc feature
+    * counts (project), the raw LM (re-aggregate by bucket — integer
+    * sums, bit-identical to [[fitHashedLm]] on `docs`) and the target
+    * LM (re-aggregate of the pred-true slice). The three-pass spelling
+    * (two LM fits + the doc pass) pays the corpus explode+md5 three
+    * times for the same numbers. */
+  def importanceLogRatioSelf(docs: DataFrame, idCol: String,
+      textCol: String, targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 4096, alpha: Double = 1.0,
+      salt: String = "dsir", roundDecimals: Int = 4): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    require(alpha > 0, s"alpha=$alpha must be positive (Laplace floor)")
+    import graft.GraftSession.Pinnable
+    // (id, pred) is functionally dependent on id, so grouping by
+    // (id, pred, bucket) yields exactly the (id, bucket) counts
+    val g = featureRows(docs.withColumn("__is_target", targetPred),
+        textCol, buckets, salt, Seq(idCol, "__is_target"))
+      .groupBy(col(idCol), col("__is_target"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .pinScratch() // scratch ~ the hashed-feature aggregate the
+                    // three-pass spelling shuffles anyway
+    val docF = g.select(col(idCol), col("bucket"), col("__c"))
+    val rCounts = g.groupBy(col("bucket")).agg(sum(col("__c")).as("n"))
+    val tCounts = g.filter(col("__is_target"))
+      .groupBy(col("bucket")).agg(sum(col("__c")).as("n"))
+    scoreAgainstLms(docF, idCol, tCounts, rCounts, buckets, alpha,
+      roundDecimals)
   }
 
   /** DSIR resampling: keep the k documents chosen by hash-priority
@@ -131,6 +217,22 @@ object Dsir {
       importanceLogRatio(docs, idCol, textCol, target, targetTextCol,
         raw, rawTextCol, buckets, alpha, salt,
         targetLm = targetLm, rawLm = rawLm)
+        .select(col(idCol), col("log_ratio"))
+        .withColumn("__w", exp(col("log_ratio"))),
+      idCol, "__w", k).drop("__w")
+    docs.join(broadcast(kept), idCol)
+  }
+
+  /** [[resampleByImportance]] over the self-corpus ratio
+    * ([[importanceLogRatioSelf]] — one corpus pass instead of three). */
+  def resampleByImportanceSelf(docs: DataFrame, idCol: String,
+      textCol: String, targetPred: org.apache.spark.sql.Column, k: Int,
+      buckets: Int = 4096, alpha: Double = 1.0,
+      salt: String = "dsir"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val kept = Sampling.weightedSampleByHash(
+      importanceLogRatioSelf(docs, idCol, textCol, targetPred, buckets,
+        alpha, salt)
         .select(col(idCol), col("log_ratio"))
         .withColumn("__w", exp(col("log_ratio"))),
       idCol, "__w", k).drop("__w")

@@ -197,10 +197,11 @@ object MixtureQueries {
     * DuckDB's from-scratch recomputation per document. */
   val dsirWeights: Q = (s, dir) => {
     val d = Scan.table(s, dir, "documents")
-    graft.operators.Dsir.importanceLogRatio(
-        d, "doc_id", "text",
-        d.filter(col("lang") === "en"), "text",
-        d, "text", buckets = 1024)
+    // raw = docs, target = the en slice of it: the self-corpus shape —
+    // ONE tokenize+hash pass fits both LMs AND the doc features
+    // (bit-identical counts; see Dsir.importanceLogRatioSelf)
+    graft.operators.Dsir.importanceLogRatioSelf(
+        d, "doc_id", "text", col("lang") === "en", buckets = 1024)
       .orderBy(col("doc_id"))
   }
 
@@ -210,10 +211,9 @@ object MixtureQueries {
     * changes the kept set and fails the gate. */
   val dsirResample: Q = (s, dir) => {
     val d = Scan.table(s, dir, "documents")
-    graft.operators.Dsir.resampleByImportance(
+    graft.operators.Dsir.resampleByImportanceSelf(
         d.select(col("doc_id"), col("lang"), col("text")), "doc_id", "text",
-        d.filter(col("lang") === "en"), "text",
-        d, "text", k = 200, buckets = 1024)
+        col("lang") === "en", k = 200, buckets = 1024)
       .select(col("doc_id"), col("lang"), col("log_ratio"))
       .orderBy(col("doc_id"))
   }

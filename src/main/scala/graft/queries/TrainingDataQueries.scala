@@ -159,6 +159,11 @@ object TrainingDataQueries {
     val s = docs.sparkSession
     val dsRef = Option(dsirRef).getOrElse(docs)
     import graft.functions.GraftFunctions.roundPortable
+    // §1.5 job labels: attribute each eager seam (pin/write/collect) to
+    // its stage in the UI / JobProbe; thread-local, reset by the caller's
+    // next action
+    def label(stage: String): Unit =
+      s.sparkContext.setJobDescription(s"v2:$stage")
 
     // stage 1: blocklist drop (C4 rule; null text has no hits → kept,
     // and then dropped at stage 2 where a null can't score)
@@ -175,9 +180,12 @@ object TrainingDataQueries {
       .withColumn("y",
         (graft.functions.TextAnalysis.stopwordHits(col("text"), "en") >= 2)
           .cast("double"))
+    label("qc_fit")
     val model = QualityClassifier.fit(labeled, "text", "y", buckets = 128)
+    label("qc_snapshot")
     QualityClassifier.modelRelation(s, model)
       .coalesce(1).write.mode("overwrite").parquet(qcModelDir)
+    label("qc_score_pin")
     val scored = QualityClassifier.score(blok, "text", model)
       .withColumn("p_good", roundPortable(col("p_good"), 6))
       .filter(col("p_good") >= 0.5)
@@ -197,14 +205,17 @@ object TrainingDataQueries {
     // ON THE SURVIVOR SET (the composition point: a clustering of the
     // raw corpus would leak dropped docs into the witness scope),
     // snapshotted for the oracle's NOT-EXISTS twin
+    label("semdedup_vec_pin")
     val withVec = sub.join(
         embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
         "doc_id")
       .pinScratch() // read by the cluster fit, the snapshot AND the witness join
+    label("semdedup_fit_snapshot")
     SemDedup.withClusters(withVec, "doc_id", "embedding", nClusters,
         maxIter = 5)
       .select(col("doc_id"), col("cluster_id"))
       .coalesce(1).write.mode("overwrite").parquet(assignDir)
+    label("semdedup_pin")
     val sem = SemDedup.semDedup(withVec, "doc_id", "embedding",
         tau = V2Tau, assignments = Some(s.read.parquet(assignDir)),
         maxClusterSize = maxClusterSize)
@@ -214,24 +225,34 @@ object TrainingDataQueries {
     // stage 6: DSIR importance resample — reference LMs from the RAW
     // corpus (target = the en slice), documents scored on their
     // REBUILT text, A-ES priority with weight exp(log_ratio)
+    label("dsir_resample")
+    // target = the en slice OF dsRef: one fused reference pass fits
+    // both LMs (bit-identical counts; see Dsir.fitHashedLmPair)
+    val (tLm, rLm) = Dsir.fitHashedLmPair(
+      dsRef, "text", col("lang") === "en", buckets = 1024)
     val res = Dsir.resampleByImportance(sem, "doc_id", "text",
         dsRef.filter(col("lang") === "en"), "text", dsRef, "text",
-        k = V2ResampleK, buckets = 1024)
+        k = V2ResampleK, buckets = 1024,
+        targetLm = Some(tLm), rawLm = Some(rLm))
       .join(scored.select(col("doc_id"), col("lang"), col("p_good")),
         "doc_id")
 
     // stages 7+8: temperature-scaled budgets (α = 0.5, the cross-engine
     // exactness point) SPENT IN BPE TOKENS of the rebuilt text
+    label("bpe_count_pin")
     val withBpe = res.withColumn("n_tokens",
         graft.functions.GraftFunctions.bpe_token_count(col("text")))
       .pinScratch() // budget allocation collect AND the take both read it
+    label("budgets")
     val budgets = Sampling.temperatureBudgets(withBpe, "lang", "n_tokens",
       totalBudget = V2TempTotal, alpha = 0.5)
+    label("take_pin")
     val taken = Sampling.takeTokenBudget(withBpe, "doc_id", "lang",
         "n_tokens", budgets, defaultBudget = 0L)
       .pinScratch() // chunked AND enrich-joined below
 
     // stage 9: chunk the taken documents (64-token windows, stride 48)
+    label("chunk_pack")
     val chunks = Chunking.chunkByTokens(
       taken.select(col("doc_id"), col("text")), "doc_id", "text",
       maxTokens = V2ChunkTokens, stride = V2ChunkStride)
@@ -247,6 +268,7 @@ object TrainingDataQueries {
         col("bin_offset"))
 
     // stage 11: shard by the portable order hash of the chunk key
+    label("final")
     Sharding.withShard(withUid.join(packed, "chunk_uid"), "chunk_uid",
         nShards = 16)
       .join(taken.select(col("doc_id"), col("lang"), col("p_good"),
