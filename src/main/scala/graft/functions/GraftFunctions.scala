@@ -70,6 +70,22 @@ object GraftFunctions {
   def word_shingles(text: Column, n: Int, sep: String = " "): Column =
     c(WordShingles(e(text), n, sep))
 
+  /** Length-`n` histogram of an int array — native expression
+    * (≡ the `aggregate`/`zip_with` fold; see [[ArrayBincount]]). */
+  def array_bincount(xs: Column, n: Int): Column =
+    c(ArrayBincount(e(xs), n))
+
+  /** Normalized histogram `count(b) / max(|xs|, 1)` — native expression
+    * (see [[ArrayBincountFreq]]). */
+  def array_bincount_freq(xs: Column, n: Int): Column =
+    c(ArrayBincountFreq(e(xs), n))
+
+  /** All `tables` SRP bucket ids of a vector — native expression
+    * (≡ the nested transform/aggregate HOF; see [[SrpSignatures]]). */
+  def srp_signatures(vec: Column, planes: Array[Array[Double]],
+      bits: Int, tables: Int): Column =
+    c(SrpSignatures(e(vec), planes, bits, tables))
+
   /** Jaccard similarity of two array columns (exact set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

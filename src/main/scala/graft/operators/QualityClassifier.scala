@@ -74,17 +74,17 @@ object QualityClassifier {
       require(labeled.columns.contains(c), s"column $c absent"))
     val ts = toks(col(textCol))
     val bs = transform(ts, t => bucketOf(t, buckets, salt))
-    val n = greatest(size(ts), lit(1)).cast("double")
-    // Single fold over the bucket array carrying a buckets-wide count
-    // vector — NOT a per-bucket outer loop, which would re-evaluate the
-    // md5 transform once per bucket (the simhash64PortableHOF lesson:
-    // HOF lambdas defeat subexpression reuse; the outer-loop spelling
-    // measured ~12 s of pure redundant hashing on the sf0.1 gate fit)
-    val bSeq = sequence(lit(0), lit(buckets - 1))
-    val counts = aggregate(bs, transform(bSeq, _ => lit(0)),
-      (acc, v) => zip_with(acc, bSeq,
-        (c, b) => c + when(v === b, 1).otherwise(0)))
-    val x = transform(counts, c => c / n)
+    // Native one-pass normalized histogram of the bucket array. The HOF
+    // spelling (aggregate + zip_with fold, then a transform dividing by
+    // the captured token count) paid twice: the fold re-walked the
+    // buckets-wide accumulator per token, and the divide's lambda
+    // re-evaluated the CAPTURED size(split(text)) once per bucket —
+    // lambda bodies run per element, so the document re-tokenized 128
+    // times. Same integer counts, same int→double cast before the same
+    // IEEE divide (|bs| = |ts|), so the features are bit-identical
+    // (QualityClassifierSpec asserts both equalities); the md5-per-token
+    // transform is unchanged either way.
+    val x = graft.functions.GraftFunctions.array_bincount_freq(bs, buckets)
     val feats = labeled
       .filter(col(textCol).isNotNull)
       .select(array_to_vector(x).as("features"),

@@ -1072,25 +1072,31 @@ object TextDedup {
     * the persisted-index build ([[buildEmbeddingIndex]]) and batch
     * probing against it ([[embeddingNearDupAgainstIndex]]), so the two
     * sides of any bucket join can never disagree on planes or bit
-    * order. All tables×bits planes ship as ONE 2-D literal
-    * (allPlanes[t*bits+i] = table t, bit i) and the bucket math is a
-    * compact nested HOF over it — NOT tables×bits separate dot_product
-    * nodes each carrying its own array literal, which bloats the
-    * generated code by orders of magnitude and makes Janino compilation
-    * dominate the query. Planes are a pure function of
+    * order. All tables×bits planes (allPlanes[t*bits+i] = table t,
+    * bit i) ship as one reference object inside a single native
+    * [[graft.functions.SrpSignatures]] expression — NOT tables×bits
+    * separate dot_product nodes each carrying its own array literal
+    * (which bloats the generated code by orders of magnitude and makes
+    * Janino compilation dominate the query), and NOT a nested HOF over
+    * a plane literal (interpreted per element — an expression-tree walk
+    * per (table, bit) dot). Planes are a pure function of
     * (dim, bits, seed + t): deterministic across runs and executors. */
   def srpBucketRows(vecs: DataFrame, idCol: String, vecCol: String,
       bits: Int, tables: Int, seed: Long, dim: Int): DataFrame = {
-    val allPlanes = typedLit((0 until tables).flatMap(t =>
-      Similarity.hyperplanes(dim, bits, seed + t)))
-    val tb = transform(sequence(lit(0), lit(tables - 1)), t =>
-      struct(t.as("t"),
-        aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
-          (acc, i) => acc + when(
-            dot_product(col(vecCol), element_at(allPlanes, t * bits + i + 1)) >= 0,
-            shiftL(lit(1), i).cast("int")).otherwise(lit(0))).as("bkt")))
-    vecs.select(col(idCol), explode(tb).as("tb"))
-      .select(col(idCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    // the tables×bits sign folds as ONE native expression
+    // (graft.functions.SrpSignatures — the planes ride as a task-binary
+    // reference object, not a plan literal). The previous nested-HOF
+    // spelling over a plane literal was interpreted per element: an
+    // expression-tree walk per (table, bit) dot product — measured
+    // seconds of interpreter time on the sf0.1 bucketing stages for
+    // ~50 ms of multiply-adds — and embedded a tables×bits×dim constant
+    // in every analyzed plan. Bit-identical output (same dot fold, sign
+    // rule, null-vector → all-zero buckets row; TextDedupSpec asserts).
+    val allPlanes: Array[Array[Double]] = (0 until tables).flatMap(t =>
+      Similarity.hyperplanes(dim, bits, seed + t).map(_.toArray)).toArray
+    vecs.select(col(idCol),
+        posexplode(graft.functions.GraftFunctions.srp_signatures(
+          col(vecCol), allPlanes, bits, tables)).as(Seq("t", "bkt")))
   }
 
   /** A persisted-form embedding near-dup index — the [[MinhashIndex]]

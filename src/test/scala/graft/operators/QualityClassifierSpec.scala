@@ -89,6 +89,39 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("array_bincount equals the aggregate/zip_with fold spelling") {
+    import graft.functions.GraftFunctions.array_bincount
+    import spark.implicits._
+    // buckets derived the same way fit does, plus null/out-of-range
+    // elements that must count nowhere under BOTH spellings
+    val n = 16
+    val df = Seq(
+      Seq[Integer](0, 3, 3, 15, 7, 3),
+      Seq[Integer](null, 5, 5),
+      Seq[Integer](),
+      Seq[Integer](2, 2, 2, 2)).toDF("bs")
+    val bSeq = sequence(lit(0), lit(n - 1))
+    val fold = aggregate(col("bs"), transform(bSeq, _ => lit(0)),
+      (acc, v) => zip_with(acc, bSeq,
+        (c, b) => c + when(v === b, 1).otherwise(0)))
+    val rows = df.select(array_bincount(col("bs"), n).as("fast"),
+      fold.as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"bincount mismatch: ${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}")
+    }
+    // the normalized variant equals transform(counts, c -> c / n) with
+    // n = greatest(size(xs), 1) — bit-for-bit (same cast, same divide)
+    val n2 = greatest(size(col("bs")), lit(1)).cast("double")
+    val freqRows = df.select(
+      graft.functions.GraftFunctions.array_bincount_freq(col("bs"), n).as("fast"),
+      transform(fold, c => c / n2).as("slow")).collect()
+    freqRows.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1),
+        s"freq mismatch: ${r.getSeq[Double](0)} vs ${r.getSeq[Double](1)}")
+    }
+  }
+
   test("scoring plan is map-only: no exchange, no join, no aggregate node") {
     import spark.implicits._
     val m = Model(Array.fill(8)(0.1), intercept = 0.0, salt = "qc")

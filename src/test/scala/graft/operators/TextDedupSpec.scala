@@ -987,4 +987,43 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("srpBucketRows' native expression equals the nested-HOF spelling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bits = 6; val tables = 3; val seed = 42L; val dim = 4
+    // edge fixtures: normal, negative, null ELEMENTS, empty, short,
+    // long, NaN, and a NULL vector (must still emit all-zero buckets)
+    val vecs = Seq(
+      (1L, Seq[java.lang.Float](0.5f, -1.0f, 2.0f, 0.25f)),
+      (2L, Seq[java.lang.Float](-0.5f, 1.0f, -2.0f, -0.25f)),
+      (3L, Seq[java.lang.Float](null, 1.0f, null, 0.0f)),
+      (4L, Seq.empty[java.lang.Float]),
+      (5L, Seq[java.lang.Float](1.5f)),
+      (6L, Seq[java.lang.Float](1f, 2f, 3f, 4f, 5f, 6f)),
+      (7L, Seq[java.lang.Float](Float.NaN, 1f, 1f, 1f)),
+      (8L, null.asInstanceOf[Seq[java.lang.Float]])
+    ).toDF("vid", "vec")
+    val fast = TextDedup.srpBucketRows(vecs, "vid", "vec",
+      bits, tables, seed, dim).orderBy("vid", "t").collect()
+    // the pre-r21 HOF spelling, verbatim
+    val allPlanes = typedLit((0 until tables).flatMap(t =>
+      Similarity.hyperplanes(dim, bits, seed + t)))
+    val tb = transform(sequence(lit(0), lit(tables - 1)), t =>
+      struct(t.as("t"),
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
+          (acc, i) => acc + when(
+            graft.functions.GraftFunctions.dot_product(col("vec"),
+              element_at(allPlanes, t * bits + i + 1)) >= 0,
+            graft.functions.GraftFunctions.shiftL(lit(1), i).cast("int"))
+            .otherwise(lit(0))).as("bkt")))
+    val slow = vecs.select(col("vid"), explode(tb).as("tb"))
+      .select(col("vid"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      .orderBy("vid", "t").collect()
+    assert(fast.length == slow.length,
+      s"row counts differ: ${fast.length} vs ${slow.length}")
+    fast.zip(slow).foreach { case (f, s) =>
+      assert(f == s, s"bucket row mismatch: $f vs $s")
+    }
+  }
 }
