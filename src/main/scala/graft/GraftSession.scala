@@ -88,20 +88,27 @@ object GraftSession {
     * compute with 31 idle cores). Spreading costs one exchange of the
     * SMALL input, bounded by the same threshold that triggers it.
     *
-    * No-op when the plan's estimated size already fills every core's
-    * scan split (at scale the scan is parallel by itself; round-robin
-    * repartitioning a 100 TB corpus would be the bug, not the fix).
-    * Decision reads ONLY `optimizedPlan.stats` — never schedules a job
-    * (the [[partitionsForPlan]] posture). Result-safe for the keyed
-    * aggregates/joins downstream of every call site: round-robin
-    * placement changes which task holds a row, never the row set. */
+    * No-op when the input already fills every core's scan split (at
+    * scale the scan is parallel by itself; round-robin repartitioning
+    * a 100 TB corpus would be the bug, not the fix). The decision sums
+    * the LEAF scans' `stats.sizeInBytes` — never schedules a job (the
+    * [[partitionsForPlan]] posture) — because whole-plan estimates
+    * multiply through joins/windows (a 600 KB scan behind the URL
+    * screens reports 10²⁰ bytes) and would silently disable the
+    * spread exactly where it matters. Caveat: a genuinely exploding
+    * join above small leaves would be spread too — the exchange then
+    * costs one extra pass over data the downstream map stage must walk
+    * anyway, bounded by the same work it parallelizes. Result-safe for
+    * the keyed aggregates/joins downstream of every call site:
+    * round-robin placement changes which task holds a row, never the
+    * row set. */
   def spreadSmallInput(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cores = math.max(1, spark.sparkContext.defaultParallelism)
     val maxPart = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
-        BigInt(maxPart) * cores)
-      df.repartition(cores)
+    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (leafBytes < BigInt(maxPart) * cores) df.repartition(cores)
     else df
   }
 

@@ -95,7 +95,7 @@ object LangIdNb {
     // buckets, so the (lang, bucket) aggregate carries doc counts and
     // feature counts in the same partially-aggregated exchange —
     // never a second scan just for priors
-    val all = base
+    val all = graft.GraftSession.spreadSmallInput(base)
       .select(col("__lang"),
         explode(concat(array(lit(-1)),
           GraftFunctions.char_bigram_buckets(col("__text"), buckets)))

@@ -488,6 +488,7 @@ object Similarity {
     require(dim % nSub == 0,
       s"vector dim $dim is not divisible by nSub=$nSub")
     val subDim = dim / nSub
+    import graft.GraftSession.Pinnable
     val assigned = corpus
       .select(col(corpusId).cast("long").as("id"),
         col(corpusVec).cast("array<float>").as("vec"))
@@ -500,24 +501,51 @@ object Similarity {
     // bounded sample; seed offset per subspace so subspaces do not
     // share degenerate initializations
     import org.apache.spark.ml.clustering.KMeans
+    // pinned: the residual relation feeds nSub k-means fits AND the
+    // encode pass — without the pin each consumer re-ran the corpus
+    // scan + assignment + broadcast join (measured: 9 recomputations
+    // behind q_ann_ivf_pq's fit loop). localCheckpoint preserves the
+    // partition layout, so the bounded fitInput sample (limit +
+    // round-robin respread) sees byte-identical partitions and every
+    // fit is unchanged.
     val resid = assigned
       .withColumn("__resid", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
-    val cbRows = (0 until nSub).flatMap { m =>
-      val sub = resid.select(
-        slice(col("__resid"), m * subDim + 1, subDim).as("sv"))
-      val model = new KMeans().setK(nCodes).setSeed(seed + 1 + m)
-        .setMaxIter(maxIter).setFeaturesCol("features")
-        .fit(fitInput(sub, "sv", sampleRows))
-      model.clusterCenters.zipWithIndex.map { case (v, j) =>
-        (m, j, v.toArray.map(_.toFloat).toSeq)
+      .pinScratch()
+    // the nSub fits are INDEPENDENT (own subspace slice, own seed, all
+    // over the pinned residual blocks) — overlap them from a small
+    // thread pool (guide §2.6) so one fit's driver latency (init
+    // rounds, per-iteration collects) back-fills another's idle
+    // executors. Each fit's input, seed and iteration count are
+    // unchanged, so every model is bit-identical to the sequential
+    // spelling; rows are reassembled in subspace order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(nSub, 4))
+    val cbRows = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fits = (0 until nSub).map { m =>
+        scala.concurrent.Future {
+          val sub = resid.select(
+            slice(col("__resid"), m * subDim + 1, subDim).as("sv"))
+          val model = new KMeans().setK(nCodes).setSeed(seed + 1 + m)
+            .setMaxIter(maxIter).setFeaturesCol("features")
+            .fit(fitInput(sub, "sv", sampleRows))
+          model.clusterCenters.zipWithIndex.map { case (v, j) =>
+            (m, j, v.toArray.map(_.toFloat).toSeq)
+          }.toSeq
+        }
       }
-    }
+      fits.flatMap(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     spark.createDataFrame(cbRows).toDF("sub", "code", "subvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     // encode: one codegen pass — codes + the true norm (kept so ADC can
-    // return a cosine, and so re-rank-free consumers get magnitudes)
+    // return a cosine, and so re-rank-free consumers get magnitudes);
+    // reads the pinned residual relation (same columns + __resid) so
+    // the assignment join is not recomputed a 10th time
     val cb = codebookKernel(spark.read.parquet(s"$path/codebooks"))
-    assigned.select(col("id"), col("cluster_id"),
+    resid.select(col("id"), col("cluster_id"),
         pq_encode(col("vec"), col("cvec"), cb).cast("array<tinyint>")
           .as("codes"),
         sqrt(dot_product(col("vec"), col("vec"))).cast("float").as("norm"))

@@ -248,8 +248,14 @@ object UrlCuration {
       htmlCol: String): DataFrame = {
     Seq(idCol, urlCol, htmlCol).foreach(c =>
       require(pages.columns.contains(c), s"column $c absent"))
-    frontierLinks(pages, idCol, urlCol, htmlCol,
-      seenUrls(pages, urlCol))
+    // spread-small seam (guide §2.5): link extraction + RFC 3986
+    // resolution + canonicalization are regex-heavy per-row map work
+    // computed in the scan stage — over a sub-split-size page relation
+    // that stage is ONE task (measured 1.5 s single-task in
+    // q_crawl_frontier). No-op at scale.
+    val spread = graft.GraftSession.spreadSmallInput(pages)
+    frontierLinks(spread, idCol, urlCol, htmlCol,
+      seenUrls(spread, urlCol))
   }
 
   /** The SEEN set: the distinct canonical URLs of the already-fetched
@@ -294,8 +300,10 @@ object UrlCuration {
       agent: String = "graftbot"): DataFrame = {
     Seq(idCol, urlCol, htmlCol).foreach(c =>
       require(pages.columns.contains(c), s"column $c absent"))
-    val seen = seenUrls(pages, urlCol)
-    val links = frontierLinks(pages, idCol, urlCol, htmlCol, seen)
+    // spread-small seam — see crawlFrontier
+    val spread = graft.GraftSession.spreadSmallInput(pages)
+    val seen = seenUrls(spread, urlCol)
+    val links = frontierLinks(spread, idCol, urlCol, htmlCol, seen)
       .withColumn("provenance", lit("link"))
     val seeds0 = Robots.sitemapSeeds(robots, domainCol, robotsCol, agent)
     val seeds = seeds0

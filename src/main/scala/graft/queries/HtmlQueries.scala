@@ -220,13 +220,24 @@ object HtmlQueries {
       cfg: graft.operators.Curation.Config =
         graft.operators.Curation.Config()): DataFrame = {
     import graft.functions.{TextAnalysis, TextNormalize}
-    val extracted = HtmlExtract.extractMainContent(raw, "doc_id", "html")
+    // §1.5 job labels: attribute the flow's eager seams in the UI/probe
+    def label(stage: String): Unit =
+      raw.sparkSession.sparkContext.setJobDescription(s"crawl:$stage")
+    // spread-small seam (guide §2.5): the extract → clean chain is
+    // regex-heavy per row and otherwise runs single-task over a
+    // sub-split-size page relation (measured: one 1.6 s task inside
+    // q_crawl_to_corpus). No-op at scale.
+    val extracted = HtmlExtract.extractMainContent(
+      graft.GraftSession.spreadSmallInput(raw), "doc_id", "html")
+    label("clean_pin")
     val cleaned = graft.GraftSession.pin(
       extracted.select(col("doc_id"),
         TextNormalize.cleanText(col("text")).as("text")))
     val shaped = cleaned.filter(TextAnalysis.gopherShapeOk(col("text")))
+    label("nb_fit")
     val model = graft.operators.LangIdNb.fit(
       labeled, "lang", "text", buckets = 1024)
+    label("tail")
     val withLang = graft.operators.LangIdNb.predict(shaped, "text", model)
       .select(col("doc_id"), col("text"), col("pred_lang"))
     graft.operators.Curation.filterAndExactDedupWithLang(
@@ -300,13 +311,23 @@ object HtmlQueries {
   private[queries] def crawlPages(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.UrlCuration
     val id = col("doc_id")
-    val withUrl = Scan.table(s, dir, "documents")
+    // spread-small seam (guide §2.5): the URL screens' canonicalization
+    // (percent-normalize, IDN, PSL walk) is computed in the map stage
+    // feeding their exchanges — over a sub-split-size scan that stage
+    // is ONE task. No-op at scale.
+    val withUrl = graft.GraftSession.spreadSmallInput(
+        Scan.table(s, dir, "documents"))
       .select(id, col("source"), col("text"), pageUrl(id).as("url"))
     val addressed = UrlCuration.domainCap(
       UrlCuration.dedupByUrl(withUrl, "doc_id", "url"),
       "doc_id", "url", cap = DomainCapN)
     val soup = when(id % 7 === 0, lit(SoupPara)).otherwise(lit(""))
-    addressed
+    // spread-small seam (guide §2.5): the page synthesis below and the
+    // whole extract chain above it in crawlFlow are per-row map work;
+    // after the URL-screen windows AQE coalesces this tiny relation to
+    // ONE post-shuffle partition, so without the respread the synthesis
+    // ran as a single 1.6 s task. No-op at scale.
+    graft.GraftSession.spreadSmallInput(addressed)
       .select(col("doc_id"), col("url"),
         concat(
           messyHtml(col("doc_id"), col("source"),
