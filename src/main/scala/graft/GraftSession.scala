@@ -108,8 +108,35 @@ object GraftSession {
     val maxPart = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
+    // width = cores, deliberately (r22 re-measured): narrowing to 8
+    // helped the giant-plan crawl stages a little but REGRESSED the
+    // compute-dense DSIR fit 1.6× (its per-row explode+md5 work
+    // dominates per-task overhead) — the r21 full-width spread stays.
     if (leafBytes < BigInt(maxPart) * cores) df.repartition(cores)
     else df
+  }
+
+  /** Run two INDEPENDENT driver-side legs concurrently (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially) — the buildIvfPq thread-pool pattern as a reusable
+    * seam for paired writes/fits whose inputs share no data
+    * dependency. Each leg's jobs back-fill executors idled by the
+    * other's driver latency; job descriptions are thread-local, so
+    * callers label inside the legs. Exceptions propagate (first leg's
+    * first). */
+  def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fa = scala.concurrent.Future(a)
+      val fb = scala.concurrent.Future(b)
+      val ra = scala.concurrent.Await.result(
+        fa, scala.concurrent.duration.Duration(3600, "s"))
+      val rb = scala.concurrent.Await.result(
+        fb, scala.concurrent.duration.Duration(3600, "s"))
+      (ra, rb)
+    } finally pool.shutdown()
   }
 
   /** Conf key selecting the scratch strategy for [[pin]]: unset (the

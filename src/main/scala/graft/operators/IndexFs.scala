@@ -762,11 +762,22 @@ private[graft] object IndexFs {
     requireValidTag(tag)
     if (isCommitted(spark, path, tag)) return false
     val commitDir = s"$path/commits/$tag"
+    // the batch's relations are independent projections — overlap their
+    // writes (guide §2.6); nothing is visible until the commit step
+    // below, so the all-or-nothing contract is untouched
+    def writeRelations(base: String): Unit = relations match {
+      case Seq((n1, d1), (n2, d2)) =>
+        graft.GraftSession.inParallel(
+          d1.write.mode("overwrite").parquet(s"$base/$n1"),
+          d2.write.mode("overwrite").parquet(s"$base/$n2"))
+        ()
+      case rs => rs.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$base/$name")
+      }
+    }
     val landed =
       if (useMarker(spark, path)) {
-        relations.foreach { case (name, df) =>
-          df.write.mode("overwrite").parquet(s"$commitDir/$name")
-        }
+        writeRelations(commitDir)
         beforeCommitRename()
         val f = fs(spark, path)
         try { f.create(new HPath(s"$commitDir/$CommitMarker"), false).close(); true }
@@ -778,9 +789,7 @@ private[graft] object IndexFs {
       } else {
         val stageDir = s"$path/staged/$tag"
         deleteRecursively(spark, stageDir)
-        relations.foreach { case (name, df) =>
-          df.write.mode("overwrite").parquet(s"$stageDir/$name")
-        }
+        writeRelations(stageDir)
         beforeCommitRename()
         val won = renameNoClobber(spark, stageDir, commitDir)
         if (!won) deleteRecursively(spark, stageDir)

@@ -94,8 +94,15 @@ object LangIdNb {
     // sentinel bucket −1 (its document count) ahead of its bigram
     // buckets, so the (lang, bucket) aggregate carries doc counts and
     // feature counts in the same partially-aggregated exchange —
-    // never a second scan just for priors
-    val all = graft.GraftSession.spreadSmallInput(base)
+    // never a second scan just for priors.
+    // NO spread seam here (r22, reverting r21): the r21
+    // spreadSmallInput on this input measurably PESSIMIZED q_langid_nb
+    // (norm 0.30 → 0.53 — the repartition exchange costs more than the
+    // parallelism buys on a few-hundred-row labeled fit slice), and at
+    // scale a real labeled corpus gets its parallelism from the scan
+    // splits anyway. The explode is partially aggregated map-side, so
+    // the exchange after it is ≤ langs × buckets rows regardless.
+    val all = base
       .select(col("__lang"),
         explode(concat(array(lit(-1)),
           GraftFunctions.char_bigram_buckets(col("__text"), buckets)))

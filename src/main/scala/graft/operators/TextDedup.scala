@@ -1151,8 +1151,13 @@ object TextDedup {
           "recall-gated oracle, which would fail on silently-missing " +
           "pairs. Raise maxTables, pass explicit smaller bits (bigger " +
           "buckets), or raise the threshold.")
-    val bucketed = srpBucketRows(vecs, idCol, vecCol,
-      useBits, useTables, seed, planeDim)
+    // spread-small seam (guide §2.5): the tables×bits×dim SRP fold is
+    // the expensive map stage of the index build, and over a
+    // sub-split-size corpus it ran as ONE task feeding the buckets
+    // write (measured r22: a ~0.8 s single-task job per save). No-op
+    // at scale, and on the refit path (pinned, already-wide input).
+    val bucketed = srpBucketRows(graft.GraftSession.spreadSmallInput(vecs),
+      idCol, vecCol, useBits, useTables, seed, planeDim)
       .select(col(idCol).as("id"), col("t"), col("bkt"))
     EmbeddingIndex(bucketed,
       vecs.select(col(idCol).as("id"), col(vecCol).as("vec")),
@@ -1176,8 +1181,12 @@ object TextDedup {
     IndexFs.endRefit(vecs.sparkSession, path) // full rebuild supersedes a crashed refit
     val idx = buildEmbeddingIndex(vecs, idCol, vecCol, threshold, bits, tables,
       seed, dim, requireRecallTarget)
-    idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
-    idx.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    // the buckets and vectors relations are independent projections of
+    // the same input — overlap their writes (guide §2.6) so the cheap
+    // vectors write rides the SRP-heavy buckets write's idle capacity
+    graft.GraftSession.inParallel(
+      idx.buckets.write.mode("overwrite").parquet(s"$path/buckets"),
+      idx.vectors.write.mode("overwrite").parquet(s"$path/vectors"))
     writeEmbeddingMeta(vecs.sparkSession, path,
       idx.bits, idx.tables, idx.seed, idx.dim, threshold)
   }
@@ -1218,8 +1227,11 @@ object TextDedup {
       return false // already landed (live commit OR folded tombstone) —
                    // skip even the batch bucketing
     val idx = loadEmbeddingIndex(spark, path)
+    // spread-small seam (guide §2.5): a sub-split-size batch pays the
+    // tables×bits×dim SRP fold on one task otherwise; no-op at scale
     val buckets =
-      srpBucketRows(newVecs, idCol, vecCol, idx.bits, idx.tables, idx.seed, idx.dim)
+      srpBucketRows(graft.GraftSession.spreadSmallInput(newVecs),
+        idCol, vecCol, idx.bits, idx.tables, idx.seed, idx.dim)
         .select(col(idCol).as("id"), col("t"), col("bkt"))
     val vectors = newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
     commitTag match {
@@ -1338,13 +1350,17 @@ object TextDedup {
     // that may disagree — a recall-losing state that looks healthy —
     // so loads refuse until a re-run converges (IndexFs.RefitMarker)
     IndexFs.beginRefit(spark, path)
-    IndexFs.publishRelation(
-      idx.buckets.repartition(
-        graft.GraftSession.partitionsFor(spark, nVecs * idx.tables)),
-      s"$path/buckets")
-    IndexFs.publishRelation(
-      idx.vectors.repartition(graft.GraftSession.partitionsFor(spark, nVecs)),
-      s"$path/vectors")
+    // independent relations of the same pinned input — overlap the two
+    // publishes (guide §2.6; the saveEmbeddingIndex twin)
+    graft.GraftSession.inParallel(
+      IndexFs.publishRelation(
+        idx.buckets.repartition(
+          graft.GraftSession.partitionsFor(spark, nVecs * idx.tables)),
+        s"$path/buckets"),
+      IndexFs.publishRelation(
+        idx.vectors.repartition(
+          graft.GraftSession.partitionsFor(spark, nVecs)),
+        s"$path/vectors"))
     writeEmbeddingMeta(spark, path, idx.bits, idx.tables, idx.seed, idx.dim,
       useThreshold)
     IndexFs.retireFoldedCommits(spark, path, snapshot.landed)
@@ -1405,7 +1421,11 @@ object TextDedup {
     // v1 lookup, and the size/byte gates all derive from this checkpoint
     // — a batch produced by an expensive upstream pipeline pays its
     // compute exactly once per call (the minhash twin's `sigs` pattern)
-    val batchVecs = newVecs.select(col(idCol), col(vecCol)).pinScratch()
+    // spread BEFORE the pin (guide §2.5): the pin freezes the layout,
+    // and a one-split batch would otherwise run the SRP fold and every
+    // later batch-side stage single-task; no-op at scale
+    val batchVecs = graft.GraftSession.spreadSmallInput(
+      newVecs.select(col(idCol), col(vecCol))).pinScratch()
     val newBuckets = srpBucketRows(batchVecs, idCol, vecCol,
       index.bits, index.tables, index.seed, index.dim)
       .select(col(idCol).as("new_id"), col("t"), col("bkt"))

@@ -220,9 +220,14 @@ object HtmlQueries {
       cfg: graft.operators.Curation.Config =
         graft.operators.Curation.Config()): DataFrame = {
     import graft.functions.{TextAnalysis, TextNormalize}
-    // §1.5 job labels: attribute the flow's eager seams in the UI/probe
+    // §1.5 job labels: attribute the flow's eager seams in the UI/probe;
+    // restored in the finally below so the last stage's label never
+    // leaks onto later queries' jobs (the r21 probe-misattribution bug)
     def label(stage: String): Unit =
       raw.sparkSession.sparkContext.setJobDescription(s"crawl:$stage")
+    val prevDesc = raw.sparkSession.sparkContext
+      .getLocalProperty("spark.job.description")
+    try {
     // spread-small seam (guide §2.5): the extract → clean chain is
     // regex-heavy per row and otherwise runs single-task over a
     // sub-split-size page relation (measured: one 1.6 s task inside
@@ -242,6 +247,7 @@ object HtmlQueries {
       .select(col("doc_id"), col("text"), col("pred_lang"))
     graft.operators.Curation.filterAndExactDedupWithLang(
       withLang, "doc_id", "text", "pred_lang", cfg)
+    } finally raw.sparkSession.sparkContext.setJobDescription(prevDesc)
   }
 
   /** The capstone's page ADDRESS: scheme/host case, www, default
@@ -405,8 +411,17 @@ object HtmlQueries {
     val srcDir = SnapshotPaths.dirFor("crawl_stream_src", dir, s)
     Scan.table(s, dir, "documents").repartition(2)
       .write.mode("overwrite").parquet(srcDir)
+    // spread-small seam (guide §2.5), streaming form: each micro-batch
+    // is ONE file → one scan partition, so the regex-heavy synthesis +
+    // extract chain ran as a single ~2 s task per batch (JobProbe r22:
+    // 2 jobs × 1 task × ~2 s = the whole query's jobWall) while 31
+    // cores idled. One batch-sized exchange spreads it. The width is
+    // the session's parallelism, not a constant: at scale a trigger's
+    // batch is maxFilesPerTrigger×split-sized and the same exchange
+    // stays batch-bounded.
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .repartition(s.sparkContext.defaultParallelism)
     val raw = stream.select(col("doc_id"),
       messyHtml(col("doc_id"), col("source"),
         concat(col("text"), uniMessSuffix(col("doc_id")))).as("html"))

@@ -709,8 +709,14 @@ object ParityQueries {
       orders.filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_orderstatus", lit("R")),
       Seq("o_orderkey"), srcSnap)
+    // drain v2..v3 as ONE coalesced span (r22, guide §2.4): the span
+    // diff composes the two versions' effects exactly, so the replica
+    // content — the gated output — is byte-identical at one diff join
+    // + one merge instead of two of each. Incremental pickup is still
+    // exercised: this second call starts from the v1 checkpoint.
     graft.streaming.StreamingOps.replicateSharded(
-      s, srcSnap, replica, Seq("o_orderkey"), ckptDir, nShards = 8)
+      s, srcSnap, replica, Seq("o_orderkey"), ckptDir, nShards = 8,
+      coalesceSpans = true)
     SnapshotMerge.readSharded(s, replica).orderBy(col("o_orderkey"))
   }
 

@@ -53,16 +53,49 @@ object TrainingDataQueries {
     * adds its total ORDER BY). */
   def ingestFlow(docs: DataFrame, idxPath: String): DataFrame = {
     val s = docs.sparkSession
-    // the pre-existing corpus, signed once (save wipes stale commits,
-    // so re-runs in one session start from the same index state)
-    TextDedup.saveMinhashIndex(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
+    // OVERLAP the three independent up-front legs (guide §2.6: actions
+    // are only sequential because the driver calls them sequentially):
+    // signing the pre-existing corpus into the index and curating each
+    // wave share no data dependency — wave curation touches only the
+    // wave's documents, and only the AGAINST-INDEX step (below, still
+    // strictly ordered) reads the index. A 2-thread pool back-fills
+    // executors idled by one leg's driver latency with the other leg's
+    // tasks; every leg's inputs/parameters are unchanged, so results
+    // are identical to the sequential spelling (JobProbe r22: the
+    // serial ladder was 111 jobs with a 3.0 s driver residual).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (fIdx, fCurA, fCurB) = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      def curateWave(wave: Int) = scala.concurrent.Future {
+        s.sparkContext.setJobDescription(s"e2e:curate_wave_$wave")
+        // pinned: the curated wave feeds the against-index dedup AND
+        // the anti-join below; the pin also FORCES the wave's curation
+        // jobs now, inside the overlap window
+        val c = Curation.curate(
+          docs.filter(col("doc_id") % 4 === wave), "doc_id", "text")
+          .pinScratch()
+        s.sparkContext.setJobDescription(null)
+        c
+      }
+      // the pre-existing corpus, signed once (save wipes stale commits,
+      // so re-runs in one session start from the same index state)
+      val fi = scala.concurrent.Future {
+        s.sparkContext.setJobDescription("e2e:index_save")
+        TextDedup.saveMinhashIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
+        s.sparkContext.setJobDescription(null)
+      }
+      (fi, curateWave(1), curateWave(3))
+    } finally pool.shutdown() // already-submitted futures still run
+    def await[T](f: scala.concurrent.Future[T]): T =
+      scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration(600, "s"))
 
-    // one crawl wave: curate, drop docs already in the (current) index,
-    // fold the accepted survivors in for the NEXT wave to see
-    def ingestWave(wave: Int, tag: String): DataFrame = {
-      val curated = Curation.curate(
-        docs.filter(col("doc_id") % 4 === wave), "doc_id", "text")
+    // one crawl wave: drop curated docs already in the (current) index,
+    // fold the accepted survivors in for the NEXT wave to see — this
+    // half stays STRICTLY ordered (wave B must see wave A's append)
+    def ingestWave(curated: DataFrame, tag: String): DataFrame = {
       val dupIds = TextDedup.minhashLshAgainstIndex(
           curated, "doc_id", "text",
           TextDedup.loadMinhashIndex(s, idxPath), threshold = 0.7)
@@ -73,7 +106,10 @@ object TrainingDataQueries {
         accepted, "doc_id", "text", idxPath, commitTag = Some(tag))
       accepted
     }
-    val accepted = ingestWave(1, "wave_a").unionByName(ingestWave(3, "wave_b"))
+    await(fIdx)
+    val acceptedA = ingestWave(await(fCurA), "wave_a")
+    val acceptedB = ingestWave(await(fCurB), "wave_b")
+    val accepted = acceptedA.unionByName(acceptedB)
       .select(col("doc_id"), col("pred_lang"), col("quality"),
         col("n_tokens"), col("text"))
       .pinScratch() // consumed by split AND packing
@@ -160,10 +196,35 @@ object TrainingDataQueries {
     val dsRef = Option(dsirRef).getOrElse(docs)
     import graft.functions.GraftFunctions.roundPortable
     // §1.5 job labels: attribute each eager seam (pin/write/collect) to
-    // its stage in the UI / JobProbe; thread-local, reset by the caller's
-    // next action
+    // its stage in the UI / JobProbe. Thread-local, and RESTORED at the
+    // end of the flow ([[labeled]]'s try/finally) — the last stage's
+    // label would otherwise ride every later job this thread submits,
+    // misattributing whole unrelated queries in the very probe output
+    // the labels exist to feed.
     def label(stage: String): Unit =
       s.sparkContext.setJobDescription(s"v2:$stage")
+    val prevDesc =
+      s.sparkContext.getLocalProperty("spark.job.description")
+    try {
+
+    // OVERLAP (guide §2.6): the DSIR reference-LM pair depends ONLY on
+    // dsRef (the raw corpus) — not on stages 1-5 — yet ran serially at
+    // stage 6 (JobProbe r22: a ~0.5-1 s eager fit in the middle of the
+    // ladder). Kick the fused fit off on a driver thread now so its
+    // jobs back-fill executors idled by the serial qc/dedup pins; same
+    // inputs, seeds and spelling, so the LMs are bit-identical.
+    val lmPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val lmFit = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(lmPool)
+      scala.concurrent.Future {
+        s.sparkContext.setJobDescription("v2:dsir_lm_fit")
+        val r = Dsir.fitHashedLmPair(
+          dsRef, "text", col("lang") === "en", buckets = 1024)
+        s.sparkContext.setJobDescription(null)
+        r
+      }
+    } finally lmPool.shutdown()
 
     // stage 1: blocklist drop (C4 rule; null text has no hits → kept,
     // and then dropped at stage 2 where a null can't score)
@@ -227,9 +288,11 @@ object TrainingDataQueries {
     // REBUILT text, A-ES priority with weight exp(log_ratio)
     label("dsir_resample")
     // target = the en slice OF dsRef: one fused reference pass fits
-    // both LMs (bit-identical counts; see Dsir.fitHashedLmPair)
-    val (tLm, rLm) = Dsir.fitHashedLmPair(
-      dsRef, "text", col("lang") === "en", buckets = 1024)
+    // both LMs (bit-identical counts; see Dsir.fitHashedLmPair),
+    // started up at the top of the flow — by now it has usually
+    // already landed
+    val (tLm, rLm) = scala.concurrent.Await.result(
+      lmFit, scala.concurrent.duration.Duration(600, "s"))
     val res = Dsir.resampleByImportance(sem, "doc_id", "text",
         dsRef.filter(col("lang") === "en"), "text", dsRef, "text",
         k = V2ResampleK, buckets = 1024,
@@ -240,7 +303,16 @@ object TrainingDataQueries {
     // stages 7+8: temperature-scaled budgets (α = 0.5, the cross-engine
     // exactness point) SPENT IN BPE TOKENS of the rebuilt text
     label("bpe_count_pin")
-    val withBpe = res.withColumn("n_tokens",
+    // spread before the BPE count (guide §2.5): the resample output is
+    // ≤ k rows on ONE post-join partition, and bpe_token_count is the
+    // heaviest per-row kernel in the flow — the pin ran as a single
+    // ~0.7 s task (JobProbe r22). MODEST width (~k/16 rows per task,
+    // capped at cores): per-task fixed cost on this plan is ~100 ms,
+    // so a full-core fan-out of ≤ k tiny rows costs more than it buys.
+    val cores = math.max(1, s.sparkContext.defaultParallelism)
+    val withBpe = res
+      .repartition(math.max(1, math.min(cores, V2ResampleK / 16)))
+      .withColumn("n_tokens",
         graft.functions.GraftFunctions.bpe_token_count(col("text")))
       .pinScratch() // budget allocation collect AND the take both read it
     label("budgets")
@@ -277,6 +349,7 @@ object TrainingDataQueries {
         col("log_ratio"), col("n_tokens"), col("group_start"),
         col("chunk_text"), col("n_chunk_tokens"), col("start_offset"),
         col("bin"), col("bin_offset"), col("shard"))
+    } finally s.sparkContext.setJobDescription(prevDesc)
   }
 
   val trainingDataV2: Q = (s, dir) =>

@@ -48,6 +48,31 @@ object StreamingOps {
     }
   }
 
+  /** Spread a NARROW micro-batch to the session's parallelism before
+    * its pin — the guide §2.5 input-skew fix in streaming form: under
+    * `maxFilesPerTrigger = 1` a batch is one file → ONE scan partition,
+    * so every regex/minhash-amplified map stage downstream of the pin
+    * ran as a single task per batch (JobProbe r22: the 0.5-2 s
+    * single-task jobs inside the crawl/dedup batch bodies) while the
+    * other cores idled. One batch-sized round-robin exchange fixes it;
+    * batches already at or above the core count (the at-scale shape —
+    * many arriving files per trigger) pass through untouched.
+    * Result-safe: round-robin placement changes which task holds a
+    * row, never the row set, and every downstream screen is a keyed
+    * aggregate/join with a deterministic winner rule. */
+  private def spreadBatch(batchDf: DataFrame): DataFrame = {
+    // MODEST width (≤ 8), the Similarity.fitInput lesson: these batch
+    // pipelines carry very large serialized plans (extract regexes,
+    // model literals), so per-task fixed cost is ~100-200 ms — a
+    // full-core fan-out of a sub-second stage multiplies total task
+    // time ~10× for no wall gain (measured r22: crawlBatch at width 32
+    // tripled cluster work, wall flat)
+    val cores = math.min(8, math.max(1,
+      batchDf.sparkSession.sparkContext.defaultParallelism))
+    if (batchDf.rdd.getNumPartitions < cores) batchDf.repartition(cores)
+    else batchDf
+  }
+
   /** File-source stream over the events table (micro-batch T1 analog). */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedDir(sfDir, "events").toString
@@ -281,7 +306,7 @@ object StreamingOps {
     graft.GraftSession.releasingScratch(batchDf.sparkSession) {
     val spark = batchDf.sparkSession
     val tag = s"batch_$batchId"
-    val b = batchDf.pinScratch() // consumed twice below
+    val b = spreadBatch(batchDf).pinScratch() // consumed twice below
     // exclude this batch's OWN commit: on a replay whose first append
     // landed, the load must see the pre-append index or the batch
     // would emit self-match pairs its original execution lacked
@@ -409,7 +434,19 @@ object StreamingOps {
     *         readable source version once drained) */
   def consumeShardedChanges(spark: SparkSession, srcDir: String,
       keyCols: Seq[String], checkpointDir: String,
-      maxVersionsPerCall: Int = Int.MaxValue)(
+      maxVersionsPerCall: Int = Int.MaxValue,
+      /** When true, every pending version this call drains is handed
+        * to `process` as ONE coalesced span (`readShardedChanges(last,
+        * newest)`) instead of one call per version — the batch-CDC
+        * consumer shape (r22, guide §2.4: one diff join + one
+        * downstream apply instead of K). Row-level intermediate states
+        * that a later pending version supersedes are composed away by
+        * the span diff, so consumers that apply EFFECTS (the
+        * [[replicateSharded]] pattern) converge to the identical
+        * replica; consumers that need every intermediate image keep
+        * the default per-version pacing. The checkpoint still advances
+        * only after `process` returns — at-least-once, span-sized. */
+      coalesceSpans: Boolean = false)(
       process: (DataFrame, Long, Long) => Unit): Long = {
     import graft.operators.{IndexFs, SnapshotMerge}
     require(maxVersionsPerCall >= 1,
@@ -442,7 +479,10 @@ object StreamingOps {
           s"consumer caught up (readable: ${versions.mkString(",")}) — " +
           "raise vacuumSharded's minAgeMs above the consumer's poll lag, " +
           "or clear the checkpoint to re-bootstrap deliberately")
-    pending.foreach { v =>
+    val spans =
+      if (coalesceSpans && pending.nonEmpty) Seq(pending.max)
+      else pending
+    spans.foreach { v =>
       val changes =
         SnapshotMerge.readShardedChanges(spark, srcDir, keyCols, last, v)
       process(changes, last, v)
@@ -470,10 +510,20 @@ object StreamingOps {
   def replicateSharded(spark: SparkSession, srcDir: String,
       replicaDir: String, keyCols: Seq[String], checkpointDir: String,
       nShards: Int = 16, streamName: String = "cdf",
-      maxVersionsPerCall: Int = Int.MaxValue): Long = {
+      maxVersionsPerCall: Int = Int.MaxValue,
+      /** Apply every pending version as ONE coalesced span-diff merge
+        * ([[consumeShardedChanges]]'s knob) — safe here by
+        * construction: the replica applies post-image/delete EFFECTS,
+        * and a span diff composes the per-version effects exactly
+        * (upsert∘upsert = upsert of the later image; insert∘delete =
+        * absent), so the replica content is identical at one
+        * diff+merge per call instead of one per version. The commit
+        * tag keys on the span END version, so crash redelivery of the
+        * same span still short-circuits. */
+      coalesceSpans: Boolean = false): Long = {
     import graft.operators.SnapshotMerge
     consumeShardedChanges(spark, srcDir, keyCols, checkpointDir,
-        maxVersionsPerCall) { (changes, _, to) =>
+        maxVersionsPerCall, coalesceSpans) { (changes, _, to) =>
       graft.GraftSession.releasingScratch(spark) {
         val tag = s"cdf_${streamName}_v$to"
         val batch = changes
@@ -604,7 +654,8 @@ object StreamingOps {
         .groupBy("domain").agg(sum("n").as("prev_n"))
       val prevHashes = readState(spark, stateDir, "hashes", tag, hashSchema)
 
-      val b = batchDf.pinScratch() // url keys + the post-screen text pass
+      val b = spreadBatch(batchDf)
+        .pinScratch() // url keys + the post-screen text pass
       // ── URL stage (the batch dedupByUrl + domainCap, made running)
       val withKeys = b.select(col(idCol),
           UrlCuration.canonicalUrl(col(urlCol)).as("__canon"),

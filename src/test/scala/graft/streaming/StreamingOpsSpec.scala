@@ -599,4 +599,45 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
       full + (5L -> "e") + (6L -> "f"))
   }
+
+  test("replicateSharded coalesceSpans: one span-diff merge, identical replica") {
+    import spark.implicits._
+    import graft.operators.{IndexFs, SnapshotMerge}
+    def tmp(n: String) =
+      java.nio.file.Files.createTempDirectory(n).toString + "/t"
+    val src = tmp("cdfc_src")
+    val rep = tmp("cdfc_rep")
+    val ck = tmp("cdfc_ck")
+    def df(rows: (Long, String, Boolean)*) = rows.toDF("id", "name", "del")
+    SnapshotMerge.createSharded(
+      df((1L, "a", false), (2L, "b", false), (3L, "c", false)).drop("del"),
+      Seq("id"), 4, src) // v1
+    // bootstrap from v1 first (the q_stream_cdf_replica shape)
+    assert(StreamingOps.replicateSharded(spark, src, rep, Seq("id"), ck,
+      nShards = 4, coalesceSpans = true) == 1L)
+    // v2: update, insert, delete; v3: re-insert the deleted key,
+    // supersede v2's insert — every composition case a span must fold
+    SnapshotMerge.upsertSharded(df((2L, "b2", false), (4L, "d", false),
+      (3L, "", true)), Seq("id"), src, deleteCol = Some("del")) // v2
+    SnapshotMerge.upsertSharded(
+      df((4L, "d2", false), (3L, "c-back", false)).drop("del"),
+      Seq("id"), src) // v3
+    // v2..v3 drain as ONE span: exactly one replica version lands
+    // (v1-bootstrap + the span = 2 total), content ≡ per-version drain
+    assert(StreamingOps.replicateSharded(spark, src, rep, Seq("id"), ck,
+      nShards = 4, coalesceSpans = true) == 3L)
+    assert(SnapshotMerge.readSharded(spark, rep)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c-back", 4L -> "d2"))
+    assert(SnapshotMerge.shardedVersions(spark, rep).max == 2L,
+      "the coalesced span must commit as one replica version")
+    // checkpoint is at the span END; crash-window replay of the same
+    // span is tag-skipped (tag keys on the span end version)
+    IndexFs.atomicWriteSmallFile(spark, IndexFs.fs(spark, ck),
+      new org.apache.hadoop.fs.Path(s"$ck/cdf.version"), "1")
+    assert(StreamingOps.replicateSharded(spark, src, rep, Seq("id"), ck,
+      nShards = 4, coalesceSpans = true) == 3L)
+    assert(SnapshotMerge.shardedVersions(spark, rep).max == 2L,
+      "replayed coalesced span must be tag-skipped")
+  }
 }
