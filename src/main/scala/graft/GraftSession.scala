@@ -44,9 +44,22 @@ object GraftSession {
     * (a session-conf set inside a lazily-evaluated operator would not). */
   def partitionsFor(nRows: Long, cores: Int,
       rowsPerPartition: Long = 2500L): Int = {
-    val floor = math.max(1, cores)
-    val byRows = nRows / math.max(1L, rowsPerPartition)
-    math.max(floor.toLong, math.min(6L * floor, byRows)).toInt
+    val c = math.max(1, cores).toLong
+    val rpp = math.max(1L, rowsPerPartition)
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    // r22 (the 8-core-beats-32-core fix): sub-core-scale relations no
+    // longer saturate at `cores` — a few-hundred-row input paid a
+    // cores-wide exchange whose per-task fixed cost (~100 ms on these
+    // large plans) dwarfed the work, and the 8-core driver bench BEAT
+    // 32-core on exactly those queries. Width now also tracks the
+    // input below the cores floor (≥64 rows per task — tasks smaller
+    // than that are pure overhead), so it still GROWS with rows:
+    // identical to the old value for any input ≥ 64·cores rows, and
+    // the 6×cores cap + rows-per-partition bound (per-task state stays
+    // heap-bounded) are unchanged.
+    val byRows = nRows / rpp
+    math.max(math.min(c, ceilDiv(nRows, 64L)),
+      math.min(6L * c, byRows)).max(1L).toInt
   }
 
   /** [[partitionsFor]] with cores from the session. */

@@ -319,8 +319,17 @@ object TrainingDataQueries {
     val budgets = Sampling.temperatureBudgets(withBpe, "lang", "n_tokens",
       totalBudget = V2TempTotal, alpha = 0.5)
     label("take_pin")
+    // explicit width from the flow's OWN bound (the take input is the
+    // ≤ V2ResampleK resample survivors): partitionsForPlan's byte
+    // estimate multiplies through the upstream joins to ~19 GB here
+    // and sized these stages 150 wide — ~5× the honest width, pure
+    // scheduling overhead (JobProbe r22). Same fix for the chunk
+    // packing below: the chunk stream is bounded by the token budget
+    // over the stride, a flow constant.
     val taken = Sampling.takeTokenBudget(withBpe, "doc_id", "lang",
-        "n_tokens", budgets, defaultBudget = 0L)
+        "n_tokens", budgets, defaultBudget = 0L,
+        numPartitions = Some(
+          graft.GraftSession.partitionsFor(s, V2ResampleK.toLong)))
       .pinScratch() // chunked AND enrich-joined below
 
     // stage 9: chunk the taken documents (64-token windows, stride 48)
@@ -335,7 +344,9 @@ object TrainingDataQueries {
       col("doc_id") * 1000L + col("chunk_id"))
     val packed = Packing.withPackingBins(
         withUid.select(col("chunk_uid"), col("n_chunk_tokens")),
-        "chunk_uid", "n_chunk_tokens", budget = V2PackBudget)
+        "chunk_uid", "n_chunk_tokens", budget = V2PackBudget,
+        numPartitions = Some(graft.GraftSession.partitionsFor(
+          s, V2TempTotal / V2ChunkStride + V2ResampleK)))
       .select(col("chunk_uid"), col("start_offset"), col("bin"),
         col("bin_offset"))
 
