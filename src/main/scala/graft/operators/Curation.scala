@@ -90,7 +90,13 @@ object Curation {
   private def survivorsAndPairs(
       docs: DataFrame, idCol: String, textCol: String,
       cfg: Config): (DataFrame, DataFrame) = {
-    val surviving = filterAndExactDedup(docs, idCol, textCol, cfg)
+    // spread-small seam (guide §2.5), BEFORE the pin: the pin freezes
+    // the layout, and over a one-split corpus the feature projection
+    // (langId/quality/md5) AND the downstream minhash signing — which
+    // reads the pinned blocks — each ran as one 1-1.6 s task
+    // (JobProbe r22, q_curation_clusters). No-op at scale.
+    val surviving = filterAndExactDedup(
+        graft.GraftSession.spreadSmallInput(docs), idCol, textCol, cfg)
       .pinScratch()
     val nearDups = TextDedup.minhashLsh(
       surviving, idCol, textCol, n = cfg.shingleSize,

@@ -535,8 +535,15 @@ object Similarity {
           }.toSeq
         }
       }
-      fits.flatMap(f => scala.concurrent.Await.result(
-        f, scala.concurrent.duration.Duration.Inf))
+      // Future.sequence + a finite (generous) timeout: a hung fit fails
+      // the build loudly instead of wedging the driver forever, and a
+      // FAILED fit surfaces as soon as it fails — not only after every
+      // earlier future completes. shutdownNow in the finally stops the
+      // remaining fits from submitting further jobs on that path.
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fits),
+        scala.concurrent.duration.Duration(3600, "s")).flatten
+      catch { case e: Throwable => pool.shutdownNow(); throw e }
     } finally pool.shutdown()
     spark.createDataFrame(cbRows).toDF("sub", "code", "subvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
