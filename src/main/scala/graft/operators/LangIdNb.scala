@@ -98,10 +98,11 @@ object LangIdNb {
     // NO spread seam here (r22, reverting r21): the r21
     // spreadSmallInput on this input measurably PESSIMIZED q_langid_nb
     // (norm 0.30 → 0.53 — the repartition exchange costs more than the
-    // parallelism buys on a few-hundred-row labeled fit slice), and at
-    // scale a real labeled corpus gets its parallelism from the scan
-    // splits anyway. The explode is partially aggregated map-side, so
-    // the exchange after it is ≤ langs × buckets rows regardless.
+    // parallelism buys on a few-hundred-row labeled fit slice; a
+    // width-8 middle ground re-measured no better), and at scale a
+    // real labeled corpus gets its parallelism from the scan splits
+    // anyway. The explode is partially aggregated map-side, so the
+    // exchange after it is ≤ langs × buckets rows regardless.
     val all = base
       .select(col("__lang"),
         explode(concat(array(lit(-1)),

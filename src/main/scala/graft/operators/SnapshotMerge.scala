@@ -615,36 +615,19 @@ object SnapshotMerge {
       val m = readManifest(spark, dir)
       val shard = shardExpr(keyCols, m.nShards, m.salt)
       val inserts = insertRows.withColumn("__shard", shard)
-      // ONE driver collect of the batch's (distinct) key set serves
-      // BOTH downstream consumers that each cost a job before (r22,
-      // guide §2.4/§5): the shard footprint (previously its own
-      // collect) and the survivor anti-join's broadcast side
-      // (previously a broadcast-build job over the updates lineage).
-      // The key set is batch-sized by the same contract that justified
-      // broadcasting it — the driver already held exactly these rows
-      // while building that broadcast. The local relation rebuilds
-      // per attempt like everything else here (shard params can move
-      // between attempts). Falls back to the old plan-side spelling
-      // when the caller disabled key broadcasting (backfill batches).
+      // (r22 note: a one-collect variant — pulling the distinct key set
+      // to the driver to serve both the footprint and the anti-join's
+      // broadcast side as a LocalRelation — measured consistently
+      // SLOWER on q_merge_concurrent across three windows: the
+      // key rows embedded in every downstream plan grow analysis and
+      // task-binary cost by more than the saved broadcast-build job.
+      // Reverted to the plan-side spelling.)
       val touchedKeys = ranked.select(keyCols.map(col): _*).distinct()
         .withColumn("__shard", shard)
-      val (touched: Set[Long], keySide: DataFrame) =
-        if (broadcastKeys) {
-          val rows = touchedKeys.collect()
-          val shardIdx = rows.headOption.map(_.length - 1).getOrElse(0)
-          val keyRows = rows.map(r =>
-            org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))).toSeq
-          val keySchema = org.apache.spark.sql.types.StructType(
-            touchedKeys.schema.fields.dropRight(1))
-          (rows.map(_.getLong(shardIdx)).toSet,
-            spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](
-                scala.jdk.CollectionConverters.SeqHasAsJava(keyRows).asJava),
-              keySchema))
-        } else
-          (touchedKeys.select(col("__shard")).distinct()
-            .collect().map(_.getLong(0)).toSet,
-            touchedKeys.drop("__shard"))
+      // the batch's shard footprint — at most nShards rows
+      val touched = touchedKeys.select(col("__shard")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val keySide = touchedKeys.drop("__shard")
 
       // schema gate against the zero-row anchor relation, NOT just the
       // touched dirs (a batch landing only in empty shards must not

@@ -258,10 +258,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
-  test("partitionsFor tracks rows between the core floor and the 6x-cores cap") {
+  test("partitionsFor tracks rows below the cores floor and up to the 6x-cores cap") {
     import graft.GraftSession.partitionsFor
-    assert(partitionsFor(0L, 32) == 32)            // tiny input → full parallelism
-    assert(partitionsFor(5000L, 32) == 32)         // sf0.1 shape stays at the floor
+    // r22 contract: sub-core-scale inputs no longer saturate at cores —
+    // width tracks the input at >=64 rows/task (tasks smaller than that
+    // are pure overhead; the 8-core bench beat 32-core on exactly the
+    // queries that paid cores-wide exchanges for a few hundred rows)
+    assert(partitionsFor(0L, 32) == 1)             // empty input → one task
+    assert(partitionsFor(150L, 32) == 3)           // tiny input → ~64 rows/task
+    assert(partitionsFor(500L, 32) == 8)
+    assert(partitionsFor(64L * 32, 32) == 32)      // reaches full parallelism
+    assert(partitionsFor(5000L, 32) == 32)         // sf0.1 shape: unchanged
     assert(partitionsFor(500000L, 32) == 192)      // 100x hits the 6x cap
     assert(partitionsFor(250000L, 32) == 100)      // linear in between
     assert(partitionsFor(1L << 40, 32) == 192)     // cap holds at any size
